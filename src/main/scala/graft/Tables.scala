@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test corpus (`/root/repo/TESTDATA.md`).
+  *
+  * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects by default; `spark.sql.legacy.parquet.nanosAsLong` reads it
+  * as epoch-nanosecond Longs. We keep it integral everywhere — converting to
+  * double (or dividing with `/`) would lose precision above 2^53 ns — and do
+  * all bucketing with integer `DIV` (exact, matches DuckDB `epoch_us`). */
+object Tables {
+
+  private def conf(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    conf(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `ts` column arrives as LongType epoch nanoseconds (see above). */
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

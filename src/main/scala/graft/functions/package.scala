@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+import graft.dns.DnsWire
+
+/** Column-level function surface of the engine (SURVEY.md §2.9).
+  *
+  * Everything expressible with built-in `org.apache.spark.sql.functions` is a
+  * pure-Column composition (stays inside WholeStageCodegen); only the three
+  * functions Spark genuinely lacks — DNS wire parse, strict IPv4/IPv6 string
+  * predicates — are Scala UDFs over the pure `graft.dns` kernel
+  * (`/root/reference/src/collector.py:29-41`, `/root/reference/README.md:148`).
+  */
+package object functions {
+
+  // ---------------------------------------------------------------- net ----
+
+  /** Strict dotted-quad predicate — ClickHouse `isIPv4String` / netaddr
+    * `valid_ipv4` semantics. */
+  val isIpv4Udf: UserDefinedFunction =
+    udf((s: String) => DnsWire.isIpv4(s)).asNonNullable()
+
+  /** Pure-string IPv6 predicate (never resolves). */
+  val isIpv6Udf: UserDefinedFunction =
+    udf((s: String) => DnsWire.isIpv6(s)).asNonNullable()
+
+  def is_ipv4(c: Column): Column = isIpv4Udf(c)
+  def is_ipv6(c: Column): Column = isIpv6Udf(c)
+
+  /** Last label of a dotted name — ClickHouse
+    * `arrayRotateRight(splitByChar('.',QH),1)[1]`
+    * (`/root/reference/README.md:145`) re-expressed with built-ins only:
+    * `element_at(split(qh, '\\.'), -1)`. */
+  def tld(qh: Column): Column = element_at(split(qh, "\\.", -1), -1)
+
+  /** Generic "last token" for a custom separator (harness recasts the TLD
+    * logic over space-separated columns of the test corpus). */
+  def lastToken(c: Column, sepRegex: String): Column =
+    element_at(split(c, sepRegex, -1), -1)
+
+  /** The reference's compound TLD-eligibility filter
+    * (`/root/reference/README.md:148`): multi-label AND not an IP literal. */
+  def tldEligible(qh: Column): Column =
+    size(split(qh, "\\.", -1)) > 1 && !is_ipv4(qh) && !is_ipv6(qh)
+
+  // ---------------------------------------------------------------- dns ----
+
+  /** Parse a base64 DNS wire message into (rcode, rdatas, rdatas6, cnames) —
+    * the collector's `parse_dns_record` (`/root/reference/src/collector.py:29-41`)
+    * as one fused column function: single parse, struct-of-arrays out.
+    * Malformed input → null struct (caller decides drop vs default),
+    * mirroring the per-row exception barrier (collector.py:76-78). */
+  val parseAnswerUdf: UserDefinedFunction = udf { (wire: Array[Byte]) =>
+    if (wire == null) None
+    else DnsWire.parseOpt(wire).map(a => (a.rcode, a.rdatas4, a.rdatas6, a.cnames))
+  }
+
+  def parse_answer(b64: Column): Column =
+    parseAnswerUdf(unbase64(b64))
+      .cast("struct<rcode:int,rdatas:array<string>,rdatas6:array<string>,cnames:array<string>>")
+
+  // --------------------------------------------------------------- time ----
+
+  /** Floor an epoch-nanosecond Long column (named `colName`) to
+    * `minutes`-minute buckets, returning epoch seconds — ClickHouse
+    * `toStartOfInterval(t, toIntervalMinute(m))`
+    * (`/root/reference/README.md:122`). Integer `DIV` only: epoch-nanos
+    * exceed 2^53, so any double arithmetic would corrupt low bits. */
+  def bucketStartSecFromNanos(colName: String, minutes: Int): Column = {
+    val wNanos = minutes * 60L * 1000000000L
+    expr(s"($colName DIV $wNanos) * ${minutes * 60L}").cast("long")
+  }
+
+  /** Same bucketing over a TimestampType column (seconds fit doubles exactly,
+    * so `floor` is safe here). */
+  def bucketStartSec(ts: Column, minutes: Int): Column = {
+    val w = minutes * 60L
+    (floor(unix_timestamp(ts) / w) * w).cast("long")
+  }
+
+  // ------------------------------------------------------------ vectors ----
+
+  /** Dot product of two float-array columns via codegen'd higher-order
+    * functions — no UDF in the hot path (SURVEY.md §2.11 X3). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Cosine similarity of two dense float vectors. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ------------------------------------------------------- registration ----
+
+  /** Register the custom scalar functions for `spark.sql(...)` use. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("is_ipv4", isIpv4Udf)
+    spark.udf.register("is_ipv6", isIpv6Udf)
+    spark.udf.register("parse_answer", parseAnswerUdf)
+  }
+}

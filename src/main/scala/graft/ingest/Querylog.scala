@@ -1,0 +1,100 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Schemas
+import graft.functions.parse_answer
+
+/** Querylog → `log2` parse/enrich pipeline — the Spark-native form of the
+  * reference's collector (`/root/reference/src/collector.py:15-41`).
+  *
+  * The same `Column` transformations serve batch (`spark.read.text`) and
+  * streaming (`spark.readStream.text`) inputs; only the source/sink differ
+  * (SURVEY.md §3.1). All per-field work is declarative so Catalyst fuses the
+  * whole parse into one WholeStageCodegen stage around the single DNS-parse
+  * UDF call.
+  *
+  * Error semantics mirror the collector's per-row exception barrier
+  * (collector.py:55,76-78): a row is dropped (routed to the corrupt channel)
+  * iff JSON parsing fails or any *required* field is missing — `T QH QT QC CP
+  * IP Elapsed Answer` (KeyError in the reference) — or the base64/DNS payload
+  * is unreadable. Optional fields default: `Upstream→""`, `Cached→false`,
+  * `Result.IsFiltered→false` (collector.py:22-26).
+  *
+  * 100 TB notes: stateless row-wise map — embarrassingly parallel, no
+  * shuffle; throughput scales linearly with input splits. Write the result
+  * partitioned by `to_date(date_time)` + sorted within partitions by
+  * `date_time` to reproduce MergeTree's time clustering (README.md:21) as
+  * Parquet row-group min/max pruning.
+  */
+object Querylog {
+
+  /** Rows that parsed: full `log2` schema. */
+  def parse(lines: DataFrame): DataFrame = parsed(lines).filter(col("_ok")).drop("_ok", "_raw")
+
+  /** Rows that failed any required step — the corrupt-record side channel
+    * (SURVEY.md §2.1 S4): original line + reason. */
+  def corrupt(lines: DataFrame): DataFrame =
+    parsed(lines)
+      .filter(!col("_ok"))
+      .select(col("_raw").as("raw"), col("_reason").as("reason"))
+
+  /** Shared parse graph. Input: one string column `value` (a querylog line).
+    * Output: log2 columns + `_ok`/`_raw`/`_reason` bookkeeping. */
+  private def parsed(lines: DataFrame): DataFrame = {
+    val j = from_json(col("value"), Schemas.querylogJson) // PERMISSIVE: bad JSON → null struct
+    val ans = parse_answer(col("j.Answer"))
+
+    val requiredPresent: Column =
+      col("j").isNotNull &&
+        col("j.T").isNotNull && col("j.QH").isNotNull && col("j.QT").isNotNull &&
+        col("j.QC").isNotNull && col("j.CP").isNotNull && col("j.IP").isNotNull &&
+        col("j.Elapsed").isNotNull && col("j.Answer").isNotNull
+
+    val ts = to_timestamp(col("j.T")) // full ISO-8601 incl. offset (collector.py:17)
+
+    lines
+      .withColumn("j", j)
+      .withColumn("ans", ans)
+      .withColumn("_raw", col("value"))
+      .withColumn(
+        "_reason",
+        when(col("j").isNull, lit("malformed json"))
+          .when(!requiredPresent, lit("missing required field"))
+          .when(ts.isNull, lit("unparseable timestamp"))
+          .when(col("ans").isNull, lit("unparseable dns answer"))
+      )
+      .withColumn("_ok", col("_reason").isNull)
+      .select(
+        ts.as("date_time"),
+        col("j.QH").as("QH"),
+        col("j.QT").as("QT"),
+        col("j.QC").as("QC"),
+        col("j.CP").as("CP"),
+        coalesce(col("j.Upstream"), lit("")).as("Upstream"), // collector.py:22
+        col("j.IP").as("IP"),
+        coalesce(col("j.Result.IsFiltered"), lit(false)).as("IsFiltered"), // collector.py:24-26
+        col("j.Elapsed").as("Elapsed"),
+        coalesce(col("j.Cached"), lit(false)).as("Cached"), // collector.py:26
+        coalesce(col("ans.rcode"), lit(0)).as("rcode"),
+        coalesce(col("ans.rdatas"), array().cast("array<string>")).as("rdatas"),
+        coalesce(col("ans.rdatas6"), array().cast("array<string>")).as("rdatas6"),
+        coalesce(col("ans.cnames"), array().cast("array<string>")).as("cnames"),
+        col("_ok"), col("_raw"), col("_reason")
+      )
+  }
+
+  /** Time-clustered write of a log2 batch — the Parquet analogue of
+    * `MergeTree ORDER BY date_time` (README.md:21): day partitions for
+    * partition pruning, in-partition time sort for row-group min/max pruning. */
+  def writeClustered(log2: DataFrame, path: String): Unit =
+    log2
+      .withColumn("date", to_date(col("date_time")))
+      .repartition(col("date"))
+      .sortWithinPartitions("date_time")
+      .write
+      .partitionBy("date")
+      .mode("append")
+      .parquet(path)
+}

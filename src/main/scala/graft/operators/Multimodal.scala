@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11 / driver mandate): treat
+  * image/audio payloads as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extraction as a partition-batched pipeline.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration via `mapPartitions` over a typed Dataset — while the actual
+  * codec is STUBBED (this container has no image/audio libraries): see
+  * [[decodeStub]], which derives a deterministic fake feature vector from
+  * the payload bytes. Swapping in a real decoder changes only that function.
+  *
+  * 100 TB notes: payloads never enter a shuffle — `mapPartitions` keeps
+  * decode local to the scan; only the (doc_id, small feature vector) output
+  * moves. For real corpora store payloads in Parquet binary columns (or
+  * pointers to object storage) and size `maxPartitionBytes` so one task's
+  * batch of payloads fits executor memory.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media_type: String, // "image" | "audio"
+      payload: Array[Byte],
+      width: Int,      // image meta (0 for audio)
+      height: Int,
+      sample_rate: Int // audio meta (0 for image)
+  )
+
+  /** Extracted features: fixed-dim vector + provenance. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      feature: Array[Double]
+  )
+
+  /** Synthesize a deterministic media table from the `documents` corpus:
+    * payload = UTF-8 text bytes, metadata derived from a stable hash. This
+    * stands in for a real binary-column source. */
+  def synthesize(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "image").otherwise("audio").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        (lit(64) + pmod(xxhash64(col("text")), lit(8)).cast("int") * 32)).otherwise(0).as("width"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        (lit(64) + pmod(xxhash64(col("text"), lit(1)), lit(8)).cast("int") * 32)).otherwise(0).as("height"),
+      when(pmod(col("doc_id"), lit(2)) === 1, 16000).otherwise(0).as("sample_rate")
+    )
+
+  /** STUB decoder — deterministic fake standing in for image decode /
+    * audio resample / frame sampling. Real implementation would decode
+    * `payload` with a codec library; the fake emits the byte-value histogram
+    * folded to `dim` buckets, normalized — stable across engines and runs. */
+  def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Double] = {
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) % dim) += 1.0
+      i += 1
+    }
+    if (payload.length > 0) {
+      var j = 0
+      while (j < dim) { counts(j) = counts(j) / payload.length; j += 1 }
+    }
+    counts
+  }
+
+  /** Batch feature extraction: typed `mapPartitions` so a real decoder can
+    * amortize per-partition setup (codec contexts, model weights) across the
+    * whole batch — the Spark-side analogue of a batched Pandas UDF. */
+  def features(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRecord] = media.as[MediaRecord]
+    ds.mapPartitions { it =>
+      // per-partition setup would go here (open codec context once)
+      it.map { r =>
+        val f = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, f)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        round(element_at(col("feature"), 1), 6).as("f0"),
+        round(element_at(col("feature"), 2), 6).as("f1"),
+        round(element_at(col("feature"), 3), 6).as("f2"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosineSim, dotProduct, l2Norm}
+
+/** Approximate-nearest-neighbor / similarity search over a dense embedding
+  * column (SURVEY.md §2.11 X3). Two paths:
+  *
+  *  - [[bruteTopK]] — exact: broadcast the (small) query set, score every
+  *    (query, candidate) pair with codegen'd higher-order-function dot
+  *    products, keep top-k per query via a rank window. At 100 TB the
+  *    candidate side streams through map tasks once; per-partition
+  *    `TakeOrdered`-style pruning happens in the window's partial sort.
+  *  - [[lshTopK]] — scale path: 16-bit random-hyperplane signatures bucket
+  *    the corpus (shuffle on a 2-byte key); each query only scores its own
+  *    bucket. Recall < 1 by construction; raise `numBits`/probe neighboring
+  *    buckets to trade recall vs. cost.
+  *
+  * Embeddings are cast to double before any arithmetic so both engines sum
+  * with the same precision (float accumulation order would diverge).
+  */
+object Similarity {
+
+  /** Cast a float-array column to double elements. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries (qid, qv) — small, broadcast
+    * @param candidates (vec_id, v) — the corpus */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosineSim(col("qv"), col("v")), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("cos"))
+  }
+
+  /** Deterministic 16×dim hyperplane matrix (fixed seed). */
+  def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id of a double-vector column. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val h = typedLit(planes)
+    aggregate(
+      sequence(lit(0), lit(planes.size - 1)),
+      lit(0),
+      (acc, i) => acc * 2 + when(dotProduct(v, element_at(h, i + 1)) > 0d, 1).otherwise(0)
+    )
+  }
+
+  /** LSH-bucketed approximate top-k: queries only score candidates sharing
+    * their hyperplane signature. */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, numBits: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numBits, dim)
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosineSim(col("qv"), col("v")), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("cos"))
+  }
+
+  /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)
+    * within equal-`label` blocks — embedding-cosine near-dup dedup (X1's
+    * embedding variant). Norms are precomputed per vector, so each pair
+    * costs one dot product. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** Harness wrappers + DuckDB oracles for the LLM-data-pipeline extension
+  * operators (SURVEY.md §2.11) over the `documents` / `embeddings` tables.
+  *
+  * Oracle-parity approach: the hash primitive everywhere is md5 (identical
+  * builtin in Spark and DuckDB), ratios are rounded to fixed decimals on
+  * BOTH sides, and thresholds compare the *rounded* values so the two
+  * engines make identical inclusion decisions. Operators whose primitives
+  * aren't SQL-reproducible (xxhash64 SimHash, seeded hyperplane LSH, HLL)
+  * are declared without an oracle → the driver's weaker rows-only check.
+  */
+object ExtQueries {
+
+  // --------------------------------------------------------------- dedup ----
+
+  def x1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_md5")
+
+  def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)
+      .orderBy("id1", "id2")
+
+  def x3Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+      .orderBy("id1", "id2")
+
+  def x4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleN = 3, threshold = 0.01)
+      .orderBy("id1", "id2")
+
+  // ---------------------------------------------------------- similarity ----
+
+  private def embAsDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+
+  def x5EmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embAsDouble(s, dir)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.bruteTopK(q, e.select("vec_id", "v"), k = 5).orderBy("qid", "rn")
+  }
+
+  def x6EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy("id1", "id2")
+
+  def x7AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5, numBits = 8)
+      .orderBy("qid", "rn")
+
+  def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------- text analysis ----
+
+  def taLangStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  def taTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"), countDistinct(col("token")).as("distinct_tokens"))
+      .orderBy("lang")
+
+  def taQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def taLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def taFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+
+  // ----------------------------------------------------------- multimodal ----
+
+  def mmMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(s, Multimodal.synthesize(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- oracles ----
+
+  /** DuckDB 3-gram builder fragment (1-indexed lists; mirrors
+    * [[TextOps.shingles]] with n=3). */
+  private val duckGrams =
+    "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])"
+
+  val oracles: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
+    "x2_minhash_lsh" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, $duckGrams AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |),
+         |sig AS (
+         |  SELECT doc_id, grams,
+         |    [list_min([md5(CAST(k AS VARCHAR)||'|'||x) for x in grams]) for k in range(0, 8)] AS sig
+         |  FROM g
+         |),
+         |band AS (
+         |  SELECT doc_id, i AS band_idx, sig[2*i+1]||sig[2*i+2] AS band_key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS i)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |verified AS (
+         |  SELECT id1, id2,
+         |    round(len(list_intersect(g1.grams, g2.grams)) /
+         |          (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))), 4) AS jaccard
+         |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
+         |)
+         |SELECT * FROM verified WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "x4_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, source, n_chars // 100 AS bucket, $duckGrams AS grams
+         |  FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(len(list_intersect(a.grams, b.grams)) /
+         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+         |FROM g a JOIN g b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.grams, b.grams)) /
+         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.01
+         |ORDER BY id1, id2""".stripMargin,
+    "x5_embed_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT qid, vec_id AS nid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, vec_id) AS rn,
+        |  round(list_cosine_similarity(qv, v), 6) AS cos
+        |FROM q JOIN e ON vec_id <> qid
+        |QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "x6_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+    "ta_lang_stats" ->
+      """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "ta_token_stats" ->
+      """SELECT lang, count(*) AS total_tokens, count(DISTINCT token) AS distinct_tokens
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "ta_quality" ->
+      """SELECT doc_id,
+        | len(string_split(text,' ')) AS n_tokens,
+        | len(list_distinct(string_split(text,' '))) AS n_uniq,
+        | round(len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')), 4) AS ttr,
+        | round((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')), 4) AS avg_token_len,
+        | round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' ')), 4) AS stop_ratio,
+        | round(least(len(string_split(text,' ')), 100) / 100.0 * 0.5
+        |   + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
+        |   + (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 0.2, 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_langid" ->
+      """SELECT doc_id,
+        | CASE
+        |  WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |  WHEN en > 0 AND en >= es AND en >= fr THEN 'en'
+        |  WHEN es > 0 AND es >= fr THEN 'es'
+        |  WHEN fr > 0 THEN 'fr'
+        |  ELSE 'unknown' END AS lang_pred
+        |FROM (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS es,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','est'))) AS fr
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""SELECT doc_id, list_min([md5(x) for x in $duckGrams]) AS fingerprint
+         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_exact_dedup"   -> x1ExactDedup,
+    "x2_minhash_lsh"   -> x2MinhashLsh,
+    "x3_simhash"       -> x3Simhash, // no oracle: xxhash64-seeded
+    "x4_ngram_jaccard" -> x4NgramJaccard,
+    "x5_embed_topk"    -> x5EmbedTopk,
+    "x6_embed_neardup" -> x6EmbedNeardup,
+    "x7_ann_lsh"       -> x7AnnLsh, // no oracle: seeded hyperplanes
+    "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
+    "ta_lang_stats"    -> taLangStats,
+    "ta_token_stats"   -> taTokenStats,
+    "ta_quality"       -> taQuality,
+    "ta_langid"        -> taLangid,
+    "ta_fingerprint"   -> taFingerprint,
+    "mm_media_features" -> mmMediaFeatures // no oracle: stubbed decode path
+  )
+}

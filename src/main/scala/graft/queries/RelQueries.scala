@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational demonstration queries over the star schema — joins, windows,
+  * top-k (SURVEY.md §2.4, §2.6-2.7; the reference has none of these in code,
+  * they are the implied read-side workload).
+  *
+  * Parity rules (FIXTURES.md "Oracle-parity notes"): money sums go through
+  * DECIMAL(18,2) so they are exact and order-insensitive; every result has a
+  * total ORDER BY on a unique key set.
+  *
+  * Scale notes per query are on each method: dimension sides are broadcast
+  * (`broadcast()` hint, no shuffle of the fact table), aggregations are
+  * partial+final, and top-k uses `TakeOrderedAndProject`/window-rank rather
+  * than global sorts.
+  */
+object RelQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: one scan + one hash agg of lineitem.
+    * At 100 TB: shuffle is 4 groups × partials — negligible; the scan
+    * dominates and prunes to the 7 referenced columns. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: revenue of unshipped orders for one segment.
+    * customer is the small side → broadcast into orders, then the result
+    * (still small) broadcasts into lineitem: zero fact-table shuffles before
+    * the aggregation. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-30").cast("timestamp")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region + year. All four
+    * dimension tables broadcast; lineitem (the 100 TB side) is shuffled
+    * exactly once, by the final group key. */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(s, dir).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val su = Tables.supplier(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-anti join: parts with no lineitem shipped after 2001-06-01. The
+    * right side is aggregated to distinct keys *before* the join, so at
+    * scale it collapses to a broadcast of the key set rather than a shuffle
+    * of the raw fact table. */
+  def joinAntiParts(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .join(
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("2001-06-01").cast("timestamp"))
+          .select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey")
+      .orderBy("p_partkey")
+
+  /** Left-semi join: customers that placed at least one urgent order. */
+  def joinSemiUrgent(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Top-3 customers by balance per market segment — window rank
+    * (SURVEY.md §2.6). Per-partition heap, no global sort. */
+  def topkPerSegment(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Global top-25 orders by price — Spark plans TakeOrderedAndProject:
+    * per-partition top-k then a single merge, never a full sort (O2/O3). */
+  def topnOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), dec("o_totalprice").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Per-user inter-event gap (lag window) in exact microseconds. */
+  def windowUserDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts DIV 1000"))
+      .withColumn("delta_us", col("us") - lag("us", 1).over(w))
+      .select("event_id", "user_id", "delta_us")
+      .orderBy("event_id")
+  }
+
+  /** Per-type value stats: count, exact distinct users, exact decimal sum. */
+  def aggValueStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"),
+        sum(dec("value")).as("total_value")
+      )
+      .orderBy("event_type")
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-30' AND l_shipdate > TIMESTAMP '1997-06-30'
+        |GROUP BY l_orderkey, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_anti_parts" ->
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_shipdate > TIMESTAMP '2001-06-01')
+        |ORDER BY p_partkey""".stripMargin,
+    "join_semi_urgent" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "topk_per_segment" ->
+      """SELECT c_mktsegment, rn, c_custkey FROM (
+        | SELECT c_mktsegment, c_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "topn_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+    "window_user_deltas" ->
+      """SELECT event_id, user_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS delta_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "agg_value_stats" ->
+      """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users,
+        | sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"         -> q1Pricing,
+    "q3_shipping"        -> q3Shipping,
+    "q5_region_revenue"  -> q5Region,
+    "join_anti_parts"    -> joinAntiParts,
+    "join_semi_urgent"   -> joinSemiUrgent,
+    "topk_per_segment"   -> topkPerSegment,
+    "topn_orders"        -> topnOrders,
+    "window_user_deltas" -> windowUserDeltas,
+    "agg_value_stats"    -> aggValueStats
+  )
+}
