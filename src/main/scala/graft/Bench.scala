@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line (the driver contract).
+  * Queries run in sorted name order (deterministic run-to-run); a small
+  * untimed warmup absorbs session/codegen startup so the numbers measure
+  * the queries, not JVM initialization. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +20,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: exercise scan + shuffle + agg codegen paths once
+    try spark.range(1000).selectExpr("sum(id)").collect()
+    catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

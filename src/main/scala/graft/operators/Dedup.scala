@@ -1,12 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md §2.11
   * X1/X2): exact, MinHash+LSH, SimHash. All are pure DataFrame pipelines —
   * shuffles only on hash/band keys, never on document text length, so the
   * shuffle volume at 100 TB is O(docs × signature), not O(corpus bytes).
+  *
+  * Performance shape: signature computation is explode → scalar hash →
+  * vectorized hash-aggregate (whole-stage codegen end-to-end) rather than
+  * nested higher-order functions, which Spark evaluates on the slow
+  * interpreted path. Self-joins are preceded by a `repartition` on the join
+  * keys so both branches reuse ONE exchange (ReuseExchange) instead of
+  * recomputing the signature pipeline twice.
   */
 object Dedup {
 
@@ -20,15 +27,44 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** (doc_id, grams) pairs: distinct word-`shingleN`-gram sets per doc.
+    * The input is hash-repartitioned on doc_id BEFORE shingling: small
+    * corpora arrive as one file split, and the shingle HOF (interpreted,
+    * the dominant per-row cost) must run on all cores, not one.
+    *
+    * Deliberately NO `size(grams) > 0` filter here: a filter referencing
+    * the shingle expression gets pushed down into the scan, dragging the
+    * whole HOF below the repartition (serial, and re-evaluated per branch).
+    * Empty gram sets are harmless downstream — explode() drops them and
+    * Jaccard on them is null, which every threshold filter rejects. */
+  private def gramSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("_text")), shingleN).as("grams"))
+
+  /** MinHash signature columns mh0..mh{n-1}: ONE md5 per shingle, the k-th
+    * hash = 4-hex-char window k of the digest (independent bits of one good
+    * hash ≈ independent hash functions), min-folded per doc by a codegen'd
+    * hash aggregate. Reproducible in any engine with md5+substr — which is
+    * what keeps the LSH pipeline oracle-checkable in DuckDB. */
+  private def minhashSigs(g: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes * 4 <= 32, "md5 yields 32 hex chars = max 8 x 4-char hashes")
+    val aggs = (0 until numHashes).map(k => min(col("m").substr(k * 4 + 1, 4)).as(s"mh$k"))
+    g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("m"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Near-duplicate pairs via MinHash + LSH banding, then exact-Jaccard
     * verification (the standard two-phase design: LSH proposes candidates in
     * O(docs × bands) shuffle, verification touches only colliding pairs).
     *
-    * Deterministic end-to-end: md5-salted MinHash (see
-    * [[TextOps.minhashSig]]) makes the whole pipeline reproducible in the
-    * DuckDB oracle. With numHashes=8, bands=4 (r=2), P(candidate) =
-    * 1-(1-j²)⁴: ≈1 for j≥0.95 (the real near-dups), ≈4e-4 for unrelated
-    * docs (j≈0.01) — candidate count stays linear-ish in corpus size.
+    * With numHashes=8, bands=4 (r=2): P(candidate) = 1-(1-j²)⁴ ≈ 1 for the
+    * real near-dups (j ≥ 0.95) and ≈ 4e-4 for unrelated docs — candidate
+    * count stays near-linear in corpus size.
     *
     * Returns (id1, id2, jaccard) for verified pairs with
     * round(jaccard,4) >= threshold, id1 < id2.
@@ -44,15 +80,22 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val r = numHashes / numBands
-    val g = docs.select(
-      col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("grams")
-    ).filter(size(col("grams")) > 0)
+    // persist the two fan-out points: grams feed the signature path and
+    // both verification joins; banded feeds both self-join sides. Without
+    // this, Catalyst re-derives each branch from its own scan (alias-broken
+    // exchange reuse) and the shingle HOF runs 4x. At real scale these are
+    // the intermediates a pipeline materializes to storage.
+    val g = gramSets(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigs(g, numHashes)
 
-    val banded = g
-      .withColumn("sig", TextOps.minhashSig(col("grams"), numHashes))
-      .select(col("doc_id"),
-        posexplode(TextOps.bandKeys(col("sig"), numBands, r)).as(Seq("band_idx", "band_key")))
+    val bandCols = (0 until numBands).map(b =>
+      concat((0 until r).map(i => col(s"mh${b * r + i}")): _*))
+    // repartition on the join keys → both self-join branches reuse one
+    // exchange; the signature pipeline runs once.
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -62,13 +105,18 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
+    verifyJaccard(cand, g, threshold)
+  }
+
+  /** Join candidate pairs back to their gram sets and keep those with
+    * round(exact-Jaccard, 4) >= threshold. */
+  private def verifyJaccard(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
     cand
       .join(g.select(col("doc_id").as("id1"), col("grams").as("g1")), "id1")
       .join(g.select(col("doc_id").as("id2"), col("grams").as("g2")), "id2")
       .select(col("id1"), col("id2"),
         round(TextOps.jaccard(col("g1"), col("g2")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Exact n-gram-Jaccard pairs within cheap blocking keys (lang, source,
     * length bucket) — the brute-force exact variant of near-dedup; the
@@ -79,11 +127,17 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.01
   ): DataFrame = {
-    val g = docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      expr("n_chars DIV 100").as("bucket"),
-      TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("grams")
-    ).filter(size(col("grams")) > 0)
+    // repartition (on the blocking keys, pre-shingle) for the same two
+    // reasons as gramSets: parallelize the HOF and share the exchange
+    // between the self-join branches. No grams-based filter (pushdown trap,
+    // see gramSets).
+    val g = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 100").as("bucket"), col("text"))
+      .repartition(col("lang"), col("source"), col("bucket"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"),
+        TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     g.as("a")
       .join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -93,26 +147,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc 64-bit SimHash plus Hamming-LSH near-dup pairs (Hamming ≤
-    * maxHamming over the 64-bit fingerprints; candidates blocked on equal
-    * 16-bit chunks — complete for maxHamming ≤ 3 by pigeonhole). */
+  /** doc_id → 64-bit SimHash (Charikar), computed as explode(distinct
+    * tokens) → xxhash64 → 64 conditional sums in one vectorized aggregate →
+    * bit reassembly. Bit b is set iff more than half the token hashes have
+    * bit b set. Whole pipeline stays in whole-stage codegen. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming ≤ maxHamming over the 64-bit
+    * fingerprints; candidates blocked on equal 16-bit chunks — complete for
+    * maxHamming ≤ 3 by pigeonhole. The Hamming filter runs before the
+    * distinct so the dedup shuffle only carries surviving pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = simhashes(docs)
-    val chunked = sims.select(col("doc_id"), col("simhash"),
-      posexplode(TextOps.simhashChunks("simhash")).as(Seq("chunk_idx", "chunk")))
+    val chunkCols: Seq[Column] =
+      (0 until 4).map(c => shiftright(col("simhash"), 16 * c).bitwiseAND(0xffffL))
+    val chunked = sims
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // shared by both self-join sides
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         TextOps.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
-
-  /** doc_id → 64-bit SimHash. */
-  def simhashes(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .select(col("doc_id"), TextOps.simhash64("toks").as("simhash"))
 }

@@ -114,7 +114,7 @@ object ExtQueries {
          |),
          |sig AS (
          |  SELECT doc_id, grams,
-         |    [list_min([md5(CAST(k AS VARCHAR)||'|'||x) for x in grams]) for k in range(0, 8)] AS sig
+         |    [list_min([substr(md5(x), 1 + 4*k, 4) for x in grams]) for k in range(0, 8)] AS sig
          |  FROM g
          |),
          |band AS (
