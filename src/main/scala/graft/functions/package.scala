@@ -59,7 +59,9 @@ package object functions {
   }
 
   def parse_answer(b64: Column): Column =
-    parseAnswerUdf(unbase64(b64))
+    // try_to_binary (not unbase64): invalid base64 must become null for the
+    // corrupt-record channel, not an ANSI runtime error killing the batch
+    parseAnswerUdf(try_to_binary(b64, lit("base64")))
       .cast("struct<rcode:int,rdatas:array<string>,rdatas6:array<string>,cnames:array<string>>")
 
   // --------------------------------------------------------------- time ----

@@ -60,7 +60,13 @@ object Querylog {
       .withColumn("_raw", col("value"))
       .withColumn(
         "_reason",
-        when(col("j").isNull, lit("malformed json"))
+        // PERMISSIVE from_json yields an all-null struct (not a null struct)
+        // for non-JSON input, so "malformed" = nothing at all was extracted
+        when(
+          col("j").isNull ||
+            (col("j.T").isNull && col("j.QH").isNull && col("j.IP").isNull &&
+              col("j.Answer").isNull && col("j.Elapsed").isNull),
+          lit("malformed json"))
           .when(!requiredPresent, lit("missing required field"))
           .when(ts.isNull, lit("unparseable timestamp"))
           .when(col("ans").isNull, lit("unparseable dns answer"))

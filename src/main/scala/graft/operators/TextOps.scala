@@ -28,7 +28,9 @@ object TextOps {
     * materialization). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    // null (not ANSI divide-by-zero) when both sets are empty
+    inter / when(union === 0, lit(null)).otherwise(union)
   }
 
   /** Hamming distance between two 64-bit hashes. */

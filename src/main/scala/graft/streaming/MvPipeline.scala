@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.Querylog
+import graft.views.Summaries
+
+/** Streaming materialized-view maintenance — the Spark-native form of the
+  * reference's insert-triggered MV fan-out (`/root/reference/README.md`:
+  * 8 MVs over one `log2` insert stream; SURVEY.md §3.2 design b).
+  *
+  * One input stream; each micro-batch is parsed once, `persist()`ed, and all
+  * 8 summary transforms run against it inside `foreachBatch`, merging their
+  * per-batch increments into per-view state tables (parquet). This mirrors
+  * ClickHouse exactly — one insert block drives all MVs — and keeps ONE
+  * source read and ONE checkpoint instead of 8.
+  *
+  * Semantics choices (SURVEY.md §7.3):
+  *  - No watermark: the reference accepts arbitrarily late rows (a late row
+  *    updates its old 10-minute bucket). State lives in the *sink* tables,
+  *    which are merged idempotently per batch — not in the streaming state
+  *    store, which would grow without bound under no-watermark semantics.
+  *  - Delivery: Spark checkpointing + per-batch idempotent merge gives
+  *    effectively-once to the summary tables — strictly stronger than the
+  *    reference's fire-and-forget inserts (collector.py:52).
+  *
+  * 100 TB notes: each view merge is a partial+final aggregation whose
+  * shuffle is bounded by key cardinality; the micro-batch persist holds only
+  * one batch of parsed rows. The parquet upsert rewrites each summary table
+  * per batch — fine while summaries are small relative to the log (their
+  * whole point); swap [[upsert]] for a transactional MERGE sink (Delta /
+  * ClickHouse `SummingMergeTree` via JDBC appends) when summaries get big:
+  * the reference's append-only SummingMergeTree contract is exactly
+  * [[appendIncrements]].
+  */
+object MvPipeline {
+
+  /** Start the fan-out over a directory of querylog JSON-line files.
+    * @param trigger `Trigger.AvailableNow()` for tests/backfill, a
+    *                processing-time trigger for continuous tailing. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    spark.readStream
+      .format("text")
+      .load(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, stateDir)
+      }
+      .start()
+
+  /** Parse one micro-batch and merge every summary view's increment.
+    * The parsed batch is computed once (persist) — the analogue of
+    * ClickHouse pushing one inserted block through all MVs. */
+  def processBatch(lines: DataFrame, stateDir: String): Unit = {
+    val log2 = Querylog.parse(lines).persist()
+    try {
+      Summaries.all.foreach { case (name, view) =>
+        upsert(view(log2), s"$stateDir/$name", Summaries.keys(name))
+      }
+    } finally log2.unpersist()
+  }
+
+  /** Merge an increment into a keyed parquet state table: read old state,
+    * union, re-sum all measure columns by key, atomically swap directories.
+    * Idempotence across batch replays comes from the checkpoint (a batch is
+    * only re-run if its merge never committed). */
+  def upsert(increment: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = increment.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (fs.exists(target)) {
+        val old = spark.read.parquet(path)
+        val measures = increment.columns.filterNot(keys.contains)
+        val sums = measures.map(c => sum(col(c)).as(c))
+        old.unionByName(increment)
+          .groupBy(keys.map(col): _*)
+          .agg(sums.head, sums.tail: _*)
+      } else increment
+    val tmp = new Path(path + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+
+  /** The reference's literal storage contract: append raw per-batch
+    * increments (SummingMergeTree folds lazily at merge time; readers must
+    * re-aggregate — SURVEY.md §3.3). Use with an append-only sink like
+    * ClickHouse JDBC. */
+  def appendIncrements(increment: DataFrame, path: String): Unit =
+    increment.write.mode("append").parquet(path)
+
+  /** Read a summary state table. */
+  def readState(spark: SparkSession, stateDir: String, view: String): DataFrame =
+    spark.read.parquet(s"$stateDir/$view")
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Dedup / similarity / text-analysis operator specs on planted fixtures. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val docs = Seq(
+    (0L, base, "en", "src0", base.length.toLong),
+    (1L, base, "en", "src1", base.length.toLong), // exact dup of 0
+    (2L, base + " extra", "en", "src0", (base.length + 6).toLong), // near dup of 0
+    (3L, "completely different words having nothing in common with that sentence at all", "en", "src0", 79L),
+    (4L, "one two", "en", "src0", 7L) // < 3 tokens: no shingles
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val m = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(m(0L) == 2L) // doc 0 + 1 fold together
+    assert(m(2L) == 1L && m(3L) == 1L && m(4L) == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L))) // identical: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard within blocks: finds the same-source near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // blocking on (lang, source, n_chars DIV 100): 0 and 2 share src0/bucket0
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 2L)))
+    assert(pairs.head._3 > 0.5)
+  }
+
+  test("simhash: identical docs get identical hashes; pairs found at hamming 0") {
+    val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.exists(_._3 == 0))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // orthogonal-ish planted vectors: 0 and 1 nearly parallel, 2 orthogonal
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+    (4L, Array(0.0f, 0.0f, 0.98f, 0.2f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute top-k ranks the nearly-parallel vector first") {
+    val e = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = Similarity.bruteTopK(q, e, k = 2).as[(Long, Long, Int, Double)].collect()
+    assert(top.find(_._3 == 1).get._2 == 1L) // rank 1 = vec 1
+    assert(top.find(_._3 == 1).get._4 > 0.99)
+  }
+
+  test("embedding near-dup pairs within label blocks") {
+    val pairs = Similarity.embeddingNearDupPairs(emb, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L), (3L, 4L))) // (0,2) orthogonal, cross-label never compared
+  }
+
+  test("LSH top-k returns only same-bucket neighbors with correct ranks") {
+    val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4)
+      .as[(Long, Long, Int, Double)].collect()
+    // whatever the buckets, ranks must be 1..n per query and cos in [-1,1]
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    assert(res.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quality metrics on a known document") {
+    val docs = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_uniq") == 4L)
+    assert(r.getAs[Double]("ttr") == 0.8)
+    assert(r.getAs[Double]("avg_token_len") == 3.0) // (19-4)/5
+    assert(r.getAs[Double]("stop_ratio") == 0.6)    // the, and, the
+  }
+
+  test("langId picks the language with most marker hits, unknown when none") {
+    val docs = Seq(
+      "der hund und die katze ist da",
+      "the cat is a pet of the house",
+      "xx yy zz"
+    ).toDF("text")
+    val got = docs.select(TextAnalysis.langId(TextOps.tokens(col("text"))))
+      .as[String].collect().toSeq
+    assert(got == Seq("de", "en", "unknown"))
+  }
+
+  test("fingerprint: equal texts equal, different texts differ, stable format") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).matches("[0-9a-f]{32}"))
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("media synthesis + stubbed decode: schema, determinism, feature range") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Multimodal.synthesize(docs)
+    val mrow = media.collect().head
+    assert(Seq("image", "audio").contains(mrow.getAs[String]("media_type")))
+    val feats = Multimodal.features(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    assert(rows.forall { r =>
+      val f = Seq(r.getAs[Double]("f0"), r.getAs[Double]("f1"), r.getAs[Double]("f2"))
+      f.forall(v => v >= 0.0 && v <= 1.0)
+    })
+    // decode stub is deterministic
+    val again = Multimodal.features(spark, media).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("decodeStub: histogram sums to ~1 and is pure") {
+    val payload = "some deterministic bytes".getBytes
+    val f1 = Multimodal.decodeStub(payload)
+    val f2 = Multimodal.decodeStub(payload)
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0) < 1e-9)
+    assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0.0))
+  }
+}
