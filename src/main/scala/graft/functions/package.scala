@@ -1,34 +1,36 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.UserDefinedFunction
 
-import graft.dns.DnsWire
+import graft.expressions.{GraftExtensions, IsIPv4, IsIPv6, ParseDnsAnswer}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
   * Everything expressible with built-in `org.apache.spark.sql.functions` is a
-  * pure-Column composition (stays inside WholeStageCodegen); only the three
-  * functions Spark genuinely lacks — DNS wire parse, strict IPv4/IPv6 string
-  * predicates — are Scala UDFs over the pure `graft.dns` kernel
-  * (`/root/reference/src/collector.py:29-41`, `/root/reference/README.md:148`).
+  * pure-Column composition; the three functions Spark genuinely lacks — DNS
+  * wire parse, strict IPv4/IPv6 string predicates
+  * (`/root/reference/src/collector.py:29-41`, `/root/reference/README.md:148`)
+  * — are native codegen'd Catalyst expressions over the pure `graft.dns`
+  * kernel ([[graft.expressions]]), so they stay inside WholeStageCodegen
+  * instead of breaking it at a UDF boundary.
   */
 package object functions {
+
+  private def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    SparkShim.column(e)
+  private def nexpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    SparkShim.expression(c)
 
   // ---------------------------------------------------------------- net ----
 
   /** Strict dotted-quad predicate — ClickHouse `isIPv4String` / netaddr
     * `valid_ipv4` semantics. */
-  val isIpv4Udf: UserDefinedFunction =
-    udf((s: String) => DnsWire.isIpv4(s)).asNonNullable()
+  def is_ipv4(c: Column): Column = ncol(IsIPv4(nexpr(c)))
 
   /** Pure-string IPv6 predicate (never resolves). */
-  val isIpv6Udf: UserDefinedFunction =
-    udf((s: String) => DnsWire.isIpv6(s)).asNonNullable()
-
-  def is_ipv4(c: Column): Column = isIpv4Udf(c)
-  def is_ipv6(c: Column): Column = isIpv6Udf(c)
+  def is_ipv6(c: Column): Column = ncol(IsIPv6(nexpr(c)))
 
   /** Last label of a dotted name — ClickHouse
     * `arrayRotateRight(splitByChar('.',QH),1)[1]`
@@ -52,17 +54,11 @@ package object functions {
     * the collector's `parse_dns_record` (`/root/reference/src/collector.py:29-41`)
     * as one fused column function: single parse, struct-of-arrays out.
     * Malformed input → null struct (caller decides drop vs default),
-    * mirroring the per-row exception barrier (collector.py:76-78). */
-  val parseAnswerUdf: UserDefinedFunction = udf { (wire: Array[Byte]) =>
-    if (wire == null) None
-    else DnsWire.parseOpt(wire).map(a => (a.rcode, a.rdatas4, a.rdatas6, a.cnames))
-  }
-
+    * mirroring the per-row exception barrier (collector.py:76-78).
+    * try_to_binary (not unbase64): invalid base64 must become null for the
+    * corrupt-record channel, not an ANSI runtime error killing the batch. */
   def parse_answer(b64: Column): Column =
-    // try_to_binary (not unbase64): invalid base64 must become null for the
-    // corrupt-record channel, not an ANSI runtime error killing the batch
-    parseAnswerUdf(try_to_binary(b64, lit("base64")))
-      .cast("struct<rcode:int,rdatas:array<string>,rdatas6:array<string>,cnames:array<string>>")
+    ncol(ParseDnsAnswer(nexpr(try_to_binary(b64, lit("base64")))))
 
   // --------------------------------------------------------------- time ----
 
@@ -100,10 +96,8 @@ package object functions {
 
   // ------------------------------------------------------- registration ----
 
-  /** Register the custom scalar functions for `spark.sql(...)` use. */
-  def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("is_ipv4", isIpv4Udf)
-    spark.udf.register("is_ipv6", isIpv6Udf)
-    spark.udf.register("parse_answer", parseAnswerUdf)
-  }
+  /** Register the native functions for `spark.sql(...)` use on a live
+    * session; new sessions can instead set
+    * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+  def registerAll(spark: SparkSession): Unit = GraftExtensions.register(spark)
 }
