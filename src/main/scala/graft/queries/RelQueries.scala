@@ -130,6 +130,43 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  /** Set operations (SURVEY.md §2.8 — absent in the reference, exercised
+    * here): (urgent ∩ building) ∪ (building ∖ urgent) over customer keys. */
+  def setOpsCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    urgent.intersect(building)
+      .union(building.except(urgent))
+      .orderBy("c_custkey")
+  }
+
+  /** Event-time tumbling window via the `window()` operator (F11/T4) —
+    * the streaming-native form of the 10-minute bucketing; bucket start
+    * re-expressed as epoch seconds for oracle parity. */
+  def winTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts2"), "10 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"), col("cnt"), col("errors"))
+      .orderBy("bucket_start")
+
+  /** The blocked-domains aggregation via explicit salted two-level sums
+    * (Skew operator) — identical results to the plain groupBy, proven by
+    * sharing its oracle; the technique is for hot final-stage keys at
+    * 100 TB (SURVEY.md §7.1 step 9). */
+  def saltedBlocked(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCount(
+      Tables.events(s, dir).filter(col("event_type") === "error"),
+      keys = Seq("user_id"))
+      .orderBy("user_id")
+
   /** Per-type value stats: count, exact distinct users, exact decimal sum. */
   def aggValueStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -190,7 +227,24 @@ object RelQueries {
     "agg_value_stats" ->
       """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users,
         | sum(CAST(value AS DECIMAL(18,2))) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "set_ops_customers" ->
+      """SELECT c_custkey FROM (
+        | (SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        | UNION
+        | (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+        |) ORDER BY c_custkey""".stripMargin,
+    "win_tumbling" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600 AS bucket_start,
+        | count(*) AS cnt,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+    "salted_blocked" ->
+      "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id"
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,6 +256,9 @@ object RelQueries {
     "topk_per_segment"   -> topkPerSegment,
     "topn_orders"        -> topnOrders,
     "window_user_deltas" -> windowUserDeltas,
-    "agg_value_stats"    -> aggValueStats
+    "agg_value_stats"    -> aggValueStats,
+    "set_ops_customers"  -> setOpsCustomers,
+    "win_tumbling"       -> winTumbling,
+    "salted_blocked"     -> saltedBlocked
   )
 }
