@@ -25,7 +25,13 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=x3,x4 : optional name-prefix filter for isolating
+    // queries under the exact bench JVM (debug aid; unset in driver runs,
+    // so the contract is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -148,22 +148,39 @@ object Dedup {
   }
 
   /** doc_id → 64-bit SimHash (Charikar), computed as explode(distinct
-    * tokens) → xxhash64 → 64 conditional sums in one vectorized aggregate →
-    * bit reassembly. Bit b is set iff more than half the token hashes have
-    * bit b set. Whole pipeline stays in whole-stage codegen. */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    * tokens) → xxhash64 → packed conditional sums in one vectorized
+    * aggregate → bit reassembly. Bit b is set iff more than half the token
+    * hashes have bit b set.
+    *
+    * Counter packing: 8 per-bit set-counts ride in ONE long (8 bits each),
+    * so the aggregate has 8 sum columns instead of 64 — an 8× smaller
+    * generated-code footprint (the 64-column version spent more wall-clock
+    * in janino than in data). Counters are 8-bit, so the signature is built
+    * from at most `maxTokens` (≤255) distinct tokens per doc — ample for
+    * near-dup detection; longer docs are represented by their first
+    * `maxTokens` distinct tokens. */
+  def simhashes(docs: DataFrame, maxTokens: Int = 255): DataFrame = {
+    require(maxTokens <= 255, "packed counters are 8-bit")
+    // packed word w accumulates counts for bits 8w..8w+7
+    val packedSums = (0 until 8).map { w =>
+      val addend = (0 until 8).map { i =>
+        val b = w * 8 + i
+        shiftright(col("h"), b).bitwiseAND(1) * lit(1L << (i * 8))
+      }.reduce(_ + _)
+      sum(addend).as(s"w$w")
     }
     val sim = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+      val w = b / 8; val i = b % 8
+      // set-count of bit b; bit set iff count*2 > n (strict majority)
+      val cnt = shiftright(col(s"w$w"), i * 8).bitwiseAND(0xffL)
+      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     docs
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        explode(slice(array_distinct(TextOps.tokens(col("text"))), 1, maxTokens)).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("n"), packedSums: _*)
       .select(col("doc_id"), sim.as("simhash"))
   }
 
