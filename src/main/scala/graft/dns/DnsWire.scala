@@ -161,14 +161,28 @@ object DnsWire {
     sb.toString
   }
 
-  /** Render one RR's rdata to its presentation string. */
+  @inline private def dotted(b: Array[Byte], off: Int): String = {
+    val (name, _) = readName(b, off)
+    name + "." // dnslib prints absolute names with the trailing dot
+  }
+
+  /** Render one RR's rdata to its presentation string (dnslib `str(rdata)`
+    * shapes, pinned by fixtures). */
   private def renderRdata(b: Array[Byte], typ: Int, off: Int, len: Int): String =
     typ match {
       case 1 if len == 4   => renderIpv4(b, off) // A
       case 28 if len == 16 => renderIpv6(b, off) // AAAA
       case 2 | 5 | 12 | 39 => // NS | CNAME | PTR | DNAME: a (compressible) name
-        val (name, _) = readName(b, off)
-        name + "." // dnslib prints absolute names with the trailing dot
+        dotted(b, off)
+      case 15 => // MX: preference + exchange name
+        s"${u16(b, off)} ${dotted(b, off + 2)}"
+      case 33 => // SRV: priority weight port target
+        s"${u16(b, off)} ${u16(b, off + 2)} ${u16(b, off + 4)} ${dotted(b, off + 6)}"
+      case 6 => // SOA: mname rname serial refresh retry expire minimum
+        val (mname, afterM) = readName(b, off)
+        val (rname, afterR) = readName(b, afterM)
+        val ints = (0 until 5).map(k => (u16(b, afterR + 4 * k).toLong << 16) | u16(b, afterR + 4 * k + 2))
+        s"$mname. $rname. ${ints.mkString(" ")}"
       case 16 => // TXT: sequence of <len><chars> strings, concatenated
         val sb = new java.lang.StringBuilder(len)
         var i = off

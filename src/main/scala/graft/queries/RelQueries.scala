@@ -167,6 +167,19 @@ object RelQueries {
       keys = Seq("user_id"))
       .orderBy("user_id")
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition) of event values per type.
+    * At 100 TB exact percentiles need a full sort per group — swap to
+    * `approx_percentile` (t-digest) there; this entry pins the exact
+    * semantics. */
+  def pctValue(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      .orderBy("event_type")
+
   /** Per-type value stats: count, exact distinct users, exact decimal sum. */
   def aggValueStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -244,7 +257,11 @@ object RelQueries {
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
     "salted_blocked" ->
-      "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id"
+      "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id",
+    "pct_value" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -259,6 +276,7 @@ object RelQueries {
     "agg_value_stats"    -> aggValueStats,
     "set_ops_customers"  -> setOpsCustomers,
     "win_tumbling"       -> winTumbling,
-    "salted_blocked"     -> saltedBlocked
+    "salted_blocked"     -> saltedBlocked,
+    "pct_value"          -> pctValue
   )
 }

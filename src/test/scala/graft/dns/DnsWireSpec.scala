@@ -39,6 +39,21 @@ class DnsWireSpec extends AnyFunSuite {
     assert(DnsWire.parse(txtAnswer).cnames == Seq("hello world"))
   }
 
+  test("MX / SRV / SOA render dnslib-style presentation strings") {
+    val mx = response(0, rr(pointer(12), 15, u16(10) ++ encName("mail").dropRight(1) ++ pointer(12)))
+    assert(DnsWire.parse(mx).cnames == Seq("10 mail.example.com."))
+
+    val srv = response(0,
+      rr(pointer(12), 33, u16(1) ++ u16(2) ++ u16(8080) ++ encName("svc", "example", "com")))
+    assert(DnsWire.parse(srv).cnames == Seq("1 2 8080 svc.example.com."))
+
+    val soaRdata = encName("ns1", "example", "com") ++ encName("admin", "example", "com") ++
+      u32(2024010101) ++ u32(7200) ++ u32(3600) ++ u32(1209600) ++ u32(300)
+    val soa = response(0, rr(pointer(12), 6, soaRdata))
+    assert(DnsWire.parse(soa).cnames ==
+      Seq("ns1.example.com. admin.example.com. 2024010101 7200 3600 1209600 300"))
+  }
+
   test("pointer loop raises instead of hanging") {
     assertThrows[DnsWire.DnsParseException](DnsWire.parse(pointerLoop))
     assert(DnsWire.parseOpt(pointerLoop).isEmpty)
