@@ -76,6 +76,27 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("cos"))
   }
 
+  /** Exact top-k via the typed [[TopKAggregator]] — same results as
+    * [[bruteTopK]], different physical shape: partial k-element heaps fold
+    * map-side and only k rows per (query × partition) shuffle, instead of
+    * the window's full per-group sort. The scale path for exact top-k. */
+  def bruteTopKAgg(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val scored = candidates
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(cosineSim(col("qv"), col("v")), 6).as("score"))
+    val agg = new TopKAggregator(k).toColumn
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => ScoredId(id, score) }
+      .agg(agg.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"), (col("pos") + 1).as("rn"), col("s.score").as("cos"))
+  }
+
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)
     * within equal-`label` blocks — embedding-cosine near-dup dedup (X1's
     * embedding variant). Norms are precomputed per vector, so each pair

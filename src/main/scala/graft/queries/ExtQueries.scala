@@ -48,6 +48,15 @@ object ExtQueries {
     Similarity.bruteTopK(q, e.select("vec_id", "v"), k = 5).orderBy("qid", "rn")
   }
 
+  /** Same semantics as [[x5EmbedTopk]] through the typed TopKAggregator
+    * (bounded-heap partial aggregation) — shares x5's oracle, proving the
+    * custom aggregate exact. */
+  def x9TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = embAsDouble(s, dir)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.bruteTopKAgg(q, e.select("vec_id", "v"), k = 5).orderBy("qid", "rn")
+  }
+
   def x6EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
       .orderBy("id1", "id2")
@@ -154,6 +163,14 @@ object ExtQueries {
         |  round(list_cosine_similarity(qv, v), 6) AS cos
         |FROM q JOIN e ON vec_id <> qid
         |QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin,
+"x9_topk_agg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT qid, vec_id AS nid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, vec_id) AS rn,
+        |  round(list_cosine_similarity(qv, v), 6) AS cos
+        |FROM q JOIN e ON vec_id <> qid
+        |QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin,
     "x6_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(a.v, b.v), 6) AS cos
@@ -207,6 +224,7 @@ object ExtQueries {
     "x3_simhash"       -> x3Simhash, // no oracle: xxhash64-seeded
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_topk"    -> x5EmbedTopk,
+    "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // no oracle: seeded hyperplanes
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific

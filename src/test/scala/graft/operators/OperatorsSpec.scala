@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L), (3L, 4L))) // (0,2) orthogonal, cross-label never compared
   }
 
+  test("TopKAggregator: bounded buffer, deterministic ties, associative merge") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(
+      ScoredId(5L, 0.9), ScoredId(1L, 0.7), ScoredId(9L, 0.9),
+      ScoredId(2L, 0.5), ScoredId(3L, 0.95), ScoredId(4L, 0.1))
+    // fold in two partial buffers, merge both orders
+    val (p1, p2) = items.splitAt(3)
+    val b1 = p1.foldLeft(agg.zero)(agg.reduce)
+    val b2 = p2.foldLeft(agg.zero)(agg.reduce)
+    val m12 = agg.finish(agg.merge(b1, b2))
+    val m21 = agg.finish(agg.merge(b2, b1))
+    val direct = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    val expected = Seq(ScoredId(3L, 0.95), ScoredId(5L, 0.9), ScoredId(9L, 0.9)) // tie: id asc
+    assert(m12 == expected && m21 == expected && direct == expected)
+  }
+
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {
     val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4)
       .as[(Long, Long, Int, Double)].collect()
