@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, MvQueries, RelQueries}
+import graft.queries.{ExtQueries, IngestQueries, MvQueries, RelQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MvQueries.all ++ RelQueries.all ++ ExtQueries.all
+    MvQueries.all ++ RelQueries.all ++ ExtQueries.all ++ IngestQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MvQueries.oracles ++ RelQueries.oracles ++ ExtQueries.oracles
+    MvQueries.oracles ++ RelQueries.oracles ++ ExtQueries.oracles ++ IngestQueries.oracles
 }

@@ -38,7 +38,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
   }
 
   /** Deterministic 16×dim hyperplane matrix (fixed seed). */
@@ -73,7 +73,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
   }
 
   /** Exact top-k via the typed [[TopKAggregator]] — same results as
@@ -94,7 +94,7 @@ object Similarity {
       .agg(agg.name("topk"))
       .toDF("qid", "topk")
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "s")))
-      .select(col("qid"), col("s.id").as("nid"), (col("pos") + 1).as("rn"), col("s.score").as("cos"))
+      .select(col("qid"), col("s.id").as("nid"), (col("pos") + 1).cast("long").as("rn"), col("s.score").as("cos"))
   }
 
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)

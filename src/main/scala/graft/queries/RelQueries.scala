@@ -108,7 +108,7 @@ object RelQueries {
     Tables.customer(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"), col("c_custkey"))
       .orderBy("c_mktsegment", "rn")
   }
 

@@ -66,9 +66,9 @@ class SimilaritySpec extends SparkTestBase {
   test("brute top-k ranks the nearly-parallel vector first") {
     val e = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val top = Similarity.bruteTopK(q, e, k = 2).as[(Long, Long, Int, Double)].collect()
-    assert(top.find(_._3 == 1).get._2 == 1L) // rank 1 = vec 1
-    assert(top.find(_._3 == 1).get._4 > 0.99)
+    val top = Similarity.bruteTopK(q, e, k = 2).as[(Long, Long, Long, Double)].collect()
+    assert(top.find(_._3 == 1L).get._2 == 1L) // rank 1 = vec 1
+    assert(top.find(_._3 == 1L).get._4 > 0.99)
   }
 
   test("embedding near-dup pairs within label blocks") {
@@ -95,10 +95,10 @@ class SimilaritySpec extends SparkTestBase {
 
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {
     val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4)
-      .as[(Long, Long, Int, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     // whatever the buckets, ranks must be 1..n per query and cos in [-1,1]
     res.groupBy(_._1).foreach { case (_, rows) =>
-      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong))
     }
     assert(res.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
   }
