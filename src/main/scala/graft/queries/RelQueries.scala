@@ -167,6 +167,20 @@ object RelQueries {
       keys = Seq("user_id"))
       .orderBy("user_id")
 
+  /** ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal and
+    * grand total in one pass (§2.5 breadth; absent in the reference). Group
+    * columns coalesced to 'ALL' so both engines order the subtotal rows
+    * identically (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+
   /** Exact percentiles (linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the definition) of event values per type.
     * At 100 TB exact percentiles need a full sort per group — swap to
@@ -261,7 +275,12 @@ object RelQueries {
     "pct_value" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.95), 4) AS p95
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,6 +296,7 @@ object RelQueries {
     "set_ops_customers"  -> setOpsCustomers,
     "win_tumbling"       -> winTumbling,
     "salted_blocked"     -> saltedBlocked,
-    "pct_value"          -> pctValue
+    "pct_value"          -> pctValue,
+    "rollup_pricing"     -> rollupPricing
   )
 }

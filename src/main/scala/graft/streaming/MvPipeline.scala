@@ -60,15 +60,28 @@ object MvPipeline {
       .start()
 
   /** Parse one micro-batch and merge every summary view's increment.
-    * The parsed batch is computed once (persist) — the analogue of
-    * ClickHouse pushing one inserted block through all MVs. */
+    * The parsed batch is computed once (persist + materialize), then the 8
+    * view merges run as CONCURRENT Spark jobs — each is a small aggregation
+    * that would leave most executors idle if run serially; concurrency
+    * overlaps their scheduling and IO, the analogue of ClickHouse firing
+    * all MV triggers per inserted block. */
   def processBatch(lines: DataFrame, stateDir: String): Unit = {
     val log2 = Querylog.parse(lines).persist()
+    log2.count() // materialize the cache once before the concurrent fan-out
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Summaries.all.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      Summaries.all.foreach { case (name, view) =>
-        upsert(view(log2), s"$stateDir/$name", Summaries.keys(name))
+      val merges = Summaries.all.toSeq.map { case (name, view) =>
+        scala.concurrent.Future(upsert(view(log2), s"$stateDir/$name", Summaries.keys(name)))
       }
-    } finally log2.unpersist()
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(merges),
+        scala.concurrent.duration.Duration.Inf)
+    } finally {
+      pool.shutdown()
+      log2.unpersist()
+    }
   }
 
   /** Merge an increment into a keyed parquet state table: read old state,
