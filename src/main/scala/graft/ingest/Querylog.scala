@@ -31,7 +31,7 @@ import graft.functions.parse_answer
 object Querylog {
 
   /** Rows that parsed: full `log2` schema. */
-  def parse(lines: DataFrame): DataFrame = parsed(lines).filter(col("_ok")).drop("_ok", "_raw")
+  def parse(lines: DataFrame): DataFrame = parsed(lines).filter(col("_ok")).drop("_ok", "_raw", "_reason")
 
   /** The pipeline references ~14 fields of one `from_json` struct. Spark's
     * JSON-expression optimization rewrites each reference into its own
@@ -55,7 +55,8 @@ object Querylog {
     * Output: log2 columns + `_ok`/`_raw`/`_reason` bookkeeping. */
   private def parsed(lines: DataFrame): DataFrame = {
     tuneJson(lines)
-    val j = from_json(col("value"), Schemas.querylogJson) // PERMISSIVE: bad JSON → null struct
+    val j = from_json(col("value"), Schemas.querylogJson,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record"))
     val ans = parse_answer(col("j.Answer"))
 
     val requiredPresent: Column =
@@ -72,13 +73,7 @@ object Querylog {
       .withColumn("_raw", col("value"))
       .withColumn(
         "_reason",
-        // PERMISSIVE from_json yields an all-null struct (not a null struct)
-        // for non-JSON input, so "malformed" = nothing at all was extracted
-        when(
-          col("j").isNull ||
-            (col("j.T").isNull && col("j.QH").isNull && col("j.IP").isNull &&
-              col("j.Answer").isNull && col("j.Elapsed").isNull),
-          lit("malformed json"))
+        when(col("j").isNull || col("j._corrupt_record").isNotNull, lit("malformed json"))
           .when(!requiredPresent, lit("missing required field"))
           .when(ts.isNull, lit("unparseable timestamp"))
           .when(col("ans").isNull, lit("unparseable dns answer"))

@@ -59,8 +59,11 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: queries only score candidates sharing
     * their hyperplane signature. */
-  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, numBits: Int = 8): DataFrame = {
-    val dim = 64
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, numBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    // dim MUST match the embedding length: zip_with pads mismatches with
+    // nulls, which would collapse every vector into bucket 0 and silently
+    // turn LSH into a quadratic scan
     val planes = hyperplanes(numBits, dim)
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -48,12 +48,14 @@ object TopKAggregator {
   private def mergeOne(
       items: Seq[ScoredId], a: ScoredId, k: Int,
       better: (ScoredId, ScoredId) => Boolean): Seq[ScoredId] =
-    if (items.size >= k && better(items.last, a)) items
+    // at capacity, only a STRICTLY better element displaces the floor — a
+    // duplicate of the floor must not grow the buffer to k+1
+    if (items.size >= k && !better(a, items.last)) items
     else {
       val idx = items.indexWhere(x => better(a, x)) match {
         case -1 => items.size
         case i  => i
       }
-      (items.take(idx) :+ a) ++ items.drop(idx).take(k - idx - 1)
+      ((items.take(idx) :+ a) ++ items.drop(idx)).take(k)
     }
 }

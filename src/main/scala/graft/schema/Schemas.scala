@@ -45,7 +45,11 @@ object Schemas {
     StructField("Result", StructType(Seq(
       StructField("IsFiltered", BooleanType)
     ))),
-    StructField("Answer", StringType)
+    StructField("Answer", StringType),
+    // populated by the PERMISSIVE parser with the raw line iff the JSON
+    // itself is unparseable — distinguishes "malformed json" from a valid
+    // object that merely lacks required fields
+    StructField("_corrupt_record", StringType)
   ))
 
   /** `log2` fact-table schema (`/root/reference/README.md:4-22`), Spark types

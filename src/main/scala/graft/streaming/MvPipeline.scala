@@ -54,8 +54,8 @@ object MvPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateDir, batchId)
       }
       .start()
 
@@ -64,8 +64,11 @@ object MvPipeline {
     * view merges run as CONCURRENT Spark jobs — each is a small aggregation
     * that would leave most executors idle if run serially; concurrency
     * overlaps their scheduling and IO, the analogue of ClickHouse firing
-    * all MV triggers per inserted block. */
-  def processBatch(lines: DataFrame, stateDir: String): Unit = {
+    * all MV triggers per inserted block.
+    *
+    * @param batchId streaming micro-batch id for replay idempotence; pass a
+    *                negative id for ad-hoc backfills (always merged). */
+  def processBatch(lines: DataFrame, stateDir: String, batchId: Long = -1L): Unit = {
     val log2 = Querylog.parse(lines).persist()
     log2.count() // materialize the cache once before the concurrent fan-out
     val pool = java.util.concurrent.Executors.newFixedThreadPool(Summaries.all.size)
@@ -73,7 +76,7 @@ object MvPipeline {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       val merges = Summaries.all.toSeq.map { case (name, view) =>
-        scala.concurrent.Future(upsert(view(log2), s"$stateDir/$name", Summaries.keys(name)))
+        scala.concurrent.Future(upsert(view(log2), s"$stateDir/$name", Summaries.keys(name), batchId))
       }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(merges),
@@ -85,13 +88,28 @@ object MvPipeline {
   }
 
   /** Merge an increment into a keyed parquet state table: read old state,
-    * union, re-sum all measure columns by key, atomically swap directories.
-    * Idempotence across batch replays comes from the checkpoint (a batch is
-    * only re-run if its merge never committed). */
-  def upsert(increment: DataFrame, path: String, keys: Seq[String]): Unit = {
+    * union, re-sum all measure columns by key, swap directories.
+    *
+    * Replay idempotence (the merge is additive, so it must NOT reapply): the
+    * committed batch id is stored in a `_graft_batch` marker inside the
+    * state dir, written to the tmp dir BEFORE the swap so marker and data
+    * commit together. A replayed batch (same non-negative id as the marker)
+    * is skipped. Crash safety: the old state is renamed aside (not deleted)
+    * until the new state is in place, and a leftover `.old` from a crash
+    * between the two renames is restored on the next call. */
+  def upsert(increment: DataFrame, path: String, keys: Seq[String], batchId: Long = -1L): Unit = {
     val spark = increment.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val aside = new Path(path + ".old")
+    // recover from a crash that left state renamed aside
+    if (!fs.exists(target) && fs.exists(aside)) require(fs.rename(aside, target), s"recover $aside")
+    val marker = new Path(path + "/_graft_batch")
+    if (batchId >= 0 && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val committed = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+      if (committed == batchId) return // replayed batch: already merged
+    }
     val merged =
       if (fs.exists(target)) {
         val old = spark.read.parquet(path)
@@ -103,8 +121,12 @@ object MvPipeline {
       } else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    val out = fs.create(new Path(tmp, "_graft_batch"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(aside, true)
+    if (fs.exists(target)) require(fs.rename(target, aside), s"stage out $target")
+    require(fs.rename(tmp, target), s"commit $tmp -> $target")
+    fs.delete(aside, true)
   }
 
   /** The reference's literal storage contract: append raw per-batch

@@ -39,7 +39,11 @@ object Sessionize {
           closed ::= Session(user, s.start, s.last, s.events)
           Some(SessionState(e.ts_ms, e.ts_ms, 1))
         case Some(s) =>
-          Some(s.copy(last = e.ts_ms, events = s.events + 1))
+          // late (out-of-order) events extend the open session's bounds but
+          // never move them backwards-in-time past each other — otherwise a
+          // cross-batch straggler would shrink `last` and force a bogus
+          // premature close on the next on-time event
+          Some(SessionState(math.min(s.start, e.ts_ms), math.max(s.last, e.ts_ms), s.events + 1))
         case None =>
           Some(SessionState(e.ts_ms, e.ts_ms, 1))
       }

@@ -91,6 +91,9 @@ class SimilaritySpec extends SparkTestBase {
     val direct = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
     val expected = Seq(ScoredId(3L, 0.95), ScoredId(5L, 0.9), ScoredId(9L, 0.9)) // tie: id asc
     assert(m12 == expected && m21 == expected && direct == expected)
+    // exact duplicate of the floor element at capacity must not grow past k
+    val withDup = agg.reduce(agg.reduce(direct.foldLeft(agg.zero)(agg.reduce), ScoredId(9L, 0.9)), ScoredId(9L, 0.9))
+    assert(agg.finish(withDup) == expected)
   }
 
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {

@@ -59,6 +59,19 @@ class MvPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("replayed batch id is merged exactly once (idempotent upsert)") {
+    import spark.implicits._
+    val state = tmpDir("mv-idem")
+    val inc = Seq(("a.com", 1L), ("b.com", 2L)).toDF("QH", "count")
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = 7L)
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = 7L) // replay: skipped
+    val m1 = MvPipeline.readState(spark, state, "v").as[(String, Long)].collect().toMap
+    assert(m1 == Map("a.com" -> 1L, "b.com" -> 2L))
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = 8L) // new batch: merged
+    val m2 = MvPipeline.readState(spark, state, "v").as[(String, Long)].collect().toMap
+    assert(m2 == Map("a.com" -> 2L, "b.com" -> 4L))
+  }
+
   test("late row updated its old 10-minute bucket") {
     // separate state from the previous test is fine: rebuild quickly
     val in = tmpDir("mv-in2"); val state = tmpDir("mv-state2"); val ckpt = tmpDir("mv-ckpt2")

@@ -39,10 +39,14 @@ class SessionizeSpec extends SparkTestBase {
       val closed = spark.table("sessions_out").as[Session].collect()
       assert(closed.toSeq == Seq(Session(1L, 0L, 1000L, 2L)))
 
-      input.addData(Event(1L, 500000L, "d")) // closes session 2 (100000..100000)
+      input.addData(Event(1L, 99000L, "late")) // late straggler: joins open session, no close
+      query.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 1)
+
+      input.addData(Event(1L, 500000L, "d")) // closes session 2 (99000..100000, 2 events)
       query.processAllAvailable()
       assert(spark.table("sessions_out").as[Session].collect().toSet ==
-        Set(Session(1L, 0L, 1000L, 2L), Session(1L, 100000L, 100000L, 1L)))
+        Set(Session(1L, 0L, 1000L, 2L), Session(1L, 99000L, 100000L, 2L)))
     } finally query.stop()
   }
 
