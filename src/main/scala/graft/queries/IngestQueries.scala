@@ -56,7 +56,41 @@ object IngestQueries {
       .orderBy("QH")
   }
 
+  /** Four distinct A-answers (last octet 10/20/30/40) rotated per row. */
+  private[queries] val rotatingB64: Seq[String] = Seq(10, 20, 30, 40).map { last =>
+    def u16(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
+    val name = Array[Byte](4) ++ "host".getBytes ++ Array[Byte](7) ++ "example".getBytes ++
+      Array[Byte](3) ++ "com".getBytes :+ 0.toByte
+    val wire = u16(0x1234) ++ Array(0x81.toByte, 0x80.toByte) ++ u16(1) ++ u16(1) ++ u16(0) ++ u16(0) ++
+      name ++ u16(1) ++ u16(1) ++
+      Array(0xc0.toByte, 12.toByte) ++ u16(1) ++ u16(1) ++ Array[Byte](0, 0, 1, 44) ++ u16(4) ++
+      Array(93.toByte, 184.toByte, 216.toByte, last.toByte)
+    java.util.Base64.getEncoder.encodeToString(wire)
+  }
+
+  /** DNS-answer analytics over the parsed arrays: explode `rdatas` of a
+    * corpus whose Answer rotates over 4 known A records — per-address
+    * resolution counts must equal the rotation arithmetic. Exercises the
+    * ArrayType surface (explode of parser output) end-to-end. */
+  def ingestRdatas(s: SparkSession, dir: String): DataFrame = {
+    val answer = element_at(
+      array(rotatingB64.map(lit): _*), (pmod(col("id"), lit(4)) + 1).cast("int"))
+    val lines = s.range(rows).select(concat(
+      lit("""{"T":"2024-01-01T00:00:00Z","QH":"h.example.com","QT":"A","QC":"IN","CP":"","IP":"10.0.0.1","Elapsed":1,"Answer":""""),
+      answer, lit("\"}")
+    ).as("value"))
+    Querylog.parse(lines)
+      .select(explode(col("rdatas")).as("rdata"))
+      .groupBy("rdata")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("rdata")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ingest_rdatas" ->
+      s"""SELECT '93.184.216.' || CAST(10 + 10 * (id % 4) AS VARCHAR) AS rdata, count(*) AS cnt
+         |FROM range($rows) t(id)
+         |GROUP BY 1 ORDER BY rdata""".stripMargin,
     "ingest_pipeline" ->
       s"""SELECT 'host' || CAST(id % 1000 AS VARCHAR) || '.example.com' AS QH,
          | count(*) AS cnt,
@@ -68,6 +102,7 @@ object IngestQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ingest_pipeline" -> ingestPipeline
+    "ingest_pipeline" -> ingestPipeline,
+    "ingest_rdatas"   -> ingestRdatas
   )
 }
