@@ -71,6 +71,17 @@ object ExtQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** t-digest approximate percentiles — the 100 TB swap for [[RelQueries
+    * .pctValue]]'s exact sort-based percentile. Sketch values are
+    * engine-specific → rows-only check. */
+  def x10ApproxPct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------- text analysis ----
 
   def taLangStats(s: SparkSession, dir: String): DataFrame =
@@ -97,6 +108,20 @@ object ExtQueries {
 
   def taFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** ASCII class alternation shared with the oracle: letters | digits |
+    * punctuation runs — a BPE-ish pre-tokenizer (ASCII classes only, so
+    * Java regex and RE2 agree exactly). */
+  private val bpeRe = "[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+"
+
+  /** Token counting two ways (whitespace + BPE-ish regex) per doc. */
+  def taBpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
 
   // ----------------------------------------------------------- multimodal ----
 
@@ -212,6 +237,11 @@ object ExtQueries {
         |  len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','est'))) AS fr
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "ta_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       s"""SELECT doc_id, list_min([md5(x) for x in $duckGrams]) AS fingerprint
          |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -228,11 +258,13 @@ object ExtQueries {
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // no oracle: seeded hyperplanes
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
+    "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
     "ta_token_stats"   -> taTokenStats,
     "ta_quality"       -> taQuality,
     "ta_langid"        -> taLangid,
     "ta_fingerprint"   -> taFingerprint,
+    "ta_bpe_tokens"    -> taBpeTokens,
     "mm_media_features" -> mmMediaFeatures // no oracle: stubbed decode path
   )
 }
