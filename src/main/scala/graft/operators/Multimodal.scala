@@ -72,6 +72,46 @@ object Multimodal {
     counts
   }
 
+  /** STUB resize — a real implementation decodes, scales, re-encodes; the
+    * fake deterministically samples the payload down to a byte budget
+    * proportional to the target area, keeping metadata consistent. The
+    * Spark-side contract (binary in → binary out + updated meta, executed
+    * partition-locally) is the real part. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int, targetW: Int, targetH: Int): Array[Byte] = {
+    if (payload.isEmpty || w <= 0 || h <= 0) return payload
+    val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+    val n = math.max(1, (payload.length * ratio).toInt)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = payload((i.toLong * payload.length / n).toInt); i += 1 }
+    out
+  }
+
+  /** STUB frame sampling — a real implementation demuxes and decodes every
+    * Nth frame; the fake slices the payload into `frameSize`-byte pseudo
+    * frames and keeps every Nth. Returns the sampled "frames". */
+  def sampleFramesStub(payload: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] = {
+    require(frameSize > 0 && everyNth > 0)
+    payload.grouped(frameSize).zipWithIndex
+      .collect { case (frame, idx) if idx % everyNth == 0 => frame }
+      .toSeq
+  }
+
+  /** Partition-local resize pass over a media DataFrame: image payloads are
+    * resized to `targetW`×`targetH` (stub codec), audio passes through.
+    * Payloads stay inside the partition — no shuffle. */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        if (r.media_type == "image")
+          r.copy(payload = resizeStub(r.payload, r.width, r.height, targetW, targetH),
+            width = math.min(r.width, targetW), height = math.min(r.height, targetH))
+        else r
+      }
+    }.toDF()
+  }
+
   /** Batch feature extraction: typed `mapPartitions` so a real decoder can
     * amortize per-partition setup (codec contexts, model weights) across the
     * whole batch — the Spark-side analogue of a batched Pandas UDF. */

@@ -160,6 +160,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("resize keeps payloads partition-local and shrinks images only") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+    val media = Multimodal.synthesize(docs)
+    val resized = Multimodal.resize(spark, media, targetW = 64, targetH = 64).collect()
+    resized.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      if (r.getAs[String]("media_type") == "image") {
+        assert(r.getAs[Int]("width") <= 64 && r.getAs[Int]("height") <= 64)
+        assert(p.nonEmpty)
+      } else assert(r.getAs[Int]("sample_rate") == 16000) // audio untouched
+    }
+  }
+
+  test("frame sampling keeps every Nth pseudo-frame") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFramesStub(payload, frameSize = 10, everyNth = 3)
+    assert(frames.length == 4) // frames 0,3,6,9
+    assert(frames.head.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1).toSeq == (30 until 40).map(_.toByte))
+  }
+
   test("decodeStub: histogram sums to ~1 and is pure") {
     val payload = "some deterministic bytes".getBytes
     val f1 = Multimodal.decodeStub(payload)
