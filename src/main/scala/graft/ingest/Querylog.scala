@@ -73,8 +73,14 @@ object Querylog {
       .withColumn("_raw", col("value"))
       .withColumn(
         "_reason",
-        when(col("j").isNull || col("j._corrupt_record").isNotNull, lit("malformed json"))
+        // _corrupt_record fires for whole-line JSON failures AND for
+        // field-level type mismatches; required-fields-present distinguishes
+        // the two. Either way the row is dropped — the reference's per-row
+        // insert would fail on a bad value too (collector.py:73-78).
+        when(col("j").isNull || (col("j._corrupt_record").isNotNull && !requiredPresent),
+          lit("malformed json"))
           .when(!requiredPresent, lit("missing required field"))
+          .when(col("j._corrupt_record").isNotNull, lit("unparseable field value"))
           .when(ts.isNull, lit("unparseable timestamp"))
           .when(col("ans").isNull, lit("unparseable dns answer"))
       )

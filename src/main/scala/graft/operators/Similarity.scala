@@ -66,6 +66,10 @@ object Similarity {
     // turn LSH into a quadratic scan
     val planes = hyperplanes(numBits, dim)
     val e = embeddings
+      // fail fast on a dim mismatch: zip_with would null-pad and silently
+      // collapse every vector into bucket 0 (quadratic scan)
+      .filter(assert_true(size(col("embedding")) === dim,
+        lit(s"embedding dimension must be $dim")).isNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     val q = e.filter(queryPred)

@@ -22,17 +22,20 @@ object IngestQueries {
 
   private val rows = 100000L
 
-  /** Base64 of a header+question+compressed-name A answer (93.184.216.34). */
-  private[queries] val aB64: String = {
+  /** Base64 of a header+question+compressed-name A answer for
+    * 93.184.216.<lastOctet>. */
+  private def aRecordB64(lastOctet: Int): String = {
     def u16(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
     val name = Array[Byte](4) ++ "host".getBytes ++ Array[Byte](7) ++ "example".getBytes ++
       Array[Byte](3) ++ "com".getBytes :+ 0.toByte
     val wire = u16(0x1234) ++ Array(0x81.toByte, 0x80.toByte) ++ u16(1) ++ u16(1) ++ u16(0) ++ u16(0) ++
       name ++ u16(1) ++ u16(1) ++
       Array(0xc0.toByte, 12.toByte) ++ u16(1) ++ u16(1) ++ Array[Byte](0, 0, 1, 44) ++ u16(4) ++
-      Array(93.toByte, 184.toByte, 216.toByte, 34.toByte)
+      Array(93.toByte, 184.toByte, 216.toByte, lastOctet.toByte)
     java.util.Base64.getEncoder.encodeToString(wire)
   }
+
+  private[queries] val aB64: String = aRecordB64(34)
 
   def ingestPipeline(s: SparkSession, dir: String): DataFrame = {
     val lines = s.range(rows).select(concat(
@@ -57,16 +60,7 @@ object IngestQueries {
   }
 
   /** Four distinct A-answers (last octet 10/20/30/40) rotated per row. */
-  private[queries] val rotatingB64: Seq[String] = Seq(10, 20, 30, 40).map { last =>
-    def u16(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
-    val name = Array[Byte](4) ++ "host".getBytes ++ Array[Byte](7) ++ "example".getBytes ++
-      Array[Byte](3) ++ "com".getBytes :+ 0.toByte
-    val wire = u16(0x1234) ++ Array(0x81.toByte, 0x80.toByte) ++ u16(1) ++ u16(1) ++ u16(0) ++ u16(0) ++
-      name ++ u16(1) ++ u16(1) ++
-      Array(0xc0.toByte, 12.toByte) ++ u16(1) ++ u16(1) ++ Array[Byte](0, 0, 1, 44) ++ u16(4) ++
-      Array(93.toByte, 184.toByte, 216.toByte, last.toByte)
-    java.util.Base64.getEncoder.encodeToString(wire)
-  }
+  private[queries] val rotatingB64: Seq[String] = Seq(10, 20, 30, 40).map(aRecordB64)
 
   /** DNS-answer analytics over the parsed arrays: explode `rdatas` of a
     * corpus whose Answer rotates over 4 known A records — per-address

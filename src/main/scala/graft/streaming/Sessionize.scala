@@ -38,11 +38,14 @@ object Sessionize {
         case Some(s) if e.ts_ms - s.last > gapMs =>
           closed ::= Session(user, s.start, s.last, s.events)
           Some(SessionState(e.ts_ms, e.ts_ms, 1))
+        case Some(s) if s.start - e.ts_ms > gapMs =>
+          // straggler more than a gap OLDER than the open session: it can
+          // never join it — emit it as its own (already-closed) session
+          closed ::= Session(user, e.ts_ms, e.ts_ms, 1)
+          Some(s)
         case Some(s) =>
-          // late (out-of-order) events extend the open session's bounds but
-          // never move them backwards-in-time past each other — otherwise a
-          // cross-batch straggler would shrink `last` and force a bogus
-          // premature close on the next on-time event
+          // late events within a gap of the open session extend its bounds
+          // monotonically — shrinking `last` would force bogus closes
           Some(SessionState(math.min(s.start, e.ts_ms), math.max(s.last, e.ts_ms), s.events + 1))
         case None =>
           Some(SessionState(e.ts_ms, e.ts_ms, 1))

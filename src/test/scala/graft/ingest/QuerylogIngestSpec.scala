@@ -67,6 +67,13 @@ class QuerylogIngestSpec extends SparkTestBase {
     assert(bad.count(_ == "unparseable dns answer") == 2)
   }
 
+  test("optional-field type mismatch: dropped with 'unparseable field value'") {
+    val lines = Seq(line(extra = ""","Cached":"yes"""")).toDF("value")
+    assert(Querylog.parse(lines).count() == 0)
+    val r = Querylog.corrupt(lines).collect().head
+    assert(r.getAs[String]("reason") == "unparseable field value")
+  }
+
   test("pointer-loop answer is rejected, not hung") {
     val lines = Seq(line(answer = DnsFixtures.b64(DnsFixtures.pointerLoop))).toDF("value")
     assert(Querylog.parse(lines).count() == 0)

@@ -97,7 +97,7 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {
-    val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4)
+    val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4, dim = 4)
       .as[(Long, Long, Long, Double)].collect()
     // whatever the buckets, ranks must be 1..n per query and cos in [-1,1]
     res.groupBy(_._1).foreach { case (_, rows) =>

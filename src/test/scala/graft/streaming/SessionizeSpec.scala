@@ -20,6 +20,15 @@ class SessionizeSpec extends SparkTestBase {
     assert(closed.toSet == Set(Session(1L, 0L, 1000L, 2L)))
   }
 
+  test("straggler older than the open session by > gap becomes its own closed session") {
+    val events = Seq(
+      Event(1L, 100000L, "a"),  // open session at 100000
+      Event(1L, 10000L, "old")  // 90s older than session start, gap 30s
+    ).toDS()
+    val closed = Sessionize.sessions(events, gapMs = 30000L).collect()
+    assert(closed.toSet == Set(Session(1L, 10000L, 10000L, 1L)))
+  }
+
   test("streaming: state persists across micro-batches; gap in batch 2 closes batch-1 session") {
     val input = MemoryStream[Event](spark)
     val query = Sessionize.sessions(input.toDS(), gapMs = 30000L)
