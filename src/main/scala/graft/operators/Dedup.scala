@@ -118,6 +118,44 @@ object Dedup {
         round(TextOps.jaccard(col("g1"), col("g2")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Connected components over near-dup pairs → duplicate clusters
+    * (SURVEY.md §2.11 X2: "connected components via iterative join, cap
+    * iterations"): min-label propagation until fixpoint or `maxIter`.
+    * Returns (id, cluster) where cluster = min doc id of the component —
+    * the representative a dedup pass keeps.
+    *
+    * 100 TB notes: each iteration is one join + one aggregation on the
+    * (small) pair graph, not the corpus; `localCheckpoint` truncates the
+    * growing lineage each round. Dup-cluster diameters are tiny in
+    * practice, so convergence is a handful of rounds; the cap bounds
+    * pathological chains. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("a").join(labels.as("b"), "id")
+        .filter(col("a.label") =!= col("b.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Exact n-gram-Jaccard pairs within cheap blocking keys (lang, source,
     * length bucket) — the brute-force exact variant of near-dedup; the
     * blocking bounds the pair count so the quadratic term stays within a

@@ -36,6 +36,14 @@ object ExtQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleN = 3, threshold = 0.01)
       .orderBy("id1", "id2")
 
+  /** Duplicate clusters: connected components over the MinHash-LSH pairs —
+    * (doc, min-id-of-component) for every doc in some near-dup pair. */
+  def x11DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8))
+      .orderBy("id")
+
   // ---------------------------------------------------------- similarity ----
 
   private def embAsDouble(s: SparkSession, dir: String): DataFrame =
@@ -166,6 +174,40 @@ object ExtQueries {
          |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
          |)
          |SELECT * FROM verified WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "x11_dedup_clusters" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT doc_id, $duckGrams AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |),
+         |sig AS (
+         |  SELECT doc_id, grams,
+         |    [list_min([substr(md5(x), 1 + 4*k, 4) for x in grams]) for k in range(0, 8)] AS sig
+         |  FROM g
+         |),
+         |band AS (
+         |  SELECT doc_id, i AS band_idx, sig[2*i+1]||sig[2*i+2] AS band_key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS i)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |verified AS (
+         |  SELECT id1, id2
+         |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
+         |  WHERE round(len(list_intersect(g1.grams, g2.grams)) /
+         |        (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))), 4) >= 0.8
+         |),
+         |und AS (SELECT id1 AS a, id2 AS b FROM verified UNION ALL SELECT id2, id1 FROM verified),
+         |reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+         |)
+         |SELECT n.id, least(n.id, min(r.b)) AS cluster
+         |FROM (SELECT DISTINCT a AS id FROM und) n LEFT JOIN reach r ON r.a = n.id
+         |GROUP BY n.id ORDER BY n.id""".stripMargin,
     "x4_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, source, n_chars // 100 AS bucket, $duckGrams AS grams
@@ -253,6 +295,7 @@ object ExtQueries {
     "x2_minhash_lsh"   -> x2MinhashLsh,
     "x3_simhash"       -> x3Simhash, // no oracle: xxhash64-seeded
     "x4_ngram_jaccard" -> x4NgramJaccard,
+    "x11_dedup_clusters" -> x11DedupClusters,
     "x5_embed_topk"    -> x5EmbedTopk,
     "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,

@@ -41,6 +41,14 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head._3 > 0.5)
   }
 
+  test("clusters: connected components with min-id labels, chains merge transitively") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolated pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs get identical hashes; pairs found at hamming 0") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     assert(sims(0L) == sims(1L))
