@@ -129,9 +129,37 @@ object Dedup {
     * growing lineage each round. Dup-cluster diameters are tiny in
     * practice, so convergence is a handful of rounds; the cap bounds
     * pathological chains. */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+  def clusters(pairs: DataFrame, maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgePairs = pairs.select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgePairs.count()
+    // The pair graph is tiny relative to the corpus (it only contains docs
+    // in some near-dup pair), so up to `driverThreshold` edges a driver-side
+    // union-find beats rounds of distributed jobs by orders of magnitude;
+    // the iterative join path below remains for genuinely huge graphs.
+    if (nEdges <= driverThreshold) {
+      val es = edgePairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgePairs.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
+    val edges = edgePairs
+      .union(edgePairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
