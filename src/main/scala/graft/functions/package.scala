@@ -79,6 +79,28 @@ package object functions {
     (floor(unix_timestamp(ts) / w) * w).cast("long")
   }
 
+  // ------------------------------------------------------- parity round ----
+
+  /** Cross-engine-deterministic rounding: `floor(x·10ⁿ + 0.5)/10ⁿ`.
+    * Built-in `round(x, n)` implementations disagree on boundary doubles
+    * (Spark rounds the shortest decimal repr via BigDecimal, DuckDB
+    * multiplies and rounds: 0.48625 → 0.4863 vs 0.4862). This form is the
+    * same IEEE expression in any engine, so identical inputs give identical
+    * outputs — which is what oracle parity needs. (Negative values round
+    * half-toward-minus-infinity; irrelevant for parity.) */
+  def pround(c: Column, decimals: Int): Column = {
+    val f = math.pow(10, decimals)
+    floor(c * f + 0.5) / f
+  }
+  def pround4(c: Column): Column = pround(c, 4)
+  def pround6(c: Column): Column = pround(c, 6)
+
+  /** The DuckDB-side fragment equivalent to [[pround]]. */
+  def duckRound(exprSql: String, decimals: Int): String = {
+    val f = math.pow(10, decimals).toLong
+    s"floor(($exprSql) * $f.0 + 0.5) / $f.0"
+  }
+
   // ------------------------------------------------------------ vectors ----
 
   /** Dot product of two float-array columns via codegen'd higher-order

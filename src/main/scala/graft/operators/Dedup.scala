@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.pround4
+
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md §2.11
   * X1/X2): exact, MinHash+LSH, SimHash. All are pure DataFrame pipelines —
   * shuffles only on hash/band keys, never on document text length, so the
@@ -115,7 +117,7 @@ object Dedup {
       .join(g.select(col("doc_id").as("id1"), col("grams").as("g1")), "id1")
       .join(g.select(col("doc_id").as("id2"), col("grams").as("g2")), "id2")
       .select(col("id1"), col("id2"),
-        round(TextOps.jaccard(col("g1"), col("g2")), 4).as("jaccard"))
+        pround4(TextOps.jaccard(col("g1"), col("g2"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Connected components over near-dup pairs → duplicate clusters
@@ -209,7 +211,7 @@ object Dedup {
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        round(TextOps.jaccard(col("a.grams"), col("b.grams")), 4).as("jaccard"))
+        pround4(TextOps.jaccard(col("a.grams"), col("b.grams"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSim, dotProduct, l2Norm}
+import graft.functions.{cosineSim, dotProduct, l2Norm, pround6}
 
 /** Approximate-nearest-neighbor / similarity search over a dense embedding
   * column (SURVEY.md §2.11 X3). Two paths:
@@ -33,7 +33,7 @@ object Similarity {
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val scored = candidates
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosineSim(col("qv"), col("v")), 6))
+      .withColumn("cos", pround6(cosineSim(col("qv"), col("v"))))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -75,7 +75,7 @@ object Similarity {
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosineSim(col("qv"), col("v")), 6))
+      .withColumn("cos", pround6(cosineSim(col("qv"), col("v"))))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -93,7 +93,7 @@ object Similarity {
     val scored = candidates
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id"),
-        round(cosineSim(col("qv"), col("v")), 6).as("score"))
+        pround6(cosineSim(col("qv"), col("v"))).as("score"))
     val agg = new TopKAggregator(k).toColumn
     scored.as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -116,7 +116,7 @@ object Similarity {
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cos"))
+        pround6(dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

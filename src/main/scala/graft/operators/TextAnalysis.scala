@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.pround4
+
 /** Text-analysis operators for training-data curation (SURVEY.md §2.11 X4):
   * language-ID heuristic, quality scoring, token stats, fingerprinting. All
   * pure column pipelines (codegen'd), deterministic, and — except for
@@ -54,10 +56,10 @@ object TextAnalysis {
       col("doc_id"),
       nTok.as("n_tokens"),
       nUniq.as("n_uniq"),
-      round(ttr, 4).as("ttr"),
-      round(sumLen / nTok, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(least(nTok, lit(100L)) / 100.0 * 0.5 + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4)
+      pround4(ttr).as("ttr"),
+      pround4(sumLen / nTok).as("avg_token_len"),
+      pround4(stopRatio).as("stop_ratio"),
+      pround4(least(nTok, lit(100L)) / 100.0 * 0.5 + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.2)
         .as("quality_score")
     )
   }

@@ -169,8 +169,8 @@ object ExtQueries {
          |),
          |verified AS (
          |  SELECT id1, id2,
-         |    round(len(list_intersect(g1.grams, g2.grams)) /
-         |          (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))), 4) AS jaccard
+         |    floor((len(list_intersect(g1.grams, g2.grams)) * 1.0 /
+         |          (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
          |)
          |SELECT * FROM verified WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
@@ -215,34 +215,34 @@ object ExtQueries {
          |  WHERE len(w) >= 3
          |)
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  round(len(list_intersect(a.grams, b.grams)) /
-         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+         |  floor((len(list_intersect(a.grams, b.grams)) * 1.0 /
+         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM g a JOIN g b
          |  ON a.lang = b.lang AND a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.grams, b.grams)) /
-         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.01
+         |WHERE floor((len(list_intersect(a.grams, b.grams)) * 1.0 /
+         |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) * 10000.0 + 0.5) / 10000.0 >= 0.01
          |ORDER BY id1, id2""".stripMargin,
     "x5_embed_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
         |SELECT qid, vec_id AS nid,
-        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, vec_id) AS rn,
-        |  round(list_cosine_similarity(qv, v), 6) AS cos
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY floor((list_cosine_similarity(qv, v)) * 1000000.0 + 0.5) / 1000000.0 DESC, vec_id) AS rn,
+        |  floor((list_cosine_similarity(qv, v)) * 1000000.0 + 0.5) / 1000000.0 AS cos
         |FROM q JOIN e ON vec_id <> qid
         |QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin,
 "x9_topk_agg" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
         |SELECT qid, vec_id AS nid,
-        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, vec_id) AS rn,
-        |  round(list_cosine_similarity(qv, v), 6) AS cos
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY floor((list_cosine_similarity(qv, v)) * 1000000.0 + 0.5) / 1000000.0 DESC, vec_id) AS rn,
+        |  floor((list_cosine_similarity(qv, v)) * 1000000.0 + 0.5) / 1000000.0 AS cos
         |FROM q JOIN e ON vec_id <> qid
         |QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin,
     "x6_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, floor((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |WHERE floor((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
         |ORDER BY id1, id2""".stripMargin,
     "ta_lang_stats" ->
       """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -256,12 +256,12 @@ object ExtQueries {
       """SELECT doc_id,
         | len(string_split(text,' ')) AS n_tokens,
         | len(list_distinct(string_split(text,' '))) AS n_uniq,
-        | round(len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')), 4) AS ttr,
-        | round((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')), 4) AS avg_token_len,
-        | round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' ')), 4) AS stop_ratio,
-        | round(least(len(string_split(text,' ')), 100) / 100.0 * 0.5
+        | floor((len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS ttr,
+        | floor(((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+        | floor((len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        | floor((least(len(string_split(text,' ')), 100) / 100.0 * 0.5
         |   + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
-        |   + (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 0.2, 4) AS quality_score
+        |   + (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_langid" ->
       """SELECT doc_id,

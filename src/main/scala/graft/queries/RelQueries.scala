@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.pround4
 
 /** Relational demonstration queries over the star schema — joins, windows,
   * top-k (SURVEY.md §2.4, §2.6-2.7; the reference has none of these in code,
@@ -190,8 +191,8 @@ object RelQueries {
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+        pround4(percentile(col("value"), lit(0.5))).as("p50"),
+        pround4(percentile(col("value"), lit(0.95))).as("p95"))
       .orderBy("event_type")
 
   /** Per-type value stats: count, exact distinct users, exact decimal sum. */
@@ -273,8 +274,8 @@ object RelQueries {
     "salted_blocked" ->
       "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id",
     "pct_value" ->
-      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.95), 4) AS p95
+      """SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        | floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
