@@ -77,6 +77,9 @@ object Querylog {
         // field-level type mismatches; required-fields-present distinguishes
         // the two. Either way the row is dropped — the reference's per-row
         // insert would fail on a bad value too (collector.py:73-78).
+        // Caveat: Jackson stops at the failing token, so a bad field EARLY
+        // in the line nulls later required fields and classifies as
+        // "malformed json" — reasons are best-effort, dropping is exact.
         when(col("j").isNull || (col("j._corrupt_record").isNotNull && !requiredPresent),
           lit("malformed json"))
           .when(!requiredPresent, lit("missing required field"))

@@ -133,7 +133,8 @@ object Dedup {
     * pathological chains. */
   def clusters(pairs: DataFrame, maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edgePairs = pairs.select(col("id1"), col("id2"))
+    // ids normalized to long: both paths then share one output contract
+    val edgePairs = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgePairs.count()
     // The pair graph is tiny relative to the corpus (it only contains docs
@@ -183,6 +184,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    edgePairs.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter iterations - labels would be wrong; raise maxIter")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

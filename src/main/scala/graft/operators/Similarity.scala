@@ -66,6 +66,7 @@ object Similarity {
     // turn LSH into a quadratic scan
     val planes = hyperplanes(numBits, dim)
     val e = embeddings
+      .filter(col("embedding").isNotNull) // null vectors are dropped, not an error
       // fail fast on a dim mismatch: zip_with would null-pad and silently
       // collapse every vector into bucket 0 (quadratic scan)
       .filter(assert_true(size(col("embedding")) === dim,

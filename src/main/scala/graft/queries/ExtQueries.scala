@@ -196,8 +196,8 @@ object ExtQueries {
          |verified AS (
          |  SELECT id1, id2
          |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
-         |  WHERE round(len(list_intersect(g1.grams, g2.grams)) /
-         |        (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))), 4) >= 0.8
+         |  WHERE ${graft.functions.duckRound(
+             "len(list_intersect(g1.grams, g2.grams)) * 1.0 / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))", 4)} >= 0.8
          |),
          |und AS (SELECT id1 AS a, id2 AS b FROM verified UNION ALL SELECT id2, id1 FROM verified),
          |reach AS (

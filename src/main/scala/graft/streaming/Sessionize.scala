@@ -40,7 +40,12 @@ object Sessionize {
           Some(SessionState(e.ts_ms, e.ts_ms, 1))
         case Some(s) if s.start - e.ts_ms > gapMs =>
           // straggler more than a gap OLDER than the open session: it can
-          // never join it — emit it as its own (already-closed) session
+          // never join it — emit it as its own (already-closed) session.
+          // Known approximation: multiple stragglers that are mutually
+          // within a gap each close as singletons (tracking reopened past
+          // sessions would need a session LIST in state; the reference-
+          // style no-watermark pipelines route stragglers to sink-side
+          // merges instead, see MvPipeline)
           closed ::= Session(user, e.ts_ms, e.ts_ms, 1)
           Some(s)
         case Some(s) =>

@@ -49,6 +49,16 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: distributed label-propagation path agrees with union-find") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // non-convergence is an error, not silent wrong labels
+    assertThrows[IllegalStateException](
+      Dedup.clusters(pairs, maxIter = 1, driverThreshold = 0L).collect())
+  }
+
   test("simhash: identical docs get identical hashes; pairs found at hamming 0") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     assert(sims(0L) == sims(1L))
