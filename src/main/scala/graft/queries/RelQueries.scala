@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.pround4
+import graft.functions.{pround, pround4, duckRound}
 
 /** Relational demonstration queries over the star schema — joins, windows,
   * top-k (SURVEY.md §2.4, §2.6-2.7; the reference has none of these in code,
@@ -22,7 +22,17 @@ import graft.functions.pround4
   */
 object RelQueries {
 
-  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  /** double → DECIMAL(18,2) with cross-engine-deterministic rounding.
+    * A bare `CAST(double AS DECIMAL(18,2))` diverges between engines on
+    * boundary doubles: Spark rounds the shortest decimal repr HALF_UP
+    * (repr "24.005" → 24.01) while DuckDB rounds the binary value
+    * (24.004999999… → 24.00); per-row ±0.01 drift accumulates in large-group
+    * sums (round-1 red rows q1/q5/rollup/agg_value_stats). Pre-rounding with
+    * the IEEE-exact [[pround]] lands the double within ~1e-14 of a k/100
+    * value, where both engines' casts agree. [[decSql]] is the literal
+    * DuckDB mirror. */
+  private def dec(c: String) = pround(col(c), 2).cast("decimal(18,2)")
+  private def decSql(x: String) = s"CAST(${duckRound(x, 2)} AS DECIMAL(18,2))"
 
   /** TPC-H Q1-style pricing summary: one scan + one hash agg of lineitem.
     * At 100 TB: shuffle is 4 groups × partials — negligible; the scan
@@ -208,22 +218,22 @@ object RelQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      s"""SELECT l_returnflag, l_linestatus,
+        | sum(${decSql("l_quantity")}) AS sum_qty,
+        | sum(${decSql("l_extendedprice")}) AS sum_base_price,
+        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-30' AND l_shipdate > TIMESTAMP '1997-06-30'
         |GROUP BY l_orderkey, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      s"""SELECT n_name,
+        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         | JOIN orders ON o_custkey = c_custkey
@@ -246,15 +256,15 @@ object RelQueries {
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "topn_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      s"""SELECT o_orderkey, ${decSql("o_totalprice")} AS price FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
     "window_user_deltas" ->
       """SELECT event_id, user_id,
         | epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS delta_us
         |FROM events ORDER BY event_id""".stripMargin,
     "agg_value_stats" ->
-      """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users,
-        | sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      s"""SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users,
+        | sum(${decSql("value")}) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "set_ops_customers" ->
       """SELECT c_custkey FROM (
@@ -278,8 +288,8 @@ object RelQueries {
         | floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rollup_pricing" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | sum(${decSql("l_quantity")}) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin
   )
