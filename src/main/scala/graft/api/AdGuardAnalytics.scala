@@ -80,4 +80,10 @@ final class AdGuardAnalytics(spark: SparkSession, stateDir: String) {
       "blocked_ratio",
       round(col("blocked") / when(col("blocked") + col("visited") === 0, lit(null))
         .otherwise(col("blocked") + col("visited")), 4))
+
+  /** Release every cached intermediate the dedup/similarity operators
+    * persisted internally. Call after consuming their results in a
+    * long-lived session; otherwise cached blocks accumulate across
+    * invocations until executor storage fills. */
+  def releaseCached(): Unit = graft.operators.Caching.releaseAll()
 }

@@ -17,28 +17,32 @@ import graft.dns.DnsWire
   * span intact: `doGenCode` emits a direct static call on the pure
   * `graft.dns` kernel.
   */
+/** Java-callable kernels used by generated code. TOP-LEVEL object on
+  * purpose: scalac emits static forwarders only for top-level objects —
+  * the round-1 nested `NetExpressions.Bridge` was unresolvable from
+  * generated Java, so janino failed the compile and every plan containing
+  * these expressions silently fell back to interpreted projection. */
+object NetKernels {
+  def isIpv4(s: UTF8String): Boolean = DnsWire.isIpv4(if (s == null) null else s.toString)
+  def isIpv6(s: UTF8String): Boolean = DnsWire.isIpv6(if (s == null) null else s.toString)
+
+  /** DNS wire message → InternalRow(rcode, rdatas, rdatas6, cnames), or
+    * null for malformed input (the collector's per-row barrier,
+    * /root/reference/src/collector.py:76-78). */
+  def parseToRow(wire: Array[Byte]): InternalRow =
+    DnsWire.parseOpt(wire) match {
+      case Some(a) =>
+        InternalRow(
+          a.rcode,
+          new GenericArrayData(a.rdatas4.map(UTF8String.fromString).toArray[Any]),
+          new GenericArrayData(a.rdatas6.map(UTF8String.fromString).toArray[Any]),
+          new GenericArrayData(a.cnames.map(UTF8String.fromString).toArray[Any])
+        )
+      case None => null
+    }
+}
+
 object NetExpressions {
-
-  /** Java-callable bridge used by generated code. */
-  object Bridge {
-    def isIpv4(s: UTF8String): Boolean = DnsWire.isIpv4(if (s == null) null else s.toString)
-    def isIpv6(s: UTF8String): Boolean = DnsWire.isIpv6(if (s == null) null else s.toString)
-
-    /** DNS wire message → InternalRow(rcode, rdatas, rdatas6, cnames), or
-      * null for malformed input (the collector's per-row barrier,
-      * /root/reference/src/collector.py:76-78). */
-    def parseToRow(wire: Array[Byte]): InternalRow =
-      DnsWire.parseOpt(wire) match {
-        case Some(a) =>
-          InternalRow(
-            a.rcode,
-            new GenericArrayData(a.rdatas4.map(UTF8String.fromString).toArray[Any]),
-            new GenericArrayData(a.rdatas6.map(UTF8String.fromString).toArray[Any]),
-            new GenericArrayData(a.cnames.map(UTF8String.fromString).toArray[Any])
-          )
-        case None => null
-      }
-  }
 
   private[expressions] def requireType(child: Expression, t: DataType, name: String): TypeCheckResult =
     if (child.dataType == t) TypeCheckResult.TypeCheckSuccess
@@ -60,10 +64,10 @@ case class IsIPv4(child: Expression) extends UnaryExpression {
   override def prettyName: String = "is_ipv4"
 
   override protected def nullSafeEval(input: Any): Any =
-    NetExpressions.Bridge.isIpv4(input.asInstanceOf[UTF8String])
+    NetKernels.isIpv4(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.NetExpressions.Bridge.isIpv4($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NetKernels.isIpv4($c)")
 
   override protected def withNewChildInternal(newChild: Expression): IsIPv4 = copy(child = newChild)
 }
@@ -76,10 +80,10 @@ case class IsIPv6(child: Expression) extends UnaryExpression {
   override def prettyName: String = "is_ipv6"
 
   override protected def nullSafeEval(input: Any): Any =
-    NetExpressions.Bridge.isIpv6(input.asInstanceOf[UTF8String])
+    NetKernels.isIpv6(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.NetExpressions.Bridge.isIpv6($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NetKernels.isIpv6($c)")
 
   override protected def withNewChildInternal(newChild: Expression): IsIPv6 = copy(child = newChild)
 }
@@ -93,11 +97,11 @@ case class ParseDnsAnswer(child: Expression) extends UnaryExpression {
   override def prettyName: String = "parse_dns_answer"
 
   override protected def nullSafeEval(input: Any): Any =
-    NetExpressions.Bridge.parseToRow(input.asInstanceOf[Array[Byte]])
+    NetKernels.parseToRow(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.expressions.NetExpressions.Bridge.parseToRow($c);
+      ${ev.value} = graft.expressions.NetKernels.parseToRow($c);
       ${ev.isNull} = (${ev.value} == null);
     """)
 

@@ -1,0 +1,121 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dense-vector kernels (SURVEY.md §2.11 X3).
+  *
+  * Round 1 computed dot products with `aggregate(zip_with(...))` — Spark's
+  * higher-order functions are `CodegenFallback`: every pair evaluation left
+  * whole-stage codegen, allocated a zipped intermediate array, and invoked
+  * an interpreted lambda per element. On pair-heavy shapes (x6 all-pairs,
+  * x9 scored join) that interpreted per-pair cost dominated the round-1
+  * bench tail. These expressions keep the identical left-to-right IEEE
+  * accumulation order — so every oracle-matched result is bit-identical —
+  * but run as a tight primitive loop inside the enclosing codegen stage.
+  *
+  * Null semantics mirror the HOF forms exactly: null array → null, length
+  * mismatch → null (zip_with pads with null, poisoning the sum), any null
+  * element → null.
+  */
+/** Java-callable kernels used by generated code. TOP-LEVEL object on
+  * purpose: scalac emits static forwarders only for top-level objects, and
+  * janino resolves `VecKernels.dot(...)` through them — a nested
+  * `Outer.Inner.f(...)` reference is NOT resolvable from generated Java and
+  * silently drops the whole expression tree to interpreted mode.
+  *
+  * Boxed return: null means SQL NULL (mismatched length / null element);
+  * one box per *vector* op, vs one per element in the HOF form. */
+object VecKernels {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** sqrt of the in-order sum of squares — identical accumulation to
+    * `sqrt(aggregate(transform(a, x*x), 0.0, +))`. */
+  def norm(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+}
+
+object VecExpressions {
+
+  private[expressions] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double> input, got ${other.simpleString}")
+    }
+}
+
+/** Σ aᵢ·bᵢ over two `array<double>` columns — codegen'd, allocation-free. */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecExpressions.requireDoubleArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecExpressions.requireDoubleArray(right, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+        java.lang.Double $tmp = graft.expressions.VecKernels.dot($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** √(Σ aᵢ²) of an `array<double>` column — codegen'd, allocation-free. */
+case class L2NormExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExpressions.requireDoubleArray(child, prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.norm(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("norm")
+      s"""
+        java.lang.Double $tmp = graft.expressions.VecKernels.norm($a);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormExpr =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{GraftExtensions, IsIPv4, IsIPv6, ParseDnsAnswer}
+import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, ParseDnsAnswer, TopKAggExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -103,18 +103,30 @@ package object functions {
 
   // ------------------------------------------------------------ vectors ----
 
-  /** Dot product of two float-array columns via codegen'd higher-order
-    * functions — no UDF in the hot path (SURVEY.md §2.11 X3). */
+  /** Dot product of two `array<double>` columns — a native codegen'd
+    * expression ([[graft.expressions.DotProductExpr]]), replacing the
+    * round-1 `aggregate(zip_with(...))` form: Spark's higher-order
+    * functions are CodegenFallback (interpreted lambda + intermediate
+    * array per row), which dominated the pair-heavy similarity queries.
+    * Identical accumulation order → bit-identical results. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    ncol(DotProductExpr(nexpr(a), nexpr(b)))
 
-  /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  /** L2 norm (native codegen'd expression). */
+  def l2Norm(a: Column): Column = ncol(L2NormExpr(nexpr(a)))
 
-  /** Cosine similarity of two dense float vectors. */
+  /** Cosine similarity of two dense double vectors. `try_divide`: a
+    * zero-norm (degenerate) vector yields NULL similarity rather than an
+    * ANSI divide-by-zero error killing the job — callers treat null score
+    * as "no similarity" (filters reject it, top-k skips it). */
   def cosineSim(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    try_divide(dotProduct(a, b), l2Norm(a) * l2Norm(b))
+
+  /** Exact bounded top-k aggregate: array of (id, score) structs ordered
+    * score desc, id asc — [[graft.expressions.TopKAggExpr]], a native
+    * `TypedImperativeAggregate` over a mutable primitive buffer. */
+  def topK(id: Column, score: Column, k: Int): Column =
+    ncol(TopKAggExpr(nexpr(id), nexpr(score), k).toAggregateExpression())
 
   // ------------------------------------------------------- registration ----
 

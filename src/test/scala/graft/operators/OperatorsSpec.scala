@@ -95,23 +95,87 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L), (3L, 4L))) // (0,2) orthogonal, cross-label never compared
   }
 
-  test("TopKAggregator: bounded buffer, deterministic ties, associative merge") {
-    val agg = new TopKAggregator(3)
+  test("TopKBuffer: bounded, deterministic ties, associative merge") {
+    import graft.expressions.TopKBuffer
+    def fill(items: Seq[(Long, Double)]): TopKBuffer = {
+      val b = new TopKBuffer(3)
+      items.foreach { case (id, s) => b.insert(id, s) }
+      b
+    }
+    def out(b: TopKBuffer): Seq[(Long, Double)] =
+      (0 until b.n).map(i => (b.ids(i), b.scores(i)))
     val items = Seq(
-      ScoredId(5L, 0.9), ScoredId(1L, 0.7), ScoredId(9L, 0.9),
-      ScoredId(2L, 0.5), ScoredId(3L, 0.95), ScoredId(4L, 0.1))
-    // fold in two partial buffers, merge both orders
+      (5L, 0.9), (1L, 0.7), (9L, 0.9), (2L, 0.5), (3L, 0.95), (4L, 0.1))
+    val expected = Seq((3L, 0.95), (5L, 0.9), (9L, 0.9)) // tie: id asc
+    assert(out(fill(items)) == expected)
+    // merge both orders (partial buffers from two partitions)
     val (p1, p2) = items.splitAt(3)
-    val b1 = p1.foldLeft(agg.zero)(agg.reduce)
-    val b2 = p2.foldLeft(agg.zero)(agg.reduce)
-    val m12 = agg.finish(agg.merge(b1, b2))
-    val m21 = agg.finish(agg.merge(b2, b1))
-    val direct = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
-    val expected = Seq(ScoredId(3L, 0.95), ScoredId(5L, 0.9), ScoredId(9L, 0.9)) // tie: id asc
-    assert(m12 == expected && m21 == expected && direct == expected)
+    val m12 = fill(p1); m12.absorb(fill(p2))
+    val m21 = fill(p2); m21.absorb(fill(p1))
+    assert(out(m12) == expected && out(m21) == expected)
     // exact duplicate of the floor element at capacity must not grow past k
-    val withDup = agg.reduce(agg.reduce(direct.foldLeft(agg.zero)(agg.reduce), ScoredId(9L, 0.9)), ScoredId(9L, 0.9))
-    assert(agg.finish(withDup) == expected)
+    val withDup = fill(items ++ Seq((9L, 0.9), (9L, 0.9)))
+    assert(out(withDup) == expected)
+  }
+
+  test("bruteTopKAgg matches bruteTopK and skips degenerate vectors") {
+    val zero = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0)) // zero-norm: null cosine
+      .toDF("vec_id", "embedding", "label")
+    val all = emb.union(zero)
+    val e = all.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val win = Similarity.bruteTopK(q, e, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val agg = Similarity.bruteTopKAgg(q, e, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(agg == win)
+    assert(agg.nonEmpty)
+    // the zero vector never appears as a neighbor (null cosine skipped)
+    assert(!agg.exists(_._2 == 9L))
+  }
+
+  test("lshTopK recall vs exact top-k on the sf0.001 corpus") {
+    val embr = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = embr.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Similarity.bruteTopK(q, e, k = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.lshTopK(embr, col("vec_id") < 10, k = 5, numBits = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8-bit buckets on near-random 64-dim vectors: recall is modest by
+    // design (the buckets only keep ~1/256 of the corpus per query); the
+    // floor pins against silent regression to ~0, not against the theory
+    assert(recall >= 0.1, s"LSH recall collapsed: $recall")
+    graft.operators.Caching.releaseAll()
+  }
+
+  test("embeddingNearDupPairsLsh finds planted high-cosine dups (candidates ⊇ true pairs)") {
+    // 40 random 64-dim vectors + 5 planted near-identical pairs
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec(), i % 2))
+    val planted = (0 until 5).flatMap { i =>
+      val v = vec()
+      val w = v.clone(); w(0) = w(0) + 0.01f // cosine ≈ 0.9999
+      Seq((100L + i, v, 0), (200L + i, w, 0))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val exact = Similarity.embeddingNearDupPairs(df, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(df, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(exact.size >= 5)
+    assert(lsh == exact, s"LSH path missed pairs: ${exact -- lsh}")
+    graft.operators.Caching.releaseAll()
+  }
+
+  test("Caching tracks and releases operator persists") {
+    graft.operators.Caching.releaseAll()
+    Similarity.embeddingNearDupPairs(emb, threshold = 0.9).collect()
+    assert(graft.operators.Caching.trackedCount >= 1)
+    graft.operators.Caching.releaseAll()
+    assert(graft.operators.Caching.trackedCount == 0)
   }
 
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {
