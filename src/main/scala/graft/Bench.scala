@@ -42,14 +42,25 @@ object Bench {
       .map { case (name, fn) =>
         if (warmDir != sfDir)
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+        // drop warm-run operator persists before timing, and timed-run
+        // persists after: accumulated cached blocks from EARLIER queries
+        // otherwise steal storage/execution memory from later ones (x4 ran
+        // 4x slower at position 36 of the full sweep than in isolation)
+        graft.operators.Caching.releaseAll()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Caching.releaseAll()
+        // a failed query reports -1, NOT its elapsed-until-crash time — a
+        // crashing query must never masquerade as a fast one
+        name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errs}""")
     spark.stop()
   }
 }

@@ -45,6 +45,9 @@ object Dedup {
       .select(
         col("doc_id"),
         TextOps.shingles(TextOps.tokens(col("_text")), shingleN).as("grams"))
+      // per-doc sorted hash image: pair verification intersects THESE
+      // (native sorted-long merge) instead of the string arrays
+      .withColumn("gh", TextOps.hashedSet(col("grams")))
 
   /** MinHash signature columns mh0..mh{n-1}: ONE md5 per shingle, the k-th
     * hash = 4-hex-char window k of the digest (independent bits of one good
@@ -110,14 +113,14 @@ object Dedup {
     verifyJaccard(cand, g, threshold)
   }
 
-  /** Join candidate pairs back to their gram sets and keep those with
-    * round(exact-Jaccard, 4) >= threshold. */
+  /** Join candidate pairs back to their (hashed) gram sets and keep those
+    * with round(exact-Jaccard, 4) >= threshold. */
   private def verifyJaccard(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(g.select(col("doc_id").as("id1"), col("grams").as("g1")), "id1")
-      .join(g.select(col("doc_id").as("id2"), col("grams").as("g2")), "id2")
+      .join(g.select(col("doc_id").as("id1"), col("gh").as("g1")), "id1")
+      .join(g.select(col("doc_id").as("id2"), col("gh").as("g2")), "id2")
       .select(col("id1"), col("id2"),
-        pround4(TextOps.jaccard(col("g1"), col("g2"))).as("jaccard"))
+        pround4(TextOps.jaccardHashed(col("g1"), col("g2"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Connected components over near-dup pairs → duplicate clusters
@@ -209,14 +212,15 @@ object Dedup {
         expr("n_chars DIV 100").as("bucket"), col("text"))
       .repartition(col("lang"), col("source"), col("bucket"))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"),
-        TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("grams"))
+        TextOps.hashedSet(
+          TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gh"))
       .transform(Caching.persisted)
     g.as("a")
       .join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        pround4(TextOps.jaccard(col("a.grams"), col("b.grams"))).as("jaccard"))
+        pround4(TextOps.jaccardHashed(col("a.gh"), col("b.gh"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -25,11 +25,33 @@ object TextOps {
 
   /** Exact Jaccard similarity of two distinct-element array columns.
     * |A∪B| computed as |A|+|B|-|A∩B| (one intersection, no union
-    * materialization). */
+    * materialization). Reference semantics; [[jaccardHashed]] is the
+    * hot-path form for pair-heavy verification. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
     // null (not ANSI divide-by-zero) when both sets are empty
+    inter / when(union === 0, lit(null)).otherwise(union)
+  }
+
+  /** Ascending-sorted xxhash64 image of a distinct-string-array column —
+    * computed once per DOC (the transform HOF is interpreted, but runs
+    * O(docs) times), consumed by [[jaccardHashed]] O(pairs) times. */
+  def hashedSet(grams: Column): Column =
+    sort_array(transform(grams, g => xxhash64(g)))
+
+  /** Jaccard over [[hashedSet]] columns: the per-pair intersection is a
+    * native codegen'd merge walk over sorted longs
+    * ([[graft.expressions.SortedIntersectCount]]) instead of
+    * `array_intersect` building a per-pair UTF8String hash table. Value is
+    * identical to [[jaccard]] on the underlying string sets unless xxhash64
+    * collides within one pair's union (P ≈ |union|²/2⁶⁵ ≈ 3e-16 for
+    * 100-gram docs — negligible even at 10¹² pairs). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val shim = org.apache.spark.sql.graft.SparkShim
+    val inter = shim.column(graft.expressions.SortedIntersectCount(
+      shim.expression(a), shim.expression(b)))
+    val union = size(a) + size(b) - inter
     inter / when(union === 0, lit(null)).otherwise(union)
   }
 
