@@ -101,6 +101,20 @@ package object functions {
     s"floor(($exprSql) * $f.0 + 0.5) / $f.0"
   }
 
+  // -------------------------------------------------------------- hash ----
+
+  /** Oracle-reproducible 64-bit hash: the first 16 hex chars of md5 as a
+    * signed long (hi/lo 32-bit halves via `conv`, joined bitwise so no ANSI
+    * overflow). ~3× the cost of xxhash64 but derivable in any engine with
+    * md5+substr — used where a cross-engine oracle must replay the hash
+    * (SimHash signatures; same rationale as the md5-windowed MinHash). */
+  def md5Hash64(c: Column): Column = {
+    val m = md5(c)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   // ------------------------------------------------------------ vectors ----
 
   /** Dot product of two `array<double>` columns — a native codegen'd

@@ -225,9 +225,10 @@ object Dedup {
   }
 
   /** doc_id → 64-bit SimHash (Charikar), computed as explode(distinct
-    * tokens) → xxhash64 → packed conditional sums in one vectorized
-    * aggregate → bit reassembly. Bit b is set iff more than half the token
-    * hashes have bit b set.
+    * tokens) → md5-derived 64-bit hash ([[graft.functions.md5Hash64]] —
+    * reproducible in the DuckDB oracle, unlike round-1's xxhash64) →
+    * packed conditional sums in one vectorized aggregate → bit reassembly.
+    * Bit b is set iff more than half the token hashes have bit b set.
     *
     * Counter packing: 8 per-bit set-counts ride in ONE long (8 bits each),
     * so the aggregate has 8 sum columns instead of 64 — an 8× smaller
@@ -255,7 +256,7 @@ object Dedup {
     docs
       .select(col("doc_id"),
         explode(slice(array_distinct(TextOps.tokens(col("text"))), 1, maxTokens)).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), graft.functions.md5Hash64(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packedSums: _*)
       .select(col("doc_id"), sim.as("simhash"))

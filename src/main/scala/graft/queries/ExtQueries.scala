@@ -144,7 +144,52 @@ object ExtQueries {
   private val duckGrams =
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])"
 
+  /** DuckDB mirror of the SimHash pipeline ([[Dedup.simhashes]] +
+    * [[Dedup.simhashPairs]]): per-token 64-bit hash rebuilt nibble-by-nibble
+    * from md5 hex (HUGEINT arithmetic — the value equals
+    * graft.functions.md5Hash64's signed long bit-for-bit), per-doc per-bit
+    * strict-majority vote, fingerprint folded back to signed BIGINT,
+    * 16-bit-chunk pigeonhole blocking, Hamming ≤ 3. Generated: 16 nibble
+    * terms + 64 bit-count sums + 64 majority cases. The [1:255] slice
+    * mirrors maxTokens and never truncates on this corpus (max 31 distinct
+    * tokens/doc), so list_distinct order is irrelevant — all downstream
+    * folds are order-insensitive sums. */
+  private val duckSimhashPairs: String = {
+    val hexDig = "'0123456789abcdef'"
+    val hTerms = (0 until 16).map(i =>
+      s"CAST(instr($hexDig, substr(m, ${i + 1}, 1))-1 AS HUGEINT) * ${BigInt(16).pow(15 - i)}::HUGEINT")
+      .mkString(" + ")
+    val cSums = (0 until 64).map(b =>
+      s"sum(CASE WHEN (h // ${BigInt(2).pow(b)}::HUGEINT) % 2 = 1 THEN 1 ELSE 0 END) AS c$b")
+      .mkString(", ")
+    val fpSum = (0 until 64).map(b =>
+      s"CASE WHEN c$b*2 > n THEN ${BigInt(2).pow(b)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))[1:255]) AS tok FROM documents
+       |),
+       |th AS (
+       |  SELECT doc_id, $hTerms AS h FROM (SELECT doc_id, md5(tok) AS m FROM toks)
+       |),
+       |sig AS (
+       |  SELECT doc_id, count(*) AS n, $cSums FROM th GROUP BY doc_id
+       |),
+       |fp AS (
+       |  SELECT doc_id, CAST(fph - CASE WHEN fph >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id, ($fpSum) AS fph FROM sig)
+       |),
+       |chunk AS (
+       |  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (16*i)) & 65535 AS chunk
+       |  FROM fp, (SELECT unnest([0,1,2,3]) AS i)
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM chunk a JOIN chunk b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x3_simhash" -> duckSimhashPairs,
     "x1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
@@ -293,7 +338,7 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup"   -> x1ExactDedup,
     "x2_minhash_lsh"   -> x2MinhashLsh,
-    "x3_simhash"       -> x3Simhash, // no oracle: xxhash64-seeded
+    "x3_simhash"       -> x3Simhash, // oracle: md5-derived token hash
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x11_dedup_clusters" -> x11DedupClusters,
     "x5_embed_topk"    -> x5EmbedTopk,
