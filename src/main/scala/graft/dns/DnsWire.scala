@@ -59,14 +59,21 @@ object DnsWire {
     var jumps = 0
     var labels = 0
     var done = false
+    var visited: java.util.BitSet = null // pointer targets seen (lazy: most names have 0-1 jumps)
     while (!done) {
       val len = u8(b, i)
       if ((len & 0xc0) == 0xc0) { // compression pointer
         val target = ((len & 0x3f) << 8) | u8(b, i + 1)
         if (end < 0) end = i + 2
-        // RFC 1035 compression always points backwards; enforcing strictly
-        // decreasing targets kills pointer loops without a visited-set.
-        if (target >= i) fail(s"forward/looping compression pointer $target >= $i")
+        // dnslib (the reference's parser, collector.py:30) accepts FORWARD
+        // pointers with loop detection only; a backwards-only rule would
+        // drop legal-if-unusual messages as corrupt. The walk from a target
+        // is deterministic, so any loop must revisit a pointer target —
+        // a visited-target set bounds loops exactly (jump budget as a
+        // second fence).
+        if (visited == null) visited = new java.util.BitSet(b.length)
+        if (visited.get(target)) fail(s"compression pointer loop at $target")
+        visited.set(target)
         jumps += 1
         if (jumps > 128) fail("too many compression jumps")
         i = target

@@ -59,6 +59,28 @@ object MvPipeline {
       }
       .start()
 
+  /** Start the fan-out over ONE growing querylog file — the reference's
+    * literal layout (`tailer.follow`, collector.py:45): appended complete
+    * lines stream in via [[TailFileSource]]; byte offsets checkpoint, so
+    * restart resumes mid-file. Use [[start]] for rotated-file directories. */
+  def startTailFile(
+      spark: SparkSession,
+      file: String,
+      stateDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    spark.readStream
+      .format(classOf[TailFileProvider].getName)
+      .load(file)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateDir, batchId)
+      }
+      .start()
+
   /** Parse one micro-batch and merge every summary view's increment.
     * The parsed batch is computed once (persist + materialize), then the 8
     * view merges run as CONCURRENT Spark jobs — each is a small aggregation

@@ -82,6 +82,16 @@ object DnsFixtures {
     base ++ pointer(12) ++ u16(5) ++ u16(1) ++ u32(300) ++ u16(2) ++ pointer(24)
   }
 
+  /** Legal-if-unusual: CNAME rdata at offset 24 is a FORWARD pointer to a
+    * name stored at offset 26 (trailing bytes after the RR). dnslib (the
+    * reference's parser) accepts forward pointers with loop detection only;
+    * this pins the same behavior. */
+  val forwardPointer: Array[Byte] = {
+    val base = header(0, 0, 1)
+    base ++ pointer(26) ++ u16(5) ++ u16(1) ++ u32(300) ++ u16(2) ++
+      pointer(26) ++ encName("fwd", "example", "com")
+  }
+
   /** Truncated mid-rdata. */
   val truncated: Array[Byte] = aAnswerCompressed.dropRight(2)
 

@@ -59,6 +59,11 @@ class DnsWireSpec extends AnyFunSuite {
     assert(DnsWire.parseOpt(pointerLoop).isEmpty)
   }
 
+  test("forward compression pointer parses (dnslib parity), loops still caught") {
+    val a = DnsWire.parse(forwardPointer)
+    assert(a.cnames == Seq("fwd.example.com."))
+  }
+
   test("truncated message raises; parseOpt returns None") {
     assertThrows[DnsWire.DnsParseException](DnsWire.parse(truncated))
     assert(DnsWire.parseOpt(truncated).isEmpty)
