@@ -126,8 +126,11 @@ object Multimodal {
       }
     }.toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        round(element_at(col("feature"), 1), 6).as("f0"),
-        round(element_at(col("feature"), 2), 6).as("f1"),
-        round(element_at(col("feature"), 3), 6).as("f2"))
+        // pround, not round: the one remaining value surface must stay
+        // oracle-safe if a DuckDB check is ever added (round() boundary
+        // rounding diverges between engines)
+        graft.functions.pround6(element_at(col("feature"), 1)).as("f0"),
+        graft.functions.pround6(element_at(col("feature"), 2)).as("f1"),
+        graft.functions.pround6(element_at(col("feature"), 3)).as("f2"))
   }
 }
