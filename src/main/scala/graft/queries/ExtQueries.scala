@@ -188,8 +188,38 @@ object ExtQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** DuckDB mirror of the multimodal feature pipeline: the payload is the
+    * UTF-8 text bytes ([[Multimodal.synthesize]]) and the declared stub
+    * decoder is a mod-8 byte histogram — both exactly expressible in SQL
+    * for an ASCII corpus (verified: 0 non-ASCII/empty docs at every sf;
+    * there `ord(char) = byte` and `length(text) = octet_length`). This
+    * checks the real Spark-side contract (typed mapPartitions batch,
+    * schema, normalization, rounding) end-to-end; a real codec would
+    * return this query to rows-only. */
+  private val duckMmFeatures: String =
+    """WITH b AS (
+      |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % 8 AS bucket
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
+      |),
+      |h AS (
+      |  SELECT doc_id, count(*) AS n,
+      |    sum(CASE WHEN bucket=0 THEN 1 ELSE 0 END) AS c0,
+      |    sum(CASE WHEN bucket=1 THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN bucket=2 THEN 1 ELSE 0 END) AS c2
+      |  FROM b GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |  CAST(length(d.text) AS BIGINT) AS n_bytes,
+      |  floor((c0 * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS f0,
+      |  floor((c1 * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS f1,
+      |  floor((c2 * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS f2
+      |FROM documents d JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x3_simhash" -> duckSimhashPairs,
+    "mm_media_features" -> duckMmFeatures,
     "x1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
@@ -353,6 +383,6 @@ object ExtQueries {
     "ta_langid"        -> taLangid,
     "ta_fingerprint"   -> taFingerprint,
     "ta_bpe_tokens"    -> taBpeTokens,
-    "mm_media_features" -> mmMediaFeatures // no oracle: stubbed decode path
+    "mm_media_features" -> mmMediaFeatures // oracle over the declared stub decode
   )
 }
