@@ -217,9 +217,45 @@ object ExtQueries {
       |FROM documents d JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the multi-probe hyperplane-LSH top-k
+    * ([[Similarity.lshTopK]]). The "seeded planes" are deterministic, so
+    * the 8×64 plane matrix is embedded as double literals (shortest-repr
+    * round-trip is exact); every dot product / norm is written as an
+    * EXPLICIT left-to-right term chain, matching the native kernels'
+    * accumulation order bit-for-bit — so bucket sign decisions, probe
+    * sets, cosines and ranks all replay exactly. */
+  private val duckAnnLsh: String = {
+    val numBits = 8
+    val planes = Similarity.hyperplanes(numBits, 64)
+    def dot(a: String, b: Seq[Double]): String =
+      b.zipWithIndex.map { case (c, i) => s"$a[${i + 1}]*($c)" }.mkString(" + ")
+    def dotVec(a: String, b: String): String =
+      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    def normSq(a: String): String = (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
+    val bucket = planes
+      .map(p => s"CASE WHEN (${dot("v", p)}) > 0 THEN 1 ELSE 0 END")
+      .foldLeft("0")((acc, bit) => s"($acc)*2 + $bit")
+    val probeList = ("qb" +: (0 until numBits).map(b => s"xor(qb, ${1 << b})")).mkString(", ")
+    val cos =
+      s"floor(((${dotVec("qv", "v")}) / (sqrt(${normSq("qv")}) * sqrt(${normSq("v")}))) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
+       |),
+       |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < 10),
+       |probes AS (SELECT qid, qv, unnest([$probeList]) AS bucket FROM q),
+       |scored AS (
+       |  SELECT DISTINCT qid, vec_id, $cos AS cos
+       |  FROM probes JOIN eb USING (bucket) WHERE vec_id <> qid
+       |)
+       |SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn, cos
+       |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x3_simhash" -> duckSimhashPairs,
     "mm_media_features" -> duckMmFeatures,
+    "x7_ann_lsh" -> duckAnnLsh,
     "x1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
@@ -374,7 +410,7 @@ object ExtQueries {
     "x5_embed_topk"    -> x5EmbedTopk,
     "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,
-    "x7_ann_lsh"       -> x7AnnLsh, // no oracle: seeded hyperplanes
+    "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
