@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables
+
+/** Accuracy floors for the two sketch queries that CANNOT be
+  * oracle-hashed (HLL and t-digest values are engine-specific): pin each
+  * approximation against its exact counterpart so a silent regression to
+  * garbage (wrong column, broken rsd, swapped percentiles) fails here
+  * even though the driver's check is rows-only. */
+class SketchAccuracySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x8: approx_count_distinct within 10% of exact per event_type") {
+    val cmp = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("x10: approx_percentile within the exact p25-p75 band and ordered") {
+    val cmp = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50_exact"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile(col("value"), lit(0.95)).as("p95_exact"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_approx"),
+        min("value").as("lo"), max("value").as("hi"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val spread = r.getAs[Double]("hi") - r.getAs[Double]("lo")
+      assert(math.abs(r.getAs[Double]("p50_approx") - r.getAs[Double]("p50_exact")) <= 0.05 * spread)
+      assert(math.abs(r.getAs[Double]("p95_approx") - r.getAs[Double]("p95_exact")) <= 0.05 * spread)
+      assert(r.getAs[Double]("p50_approx") <= r.getAs[Double]("p95_approx"))
+    }
+  }
+}
