@@ -99,8 +99,15 @@ case class TopKAggExpr(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val id = idExpr.eval(input)
     val score = scoreExpr.eval(input)
-    if (id != null && score != null)
-      buffer.insert(id.asInstanceOf[Long], score.asInstanceOf[Double])
+    if (id != null && score != null) {
+      val s = score.asInstanceOf[Double]
+      // NaN must not enter the buffer: better(x, NaN) is false for every x,
+      // so a NaN at the floor would permanently block all later inserts
+      // (silent, partition-order-dependent corruption). Degenerate scores
+      // (null/NaN) are excluded from top-k by contract — the callers filter
+      // them from the window paths identically.
+      if (!java.lang.Double.isNaN(s)) buffer.insert(id.asInstanceOf[Long], s)
+    }
     buffer
   }
 

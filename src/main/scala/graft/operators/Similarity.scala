@@ -14,10 +14,12 @@ import graft.functions.{cosineSim, dotProduct, l2Norm, pround6}
   *    products, keep top-k per query via a rank window. At 100 TB the
   *    candidate side streams through map tasks once; per-partition
   *    `TakeOrdered`-style pruning happens in the window's partial sort.
-  *  - [[lshTopK]] — scale path: 16-bit random-hyperplane signatures bucket
-  *    the corpus (shuffle on a 2-byte key); each query only scores its own
-  *    bucket. Recall < 1 by construction; raise `numBits`/probe neighboring
-  *    buckets to trade recall vs. cost.
+  *  - [[lshTopK]] — scale path: random-hyperplane signatures (8-bit
+  *    default) bucket the corpus; each query scores its own bucket plus
+  *    every Hamming-1 neighbor (multi-probe). The corpus never shuffles —
+  *    the exploded query probe set broadcasts. Recall < 1 by construction;
+  *    raise `numBits` (smaller buckets) or probe radius to trade recall
+  *    vs. cost; a spec pins recall against [[bruteTopK]].
   *
   * Embeddings are cast to double before any arithmetic so both engines sum
   * with the same precision (float accumulation order would diverge).
@@ -27,6 +29,14 @@ object Similarity {
   /** Cast a float-array column to double elements. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Drop degenerate similarity scores (null from zero-norm/dim-mismatch
+    * via try_divide, NaN from NaN elements): by contract such vectors never
+    * appear as neighbors, identically in the window paths and the native
+    * aggregate (which skips null/NaN on insert). Without this the window
+    * would rank NaN FIRST (doubles sort NaN highest) while the aggregate
+    * excluded it — two "same semantics" paths diverging on garbage input. */
+  private def realScore(c: Column): Column = c.isNotNull && !isnan(c)
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries (qid, qv) — small, broadcast
     * @param candidates (vec_id, v) — the corpus */
@@ -34,6 +44,7 @@ object Similarity {
     val scored = candidates
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("cos", pround6(cosineSim(col("qv"), col("v"))))
+      .filter(realScore(col("cos")))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -92,6 +103,7 @@ object Similarity {
         explode(probeBuckets).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+      .filter(realScore(col("cos")))
       .distinct() // a candidate can collide with several probes of one query
     scored
       .withColumn("rn", row_number().over(
@@ -121,6 +133,7 @@ object Similarity {
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id"),
         pround6(cosineSim(col("qv"), col("v"))).as("score"))
+      .filter(realScore(col("score"))) // prune degenerates before the shuffle too
       .groupBy("qid")
       .agg(graft.functions.topK(col("id"), col("score"), k).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "s")))

@@ -24,12 +24,17 @@ object SinkCodecs {
   /** One array<string> column → a ClickHouse array-literal string
     * (`['a','b']`, backslash-escaping `\` and `'`) — CH parses this form in
     * INSERT values, which is how array columns (log2's rdatas/cnames)
-    * travel through a plain JDBC dialect that has no ARRAY mapping. */
+    * travel through a plain JDBC dialect that has no ARRAY mapping.
+    * Null ELEMENTS render as unquoted `NULL` (the CH Nullable literal) —
+    * `array_join` alone would silently drop them, shortening the array. */
   def chArrayLiteral(c: Column): Column = {
     val esc = (e: Column) =>
       regexp_replace(regexp_replace(e, "\\\\", "\\\\\\\\"), "'", "\\\\'")
     concat(lit("["),
-      array_join(transform(c, e => concat(lit("'"), esc(e), lit("'"))), ","),
+      array_join(
+        transform(c, e =>
+          when(e.isNull, lit("NULL")).otherwise(concat(lit("'"), esc(e), lit("'")))),
+        ","),
       lit("]"))
   }
 

@@ -91,8 +91,15 @@ class TailFileMicroBatchStream(path: String) extends MicroBatchStream with Suppo
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(TailFileSource.completeEnd(path))
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    TailOffset(availableNowTarget.getOrElse(TailFileSource.completeEnd(path)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // clamp to the committed start: a truncated-in-place file must never
+    // REGRESS the offset (Spark would commit the smaller offset and
+    // re-read re-grown bytes as if new — double counting). Truncation
+    // therefore reads as "no new data" until the file regrows past the
+    // committed position; rotation deployments use the directory source.
+    val s = start.asInstanceOf[TailOffset].pos
+    TailOffset(math.max(s, availableNowTarget.getOrElse(TailFileSource.completeEnd(path))))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("admission-control latestOffset(start, limit) is used")
   override def initialOffset(): Offset = TailOffset(0L)
@@ -113,10 +120,15 @@ class TailReaderFactory extends PartitionReaderFactory {
     val r = p.asInstanceOf[TailRange]
     new PartitionReader[InternalRow] {
       private val bytes: Array[Byte] = {
+        val span = r.end - r.start
+        // one micro-batch materializes its range: refuse a >2GB cold-start
+        // backlog loudly (bound it with rotation or the directory source)
+        require(span <= Int.MaxValue - 8,
+          s"tail micro-batch spans $span bytes; catch up a large backlog via the directory source")
         val raf = new RandomAccessFile(r.path, "r")
         try {
           raf.seek(r.start)
-          val b = new Array[Byte]((r.end - r.start).toInt)
+          val b = new Array[Byte](span.toInt)
           raf.readFully(b)
           b
         } finally raf.close()

@@ -119,9 +119,11 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("bruteTopKAgg matches bruteTopK and skips degenerate vectors") {
-    val zero = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0)) // zero-norm: null cosine
-      .toDF("vec_id", "embedding", "label")
-    val all = emb.union(zero)
+    val degenerate = Seq(
+      (9L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0), // zero-norm: null cosine
+      (10L, Array(Float.NaN, 0.0f, 0.0f, 0.0f), 0) // NaN element: NaN cosine
+    ).toDF("vec_id", "embedding", "label")
+    val all = emb.union(degenerate)
     val e = all.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("v").as("qv"))
     val win = Similarity.bruteTopK(q, e, k = 3)
@@ -130,8 +132,11 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(agg == win)
     assert(agg.nonEmpty)
-    // the zero vector never appears as a neighbor (null cosine skipped)
-    assert(!agg.exists(_._2 == 9L))
+    // degenerate vectors never appear as neighbors in EITHER path (a NaN at
+    // the aggregate's buffer floor would otherwise block all later inserts;
+    // the window would rank NaN first)
+    assert(!agg.exists(r => r._2 == 9L || r._2 == 10L))
+    assert(!win.exists(r => r._2 == 9L || r._2 == 10L))
   }
 
   test("lshTopK recall vs exact top-k on the sf0.001 corpus") {

@@ -47,7 +47,8 @@ class SinksSpec extends SparkTestBase {
   test("raw array columns fail loudly; arraysAsLiterals makes them writable") {
     val withArrays = Seq(
       (1L, Seq("1.2.3.4", "5.6.7.8"), Seq("it's", "a\\b")),
-      (2L, Seq.empty[String], Seq("plain"))
+      (2L, Seq.empty[String], Seq("plain")),
+      (3L, Seq("1.2.3.4", null), Seq("x")) // null ELEMENT must not vanish
     ).toDF("id", "rdatas", "cnames")
     val sink = new JdbcClickHouseSink(derbyUrl("sink2"), "app", "")
     // unmapped ArrayType must be an error, not silent data loss
@@ -59,6 +60,7 @@ class SinksSpec extends SparkTestBase {
     assert(got(0)._2 == "['1.2.3.4','5.6.7.8']")
     assert(got(0)._3 == "['it\\'s','a\\\\b']") // quote and backslash escaped
     assert(got(1)._2 == "[]")
+    assert(got(2)._2 == "['1.2.3.4',NULL]") // null element kept as CH NULL literal
   }
 
   test("ParquetSink appends per write") {

@@ -14,6 +14,8 @@ import duckdb, json, sys, glob
 from decimal import Decimal
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
@@ -35,7 +37,10 @@ def cell(v):
         return format(v.normalize(), 'f') if v != 0 else '0'
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return 'NULL' if f != f else repr(f)
+        # NaN is a VALUE, distinct from SQL NULL: both sides arrive via
+        # Arrow to_pylist(), where null is None and NaN is a real nan —
+        # conflating them here would mask a NaN-vs-NULL engine divergence
+        return 'NaN' if f != f else repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):
@@ -56,24 +61,28 @@ def cell(v):
 fails = []
 for name in sorted(oracle):
     try:
-        # Arrow path keeps DECIMAL as decimal128 -> object-dtype Decimal.
-        exp = norm(con.execute(oracle[name]).arrow().to_pandas())
-        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f'{out}/{name}/*.parquet'))]))
-        if list(exp.columns) != list(got.columns):
-            fails.append((name, f'cols exp={list(exp.columns)} got={list(got.columns)}')); continue
-        if len(exp) != len(got):
-            fails.append((name, f'rows exp={len(exp)} got={len(got)}')); continue
-        exp = exp.reset_index(drop=True); got = got.reset_index(drop=True)
+        # Arrow end-to-end: DECIMAL stays Decimal, null stays None, NaN
+        # stays nan — no pandas dtype coercion (float64 would fold null
+        # int/double columns into NaN and break the NULL/NaN distinction).
+        exp_tbl = con.execute(oracle[name]).arrow()
+        got_tbl = pa.concat_tables(
+            [pq.read_table(f) for f in sorted(glob.glob(f'{out}/{name}/*.parquet'))],
+            promote_options='permissive')
+        exp_cols, got_cols = sorted(exp_tbl.column_names), sorted(got_tbl.column_names)
+        if exp_cols != got_cols:
+            fails.append((name, f'cols exp={exp_cols} got={got_cols}')); continue
+        if exp_tbl.num_rows != got_tbl.num_rows:
+            fails.append((name, f'rows exp={exp_tbl.num_rows} got={got_tbl.num_rows}')); continue
         bad = None
-        for c in exp.columns:
-            ec = [cell(v) for v in exp[c].tolist()]
-            gc = [cell(v) for v in got[c].tolist()]
+        for c in exp_cols:
+            ec = [cell(v) for v in exp_tbl.column(c).to_pylist()]
+            gc = [cell(v) for v in got_tbl.column(c).to_pylist()]
             if ec != gc:
                 i = next(i for i, (a, b) in enumerate(zip(ec, gc)) if a != b)
                 bad = (c, i, ec[i], gc[i])
                 break
         if bad: fails.append((name, f'col {bad[0]} row {bad[1]}: exp={bad[2]!r} got={bad[3]!r}'))
-        else: print(f'OK    {name} ({len(exp)} rows)')
+        else: print(f'OK    {name} ({exp_tbl.num_rows} rows)')
     except Exception as ex:
         fails.append((name, f'EXC {str(ex)[:200]}'))
 nooracle = [d.split('/')[-1] for d in glob.glob(f'{out}/*')
