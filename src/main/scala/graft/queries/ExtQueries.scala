@@ -73,6 +73,14 @@ object ExtQueries {
     Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5, numBits = 8)
       .orderBy("qid", "rn")
 
+  /** IVF-pruned ANN (KMeans cells, nprobe nearest probed) — the
+    * data-adaptive counterpart of [[x7AnnLsh]]; rows-only (iterative
+    * float kmeans is not SQL-reproducible), recall pinned vs exact in
+    * SimilaritySpec. */
+  def x12AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+      .orderBy("qid", "rn")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -411,6 +419,7 @@ object ExtQueries {
     "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
+    "x12_ann_ivf"      -> x12AnnIvf, // no oracle: iterative kmeans; recall spec-pinned
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
