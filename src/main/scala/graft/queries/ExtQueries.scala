@@ -81,6 +81,16 @@ object ExtQueries {
     Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
       .orderBy("qid", "rn")
 
+  /** Deterministic training-data sharding ([[graft.operators.Sharding]]):
+    * per-shard doc counts + key range prove stable assignment and balance;
+    * the md5-derived keys replay in the DuckDB oracle. */
+  def x13ShardStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.assignShards(Tables.documents(s, dir), "doc_id", numShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"),
+        min("sort_key").as("min_key"), max("sort_key").as("max_key"))
+      .orderBy("shard")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -225,6 +235,30 @@ object ExtQueries {
       |FROM documents d JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Signed-BIGINT md5Hash64 mirror: first 16 md5 hex chars rebuilt
+    * nibble-by-nibble in HUGEINT, folded to the signed long Spark's
+    * `graft.functions.md5Hash64` produces. */
+  private def duckMd5Hash64(xSql: String): String = {
+    val h = (0 until 16).map(i =>
+      s"CAST(instr('0123456789abcdef', substr(md5($xSql), ${i + 1}, 1))-1 AS HUGEINT) * ${BigInt(16).pow(15 - i)}::HUGEINT")
+      .mkString(" + ")
+    s"CAST(($h) - CASE WHEN ($h) >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+  }
+
+  /** Oracle for [[x13ShardStats]]: shard = pmod(md5Hash64(id||':graft'), 8),
+    * sort_key = md5Hash64(id||':graft:order'); `((h%n)+n)%n` mirrors
+    * Spark's pmod for negative hashes. */
+  private val duckShardStats: String = {
+    val h1 = duckMd5Hash64("CAST(doc_id AS VARCHAR)||':graft'")
+    val h2 = duckMd5Hash64("CAST(doc_id AS VARCHAR)||':graft:order'")
+    s"""WITH k AS (
+       |  SELECT doc_id, CAST((($h1 % 8) + 8) % 8 AS INT) AS shard, $h2 AS sort_key
+       |  FROM documents
+       |)
+       |SELECT shard, count(*) AS docs, min(sort_key) AS min_key, max(sort_key) AS max_key
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** DuckDB mirror of the multi-probe hyperplane-LSH top-k
     * ([[Similarity.lshTopK]]). The "seeded planes" are deterministic, so
     * the 8×64 plane matrix is embedded as double literals (shortest-repr
@@ -264,6 +298,7 @@ object ExtQueries {
     "x3_simhash" -> duckSimhashPairs,
     "mm_media_features" -> duckMmFeatures,
     "x7_ann_lsh" -> duckAnnLsh,
+    "x13_shard_stats" -> duckShardStats,
     "x1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
@@ -420,6 +455,7 @@ object ExtQueries {
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
     "x12_ann_ivf"      -> x12AnnIvf, // no oracle: iterative kmeans; recall spec-pinned
+    "x13_shard_stats"  -> x13ShardStats,
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -191,6 +191,28 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.Caching.releaseAll()
   }
 
+  test("Sharding: deterministic, balanced, write round-trips with order") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a1 = Sharding.assignShards(docs, "doc_id", 4)
+      .select("doc_id", "shard", "sort_key").as[(Long, Int, Long)].collect().sortBy(_._1)
+    val a2 = Sharding.assignShards(docs, "doc_id", 4)
+      .select("doc_id", "shard", "sort_key").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a1.toSeq == a2.toSeq) // reproducible regardless of run
+    assert(a1.map(_._2).toSet == Set(0, 1, 2, 3)) // every shard populated
+    val sizes = a1.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.max <= 2 * sizes.values.min) // md5 spread: no gross skew
+    // salt changes the layout
+    val salted = Sharding.assignShards(docs, "doc_id", 4, salt = "other")
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a1.exists { case (id, sh, _) => salted(id) != sh })
+    // write: one dir per shard, rows inside each file ordered by sort_key
+    val out = tmpDir("shards")
+    Sharding.writeShards(docs, "doc_id", 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("shard").distinct().count() == 4)
+  }
+
   test("Caching tracks and releases operator persists") {
     graft.operators.Caching.releaseAll()
     Similarity.embeddingNearDupPairs(emb, threshold = 0.9).collect()
