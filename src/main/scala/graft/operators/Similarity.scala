@@ -37,20 +37,36 @@ object Similarity {
     * excluded it — two "same semantics" paths diverging on garbage input. */
   private def realScore(c: Column): Column = c.isNotNull && !isnan(c)
 
-  /** Exact top-k cosine neighbors for each query vector.
-    * @param queries (qid, qv) — small, broadcast
-    * @param candidates (vec_id, v) — the corpus */
-  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val scored = candidates
-      .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos", pround6(cosineSim(col("qv"), col("v"))))
-      .filter(realScore(col("cos")))
+  /** Shared corpus prep of the bucketed ANN paths: drop null embeddings,
+    * fail fast on a dim mismatch (a mismatched dot product is null, which
+    * would collapse every vector into one bucket and silently turn the
+    * index into a quadratic scan), cast to double. */
+  private def cleanCorpus(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull) // null vectors are dropped, not an error
+      .filter(assert_true(size(col("embedding")) === dim,
+        lit(s"embedding dimension must be $dim")).isNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Shared ranking tail: scored (qid, vec_id, cos) → per-query top-k with
+    * the deterministic tie-break every path and oracle uses. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
-  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries (qid, qv) — small, broadcast
+    * @param candidates (vec_id, v) — the corpus */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      candidates
+        .join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos"))),
+      k)
 
   /** Deterministic 16×dim hyperplane matrix (fixed seed). */
   def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -83,16 +99,8 @@ object Similarity {
     * never shuffles — probes broadcast. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, numBits: Int = 8,
       dim: Int = 64): DataFrame = {
-    // dim MUST match the embedding length: a mismatched dot product is null,
-    // which would collapse every vector into bucket 0 and silently turn LSH
-    // into a quadratic scan
     val planes = hyperplanes(numBits, dim)
-    val e = Caching.persisted(embeddings
-      .filter(col("embedding").isNotNull) // null vectors are dropped, not an error
-      // fail fast on a dim mismatch rather than degrade (see above)
-      .filter(assert_true(size(col("embedding")) === dim,
-        lit(s"embedding dimension must be $dim")).isNull)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = Caching.persisted(cleanCorpus(embeddings, dim)
       .withColumn("bucket", lshBucket(col("v"), planes)))
     // query probe set: own bucket + one-bit flips (1 + numBits rows/query)
     val probeBuckets = array(
@@ -101,15 +109,12 @@ object Similarity {
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(probeBuckets).as("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
-      .filter(realScore(col("cos")))
-      .distinct() // a candidate can collide with several probes of one query
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
+    rankTopK(
+      e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos")))
+        .distinct(), // a candidate can collide with several probes of one query
+      k)
   }
 
   /** Exact top-k via the native bounded-heap aggregate
@@ -162,39 +167,53 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Caching.persisted(embeddings
-      .filter(col("embedding").isNotNull)
-      .filter(assert_true(size(col("embedding")) === dim,
-        lit(s"embedding dimension must be $dim")).isNull)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v"))))
+    // The search metric is COSINE, so the codebook must partition on the
+    // unit sphere: L2-normalize before fit/assignment (there
+    // |a−b|² = 2−2·cos, so euclidean cells == cosine cells). Clustering
+    // raw vectors would split cells partly by magnitude and send a
+    // query's highest-cosine neighbors into unprobed cells whenever norm
+    // correlates with anything (e.g. doc length). Degenerate vectors
+    // (zero-norm, NaN element) are dropped HERE: one NaN element summed
+    // into a centroid would poison that center to all-NaN — whole-cell
+    // recall loss from a single bad row.
+    val nv = transform(col("v"), x => x / l2Norm(col("v")))
+    val fitInput = Caching.persisted(cleanCorpus(embeddings, dim)
+      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
+      .withColumn("nv", nv)
+      .withColumn("fv", array_to_vector(col("nv"))))
     val model = new KMeans()
       .setK(numCentroids).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("bucket")
-      .fit(e)
+      .fit(fitInput)
+    // index = (id, original v for exact scoring, nv for probe geometry,
+    // cell). Materialize it, then drop the fit-side cache: keeping both
+    // alive would hold ~3 copies of the corpus floats (v + nv + fv).
     val assigned = Caching.persisted(
-      model.transform(e).select(col("vec_id"), col("v"), col("bucket")))
-    // query → its nprobe nearest cells (euclidean, matching the assigner)
+      model.transform(fitInput).select(col("vec_id"), col("v"), col("nv"), col("bucket")))
+    assigned.count()
+    fitInput.unpersist(blocking = false)
+    // query → its nprobe nearest cells on the sphere
     val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val q = assigned.filter(queryPred).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
     val probes = q
-      .select(col("qid"), col("qv"), posexplode(typedLit(centers)).as(Seq("bucket", "cvec")))
-      // argmin |qv-c|² ≡ argmin (|c|² − 2·qv·c); |qv|² is constant per query
+      .select(col("qid"), col("qv"), posexplode(typedLit(centers)).as(Seq("bucket", "cvec")),
+        col("qnv"))
+      // argmin |qnv-c|² ≡ argmin (|c|² − 2·qnv·c); |qnv|² is constant
       .withColumn("dist2",
-        dotProduct(col("cvec"), col("cvec")) - lit(2.0) * dotProduct(col("qv"), col("cvec")))
+        dotProduct(col("cvec"), col("cvec")) - lit(2.0) * dotProduct(col("qnv"), col("cvec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist2"), col("bucket"))))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("bucket"))
-    val scored = assigned.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
-      .filter(realScore(col("cos")))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("rn").cast("long").as("rn"), col("cos"))
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        // exact cosine on the ORIGINAL vectors: identical values to the
+        // brute-force path (cells only select candidates)
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos"))),
+      k)
   }
 
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)

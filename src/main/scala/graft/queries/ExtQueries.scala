@@ -235,29 +235,40 @@ object ExtQueries {
       |FROM documents d JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
-  /** Signed-BIGINT md5Hash64 mirror: first 16 md5 hex chars rebuilt
-    * nibble-by-nibble in HUGEINT, folded to the signed long Spark's
-    * `graft.functions.md5Hash64` produces. */
-  private def duckMd5Hash64(xSql: String): String = {
-    val h = (0 until 16).map(i =>
-      s"CAST(instr('0123456789abcdef', substr(md5($xSql), ${i + 1}, 1))-1 AS HUGEINT) * ${BigInt(16).pow(15 - i)}::HUGEINT")
+  /** Unsigned HUGEINT value of the first 16 hex chars of a NAMED md5
+    * column — each md5 is computed once in an upstream CTE, not inlined
+    * per nibble (32 md5 calls per hash otherwise). */
+  private def duckNibbleFold(mCol: String): String =
+    (0 until 16).map(i =>
+      s"CAST(instr('0123456789abcdef', substr($mCol, ${i + 1}, 1))-1 AS HUGEINT) * ${BigInt(16).pow(15 - i)}::HUGEINT")
       .mkString(" + ")
-    s"CAST(($h) - CASE WHEN ($h) >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
-  }
+
+  /** HUGEINT → the signed BIGINT Spark's `md5Hash64` produces. */
+  private def duckSigned(hCol: String): String =
+    s"CAST($hCol - CASE WHEN $hCol >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
 
   /** Oracle for [[x13ShardStats]]: shard = pmod(md5Hash64(id||':graft'), 8),
     * sort_key = md5Hash64(id||':graft:order'); `((h%n)+n)%n` mirrors
-    * Spark's pmod for negative hashes. */
-  private val duckShardStats: String = {
-    val h1 = duckMd5Hash64("CAST(doc_id AS VARCHAR)||':graft'")
-    val h2 = duckMd5Hash64("CAST(doc_id AS VARCHAR)||':graft:order'")
-    s"""WITH k AS (
-       |  SELECT doc_id, CAST((($h1 % 8) + 8) % 8 AS INT) AS shard, $h2 AS sort_key
+    * Spark's pmod for negative hashes. Staged CTEs: md5 once, nibble-fold
+    * once, sign-fold once — per hash, per row. */
+  private val duckShardStats: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    md5(CAST(doc_id AS VARCHAR)||':graft') AS m1,
+       |    md5(CAST(doc_id AS VARCHAR)||':graft:order') AS m2
        |  FROM documents
+       |),
+       |hh AS (
+       |  SELECT doc_id, ${duckNibbleFold("m1")} AS h1u, ${duckNibbleFold("m2")} AS h2u FROM m
+       |),
+       |k AS (
+       |  SELECT doc_id,
+       |    CAST(((${duckSigned("h1u")} % 8) + 8) % 8 AS INT) AS shard,
+       |    ${duckSigned("h2u")} AS sort_key
+       |  FROM hh
        |)
        |SELECT shard, count(*) AS docs, min(sort_key) AS min_key, max(sort_key) AS max_key
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
-  }
 
   /** DuckDB mirror of the multi-probe hyperplane-LSH top-k
     * ([[Similarity.lshTopK]]). The "seeded planes" are deterministic, so

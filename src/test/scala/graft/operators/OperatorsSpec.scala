@@ -206,11 +206,20 @@ class SimilaritySpec extends SparkTestBase {
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap
     assert(a1.exists { case (id, sh, _) => salted(id) != sh })
     // write: one dir per shard, rows inside each file ordered by sort_key
+    // (the property writeShards exists to add — stable loader resume points)
     val out = tmpDir("shards")
     Sharding.writeShards(docs, "doc_id", 4, out)
     val back = spark.read.parquet(out)
     assert(back.count() == docs.count())
     assert(back.select("shard").distinct().count() == 4)
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select("sort_key").as[Long].collect().toSeq
+      assert(keys == keys.sorted, s"file ${f.getName} not ordered by sort_key")
+    }
   }
 
   test("Caching tracks and releases operator persists") {
