@@ -69,6 +69,16 @@ object ExtQueries {
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
       .orderBy("id1", "id2")
 
+  /** Duplicate clusters over EMBEDDING near-dup pairs — the same
+    * connected-components operator as [[x11DedupClusters]] composed over
+    * [[Similarity.embeddingNearDupPairs]] instead of MinHash pairs,
+    * proving the operators compose; oracle = recursive-CTE transitive
+    * closure over the exact pair SQL. */
+  def x14EmbedClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4))
+      .orderBy("id")
+
   def x7AnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5, numBits = 8)
       .orderBy("qid", "rn")
@@ -310,6 +320,22 @@ object ExtQueries {
     "mm_media_features" -> duckMmFeatures,
     "x7_ann_lsh" -> duckAnnLsh,
     "x13_shard_stats" -> duckShardStats,
+    "x14_embed_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |verified AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+        |),
+        |und AS (SELECT id1 AS a, id2 AS b FROM verified UNION ALL SELECT id2, id1 FROM verified),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        |)
+        |SELECT n.id, least(n.id, min(r.b)) AS cluster
+        |FROM (SELECT DISTINCT a AS id FROM und) n LEFT JOIN reach r ON r.a = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
@@ -467,6 +493,7 @@ object ExtQueries {
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
     "x12_ann_ivf"      -> x12AnnIvf, // no oracle: iterative kmeans; recall spec-pinned
     "x13_shard_stats"  -> x13ShardStats,
+    "x14_embed_clusters" -> x14EmbedClusters,
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
