@@ -1,14 +1,44 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Java-callable kernel for generated code (top-level object: static
   * forwarders, see [[NetKernels]]). */
 object ArrKernels {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word n-grams of a token array, first-occurrence order —
+    * semantics identical to
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ", slice(toks, i, n))))`
+    * (null tokens skipped like concat_ws; < n tokens → empty array), but
+    * one kernel call per DOC instead of an interpreted lambda + slice
+    * allocation per GRAM (HOFs are CodegenFallback — this was the dominant
+    * per-row cost of the whole dedup family). */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      var m = 0
+      while (j < n) {
+        val t = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        if (t != null) { parts(m) = t; m += 1 } // concat_ws skips nulls
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(SPACE, java.util.Arrays.copyOf(parts, m): _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
   /** Count of common elements of two ASCENDING-sorted long arrays, each
     * element counted once (linear merge walk, zero allocation). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
@@ -63,4 +93,29 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word n-gram shingles of an `array<string>` token column —
+  * codegen'd kernel form of the HOF pipeline (see [[ArrKernels.shingles]]).
+  * Null input array → null (callers coalesce to empty, preserving the
+  * `when(size >= n, ...)` semantics of the HOF form). */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
 }

@@ -14,14 +14,18 @@ object TextOps {
     * separated). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
-  /** Distinct word n-gram "shingles" of a token-array column. Documents with
-    * fewer than n tokens yield an empty set. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word n-gram "shingles" of a token-array column. Documents
+    * with fewer than n tokens yield an empty set; null token arrays too
+    * (matching the original `when(size >= n, ...)` HOF form, whose
+    * semantics the native [[graft.expressions.ShinglesExpr]] kernel
+    * replicates gram-for-gram at ~one call per doc instead of an
+    * interpreted lambda per gram). */
+  def shingles(toks: Column, n: Int): Column = {
+    val shim = org.apache.spark.sql.graft.SparkShim
+    coalesce(
+      shim.column(graft.expressions.ShinglesExpr(shim.expression(toks), n)),
+      array().cast("array<string>"))
+  }
 
   /** Exact Jaccard similarity of two distinct-element array columns.
     * |A∪B| computed as |A|+|B|-|A∩B| (one intersection, no union
