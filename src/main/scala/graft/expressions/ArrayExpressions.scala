@@ -23,6 +23,15 @@ object ArrKernels {
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    // materialize tokens ONCE: each getUTF8String on UnsafeArrayData
+    // allocates a wrapper, and the sliding window would otherwise re-read
+    // every token n times
+    val ts = new Array[UTF8String](cnt)
+    var p = 0
+    while (p < cnt) {
+      ts(p) = if (toks.isNullAt(p)) null else toks.getUTF8String(p)
+      p += 1
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val parts = new Array[UTF8String](n)
     var i = 0
@@ -30,7 +39,7 @@ object ArrKernels {
       var j = 0
       var m = 0
       while (j < n) {
-        val t = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        val t = ts(i + j)
         if (t != null) { parts(m) = t; m += 1 } // concat_ws skips nulls
         j += 1
       }
@@ -108,6 +117,7 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingles"
 
   override protected def nullSafeEval(input: Any): Any =

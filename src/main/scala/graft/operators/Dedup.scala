@@ -11,10 +11,11 @@ import graft.functions.pround4
   * shuffle volume at 100 TB is O(docs × signature), not O(corpus bytes).
   *
   * Performance shape: signature computation is explode → scalar hash →
-  * vectorized hash-aggregate (whole-stage codegen end-to-end) rather than
-  * nested higher-order functions, which Spark evaluates on the slow
-  * interpreted path. Self-joins are preceded by a `repartition` on the join
-  * keys so both branches reuse ONE exchange (ReuseExchange) instead of
+  * vectorized hash-aggregate, and shingling is the native codegen'd
+  * [[graft.expressions.ShinglesExpr]] kernel (round 1's nested
+  * higher-order functions ran on Spark's interpreted CodegenFallback
+  * path). Self-joins are preceded by a `repartition` on the join keys so
+  * both branches reuse ONE exchange (ReuseExchange) instead of
   * recomputing the signature pipeline twice.
   */
 object Dedup {
@@ -31,14 +32,16 @@ object Dedup {
 
   /** (doc_id, grams) pairs: distinct word-`shingleN`-gram sets per doc.
     * The input is hash-repartitioned on doc_id BEFORE shingling: small
-    * corpora arrive as one file split, and the shingle HOF (interpreted,
-    * the dominant per-row cost) must run on all cores, not one.
+    * corpora arrive as one file split, and the per-doc shingle/hash work
+    * (cheap per row since the native kernel, but still the widest map
+    * stage) must run on all cores, not one.
     *
     * Deliberately NO `size(grams) > 0` filter here: a filter referencing
-    * the shingle expression gets pushed down into the scan, dragging the
-    * whole HOF below the repartition (serial, and re-evaluated per branch).
-    * Empty gram sets are harmless downstream — explode() drops them and
-    * Jaccard on them is null, which every threshold filter rejects. */
+    * the shingle expression gets pushed down into the single-split scan,
+    * dragging shingling below the repartition (serial, and re-evaluated
+    * per branch). Empty gram sets are harmless downstream — explode()
+    * drops them and Jaccard on them is null, which every threshold filter
+    * rejects. */
   private def gramSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
       .repartition(col("doc_id"))

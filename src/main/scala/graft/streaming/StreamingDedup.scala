@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   * [[Sessionize]]). */
 object StreamingDedup {
 
-  /** First-occurrence-wins exact dedup, unbounded state (md5 keys). */
+  /** First-occurrence-wins exact dedup, unbounded state. The dedup key is
+    * `unhex(md5(text))` — a 16-byte BINARY, not the 32-char hex string —
+    * so state-store and shuffle volume per distinct doc is half the hex
+    * form's. */
   def exactDedupStream(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("text_md5", md5(col(textCol)))
+      .withColumn("text_md5", unhex(md5(col(textCol))))
       .dropDuplicates("text_md5")
 
   /** Exact dedup with state bounded by the event-time watermark on
@@ -41,7 +44,7 @@ object StreamingDedup {
       docs: DataFrame, textCol: String, tsCol: String,
       delayThreshold: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("text_md5", md5(col(textCol)))
+      .withColumn("text_md5", unhex(md5(col(textCol))))
       .withWatermark(tsCol, delayThreshold)
       .dropDuplicatesWithinWatermark("text_md5")
 }

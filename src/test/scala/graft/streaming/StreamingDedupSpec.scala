@@ -31,7 +31,9 @@ class StreamingDedupSpec extends SparkTestBase {
 
     val got = spark.table("dedup_out").select("doc_id", "text")
       .as[(Long, String)].collect().toSet
-    // one row per distinct text; the cross-batch copy of "alpha" is dropped
+    // EXACTLY one row per distinct text: size pins the in-batch dup drop
+    // (doc 2), the membership check pins the cross-batch drop (doc 4)
+    assert(got.size == 3)
     assert(got.map(_._2) == Set("alpha", "beta", "gamma"))
     assert(!got.contains((4L, "alpha")))
   }
