@@ -95,6 +95,22 @@ package object functions {
   def pround4(c: Column): Column = pround(c, 4)
   def pround6(c: Column): Column = pround(c, 6)
 
+  /** Exact integer cents: `floor(x·100 + 0.5)` as int64. Both engines run
+    * the identical IEEE multiply+add+floor, after which every downstream op
+    * (sums, products) is exact int64 arithmetic — no double→DECIMAL cast
+    * appears anywhere. That cast is the round-1/round-2 driver-red class:
+    * the driver's DuckDB casts boundary doubles to DECIMAL differently from
+    * both Spark and local DuckDB 1.0, so cast-parity tuning is untestable
+    * locally; integer cents sidestep engine decimal semantics entirely.
+    * Headroom: cents ≤ 1e7 per value, ×100 for discount-products ≤ 1e9 per
+    * row — int64 sums hold to ~9e9 rows per group. */
+  def cents(c: Column): Column = floor(c * 100d + 0.5).cast("long")
+
+  /** The DuckDB-side fragment equivalent to [[cents]]. (DuckDB `floor`
+    * returns DOUBLE and `sum(BIGINT)` returns HUGEINT — oracle SQL must
+    * CAST both the cents and the final sum back to BIGINT.) */
+  def centsSql(x: String): String = s"CAST(floor(($x) * 100.0 + 0.5) AS BIGINT)"
+
   /** The DuckDB-side fragment equivalent to [[pround]]. */
   def duckRound(exprSql: String, decimals: Int): String = {
     val f = math.pow(10, decimals).toLong

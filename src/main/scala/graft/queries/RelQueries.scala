@@ -5,15 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{pround, pround4, duckRound}
+import graft.functions.{cents, centsSql, pround4}
 
 /** Relational demonstration queries over the star schema — joins, windows,
   * top-k (SURVEY.md §2.4, §2.6-2.7; the reference has none of these in code,
   * they are the implied read-side workload).
   *
-  * Parity rules (FIXTURES.md "Oracle-parity notes"): money sums go through
-  * DECIMAL(18,2) so they are exact and order-insensitive; every result has a
-  * total ORDER BY on a unique key set.
+  * Parity rules (FIXTURES.md "Oracle-parity notes"): money columns are
+  * converted to BIGINT integer cents at the leaf ([[graft.functions.cents]])
+  * and summed exactly — NO double→DECIMAL cast appears in any oracle-checked
+  * query (the driver's DuckDB casts boundary doubles differently from both
+  * Spark and local DuckDB 1.0, so that cast class is un-fixable by parity
+  * tuning). Every result has a total ORDER BY on a unique key set.
   *
   * Scale notes per query are on each method: dimension sides are broadcast
   * (`broadcast()` hint, no shuffle of the fact table), aggregations are
@@ -22,17 +25,14 @@ import graft.functions.{pround, pround4, duckRound}
   */
 object RelQueries {
 
-  /** double → DECIMAL(18,2) with cross-engine-deterministic rounding.
-    * A bare `CAST(double AS DECIMAL(18,2))` diverges between engines on
-    * boundary doubles: Spark rounds the shortest decimal repr HALF_UP
-    * (repr "24.005" → 24.01) while DuckDB rounds the binary value
-    * (24.004999999… → 24.00); per-row ±0.01 drift accumulates in large-group
-    * sums (round-1 red rows q1/q5/rollup/agg_value_stats). Pre-rounding with
-    * the IEEE-exact [[pround]] lands the double within ~1e-14 of a k/100
-    * value, where both engines' casts agree. [[decSql]] is the literal
-    * DuckDB mirror. */
-  private def dec(c: String) = pround(col(c), 2).cast("decimal(18,2)")
-  private def decSql(x: String) = s"CAST(${duckRound(x, 2)} AS DECIMAL(18,2))"
+  /** Money → exact BIGINT cents ([[graft.functions.cents]]); discount
+    * products become cents × (100 − discount-percent) in units of 10⁻⁴
+    * dollars (`_e4` columns). Everything after the single identical IEEE
+    * floor is exact int64 on both engines. */
+  private def c2(name: String) = cents(col(name))
+  /** `100 − discount` as an exact integer percent (discount ∈ [0,1]). */
+  private def pctRemain(name: String) = lit(100L) - cents(col(name))
+  private def pctRemainSql(x: String) = s"(100 - ${centsSql(x)})"
 
   /** TPC-H Q1-style pricing summary: one scan + one hash agg of lineitem.
     * At 100 TB: shuffle is 4 groups × partials — negligible; the scan
@@ -42,10 +42,9 @@ object RelQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .as("sum_disc_price"),
+        sum(c2("l_quantity")).as("sum_qty_cents"),
+        sum(c2("l_extendedprice")).as("sum_base_price_cents"),
+        sum(c2("l_extendedprice") * pctRemain("l_discount")).as("sum_disc_price_e4"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -62,9 +61,8 @@ object RelQueries {
     l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
-      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(c2("l_extendedprice") * pctRemain("l_discount")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
       .limit(10)
   }
 
@@ -85,9 +83,8 @@ object RelQueries {
       .join(broadcast(su),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sum(c2("l_extendedprice") * pctRemain("l_discount")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
   /** Left-anti join: parts with no lineitem shipped after 2001-06-01. The
@@ -127,8 +124,8 @@ object RelQueries {
     * per-partition top-k then a single merge, never a full sort (O2/O3). */
   def topnOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .select(col("o_orderkey"), dec("o_totalprice").as("price"))
-      .orderBy(col("price").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), c2("o_totalprice").as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
       .limit(25)
 
   /** Per-user inter-event gap (lag window) in exact microseconds. */
@@ -185,11 +182,11 @@ object RelQueries {
   def rollupPricing(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(sum(c2("l_quantity")).as("sum_qty_cents"), count(lit(1)).as("cnt"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_qty"), col("cnt"))
+        col("sum_qty_cents"), col("cnt"))
       .orderBy("flag", "status")
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
@@ -205,42 +202,42 @@ object RelQueries {
         pround4(percentile(col("value"), lit(0.95))).as("p95"))
       .orderBy("event_type")
 
-  /** Per-type value stats: count, exact distinct users, exact decimal sum. */
+  /** Per-type value stats: count, exact distinct users, exact cents sum. */
   def aggValueStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),
         countDistinct(col("user_id")).as("users"),
-        sum(dec("value")).as("total_value")
+        sum(c2("value")).as("total_value_cents")
       )
       .orderBy("event_type")
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-        | sum(${decSql("l_quantity")}) AS sum_qty,
-        | sum(${decSql("l_extendedprice")}) AS sum_base_price,
-        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS sum_disc_price,
+        | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+        | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+        | CAST(sum(${centsSql("l_extendedprice")} * ${pctRemainSql("l_discount")}) AS BIGINT) AS sum_disc_price_e4,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS revenue
+        | CAST(sum(${centsSql("l_extendedprice")} * ${pctRemainSql("l_discount")}) AS BIGINT) AS revenue_e4
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-30' AND l_shipdate > TIMESTAMP '1997-06-30'
-        |GROUP BY l_orderkey, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY l_orderkey, 2 ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       s"""SELECT n_name,
-        | sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS revenue
+        | CAST(sum(${centsSql("l_extendedprice")} * ${pctRemainSql("l_discount")}) AS BIGINT) AS revenue_e4
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         | JOIN orders ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
         | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "join_anti_parts" ->
       """SELECT p_partkey FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_shipdate > TIMESTAMP '2001-06-01')
@@ -256,15 +253,15 @@ object RelQueries {
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "topn_orders" ->
-      s"""SELECT o_orderkey, ${decSql("o_totalprice")} AS price FROM orders
-        |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents FROM orders
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 25""".stripMargin,
     "window_user_deltas" ->
       """SELECT event_id, user_id,
         | epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS delta_us
         |FROM events ORDER BY event_id""".stripMargin,
     "agg_value_stats" ->
       s"""SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users,
-        | sum(${decSql("value")}) AS total_value
+        | CAST(sum(${centsSql("value")}) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "set_ops_customers" ->
       """SELECT c_custkey FROM (
@@ -289,7 +286,7 @@ object RelQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rollup_pricing" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        | sum(${decSql("l_quantity")}) AS sum_qty, count(*) AS cnt
+        | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin
   )
