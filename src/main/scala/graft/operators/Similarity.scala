@@ -145,6 +145,55 @@ object Similarity {
       .select(col("qid"), col("s.id").as("nid"),
         (col("pos") + 1).cast("long").as("rn"), col("s.score").as("cos"))
 
+  /** Kernel-order self dot product of a literal vector — `foldLeft` matches
+    * [[graft.expressions.DotProductExpr]]'s left-to-right accumulation, so
+    * the Scala-precomputed constant equals the runtime kernel value
+    * bit-for-bit (and the same constant is embedded in the x12 oracle). */
+  private def selfDot(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** Squared euclidean distance (up to the constant |nv|²) from a unit
+    * vector column to a literal centroid: `|c|² − 2·nv·c`. */
+  private def cellDist2(nv: Column, c: Seq[Double]): Column =
+    lit(selfDot(c)) - lit(2.0) * dotProduct(nv, typedLit(c))
+
+  /** Nearest-cell id by (dist², cell-id) — a codegen'd when-chain, NOT a
+    * window: corpus assignment must stay a pure map pass (no per-row
+    * shuffle) at 100 TB. First index matching the minimum wins, mirroring
+    * the oracle's CASE chain. */
+  def nearestCell(nv: Column, centers: Seq[Seq[Double]]): Column = {
+    val ds = centers.map(c => cellDist2(nv, c))
+    val m = least(ds: _*)
+    ds.zipWithIndex.foldRight(lit(-1).cast("int")) { case ((d, j), acc) =>
+      when(d === m, lit(j)).otherwise(acc)
+    }
+  }
+
+  /** (qid, qv, qnv) queries → their `nprobe` nearest cells of a literal
+    * codebook, deterministic (dist², cell-id) order. Query side only — the
+    * per-query window runs on the (small) query set, never the corpus. */
+  private def probeCells(q: DataFrame, centers: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    q.select(col("qid"), col("qv"),
+        posexplode(typedLit(centers)).as(Seq("bucket", "cvec")), col("qnv"))
+      .withColumn("dist2",
+        element_at(typedLit(centers.map(selfDot)), col("bucket") + 1)
+          - lit(2.0) * dotProduct(col("qnv"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist2"), col("bucket"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("bucket"))
+
+  /** Shared IVF probe+rescore tail: assigned corpus (vec_id, v, bucket) ×
+    * probe set → exact cosine on ORIGINAL vectors (cells only select
+    * candidates), per-query top-k. Each corpus row lives in exactly one
+    * cell, so no distinct is needed (unlike multi-table LSH). */
+  private def ivfSearch(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos"))),
+      k)
+
   /** IVF (inverted-file) approximate top-k — the cluster-pruning
     * alternative to [[lshTopK]]: a KMeans codebook (MLlib, fixed seed)
     * partitions the corpus into `numCentroids` cells; each query scores
@@ -153,18 +202,22 @@ object Similarity {
     * embeddings this prunes far better at equal recall; on isotropic
     * random data the two degrade similarly (no structure to exploit).
     *
-    * Scale shape: training samples the corpus (driver holds only the
-    * k×dim codebook); assignment is one broadcast-codebook map pass; the
-    * corpus never shuffles for queries — the exploded (query × probe)
-    * set broadcasts, exactly like lshTopK. At 100 TB: cells ≈ √corpus,
-    * assignment stored with the embedding (write-time partitioning), so
-    * a query touches nprobe/numCentroids of the data.
+    * Scale shape: training fits on a bounded SAMPLE (≤ `maxTrain` vectors
+    * — a full-corpus 10-iteration fit at 100 TB is a non-starter; the
+    * driver holds only the k×dim codebook); assignment is one
+    * broadcast-codebook map pass over the full corpus; the corpus never
+    * shuffles for queries — the exploded (query × probe) set broadcasts,
+    * exactly like lshTopK. At 100 TB: cells ≈ √corpus, assignment stored
+    * with the embedding (write-time partitioning), so a query touches
+    * nprobe/numCentroids of the data.
     *
-    * Not SQL-oracle-able (iterative float kmeans); recall is pinned
-    * against [[bruteTopK]] in the spec, like x7. */
+    * Live-fit variant → recall pinned against [[bruteTopK]] in the spec;
+    * the oracle-checked path is [[ivfTopKPinned]], which replays a frozen
+    * codebook exactly (production shape: train offline, query the frozen
+    * index). */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       numCentroids: Int = 16, nprobe: Int = 3, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxTrain: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // The search metric is COSINE, so the codebook must partition on the
@@ -181,10 +234,16 @@ object Similarity {
       .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
       .withColumn("nv", nv)
       .withColumn("fv", array_to_vector(col("nv"))))
+    // bounded training set: sample iff the corpus exceeds maxTrain (the
+    // count is one pass over the already-persisted fit input)
+    val n = fitInput.count()
+    val train =
+      if (n > maxTrain) fitInput.sample(withReplacement = false, maxTrain.toDouble / n, seed)
+      else fitInput
     val model = new KMeans()
       .setK(numCentroids).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("bucket")
-      .fit(fitInput)
+      .fit(train)
     // index = (id, original v for exact scoring, nv for probe geometry,
     // cell). Materialize it, then drop the fit-side cache: keeping both
     // alive would hold ~3 copies of the corpus floats (v + nv + fv).
@@ -193,27 +252,37 @@ object Similarity {
     assigned.count()
     fitInput.unpersist(blocking = false)
     // query → its nprobe nearest cells on the sphere
+    // (argmin |qnv-c|² ≡ argmin (|c|² − 2·qnv·c); |qnv|² is constant)
     val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
-    val probes = q
-      .select(col("qid"), col("qv"), posexplode(typedLit(centers)).as(Seq("bucket", "cvec")),
-        col("qnv"))
-      // argmin |qnv-c|² ≡ argmin (|c|² − 2·qnv·c); |qnv|² is constant
-      .withColumn("dist2",
-        dotProduct(col("cvec"), col("cvec")) - lit(2.0) * dotProduct(col("qnv"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist2"), col("bucket"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("bucket"))
-    rankTopK(
-      assigned.join(broadcast(probes), Seq("bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        // exact cosine on the ORIGINAL vectors: identical values to the
-        // brute-force path (cells only select candidates)
-        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
-        .filter(realScore(col("cos"))),
-      k)
+    ivfSearch(assigned, probeCells(q, centers, nprobe), k)
+  }
+
+  /** IVF top-k over a PINNED codebook ([[IvfCodebook]] by default) — the
+    * production IVF shape: training is an offline build step (see
+    * `graft.tools.FitIvfCodebook`), queries only ever see the frozen
+    * centroid matrix. Because the codebook is literal data, the ENTIRE
+    * pipeline — unit-sphere cell assignment, nprobe probe choice, exact
+    * rescoring — is deterministic IEEE arithmetic replayable in the DuckDB
+    * oracle (x7's pinned-planes recipe), unlike [[ivfTopK]]'s live fit.
+    *
+    * Scale shape: assignment is a codegen'd when-chain map pass (no
+    * shuffle, no driver iteration); the corpus never shuffles for queries
+    * — probes broadcast; at 100 TB the cell id would be written with the
+    * embedding at ingest (write-time partitioning) and this recomputation
+    * disappears entirely. */
+  def ivfTopKPinned(embeddings: DataFrame, queryPred: Column, k: Int,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers, nprobe: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val nv = transform(col("v"), x => x / l2Norm(col("v")))
+    val assigned = Caching.persisted(cleanCorpus(embeddings, dim)
+      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
+      .withColumn("nv", nv)
+      .withColumn("bucket", nearestCell(col("nv"), centers)))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
+    ivfSearch(assigned, probeCells(q, centers, nprobe), k)
   }
 
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)

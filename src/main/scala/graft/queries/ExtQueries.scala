@@ -83,12 +83,14 @@ object ExtQueries {
     Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5, numBits = 8)
       .orderBy("qid", "rn")
 
-  /** IVF-pruned ANN (KMeans cells, nprobe nearest probed) — the
-    * data-adaptive counterpart of [[x7AnnLsh]]; rows-only (iterative
-    * float kmeans is not SQL-reproducible), recall pinned vs exact in
-    * SimilaritySpec. */
+  /** IVF-pruned ANN over the PINNED codebook ([[graft.operators
+    * .IvfCodebook]] — a build-time KMeans fit frozen as literal data, the
+    * production IVF shape): cell assignment, probe choice and exact
+    * rescoring all replay in the DuckDB oracle with the centroid matrix
+    * embedded as double literals (x7's recipe). The live-fit
+    * [[Similarity.ivfTopK]] keeps its recall spec in SimilaritySpec. */
   def x12AnnIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+    Similarity.ivfTopKPinned(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
       .orderBy("qid", "rn")
 
   /** Deterministic training-data sharding ([[graft.operators.Sharding]]):
@@ -315,7 +317,74 @@ object ExtQueries {
        |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.ivfTopKPinned]]: the frozen 16×64
+    * centroid matrix is embedded as double literals; every norm, dot
+    * product and cell distance is an EXPLICIT left-to-right term chain
+    * matching the native kernels' accumulation order, and the |c|²
+    * constants are the same Scala `foldLeft` values the Spark side embeds
+    * — so unit-normalization, cell assignment (CASE chain = Spark's
+    * when-chain, first-index-wins on ties), nprobe probe choice, exact
+    * rescoring and ranks all replay bit-for-bit. */
+  private val duckAnnIvf: String = {
+    val centers = graft.operators.IvfCodebook.centers
+    val nprobe = 3
+    // same accumulation order as DotProductExpr / Similarity.selfDot
+    val ccs = centers.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    def dotLit(vCol: String, c: Seq[Double]): String =
+      c.zipWithIndex.map { case (w, i) => s"$vCol[${i + 1}]*($w)" }.mkString(" + ")
+    def dotVec(a: String, b: String): String =
+      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    def normSq(a: String): String = (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
+    def dists(vCol: String): String =
+      centers.indices.map(j => s"(${ccs(j)}) - 2.0*(${dotLit(vCol, centers(j))}) AS d$j")
+        .mkString(",\n    ")
+    val dCols = centers.indices.map(j => s"d$j").mkString(", ")
+    val caseChain = centers.indices.map(j => s"WHEN d$j = m THEN $j").mkString(" ")
+    val structList = centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
+    val unitList = (1 to 64).map(i => s"v[$i]/nrm").mkString(", ")
+    val cos =
+      s"floor(((${dotVec("qv", "v")}) / (sqrt(${normSq("qv")}) * sqrt(${normSq("v")}))) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |),
+       |f AS (
+       |  SELECT vec_id, v, sqrt(${normSq("v")}) AS nrm FROM e
+       |  WHERE len(list_filter(v, x -> isnan(x))) = 0 AND sqrt(${normSq("v")}) > 0
+       |),
+       |u AS (SELECT vec_id, v, [$unitList] AS nv FROM f),
+       |d AS (
+       |  SELECT vec_id, v, nv,
+       |    ${dists("nv")}
+       |  FROM u
+       |),
+       |a AS (
+       |  SELECT vec_id, v, nv, CASE $caseChain END AS bucket
+       |  FROM (SELECT *, least($dCols) AS m FROM d)
+       |),
+       |q AS (SELECT vec_id AS qid, v AS qv, nv AS qnv FROM a WHERE vec_id < 10),
+       |qd AS (
+       |  SELECT qid, qv,
+       |    ${dists("qnv")}
+       |  FROM q
+       |),
+       |qp AS (SELECT qid, qv, unnest([$structList]) AS u FROM qd),
+       |probes AS (
+       |  SELECT qid, qv, b AS bucket FROM (
+       |    SELECT qid, qv, u.b AS b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d, u.b) AS rn
+       |    FROM qp
+       |  ) WHERE rn <= $nprobe
+       |),
+       |scored AS (
+       |  SELECT qid, vec_id, $cos AS cos
+       |  FROM probes JOIN a USING (bucket) WHERE vec_id <> qid
+       |)
+       |SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn, cos
+       |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x12_ann_ivf" -> duckAnnIvf,
     "x3_simhash" -> duckSimhashPairs,
     "mm_media_features" -> duckMmFeatures,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -491,7 +560,7 @@ object ExtQueries {
     "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
-    "x12_ann_ivf"      -> x12AnnIvf, // no oracle: iterative kmeans; recall spec-pinned
+    "x12_ann_ivf"      -> x12AnnIvf, // oracle: pinned codebook as literals
     "x13_shard_stats"  -> x13ShardStats,
     "x14_embed_clusters" -> x14EmbedClusters,
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific

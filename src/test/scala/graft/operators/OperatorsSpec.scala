@@ -169,6 +169,13 @@ class SimilaritySpec extends SparkTestBase {
     // when neighbors cluster; floor pins against regression to ~0
     assert(recall >= 0.15, s"IVF recall collapsed: $recall")
     graft.operators.Caching.releaseAll()
+    // pinned-codebook path: same floor, plus exactly k rows per query
+    val pinned = Similarity.ivfTopKPinned(embr, col("vec_id") < 10, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pinned.groupBy(_._1).forall(_._2.length == 5))
+    val recallP = (exact & pinned.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recallP >= 0.15, s"pinned IVF recall collapsed: $recallP")
+    graft.operators.Caching.releaseAll()
   }
 
   test("embeddingNearDupPairsLsh finds planted high-cosine dups (candidates ⊇ true pairs)") {
