@@ -59,6 +59,38 @@ object VecKernels {
   }
 }
 
+/** Java-callable sign-random-projection kernel — TOP-LEVEL for the same
+  * static-forwarder reason as [[VecKernels]]. */
+object LshKernels {
+  /** Hyperplane bucket id: fold over planes with plane 0 as the MOST
+    * significant bit (`acc*2 + bit`), bit = (v·plane > 0). Identical bit
+    * order and per-plane dot accumulation (left-to-right `s += v[i]*p[i]`)
+    * to the HOF form it replaces, so x7's oracle replays unchanged. A
+    * degenerate dot (length mismatch / null element) contributes bit 0,
+    * exactly like `when(null > 0, 1).otherwise(0)` did. */
+  def bucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var acc = 0
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var bit = 0
+      if (v.numElements() == pl.length) {
+        var s = 0.0
+        var i = 0
+        var ok = true
+        while (ok && i < pl.length) {
+          if (v.isNullAt(i)) ok = false
+          else { s += v.getDouble(i) * pl(i); i += 1 }
+        }
+        if (ok && s > 0) bit = 1
+      }
+      acc = acc * 2 + bit
+      p += 1
+    }
+    acc
+  }
+}
+
 object VecExpressions {
 
   private[expressions] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
@@ -94,6 +126,35 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection bucket id of an `array<double>` column against a
+  * literal hyperplane matrix — codegen'd replacement for the last
+  * interpreted HOF in the similarity family (`aggregate` over a plane
+  * sequence was CodegenFallback: O(rows×bits) interpreted lambdas with a
+  * boxed accumulator). The plane matrix rides along as a codegen reference
+  * object; the whole fold is one tight primitive loop. */
+case class LshBucketExpr(child: Expression, planes: Seq[Seq[Double]]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExpressions.requireDoubleArray(child, prettyName)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshKernels.bucket(input.asInstanceOf[ArrayData], planesArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planesArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.LshKernels.bucket($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
 }
 
 /** √(Σ aᵢ²) of an `array<double>` column — codegen'd, allocation-free. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, ParseDnsAnswer, TopKAggExpr}
+import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -144,6 +144,12 @@ package object functions {
 
   /** L2 norm (native codegen'd expression). */
   def l2Norm(a: Column): Column = ncol(L2NormExpr(nexpr(a)))
+
+  /** Sign-random-projection bucket id against a literal hyperplane matrix
+    * ([[graft.expressions.LshBucketExpr]]) — same bit order as the
+    * `aggregate`-HOF fold it replaces (plane 0 = MSB), fully codegen'd. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    ncol(LshBucketExpr(nexpr(v), planes))
 
   /** Cosine similarity of two dense double vectors. `try_divide`: a
     * zero-norm (degenerate) vector yields NULL similarity rather than an

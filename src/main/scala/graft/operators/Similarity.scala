@@ -74,15 +74,11 @@ object Similarity {
     Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection bucket id of a double-vector column. */
-  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
-    val h = typedLit(planes)
-    aggregate(
-      sequence(lit(0), lit(planes.size - 1)),
-      lit(0),
-      (acc, i) => acc * 2 + when(dotProduct(v, element_at(h, i + 1)) > 0d, 1).otherwise(0)
-    )
-  }
+  /** Sign-random-projection bucket id of a double-vector column — the
+    * native [[graft.expressions.LshBucketExpr]] (identical bit order to
+    * the former `aggregate`-HOF fold; x7's oracle replays unchanged). */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.lshBucket(v, planes)
 
   /** LSH-bucketed approximate top-k with MULTI-PROBE: each query scores
     * candidates in its own hyperplane bucket plus every bucket at Hamming
