@@ -1,0 +1,73 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-family scale rehearsal (dev aid, not part of the driver contract):
+  * runs exact dedup, MinHash-LSH pairs, and duplicate clustering on the
+  * sf0.1 documents corpus and on a synthesized N× duplication-heavy corpus
+  * (N id-shifted copies of every doc — the worst realistic shape for a
+  * dedup pipeline: every text is an N-way duplicate group), recording wall
+  * time, total shuffle-write bytes, and result rows for each operator at
+  * each scale. Evidence for ARCHITECTURE §4's O(docs×bands) claim: shuffle
+  * should grow ~linearly in docs (plus the output term: N-way groups emit
+  * C(N,2) true pairs per text by definition, which is output size, not
+  * candidate blow-up).
+  *
+  * {{{ sbt "runMain graft.tools.ScaleRehearsal /root/testdata/sf0.1 10" }}}
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val base = graft.Tables.documents(spark, dir)
+    // N id-shifted full copies; text identical => every doc is in an N-way
+    // exact-duplicate group and LSH must absorb N-way bucket collisions.
+    val big = (0 until copies)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+    val bigPath = s"/tmp/graft_rehearsal_${copies}x"
+    big.write.mode("overwrite").parquet(s"$bigPath/documents.parquet")
+
+    def run(label: String, d: String): Unit = {
+      def docs = graft.Tables.documents(spark, d)
+      def op(name: String)(f: => Long): Unit = {
+        shuffleBytes.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"REHEARSE $label%-4s $name%-12s ${sec}%8.2f s  shuffleWrite ${shuffleBytes.get / 1048576.0}%9.1f MiB  rows $rows%d")
+        graft.operators.Caching.releaseAll()
+      }
+      op("exact")(Dedup.exact(docs, "doc_id", "text").count())
+      op("minhash_lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8).count())
+      op("clusters")(Dedup.clusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)).count())
+    }
+
+    run("1x", dir)
+    run(s"${copies}x", bigPath)
+    spark.stop()
+  }
+}
