@@ -281,6 +281,31 @@ object Similarity {
     ivfSearch(assigned, probeCells(q, centers, nprobe), k)
   }
 
+  /** Per-cell occupancy/alignment stats of the pinned-codebook IVF index —
+    * the embedding CLUSTERING surface (assign every vector to its nearest
+    * codebook centroid, then summarize each cell): cell size, summed
+    * centroid alignment (dot product of the unit vector with its
+    * un-normalized centroid, in exact 1e-6 integer units so per-group
+    * addition is order-insensitive int64 — the cents rule applied to
+    * similarity scores), and the vec_id range.
+    * One codegen'd map pass + one partial+final hash agg; shuffle is
+    * O(cells), never the vectors. Replays exactly in the DuckDB oracle
+    * (centroids are literal data, see [[IvfCodebook]]). */
+  def cellStats(embeddings: DataFrame,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers, dim: Int = 64): DataFrame = {
+    val nv = transform(col("v"), x => x / l2Norm(col("v")))
+    cleanCorpus(embeddings, dim)
+      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
+      .withColumn("nv", nv)
+      .withColumn("bucket", nearestCell(col("nv"), centers))
+      .withColumn("cvec", element_at(typedLit(centers), col("bucket") + 1))
+      .withColumn("align_e6",
+        floor(dotProduct(col("nv"), col("cvec")) * 1000000d + 0.5).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("vecs"), sum("align_e6").as("align_e6_sum"),
+        min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+  }
+
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)
     * within equal-`label` blocks — embedding-cosine near-dup dedup (X1's
     * embedding variant). EXACT: every qualifying pair is returned. Norms

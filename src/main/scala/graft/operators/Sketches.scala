@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{md5Hash64, topK}
+
+/** Deterministic distinct-count sketching (SURVEY.md §2.11 R11).
+  *
+  * Spark's built-in `approx_count_distinct` (HLL++) is the default 100 TB
+  * cardinality path, but its register layout is engine-specific — the
+  * driver oracle can only rows-check it (x8). The K-MINIMUM-VALUES sketch
+  * here has the same mergeable-sketch algebra (union = keep the k smallest;
+  * partial aggregation map-side, exactly what the native bounded-heap
+  * [[graft.expressions.TopKAggExpr]] already does) yet every step is
+  * deterministic IEEE/integer arithmetic on md5-derived hashes, so the
+  * whole estimator replays bit-for-bit in DuckDB SQL (x16) — an
+  * oracle-checkable approximate-distinct with standard error ~1/√k.
+  *
+  * Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+  * stream", 2002): map each distinct value to a uniform position
+  * u ∈ (0,1) via a 64-bit hash; with u₍ₖ₎ the k-th smallest position,
+  * distinct ≈ (k−1)/u₍ₖ₎; fall back to the exact kept count when a group
+  * holds fewer than k distinct values.
+  */
+object Sketches {
+
+  /** KMV approximate distinct count of `valueCol` per `groupCols`.
+    *
+    * Scale shape: the pre-aggregation `distinct` shuffles (group, 8-byte
+    * hash) pairs — never the values; the sketch itself is a bounded top-k
+    * aggregate (k rows per group × partition shuffle, ObjectHashAggregate
+    * partial+final). The estimate depends only on the VALUE of u₍ₖ₎, so
+    * tie order between equal positions cannot affect it. 2⁶³/2⁶⁴ are
+    * exactly representable doubles; both engines run the identical
+    * long→double cast, add, divide. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame = {
+    val h = md5Hash64(col(valueCol).cast("string"))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("h"): _*)
+      .distinct() // KMV is defined over DISTINCT hash values
+      .withColumn("u",
+        (col("h").cast("double") + lit(9223372036854775808.0)) / lit(1.8446744073709552e19))
+      .groupBy(groupCols.map(col): _*)
+      // score = -u: the bounded heap keeps the k LARGEST scores = k smallest u
+      .agg(topK(col("h"), -col("u"), k).as("kept"))
+      .select(
+        groupCols.map(col) :+
+          size(col("kept")).cast("long").as("sketch_n") :+
+          when(size(col("kept")) < k, size(col("kept")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / -element_at(col("kept"), k).getField("score"))
+            .as("approx_distinct"): _*)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
 
 /** Harness wrappers + DuckDB oracles for the LLM-data-pipeline extension
   * operators (SURVEY.md §2.11) over the `documents` / `embeddings` tables.
@@ -102,6 +102,19 @@ object ExtQueries {
       .agg(count(lit(1)).as("docs"),
         min("sort_key").as("min_key"), max("sort_key").as("max_key"))
       .orderBy("shard")
+
+  /** Per-cell stats of the pinned IVF codebook ([[Similarity.cellStats]])
+    * — the embedding-clustering surface, oracle-checked: occupancy,
+    * exact-int64 summed centroid alignment, vec_id range per cell. */
+  def x15IvfCells(s: SparkSession, dir: String): DataFrame =
+    Similarity.cellStats(Tables.embeddings(s, dir)).orderBy("bucket")
+
+  /** KMV approximate distinct users per event type
+    * ([[graft.operators.Sketches.kmvDistinct]]) — the deterministic,
+    * oracle-checkable counterpart of [[x8ApproxUsers]]'s HLL++. */
+  def x16KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")
+      .orderBy("event_type")
 
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -325,11 +338,13 @@ object ExtQueries {
     * — so unit-normalization, cell assignment (CASE chain = Spark's
     * when-chain, first-index-wins on ties), nprobe probe choice, exact
     * rescoring and ranks all replay bit-for-bit. */
-  private val duckAnnIvf: String = {
-    val centers = graft.operators.IvfCodebook.centers
-    val nprobe = 3
+  /** Shared pinned-codebook SQL fragments (the frozen centroid matrix as
+    * literals; every chain in the native kernels' accumulation order) —
+    * used by the x12 ANN oracle and the x15 cell-stats oracle. */
+  private object IvfSql {
+    val centers: Seq[Seq[Double]] = graft.operators.IvfCodebook.centers
     // same accumulation order as DotProductExpr / Similarity.selfDot
-    val ccs = centers.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val ccs: Seq[Double] = centers.map(_.foldLeft(0.0)((a, x) => a + x * x))
     def dotLit(vCol: String, c: Seq[Double]): String =
       c.zipWithIndex.map { case (w, i) => s"$vCol[${i + 1}]*($w)" }.mkString(" + ")
     def dotVec(a: String, b: String): String =
@@ -338,30 +353,41 @@ object ExtQueries {
     def dists(vCol: String): String =
       centers.indices.map(j => s"(${ccs(j)}) - 2.0*(${dotLit(vCol, centers(j))}) AS d$j")
         .mkString(",\n    ")
-    val dCols = centers.indices.map(j => s"d$j").mkString(", ")
-    val caseChain = centers.indices.map(j => s"WHEN d$j = m THEN $j").mkString(" ")
+    val dCols: String = centers.indices.map(j => s"d$j").mkString(", ")
+    val caseChain: String = centers.indices.map(j => s"WHEN d$j = m THEN $j").mkString(" ")
+    /** CTEs e → f → u → d → a: cleaned corpus, unit vectors, per-cell
+      * distances, assignment (CASE = Spark's when-chain, first index at
+      * the minimum wins). */
+    val assignCtes: String = {
+      val unitList = (1 to 64).map(i => s"v[$i]/nrm").mkString(", ")
+      s"""e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |),
+         |f AS (
+         |  SELECT vec_id, v, sqrt(${normSq("v")}) AS nrm FROM e
+         |  WHERE len(list_filter(v, x -> isnan(x))) = 0 AND sqrt(${normSq("v")}) > 0
+         |),
+         |u AS (SELECT vec_id, v, [$unitList] AS nv FROM f),
+         |d AS (
+         |  SELECT vec_id, v, nv,
+         |    ${dists("nv")}
+         |  FROM u
+         |),
+         |a AS (
+         |  SELECT vec_id, v, nv, CASE $caseChain END AS bucket
+         |  FROM (SELECT *, least($dCols) AS m FROM d)
+         |)""".stripMargin
+    }
+  }
+
+  private val duckAnnIvf: String = {
+    import IvfSql._
+    val nprobe = 3
     val structList = centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
-    val unitList = (1 to 64).map(i => s"v[$i]/nrm").mkString(", ")
     val cos =
       s"floor(((${dotVec("qv", "v")}) / (sqrt(${normSq("qv")}) * sqrt(${normSq("v")}))) * 1000000.0 + 0.5) / 1000000.0"
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |  WHERE embedding IS NOT NULL
-       |),
-       |f AS (
-       |  SELECT vec_id, v, sqrt(${normSq("v")}) AS nrm FROM e
-       |  WHERE len(list_filter(v, x -> isnan(x))) = 0 AND sqrt(${normSq("v")}) > 0
-       |),
-       |u AS (SELECT vec_id, v, [$unitList] AS nv FROM f),
-       |d AS (
-       |  SELECT vec_id, v, nv,
-       |    ${dists("nv")}
-       |  FROM u
-       |),
-       |a AS (
-       |  SELECT vec_id, v, nv, CASE $caseChain END AS bucket
-       |  FROM (SELECT *, least($dCols) AS m FROM d)
-       |),
+    s"""WITH $assignCtes,
        |q AS (SELECT vec_id AS qid, v AS qv, nv AS qnv FROM a WHERE vec_id < 10),
        |qd AS (
        |  SELECT qid, qv,
@@ -383,8 +409,62 @@ object ExtQueries {
        |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.cellStats]] (x15): shared assignment
+    * CTEs, then per-row alignment = dot(nv, centroid_of_its_cell) as a
+    * 16-branch CASE of literal chains, rounded to exact 1e-6 int64 units
+    * before the order-insensitive integer sum. */
+  private val duckIvfCells: String = {
+    import IvfSql._
+    val alignCase = centers.indices
+      .map(j => s"WHEN bucket = $j THEN (${dotLit("nv", centers(j))})")
+      .mkString(" ")
+    s"""WITH ${assignCtes},
+       |al AS (
+       |  SELECT vec_id, bucket,
+       |    CAST(floor((CASE $alignCase END) * 1000000.0 + 0.5) AS BIGINT) AS align_e6
+       |  FROM a
+       |)
+       |SELECT bucket, count(*) AS vecs, CAST(sum(align_e6) AS BIGINT) AS align_e6_sum,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM al GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** DuckDB mirror of the KMV sketch (x16): distinct md5-derived int64
+    * hashes per group (staged nibble-fold like x13), uniform positions
+    * via the identical long→double arithmetic (2⁶³/2⁶⁴ exact doubles),
+    * k-th smallest position → (k−1)/u₍ₖ₎, exact-count fallback under k.
+    * The estimate depends only on u₍ₖ₎'s VALUE, so tie order between
+    * equal positions is irrelevant. */
+  private val duckKmvDistinct: String = {
+    val k = 64
+    s"""WITH m AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mm FROM events
+       |  WHERE user_id IS NOT NULL
+       |),
+       |hh AS (SELECT event_type, ${duckNibbleFold("mm")} AS hu FROM m),
+       |dh AS (SELECT DISTINCT event_type, ${duckSigned("hu")} AS h FROM hh),
+       |du AS (
+       |  SELECT event_type, h,
+       |    (CAST(h AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0 AS u
+       |  FROM dh
+       |),
+       |r AS (
+       |  SELECT event_type, u,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM du
+       |)
+       |SELECT event_type,
+       |  CAST(least(max(cnt), $k) AS BIGINT) AS sketch_n,
+       |  CASE WHEN max(cnt) < $k THEN CAST(max(cnt) AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble} / max(CASE WHEN rn = $k THEN u END) END AS approx_distinct
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x12_ann_ivf" -> duckAnnIvf,
+    "x15_ivf_cells" -> duckIvfCells,
+    "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
     "mm_media_features" -> duckMmFeatures,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -563,6 +643,8 @@ object ExtQueries {
     "x12_ann_ivf"      -> x12AnnIvf, // oracle: pinned codebook as literals
     "x13_shard_stats"  -> x13ShardStats,
     "x14_embed_clusters" -> x14EmbedClusters,
+    "x15_ivf_cells"    -> x15IvfCells, // oracle: pinned codebook as literals
+    "x16_kmv_distinct" -> x16KmvDistinct, // oracle: md5-KMV replays exactly
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

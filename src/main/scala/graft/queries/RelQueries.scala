@@ -202,6 +202,29 @@ object RelQueries {
         pround4(percentile(col("value"), lit(0.95))).as("p95"))
       .orderBy("event_type")
 
+  /** Batch gap-based sessionization (30-min inactivity gap) — the
+    * declarative window-function counterpart of the streaming
+    * [[graft.streaming.Sessionize]] operator (same semantics over sorted
+    * complete data): session break when the per-user gap exceeds the
+    * threshold, session index = running sum of breaks, one summary row per
+    * session. At 100 TB: one shuffle by user_id, per-user sort inside the
+    * window — the same shape as any per-entity history pass; the
+    * streaming operator replaces it when data arrives unbounded. */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts DIV 1000"))
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("us").as("session_start_us"), max("us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Per-type value stats: count, exact distinct users, exact cents sum. */
   def aggValueStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -280,6 +303,23 @@ object RelQueries {
         |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
     "salted_blocked" ->
       "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id",
+    "sessionize_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b
+        |)
+        |SELECT user_id, session_idx, min(us) AS session_start_us, max(us) AS session_end_us, count(*) AS n_events
+        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "pct_value" ->
       """SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
         | floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
@@ -304,6 +344,7 @@ object RelQueries {
     "set_ops_customers"  -> setOpsCustomers,
     "win_tumbling"       -> winTumbling,
     "salted_blocked"     -> saltedBlocked,
+    "sessionize_events"  -> sessionizeEvents,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing
   )

@@ -30,6 +30,34 @@ class SketchAccuracySpec extends SparkTestBase {
     }
   }
 
+  test("x16: KMV distinct within 3 standard errors of exact per event_type") {
+    val k = 64
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("exact"))
+    val kmv = graft.operators.Sketches.kmvDistinct(
+      Tables.events(spark, dir), Seq("event_type"), "user_id", k)
+    val cmp = kmv.join(exact, "event_type").collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val a = r.getAs[Double]("approx_distinct")
+      // KMV std error ≈ 1/√(k−2); 3σ bound, exact when the group is small
+      val tol = if (e < k) 0.0 else 3.0 * e / math.sqrt(k - 2.0)
+      assert(math.abs(a - e) <= math.max(tol, 0.001),
+        s"${r.getAs[String]("event_type")}: kmv $a vs exact $e (tol $tol)")
+    }
+  }
+
+  test("x15: IVF cell stats partition the whole corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val stats = graft.operators.Similarity.cellStats(emb).collect()
+    assert(stats.map(_.getAs[Long]("vecs")).sum === emb.count())
+    // every cell id must come from the codebook's range
+    val ids = stats.map(_.getAs[Int]("bucket"))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.forall(b => b >= 0 && b < graft.operators.IvfCodebook.centers.size))
+  }
+
   test("x10: approx_percentile within the exact p25-p75 band and ordered") {
     val cmp = Tables.events(spark, dir)
       .groupBy("event_type")
