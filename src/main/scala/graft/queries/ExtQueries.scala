@@ -295,6 +295,20 @@ object ExtQueries {
        |SELECT shard, count(*) AS docs, min(sort_key) AS min_key, max(sort_key) AS max_key
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Shared explicit-term-chain builders for every vector-literal oracle
+    * (x7 planes, x12/x15 centroids): ONE implementation of the
+    * accumulation-order-critical SQL fragments, so a parenthesization or
+    * order change can never diverge one oracle family from another. Chains
+    * are left-associated `a[1]*b[1] + a[2]*b[2] + …`, matching
+    * [[graft.expressions.VecKernels]]' left-to-right loops bit-for-bit. */
+  private object VecSql {
+    def dotLit(vCol: String, c: Seq[Double]): String =
+      c.zipWithIndex.map { case (w, i) => s"$vCol[${i + 1}]*($w)" }.mkString(" + ")
+    def dotVec(a: String, b: String): String =
+      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    def normSq(a: String): String = (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
+  }
+
   /** DuckDB mirror of the multi-probe hyperplane-LSH top-k
     * ([[Similarity.lshTopK]]). The "seeded planes" are deterministic, so
     * the 8×64 plane matrix is embedded as double literals (shortest-repr
@@ -303,15 +317,11 @@ object ExtQueries {
     * accumulation order bit-for-bit — so bucket sign decisions, probe
     * sets, cosines and ranks all replay exactly. */
   private val duckAnnLsh: String = {
+    import VecSql.{dotLit, dotVec, normSq}
     val numBits = 8
     val planes = Similarity.hyperplanes(numBits, 64)
-    def dot(a: String, b: Seq[Double]): String =
-      b.zipWithIndex.map { case (c, i) => s"$a[${i + 1}]*($c)" }.mkString(" + ")
-    def dotVec(a: String, b: String): String =
-      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
-    def normSq(a: String): String = (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
     val bucket = planes
-      .map(p => s"CASE WHEN (${dot("v", p)}) > 0 THEN 1 ELSE 0 END")
+      .map(p => s"CASE WHEN (${dotLit("v", p)}) > 0 THEN 1 ELSE 0 END")
       .foldLeft("0")((acc, bit) => s"($acc)*2 + $bit")
     val probeList = ("qb" +: (0 until numBits).map(b => s"xor(qb, ${1 << b})")).mkString(", ")
     val cos =
@@ -330,26 +340,14 @@ object ExtQueries {
        |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  /** DuckDB mirror of [[Similarity.ivfTopKPinned]]: the frozen 16×64
-    * centroid matrix is embedded as double literals; every norm, dot
-    * product and cell distance is an EXPLICIT left-to-right term chain
-    * matching the native kernels' accumulation order, and the |c|²
-    * constants are the same Scala `foldLeft` values the Spark side embeds
-    * — so unit-normalization, cell assignment (CASE chain = Spark's
-    * when-chain, first-index-wins on ties), nprobe probe choice, exact
-    * rescoring and ranks all replay bit-for-bit. */
   /** Shared pinned-codebook SQL fragments (the frozen centroid matrix as
     * literals; every chain in the native kernels' accumulation order) —
     * used by the x12 ANN oracle and the x15 cell-stats oracle. */
   private object IvfSql {
+    import VecSql.{dotLit, normSq}
     val centers: Seq[Seq[Double]] = graft.operators.IvfCodebook.centers
     // same accumulation order as DotProductExpr / Similarity.selfDot
     val ccs: Seq[Double] = centers.map(_.foldLeft(0.0)((a, x) => a + x * x))
-    def dotLit(vCol: String, c: Seq[Double]): String =
-      c.zipWithIndex.map { case (w, i) => s"$vCol[${i + 1}]*($w)" }.mkString(" + ")
-    def dotVec(a: String, b: String): String =
-      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
-    def normSq(a: String): String = (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
     def dists(vCol: String): String =
       centers.indices.map(j => s"(${ccs(j)}) - 2.0*(${dotLit(vCol, centers(j))}) AS d$j")
         .mkString(",\n    ")
@@ -381,8 +379,15 @@ object ExtQueries {
     }
   }
 
+  /** DuckDB mirror of [[Similarity.ivfTopKPinned]] (x12): the frozen 16×64
+    * centroid matrix embedded as double literals; the |c|² constants are
+    * the same Scala `foldLeft` values the Spark side embeds — so
+    * unit-normalization, cell assignment (CASE chain = Spark's when-chain,
+    * first-index-wins on ties), nprobe probe choice, exact rescoring and
+    * ranks all replay bit-for-bit. */
   private val duckAnnIvf: String = {
     import IvfSql._
+    import VecSql.{dotVec, normSq}
     val nprobe = 3
     val structList = centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
     val cos =
@@ -415,6 +420,7 @@ object ExtQueries {
     * before the order-insensitive integer sum. */
   private val duckIvfCells: String = {
     import IvfSql._
+    import VecSql.dotLit
     val alignCase = centers.indices
       .map(j => s"WHEN bucket = $j THEN (${dotLit("nv", centers(j))})")
       .mkString(" ")

@@ -52,17 +52,24 @@ object ScaleRehearsal {
     def run(label: String, d: String): Unit = {
       def docs = graft.Tables.documents(spark, d)
       def op(name: String)(f: => Long): Unit = {
+        // the listener bus is async: drain before reset AND before read, or
+        // an op's last stage-completion events leak into the next window
+        org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
         shuffleBytes.set(0)
         val t0 = System.nanoTime()
         val rows = f
         val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
         println(f"REHEARSE $label%-4s $name%-12s ${sec}%8.2f s  shuffleWrite ${shuffleBytes.get / 1048576.0}%9.1f MiB  rows $rows%d")
         graft.operators.Caching.releaseAll()
       }
       op("exact")(Dedup.exact(docs, "doc_id", "text").count())
       op("minhash_lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8).count())
-      op("clusters")(Dedup.clusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      // NOTE: runs the full pairs pipeline AGAIN and then clusters — the
+      // row measures the end-to-end pairs→clusters cost, not clustering
+      // alone (labelled accordingly)
+      op("pairs+clusters")(Dedup.clusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)).count())
     }
 
