@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the single latest right row
+  * with equal keys and `rightTs <= leftTs` (the time-series join engines
+  * like DuckDB/kdb expose as ASOF JOIN; Spark has no built-in operator).
+  *
+  * Implemented as the SORT-MERGE CARRY-FORWARD, not a range join: tag and
+  * union both sides, sort each key group by (ts, side) with right rows
+  * first at equal timestamps (inclusive match), carry the last non-null
+  * right payload forward with `last(_, ignoreNulls)` over a running
+  * window, keep left rows. One shuffle per side on the keys and one
+  * per-key sort — O(n log n) per group with NO candidate-pair explosion,
+  * which is why this shape survives 100 TB where an inequality range join
+  * (O(left × right) within key) does not. Left rows preceding every right
+  * row keep NULL payloads (left-outer semantics, like ASOF LEFT JOIN).
+  *
+  * Requirements (documented, demo-enforced): `(keys, rightTs)` unique on
+  * the right side — with duplicate right timestamps no engine's as-of
+  * pick is deterministic; pre-aggregate the right side to one row per
+  * (key, ts). Null keys never match (SQL join semantics): rows with a
+  * null key are dropped from both sides up front.
+  */
+object AsOfJoin {
+
+  /** @param left     probe side; ALL its columns pass through
+    * @param right    build side; its non-key columns (including `rightTs`)
+    *                 are appended — pre-rename any name colliding with a
+    *                 left column
+    * @param keys     equality keys present on both sides
+    * @param leftTs   left ordering column (numeric/orderable)
+    * @param rightTs  right ordering column, same type as `leftTs` */
+  def asOfBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val keyNotNull: Column = keys.map(col(_).isNotNull).reduce(_ && _)
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+
+    val lStruct = struct(leftCols.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val l2 = left.filter(keyNotNull).select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r2 = right.filter(keyNotNull).select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+
+    // right rows order BEFORE left rows at an equal timestamp → inclusive
+    // (rightTs <= leftTs) match, exactly DuckDB's `ON l.ts >= r.ts`
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col("__l").getField(c).as(c)) ++
+          rightPayload.map(c => col("__asof").getField(c).as(c)): _*)
+  }
+}

@@ -225,6 +225,25 @@ object RelQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Backward as-of join demo ([[graft.operators.AsOfJoin]]): each error
+    * event joined to the user's latest click at-or-before it, plus the
+    * gap. The right side is pre-aggregated to one row per (user, ts) —
+    * the operator's determinism requirement. Oracle: DuckDB's native
+    * ASOF LEFT JOIN, so the sort-merge carry-forward implementation is
+    * checked against an independent engine's as-of semantics. */
+  def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts DIV 1000"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "us")
+      .agg(max("event_id").as("click_event_id"))
+      .withColumnRenamed("us", "click_us")
+    graft.operators.AsOfJoin.asOfBackward(errors, clicks, Seq("user_id"), "us", "click_us")
+      .withColumn("gap_us", col("us") - col("click_us"))
+      .orderBy("event_id")
+  }
+
   /** Per-type value stats: count, exact distinct users, exact cents sum. */
   def aggValueStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -320,6 +339,18 @@ object RelQueries {
         |)
         |SELECT user_id, session_idx, min(us) AS session_start_us, max(us) AS session_end_us, count(*) AS n_events
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "asof_clicks" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'error'
+        |),
+        |r AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id, l.event_id, l.us, r.click_us, r.click_event_id, l.us - r.click_us AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.click_us
+        |ORDER BY l.event_id""".stripMargin,
     "pct_value" ->
       """SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
         | floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
@@ -345,6 +376,7 @@ object RelQueries {
     "win_tumbling"       -> winTumbling,
     "salted_blocked"     -> saltedBlocked,
     "sessionize_events"  -> sessionizeEvents,
+    "asof_clicks"        -> asofClicks,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing
   )

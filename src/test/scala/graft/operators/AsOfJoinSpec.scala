@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Planted-fixture semantics for the backward as-of join: inclusive
+  * matching, carry-forward across gaps, left-outer nulls before the first
+  * right row, per-key isolation, null-key drop. */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 5L, "a"),   // after r@3 -> 3
+    (1L, 10L, "b"),  // exactly at r@10 -> inclusive match 10
+    (1L, 11L, "c"),  // carry 10 forward
+    (2L, 4L, "d"),   // key 2 has its own history -> 2
+    (3L, 7L, "e")    // key 3 has no right rows -> null
+  ).toDF("k", "ts", "tag")
+
+  private lazy val right = Seq(
+    (1L, 3L, "r3"), (1L, 10L, "r10"), (1L, 99L, "r99"),
+    (2L, 2L, "s2")
+  ).toDF("k", "rts", "rtag")
+
+  test("asOfBackward: inclusive latest-at-or-before per key, null when none") {
+    val got = AsOfJoin.asOfBackward(left, right, Seq("k"), "ts", "rts")
+      .orderBy("k", "ts")
+      .as[(Long, Long, String, Option[Long], Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, "a", Some(3L), Some("r3")),
+      (1L, 10L, "b", Some(10L), Some("r10")),
+      (1L, 11L, "c", Some(10L), Some("r10")),
+      (2L, 4L, "d", Some(2L), Some("s2")),
+      (3L, 7L, "e", None, None)))
+  }
+
+  test("asOfBackward: null keys are dropped from both sides") {
+    val l = Seq((Option(1L), 5L), (Option.empty[Long], 6L)).toDF("k", "ts")
+    val r = Seq((Option.empty[Long], 1L)).toDF("k", "rts")
+    val got = AsOfJoin.asOfBackward(l, r, Seq("k"), "ts", "rts").collect()
+    assert(got.length === 1 && got.head.getLong(0) === 1L && got.head.isNullAt(2))
+  }
+}
