@@ -225,6 +225,35 @@ object RelQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Trailing 10-minute moving window per user — a RANGE frame (peers by
+    * time VALUE, not row position; §2.6 breadth beyond the rows-frame
+    * queries). Sums are exact BIGINT cents so the frame aggregation is
+    * order-insensitive on both engines; consumers derive the moving
+    * average as win_sum_cents / win_cnt. */
+  def movingValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts DIV 1000"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        sum(cents(col("value"))).over(w).as("win_sum_cents"),
+        count(lit(1)).over(w).as("win_cnt"))
+      .orderBy("event_id")
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one pass (§2.5 breadth next to [[rollupPricing]]'s ROLLUP); group
+    * columns coalesced to 'ALL' for cross-engine subtotal ordering. */
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(c2("l_quantity")).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty_cents"), col("cnt"))
+      .orderBy("flag", "status")
+
   /** Backward as-of join demo ([[graft.operators.AsOfJoin]]): each error
     * event joined to the user's latest click at-or-before it, plus the
     * gap. The right side is pre-aggregated to one row per (user, ts) —
@@ -339,6 +368,21 @@ object RelQueries {
         |)
         |SELECT user_id, session_idx, min(us) AS session_start_us, max(us) AS session_end_us, count(*) AS n_events
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "moving_value" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(floor((value) * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, us,
+        |  CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_sum_cents,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS win_cnt
+        |FROM e ORDER BY event_id""".stripMargin,
+    "cube_pricing" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "asof_clicks" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -377,6 +421,8 @@ object RelQueries {
     "salted_blocked"     -> saltedBlocked,
     "sessionize_events"  -> sessionizeEvents,
     "asof_clicks"        -> asofClicks,
+    "moving_value"       -> movingValue,
+    "cube_pricing"       -> cubePricing,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing
   )
