@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * Requirements (documented, demo-enforced): `(keys, rightTs)` unique on
   * the right side — with duplicate right timestamps no engine's as-of
   * pick is deterministic; pre-aggregate the right side to one row per
-  * (key, ts). Null keys never match (SQL join semantics): rows with a
-  * null key are dropped from both sides up front.
+  * (key, ts). Null keys follow LEFT-OUTER join semantics exactly as
+  * DuckDB's ASOF LEFT JOIN does: a null-key left row never matches but IS
+  * kept with null payload; null-key right rows can never be matched and
+  * are dropped up front.
   */
 object AsOfJoin {
 
@@ -44,7 +46,11 @@ object AsOfJoin {
     val lType = left.select(lStruct).schema.head.dataType
     val rType = right.select(rStruct).schema.head.dataType
 
-    val l2 = left.filter(keyNotNull).select(
+    // left side keeps null-key rows (left-outer): they form their own
+    // window partition, and since null-key RIGHT rows are dropped there is
+    // nothing to carry forward in it — payload stays null, like DuckDB's
+    // ASOF LEFT JOIN emitting the unmatched row
+    val l2 = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
     val r2 = right.filter(keyNotNull).select(

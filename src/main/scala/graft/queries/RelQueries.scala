@@ -175,19 +175,31 @@ object RelQueries {
       keys = Seq("user_id"))
       .orderBy("user_id")
 
-  /** ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal and
-    * grand total in one pass (§2.5 breadth; absent in the reference). Group
+  /** Shared breakdown body of [[rollupPricing]]/[[cubePricing]] (one
+    * source of truth for the agg list and parity treatment): group
     * columns coalesced to 'ALL' so both engines order the subtotal rows
     * identically (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
-  def rollupPricing(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .rollup("l_returnflag", "l_linestatus")
+  private def pricingBreakdown(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(sum(c2("l_quantity")).as("sum_qty_cents"), count(lit(1)).as("cnt"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty_cents"), col("cnt"))
       .orderBy("flag", "status")
+
+  /** The matching oracle template — `kw` ∈ ROLLUP/CUBE. */
+  private def pricingBreakdownSql(kw: String): String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+       | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
+       |FROM lineitem GROUP BY $kw(l_returnflag, l_linestatus)
+       |ORDER BY flag, status""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal and
+    * grand total in one pass (§2.5 breadth; absent in the reference). */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    pricingBreakdown(Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus"))
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the definition) of event values per type.
@@ -242,17 +254,10 @@ object RelQueries {
   }
 
   /** CUBE over (returnflag, linestatus): all four grouping combinations in
-    * one pass (§2.5 breadth next to [[rollupPricing]]'s ROLLUP); group
-    * columns coalesced to 'ALL' for cross-engine subtotal ordering. */
+    * one pass (§2.5 breadth next to [[rollupPricing]]'s ROLLUP — one
+    * shared breakdown body, only the grouping operator differs). */
   def cubePricing(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .cube("l_returnflag", "l_linestatus")
-      .agg(sum(c2("l_quantity")).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_qty_cents"), col("cnt"))
-      .orderBy("flag", "status")
+    pricingBreakdown(Tables.lineitem(s, dir).cube("l_returnflag", "l_linestatus"))
 
   /** Backward as-of join demo ([[graft.operators.AsOfJoin]]): each error
     * event joined to the user's latest click at-or-before it, plus the
@@ -369,20 +374,16 @@ object RelQueries {
         |SELECT user_id, session_idx, min(us) AS session_start_us, max(us) AS session_end_us, count(*) AS n_events
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "moving_value" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |    CAST(floor((value) * 100.0 + 0.5) AS BIGINT) AS vc
+        |    ${centsSql("value")} AS vc
         |  FROM events
         |)
         |SELECT event_id, user_id, us,
         |  CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_sum_cents,
         |  count(*) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS win_cnt
         |FROM e ORDER BY event_id""".stripMargin,
-    "cube_pricing" ->
-      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin,
+    "cube_pricing" -> pricingBreakdownSql("CUBE"),
     "asof_clicks" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -399,11 +400,7 @@ object RelQueries {
       """SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
         | floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "rollup_pricing" ->
-      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin
+    "rollup_pricing" -> pricingBreakdownSql("ROLLUP")
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

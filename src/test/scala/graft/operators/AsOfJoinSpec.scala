@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 /** Planted-fixture semantics for the backward as-of join: inclusive
@@ -33,10 +35,15 @@ class AsOfJoinSpec extends SparkTestBase {
       (3L, 7L, "e", None, None)))
   }
 
-  test("asOfBackward: null keys are dropped from both sides") {
+  test("asOfBackward: null-key left rows kept unmatched; null-key right rows dropped") {
     val l = Seq((Option(1L), 5L), (Option.empty[Long], 6L)).toDF("k", "ts")
     val r = Seq((Option.empty[Long], 1L)).toDF("k", "rts")
-    val got = AsOfJoin.asOfBackward(l, r, Seq("k"), "ts", "rts").collect()
-    assert(got.length === 1 && got.head.getLong(0) === 1L && got.head.isNullAt(2))
+    val got = AsOfJoin.asOfBackward(l, r, Seq("k"), "ts", "rts")
+      .orderBy(col("k").asc_nulls_last).collect()
+    // both left rows survive (left-outer, like DuckDB ASOF LEFT JOIN);
+    // neither matches the null-key right row
+    assert(got.length === 2)
+    assert(got(0).getLong(0) === 1L && got(0).isNullAt(2))
+    assert(got(1).isNullAt(0) && got(1).getLong(1) === 6L && got(1).isNullAt(2))
   }
 }
