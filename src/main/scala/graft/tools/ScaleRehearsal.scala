@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Dedup-family scale rehearsal (dev aid, not part of the driver contract):
   * runs exact dedup, MinHash-LSH pairs, and duplicate clustering on the
@@ -48,6 +48,14 @@ object ScaleRehearsal {
       .reduce(_ union _)
     val bigPath = s"/tmp/graft_rehearsal_${copies}x"
     big.write.mode("overwrite").parquet(s"$bigPath/documents.parquet")
+    // embeddings: same N-fold id shift; vectors identical across copies —
+    // each copy is an exact duplicate on the unit sphere, the worst case
+    // for bucketed candidate generation
+    val ebase = graft.Tables.embeddings(spark, dir)
+    (0 until copies)
+      .map(i => ebase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$bigPath/embeddings.parquet")
 
     def run(label: String, d: String): Unit = {
       def docs = graft.Tables.documents(spark, d)
@@ -71,6 +79,17 @@ object ScaleRehearsal {
       // alone (labelled accordingly)
       op("pairs+clusters")(Dedup.clusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)).count())
+      // similarity family: same 10 query vectors at every scale, corpus
+      // grows N× — brute force scales with corpus, bucketed ANN with the
+      // probed fraction
+      def emb = graft.Tables.embeddings(spark, d)
+      op("ann_lsh")(Similarity.lshTopK(emb, col("vec_id") < 10, k = 5).count())
+      op("ann_ivf_pinned")(Similarity.ivfTopKPinned(emb, col("vec_id") < 10, k = 5).count())
+      op("brute_topk") {
+        val e = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+        Similarity.bruteTopKAgg(q, e, k = 5).count()
+      }
     }
 
     run("1x", dir)
