@@ -116,6 +116,25 @@ object ExtQueries {
     Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")
       .orderBy("event_type")
 
+  /** End-to-end training-data CURATION pipeline — the composition a real
+    * 100 TB corpus pass runs: quality-filter (rounded score ≥ 0.5) →
+    * exact dedup (keep min doc_id per text) → deterministic shard
+    * assignment → per-shard stats. Every stage is an existing operator
+    * ([[TextAnalysis.quality]], [[Dedup.exact]],
+    * [[graft.operators.Sharding]]); the oracle replays the whole chain,
+    * proving the operators compose without semantic drift. */
+  def x17Curate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val qs = TextAnalysis.quality(d).select(col("doc_id"), col("quality_score"))
+    val kept = d.join(qs, "doc_id").filter(col("quality_score") >= 0.5)
+    val keepIds = Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id"))
+    val curated = kept.join(keepIds, "doc_id")
+    graft.operators.Sharding.assignShards(curated, "doc_id", numShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
+      .orderBy("shard")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -181,6 +200,15 @@ object ExtQueries {
       .orderBy("doc_id")
 
   // -------------------------------------------------------------- oracles ----
+
+  /** Rounded quality score fragment shared by the ta_quality and
+    * x17_curate oracles — ONE source of truth for the formula
+    * ([[TextAnalysis.quality]]'s mirror). */
+  private val duckQs: String =
+    "floor((least(len(string_split(text,' ')), 100) / 100.0 * 0.5" +
+      " + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3" +
+      " + (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 0.2)" +
+      " * 10000.0 + 0.5) / 10000.0"
 
   /** DuckDB 3-gram builder fragment (1-indexed lists; mirrors
     * [[TextOps.shingles]] with n=3). */
@@ -599,16 +627,27 @@ object ExtQueries {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "ta_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         | len(string_split(text,' ')) AS n_tokens,
         | len(list_distinct(string_split(text,' '))) AS n_uniq,
         | floor((len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS ttr,
         | floor(((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
         | floor((len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
-        | floor((least(len(string_split(text,' ')), 100) / 100.0 * 0.5
-        |   + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
-        |   + (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / len(string_split(text,' '))) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        | $duckQs AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x17_curate" ->
+      s"""WITH q AS (SELECT doc_id, text, n_chars, $duckQs AS qs FROM documents),
+        |k AS (SELECT doc_id, text, n_chars FROM q WHERE qs >= 0.5),
+        |dd AS (
+        |  SELECT doc_id, n_chars FROM (
+        |    SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY text) AS keep FROM k
+        |  ) WHERE doc_id = keep
+        |),
+        |m AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)||':graft') AS m1 FROM dd),
+        |hh AS (SELECT n_chars, ${duckNibbleFold("m1")} AS h1u FROM m),
+        |sh AS (SELECT CAST(((${duckSigned("h1u")} % 8) + 8) % 8 AS INT) AS shard, n_chars FROM hh)
+        |SELECT shard, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "ta_langid" ->
       """SELECT doc_id,
         | CASE
@@ -651,6 +690,7 @@ object ExtQueries {
     "x14_embed_clusters" -> x14EmbedClusters,
     "x15_ivf_cells"    -> x15IvfCells, // oracle: pinned codebook as literals
     "x16_kmv_distinct" -> x16KmvDistinct, // oracle: md5-KMV replays exactly
+    "x17_curate"       -> x17Curate, // oracle: whole curation chain replayed
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
