@@ -126,7 +126,11 @@ object ExtQueries {
   def x17Curate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val qs = TextAnalysis.quality(d).select(col("doc_id"), col("quality_score"))
-    val kept = d.join(qs, "doc_id").filter(col("quality_score") >= 0.5)
+    // fan-out point: kept feeds both the dedup branch and the final join —
+    // persist or each branch re-derives the documents⋈quality subtree
+    // from its own scan (the repo-wide alias-broken-exchange-reuse rule)
+    val kept = graft.operators.Caching.persisted(
+      d.join(qs, "doc_id").filter(col("quality_score") >= 0.5))
     val keepIds = Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id"))
     val curated = kept.join(keepIds, "doc_id")
     graft.operators.Sharding.assignShards(curated, "doc_id", numShards = 8)
@@ -304,10 +308,18 @@ object ExtQueries {
     * sort_key = md5Hash64(id||':graft:order'); `((h%n)+n)%n` mirrors
     * Spark's pmod for negative hashes. Staged CTEs: md5 once, nibble-fold
     * once, sign-fold once — per hash, per row. */
+  /** Shard-hash fragments shared by the x13 and x17 oracles — ONE source
+    * of truth for Sharding.assignShards' recipe: md5(id||':graft') and
+    * `((h%n)+n)%n`, Spark's pmod for negative hashes. */
+  private def duckShardMd5(idSql: String): String =
+    s"md5(CAST($idSql AS VARCHAR)||':graft')"
+  private def duckShardExpr(huCol: String, n: Int): String =
+    s"CAST(((${duckSigned(huCol)} % $n) + $n) % $n AS INT)"
+
   private val duckShardStats: String =
     s"""WITH m AS (
        |  SELECT doc_id,
-       |    md5(CAST(doc_id AS VARCHAR)||':graft') AS m1,
+       |    ${duckShardMd5("doc_id")} AS m1,
        |    md5(CAST(doc_id AS VARCHAR)||':graft:order') AS m2
        |  FROM documents
        |),
@@ -316,7 +328,7 @@ object ExtQueries {
        |),
        |k AS (
        |  SELECT doc_id,
-       |    CAST(((${duckSigned("h1u")} % 8) + 8) % 8 AS INT) AS shard,
+       |    ${duckShardExpr("h1u", 8)} AS shard,
        |    ${duckSigned("h2u")} AS sort_key
        |  FROM hh
        |)
@@ -643,9 +655,9 @@ object ExtQueries {
         |    SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY text) AS keep FROM k
         |  ) WHERE doc_id = keep
         |),
-        |m AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)||':graft') AS m1 FROM dd),
+        |m AS (SELECT doc_id, n_chars, ${duckShardMd5("doc_id")} AS m1 FROM dd),
         |hh AS (SELECT n_chars, ${duckNibbleFold("m1")} AS h1u FROM m),
-        |sh AS (SELECT CAST(((${duckSigned("h1u")} % 8) + 8) % 8 AS INT) AS shard, n_chars FROM hh)
+        |sh AS (SELECT ${duckShardExpr("h1u", 8)} AS shard, n_chars FROM hh)
         |SELECT shard, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "ta_langid" ->

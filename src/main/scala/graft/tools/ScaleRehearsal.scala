@@ -80,8 +80,10 @@ object ScaleRehearsal {
       op("pairs+clusters")(Dedup.clusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)).count())
       // similarity family: same 10 query vectors at every scale, corpus
-      // grows N× — brute force scales with corpus, bucketed ANN with the
-      // probed fraction
+      // grows N×. At this corpus size (20k × 64-dim at 10×) every variant
+      // is overhead-dominated, so the signal is the SHUFFLE column (the
+      // corpus must never shuffle; probes broadcast), not a wall-time
+      // contrast between brute force and the bucketed paths.
       def emb = graft.Tables.embeddings(spark, d)
       op("ann_lsh")(Similarity.lshTopK(emb, col("vec_id") < 10, k = 5).count())
       op("ann_ivf_pinned")(Similarity.ivfTopKPinned(emb, col("vec_id") < 10, k = 5).count())
