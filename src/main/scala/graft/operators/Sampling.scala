@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.md5Hash64
+
+/** Deterministic sampling and dataset splitting (SURVEY.md §2.11 R17) —
+  * the reproducibility-critical half of a training-data pipeline: the
+  * same row lands in the same sample/split on every rerun, on any
+  * cluster size, in any engine, because membership is a pure function of
+  * the row's id (md5-derived uniform position, the same primitive as
+  * [[Sketches]]), not of RNG state, partitioning, or row order.
+  * `df.sample()` guarantees none of those things.
+  *
+  * Scale shape: both operators are stateless row-wise filters/projections
+  * — no shuffle, fully codegen'd, pushed into the scan's batch loop.
+  */
+object Sampling {
+
+  /** Uniform (0,1) position of `id` under `salt` (distinct salts give
+    * independent samples; see [[Sketches]] for the exactness argument). */
+  private def uniformPos(id: Column, salt: String): Column =
+    (md5Hash64(concat(id.cast("string"), lit(salt))).cast("double") +
+      lit(9223372036854775808.0)) / lit(1.8446744073709552e19)
+
+  /** Keep each row iff its id's uniform position < `fraction` —
+    * a deterministic Bernoulli(fraction) sample. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ":sample"): DataFrame =
+    df.filter(uniformPos(col(idCol), salt) < fraction)
+
+  /** Assign every row a train/val/test split by uniform-position
+    * thresholds (train: u < trainFrac; val: u < trainFrac+valFrac;
+    * else test) — disjoint, exhaustive, and stable under any reordering
+    * or re-partitioning of the input. */
+  def assignSplit(df: DataFrame, idCol: String, trainFrac: Double,
+      valFrac: Double, salt: String = ":split"): DataFrame = {
+    val u = uniformPos(col(idCol), salt)
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+}

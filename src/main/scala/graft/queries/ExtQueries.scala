@@ -139,6 +139,17 @@ object ExtQueries {
       .orderBy("shard")
   }
 
+  /** Deterministic train/val/test split stats
+    * ([[graft.operators.Sampling.assignSplit]]): membership is a pure
+    * function of doc_id, so the split replays exactly in SQL — the
+    * reproducibility property `df.sample()` cannot give. */
+  def x18SplitStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split", "lang")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -507,7 +518,32 @@ object ExtQueries {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB mirror of the split assignment (x18): staged md5 fold of
+    * doc_id||':split' → uniform position (same arithmetic as x16) →
+    * threshold CASE. The val threshold is the SCALA-computed
+    * `0.8 + 0.1` (= 0.9000000000000001, not 0.9) interpolated at its
+    * exact shortest repr, because assignSplit folds the same IEEE sum
+    * into its when-chain. */
+  private val duckSplitStats: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)||':split') AS mm FROM documents
+       |),
+       |hh AS (SELECT doc_id, lang, ${duckNibbleFold("mm")} AS hu FROM m),
+       |uu AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(${duckSigned("hu")} AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0 AS u
+       |  FROM hh
+       |),
+       |sp AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < ${0.8 + 0.1} THEN 'val' ELSE 'test' END AS split
+       |  FROM uu
+       |)
+       |SELECT split, lang, count(*) AS docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x18_split_stats" -> duckSplitStats,
     "x12_ann_ivf" -> duckAnnIvf,
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
@@ -703,6 +739,7 @@ object ExtQueries {
     "x15_ivf_cells"    -> x15IvfCells, // oracle: pinned codebook as literals
     "x16_kmv_distinct" -> x16KmvDistinct, // oracle: md5-KMV replays exactly
     "x17_curate"       -> x17Curate, // oracle: whole curation chain replayed
+    "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Determinism and distribution properties of the hash-based sampler and
+  * splitter — the guarantees `df.sample()` does NOT give. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("deterministicSample: same rows on every run and under repartition") {
+    val a = Sampling.deterministicSample(ids, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids.repartition(7), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(a === b)
+    // Bernoulli(0.3) over 2000 ids: expect ~600, 5σ ≈ 102
+    assert(math.abs(a.size - 600) <= 110, s"sample size ${a.size}")
+  }
+
+  test("deterministicSample: nested — a smaller fraction is a subset of a larger one") {
+    val small = Sampling.deterministicSample(ids, "id", 0.1).as[Long].collect().toSet
+    val large = Sampling.deterministicSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(large)) // u < 0.1 implies u < 0.5 — stable sample growth
+  }
+
+  test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
+    val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.assignSplit(ids.repartition(5), "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toMap
+    assert(s1 === s2)                       // stable under repartition
+    assert(s1.size === 2000)                // exhaustive, one split per row
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) <= 90, counts.toString)  // 5σ
+    assert(math.abs(counts("val") - 200) <= 68, counts.toString)
+    assert(math.abs(counts("test") - 200) <= 68, counts.toString)
+  }
+}
