@@ -42,4 +42,23 @@ object Sampling {
         .when(u < trainFrac + valFrac, "val")
         .otherwise("test"))
   }
+
+  /** Benchmark-decontamination stats: per-`groupCol` count of TEST-split
+    * rows whose exact `textCol` md5 also appears in the TRAIN split —
+    * the overlap an eval must rule out. At 100 TB the train side
+    * collapses to a broadcast of distinct 16-byte hashes; texts never
+    * shuffle. */
+  def contaminationStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, trainFrac: Double, valFrac: Double): DataFrame = {
+    val sp = Caching.persisted(
+      assignSplit(df, idCol, trainFrac, valFrac)
+        .select(col(idCol), col(groupCol), col("split"), md5(col(textCol)).as("h")))
+    val train = sp.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("in_train", lit(1L))
+    sp.filter(col("split") === "test")
+      .join(broadcast(train), Seq("h"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("test_docs"),
+        sum(coalesce(col("in_train"), lit(0L))).as("contaminated"))
+  }
 }

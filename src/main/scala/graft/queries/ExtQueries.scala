@@ -150,6 +150,17 @@ object ExtQueries {
       .agg(count(lit(1)).as("docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split", "lang")
 
+  /** Benchmark-decontamination check: per-lang count of TEST-split docs
+    * whose exact text (md5) also appears in the TRAIN split — the overlap
+    * a training pipeline must detect before evaluation claims anything.
+    * Composes [[graft.operators.Sampling.assignSplit]] with hash
+    * matching; at 100 TB the train side collapses to a distinct-hash
+    * broadcast (16-byte keys), never the texts. */
+  def x19Contamination(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.contaminationStats(Tables.documents(s, dir),
+        "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1)
+      .orderBy("lang")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -524,26 +535,43 @@ object ExtQueries {
     * `0.8 + 0.1` (= 0.9000000000000001, not 0.9) interpolated at its
     * exact shortest repr, because assignSplit folds the same IEEE sum
     * into its when-chain. */
-  private val duckSplitStats: String =
-    s"""WITH m AS (
-       |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)||':split') AS mm FROM documents
+  /** Shared split-assignment CTEs (m → hh → uu → sp) used by the x18 and
+    * x19 oracles — ONE copy of the hash→uniform→threshold chain. */
+  private val duckSplitCtes: String =
+    s"""m AS (
+       |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)||':split') AS mm FROM documents
        |),
-       |hh AS (SELECT doc_id, lang, ${duckNibbleFold("mm")} AS hu FROM m),
+       |hh AS (SELECT doc_id, lang, text, ${duckNibbleFold("mm")} AS hu FROM m),
        |uu AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, text,
        |    (CAST(${duckSigned("hu")} AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0 AS u
        |  FROM hh
        |),
        |sp AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, text,
        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < ${0.8 + 0.1} THEN 'val' ELSE 'test' END AS split
        |  FROM uu
-       |)
+       |)""".stripMargin
+
+  private val duckSplitStats: String =
+    s"""WITH $duckSplitCtes
        |SELECT split, lang, count(*) AS docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  /** DuckDB mirror of the decontamination check (x19): same split CTEs,
+    * then per-lang test-doc totals and how many share an exact text md5
+    * with any train doc. */
+  private val duckContamination: String =
+    s"""WITH $duckSplitCtes,
+       |tr AS (SELECT DISTINCT md5(text) AS h FROM sp WHERE split = 'train'),
+       |te AS (SELECT lang, md5(text) AS h FROM sp WHERE split = 'test')
+       |SELECT lang, count(*) AS test_docs,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+       |FROM te GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x18_split_stats" -> duckSplitStats,
+    "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
@@ -740,6 +768,7 @@ object ExtQueries {
     "x16_kmv_distinct" -> x16KmvDistinct, // oracle: md5-KMV replays exactly
     "x17_curate"       -> x17Curate, // oracle: whole curation chain replayed
     "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
+    "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

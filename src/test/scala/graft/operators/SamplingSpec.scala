@@ -26,6 +26,26 @@ class SamplingSpec extends SparkTestBase {
     assert(small.subsetOf(large)) // u < 0.1 implies u < 0.5 — stable sample growth
   }
 
+  test("contaminationStats detects planted cross-split exact duplicates") {
+    val docs = (0L until 500L).map(i => (i, s"unique text number $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    // discover which ids the hash assigns to train/test, then plant ONE
+    // test doc carrying a train doc's exact text
+    val bySplit = Sampling.assignSplit(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val trainId = bySplit("train").head
+    val testId = bySplit("test").head
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === testId, lit(s"unique text number $trainId"))
+        .otherwise(col("text")))
+    val got = Sampling.contaminationStats(planted, "doc_id", "text", "lang", 0.8, 0.1)
+      .as[(String, Long, Long)].collect().map { case (l, t, c) => l -> ((t, c)) }.toMap
+    assert(got("en")._1 === bySplit("test").size.toLong)
+    assert(got("en")._2 === 1L) // exactly the planted overlap
+    Caching.releaseAll()
+  }
+
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
     val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
