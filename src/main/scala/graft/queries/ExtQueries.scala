@@ -161,6 +161,14 @@ object ExtQueries {
         "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1)
       .orderBy("lang")
 
+  /** Column profile of the documents table ([[graft.operators.Profiling]])
+    * — one aggregation pass, a row per column; exact distincts so the
+    * oracle replays it (the 100 TB variant swaps in HLL). */
+  def x20Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -569,7 +577,22 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
        |FROM te GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DuckDB mirror of the column profile (x20): one UNION ALL branch per
+    * column, native-type min/max rendered as VARCHAR afterwards — same
+    * as the Spark side's cast-after-aggregate. */
+  private val duckProfile: String = {
+    val branches = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x20_profile" -> duckProfile,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -769,6 +792,7 @@ object ExtQueries {
     "x17_curate"       -> x17Curate, // oracle: whole curation chain replayed
     "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
+    "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
