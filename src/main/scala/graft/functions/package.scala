@@ -131,6 +131,14 @@ package object functions {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
+  /** Signed int64 → uniform (0,1) position: `(h + 2⁶³) / 2⁶⁴` (both
+    * constants exactly representable doubles; both engines run the
+    * identical long→double cast, add, divide). ONE copy of the arithmetic
+    * shared by the KMV sketch and the sampling/split operators — its SQL
+    * mirror is `ExtQueries.duckUnitInterval`. */
+  def unitInterval(h: Column): Column =
+    (h.cast("double") + lit(9223372036854775808.0)) / lit(1.8446744073709552e19)
+
   // ------------------------------------------------------------ vectors ----
 
   /** Dot product of two `array<double>` columns — a native codegen'd

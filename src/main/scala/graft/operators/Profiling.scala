@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.md5Hash64
+import graft.functions.{md5Hash64, unitInterval}
 
 /** Deterministic sampling and dataset splitting (SURVEY.md §2.11 R17) —
   * the reproducibility-critical half of a training-data pipeline: the
@@ -19,10 +19,10 @@ import graft.functions.md5Hash64
 object Sampling {
 
   /** Uniform (0,1) position of `id` under `salt` (distinct salts give
-    * independent samples; see [[Sketches]] for the exactness argument). */
+    * independent samples) — [[graft.functions.unitInterval]] over the
+    * salted md5 hash. */
   private def uniformPos(id: Column, salt: String): Column =
-    (md5Hash64(concat(id.cast("string"), lit(salt))).cast("double") +
-      lit(9223372036854775808.0)) / lit(1.8446744073709552e19)
+    unitInterval(md5Hash64(concat(id.cast("string"), lit(salt))))
 
   /** Keep each row iff its id's uniform position < `fraction` —
     * a deterministic Bernoulli(fraction) sample. */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{md5Hash64, topK}
+import graft.functions.{md5Hash64, topK, unitInterval}
 
 /** Deterministic distinct-count sketching (SURVEY.md §2.11 R11).
   *
@@ -31,17 +31,14 @@ object Sketches {
     * hash) pairs — never the values; the sketch itself is a bounded top-k
     * aggregate (k rows per group × partition shuffle, ObjectHashAggregate
     * partial+final). The estimate depends only on the VALUE of u₍ₖ₎, so
-    * tie order between equal positions cannot affect it. 2⁶³/2⁶⁴ are
-    * exactly representable doubles; both engines run the identical
-    * long→double cast, add, divide. */
+    * tie order between equal positions cannot affect it. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 64): DataFrame = {
     val h = md5Hash64(col(valueCol).cast("string"))
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ h.as("h"): _*)
       .distinct() // KMV is defined over DISTINCT hash values
-      .withColumn("u",
-        (col("h").cast("double") + lit(9223372036854775808.0)) / lit(1.8446744073709552e19))
+      .withColumn("u", unitInterval(col("h")))
       .groupBy(groupCols.map(col): _*)
       // score = -u: the bounded heap keeps the k LARGEST scores = k smallest u
       .agg(topK(col("h"), -col("u"), k).as("kept"))

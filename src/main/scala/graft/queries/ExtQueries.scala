@@ -338,6 +338,12 @@ object ExtQueries {
     * sort_key = md5Hash64(id||':graft:order'); `((h%n)+n)%n` mirrors
     * Spark's pmod for negative hashes. Staged CTEs: md5 once, nibble-fold
     * once, sign-fold once — per hash, per row. */
+  /** Signed-int64 → uniform (0,1) fragment — the SQL mirror of
+    * [[graft.functions.unitInterval]], shared by the x16 and x18/x19
+    * oracles (2⁶³/2⁶⁴ are exactly representable doubles). */
+  private def duckUnitInterval(hSql: String): String =
+    s"(CAST($hSql AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0"
+
   /** Shard-hash fragments shared by the x13 and x17 oracles — ONE source
     * of truth for Sharding.assignShards' recipe: md5(id||':graft') and
     * `((h%n)+n)%n`, Spark's pmod for negative hashes. */
@@ -521,7 +527,7 @@ object ExtQueries {
        |dh AS (SELECT DISTINCT event_type, ${duckSigned("hu")} AS h FROM hh),
        |du AS (
        |  SELECT event_type, h,
-       |    (CAST(h AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0 AS u
+       |    ${duckUnitInterval("h")} AS u
        |  FROM dh
        |),
        |r AS (
@@ -537,14 +543,13 @@ object ExtQueries {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
-  /** DuckDB mirror of the split assignment (x18): staged md5 fold of
-    * doc_id||':split' → uniform position (same arithmetic as x16) →
-    * threshold CASE. The val threshold is the SCALA-computed
-    * `0.8 + 0.1` (= 0.9000000000000001, not 0.9) interpolated at its
-    * exact shortest repr, because assignSplit folds the same IEEE sum
-    * into its when-chain. */
   /** Shared split-assignment CTEs (m → hh → uu → sp) used by the x18 and
-    * x19 oracles — ONE copy of the hash→uniform→threshold chain. */
+    * x19 oracles — ONE copy of the hash→uniform→threshold chain (staged
+    * md5 fold of doc_id||':split' → [[duckUnitInterval]] → CASE). The val
+    * threshold is the SCALA-computed `0.8 + 0.1` (= 0.9000000000000001,
+    * NOT 0.9) interpolated at its exact shortest repr, because
+    * `Sampling.assignSplit` folds the same IEEE sum into its
+    * when-chain. */
   private val duckSplitCtes: String =
     s"""m AS (
        |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)||':split') AS mm FROM documents
@@ -552,7 +557,7 @@ object ExtQueries {
        |hh AS (SELECT doc_id, lang, text, ${duckNibbleFold("mm")} AS hu FROM m),
        |uu AS (
        |  SELECT doc_id, lang, text,
-       |    (CAST(${duckSigned("hu")} AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0 AS u
+       |    ${duckUnitInterval(duckSigned("hu"))} AS u
        |  FROM hh
        |),
        |sp AS (
