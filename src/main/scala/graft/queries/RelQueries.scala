@@ -237,6 +237,26 @@ object RelQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** TPC-H Q22-style: customers with above-segment-average balance and no
+    * URGENT orders (§2.4 depth — an aggregate-derived predicate plus an
+    * anti-join, the decorrelated form of a correlated subquery; the
+    * urgent restriction because this corpus gives every customer at
+    * least one order). Balance compared in exact cents; `avg(BIGINT)` is
+    * the same exact-int-sum ÷ count double division on both engines. The
+    * per-segment averages broadcast; the anti-join probe side is
+    * pre-aggregated to distinct keys. */
+  def q22RichIdle(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBySeg = c.groupBy("c_mktsegment").agg(avg(c2("c_acctbal")).as("avg_cents"))
+    c.join(broadcast(avgBySeg), "c_mktsegment")
+      .filter(c2("c_acctbal") > col("avg_cents"))
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_mktsegment"), col("c_custkey"), c2("c_acctbal").as("acctbal_cents"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** Trailing 10-minute moving window per user — a RANGE frame (peers by
     * time VALUE, not row position; §2.6 breadth beyond the rows-frame
     * queries). Sums are exact BIGINT cents so the frame aggregation is
@@ -373,6 +393,16 @@ object RelQueries {
         |)
         |SELECT user_id, session_idx, min(us) AS session_start_us, max(us) AS session_end_us, count(*) AS n_events
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q22_rich_idle" ->
+      s"""WITH a AS (
+        |  SELECT c_mktsegment, avg(${centsSql("c_acctbal")}) AS avg_cents
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT c.c_mktsegment, c.c_custkey, ${centsSql("c.c_acctbal")} AS acctbal_cents
+        |FROM customer c JOIN a USING (c_mktsegment)
+        |WHERE ${centsSql("c.c_acctbal")} > a.avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "moving_value" ->
       s"""WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -420,6 +450,7 @@ object RelQueries {
     "asof_clicks"        -> asofClicks,
     "moving_value"       -> movingValue,
     "cube_pricing"       -> cubePricing,
+    "q22_rich_idle"      -> q22RichIdle,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing
   )
