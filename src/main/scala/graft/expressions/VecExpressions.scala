@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -41,6 +42,23 @@ object VecKernels {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Element-wise division by a scalar — identical per-element ops to
+    * `transform(a, x => x / d)` (independent divisions, no accumulation),
+    * but codegen'd and evaluating the divisor ONCE instead of per element
+    * (the HOF form re-evaluated an embedded l2Norm per element: O(dim²)
+    * interpreted work per row). Null element → null element, like the
+    * HOF. */
+  def scale(a: ArrayData, d: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = a.getDouble(i) / d
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** sqrt of the in-order sum of squares — identical accumulation to
@@ -138,23 +156,62 @@ case class LshBucketExpr(child: Expression, planes: Seq[Seq[Double]]) extends Un
   override def checkInputDataTypes(): TypeCheckResult =
     VecExpressions.requireDoubleArray(child, prettyName)
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  // a NULL vector yields bucket 0, exactly like the HOF fold it replaced
+  // (every per-plane `when(null_dot > 0, 1).otherwise(0)` bit was 0) —
+  // so the expression never returns null
+  override def nullable: Boolean = false
   override def prettyName: String = "lsh_bucket"
 
   @transient private lazy val planesArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
-  override protected def nullSafeEval(input: Any): Any =
-    LshKernels.bucket(input.asInstanceOf[ArrayData], planesArr)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else LshKernels.bucket(v.asInstanceOf[ArrayData], planesArr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshPlanes", planesArr, "double[][]")
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.expressions.LshKernels.bucket($v, $ref);")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} = 0;
+        if (!${childGen.isNull}) {
+          ${ev.value} = graft.expressions.LshKernels.bucket(${childGen.value}, $ref);
+        }
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
+}
+
+/** `a / d` element-wise over an `array<double>` and a double scalar —
+  * codegen'd; the divisor is evaluated once per row (vs per element in
+  * the `transform` HOF form it replaces). */
+case class VecScaleExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecExpressions.requireDoubleArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double divisor, got ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_scale"
+
+  override def nullSafeEval(a: Any, d: Any): Any =
+    VecKernels.scale(a.asInstanceOf[ArrayData], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, d) =>
+      s"${ev.value} = graft.expressions.VecKernels.scale($a, $d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecScaleExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** √(Σ aᵢ²) of an `array<double>` column — codegen'd, allocation-free. */

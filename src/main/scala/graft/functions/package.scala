@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr}
+import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -103,13 +103,19 @@ package object functions {
     * both Spark and local DuckDB 1.0, so cast-parity tuning is untestable
     * locally; integer cents sidestep engine decimal semantics entirely.
     * Headroom: cents ≤ 1e7 per value, ×100 for discount-products ≤ 1e9 per
-    * row — int64 sums hold to ~9e9 rows per group. */
-  def cents(c: Column): Column = floor(c * 100d + 0.5).cast("long")
+    * row — int64 sums hold to ~9e9 rows per group. Non-finite input
+    * (NaN/±Inf) maps to NULL on BOTH engines — without the guard Spark's
+    * NaN→long cast and DuckDB's CAST(floor(NaN) AS BIGINT) disagree
+    * (silent 0 / ANSI error vs conversion error). */
+  def cents(c: Column): Column =
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit(null).cast("long"))
+      .otherwise(floor(c * 100d + 0.5).cast("long"))
 
   /** The DuckDB-side fragment equivalent to [[cents]]. (DuckDB `floor`
     * returns DOUBLE and `sum(BIGINT)` returns HUGEINT — oracle SQL must
     * CAST both the cents and the final sum back to BIGINT.) */
-  def centsSql(x: String): String = s"CAST(floor(($x) * 100.0 + 0.5) AS BIGINT)"
+  def centsSql(x: String): String =
+    s"CASE WHEN isnan($x) OR isinf($x) THEN NULL ELSE CAST(floor(($x) * 100.0 + 0.5) AS BIGINT) END"
 
   /** The DuckDB-side fragment equivalent to [[pround]]. */
   def duckRound(exprSql: String, decimals: Int): String = {
@@ -152,6 +158,11 @@ package object functions {
 
   /** L2 norm (native codegen'd expression). */
   def l2Norm(a: Column): Column = ncol(L2NormExpr(nexpr(a)))
+
+  /** Element-wise `a / d` (native codegen'd; the divisor evaluates once
+    * per row — the `transform` HOF form re-evaluated an embedded l2Norm
+    * per ELEMENT, O(dim²) interpreted work on every normalization pass). */
+  def vecScale(a: Column, d: Column): Column = ncol(VecScaleExpr(nexpr(a), nexpr(d)))
 
   /** Sign-random-projection bucket id against a literal hyperplane matrix
     * ([[graft.expressions.LshBucketExpr]]) — same bit order as the

@@ -52,7 +52,7 @@ object Sampling {
       groupCol: String, trainFrac: Double, valFrac: Double): DataFrame = {
     val sp = Caching.persisted(
       assignSplit(df, idCol, trainFrac, valFrac)
-        .select(col(idCol), col(groupCol), col("split"), md5(col(textCol)).as("h")))
+        .select(col(groupCol), col("split"), md5(col(textCol)).as("h")))
     val train = sp.filter(col("split") === "train")
       .select(col("h")).distinct().withColumn("in_train", lit(1L))
     sp.filter(col("split") === "test")

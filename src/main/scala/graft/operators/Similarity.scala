@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSim, dotProduct, l2Norm, pround6}
+import graft.functions.{cosineSim, dotProduct, l2Norm, pround6, vecScale}
 
 /** Approximate-nearest-neighbor / similarity search over a dense embedding
   * column (SURVEY.md §2.11 X3). Two paths:
@@ -36,6 +36,17 @@ object Similarity {
     * would rank NaN FIRST (doubles sort NaN highest) while the aggregate
     * excluded it — two "same semantics" paths diverging on garbage input. */
   private def realScore(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** Shared prep of every unit-sphere path (live-fit IVF, pinned IVF,
+    * cell stats): cleaned corpus minus degenerate vectors (a NaN element
+    * summed into a centroid poisons the whole cell; zero-norm cannot be
+    * normalized), plus the unit vector `nv` via the native [[vecScale]]
+    * (one l2Norm per row — the `transform` HOF form re-evaluated it per
+    * element). */
+  private def normalizedCorpus(embeddings: DataFrame, dim: Int): DataFrame =
+    cleanCorpus(embeddings, dim)
+      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
+      .withColumn("nv", vecScale(col("v"), l2Norm(col("v"))))
 
   /** Shared corpus prep of the bucketed ANN paths: drop null embeddings,
     * fail fast on a dim mismatch (a mismatched dot product is null, which
@@ -225,10 +236,7 @@ object Similarity {
     // (zero-norm, NaN element) are dropped HERE: one NaN element summed
     // into a centroid would poison that center to all-NaN — whole-cell
     // recall loss from a single bad row.
-    val nv = transform(col("v"), x => x / l2Norm(col("v")))
-    val fitInput = Caching.persisted(cleanCorpus(embeddings, dim)
-      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
-      .withColumn("nv", nv)
+    val fitInput = Caching.persisted(normalizedCorpus(embeddings, dim)
       .withColumn("fv", array_to_vector(col("nv"))))
     // bounded training set: sample iff the corpus exceeds maxTrain (the
     // count is one pass over the already-persisted fit input)
@@ -271,10 +279,7 @@ object Similarity {
   def ivfTopKPinned(embeddings: DataFrame, queryPred: Column, k: Int,
       centers: Seq[Seq[Double]] = IvfCodebook.centers, nprobe: Int = 3,
       dim: Int = 64): DataFrame = {
-    val nv = transform(col("v"), x => x / l2Norm(col("v")))
-    val assigned = Caching.persisted(cleanCorpus(embeddings, dim)
-      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
-      .withColumn("nv", nv)
+    val assigned = Caching.persisted(normalizedCorpus(embeddings, dim)
       .withColumn("bucket", nearestCell(col("nv"), centers)))
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
@@ -293,10 +298,7 @@ object Similarity {
     * (centroids are literal data, see [[IvfCodebook]]). */
   def cellStats(embeddings: DataFrame,
       centers: Seq[Seq[Double]] = IvfCodebook.centers, dim: Int = 64): DataFrame = {
-    val nv = transform(col("v"), x => x / l2Norm(col("v")))
-    cleanCorpus(embeddings, dim)
-      .filter(!exists(col("v"), x => isnan(x)) && l2Norm(col("v")) > 0d)
-      .withColumn("nv", nv)
+    normalizedCorpus(embeddings, dim)
       .withColumn("bucket", nearestCell(col("nv"), centers))
       .withColumn("cvec", element_at(typedLit(centers), col("bucket") + 1))
       .withColumn("align_e6",

@@ -334,10 +334,6 @@ object ExtQueries {
   private def duckSigned(hCol: String): String =
     s"CAST($hCol - CASE WHEN $hCol >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
 
-  /** Oracle for [[x13ShardStats]]: shard = pmod(md5Hash64(id||':graft'), 8),
-    * sort_key = md5Hash64(id||':graft:order'); `((h%n)+n)%n` mirrors
-    * Spark's pmod for negative hashes. Staged CTEs: md5 once, nibble-fold
-    * once, sign-fold once — per hash, per row. */
   /** Signed-int64 → uniform (0,1) fragment — the SQL mirror of
     * [[graft.functions.unitInterval]], shared by the x16 and x18/x19
     * oracles (2⁶³/2⁶⁴ are exactly representable doubles). */
@@ -352,6 +348,9 @@ object ExtQueries {
   private def duckShardExpr(huCol: String, n: Int): String =
     s"CAST(((${duckSigned(huCol)} % $n) + $n) % $n AS INT)"
 
+  /** Oracle for [[x13ShardStats]]: shard = pmod(md5Hash64(id||':graft'), 8),
+    * sort_key = md5Hash64(id||':graft:order'). Staged CTEs: md5 once,
+    * nibble-fold once, sign-fold once — per hash, per row. */
   private val duckShardStats: String =
     s"""WITH m AS (
        |  SELECT doc_id,
