@@ -23,6 +23,28 @@ class OracleParitySpec extends SparkTestBase {
       s"oracle SQL uses DECIMAL (driver-divergent cast semantics): ${offenders.mkString(", ")}")
   }
 
+  test("every oracle SQL ends with a total ORDER BY") {
+    // the driver hash is row-order-sensitive; an oracle without ORDER BY
+    // red-flags nondeterministically (the worst failure mode to debug)
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(offenders.isEmpty, s"oracle SQL missing ORDER BY: ${offenders.mkString(", ")}")
+  }
+
+  test("cents maps non-finite input to NULL (engine-divergent otherwise)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1.005 is the decimal-cast trap value: its double is 1.00499…, so the
+    // IEEE-deterministic answer is 100 on BOTH engines (a decimal cast
+    // would give 101 on Spark and 100 on some DuckDBs — the round-1/2 red)
+    val got = Seq(1.005, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, -2.345)
+      .toDF("x").select(graft.functions.cents(col("x"))).as[Option[Long]].collect().toSeq
+    // -2.345's double is -2.34500000000000019…: ×100+0.5 lands just below
+    // -234, so floor gives -235 — identically on both engines
+    assert(got === Seq(Some(100L), None, None, None, Some(-235L)))
+  }
+
   test("no DecimalType expression in any oracle-checked query plan") {
     val dir = "/root/testdata/sf0.001"
     def isDecimal(e: Expression): Boolean =
