@@ -169,6 +169,21 @@ object ExtQueries {
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       .orderBy("col_name")
 
+  /** Per-(shard, bin) stats of contiguous 4000-char packing over the
+    * deterministic shard order ([[graft.operators.Packing]] over
+    * [[graft.operators.Sharding]]) — batch construction for training,
+    * whole assignment replayed in SQL. */
+  def x21PackStats(s: SparkSession, dir: String): DataFrame = {
+    val sharded = graft.operators.Sharding.assignShards(
+      Tables.documents(s, dir), "doc_id", numShards = 8)
+    graft.operators.Packing.contiguousPack(sharded,
+        partCols = Seq("shard"), orderCols = Seq("sort_key", "doc_id"),
+        sizeCol = "n_chars", budget = 4000L)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
+      .orderBy("shard", "bin")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -348,27 +363,49 @@ object ExtQueries {
   private def duckShardExpr(huCol: String, n: Int): String =
     s"CAST(((${duckSigned(huCol)} % $n) + $n) % $n AS INT)"
 
-  /** Oracle for [[x13ShardStats]]: shard = pmod(md5Hash64(id||':graft'), 8),
-    * sort_key = md5Hash64(id||':graft:order'). Staged CTEs: md5 once,
-    * nibble-fold once, sign-fold once — per hash, per row. */
-  private val duckShardStats: String =
-    s"""WITH m AS (
-       |  SELECT doc_id,
+  /** Shared shard-assignment CTEs (m → hh → k: shard =
+    * pmod(md5Hash64(id||':graft'), 8), sort_key =
+    * md5Hash64(id||':graft:order'); md5 once, nibble-fold once, sign-fold
+    * once per hash per row) — used by the x13 and x21 oracles.
+    * `extraCols` carries payload columns (e.g. ", n_chars") through. */
+  private def duckShardCtes(extraCols: String): String =
+    s"""m AS (
+       |  SELECT doc_id$extraCols,
        |    ${duckShardMd5("doc_id")} AS m1,
        |    md5(CAST(doc_id AS VARCHAR)||':graft:order') AS m2
        |  FROM documents
        |),
        |hh AS (
-       |  SELECT doc_id, ${duckNibbleFold("m1")} AS h1u, ${duckNibbleFold("m2")} AS h2u FROM m
+       |  SELECT doc_id$extraCols, ${duckNibbleFold("m1")} AS h1u, ${duckNibbleFold("m2")} AS h2u FROM m
        |),
        |k AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$extraCols,
        |    ${duckShardExpr("h1u", 8)} AS shard,
        |    ${duckSigned("h2u")} AS sort_key
        |  FROM hh
-       |)
+       |)""".stripMargin
+
+  /** Oracle for [[x13ShardStats]]. */
+  private val duckShardStats: String =
+    s"""WITH ${duckShardCtes("")}
        |SELECT shard, count(*) AS docs, min(sort_key) AS min_key, max(sort_key) AS max_key
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Oracle for [[x21PackStats]]: shared shard CTEs, then the exact
+    * prefix-sum-before-row (ROWS … 1 PRECEDING) integer-divided by the
+    * budget — [[graft.operators.Packing.contiguousPack]]'s bin rule. */
+  private val duckPackStats: String =
+    s"""WITH ${duckShardCtes(", n_chars")},
+       |c AS (
+       |  SELECT shard, n_chars,
+       |    CAST(coalesce(sum(n_chars) OVER (
+       |      PARTITION BY shard ORDER BY sort_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+       |  FROM k
+       |),
+       |b AS (SELECT shard, n_chars, CAST(cum_prev // 4000 AS BIGINT) AS bin FROM c)
+       |SELECT shard, bin, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
   /** Shared explicit-term-chain builders for every vector-literal oracle
     * (x7 planes, x12/x15 centroids): ONE implementation of the
@@ -597,6 +634,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "x20_profile" -> duckProfile,
+    "x21_pack_stats" -> duckPackStats,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -797,6 +835,7 @@ object ExtQueries {
     "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
+    "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -46,6 +46,17 @@ class SamplingSpec extends SparkTestBase {
     Caching.releaseAll()
   }
 
+  test("contiguousPack: bins cut at budget multiples; straddling row stays in its starting bin") {
+    val df = Seq((0, 1L, 3L), (0, 2L, 3L), (0, 3L, 3L), (0, 4L, 10L), (0, 5L, 1L), (1, 6L, 5L))
+      .toDF("shard", "ord", "sz")
+    val got = Packing.contiguousPack(df, Seq("shard"), Seq("ord"), "sz", budget = 5L)
+      .select("shard", "ord", "bin").as[(Int, Long, Long)].collect().toSet
+    // shard 0 prefix sums BEFORE each row: 0,3,6,9,19 → bins 0,0,1,1,3
+    // (the 10-size row starts in bin 1 and straddles; the next row lands
+    // after it at prefix 19 → bin 3); shard 1 restarts at 0
+    assert(got === Set((0, 1L, 0L), (0, 2L, 0L), (0, 3L, 1L), (0, 4L, 1L), (0, 5L, 3L), (1, 6L, 0L)))
+  }
+
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
     val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
