@@ -43,6 +43,53 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Per-stratum deterministic Bernoulli sample (SURVEY.md §2.11 R24):
+    * keep a row iff its id's uniform position < its stratum's fraction —
+    * different sampling rates per group (the rebalancing move of corpus
+    * curation), same reproducibility guarantees as
+    * [[deterministicSample]]. Stateless row-wise filter: no shuffle, the
+    * rate table folds into one codegen'd CASE chain. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ":strat"): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(stratCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(uniformPos(col(idCol), salt) < frac)
+  }
+
+  /** N-gram-level decontamination stats (SURVEY.md §2.11 R23) — the
+    * standard eval-overlap check one level deeper than
+    * [[contaminationStats]]'s exact-text match: a TEST doc is contaminated
+    * if ANY of its word `n`-grams appears in ANY TRAIN doc. Shape: both
+    * sides explode to (doc, 16-byte md5(gram)) after map-side distinct;
+    * the semi-join shuffles gram hashes, never texts, and the hit set
+    * collapses to distinct test doc ids before the per-group count. The
+    * train side is NOT broadcast (unlike exact-text hashes, the distinct
+    * gram set is ~tokens-sized at 100 TB); AQE may still choose broadcast
+    * when it fits. */
+  def ngramContaminationStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, trainFrac: Double, valFrac: Double, n: Int = 8): DataFrame = {
+    val sp = Caching.persisted(
+      assignSplit(df, idCol, trainFrac, valFrac)
+        .select(col(groupCol), col(idCol), col("split"),
+          TextOps.shingles(TextOps.tokens(col(textCol)), n).as("grams")))
+    val trainGrams = sp.filter(col("split") === "train")
+      .select(explode(col("grams")).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    val hits = sp.filter(col("split") === "test")
+      .select(col(idCol), explode(col("grams")).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+      .join(trainGrams, Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("hit", lit(1L))
+    sp.filter(col("split") === "test")
+      .join(hits, Seq(idCol), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("test_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("contaminated_ngram"))
+  }
+
   /** Benchmark-decontamination stats: per-`groupCol` count of TEST-split
     * rows whose exact `textCol` md5 also appears in the TRAIN split —
     * the overlap an eval must rule out. At 100 TB the train side

@@ -64,6 +64,47 @@ object TextAnalysis {
     )
   }
 
+  /** Per-document repetition metrics (SURVEY.md §2.11 R22) — the
+    * MassiveText/Gopher-style repetitious-text filters: duplicate-token
+    * fraction, duplicate-bigram fraction, and the most-frequent-token
+    * share, plus a composite pass/fail flag. The corpus has no line
+    * structure, so the line-level rules collapse to their token/n-gram
+    * counterparts.
+    *
+    * Shape: one scan; array metrics are per-row column ops (distinct
+    * bigram count via the native [[graft.expressions.ShinglesExpr]]
+    * kernel), the top-token share is the classic word-count shape —
+    * explode, partial-agg by (doc, token), max by doc — so the shuffle
+    * carries (doc_id, token, count) triples after map-side combine,
+    * never texts. All ratios are pround4'd and the flag compares the
+    * ROUNDED values (oracle parity rule). */
+  def repetition(docs: DataFrame, flagThreshold: Double = 0.2): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perDoc = docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        (size(toks) - 1).cast("long").as("n_bigrams"),
+        size(TextOps.shingles(toks, 2)).cast("long").as("n_uniq_bigrams"),
+        explode(toks).as("tok"))
+      .groupBy("doc_id", "n_tokens", "n_uniq", "n_bigrams", "n_uniq_bigrams", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n_tokens", "n_uniq", "n_bigrams", "n_uniq_bigrams")
+      .agg(max(col("cnt")).as("top_cnt"))
+    // identical IEEE shapes on both engines; n_bigrams <= 0 -> null ratio
+    val dupTok = pround4(lit(1.0) - col("n_uniq") / col("n_tokens"))
+    val dupBi = pround4(lit(1.0) -
+      col("n_uniq_bigrams") / when(col("n_bigrams") > 0, col("n_bigrams")))
+    val topTok = pround4(col("top_cnt") / col("n_tokens"))
+    perDoc.select(
+      col("doc_id"), col("n_tokens"),
+      dupTok.as("dup_token_frac"),
+      dupBi.as("dup_bigram_frac"),
+      topTok.as("top_token_frac"),
+      when(dupBi > flagThreshold || topTok > flagThreshold, lit(1L)).otherwise(lit(0L))
+        .as("flag_repetitive"))
+  }
+
   /** Per-doc fingerprint: minimum md5 over word 3-grams — a 1-hash MinHash;
     * identical fingerprints are a strong near-dup signal, and min-md5 is
     * reproducible in any engine with md5 (oracle-checkable), unlike a

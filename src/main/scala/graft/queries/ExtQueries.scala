@@ -184,6 +184,35 @@ object ExtQueries {
       .orderBy("shard", "bin")
   }
 
+  /** Per-doc Gopher-style repetition metrics
+    * ([[graft.operators.TextAnalysis.repetition]]): duplicate-token /
+    * duplicate-bigram fractions, top-token share, composite flag. */
+  def x22Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetition(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** N-gram-level decontamination
+    * ([[graft.operators.Sampling.ngramContaminationStats]]): per-lang
+    * count of test-split docs sharing ANY word 8-gram with the train
+    * split — the eval-overlap rule one level deeper than x19's
+    * exact-text check. */
+  def x23NgramContamination(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ngramContaminationStats(Tables.documents(s, dir),
+        "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1, n = 8)
+      .orderBy("lang")
+
+  /** Stratified deterministic sampling
+    * ([[graft.operators.Sampling.stratifiedSample]]): per-lang rates
+    * (en 0.5, de 0.25, fr 0.1, rest 0.05), per-lang kept-doc stats. */
+  def x24StratSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(Tables.documents(s, dir),
+        "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), defaultFraction = 0.05)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -618,6 +647,66 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
        |FROM te GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DuckDB mirror of the repetition metrics (x22): array metrics per doc,
+    * word-count-shaped top-token share, the SAME pround4'd ratio fragments
+    * reused in the flag so the threshold compares rounded values. */
+  private val duckRepetition: String = {
+    val dupBi = "floor((1.0 - n_uniq_bigrams / (CASE WHEN n_bigrams > 0 THEN n_bigrams END))" +
+      " * 10000.0 + 0.5) / 10000.0"
+    val topTok = "floor((top_cnt / n_tokens) * 10000.0 + 0.5) / 10000.0"
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,
+       |    len(w) - 1 AS n_bigrams,
+       |    len(list_distinct([w[i]||' '||w[i+1] for i in range(1, len(w))])) AS n_uniq_bigrams
+       |  FROM t),
+       |freq AS (
+       |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+       |    SELECT doc_id, tok, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, n_tokens,
+       |  floor((1.0 - n_uniq / n_tokens) * 10000.0 + 0.5) / 10000.0 AS dup_token_frac,
+       |  $dupBi AS dup_bigram_frac,
+       |  $topTok AS top_token_frac,
+       |  CAST(CASE WHEN $dupBi > 0.2 OR $topTok > 0.2 THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+       |FROM base b JOIN freq f ON b.doc_id = f.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the 8-gram decontamination (x23): same split CTEs as
+    * x18/x19, grams via inclusive list slices (w[i:i+7] = the 8 tokens from
+    * i), overlap as a distinct-gram join. */
+  private val duckNgramContamination: String =
+    s"""WITH $duckSplitCtes,
+       |g AS (
+       |  SELECT doc_id, lang, split,
+       |    list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS grams
+       |  FROM (SELECT doc_id, lang, split, string_split(text,' ') AS w FROM sp)
+       |),
+       |tr AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE split = 'train'),
+       |te AS (SELECT doc_id, lang, grams FROM g WHERE split = 'test'),
+       |hit AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM te) x JOIN tr USING (gr)
+       |)
+       |SELECT lang, count(*) AS test_docs,
+       |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_ngram
+       |FROM te GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of the stratified sample (x24): the x18 uniform-position
+    * chain under the ':strat' salt, thresholded by a per-lang CASE. */
+  private val duckStratStats: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)||':strat') AS mm FROM documents
+       |),
+       |hh AS (SELECT doc_id, lang, ${duckNibbleFold("mm")} AS hu FROM m),
+       |uu AS (SELECT doc_id, lang, ${duckUnitInterval(duckSigned("hu"))} AS u FROM hh)
+       |SELECT lang, count(*) AS docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM uu
+       |WHERE u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1 ELSE 0.05 END)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB mirror of the column profile (x20): one UNION ALL branch per
     * column, native-type min/max rendered as VARCHAR afterwards — same
     * as the Spark side's cast-after-aggregate. */
@@ -635,6 +724,9 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
+    "x22_repetition" -> duckRepetition,
+    "x23_ngram_contamination" -> duckNgramContamination,
+    "x24_strat_sample" -> duckStratStats,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -836,6 +928,9 @@ object ExtQueries {
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
+    "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max
+    "x23_ngram_contamination" -> x23NgramContamination, // oracle: split + 8-gram join
+    "x24_strat_sample" -> x24StratSample, // oracle: uniform chain + per-lang CASE
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -261,6 +261,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Double]("stop_ratio") == 0.6)    // the, and, the
   }
 
+  test("repetition metrics on known documents; flag compares rounded ratios") {
+    val docs = Seq(
+      (1L, "spam spam spam a b spam"), // 6 toks, 3 uniq; 5 bigrams, 4 uniq; top=4
+      (2L, "a b c d e f")              // no repetition; top share 1/6
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_tokens") == 6L)
+    assert(m(1L).getAs[Double]("dup_token_frac") == 0.5)
+    assert(m(1L).getAs[Double]("dup_bigram_frac") == 0.2)   // 1 - 4/5
+    assert(m(1L).getAs[Double]("top_token_frac") == 0.6667) // 4/6 pround4
+    assert(m(1L).getAs[Long]("flag_repetitive") == 1L)
+    assert(m(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(m(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_token_frac") == 0.1667)
+    assert(m(2L).getAs[Long]("flag_repetitive") == 0L)
+  }
+
   test("langId picks the language with most marker hits, unknown when none") {
     val docs = Seq(
       "der hund und die katze ist da",

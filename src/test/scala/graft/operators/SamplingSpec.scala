@@ -46,6 +46,51 @@ class SamplingSpec extends SparkTestBase {
     Caching.releaseAll()
   }
 
+  test("stratifiedSample: per-stratum rates equal per-group deterministic samples; default applies") {
+    val df = (0L until 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "strat")
+    val got = Sampling.stratifiedSample(df, "id", "strat",
+        Map("a" -> 0.5, "b" -> 0.1), defaultFraction = 0.05)
+      .select("id").as[Long].collect().toSet
+    // same rows as sampling each stratum alone at its own rate (same salt)
+    val expected = Seq("a" -> 0.5, "b" -> 0.1, "c" -> 0.05).flatMap { case (s, f) =>
+      Sampling.deterministicSample(df.filter(col("strat") === s), "id", f, ":strat")
+        .select("id").as[Long].collect()
+    }.toSet
+    assert(got === expected)
+    // stable under repartition
+    val again = Sampling.stratifiedSample(df.repartition(11), "id", "strat",
+        Map("a" -> 0.5, "b" -> 0.1), defaultFraction = 0.05)
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+  }
+
+  test("ngramContaminationStats catches a planted 8-gram overlap that exact-text misses") {
+    val docs = (0L until 500L)
+      .map(i => (i, s"unique text number $i alpha beta gamma delta epsilon zeta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bySplit = Sampling.assignSplit(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val trainId = bySplit("train").head
+    val testId = bySplit("test").head
+    // the planted TEST text is NOT any train text, but its tokens 2-9 equal
+    // the train doc's tokens 1-8 — one shared 8-gram
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === testId,
+        lit(s"prefix unique text number $trainId alpha beta gamma delta end"))
+        .otherwise(col("text")))
+    val got = Sampling.ngramContaminationStats(planted, "doc_id", "text", "lang", 0.8, 0.1, n = 8)
+      .as[(String, Long, Long)].collect().map { case (l, t, c) => l -> ((t, c)) }.toMap
+    assert(got("en")._1 === bySplit("test").size.toLong)
+    assert(got("en")._2 === 1L) // only the planted doc; every other 8-gram embeds its own id
+    // the exact-text check cannot see this overlap
+    val exact = Sampling.contaminationStats(planted, "doc_id", "text", "lang", 0.8, 0.1)
+      .as[(String, Long, Long)].collect().head
+    assert(exact._3 === 0L)
+    Caching.releaseAll()
+  }
+
   test("contiguousPack: bins cut at budget multiples; straddling row stays in its starting bin") {
     val df = Seq((0, 1L, 3L), (0, 2L, 3L), (0, 3L, 3L), (0, 4L, 10L), (0, 5L, 1L), (1, 6L, 5L))
       .toDF("shard", "ord", "sz")
