@@ -80,13 +80,22 @@ object TextAnalysis {
     * ROUNDED values (oracle parity rule). */
   def repetition(docs: DataFrame, flagThreshold: Double = 0.2): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val perDoc = docs.select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"),
-        (size(toks) - 1).cast("long").as("n_bigrams"),
-        size(TextOps.shingles(toks, 2)).cast("long").as("n_uniq_bigrams"),
-        explode(toks).as("tok"))
+    // Two selects, not one: with the metrics and explode(toks) in a single
+    // projection the analyzer hoists the metric expressions ABOVE the
+    // Generate, recomputing array_distinct/shingles over the full token
+    // array once per exploded TOKEN (O(tokens²) per doc — measured 4.9s at
+    // sf0.1). Splitting keeps them in the per-document projection below the
+    // Generate; results are bit-identical.
+    val perDocArrays = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      (size(toks) - 1).cast("long").as("n_bigrams"),
+      size(TextOps.shingles(toks, 2)).cast("long").as("n_uniq_bigrams"),
+      toks.as("toks"))
+    val perDoc = perDocArrays.select(
+        col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_bigrams"),
+        col("n_uniq_bigrams"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "n_tokens", "n_uniq", "n_bigrams", "n_uniq_bigrams", "tok")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n_tokens", "n_uniq", "n_bigrams", "n_uniq_bigrams")
