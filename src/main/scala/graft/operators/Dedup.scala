@@ -286,4 +286,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Representative selection — the curation step after near-dup
+    * clustering: keep the best-scoring member of each duplicate cluster
+    * (ties to the lowest id), one row per cluster with its size and
+    * winner. Docs not in any near-dup pair never enter `clusterMap`, so
+    * the corpus-level "keep" set is (all docs) minus (cluster members)
+    * plus (the reps returned here).
+    *
+    * Shape: the cluster map only contains docs that occur in some
+    * near-dup pair — tiny relative to the corpus — so the score join is
+    * cheap; the argmax is one partial+final `max(struct(score, -id))`
+    * hash aggregate (map-side combine, no window, no per-cluster sort).
+    * Null scores rank below any real score via `coalesce(score, -1)`
+    * (callers' scores are bounded ratios in [0, 1]). */
+  def representatives(clusterMap: DataFrame, scores: DataFrame,
+                      idCol: String, scoreCol: String): DataFrame = {
+    val sc = scores.select(col(idCol).cast("long").as("id"),
+      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("score"))
+    clusterMap.join(sc, "id")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("score"), negate(col("id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        negate(col("best.neg_id")).cast("long").as("rep_id"),
+        col("best.score").as("rep_score"))
+  }
 }

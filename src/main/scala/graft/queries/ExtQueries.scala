@@ -44,6 +44,21 @@ object ExtQueries {
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8))
       .orderBy("id")
 
+  /** Representative selection over the x11 clusters ([[Dedup
+    * .representatives]]): per duplicate cluster, its size and the
+    * highest-quality member (ties to lowest id) — the keep-best curation
+    * step. Oracle = the shared x11 cluster CTE + the shared quality
+    * formula + a window argmax. */
+  def x25ClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusterMap = Dedup.clusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8))
+    Dedup.representatives(clusterMap, TextAnalysis.quality(docs),
+        idCol = "doc_id", scoreCol = "quality_score")
+      .orderBy("cluster")
+  }
+
   // ---------------------------------------------------------- similarity ----
 
   private def embAsDouble(s: SparkSession, dir: String): DataFrame =
@@ -292,6 +307,48 @@ object ExtQueries {
     * [[TextOps.shingles]] with n=3). */
   private val duckGrams =
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])"
+
+  /** Shared MinHash-LSH → connected-components CTE chain (the
+    * [[x11DedupClusters]] pipeline mirror, used by the x11 and x25
+    * oracles): a full `WITH RECURSIVE` prefix ending in
+    * `clust(id, cluster)`. Callers append more CTEs with a leading comma
+    * or SELECT from `clust` directly. */
+  private val duckClusterCtes: String =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT doc_id, $duckGrams AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |),
+       |sig AS (
+       |  SELECT doc_id, grams,
+       |    [list_min([substr(md5(x), 1 + 4*k, 4) for x in grams]) for k in range(0, 8)] AS sig
+       |  FROM g
+       |),
+       |band AS (
+       |  SELECT doc_id, i AS band_idx, sig[2*i+1]||sig[2*i+2] AS band_key
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS i)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |verified AS (
+       |  SELECT id1, id2
+       |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
+       |  WHERE ${graft.functions.duckRound(
+             "len(list_intersect(g1.grams, g2.grams)) * 1.0 / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))", 4)} >= 0.8
+       |),
+       |und AS (SELECT id1 AS a, id2 AS b FROM verified UNION ALL SELECT id2, id1 FROM verified),
+       |reach AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+       |),
+       |clust AS (
+       |  SELECT n.id, least(n.id, min(r.b)) AS cluster
+       |  FROM (SELECT DISTINCT a AS id FROM und) n LEFT JOIN reach r ON r.a = n.id
+       |  GROUP BY n.id
+       |)""".stripMargin
 
   /** DuckDB mirror of the SimHash pipeline ([[Dedup.simhashes]] +
     * [[Dedup.simhashPairs]]): per-token 64-bit hash rebuilt nibble-by-nibble
@@ -782,39 +839,18 @@ object ExtQueries {
          |)
          |SELECT * FROM verified WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
     "x11_dedup_clusters" ->
-      s"""WITH RECURSIVE g AS (
-         |  SELECT doc_id, $duckGrams AS grams
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         |  WHERE len(w) >= 3
-         |),
-         |sig AS (
-         |  SELECT doc_id, grams,
-         |    [list_min([substr(md5(x), 1 + 4*k, 4) for x in grams]) for k in range(0, 8)] AS sig
-         |  FROM g
-         |),
-         |band AS (
-         |  SELECT doc_id, i AS band_idx, sig[2*i+1]||sig[2*i+2] AS band_key
-         |  FROM sig, (SELECT unnest([0,1,2,3]) AS i)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |),
-         |verified AS (
-         |  SELECT id1, id2
-         |  FROM cand JOIN g g1 ON g1.doc_id = id1 JOIN g g2 ON g2.doc_id = id2
-         |  WHERE ${graft.functions.duckRound(
-             "len(list_intersect(g1.grams, g2.grams)) * 1.0 / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))", 4)} >= 0.8
-         |),
-         |und AS (SELECT id1 AS a, id2 AS b FROM verified UNION ALL SELECT id2, id1 FROM verified),
-         |reach AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-         |)
-         |SELECT n.id, least(n.id, min(r.b)) AS cluster
-         |FROM (SELECT DISTINCT a AS id FROM und) n LEFT JOIN reach r ON r.a = n.id
-         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+      s"""$duckClusterCtes
+         |SELECT id, cluster FROM clust ORDER BY id""".stripMargin,
+    "x25_cluster_reps" ->
+      s"""$duckClusterCtes,
+         |q AS (SELECT doc_id, $duckQs AS score FROM documents)
+         |SELECT cluster, n_members, id AS rep_id, score AS rep_score FROM (
+         |  SELECT c.cluster, c.id, coalesce(q.score, -1.0) AS score,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |                       ORDER BY coalesce(q.score, -1.0) DESC, c.id ASC) AS rn
+         |  FROM clust c JOIN q ON q.doc_id = c.id) t
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "x4_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, source, n_chars // 100 AS bucket, $duckGrams AS grams
@@ -914,6 +950,7 @@ object ExtQueries {
     "x3_simhash"       -> x3Simhash, // oracle: md5-derived token hash
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x11_dedup_clusters" -> x11DedupClusters,
+    "x25_cluster_reps" -> x25ClusterReps, // oracle: shared cluster CTE + window argmax
     "x5_embed_topk"    -> x5EmbedTopk,
     "x9_topk_agg"      -> x9TopkAgg,
     "x6_embed_neardup" -> x6EmbedNeardup,

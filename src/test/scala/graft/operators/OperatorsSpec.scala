@@ -59,6 +59,19 @@ class DedupSpec extends SparkTestBase {
       Dedup.clusters(pairs, maxIter = 1, driverThreshold = 0L).collect())
   }
 
+  test("representatives: best score wins, ties to lowest id, null score loses") {
+    import spark.implicits._
+    val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val scores = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, None), // cluster 1: 2 wins, null loses
+      (10L, Some(0.5)), (11L, Some(0.5))            // cluster 10: tie -> min id
+    ).toDF("doc_id", "quality_score")
+    val got = Dedup.representatives(clusterMap, scores, "doc_id", "quality_score")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 0.9)), 10L -> ((2L, 10L, 0.5))))
+  }
+
   test("simhash: identical docs get identical hashes; pairs found at hamming 0") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     assert(sims(0L) == sims(1L))
