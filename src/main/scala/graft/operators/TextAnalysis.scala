@@ -114,6 +114,60 @@ object TextAnalysis {
         .as("flag_repetitive"))
   }
 
+  // PII patterns — deliberately plain regex (character classes, counted
+  // repetition, no lookaround) so Java's engine (Spark) and RE2 (DuckDB
+  // oracle) match identically.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "(\\d{1,3}\\.){3}\\d{1,3}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Deterministic PII-bearing corpus: appends synthetic contact strings
+    * derived from `doc_id` to subsets of docs (the clean synthetic corpus
+    * contains none) — the [[Multimodal.synthesize]] precedent, standing in
+    * for real dirty text so the detection/redaction path is exercised and
+    * oracle-replayable end-to-end. */
+  def synthesizePii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1 up")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199 soon")))
+          .otherwise(lit(""))
+      ).as("text"))
+
+  /** PII detection + redaction (SURVEY.md §2.11 R25) — the corpus-cleaning
+    * pass every training pipeline runs before release: per-doc match
+    * counts for email / IPv4 / phone patterns and an md5 of the redacted
+    * text (emails first, then IPs, then phones — the placeholders contain
+    * no digits or `@`, so later passes never re-match earlier ones).
+    *
+    * Shape: a pure per-row codegen'd projection — no shuffle, no state;
+    * at 100 TB this is scan-bound and embarrassingly parallel. The md5
+    * keeps the verified output narrow (16 bytes/doc, not redacted
+    * bodies). */
+  def pii(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(emailRe), lit("[EMAIL]")),
+          lit(ipv4Re), lit("[IP]")),
+        lit(phoneRe), lit("[PHONE]"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Per-doc fingerprint: minimum md5 over word 3-grams — a 1-hash MinHash;
     * identical fingerprints are a strong near-dup signal, and min-md5 is
     * reproducible in any engine with md5 (oracle-checkable), unlike a

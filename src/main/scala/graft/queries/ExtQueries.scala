@@ -286,6 +286,13 @@ object ExtQueries {
         size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** PII detection/redaction over the deterministic dirty corpus
+    * ([[TextAnalysis.synthesizePii]] + [[TextAnalysis.pii]]): per-doc
+    * match counts + redacted-text md5, both fully replayable in SQL. */
+  def x26Pii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pii(TextAnalysis.synthesizePii(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------- multimodal ----
 
   def mmMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -731,6 +738,29 @@ object ExtQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of the PII pass (x26): the same synthetic-append rule
+    * and the SAME regex strings ([[TextAnalysis.emailRe]]/ipv4Re/phoneRe —
+    * one source of truth; plain syntax so Java regex and RE2 agree),
+    * counts via regexp_extract_all, redaction innermost-email-first with
+    * the 'g' flag (Spark replaces all matches by default). */
+  private val duckPii: String = {
+    import TextAnalysis.{emailRe, ipv4Re, phoneRe}
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) || '.0.1 up' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 soon' ELSE '' END
+       |    AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '[EMAIL]', 'g'), '$ipv4Re', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g')) AS redacted_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of the 8-gram decontamination (x23): same split CTEs as
     * x18/x19, grams via inclusive list slices (w[i:i+7] = the 8 tokens from
     * i), overlap as a distinct-gram join. */
@@ -784,6 +814,7 @@ object ExtQueries {
     "x22_repetition" -> duckRepetition,
     "x23_ngram_contamination" -> duckNgramContamination,
     "x24_strat_sample" -> duckStratStats,
+    "x26_pii" -> duckPii,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -968,6 +999,7 @@ object ExtQueries {
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max
     "x23_ngram_contamination" -> x23NgramContamination, // oracle: split + 8-gram join
     "x24_strat_sample" -> x24StratSample, // oracle: uniform chain + per-lang CASE
+    "x26_pii" -> x26Pii, // oracle: shared regex strings, synthetic-append replay
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

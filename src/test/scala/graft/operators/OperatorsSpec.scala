@@ -274,6 +274,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Double]("stop_ratio") == 0.6)    // the, and, the
   }
 
+  test("pii: detects and redacts emails, ipv4, phones; placeholders never re-match") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.org or 192.168.0.1 and call 555-123-4567 twice 555-000-9999"),
+      (2L, "clean text with no contact info at all"),
+      (3L, "edge a@b.co near 10.0.0.255x")  // trailing char: ip still matches prefix
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.pii(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_emails") == 1L)
+    assert(m(1L).getAs[Long]("n_ipv4") == 1L)
+    assert(m(1L).getAs[Long]("n_phones") == 2L)
+    assert(m(2L).getAs[Long]("n_emails") == 0L && m(2L).getAs[Long]("n_ipv4") == 0L)
+    assert(m(3L).getAs[Long]("n_emails") == 1L && m(3L).getAs[Long]("n_ipv4") == 1L)
+    // redaction is total: re-running pii on redacted text finds nothing
+    val redacted = Seq((1L,
+      "mail [EMAIL] or [IP] and call [PHONE] twice [PHONE]")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.pii(redacted).collect().head
+    assert(r2.getAs[Long]("n_emails") == 0L && r2.getAs[Long]("n_ipv4") == 0L &&
+      r2.getAs[Long]("n_phones") == 0L)
+  }
+
+  test("synthesizePii appends deterministic contacts only to the keyed subsets") {
+    val docs = Seq((0L, "t0"), (1L, "t1"), (15L, "t15")).toDF("doc_id", "text")
+    val m = TextAnalysis.synthesizePii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(m(0L) == "t0 contact user0@example.com now host 10.0.0.1 up call 555-000-0199 soon")
+    assert(m(1L) == "t1")
+    assert(m(15L) == "t15 contact user15@example.com now host 10.15.0.1 up") // 15%7 != 0
+  }
+
   test("repetition metrics on known documents; flag compares rounded ratios") {
     val docs = Seq(
       (1L, "spam spam spam a b spam"), // 6 toks, 3 uniq; 5 bigrams, 4 uniq; top=4
