@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.pround4
@@ -112,6 +113,34 @@ object TextAnalysis {
       topTok.as("top_token_frac"),
       when(dupBi > flagThreshold || topTok > flagThreshold, lit(1L)).otherwise(lit(0L))
         .as("flag_repetitive"))
+  }
+
+  /** TF-IDF top-k keywords per document (SURVEY.md §2.11 R26). IDF is the
+    * log-free rational form `n_docs / df` — log is only a monotone squash
+    * per term and `Math.log`/`std::log` are not guaranteed to round
+    * identically across engines, while `(tf * n_docs) / df` is exact int64
+    * arithmetic followed by one IEEE division, bit-identical everywhere
+    * (the same reasoning as the cents rule for money).
+    *
+    * Shape: explode → (doc, term) partial+final count (shuffle 1, keys are
+    * tokens not texts); df reuses that aggregate's output (no second
+    * scan); the tf⋈df join is on `term` (AQE broadcasts if the vocabulary
+    * is small; at 100 TB vocabulary it stays a shuffle join); n_docs is a
+    * broadcast 1-row aggregate, not a driver action; top-k is one window
+    * per doc over k′ ≪ vocab candidate rows. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", pround4((col("tf") * col("n_docs")) / col("df")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rn")
   }
 
   // PII patterns — deliberately plain regex (character classes, counted

@@ -286,6 +286,13 @@ object ExtQueries {
         size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
+    * keyword-extraction pass; log-free rational idf so the score is exact
+    * int64 arithmetic + one IEEE division on both engines. */
+  def x27TfidfTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(s, dir), k = 3)
+      .orderBy("doc_id", "rn")
+
   /** PII detection/redaction over the deterministic dirty corpus
     * ([[TextAnalysis.synthesizePii]] + [[TextAnalysis.pii]]): per-doc
     * match counts + redacted-text md5, both fully replayable in SQL. */
@@ -761,6 +768,24 @@ object ExtQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of the TF-IDF top-k (x27): the same log-free
+    * `(tf * n_docs) / df` score (exact int64 then one IEEE division —
+    * ln() is not cross-engine bit-stable), same window rank. */
+  private val duckTfidf: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    floor(((tf * n_docs) / df) * 10000.0 + 0.5) / 10000.0 AS score
+      |  FROM tf JOIN dfreq USING (term), n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score, rn
+      |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   /** DuckDB mirror of the 8-gram decontamination (x23): same split CTEs as
     * x18/x19, grams via inclusive list slices (w[i:i+7] = the 8 tokens from
     * i), overlap as a distinct-gram join. */
@@ -815,6 +840,7 @@ object ExtQueries {
     "x23_ngram_contamination" -> duckNgramContamination,
     "x24_strat_sample" -> duckStratStats,
     "x26_pii" -> duckPii,
+    "x27_tfidf_topk" -> duckTfidf,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -1000,6 +1026,7 @@ object ExtQueries {
     "x23_ngram_contamination" -> x23NgramContamination, // oracle: split + 8-gram join
     "x24_strat_sample" -> x24StratSample, // oracle: uniform chain + per-lang CASE
     "x26_pii" -> x26Pii, // oracle: shared regex strings, synthetic-append replay
+    "x27_tfidf_topk" -> x27TfidfTopk, // oracle: log-free rational idf replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

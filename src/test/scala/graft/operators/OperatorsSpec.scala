@@ -274,6 +274,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Double]("stop_ratio") == 0.6)    // the, and, the
   }
 
+  test("tfidf top-k: rare terms outrank common, ties break on term, k bounds rows") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common date")
+    ).toDF("doc_id", "text")
+    // n_docs=3; df: apple 1, banana 2, cherry 1, common 3, date 1
+    val got = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("score")))).toMap
+    assert(got((1L, 1L)) == (("apple", 6.0)))   // tf2 * 3/1
+    assert(got((1L, 2L)) == (("banana", 1.5)))  // tf1 * 3/2
+    assert(got((2L, 1L)) == (("cherry", 3.0)))
+    assert(got((2L, 2L)) == (("banana", 1.5)))
+    assert(got((3L, 1L)) == (("date", 3.0)))
+    assert(got((3L, 2L)) == (("common", 2.0)))  // tf2 * 3/3
+    assert(got.size == 6) // k=2 per doc, no spill past k
+  }
+
   test("pii: detects and redacts emails, ipv4, phones; placeholders never re-match") {
     val docs = Seq(
       (1L, "mail bob.smith+x@sub.example.org or 192.168.0.1 and call 555-123-4567 twice 555-000-9999"),
