@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.pround4
@@ -286,6 +287,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Token-level content-defined chunking: a cut point after every token
+    * whose md5 ends in nibble '0' (rate 1/16), chunk = the token span up
+    * to and including a cut. Because each boundary depends only on the
+    * token AT it, chunking is self-synchronizing — an edit perturbs only
+    * the chunk it lands in, so shared substrings of different documents
+    * produce identical chunks. That makes chunk-hash dedup the scalable
+    * stand-in for suffix-array substring dedup (which needs a global
+    * sort over all positions): shuffle volume is O(tokens) for the
+    * chunking and O(chunk hashes) for the dedup, never O(corpus²).
+    *
+    * Shape: posexplode → running cut-count window (one shuffle by doc,
+    * sort by pos); the chunk re-assembly groupBy reuses the window's
+    * doc_id partitioning (no second shuffle). The per-chunk ordered
+    * concat sorts the collected (pos, tok) structs — collect_list order
+    * is not deterministic on its own. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("is_cut",
+        when(substring(md5(col("tok")), 32, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum(col("is_cut")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("chunk"))
+  }
+
+  /** Chunk-level duplicate stats over [[cdcChunks]] output: per repeated
+    * chunk content, its occurrence count, distinct-document spread, and
+    * first document. Groups on md5(chunk) so the dedup shuffle carries
+    * 16-byte keys, never chunk text. */
+  def chunkDupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(
+        min(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("occurrences") > 1)
 
   /** Representative selection — the curation step after near-dup
     * clustering: keep the best-scoring member of each duplicate cluster

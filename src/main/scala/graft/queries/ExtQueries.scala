@@ -286,6 +286,13 @@ object ExtQueries {
         size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Content-defined chunking + chunk-level dedup ([[Dedup.cdcChunks]] +
+    * [[Dedup.chunkDupStats]]): repeated token-span chunks across the
+    * corpus — the scalable substring-dedup signal. */
+  def x28CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDupStats(Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("chunk_md5")
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -786,6 +793,25 @@ object ExtQueries {
       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score, rn
       |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** DuckDB mirror of the CDC chunk dedup (x28): positions via
+    * struct-literal unnest, the same last-md5-nibble cut rule, running
+    * cut-count window, ordered string_agg re-assembly, dup stats on
+    * md5(chunk). */
+  private val duckCdcChunks: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS u FROM t),
+      |e AS (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+      |        CASE WHEN substr(md5(u.tok), 32, 1) = '0' THEN 1 ELSE 0 END AS is_cut FROM p),
+      |c AS (SELECT doc_id, pos, tok,
+      |        coalesce(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM e),
+      |ch AS (SELECT doc_id, chunk_idx, count(*) AS n_toks,
+      |         string_agg(tok, ' ' ORDER BY pos) AS chunk
+      |       FROM c GROUP BY doc_id, chunk_idx)
+      |SELECT md5(chunk) AS chunk_md5, CAST(min(n_toks) AS BIGINT) AS n_toks,
+      |  count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+      |FROM ch GROUP BY md5(chunk) HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin
+
   /** DuckDB mirror of the 8-gram decontamination (x23): same split CTEs as
     * x18/x19, grams via inclusive list slices (w[i:i+7] = the 8 tokens from
     * i), overlap as a distinct-gram join. */
@@ -841,6 +867,7 @@ object ExtQueries {
     "x24_strat_sample" -> duckStratStats,
     "x26_pii" -> duckPii,
     "x27_tfidf_topk" -> duckTfidf,
+    "x28_cdc_chunks" -> duckCdcChunks,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
@@ -1027,6 +1054,7 @@ object ExtQueries {
     "x24_strat_sample" -> x24StratSample, // oracle: uniform chain + per-lang CASE
     "x26_pii" -> x26Pii, // oracle: shared regex strings, synthetic-append replay
     "x27_tfidf_topk" -> x27TfidfTopk, // oracle: log-free rational idf replays
+    "x28_cdc_chunks" -> x28CdcChunks, // oracle: md5-nibble cut rule replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -59,6 +59,48 @@ class DedupSpec extends SparkTestBase {
       Dedup.clusters(pairs, maxIter = 1, driverThreshold = 0L).collect())
   }
 
+  test("cdc chunks: cut after md5-nibble-0 tokens, concat restores doc, shared suffix dedups") {
+    import spark.implicits._
+    def lastNibble(tok: String): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      "%02x".format(d(15) & 0xff).charAt(1)
+    }
+    val vocab = (0 until 60).map(i => s"w$i")
+    val cuts = vocab.filter(t => lastNibble(t) == '0')
+    assert(cuts.nonEmpty, "test vocab must contain at least one cut token")
+    // doc1/doc2: different prefixes, same suffix that starts right after a
+    // cut and contains another cut — the suffix chunks must be identical
+    val cut = cuts.head
+    val nonCuts = vocab.filterNot(t => lastNibble(t) == '0')
+    val suffix = (nonCuts.take(3) :+ cut) ++ nonCuts.slice(3, 6)
+    val doc1 = ((nonCuts.slice(6, 9) :+ cut) ++ suffix).mkString(" ")
+    val doc2 = ((nonCuts.slice(9, 13) :+ cut) ++ suffix).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk"))).toSeq
+    // ordered concat of chunks restores each document exactly
+    for (id <- Seq(1L, 2L)) {
+      val restored = chunks.filter(_._1 == id).sortBy(_._2).map(_._3).mkString(" ")
+      assert(restored == (if (id == 1L) doc1 else doc2))
+    }
+    // every chunk except a doc's last ends with a cut token; no internal cuts
+    val lastIdx = chunks.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for ((id, idx, chunk) <- chunks) {
+      val toks = chunk.split(" ")
+      if (idx != lastIdx(id)) assert(lastNibble(toks.last) == '0')
+      assert(toks.dropRight(1).forall(t => lastNibble(t) != '0'))
+    }
+    // the shared suffix produces identical chunks in both docs -> dup stats
+    val dups = Dedup.chunkDupStats(docs.transform(d => Dedup.cdcChunks(d, "doc_id", "text")))
+      .collect()
+    val sharedChunks = Seq(suffix.take(4).mkString(" "), suffix.drop(4).mkString(" "))
+    assert(dups.length == sharedChunks.length)
+    assert(dups.forall(r => r.getAs[Long]("occurrences") == 2L &&
+      r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("min_doc") == 1L))
+  }
+
   test("representatives: best score wins, ties to lowest id, null score loses") {
     import spark.implicits._
     val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
