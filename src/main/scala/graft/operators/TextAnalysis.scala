@@ -123,15 +123,18 @@ object TextAnalysis {
     * (the same reasoning as the cents rule for money).
     *
     * Shape: explode → (doc, term) partial+final count (shuffle 1, keys are
-    * tokens not texts); df reuses that aggregate's output (no second
-    * scan); the tf⋈df join is on `term` (AQE broadcasts if the vocabulary
-    * is small; at 100 TB vocabulary it stays a shuffle join); n_docs is a
-    * broadcast 1-row aggregate, not a driver action; top-k is one window
-    * per doc over k′ ≪ vocab candidate rows. */
+    * tokens not texts); the tf aggregate is persisted (tracked
+    * [[Caching]]) because both the score join and the df derivation
+    * consume it — without the persist each branch re-runs the whole
+    * explode+count pipeline; the tf⋈df join is on `term` (AQE broadcasts
+    * if the vocabulary is small; at 100 TB vocabulary it stays a shuffle
+    * join); n_docs is a broadcast 1-row aggregate, not a driver action;
+    * top-k is one window per doc over k′ ≪ vocab candidate rows. */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .transform(Caching.persisted)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
