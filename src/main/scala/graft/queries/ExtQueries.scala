@@ -228,6 +228,15 @@ object ExtQueries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("lang")
 
+  /** Time-series spike detection ([[graft.operators.TimeSeries
+    * .spikeStats]]): per-type 10-minute bucket counts z-scored against the
+    * type's own distribution — spike flags are exact int64 comparisons
+    * (dev² vs t²·varNum), only the reported max z touches IEEE (pround4). */
+  def x30Anomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.spikeStats(Tables.events(s, dir),
+        "event_type", "ts", minutes = 10)
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -859,7 +868,35 @@ object ExtQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** x30 mirror: identical bucket rule to win_tumbling's oracle
+    * (epoch_us // window), exact-int spike decisions, pround4'd max z. */
+  private val duckAnomaly: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600 AS bucket_start,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS ss
+      |  FROM b GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT b.event_type, n, s,
+      |    cnt*n - s AS dev, n*ss - s*s AS varnum
+      |  FROM b JOIN st USING (event_type)
+      |)
+      |SELECT event_type, max(n) AS n_buckets, max(s) AS total_events,
+      |  CAST(sum(CASE WHEN dev > 0 AND dev*dev > 4*varnum THEN 1 ELSE 0 END) AS BIGINT) AS z2_cnt,
+      |  CAST(sum(CASE WHEN dev > 0 AND dev*dev > 9*varnum THEN 1 ELSE 0 END) AS BIGINT) AS z3_cnt,
+      |  max(CASE WHEN varnum > 0
+      |      THEN floor((CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+      |      END) AS max_z4
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
     "x22_repetition" -> duckRepetition,
@@ -1055,6 +1092,7 @@ object ExtQueries {
     "x26_pii" -> x26Pii, // oracle: shared regex strings, synthetic-append replay
     "x27_tfidf_topk" -> x27TfidfTopk, // oracle: log-free rational idf replays
     "x28_cdc_chunks" -> x28CdcChunks, // oracle: md5-nibble cut rule replays
+    "x30_anomaly"      -> x30Anomaly, // oracle: exact-int spike decisions
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Hand-computed z-score spike detection ([[TimeSeries.spikeStats]]). */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val bucketNs = 600L * 1000000000L // 10 minutes
+
+  test("spikeStats flags a planted spike with exact integer decisions") {
+    // type "a": 10 buckets of 1 event + one bucket of 12.
+    // n=11, s=22, ss=154; spike dev = 12*11-22 = 110, varNum = 11*154-22² = 1210
+    // dev² = 12100 > 9*1210 = 10890 → z3; z = 110/sqrt(1210) = 3.16227…→ 3.1623
+    val a = (0 until 10).map(i => ("a", i * bucketNs + 5L)) ++
+      (0 until 12).map(k => ("a", 10 * bucketNs + k.toLong))
+    // type "b": constant counts → varNum = 0 → no z, null max
+    val b = (0 until 6).map(i => ("b", i * bucketNs + 7L))
+    val df = (a ++ b).toDF("event_type", "ts")
+
+    val got = TimeSeries.spikeStats(df, "event_type", "ts", minutes = 10)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got(0) === (("a", 11L, 22L, 1L, 1L, Some(3.1623))))
+    assert(got(1) === (("b", 6L, 6L, 0L, 0L, None)))
+    Caching.releaseAll()
+  }
+
+  test("bucketCounts floors epoch nanos to the bucket start second") {
+    val df = Seq(("x", bucketNs - 1L), ("x", bucketNs), ("x", bucketNs + 1L))
+      .toDF("event_type", "ts")
+    val got = TimeSeries.bucketCounts(df, "event_type", "ts", minutes = 10)
+      .orderBy("bucket_start")
+      .as[(String, Long, Long)].collect()
+    assert(got === Array(("x", 0L, 1L), ("x", 600L, 2L)))
+  }
+}
