@@ -108,4 +108,35 @@ object Sampling {
       .agg(count(lit(1)).as("test_docs"),
         sum(coalesce(col("in_train"), lit(0L))).as("contaminated"))
   }
+
+  /** Temperature-scaled mixture weights per data source — the
+    * domain-reweighting pass of a training-data pipeline (sample sources
+    * proportionally to `tokens^alpha`; alpha < 1 upweights small
+    * domains, the standard multilingual/multi-source mitigation).
+    * alpha is fixed at 0.5 so the power is a single correctly-rounded
+    * IEEE `sqrt` — every downstream step is exact int64:
+    * `w = floor(sqrt(tokens)·1e6 + 0.5)`, `weight_ppm = w·1e6 DIV Σw`.
+    *
+    * Returns one row per source: `(source, docs, tokens, weight_ppm)`.
+    *
+    * Scale shape: one partial+final hash aggregation over the corpus
+    * (shuffle = O(sources) counted rows); the normalization window runs
+    * on the aggregate, whose cardinality is the number of sources —
+    * small by construction — so its single-partition exchange is free. */
+  def mixtureWeights(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = df
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+    // int64 headroom: w ≤ 1e12 for 1e12 tokens/source, ×1e6 ≤ 1e18 < 2^63
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("total_w", sum("w").over(all))
+      .select(col(sourceCol), col("docs"), col("tokens"),
+        expr("(w * 1000000) DIV total_w").as("weight_ppm"))
+  }
 }

@@ -237,6 +237,14 @@ object ExtQueries {
         "event_type", "ts", minutes = 10)
       .orderBy("event_type")
 
+  /** Temperature-scaled source mixture weights ([[graft.operators
+    * .Sampling.mixtureWeights]]): tokens^0.5 reweighting, exact int64
+    * normalization (ppm via integer DIV). */
+  def x31MixtureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureWeights(Tables.documents(s, dir),
+        "source", "text")
+      .orderBy("source")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -895,7 +903,26 @@ object ExtQueries {
       |      END) AS max_z4
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** x31 mirror: sqrt is correctly-rounded IEEE on both engines; the
+    * weight scaling and ppm normalization are exact int64 (`//` == `DIV`
+    * for positive operands). */
+  private val duckMixture: String =
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT source, docs, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+      |  FROM s
+      |)
+      |SELECT source, docs, tokens,
+      |  (w * 1000000) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS weight_ppm
+      |FROM w ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x31_mixture_weights" -> duckMixture,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1093,6 +1120,7 @@ object ExtQueries {
     "x27_tfidf_topk" -> x27TfidfTopk, // oracle: log-free rational idf replays
     "x28_cdc_chunks" -> x28CdcChunks, // oracle: md5-nibble cut rule replays
     "x30_anomaly"      -> x30Anomaly, // oracle: exact-int spike decisions
+    "x31_mixture_weights" -> x31MixtureWeights, // oracle: sqrt + int64 ppm
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -102,6 +102,16 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Set((0, 1L, 0L), (0, 2L, 0L), (0, 3L, 1L), (0, 4L, 1L), (0, 5L, 3L), (1, 6L, 0L)))
   }
 
+  test("mixtureWeights: sqrt temperature, exact ppm normalization") {
+    // source a: 4 tokens → w = 2e6; source b: 1 token → w = 1e6
+    val df = Seq(("a", "t1 t2 t3"), ("a", "t4"), ("b", "t5"))
+      .toDF("source", "text")
+    val got = Sampling.mixtureWeights(df, "source", "text")
+      .orderBy("source").as[(String, Long, Long, Long)].collect()
+    // ppm = w*1e6 DIV 3e6 → a: 666666, b: 333333
+    assert(got === Array(("a", 2L, 4L, 666666L), ("b", 1L, 1L, 333333L)))
+  }
+
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
     val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
