@@ -245,6 +245,14 @@ object ExtQueries {
         "source", "text")
       .orderBy("source")
 
+  /** Inverted-index head ([[graft.operators.InvertedIndex.topPostings]]):
+    * the 20 highest-df tokens with posting-list md5 fingerprints — df,
+    * tf and the sorted-id list all replay exactly in SQL. */
+  def x32InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.topPostings(Tables.documents(s, dir),
+        "doc_id", "text", k = 20)
+      .orderBy(desc("df"), asc("token"))
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -921,7 +929,23 @@ object ExtQueries {
       |  (w * 1000000) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS weight_ppm
       |FROM w ORDER BY source""".stripMargin
 
+  /** x32 mirror: posting fingerprint = md5 of the ascending doc-id list,
+    * comma-joined — string_agg ORDER BY replays Spark's
+    * sort_array(collect_list) exactly. */
+  private val duckInvIndex: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |per AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2
+      |)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
+      |FROM per GROUP BY token
+      |ORDER BY df DESC, token LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
@@ -1121,6 +1145,7 @@ object ExtQueries {
     "x28_cdc_chunks" -> x28CdcChunks, // oracle: md5-nibble cut rule replays
     "x30_anomaly"      -> x30Anomaly, // oracle: exact-int spike decisions
     "x31_mixture_weights" -> x31MixtureWeights, // oracle: sqrt + int64 ppm
+    "x32_inverted_index" -> x32InvertedIndex, // oracle: sorted-postings md5
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
