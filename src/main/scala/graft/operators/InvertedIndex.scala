@@ -12,28 +12,33 @@ import org.apache.spark.sql.functions._
   * (token, doc_id, count) tuples — never texts. The per-(token, doc)
   * pre-aggregation is the map-side combine that keeps stopword tokens
   * from concentrating raw occurrences on one reducer; the second
-  * aggregation concentrates exactly one row per (token, doc). Posting
-  * lists for head tokens are still inherently skewed — a production
-  * index shards them into fixed-size blocks; here the list is folded to
-  * an md5 fingerprint (sorted, comma-joined ids), which both bounds the
-  * output and gives the oracle an exact bit to match.
+  * aggregation concentrates exactly one row per (token, doc). The
+  * posting-list fingerprint is the bitwise XOR of each member doc's
+  * md5-derived int64 ([[graft.functions.md5Hash64]]): XOR is commutative
+  * and associative, so the aggregation state is a single long — head
+  * (stopword) tokens cost the same 8 bytes of reducer memory as tail
+  * tokens, and partial aggregation combines map-side. (A collect-the-ids
+  * fold would materialize the full posting list of every head token in
+  * one reducer — unbounded memory at corpus scale.) Set-equality
+  * detection is what a fingerprint is for, and XOR of 64-bit hashes
+  * keeps that property (ids are distinct per token, so no pair
+  * self-cancels deterministically).
   */
 object InvertedIndex {
 
   /** Per-token postings summary: document frequency `df`, total term
-    * frequency `total_tf`, and the md5 fingerprint of the ascending
-    * doc-id posting list. */
+    * frequency `total_tf`, and the order-independent XOR fingerprint of
+    * the posting set's per-doc md5 hashes. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("h", graft.functions.md5Hash64(col("doc_id").cast("string")))
       .groupBy("token")
       .agg(
         count(lit(1)).as("df"),
         sum("tf").as("total_tf"),
-        md5(concat_ws(",",
-          sort_array(collect_list(col("doc_id"))).cast("array<string>")))
-          .as("postings_md5"))
+        expr("bit_xor(h)").as("postings_fp"))
 
   /** The `k` highest-df tokens (ties broken by token asc — fully
     * deterministic head of the index). */

@@ -129,7 +129,11 @@ object Sampling {
     val perSource = df
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("docs"),
-        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("tokens"))
+        // null text counts as 0 tokens on BOTH engines: bare size() returns
+        // -1 for null input (legacy sizeOfNull, ANSI off) while a SQL
+        // sum(len(string_split(...))) would skip the NULL row — divergent
+        sum(when(col(textCol).isNull, lit(0L))
+          .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))).as("tokens"))
       .withColumn("w", floor(sqrt(col("tokens").cast("double")) * 1e6 + 0.5).cast("long"))
     // int64 headroom: w ≤ 1e12 for 1e12 tokens/source, ×1e6 ≤ 1e18 < 2^63
     val all = Window.partitionBy(lit(1))

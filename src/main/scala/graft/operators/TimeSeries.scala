@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{bucketStartSecFromNanos, pround4}
@@ -22,8 +22,17 @@ import graft.functions.{bucketStartSecFromNanos, pround4}
   * so `z > t  ⇔  dev > 0 ∧ dev² > t²·varNum` — pure integer compares, no
   * IEEE in the decision. The reported `max_z4` does one double division +
   * correctly-rounded sqrt with pround4, the established parity form.
-  * Overflow headroom: dev ≤ cnt·n and varNum ≤ n·ss stay below ~1e15 for
-  * millions of buckets of thousands of events; int64 holds to 9.2e18.
+  *
+  * Overflow headroom — the binding terms are the SQUARES, not dev/varNum
+  * themselves: the decision needs `dev²` and `9·varNum` in int64, i.e.
+  * |dev| ≤ ⌊√(2⁶³−1)⌋ ≈ 3.04e9 and n·ss ≤ (2⁶³−1)/9 ≈ 1.02e18 — e.g.
+  * millions of buckets × thousands of events/bucket sits within ~2% of
+  * the varNum bound, and a single hot bucket (cnt ≈ s) pushes dev toward
+  * s·n, far past the dev² bound. Spark wraps silently with ANSI off, so
+  * every product below is guarded: rows that exceed the headroom raise a
+  * loud error (`raise_error`) instead of emitting wrong flags. The guard
+  * compares against Long.MaxValue quotients — no product is ever formed
+  * before its operands are proven safe.
   *
   * 100 TB design: two shuffles, both on aggregated data — the bucket
   * aggregation shuffles O(types × buckets) counted rows (map-side partial
@@ -50,19 +59,35 @@ object TimeSeries {
       count(lit(1)).as("n"),
       sum("cnt").as("s"),
       sum(col("cnt") * col("cnt")).as("ss"))
+    // operand-level guards: each product is formed only after its inputs
+    // are proven to fit (quotient compares never overflow); violations
+    // fail loudly instead of wrapping (ANSI is off)
+    val nPos = greatest(col("n"), lit(1L))
+    val safeOperands =
+      col("cnt") <= lit(Long.MaxValue) / nPos && // cnt·n (dev)
+        col("ss") <= lit(Long.MaxValue) / nPos // n·ss (varNum; s² ≤ n·ss by Cauchy-Schwarz)
     val dev = col("cnt") * col("n") - col("s")
     val varNum = col("n") * col("ss") - col("s") * col("s")
+    def overflowError: Column =
+      raise_error(concat(lit("TimeSeries.spikeStats: int64 headroom exceeded for "),
+        col(typeCol).cast("string"))).cast("long")
+    val safeSquares =
+      abs(col("dev")) <= lit(3037000499L) && // ⌊√(2⁶³−1)⌋: dev² fits
+        col("varnum") <= lit(Long.MaxValue / 9) // t²·varNum fits for t ≤ 3
+    def guarded(flag: Column): Column =
+      when(safeSquares, flag).otherwise(overflowError)
     b.join(broadcast(stats), typeCol)
       .select(col(typeCol), col("n"), col("s"),
-        dev.as("dev"), varNum.as("varnum"))
+        when(safeOperands, dev).otherwise(overflowError).as("dev"),
+        when(safeOperands, varNum).otherwise(overflowError).as("varnum"))
       .groupBy(typeCol)
       .agg(
         max("n").as("n_buckets"),
         max("s").as("total_events"),
-        sum(when(col("dev") > 0 && col("dev") * col("dev") > lit(4L) * col("varnum"), 1L)
-          .otherwise(0L)).as("z2_cnt"),
-        sum(when(col("dev") > 0 && col("dev") * col("dev") > lit(9L) * col("varnum"), 1L)
-          .otherwise(0L)).as("z3_cnt"),
+        sum(guarded(when(col("dev") > 0 && col("dev") * col("dev") > lit(4L) * col("varnum"), 1L)
+          .otherwise(0L))).as("z2_cnt"),
+        sum(guarded(when(col("dev") > 0 && col("dev") * col("dev") > lit(9L) * col("varnum"), 1L)
+          .otherwise(0L))).as("z3_cnt"),
         max(when(col("varnum") > 0,
           pround4(col("dev").cast("double") / sqrt(col("varnum").cast("double")))))
           .as("max_z4"))

@@ -246,12 +246,14 @@ object ExtQueries {
       .orderBy("source")
 
   /** Inverted-index head ([[graft.operators.InvertedIndex.topPostings]]):
-    * the 20 highest-df tokens with posting-list md5 fingerprints — df,
-    * tf and the sorted-id list all replay exactly in SQL. */
+    * the 20 highest-df tokens with XOR posting-set fingerprints — df, tf
+    * and the per-doc md5 hashes all replay exactly in SQL. topPostings
+    * already returns totally-ordered rows (TakeOrderedAndProject on
+    * (df desc, token asc) — token is unique within the head), so no
+    * re-sort here. */
   def x32InvertedIndex(s: SparkSession, dir: String): DataFrame =
     graft.operators.InvertedIndex.topPostings(Tables.documents(s, dir),
         "doc_id", "text", k = 20)
-      .orderBy(desc("df"), asc("token"))
 
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -917,7 +919,8 @@ object ExtQueries {
   private val duckMixture: String =
     """WITH s AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
-      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |    CAST(sum(CASE WHEN text IS NULL THEN 0
+      |             ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
       |  FROM documents GROUP BY 1
       |),
       |w AS (
@@ -929,20 +932,27 @@ object ExtQueries {
       |  (w * 1000000) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS weight_ppm
       |FROM w ORDER BY source""".stripMargin
 
-  /** x32 mirror: posting fingerprint = md5 of the ascending doc-id list,
-    * comma-joined — string_agg ORDER BY replays Spark's
-    * sort_array(collect_list) exactly. */
+  /** x32 mirror: posting fingerprint = bit_xor of each member doc's
+    * md5-derived signed int64 (the md5Hash64 nibble-fold recipe) —
+    * order-independent, so no ORDER BY inside the aggregate is needed
+    * and both engines fold partials in any order. */
   private val duckInvIndex: String =
-    """WITH occ AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-      |),
-      |per AS (
-      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2
-      |)
-      |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-      |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
-      |FROM per GROUP BY token
-      |ORDER BY df DESC, token LIMIT 20""".stripMargin
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |),
+       |per AS (
+       |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2
+       |),
+       |m AS (
+       |  SELECT token, tf, md5(CAST(doc_id AS VARCHAR)) AS m1 FROM per
+       |),
+       |hh AS (
+       |  SELECT token, tf, ${duckNibbleFold("m1")} AS hu FROM m
+       |)
+       |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       |  bit_xor(${duckSigned("hu")}) AS postings_fp
+       |FROM hh GROUP BY token
+       |ORDER BY df DESC, token LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x32_inverted_index" -> duckInvIndex,

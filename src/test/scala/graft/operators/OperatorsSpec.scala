@@ -452,18 +452,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0.0))
   }
 
-  test("invertedIndex postings: df counts docs, tf counts occurrences, fingerprint is sorted ids") {
+  test("invertedIndex postings: df counts docs, tf counts occurrences, fingerprint is xor of id hashes") {
     import spark.implicits._
     val docs = Seq((2L, "b a b"), (1L, "a b"), (3L, "c")).toDF("doc_id", "text")
     val got = InvertedIndex.postings(docs, "doc_id", "text")
       .orderBy("token")
-      .as[(String, Long, Long, String)].collect()
-    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes).map("%02x".format(_)).mkString
+      .as[(String, Long, Long, Long)].collect()
+    // JVM replica of graft.functions.md5Hash64: first 16 md5 hex chars as a signed long
+    def h64(s: String) = java.lang.Long.parseUnsignedLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).take(8).map("%02x".format(_)).mkString, 16)
     assert(got === Array(
-      ("a", 2L, 2L, m("1,2")),   // one occurrence in each of docs 1,2
-      ("b", 2L, 3L, m("1,2")),   // doc 2 has it twice → tf 3, df 2
-      ("c", 1L, 1L, m("3"))))
+      ("a", 2L, 2L, h64("1") ^ h64("2")), // one occurrence in each of docs 1,2
+      ("b", 2L, 3L, h64("1") ^ h64("2")), // doc 2 has it twice → tf 3, df 2
+      ("c", 1L, 1L, h64("3"))))
     // top-1 by df breaks the a/b tie on token asc
     val top = InvertedIndex.topPostings(docs, "doc_id", "text", k = 1)
       .select("token").as[String].collect()

@@ -112,6 +112,17 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Array(("a", 2L, 4L, 666666L), ("b", 1L, 1L, 333333L)))
   }
 
+  test("mixtureWeights: null text counts 0 tokens (not size()'s -1)") {
+    val df = Seq(("a", "t1 t2 t3"), ("a", null), ("b", "t5"))
+      .toDF("source", "text")
+    val got = Sampling.mixtureWeights(df, "source", "text")
+      .orderBy("source").as[(String, Long, Long, Long)].collect()
+    // a: 3 tokens + 0 for the null row (a bare size() would subtract 1);
+    // same w/ppm as the 4-vs-1 case scaled: w_a=floor(√3·1e6+.5)=1732051
+    assert(got.map(r => (r._1, r._2, r._3)) === Array(("a", 2L, 3L), ("b", 1L, 1L)))
+    assert(got.map(_._4).sum >= 999999L) // ppm still normalizes
+  }
+
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
     val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
