@@ -19,10 +19,19 @@ import org.apache.spark.sql.functions._
   * (stopword) tokens cost the same 8 bytes of reducer memory as tail
   * tokens, and partial aggregation combines map-side. (A collect-the-ids
   * fold would materialize the full posting list of every head token in
-  * one reducer — unbounded memory at corpus scale.) Set-equality
-  * detection is what a fingerprint is for, and XOR of 64-bit hashes
-  * keeps that property (ids are distinct per token, so no pair
-  * self-cancels deterministically).
+  * one reducer — unbounded memory at corpus scale.)
+  *
+  * Fingerprint strength — XOR is LINEAR over GF(2): any two posting sets
+  * whose symmetric difference XORs to zero collide (e.g. {a,b}∪S vs
+  * {c,d}∪S whenever h(a)⊕h(b)=h(c)⊕h(d)), and such collisions are
+  * constructible by Gaussian elimination over ~64 candidate docs — this
+  * is materially weaker set-equality detection than hashing the sorted
+  * id list. It is sufficient here: the fingerprint's role is an
+  * order-independent oracle-parity bit (distinct per-token ids mean no
+  * pair self-cancels deterministically, and random collisions are
+  * 2⁻⁶⁴). If it is ever promoted to content-addressed dedup, fold each
+  * hash through a nonlinear mix (e.g. a murmur finalizer) before the
+  * XOR so linear combinations stop aligning.
   */
 object InvertedIndex {
 

@@ -129,9 +129,12 @@ object Sampling {
     val perSource = df
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("docs"),
-        // null text counts as 0 tokens on BOTH engines: bare size() returns
-        // -1 for null input (legacy sizeOfNull, ANSI off) while a SQL
-        // sum(len(string_split(...))) would skip the NULL row — divergent
+        // null text counts as 0 tokens on BOTH engines. Under this
+        // deployment (Spark 4, ANSI on) size(NULL) is NULL and sum skips
+        // it — same as DuckDB — so per-row the engines already agree; the
+        // CASE exists for the all-null-source edge, where sum over zero
+        // non-null rows yields NULL tokens and the sqrt/ppm math below
+        // would propagate NULL instead of the intended 0
         sum(when(col(textCol).isNull, lit(0L))
           .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))).as("tokens"))
       .withColumn("w", floor(sqrt(col("tokens").cast("double")) * 1e6 + 0.5).cast("long"))

@@ -24,15 +24,21 @@ import graft.functions.{bucketStartSecFromNanos, pround4}
   * correctly-rounded sqrt with pround4, the established parity form.
   *
   * Overflow headroom — the binding terms are the SQUARES, not dev/varNum
-  * themselves: the decision needs `dev²` and `9·varNum` in int64, i.e.
-  * |dev| ≤ ⌊√(2⁶³−1)⌋ ≈ 3.04e9 and n·ss ≤ (2⁶³−1)/9 ≈ 1.02e18 — e.g.
-  * millions of buckets × thousands of events/bucket sits within ~2% of
-  * the varNum bound, and a single hot bucket (cnt ≈ s) pushes dev toward
-  * s·n, far past the dev² bound. Spark wraps silently with ANSI off, so
-  * every product below is guarded: rows that exceed the headroom raise a
-  * loud error (`raise_error`) instead of emitting wrong flags. The guard
-  * compares against Long.MaxValue quotients — no product is ever formed
-  * before its operands are proven safe.
+  * themselves: the decision needs `cnt²`, `dev²` and `9·varNum` in int64,
+  * i.e. cnt, |dev| ≤ ⌊√(2⁶³−1)⌋ ≈ 3.04e9 and n·ss ≤ (2⁶³−1)/9 ≈ 1.02e18 —
+  * e.g. millions of buckets × thousands of events/bucket sits within ~2%
+  * of the varNum bound, and a single hot bucket (cnt ≈ s) pushes dev
+  * toward s·n, far past the dev² bound. This deployment runs Spark 4's
+  * default ANSI mode (`spark.sql.ansi.enabled=true`), where int64
+  * overflow throws a generic ArithmeticException; the per-row guards
+  * below turn that into a named `raise_error` with the offending type,
+  * and would equally prevent the silent wrap of an ANSI-off deployment.
+  * Every per-row product — including cnt² inside the sum-of-squares
+  * aggregation — is formed only after its operands are proven to fit;
+  * the threshold quotients use integral `DIV`, so the decision never
+  * leaves int64 (a float divide would admit ~2^11 ULP of slack near
+  * 2⁶³). The only unguarded overflow left is the aggregate SUM itself
+  * exceeding int64, which ANSI still fails loudly.
   *
   * 100 TB design: two shuffles, both on aggregated data — the bucket
   * aggregation shuffles O(types × buckets) counted rows (map-side partial
@@ -53,26 +59,34 @@ object TimeSeries {
     * (exact integer decisions), and the maximum z-score (pround4). */
   def spikeStats(events: DataFrame, typeCol: String, tsNanosCol: String,
       minutes: Int): DataFrame = {
-    val b = bucketCounts(events, typeCol, tsNanosCol, minutes)
-      .transform(Caching.persisted)
-    val stats = b.groupBy(typeCol).agg(
-      count(lit(1)).as("n"),
-      sum("cnt").as("s"),
-      sum(col("cnt") * col("cnt")).as("ss"))
-    // operand-level guards: each product is formed only after its inputs
-    // are proven to fit (quotient compares never overflow); violations
-    // fail loudly instead of wrapping (ANSI is off)
-    val nPos = greatest(col("n"), lit(1L))
-    val safeOperands =
-      col("cnt") <= lit(Long.MaxValue) / nPos && // cnt·n (dev)
-        col("ss") <= lit(Long.MaxValue) / nPos // n·ss (varNum; s² ≤ n·ss by Cauchy-Schwarz)
-    val dev = col("cnt") * col("n") - col("s")
-    val varNum = col("n") * col("ss") - col("s") * col("s")
     def overflowError: Column =
       raise_error(concat(lit("TimeSeries.spikeStats: int64 headroom exceeded for "),
         col(typeCol).cast("string"))).cast("long")
+    val b = bucketCounts(events, typeCol, tsNanosCol, minutes)
+      .transform(Caching.persisted)
+    // cnt is guarded BEFORE it is squared — under ANSI-on an unguarded
+    // cnt·cnt with cnt > ⌊√(2⁶³−1)⌋ would throw a generic
+    // ArithmeticException out of the aggregation instead of this named
+    // error (and would wrap silently under ANSI-off, poisoning ss)
+    val cntSq = when(col("cnt") <= lit(3037000499L), col("cnt") * col("cnt"))
+      .otherwise(overflowError)
+    val stats = b.groupBy(typeCol).agg(
+      count(lit(1)).as("n"),
+      sum("cnt").as("s"),
+      sum(cntSq).as("ss"))
+    // operand-level guards: each product is formed only after its inputs
+    // are proven to fit; the quotient threshold uses integral DIV (a
+    // long/long `/` in Spark is a DOUBLE divide whose rounding admits
+    // operands past the bound by up to ~2048·n near 2⁶³)
+    val maxDivN = expr(s"${Long.MaxValue}L DIV greatest(n, 1L)")
+    val safeOperands =
+      col("cnt") <= maxDivN && // cnt·n (dev)
+        col("ss") <= maxDivN // n·ss (varNum; s² ≤ n·ss by Cauchy-Schwarz)
+    val dev = col("cnt") * col("n") - col("s")
+    val varNum = col("n") * col("ss") - col("s") * col("s")
     val safeSquares =
-      abs(col("dev")) <= lit(3037000499L) && // ⌊√(2⁶³−1)⌋: dev² fits
+      col("varnum") >= 0L && // negative ⇒ upstream wrap; never square it
+        abs(col("dev")) <= lit(3037000499L) && // ⌊√(2⁶³−1)⌋: dev² fits
         col("varnum") <= lit(Long.MaxValue / 9) // t²·varNum fits for t ≤ 3
     def guarded(flag: Column): Column =
       when(safeSquares, flag).otherwise(overflowError)

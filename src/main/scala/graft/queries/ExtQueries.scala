@@ -1155,7 +1155,7 @@ object ExtQueries {
     "x28_cdc_chunks" -> x28CdcChunks, // oracle: md5-nibble cut rule replays
     "x30_anomaly"      -> x30Anomaly, // oracle: exact-int spike decisions
     "x31_mixture_weights" -> x31MixtureWeights, // oracle: sqrt + int64 ppm
-    "x32_inverted_index" -> x32InvertedIndex, // oracle: sorted-postings md5
+    "x32_inverted_index" -> x32InvertedIndex, // oracle: xor posting-set fingerprint
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -112,15 +112,18 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Array(("a", 2L, 4L, 666666L), ("b", 1L, 1L, 333333L)))
   }
 
-  test("mixtureWeights: null text counts 0 tokens (not size()'s -1)") {
-    val df = Seq(("a", "t1 t2 t3"), ("a", null), ("b", "t5"))
+  test("mixtureWeights: null text counts 0 tokens; all-null source stays 0, not NULL") {
+    val df = Seq(("a", "t1 t2 t3"), ("a", null), ("b", "t5"), ("c", null))
       .toDF("source", "text")
     val got = Sampling.mixtureWeights(df, "source", "text")
       .orderBy("source").as[(String, Long, Long, Long)].collect()
-    // a: 3 tokens + 0 for the null row (a bare size() would subtract 1);
-    // same w/ppm as the 4-vs-1 case scaled: w_a=floor(√3·1e6+.5)=1732051
-    assert(got.map(r => (r._1, r._2, r._3)) === Array(("a", 2L, 3L), ("b", 1L, 1L)))
-    assert(got.map(_._4).sum >= 999999L) // ppm still normalizes
+    // a: 3 tokens + 0 for its null row; c has ONLY null text — without the
+    // explicit CASE, sum over zero non-null rows would yield NULL tokens
+    // (size(NULL) is NULL under ANSI-on, sum skips it) and this typed
+    // decode would fail; the fix pins it to 0 tokens / 0 weight
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Array(("a", 2L, 3L), ("b", 1L, 1L), ("c", 1L, 0L)))
+    assert(got.map(_._4).sum >= 999999L) // ppm still normalizes (c adds 0)
   }
 
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
