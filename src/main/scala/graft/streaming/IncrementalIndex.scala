@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.InvertedIndex
+
+/** Incremental (streaming) maintenance of the inverted index — the
+  * reference's push-based MV mechanism (`/root/reference/README.md:31-41`:
+  * every insert block incrementally folds into its summary tables) applied
+  * to the repo's extension-side index ([[graft.operators.InvertedIndex]]).
+  *
+  * Why this works as a pure merge: every measure of `postings` is an
+  * ABELIAN-GROUP aggregate of per-(token, doc) contributions —
+  *  - `df` and `total_tf` are additive counts,
+  *  - `postings_fp` is the XOR of per-doc hashes, which is commutative,
+  *    associative AND self-inverse,
+  * so a micro-batch's postings fold into existing state with `SUM` /
+  * `bit_xor` per token, and any arrival order converges to the one-shot
+  * batch answer (the incremental == batch contract, tested in
+  * IncrementalIndexSpec). Self-inversion buys retraction for free:
+  * merging a doc's postings a second time REMOVES it from the
+  * fingerprint while [[retract]] subtracts its counts — a deleted doc is
+  * an increment with negated df/tf and the same fp.
+  *
+  * Precondition (same as the reference's MVs over an append-only log):
+  * each document id arrives in exactly ONE micro-batch — Spark's
+  * checkpointed file/tail sources + the replay-idempotent
+  * [[MvPipeline.upsertWith]] marker provide exactly that. Re-ingesting a
+  * doc under a NEW batch id would double-count df/tf (and erase it from
+  * the fingerprint); dedup upstream ([[StreamingDedup]]) if the source
+  * can repeat ids.
+  *
+  * 100 TB design: identical shape to the batch path — the micro-batch
+  * explode shuffles (token, doc, count) tuples only, and the state merge
+  * is a partial+final aggregation over O(vocabulary) rows, not O(corpus).
+  * Head (stopword) tokens still cost 8 bytes of aggregation state. The
+  * parquet swap rewrites O(vocabulary) rows per batch; swap for a
+  * transactional MERGE sink when the vocabulary outgrows one table (the
+  * merge expressions are sink-portable: SUM + XOR exist everywhere).
+  */
+object IncrementalIndex {
+
+  /** Per-measure merge aggregates: counts add, the fingerprint XORs. */
+  def mergeAgg(c: String): Column = c match {
+    case "postings_fp" => expr("bit_xor(postings_fp)")
+    case other         => sum(col(other))
+  }
+
+  /** Fold one micro-batch of documents into the index state table. */
+  def processBatch(docs: DataFrame, stateDir: String, batchId: Long = -1L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    MvPipeline.upsertWith(InvertedIndex.postings(docs, idCol, textCol),
+      s"$stateDir/inverted_index", Seq("token"), mergeAgg, batchId)
+
+  /** Remove documents from the index: negate the additive measures, keep
+    * the self-inverse fingerprint (XOR-ing a doc's hash again deletes it).
+    * Tokens whose df reaches 0 are dropped from state on the next merge
+    * read via [[compact]]. */
+  def retract(docs: DataFrame, stateDir: String, batchId: Long = -1L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val negated = InvertedIndex.postings(docs, idCol, textCol)
+      .withColumn("df", -col("df"))
+      .withColumn("total_tf", -col("total_tf"))
+    MvPipeline.upsertWith(negated, s"$stateDir/inverted_index", Seq("token"),
+      mergeAgg, batchId)
+  }
+
+  /** Drop fully-retracted tokens (df == 0) from the state table. */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val path = s"$stateDir/inverted_index"
+    val live = spark.read.parquet(path).filter(col("df") > 0).persist()
+    live.count() // materialize before overwriting the table being read
+    try live.write.mode("overwrite").parquet(path + ".tmp")
+    finally live.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path + ".tmp"),
+      new org.apache.hadoop.fs.Path(path)), s"commit compact $path")
+  }
+
+  /** Start continuous maintenance over a directory of document files
+    * (JSON-lines with `schema`; `Trigger.AvailableNow()` for tests). */
+  def start(spark: SparkSession, inputDir: String, schema: StructType,
+      stateDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateDir, batchId, idCol, textCol)
+      }
+      .start()
+
+  /** Read the maintained index state. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readState(spark, stateDir, "inverted_index")
+}

@@ -119,7 +119,17 @@ object MvPipeline {
     * is skipped. Crash safety: the old state is renamed aside (not deleted)
     * until the new state is in place, and a leftover `.old` from a crash
     * between the two renames is restored on the next call. */
-  def upsert(increment: DataFrame, path: String, keys: Seq[String], batchId: Long = -1L): Unit = {
+  def upsert(increment: DataFrame, path: String, keys: Seq[String], batchId: Long = -1L): Unit =
+    upsertWith(increment, path, keys, c => sum(col(c)), batchId)
+
+  /** [[upsert]] with a pluggable per-measure merge aggregate — for state
+    * whose measures are mergeable but not all SUMs (e.g. the inverted
+    * index's XOR posting fingerprint, [[graft.streaming.IncrementalIndex]]).
+    * `mergeAgg(c)` must be commutative and associative over column `c` so
+    * that any batch arrival order converges to the batch-recompute answer.
+    * Same marker/rename crash-safety protocol as [[upsert]]. */
+  def upsertWith(increment: DataFrame, path: String, keys: Seq[String],
+      mergeAgg: String => org.apache.spark.sql.Column, batchId: Long = -1L): Unit = {
     val spark = increment.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
@@ -136,10 +146,10 @@ object MvPipeline {
       if (fs.exists(target)) {
         val old = spark.read.parquet(path)
         val measures = increment.columns.filterNot(keys.contains)
-        val sums = measures.map(c => sum(col(c)).as(c))
+        val merges = measures.map(c => mergeAgg(c).as(c))
         old.unionByName(increment)
           .groupBy(keys.map(col): _*)
-          .agg(sums.head, sums.tail: _*)
+          .agg(merges.head, merges.tail: _*)
       } else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
