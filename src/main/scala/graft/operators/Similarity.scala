@@ -177,17 +177,20 @@ object Similarity {
 
   /** (qid, qv, qnv) queries → their `nprobe` nearest cells of a literal
     * codebook, deterministic (dist², cell-id) order. Query side only — the
-    * per-query window runs on the (small) query set, never the corpus. */
-  private def probeCells(q: DataFrame, centers: Seq[Seq[Double]], nprobe: Int): DataFrame =
-    q.select(col("qid"), col("qv"),
-        posexplode(typedLit(centers)).as(Seq("bucket", "cvec")), col("qnv"))
+    * per-query window runs on the (small) query set, never the corpus.
+    * `keep` selects which query columns ride along with the probe rows. */
+  private def probeCells(q: DataFrame, centers: Seq[Seq[Double]], nprobe: Int,
+      keep: Seq[Column] = Seq(col("qid"), col("qv"))): DataFrame =
+    q.select(Seq(col("qid"), col("qv"),
+        posexplode(typedLit(centers)).as(Seq("bucket", "cvec")), col("qnv")) ++
+        q.columns.filterNot(Set("qid", "qv", "qnv")).map(col): _*)
       .withColumn("dist2",
         element_at(typedLit(centers.map(selfDot)), col("bucket") + 1)
           - lit(2.0) * dotProduct(col("qnv"), col("cvec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist2"), col("bucket"))))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("bucket"))
+      .select(keep :+ col("bucket"): _*)
 
   /** Shared IVF probe+rescore tail: assigned corpus (vec_id, v, bucket) ×
     * probe set → exact cosine on ORIGINAL vectors (cells only select
@@ -284,6 +287,96 @@ object Similarity {
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
     ivfSearch(assigned, probeCells(q, centers, nprobe), k)
+  }
+
+  /** IVF-PQ: product-quantized candidate scoring with exact rescoring —
+    * the 100 TB memory-side refinement of [[ivfTopKPinned]] (VERDICT r5
+    * task 2). At scale the full-precision vectors cannot ride the scan of
+    * every query: a 64-dim double vector is 512 bytes/candidate, while its
+    * PQ code — the per-subspace id of the nearest centroid in a pinned
+    * 8×16×8 codebook ([[PqCodebook]]) — is 8 bytes, a 64× cut in the bytes
+    * the candidate scan touches.
+    *
+    * Pipeline (all three stages pinned-literal deterministic, so the whole
+    * thing replays in the DuckDB oracle):
+    *  1. ENCODE (map pass, no shuffle): each corpus vector gets its IVF
+    *     cell ([[nearestCell]]) and 8 PQ codes — per subspace `s`, the
+    *     nearest of 16 pinned centroids to dims [8s, 8s+8) of the unit
+    *     vector (direct encoding; production systems often encode the
+    *     cell RESIDUAL for tighter error — same plumbing, skipped here so
+    *     the oracle stays one CASE chain per subspace).
+    *  2. ADC scan: each query precomputes ONCE its 128-entry lookup table
+    *     `lut[s][j] = dot(qnv[8s..], subCenter(s)(j))`; a candidate's
+    *     approximate cosine is then 8 array lookups + 7 adds — no vector
+    *     arithmetic per pair, and the scan side carries only
+    *     (vec_id, bucket, 8 codes). Top `refine·k` per query survive,
+    *     ranked on the e6-rounded ADC score (deterministic tie-break).
+    *  3. RESCORE: full vectors are fetched ONLY for the shortlist
+    *     (broadcast join back on vec_id — O(queries·refine·k) rows),
+    *     exact cosine, final top-k. Output matches [[ivfTopKPinned]]'s
+    *     shape; recall vs [[bruteTopK]] is pinned in SimilaritySpec.
+    *
+    * Scale shape: the corpus never shuffles — probes and the shortlist
+    * both broadcast; the ADC scan reads 8-byte codes instead of 512-byte
+    * vectors (the entire point); encode is a pure codegen'd projection
+    * that at 100 TB would run once at ingest and be stored with the row. */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame = {
+    val m = sub.size // subspaces
+    val ksub = sub.head.size // centroids per subspace
+    val d = dim / m // dims per subspace
+    // Encode is staged as three narrow projections instead of one
+    // nearestCell-per-subspace mega-expression: a single expression tree
+    // holding 8 × (16 dists + least + CASE) exceeds janino's 64 KB method
+    // limit and silently drops the whole stage to interpreted mode (5.9s →
+    // 0.9s at sf0.1). Column-level stages let codegen split each dist into
+    // its own method, and CollapseProject keeps the stages apart because
+    // the aliases are non-cheap and multiply referenced.
+    val keep0 = Seq(col("vec_id"), col("v"), col("nv"), col("bucket"))
+    val sliced = normalizedCorpus(embeddings, dim)
+      .withColumn("bucket", nearestCell(col("nv"), centers))
+      .select(keep0 ++ (0 until m).map(s =>
+        slice(col("nv"), s * d + 1, d).as(s"nv$s")): _*)
+    val withDists = sliced.select(keep0 ++ (for { s <- 0 until m; j <- 0 until ksub } yield
+      (lit(selfDot(sub(s)(j))) - lit(2.0) * dotProduct(col(s"nv$s"), typedLit(sub(s)(j))))
+        .as(s"d${s}_$j")): _*)
+    val assigned = Caching.persisted(withDists.select(keep0 ++ (0 until m).map { s =>
+      val ds = (0 until ksub).map(j => col(s"d${s}_$j"))
+      val mn = least(ds: _*)
+      ds.zipWithIndex.foldRight(lit(-1).cast("int")) { case ((dc, j), acc) =>
+        when(dc === mn, lit(j)).otherwise(acc)
+      }.as(s"code$s")
+    }: _*))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
+    // per-query LUT: m·ksub dots of length d, computed once per query row
+    val lut = array((for (s <- 0 until m; j <- 0 until ksub) yield
+      dotProduct(slice(col("qnv"), s * d + 1, d), typedLit(sub(s)(j)))): _*)
+    val probes = probeCells(q.withColumn("lut", lut), centers, nprobe,
+      keep = Seq(col("qid"), col("lut")))
+    // ADC: 8 lookups + 7 adds per candidate, fixed s=0..m-1 fold order
+    // (the oracle sums the same CASE-selected terms in the same order)
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"), lit(s * ksub + 1) + col(s"code$s"))).reduceLeft(_ + _)
+    val shortlist = assigned
+      .select(col("vec_id") +: col("bucket") +: (0 until m).map(s => col(s"code$s")): _*)
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pround6(adc).as("adc"))
+      .filter(realScore(col("adc")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("arn") <= refine * k)
+      .select("qid", "vec_id")
+    rankTopK(
+      assigned.select(col("vec_id"), col("v"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos"))),
+      k)
   }
 
   /** Per-cell occupancy/alignment stats of the pinned-codebook IVF index —

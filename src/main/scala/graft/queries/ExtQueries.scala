@@ -111,6 +111,15 @@ object ExtQueries {
   /** Deterministic training-data sharding ([[graft.operators.Sharding]]):
     * per-shard doc counts + key range prove stable assignment and balance;
     * the md5-derived keys replay in the DuckDB oracle. */
+  /** IVF-PQ ANN over the pinned cell + product-quantization codebooks
+    * ([[Similarity.ivfPqTopK]]): 8-byte PQ codes score candidates via a
+    * per-query LUT (the 100 TB bytes-per-candidate cut), exact rescoring
+    * of the top-`refine·k` restores full-precision ranking. Everything is
+    * pinned-literal IEEE arithmetic → full DuckDB replay. */
+  def x33AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+      .orderBy("qid", "rn")
+
   def x13ShardStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sharding.assignShards(Tables.documents(s, dir), "doc_id", numShards = 8)
       .groupBy("shard")
@@ -660,6 +669,87 @@ object ExtQueries {
        |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.ivfPqTopK]] (x33). Replays all three
+    * stages with the pinned literals: PQ code assignment per subspace
+    * (16-branch distance CASE over the 8-dim slice of nv — same
+    * first-index-wins tie rule as the cell CASE), ADC scoring (the CASE
+    * selects the same left-to-right dot chain the Spark LUT entry holds —
+    * identical IEEE value — and the 8 subspace terms add in the same
+    * s=0..7 order), shortlist by e6-rounded ADC with (adc DESC, vec_id)
+    * ties, then exact-cosine rescoring of the survivors. */
+  private val duckAnnIvfPq: String = {
+    import IvfSql.assignCtes
+    import VecSql.{dotVec, normSq}
+    val sub = graft.operators.PqCodebook.subCenters
+    val m = sub.size; val ksub = sub.head.size; val d = 8
+    val nprobe = 3; val refine = 4; val k = 5
+    // left-assoc dot of nv dims [s*8+1 .. s*8+8] with a literal centroid —
+    // matches DotProductExpr over slice(nv, s*8+1, 8)
+    def sliceDot(vCol: String, s: Int, c: Seq[Double]): String =
+      c.zipWithIndex.map { case (w, i) => s"$vCol[${s * d + i + 1}]*($w)" }.mkString(" + ")
+    def subSelfDot(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+    // per-subspace distance columns + first-match-wins code CASE
+    val pqDists = (0 until m).flatMap(s => (0 until ksub).map(j =>
+      s"(${subSelfDot(sub(s)(j))}) - 2.0*(${sliceDot("nv", s, sub(s)(j))}) AS p${s}_$j"))
+      .mkString(",\n    ")
+    val pqMins = (0 until m).map(s =>
+      (0 until ksub).map(j => s"p${s}_$j").mkString(s"least(", ", ", s") AS m$s"))
+      .mkString(", ")
+    val pqCodes = (0 until m).map(s =>
+      s"CASE ${(0 until ksub).map(j => s"WHEN p${s}_$j = m$s THEN $j").mkString(" ")} END AS code$s")
+      .mkString(",\n    ")
+    // ADC: per subspace a CASE over the candidate's code selecting the
+    // query-side chain; terms added s=0..7 left-assoc like reduceLeft
+    val adcExpr = (0 until m).map(s =>
+      s"(CASE ${(0 until ksub).map(j =>
+        s"WHEN c.code$s = $j THEN (${sliceDot("p.qnv", s, sub(s)(j))})").mkString(" ")} END)")
+      .mkString(" + ")
+    val structList = IvfSql.centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
+    val cos =
+      s"floor(((${dotVec("q.qv", "cv.v")}) / (sqrt(${normSq("q.qv")}) * sqrt(${normSq("cv.v")}))) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH $assignCtes,
+       |pd AS (
+       |  SELECT vec_id, v, nv, bucket,
+       |    $pqDists
+       |  FROM a
+       |),
+       |pc AS (
+       |  SELECT vec_id, v, nv, bucket,
+       |    $pqCodes
+       |  FROM (SELECT *, $pqMins FROM pd)
+       |),
+       |q AS (SELECT vec_id AS qid, v AS qv, nv AS qnv FROM a WHERE vec_id < 10),
+       |qd AS (
+       |  SELECT qid, qv, qnv,
+       |    ${IvfSql.dists("qnv")}
+       |  FROM q
+       |),
+       |qp AS (SELECT qid, qv, qnv, unnest([$structList]) AS u FROM qd),
+       |probes AS (
+       |  SELECT qid, qnv, b AS bucket FROM (
+       |    SELECT qid, qnv, u.b AS b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d, u.b) AS rn
+       |    FROM qp
+       |  ) WHERE rn <= $nprobe
+       |),
+       |adc AS (
+       |  SELECT p.qid, c.vec_id,
+       |    floor(($adcExpr) * 1000000.0 + 0.5) / 1000000.0 AS adc
+       |  FROM probes p JOIN pc c USING (bucket) WHERE c.vec_id <> p.qid
+       |),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= ${refine * k}
+       |),
+       |resc AS (
+       |  SELECT s.qid, s.vec_id, $cos AS cos
+       |  FROM short s JOIN pc cv ON s.vec_id = cv.vec_id JOIN q ON s.qid = q.qid
+       |)
+       |SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn, cos
+       |FROM resc QUALIFY rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.cellStats]] (x15): shared assignment
     * CTEs, then per-row alignment = dot(nv, centroid_of_its_cell) as a
     * 16-branch CASE of literal chains, rounded to exact 1e-6 int64 units
@@ -969,6 +1059,7 @@ object ExtQueries {
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
+    "x33_ann_ivfpq" -> duckAnnIvfPq,
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
@@ -1138,6 +1229,7 @@ object ExtQueries {
     "x6_embed_neardup" -> x6EmbedNeardup,
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
     "x12_ann_ivf"      -> x12AnnIvf, // oracle: pinned codebook as literals
+    "x33_ann_ivfpq"    -> x33AnnIvfPq, // oracle: pinned cell + PQ codebooks as literals
     "x13_shard_stats"  -> x13ShardStats,
     "x14_embed_clusters" -> x14EmbedClusters,
     "x15_ivf_cells"    -> x15IvfCells, // oracle: pinned codebook as literals

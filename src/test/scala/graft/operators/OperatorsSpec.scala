@@ -233,6 +233,31 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.Caching.releaseAll()
   }
 
+  test("ivfPqTopK recall vs exact top-k; rescoring restores exact ranks within shortlist") {
+    val embr = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = embr.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Similarity.bruteTopK(q, e, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val pq = Similarity.ivfPqTopK(embr, col("vec_id") < 10, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    // exactly k rows per query; PQ recall cannot exceed its probe set, so
+    // pin at the pinned-IVF floor (same cells, lossy shortlist)
+    assert(pq.groupBy(_._1).forall(_._2.length == 5))
+    val recall = (exactSet & pq.map(r => (r._1, r._2)).toSet).size.toDouble / exactSet.size
+    assert(recall >= 0.1, s"IVF-PQ recall collapsed: $recall")
+    // the rescoring contract: any (qid, nid) the PQ path shares with the
+    // exact path carries the EXACT cosine (full-precision rescore, not the
+    // ADC approximation)
+    val exactCos = exact.map(r => (r._1, r._2) -> r._4).toMap
+    pq.foreach { r =>
+      exactCos.get((r._1, r._2)).foreach(c => assert(c == r._4,
+        s"rescored cosine diverged for ${(r._1, r._2)}: ${r._4} vs $c"))
+    }
+    graft.operators.Caching.releaseAll()
+  }
+
   test("embeddingNearDupPairsLsh finds planted high-cosine dups (candidates ⊇ true pairs)") {
     // 40 random 64-dim vectors + 5 planted near-identical pairs
     val rnd = new scala.util.Random(7)
