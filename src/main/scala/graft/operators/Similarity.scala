@@ -401,6 +401,48 @@ object Similarity {
         min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
   }
 
+  /** SemDeDup-style SEMANTIC pruning (the missing member of the dedup
+    * family: exact → n-gram → SimHash → MinHash → embedding-pair →
+    * semantic cluster prune): assign every vector to its pinned IVF cell,
+    * then prune, within each cell, every vector that has a
+    * cosine ≥ `threshold` neighbor of LOWER centroid alignment — i.e. of
+    * any semantically-redundant group, the member least typical of its
+    * cell survives (the published keep-rule: retaining low
+    * centroid-similarity examples preserves diversity; made relational
+    * and deterministic here via exact int64 alignment compares with
+    * vec_id tie-break). A group's minimum-(align, id) member has no
+    * dominating neighbor, so at least one member of every group is kept.
+    *
+    * Returns one row per input vector: (vec_id, bucket, align_e6,
+    * pruned 0/1) — downstream keeps `pruned = 0`.
+    *
+    * Scale shape: cell assignment is the same codegen'd map pass as
+    * [[ivfTopKPinned]]; the pair scan is cell-LOCAL (one shuffle on
+    * bucket, O(cell²) dot products within) — the published algorithm's
+    * cost model, bounded by choosing k ≈ corpus/target-cell-size so cells
+    * stay O(10⁴-10⁵). Pinned centroids keep the whole decision —
+    * assignment, alignment, pair cosine — replayable in the DuckDB
+    * oracle. */
+  def semanticPrune(embeddings: DataFrame, threshold: Double,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers, dim: Int = 64): DataFrame = {
+    val a = Caching.persisted(normalizedCorpus(embeddings, dim)
+      .withColumn("bucket", nearestCell(col("nv"), centers))
+      .withColumn("cvec", element_at(typedLit(centers), col("bucket") + 1))
+      .withColumn("align_e6",
+        floor(dotProduct(col("nv"), col("cvec")) * 1000000d + 0.5).cast("long"))
+      .select("vec_id", "nv", "bucket", "align_e6"))
+    val dominated = a.as("x").join(a.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          (col("y.align_e6") < col("x.align_e6") ||
+            (col("y.align_e6") === col("x.align_e6") && col("y.vec_id") < col("x.vec_id"))) &&
+          pround6(dotProduct(col("x.nv"), col("y.nv"))) >= threshold,
+        "left_semi")
+      .select(col("vec_id"), lit(1L).as("pruned"))
+    a.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("align_e6"),
+        coalesce(col("pruned"), lit(0L)).as("pruned"))
+  }
+
   /** All near-duplicate pairs (cosine ≥ threshold on the rounded value)
     * within equal-`label` blocks — embedding-cosine near-dup dedup (X1's
     * embedding variant). EXACT: every qualifying pair is returned. Norms

@@ -120,6 +120,14 @@ object ExtQueries {
     Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
       .orderBy("qid", "rn")
 
+  /** SemDeDup-style semantic pruning over the pinned IVF cells
+    * ([[Similarity.semanticPrune]]): per-vector keep/prune decision with
+    * the exact int64 alignment tie-break — every stage pinned-literal
+    * deterministic, full DuckDB replay. */
+  def x34SemanticPrune(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticPrune(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy("vec_id")
+
   def x13ShardStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sharding.assignShards(Tables.documents(s, dir), "doc_id", numShards = 8)
       .groupBy("shard")
@@ -750,6 +758,34 @@ object ExtQueries {
        |FROM resc QUALIFY rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.semanticPrune]] (x34): shared
+    * assignment CTEs, per-row alignment as the x15 CASE of literal
+    * chains, then the dominance EXISTS — same-cell neighbor with
+    * (align, id)-lower order and e6-rounded unit-dot ≥ threshold. */
+  private val duckSemanticPrune: String = {
+    import IvfSql.{assignCtes, centers}
+    import VecSql.{dotLit, dotVec}
+    val alignCase = centers.indices
+      .map(j => s"WHEN bucket = $j THEN (${dotLit("nv", centers(j))})")
+      .mkString(" ")
+    val pairDot = s"floor((${dotVec("x.nv", "y.nv")}) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH $assignCtes,
+       |al AS (
+       |  SELECT vec_id, nv, bucket,
+       |    CAST(floor((CASE $alignCase END) * 1000000.0 + 0.5) AS BIGINT) AS align_e6
+       |  FROM a
+       |)
+       |SELECT x.vec_id AS vec_id, x.bucket AS bucket, x.align_e6 AS align_e6,
+       |  CAST(CASE WHEN EXISTS (
+       |    SELECT 1 FROM al y
+       |    WHERE y.bucket = x.bucket
+       |      AND (y.align_e6 < x.align_e6
+       |           OR (y.align_e6 = x.align_e6 AND y.vec_id < x.vec_id))
+       |      AND $pairDot >= 0.4
+       |  ) THEN 1 ELSE 0 END AS BIGINT) AS pruned
+       |FROM al x ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.cellStats]] (x15): shared assignment
     * CTEs, then per-row alignment = dot(nv, centroid_of_its_cell) as a
     * 16-branch CASE of literal chains, rounded to exact 1e-6 int64 units
@@ -1060,6 +1096,7 @@ object ExtQueries {
     "x19_contamination" -> duckContamination,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
+    "x34_semantic_prune" -> duckSemanticPrune,
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
@@ -1230,6 +1267,7 @@ object ExtQueries {
     "x7_ann_lsh"       -> x7AnnLsh, // oracle: plane matrix embedded as literals
     "x12_ann_ivf"      -> x12AnnIvf, // oracle: pinned codebook as literals
     "x33_ann_ivfpq"    -> x33AnnIvfPq, // oracle: pinned cell + PQ codebooks as literals
+    "x34_semantic_prune" -> x34SemanticPrune, // oracle: pinned cells + exact align dominance
     "x13_shard_stats"  -> x13ShardStats,
     "x14_embed_clusters" -> x14EmbedClusters,
     "x15_ivf_cells"    -> x15IvfCells, // oracle: pinned codebook as literals

@@ -258,6 +258,40 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.Caching.releaseAll()
   }
 
+  test("semanticPrune: planted dup group keeps exactly its least-aligned member") {
+    val embr = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.semanticPrune(embr, threshold = 0.4)
+      .as[(Long, Int, Long, Long)].collect()
+    // total coverage: one decision row per clean input vector
+    val n = embr.filter(col("embedding").isNotNull)
+      .filter(!exists(Similarity.asDouble(col("embedding")), x => isnan(x))).count()
+    assert(out.length.toLong == n)
+    // keep-rule invariant: the minimum-(align_e6, vec_id) member of every
+    // cell has no dominating neighbor, so it is NEVER pruned — at least
+    // one survivor per cell
+    out.groupBy(_._2).foreach { case (bucket, rows) =>
+      val keeper = rows.minBy(r => (r._3, r._1))
+      assert(keeper._4 == 0L, s"cell $bucket pruned its least-aligned member")
+    }
+    graft.operators.Caching.releaseAll()
+
+    // planted near-identical pair: the HIGHER-aligned member is pruned,
+    // the lower-aligned one kept
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val w = v.clone(); w(0) = w(0) + 0.01f // cosine ≈ 0.9999: same cell, over any threshold
+    val df = (base ++ Seq((100L, v), (101L, w))).toDF("vec_id", "embedding")
+    val planted = Similarity.semanticPrune(df, threshold = 0.9)
+      .filter(col("vec_id") >= 100L).as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(planted(100L)._2 == planted(101L)._2, "planted pair split across cells")
+    val Seq(lo, hi) = Seq(planted(100L), planted(101L)).sortBy(r => (r._3, r._1))
+    assert(lo._4 == 0L, "least-aligned member of the planted pair was pruned")
+    assert(hi._4 == 1L, "higher-aligned member of the planted pair survived")
+    graft.operators.Caching.releaseAll()
+  }
+
   test("embeddingNearDupPairsLsh finds planted high-cosine dups (candidates ⊇ true pairs)") {
     // 40 random 64-dim vectors + 5 planted near-identical pairs
     val rnd = new scala.util.Random(7)
