@@ -51,6 +51,21 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Caching.releaseAll()
+        // SPARK_GRAFT_STORAGE_AUDIT: print residual cached blocks after
+        // release (stderr; dev aid for adjudicating in-sequence-vs-
+        // isolated drift — proves releaseAll actually frees storage,
+        // modulo the async unpersist window it polls through)
+        if (sys.env.contains("SPARK_GRAFT_STORAGE_AUDIT")) {
+          var info = spark.sparkContext.getRDDStorageInfo
+          var waited = 0
+          while (info.nonEmpty && waited < 2000) { // async unpersist drain
+            Thread.sleep(100); waited += 100
+            info = spark.sparkContext.getRDDStorageInfo
+          }
+          val mb = info.map(_.memSize).sum / 1048576.0
+          System.err.println(
+            f"[storage-audit] $name%-24s residual ${info.length}%d blocks ${mb}%8.1f MiB after ${waited}ms")
+        }
         // a failed query reports -1, NOT its elapsed-until-crash time — a
         // crashing query must never masquerade as a fast one
         name -> (if (ok) dt else -1.0)

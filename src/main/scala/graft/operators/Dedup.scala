@@ -21,6 +21,11 @@ import graft.functions.pround4
   */
 object Dedup {
 
+  /** Observability: rounds the LAST [[clusters]] call's iterative path ran
+    * (0 when the driver union-find handled it). Read by ScaleRehearsal to
+    * record convergence evidence; not part of any query contract. */
+  @volatile var lastClusterIterations: Int = 0
+
   /** Exact dedup: one representative (min id) per distinct value of
     * `textCol`, with the duplicate count. 100 TB note: grouping directly on
     * the text column would shuffle full documents; grouping on md5(text)
@@ -140,6 +145,7 @@ object Dedup {
     * pathological chains. */
   def clusters(pairs: DataFrame, maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    lastClusterIterations = 0
     // ids normalized to long: both paths then share one output contract
     val edgePairs = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .transform(Caching.persisted)
@@ -189,6 +195,7 @@ object Dedup {
         .filter(col("a.label") =!= col("b.label")).isEmpty
       labels = next
       i += 1
+      lastClusterIterations = i
     }
     edges.unpersist()
     edgePairs.unpersist()

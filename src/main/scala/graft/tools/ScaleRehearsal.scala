@@ -92,10 +92,43 @@ object ScaleRehearsal {
         val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
         Similarity.bruteTopKAgg(q, e, k = 5).count()
       }
+      // token-shuffle family (round-6): evidence for the O(tokens) claims —
+      // shuffle must grow ~linearly in corpus tokens, never quadratically
+      op("inverted_idx")(graft.operators.InvertedIndex.postings(docs, "doc_id", "text").count())
+      op("cdc_chunks")(Dedup.chunkDupStats(Dedup.cdcChunks(docs, "doc_id", "text")).count())
+      op("tfidf_topk")(graft.operators.TextAnalysis.tfidfTopK(docs).count())
     }
 
     run("1x", dir)
     run(s"${copies}x", bigPath)
+
+    // Iterative clusters at rehearsal scale (round-6): force the
+    // >1M-edge distributed path (driverThreshold=0) on the
+    // duplication-heavy corpus, record rounds-to-converge and shuffle,
+    // and require label-for-label agreement with the union-find path.
+    {
+      def docs = graft.Tables.documents(spark, bigPath)
+      def pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8)
+      org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val iterative = Dedup.clusters(pairs, maxIter = 30, driverThreshold = 0L)
+        .transform(graft.operators.Caching.persisted)
+      val rows = iterative.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
+      val mib = shuffleBytes.get / 1048576.0
+      val iters = Dedup.lastClusterIterations
+      val uf = Dedup.clusters(pairs, driverThreshold = Long.MaxValue)
+      val disagree = iterative.as("a").join(uf.as("b"), "id")
+        .filter(col("a.cluster") =!= col("b.cluster")).count()
+      println(f"REHEARSE ${copies}x clusters_iterative ${sec}%8.2f s  " +
+        f"shuffleWrite ${mib}%9.1f MiB  rows $rows%d  iterations $iters%d  " +
+        f"unionFindDisagreements $disagree%d")
+      require(disagree == 0, s"iterative and union-find labels disagree on $disagree ids")
+      graft.operators.Caching.releaseAll()
+    }
     spark.stop()
   }
 }
