@@ -58,12 +58,19 @@ object TimeSeries {
   /** Per-type spike summary: bucket population, z>2 / z>3 spike counts
     * (exact integer decisions), and the maximum z-score (pround4). */
   def spikeStats(events: DataFrame, typeCol: String, tsNanosCol: String,
-      minutes: Int): DataFrame = {
+      minutes: Int): DataFrame =
+    spikeStatsFromCounts(bucketCounts(events, typeCol, tsNanosCol, minutes), typeCol)
+
+  /** [[spikeStats]] from an ALREADY-AGGREGATED (typeCol, bucket_start,
+    * cnt) frame — the shared decision tail, so the batch path and the
+    * incrementally-maintained streaming path
+    * ([[graft.streaming.StreamingSpikes]]) run the exact same guarded
+    * int64 arithmetic on their bucket counts. */
+  def spikeStatsFromCounts(bucketed: DataFrame, typeCol: String): DataFrame = {
     def overflowError: Column =
       raise_error(concat(lit("TimeSeries.spikeStats: int64 headroom exceeded for "),
         col(typeCol).cast("string"))).cast("long")
-    val b = bucketCounts(events, typeCol, tsNanosCol, minutes)
-      .transform(Caching.persisted)
+    val b = bucketed.transform(Caching.persisted)
     // cnt is guarded BEFORE it is squared — under ANSI-on an unguarded
     // cnt·cnt with cnt > ⌊√(2⁶³−1)⌋ would throw a generic
     // ArithmeticException out of the aggregation instead of this named
