@@ -124,10 +124,16 @@ object Sampling {
     * on the aggregate, whose cardinality is the number of sources —
     * small by construction — so its single-partition exchange is free. */
   def mixtureWeights(df: DataFrame, sourceCol: String,
-      textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perSource = df
-      .groupBy(sourceCol)
+      textCol: String): DataFrame =
+    mixtureWeightsFromCounts(sourceTokenCounts(df, sourceCol, textCol), sourceCol)
+
+  /** The corpus aggregation half of [[mixtureWeights]]: per-source doc and
+    * token counts. Both measures are ADDITIVE, so this is also the
+    * incremental-maintenance increment ([[graft.streaming.IncrementalMixture]]
+    * folds it into state with the MvPipeline upsert). */
+  def sourceTokenCounts(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(sourceCol)
       .agg(count(lit(1)).as("docs"),
         // null text counts as 0 tokens on BOTH engines. Under this
         // deployment (Spark 4, ANSI on) size(NULL) is NULL and sum skips
@@ -137,11 +143,19 @@ object Sampling {
         // would propagate NULL instead of the intended 0
         sum(when(col(textCol).isNull, lit(0L))
           .otherwise(size(TextOps.tokens(col(textCol))).cast("long"))).as("tokens"))
+
+  /** The decision half of [[mixtureWeights]], over an already-aggregated
+    * (source, docs, tokens) frame — shared verbatim by the batch path and
+    * the incrementally-maintained streaming state, so both produce
+    * identical ppm weights. */
+  def mixtureWeightsFromCounts(perSource: DataFrame, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weighted = perSource
       .withColumn("w", floor(sqrt(col("tokens").cast("double")) * 1e6 + 0.5).cast("long"))
     // int64 headroom: w ≤ 1e12 for 1e12 tokens/source, ×1e6 ≤ 1e18 < 2^63
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perSource
+    weighted
       .withColumn("total_w", sum("w").over(all))
       .select(col(sourceCol), col("docs"), col("tokens"),
         expr("(w * 1000000) DIV total_w").as("weight_ppm"))
