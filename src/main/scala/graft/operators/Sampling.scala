@@ -109,6 +109,55 @@ object Sampling {
         sum(coalesce(col("in_train"), lit(0L))).as("contaminated"))
   }
 
+  /** Bloom-filter contamination PRE-FILTER — the 100 TB scale path for
+    * [[contaminationStats]]: instead of broadcasting every distinct train
+    * text hash (100s of GB at corpus scale), broadcast an `mBits`-slot
+    * Bloom bitmap (KB-MB) and probe the test split against it; exact
+    * verification then touches only the bitmap's candidates. Bloom
+    * membership has NO false negatives (a contaminated doc's k positions
+    * are all set by its own train twin — same text ⇒ same positions), so
+    * `contaminated ≤ bloom_candidates` always, and
+    * `false_positives = bloom_candidates − contaminated` measures the
+    * filter's realized fp rate at this fill factor.
+    *
+    * The bitmap is encoded RELATIONALLY as its set-position table
+    * (≤ mBits rows — the oracle-replayable form; a production run ships
+    * the same bits as a real bitmap). Positions are double-hashed from
+    * two md5-derived int64s, `pos_i = (pa + i·pb) mod m` — deterministic
+    * exact integer arithmetic on both engines.
+    *
+    * Returns per `groupCol`: (test_docs, bloom_candidates, contaminated,
+    * false_positives). */
+  def bloomContaminationStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, trainFrac: Double, valFrac: Double,
+      mBits: Int = 65536, k: Int = 3): DataFrame = {
+    import graft.functions.md5Hash64
+    val m = lit(mBits.toLong)
+    val sp = Caching.persisted(
+      assignSplit(df, idCol, trainFrac, valFrac)
+        .select(col(idCol).as("id"), col(groupCol), col("split"),
+          md5(col(textCol)).as("h"),
+          pmod(md5Hash64(col(textCol)), m).as("pa"),
+          pmod(md5Hash64(concat(col(textCol), lit(":b2"))), m).as("pb")))
+    val posCols = (0 until k).map(i => pmod(col("pa") + lit(i.toLong) * col("pb"), m))
+    val bits = sp.filter(col("split") === "train")
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .withColumn("hit", lit(1L))
+    val trainH = sp.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("in_train", lit(1L))
+    val perDoc = sp.filter(col("split") === "test")
+      .select(col(groupCol), col("id"), col("h"), explode(array(posCols: _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col(groupCol), col("id"), col("h"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === k).cast("long").as("candidate"))
+      .join(broadcast(trainH), Seq("h"), "left")
+    perDoc.groupBy(groupCol)
+      .agg(count(lit(1)).as("test_docs"),
+        sum(col("candidate")).as("bloom_candidates"),
+        sum(coalesce(col("in_train"), lit(0L))).as("contaminated"),
+        sum(col("candidate") - coalesce(col("in_train"), lit(0L))).as("false_positives"))
+  }
+
   /** Temperature-scaled mixture weights per data source — the
     * domain-reweighting pass of a training-data pipeline (sample sources
     * proportionally to `tokens^alpha`; alpha < 1 upweights small

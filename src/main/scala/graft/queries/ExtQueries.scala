@@ -193,6 +193,16 @@ object ExtQueries {
         "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1)
       .orderBy("lang")
 
+  /** Bloom-filter contamination pre-filter
+    * ([[graft.operators.Sampling.bloomContaminationStats]]): the KB-size
+    * bitmap stand-in for the distinct-hash broadcast, with its realized
+    * false-positive count measured against the exact check — every
+    * position md5-deterministic, full DuckDB replay. */
+  def x35BloomContamination(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bloomContaminationStats(Tables.documents(s, dir),
+        "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1)
+      .orderBy("lang")
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -878,6 +888,37 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
        |FROM te GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DuckDB mirror of the Bloom contamination pre-filter (x35): shared
+    * split CTEs; two md5-derived int64s per text give double-hashed
+    * positions `(pa + i·pb) mod m` (pa, pb already in [0, m)); the train
+    * bitmap is its DISTINCT position set; a test doc is a candidate iff
+    * all k probes hit; exact overlap restates the x19 check. */
+  private val duckBloomContamination: String = {
+    val mB = 65536; val k = 3
+    val posList = (0 until k).map(i =>
+      if (i == 0) "pa" else s"(pa + $i*pb) % $mB").mkString(", ")
+    s"""WITH $duckSplitCtes,
+       |bm AS (SELECT doc_id, lang, split, md5(text) AS h, md5(text||':b2') AS h2 FROM sp),
+       |bh AS (SELECT doc_id, lang, split, h,
+       |  ${duckNibbleFold("h")} AS hau, ${duckNibbleFold("h2")} AS hbu FROM bm),
+       |bp AS (SELECT doc_id, lang, split, h,
+       |  ((${duckSigned("hau")} % $mB) + $mB) % $mB AS pa,
+       |  ((${duckSigned("hbu")} % $mB) + $mB) % $mB AS pb FROM bh),
+       |bits AS (SELECT DISTINCT unnest([$posList]) AS pos FROM bp WHERE split = 'train'),
+       |tr AS (SELECT DISTINCT h FROM bp WHERE split = 'train'),
+       |te AS (SELECT lang, doc_id, h, unnest([$posList]) AS pos FROM bp WHERE split = 'test'),
+       |pd AS (
+       |  SELECT lang, doc_id, h,
+       |    CASE WHEN count(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 END) = $k
+       |         THEN 1 ELSE 0 END AS candidate
+       |  FROM te GROUP BY lang, doc_id, h)
+       |SELECT lang, count(*) AS test_docs,
+       |  CAST(sum(candidate) AS BIGINT) AS bloom_candidates,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+       |  CAST(sum(candidate) - sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB mirror of the repetition metrics (x22): array metrics per doc,
     * word-count-shaped top-token share, the SAME pround4'd ratio fragments
     * reused in the flag so the threshold compares rounded values. */
@@ -1094,6 +1135,7 @@ object ExtQueries {
     "x28_cdc_chunks" -> duckCdcChunks,
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
+    "x35_bloom_contamination" -> duckBloomContamination,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
     "x34_semantic_prune" -> duckSemanticPrune,
@@ -1275,6 +1317,7 @@ object ExtQueries {
     "x17_curate"       -> x17Curate, // oracle: whole curation chain replayed
     "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
+    "x35_bloom_contamination" -> x35BloomContamination, // oracle: double-hashed bit positions
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

@@ -46,6 +46,38 @@ class SamplingSpec extends SparkTestBase {
     Caching.releaseAll()
   }
 
+  test("bloomContaminationStats: no false negatives; fp measured; tiny bitmap saturates") {
+    val docs = (0L until 500L).map(i => (i, s"unique text number $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bySplit = Sampling.assignSplit(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val trainId = bySplit("train").head
+    val testId = bySplit("test").head
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === testId, lit(s"unique text number $trainId"))
+        .otherwise(col("text")))
+    val got = Sampling.bloomContaminationStats(planted, "doc_id", "text", "lang", 0.8, 0.1)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, testDocs, candidates, contaminated, fp) = got("en")
+    assert(testDocs === bySplit("test").size.toLong)
+    assert(contaminated === 1L) // the exact check still sees the plant
+    // the Bloom guarantee: a contaminated doc ALWAYS passes the filter
+    assert(candidates >= contaminated)
+    assert(fp === candidates - contaminated)
+    Caching.releaseAll()
+
+    // a saturated bitmap (m=16 slots, ~400 train texts × 3 probes) makes
+    // every test doc a candidate — the fill-factor failure mode, visible
+    // not silent
+    val sat = Sampling.bloomContaminationStats(planted, "doc_id", "text", "lang", 0.8, 0.1,
+        mBits = 16)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(sat._3 === sat._2, "tiny bitmap should mark every test doc a candidate")
+    Caching.releaseAll()
+  }
+
   test("stratifiedSample: per-stratum rates equal per-group deterministic samples; default applies") {
     val df = (0L until 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
       .toDF("id", "strat")
