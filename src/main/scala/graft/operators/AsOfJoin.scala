@@ -69,4 +69,34 @@ object AsOfJoin {
         leftCols.map(c => col("__l").getField(c).as(c)) ++
           rightPayload.map(c => col("__asof").getField(c).as(c)): _*)
   }
+
+  /** Bucketed INTERVAL (range) join — all pairs with equal `keys` and
+    * `rightTs ∈ [leftTs, leftTs + length)` (half-open; both columns
+    * long). The other time-series join Spark lacks: a bare range
+    * predicate plans as BroadcastNestedLoopJoin — O(left × right) within
+    * key, the 100 TB killer. Here every left row explodes to the ≤ 2
+    * `length`-sized buckets its window covers and every right row lives
+    * in exactly ONE bucket, so the join is a pure shuffle/broadcast
+    * EQUI-join on (keys, bucket); the exact range filter then runs only
+    * on bucket-colocated candidates. Each qualifying pair appears
+    * exactly once (`array_distinct` collapses the same-bucket case; a
+    * right row's single bucket meets each left row once).
+    *
+    * Right-side non-key columns pass through — pre-rename collisions,
+    * same contract as [[asOfBackward]]. Cost model: shuffle is
+    * O(left·≤2 + right) rows; candidate pairs are only those within
+    * ±length of each other — output-sized for time-local data, never
+    * |left|×|right|. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, length: Long): DataFrame = {
+    require(length > 0, "interval length must be positive")
+    val l2 = left.withColumn("_ij_bucket",
+      explode(array_distinct(array(
+        expr(s"$leftTs DIV ${length}L"),
+        expr(s"($leftTs + ${length - 1}L) DIV ${length}L")))))
+    val r2 = right.withColumn("_ij_bucket", expr(s"$rightTs DIV ${length}L"))
+    l2.join(r2, keys :+ "_ij_bucket")
+      .filter(col(rightTs) >= col(leftTs) && col(rightTs) < col(leftTs) + lit(length))
+      .drop("_ij_bucket")
+  }
 }

@@ -203,6 +203,25 @@ object ExtQueries {
         "doc_id", "text", "lang", trainFrac = 0.8, valFrac = 0.1)
       .orderBy("lang")
 
+  /** Bucketed interval join ([[graft.operators.AsOfJoin.intervalJoin]]):
+    * clicks within 10 minutes after each purchase, per user — the range
+    * join recast as an equi-join on (key, length-bucket) so it never
+    * plans a nested-loop. Timestamps compared at exact integer
+    * microseconds; click values as exact cents. */
+  def x36IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("p_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts DIV 1000").as("c_us"),
+        graft.functions.cents(col("value")).as("c_cents"))
+    graft.operators.AsOfJoin.intervalJoin(purchases, clicks, Seq("user_id"),
+        "p_us", "c_us", length = 600000000L) // 10 min in µs
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"), sum("c_cents").as("click_cents"))
+      .orderBy("event_id")
+  }
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -919,6 +938,20 @@ object ExtQueries {
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB mirror of the interval join (x36): the range predicate
+    * written directly (DuckDB plans it fine at oracle scale); same
+    * half-open µs window and exact-cents sum. */
+  private val duckIntervalJoin: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |  count(*) AS n_clicks,
+      |  CAST(sum(CAST(floor(c.value*100.0+0.5) AS BIGINT)) AS BIGINT) AS click_cents
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
+      | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP)) + 600000000
+      |GROUP BY 1, 2 ORDER BY event_id""".stripMargin
+
   /** DuckDB mirror of the repetition metrics (x22): array metrics per doc,
     * word-count-shaped top-token share, the SAME pround4'd ratio fragments
     * reused in the flag so the threshold compares rounded values. */
@@ -1136,6 +1169,7 @@ object ExtQueries {
     "x18_split_stats" -> duckSplitStats,
     "x19_contamination" -> duckContamination,
     "x35_bloom_contamination" -> duckBloomContamination,
+    "x36_interval_join" -> duckIntervalJoin,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
     "x34_semantic_prune" -> duckSemanticPrune,
@@ -1318,6 +1352,7 @@ object ExtQueries {
     "x18_split_stats"  -> x18SplitStats, // oracle: md5-threshold split replays
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
     "x35_bloom_contamination" -> x35BloomContamination, // oracle: double-hashed bit positions
+    "x36_interval_join"  -> x36IntervalJoin, // oracle: direct range predicate
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

@@ -35,6 +35,28 @@ class AsOfJoinSpec extends SparkTestBase {
       (3L, 7L, "e", None, None)))
   }
 
+  test("intervalJoin: half-open window, cross-bucket match, exactly-once pairs") {
+    // length 10: left at ts=8 covers buckets 0 and 1 — its window [8, 18)
+    // must catch rights in the NEXT bucket (12) but not at the bound (18)
+    val l = Seq((1L, 8L, "p1"), (1L, 20L, "p2"), (2L, 8L, "q1"))
+      .toDF("k", "lts", "ltag")
+    val r = Seq(
+      (1L, 8L, "r-eq"),    // == lts: included (closed lower bound)
+      (1L, 12L, "r-next"), // next bucket, inside window
+      (1L, 18L, "r-end"),  // == lts+len: EXCLUDED (open upper bound)
+      (1L, 7L, "r-before"),
+      (1L, 25L, "r-p2"),   // only p2's window
+      (2L, 9L, "r-k2"))    // other key
+      .toDF("k", "rts", "rtag")
+    val got = AsOfJoin.intervalJoin(l, r, Seq("k"), "lts", "rts", length = 10L)
+      .select("ltag", "rtag").as[(String, String)].collect().sorted.toSeq
+    // p1 [8,18): catches 8 (closed lower) and 12 (next bucket), NOT 18
+    // (open upper), 7, or 25; p2 [20,30): catches 25 only; q1: its key's 9.
+    // Each pair exactly once despite the two-bucket explode.
+    assert(got === Seq(
+      ("p1", "r-eq"), ("p1", "r-next"), ("p2", "r-p2"), ("q1", "r-k2")))
+  }
+
   test("asOfBackward: null-key left rows kept unmatched; null-key right rows dropped") {
     val l = Seq((Option(1L), 5L), (Option.empty[Long], 6L)).toDF("k", "ts")
     val r = Seq((Option.empty[Long], 1L)).toDF("k", "rts")
