@@ -73,6 +73,18 @@ final class AdGuardAnalytics(spark: SparkSession, stateDir: String) {
     ip.fold(s)(v => s.filter(col("IP") === v)).orderBy("IP", "bucket_start")
   }
 
+  /** Per-client traffic spike detection over the MAINTAINED stats2 state —
+    * the reference-MV → extension-analytics loop closed at the user API:
+    * each client's 10-minute total (blocked + visited) is scored against
+    * that client's own bucket distribution with the exact-int64 z
+    * decisions of [[graft.operators.TimeSeries.spikeStatsFromCounts]].
+    * Runs on O(summary) state rows — the raw log is never rescanned. */
+  def trafficSpikes: DataFrame =
+    graft.operators.TimeSeries.spikeStatsFromCounts(
+      state("stats2").select(col("IP"),
+        col("bucket_start"), (col("blocked") + col("visited")).as("cnt")),
+      "IP")
+
   /** Blocked ratio per client — the canonical ad-hoc join the reference's
     * users run across summaries. */
   def clientBlockedRatio: DataFrame =

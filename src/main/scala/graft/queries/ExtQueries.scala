@@ -222,6 +222,31 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Edit-distance fuzzy match — the remaining dedup-family member
+    * (character-level, catches typo-grade near-dups that token shingles
+    * miss): for each probe doc, the same-lang doc with the minimum
+    * levenshtein distance between 40-char text prefixes, deterministic
+    * (distance, candidate-id) tie-break. Blocking on `lang` bounds the
+    * O(block²) DP pair cost exactly like the n-gram-Jaccard blocker; at
+    * 100 TB the prefix cap bounds the per-pair DP at 40×40 cells.
+    * `levenshtein` is the standard DP on both engines → full replay. */
+  def x37FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("p"))
+    val probes = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("lang"), col("p").as("qp"))
+    probes.join(d, Seq("lang"))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        levenshtein(col("qp"), col("p")).cast("long").as("dist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("dist"), col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id").as("best_id"), col("dist"))
+      .orderBy("qid")
+  }
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -938,6 +963,19 @@ object ExtQueries {
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
+    * lang blocking, levenshtein (identical DP on both engines), and
+    * (dist, id) tie-break. */
+  private val duckFuzzyMatch: String =
+    """WITH d AS (SELECT doc_id, lang, substr(text, 1, 40) AS p FROM documents),
+      |q AS (SELECT doc_id AS qid, lang, p AS qp FROM d WHERE doc_id < 20),
+      |s AS (
+      |  SELECT qid, d.doc_id, CAST(levenshtein(qp, p) AS BIGINT) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY levenshtein(qp, p), d.doc_id) AS rn
+      |  FROM q JOIN d USING (lang) WHERE d.doc_id <> qid
+      |)
+      |SELECT qid, doc_id AS best_id, dist FROM s WHERE rn = 1 ORDER BY qid""".stripMargin
+
   /** DuckDB mirror of the interval join (x36): the range predicate
     * written directly (DuckDB plans it fine at oracle scale); same
     * half-open µs window and exact-cents sum. */
@@ -1170,6 +1208,7 @@ object ExtQueries {
     "x19_contamination" -> duckContamination,
     "x35_bloom_contamination" -> duckBloomContamination,
     "x36_interval_join" -> duckIntervalJoin,
+    "x37_fuzzy_match" -> duckFuzzyMatch,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
     "x34_semantic_prune" -> duckSemanticPrune,
@@ -1353,6 +1392,7 @@ object ExtQueries {
     "x19_contamination" -> x19Contamination, // oracle: split + hash-overlap
     "x35_bloom_contamination" -> x35BloomContamination, // oracle: double-hashed bit positions
     "x36_interval_join"  -> x36IntervalJoin, // oracle: direct range predicate
+    "x37_fuzzy_match"    -> x37FuzzyMatch, // oracle: levenshtein is the same DP
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

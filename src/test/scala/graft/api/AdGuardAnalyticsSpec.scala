@@ -45,5 +45,18 @@ class AdGuardAnalyticsSpec extends SparkTestBase {
       Seq(line("2024-01-01T00:05:00Z", "ads.example.com", "10.0.0.1", f = true)).mkString.getBytes)
     api.ingestBatch(s"$in2/log.jsonl")
     assert(api.topBlocked(1).as[(String, Long)].collect().head == (("ads.example.com", 3L)))
+
+    // spike detection over the maintained stats2 state: same decisions as
+    // the batch operator fed the equivalent bucket counts directly
+    val fromState = api.trafficSpikes.orderBy("IP")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    import org.apache.spark.sql.functions.col
+    val direct = graft.operators.TimeSeries.spikeStatsFromCounts(
+      api.timeSeries().select(col("IP"), col("bucket_start"),
+        (col("blocked") + col("visited")).as("cnt")), "IP")
+      .orderBy("IP").as[(String, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(fromState === direct)
+    assert(fromState.map(_._1) == Seq("10.0.0.1", "10.0.0.2"))
+    graft.operators.Caching.releaseAll()
   }
 }
