@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr, VecScaleExpr}
+import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -182,6 +182,14 @@ package object functions {
     * `TypedImperativeAggregate` over a mutable primitive buffer. */
   def topK(id: Column, score: Column, k: Int): Column =
     ncol(TopKAggExpr(nexpr(id), nexpr(score), k).toAggregateExpression())
+
+  /** Approximate heavy hitters (Misra-Gries, ≤ k counters): array of
+    * (item, est) structs ordered est desc, item asc —
+    * [[graft.expressions.FreqAggExpr]]. Every item with true frequency
+    * above n/(k+1) is guaranteed present; estimates are within n/(k+1)
+    * below the true count (pinned in SketchAccuracySpec). */
+  def heavyHitters(item: Column, k: Int): Column =
+    ncol(FreqAggExpr(nexpr(item), k).toAggregateExpression())
 
   // ------------------------------------------------------- registration ----
 

@@ -247,6 +247,25 @@ object ExtQueries {
       .orderBy("qid")
   }
 
+  /** Heavy hitters via the Misra-Gries aggregate
+    * ([[graft.functions.heavyHitters]], [[graft.expressions.FreqAggExpr]]):
+    * top tokens by estimated frequency. ORACLE-VALID because the test
+    * corpus vocabulary (~31 tokens) is under k=64 — with no evictions the
+    * summary holds EXACT counts and the merge rule never fires
+    * destructively, so the sketch output equals the exact groupBy the SQL
+    * mirror runs. The bounded-memory regime (vocab ≫ k), where results
+    * become merge-order-dependent like HLL, is pinned against exact
+    * counts in SketchAccuracySpec instead. */
+  def x38HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    toks.agg(graft.functions.heavyHitters(col("t"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(20)
+  }
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -1209,6 +1228,10 @@ object ExtQueries {
     "x35_bloom_contamination" -> duckBloomContamination,
     "x36_interval_join" -> duckIntervalJoin,
     "x37_fuzzy_match" -> duckFuzzyMatch,
+    "x38_heavy_hitters" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
     "x34_semantic_prune" -> duckSemanticPrune,
@@ -1393,6 +1416,7 @@ object ExtQueries {
     "x35_bloom_contamination" -> x35BloomContamination, // oracle: double-hashed bit positions
     "x36_interval_join"  -> x36IntervalJoin, // oracle: direct range predicate
     "x37_fuzzy_match"    -> x37FuzzyMatch, // oracle: levenshtein is the same DP
+    "x38_heavy_hitters"  -> x38HeavyHitters, // oracle: vocab < k ⇒ sketch is exact
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

@@ -31,7 +31,7 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedFallbacks = Set(
     "JsonToStructs",
     "Percentile", "ApproximatePercentile", "HyperLogLogPlusPlus",
-    "CollectList", "TopKAggExpr",
+    "CollectList", "TopKAggExpr", "FreqAggExpr",
     "ArrayFilter", "ArrayTransform", "ArrayExists", "ArraySort",
     "LambdaFunction", "NamedLambdaVariable")
 

@@ -76,4 +76,31 @@ class SketchAccuracySpec extends SparkTestBase {
       assert(r.getAs[Double]("p50_approx") <= r.getAs[Double]("p95_approx"))
     }
   }
+
+  test("heavy hitters (Misra-Gries): deterministic guarantees vs exact token counts") {
+    import spark.implicits._
+    val k = 64
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("t").count().as[(String, Long)].collect().toMap
+    // force multiple partitions so the MERGEABLE combine rule actually runs
+    val sk = toks.repartition(8)
+      .agg(graft.functions.heavyHitters(col("t"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(sk.nonEmpty && sk.size <= k)
+    val slack = n / (k + 1)
+    // guarantee 1: every item above n/(k+1) is PRESENT
+    exact.foreach { case (t, c) =>
+      if (c > slack) assert(sk.contains(t), s"frequent '$t' ($c > $slack) missing")
+    }
+    // guarantee 2: two-sided estimate bound, est ≤ true ≤ est + n/(k+1)
+    sk.foreach { case (t, est) =>
+      val true_ = exact.getOrElse(t, 0L)
+      assert(est <= true_, s"'$t' overestimated: $est > $true_")
+      assert(true_ - est <= slack, s"'$t' underestimated past the bound")
+    }
+  }
 }
