@@ -65,6 +65,29 @@ object TextAnalysis {
     )
   }
 
+  /** Pinned-weight quality-CLASSIFIER scoring — the "apply a trained
+    * quality model to every document" pass of a curation pipeline
+    * (fastText-style filters), reduced to its Spark-shaped essence: a
+    * broadcast weight vector over per-doc features, one codegen'd
+    * projection, zero shuffles. The squash is the RATIONAL sigmoid
+    * `p = 0.5 + 0.5·z/(1+|z|)` — multiply/add/divide/abs only, so unlike
+    * `exp`-based logistic (libm implementations differ in final ULPs
+    * across engines) the score replays bit-for-bit in the oracle.
+    * Features are the pround4'd [[quality]] columns (already
+    * engine-equal) plus the capped token count; `z` accumulates
+    * left-to-right matching the SQL mirror. `keep` thresholds the
+    * ROUNDED score (the parity rule). */
+  def classifierScore(docs: DataFrame,
+      w: Seq[Double] = Seq(-1.2, 2.0, 0.8, -1.5, 0.1)): DataFrame = {
+    val q = quality(docs)
+    val f1 = least(col("n_tokens"), lit(100L)).cast("double") / lit(100.0)
+    val z = lit(w(0)) + lit(w(1)) * f1 + lit(w(2)) * col("ttr") +
+      lit(w(3)) * col("stop_ratio") + lit(w(4)) * col("avg_token_len")
+    val p = pround4(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+    q.select(col("doc_id"), p.as("score"),
+      when(p >= 0.5, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Per-document repetition metrics (SURVEY.md §2.11 R22) — the
     * MassiveText/Gopher-style repetitious-text filters: duplicate-token
     * fraction, duplicate-bigram fraction, and the most-frequent-token

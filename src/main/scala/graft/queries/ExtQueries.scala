@@ -266,6 +266,13 @@ object ExtQueries {
       .orderBy(desc("cnt"), asc("token")).limit(20)
   }
 
+  /** Pinned-weight classifier scoring ([[TextAnalysis.classifierScore]]):
+    * rational-sigmoid model application as a pure projection — the
+    * engine-exact form of a learned quality filter. */
+  def x39QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.classifierScore(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -982,6 +989,26 @@ object ExtQueries {
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB mirror of the classifier scoring (x39): the same pround4'd
+    * feature fragments as ta_quality, the same left-associated weighted
+    * sum, and the rational squash (mul/add/div/abs only — no libm). */
+  private val duckQualityClassifier: String = {
+    val ntok = "len(string_split(text,' '))"
+    val ttr = s"floor((len(list_distinct(string_split(text,' '))) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val avg = s"floor(((length(text) - ($ntok - 1)) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val stop = s"floor((len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val f1 = s"least($ntok, 100) / 100.0"
+    val z = s"(-1.2) + 2.0*($f1) + 0.8*($ttr) + (-1.5)*($stop) + 0.1*($avg)"
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    floor((0.5 + 0.5*($z)/(1.0 + abs($z))) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM documents
+       |)
+       |SELECT doc_id, score,
+       |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -1228,6 +1255,7 @@ object ExtQueries {
     "x35_bloom_contamination" -> duckBloomContamination,
     "x36_interval_join" -> duckIntervalJoin,
     "x37_fuzzy_match" -> duckFuzzyMatch,
+    "x39_quality_classifier" -> duckQualityClassifier,
     "x38_heavy_hitters" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -1417,6 +1445,7 @@ object ExtQueries {
     "x36_interval_join"  -> x36IntervalJoin, // oracle: direct range predicate
     "x37_fuzzy_match"    -> x37FuzzyMatch, // oracle: levenshtein is the same DP
     "x38_heavy_hitters"  -> x38HeavyHitters, // oracle: vocab < k ⇒ sketch is exact
+    "x39_quality_classifier" -> x39QualityClassifier, // oracle: rational sigmoid, no libm
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max
