@@ -158,6 +158,33 @@ object Sampling {
         sum(col("candidate") - coalesce(col("in_train"), lit(0L))).as("false_positives"))
   }
 
+  /** Mixture-weight-GUIDED sampling — the composition that turns
+    * [[mixtureWeights]] into an actual corpus: pick the largest total
+    * token budget `T` every source can serve at its target share
+    * (`T = min_s tokens_s·10⁶ DIV w_ppm_s`, exact int64), derive each
+    * source's Bernoulli rate `r_s = min(1, w_ppm_s·T / (10⁶·tokens_s))`,
+    * and keep rows by the deterministic md5-uniform membership test —
+    * reproducible on any cluster size / engine, like every sampler here.
+    * The sampled corpus's expected per-source token mass matches the
+    * temperature-scaled target distribution, with the binding source
+    * kept whole (rate 1).
+    *
+    * Scale shape: one count aggregation (O(sources)), a 1-row budget
+    * broadcast, then a stateless codegen'd row filter — no data shuffle. */
+  def mixtureSample(df: DataFrame, sourceCol: String, textCol: String,
+      idCol: String, salt: String = ":mix"): DataFrame = {
+    val w = Caching.persisted(
+      mixtureWeights(df, sourceCol, textCol).filter(col("weight_ppm") > 0))
+    val rates = w
+      .crossJoin(broadcast(
+        w.agg(min(expr("(tokens * 1000000) DIV weight_ppm")).as("budget_t"))))
+      .select(col(sourceCol),
+        least(lit(1.0), (col("weight_ppm") * col("budget_t")).cast("double")
+          / (col("tokens").cast("double") * lit(1000000.0))).as("rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(uniformPos(col(idCol), salt) < col("rate"))
+  }
+
   /** Temperature-scaled mixture weights per data source — the
     * domain-reweighting pass of a training-data pipeline (sample sources
     * proportionally to `tokens^alpha`; alpha < 1 upweights small

@@ -273,6 +273,21 @@ object ExtQueries {
     graft.operators.TextAnalysis.classifierScore(Tables.documents(s, dir))
       .orderBy("doc_id")
 
+  /** Mixture-guided sampling ([[graft.operators.Sampling.mixtureSample]]):
+    * per-source kept docs/tokens after sampling the corpus toward the
+    * temperature-scaled target shares — the full rebalancing composition
+    * (weights → budget → rates → deterministic membership), every stage
+    * exact or identical-IEEE, full DuckDB replay. */
+  def x40MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
+        "source", "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(when(col("text").isNull, lit(0L))
+          .otherwise(size(graft.operators.TextOps.tokens(col("text"))).cast("long")))
+          .as("kept_tokens"))
+      .orderBy("source")
+
   /** Column profile of the documents table ([[graft.operators.Profiling]])
     * — one aggregation pass, a row per column; exact distincts so the
     * oracle replays it (the 100 TB variant swaps in HLL). */
@@ -1216,6 +1231,51 @@ object ExtQueries {
       |  (w * 1000000) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS weight_ppm
       |FROM w ORDER BY source""".stripMargin
 
+  /** DuckDB mirror of the mixture-guided sample (x40): the x31 weight
+    * CTEs, the exact-int64 budget `T = min(tokens·10⁶ // w_ppm)`, the
+    * identical-IEEE rate division, and the ':mix'-salted md5-uniform
+    * membership test ([[duckUnitInterval]] chain). */
+  private val duckMixtureSample: String = {
+    s"""WITH s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(CASE WHEN text IS NULL THEN 0
+       |             ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |w0 AS (
+       |  SELECT source, docs, tokens,
+       |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+       |  FROM s
+       |),
+       |w AS (
+       |  SELECT source, docs, tokens,
+       |    (w * 1000000) // CAST((SELECT sum(w) FROM w0) AS BIGINT) AS weight_ppm
+       |  FROM w0
+       |),
+       |wp AS (SELECT * FROM w WHERE weight_ppm > 0),
+       |bt AS (SELECT min((tokens * 1000000) // weight_ppm) AS budget_t FROM wp),
+       |rates AS (
+       |  SELECT source,
+       |    least(1.0, CAST(weight_ppm * (SELECT budget_t FROM bt) AS DOUBLE)
+       |      / (CAST(tokens AS DOUBLE) * 1000000.0)) AS rate
+       |  FROM wp
+       |),
+       |m AS (
+       |  SELECT d.source, d.text, r.rate,
+       |    md5(CAST(d.doc_id AS VARCHAR)||':mix') AS mm
+       |  FROM documents d JOIN rates r USING (source)
+       |),
+       |hh AS (SELECT source, text, rate, ${duckNibbleFold("mm")} AS hu FROM m),
+       |kept AS (
+       |  SELECT source, text FROM hh
+       |  WHERE ${duckUnitInterval(duckSigned("hu"))} < rate
+       |)
+       |SELECT source, count(*) AS kept_docs,
+       |  CAST(sum(CASE WHEN text IS NULL THEN 0
+       |           ELSE len(string_split(text, ' ')) END) AS BIGINT) AS kept_tokens
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** x32 mirror: posting fingerprint = bit_xor of each member doc's
     * md5-derived signed int64 (the md5Hash64 nibble-fold recipe) —
     * order-independent, so no ORDER BY inside the aggregate is needed
@@ -1241,6 +1301,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
+    "x40_mixture_sample" -> duckMixtureSample,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1446,6 +1507,7 @@ object ExtQueries {
     "x37_fuzzy_match"    -> x37FuzzyMatch, // oracle: levenshtein is the same DP
     "x38_heavy_hitters"  -> x38HeavyHitters, // oracle: vocab < k ⇒ sketch is exact
     "x39_quality_classifier" -> x39QualityClassifier, // oracle: rational sigmoid, no libm
+    "x40_mixture_sample" -> x40MixtureSample, // oracle: weights→budget→rates→md5 membership
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

@@ -38,9 +38,11 @@ class PlanGuardSpec extends SparkTestBase {
   /** Non-equi joins whose broadcast side is provably tiny:
     * x5/x9 broadcast the QUERY set against `vec_id =!= qid` (a non-equi
     * predicate has no hash join); x27 broadcasts the 1-row n_docs
-    * aggregate (TextAnalysis.scala scalar crossJoin). */
+    * aggregate (TextAnalysis.scala scalar crossJoin); x40 broadcasts the
+    * 1-row token-budget aggregate (Sampling.mixtureSample). */
   private val allowedBnlj = Map(
-    "x5_embed_topk" -> 1, "x9_topk_agg" -> 1, "x27_tfidf_topk" -> 1)
+    "x5_embed_topk" -> 1, "x9_topk_agg" -> 1, "x27_tfidf_topk" -> 1,
+    "x40_mixture_sample" -> 1)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
