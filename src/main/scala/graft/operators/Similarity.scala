@@ -323,17 +323,29 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       centers: Seq[Seq[Double]] = IvfCodebook.centers,
       sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
-      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame = {
+      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame =
+    searchIvfPqEncoded(
+      Caching.persisted(encodeIvfPq(embeddings, centers, sub, dim)),
+      queryPred, k, centers, sub, nprobe, refine, dim)
+
+  /** The ENCODE stage of [[ivfPqTopK]] as a standalone index build:
+    * (vec_id, v, nv, bucket, code0..code_{m-1}) — the artifact a 100 TB
+    * deployment computes once at ingest and stores with the row
+    * ([[graft.streaming.IncrementalAnnIndex]] maintains it per
+    * micro-batch). Staged as three narrow projections instead of one
+    * nearestCell-per-subspace mega-expression: a single expression tree
+    * holding 8 × (16 dists + least + CASE) exceeds janino's 64 KB method
+    * limit and silently drops the whole stage to interpreted mode (5.9s →
+    * 0.9s at sf0.1). Column-level stages let codegen split each dist into
+    * its own method, and CollapseProject keeps the stages apart because
+    * the aliases are non-cheap and multiply referenced. */
+  def encodeIvfPq(embeddings: DataFrame,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      dim: Int = 64): DataFrame = {
     val m = sub.size // subspaces
     val ksub = sub.head.size // centroids per subspace
     val d = dim / m // dims per subspace
-    // Encode is staged as three narrow projections instead of one
-    // nearestCell-per-subspace mega-expression: a single expression tree
-    // holding 8 × (16 dists + least + CASE) exceeds janino's 64 KB method
-    // limit and silently drops the whole stage to interpreted mode (5.9s →
-    // 0.9s at sf0.1). Column-level stages let codegen split each dist into
-    // its own method, and CollapseProject keeps the stages apart because
-    // the aliases are non-cheap and multiply referenced.
     val keep0 = Seq(col("vec_id"), col("v"), col("nv"), col("bucket"))
     val sliced = normalizedCorpus(embeddings, dim)
       .withColumn("bucket", nearestCell(col("nv"), centers))
@@ -342,13 +354,25 @@ object Similarity {
     val withDists = sliced.select(keep0 ++ (for { s <- 0 until m; j <- 0 until ksub } yield
       (lit(selfDot(sub(s)(j))) - lit(2.0) * dotProduct(col(s"nv$s"), typedLit(sub(s)(j))))
         .as(s"d${s}_$j")): _*)
-    val assigned = Caching.persisted(withDists.select(keep0 ++ (0 until m).map { s =>
+    withDists.select(keep0 ++ (0 until m).map { s =>
       val ds = (0 until ksub).map(j => col(s"d${s}_$j"))
       val mn = least(ds: _*)
       ds.zipWithIndex.foldRight(lit(-1).cast("int")) { case ((dc, j), acc) =>
         when(dc === mn, lit(j)).otherwise(acc)
       }.as(s"code$s")
-    }: _*))
+    }: _*)
+  }
+
+  /** The SEARCH stages of [[ivfPqTopK]] over an already-encoded index
+    * (probe → LUT/ADC shortlist → exact rescore). `assigned` must carry
+    * the [[encodeIvfPq]] columns. */
+  def searchIvfPqEncoded(assigned: DataFrame, queryPred: Column, k: Int,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame = {
+    val m = sub.size
+    val ksub = sub.head.size
+    val d = dim / m
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
     // per-query LUT: m·ksub dots of length d, computed once per query row

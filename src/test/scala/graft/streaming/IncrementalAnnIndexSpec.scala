@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+/** Incremental == batch for the IVF-PQ index: vectors encoded and
+  * appended across micro-batches must answer searches exactly as the
+  * one-shot batch path over the union corpus — encode is a pure map
+  * against pinned codebooks, so the only thing to prove is the state
+  * plumbing (append layout, replay idempotence, search over state). */
+class IncrementalAnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  private def vec(seed: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(64)(rnd.nextGaussian())
+  }
+
+  private val chunk1 = (0L until 30L).map(i => (i, vec(i.toInt)))
+  private val chunk2 = (30L until 60L).map(i => (i, vec(i.toInt)))
+
+  private def jsonLine(t: (Long, Seq[Double])): String =
+    s"""{"vec_id":${t._1},"embedding":[${t._2.mkString(",")}]}"""
+
+  test("incremental (2 micro-batches) index answers searches == batch; replay idempotent") {
+    val in = tmpDir("ann-in"); val state = tmpDir("ann-state"); val ckpt = tmpDir("ann-ckpt")
+    def runAvailable(): Unit =
+      IncrementalAnnIndex.start(spark, in, schema, state, ckpt).awaitTermination()
+
+    Files.write(Paths.get(in, "c1.jsonl"), chunk1.map(jsonLine).mkString("\n").getBytes)
+    runAvailable()
+    Files.write(Paths.get(in, "c2.jsonl"), chunk2.map(jsonLine).mkString("\n").getBytes)
+    runAvailable()
+
+    val batch = Similarity.ivfPqTopK(
+      (chunk1 ++ chunk2).toDF("vec_id", "embedding"), col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    val streaming = IncrementalAnnIndex.search(spark, state, col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+
+    // replayed batch id rewrites the same directory: index size unchanged
+    val before = IncrementalAnnIndex.readIndex(spark, state).count()
+    IncrementalAnnIndex.processBatch(chunk2.toDF("vec_id", "embedding"), state, batchId = 1L)
+    assert(IncrementalAnnIndex.readIndex(spark, state).count() === before)
+  }
+}
