@@ -279,6 +279,15 @@ object RelQueries {
   def cubePricing(s: SparkSession, dir: String): DataFrame =
     pricingBreakdown(Tables.lineitem(s, dir).cube("l_returnflag", "l_linestatus"))
 
+  /** Explicit GROUPING SETS ((flag, status), (flag)) — the third member
+    * of the grouping-operator family (ROLLUP/CUBE/SETS) through the same
+    * shared breakdown body; Spark 4's `Dataset.groupingSets` plans it as
+    * one Expand + aggregation like the other two. */
+  def groupingSetsPricing(s: SparkSession, dir: String): DataFrame =
+    pricingBreakdown(Tables.lineitem(s, dir).groupingSets(
+      Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag"))),
+      col("l_returnflag"), col("l_linestatus")))
+
   /** Backward as-of join demo ([[graft.operators.AsOfJoin]]): each error
     * event joined to the user's latest click at-or-before it, plus the
     * gap. The right side is pre-aggregated to one row per (user, ts) —
@@ -414,6 +423,11 @@ object RelQueries {
         |  count(*) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS win_cnt
         |FROM e ORDER BY event_id""".stripMargin,
     "cube_pricing" -> pricingBreakdownSql("CUBE"),
+    "gsets_pricing" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+         | CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+         |ORDER BY flag, status""".stripMargin,
     "asof_clicks" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -450,6 +464,7 @@ object RelQueries {
     "asof_clicks"        -> asofClicks,
     "moving_value"       -> movingValue,
     "cube_pricing"       -> cubePricing,
+    "gsets_pricing"      -> groupingSetsPricing,
     "q22_rich_idle"      -> q22RichIdle,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing

@@ -44,6 +44,25 @@ object IncrementalAnnIndex {
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
+  /** Compact the per-batch append directories into ONE table partitioned
+    * by `bucket` — after this, a probe for cells {3, 7, 11} prunes to
+    * those partitions at the scan (the 100 TB read-path win; run it on
+    * whatever cadence the batch-dir count warrants). */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val merged = readIndex(spark, stateDir).persist()
+    merged.count() // materialize before replacing the dirs being read
+    val base = new Path(s"$stateDir/ann_index")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$stateDir/ann_index.tmp")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    finally merged.unpersist()
+    fs.delete(base, true)
+    require(fs.rename(tmp, new Path(s"$stateDir/ann_index/compacted")) || {
+      // rename into a fresh parent needs the parent to exist
+      fs.mkdirs(base); fs.rename(tmp, new Path(s"$stateDir/ann_index/compacted"))
+    }, s"commit compaction for $base")
+  }
+
   /** IVF-PQ search over the maintained index — identical arithmetic to
     * the batch [[Similarity.ivfPqTopK]] over the same vectors. */
   def search(spark: SparkSession, stateDir: String, queryPred: Column, k: Int,

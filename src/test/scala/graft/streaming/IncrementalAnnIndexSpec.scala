@@ -55,5 +55,14 @@ class IncrementalAnnIndexSpec extends SparkTestBase {
     val before = IncrementalAnnIndex.readIndex(spark, state).count()
     IncrementalAnnIndex.processBatch(chunk2.toDF("vec_id", "embedding"), state, batchId = 1L)
     assert(IncrementalAnnIndex.readIndex(spark, state).count() === before)
+
+    // compaction: one bucket-partitioned table, same search answers
+    IncrementalAnnIndex.compact(spark, state)
+    val dirs = new java.io.File(s"$state/ann_index/compacted").list().toSeq
+    assert(dirs.exists(_.startsWith("bucket=")), s"not bucket-partitioned: $dirs")
+    val afterCompact = IncrementalAnnIndex.search(spark, state, col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    assert(afterCompact === batch)
   }
 }
