@@ -95,6 +95,8 @@ object ScaleRehearsal {
       // token-shuffle family (round-6): evidence for the O(tokens) claims —
       // shuffle must grow ~linearly in corpus tokens, never quadratically
       op("inverted_idx")(graft.operators.InvertedIndex.postings(docs, "doc_id", "text").count())
+      // IVF-PQ encode (the ingest-time index build): pure map pass, zero shuffle
+      op("ivfpq_encode")(Similarity.encodeIvfPq(emb).count())
       op("cdc_chunks")(Dedup.chunkDupStats(Dedup.cdcChunks(docs, "doc_id", "text")).count())
       op("tfidf_topk")(graft.operators.TextAnalysis.tfidfTopK(docs).count())
     }
