@@ -129,7 +129,23 @@ object MvPipeline {
     * that any batch arrival order converges to the batch-recompute answer.
     * Same marker/rename crash-safety protocol as [[upsert]]. */
   def upsertWith(increment: DataFrame, path: String, keys: Seq[String],
-      mergeAgg: String => org.apache.spark.sql.Column, batchId: Long = -1L): Unit = {
+      mergeAgg: String => org.apache.spark.sql.Column, batchId: Long = -1L): Unit =
+    upsertMerge(increment, path, (old, inc) => {
+      val measures = inc.columns.filterNot(keys.contains)
+      val merges = measures.map(c => mergeAgg(c).as(c))
+      old.unionByName(inc)
+        .groupBy(keys.map(col): _*)
+        .agg(merges.head, merges.tail: _*)
+    }, batchId)
+
+  /** The fully-general form: `mergeFn(oldState, increment)` produces the
+    * next state — for summaries whose merge is not a per-column aggregate
+    * (e.g. the Misra-Gries trim of [[IncrementalHeavyHitters]], which
+    * must subtract a global order statistic after combining). `mergeFn`
+    * must be associative-in-effect over increments so replay order
+    * converges; the marker/rename crash-safety protocol is unchanged. */
+  def upsertMerge(increment: DataFrame, path: String,
+      mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L): Unit = {
     val spark = increment.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
@@ -143,14 +159,8 @@ object MvPipeline {
       if (committed == batchId) return // replayed batch: already merged
     }
     val merged =
-      if (fs.exists(target)) {
-        val old = spark.read.parquet(path)
-        val measures = increment.columns.filterNot(keys.contains)
-        val merges = measures.map(c => mergeAgg(c).as(c))
-        old.unionByName(increment)
-          .groupBy(keys.map(col): _*)
-          .agg(merges.head, merges.tail: _*)
-      } else increment
+      if (fs.exists(target)) mergeFn(spark.read.parquet(path), increment)
+      else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_graft_batch"), true)
