@@ -43,8 +43,13 @@ object StreamingContamination {
     val spark = testDocs.sparkSession
     val train = MvPipeline.readState(spark, stateDir, "train_hashes")
       .select(col("h")).withColumn("in_train", lit(1L))
+    // no broadcast HINT: unlike the batch operator's per-run distinct set,
+    // this state grows with the corpus's lifetime distinct texts — forcing
+    // a broadcast would OOM the driver exactly when the state matters
+    // most. Left to the optimizer: small state broadcasts itself
+    // (autoBroadcastJoinThreshold), big state shuffles on the 16-byte key.
     testDocs.select(col(groupCol), md5(col(textCol)).as("h"))
-      .join(broadcast(train), Seq("h"), "left")
+      .join(train, Seq("h"), "left")
       .groupBy(groupCol)
       .agg(count(lit(1)).as("test_docs"),
         sum(coalesce(col("in_train"), lit(0L))).as("contaminated"))
