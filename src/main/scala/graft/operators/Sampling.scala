@@ -143,19 +143,31 @@ object Sampling {
     val bits = sp.filter(col("split") === "train")
       .select(explode(array(posCols: _*)).as("pos")).distinct()
       .withColumn("hit", lit(1L))
-    val trainH = sp.filter(col("split") === "train")
-      .select(col("h")).distinct().withColumn("in_train", lit(1L))
-    val perDoc = sp.filter(col("split") === "test")
+    val perDoc = Caching.persisted(sp.filter(col("split") === "test")
       .select(col(groupCol), col("id"), col("h"), explode(array(posCols: _*)).as("pos"))
       .join(broadcast(bits), Seq("pos"), "left")
       .groupBy(col(groupCol), col("id"), col("h"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) === k).cast("long").as("candidate"))
-      .join(broadcast(trainH), Seq("h"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))) === k).cast("long").as("candidate")))
+    // Exact verification consults the train-hash set ONLY for bloom
+    // SURVIVORS — the filter's whole point. No false negatives means every
+    // contaminated doc IS a candidate, so restricting the exact check to
+    // candidates counts the same set; the big train side joins unhinted
+    // (candidates are tiny — the optimizer broadcasts them, never the
+    // corpus-sized hash set).
+    val trainH = sp.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("in_train", lit(1L))
+    val contam = perDoc.filter(col("candidate") === 1L)
+      .join(trainH, Seq("h"), "left")
+      .groupBy(groupCol)
+      .agg(sum(coalesce(col("in_train"), lit(0L))).as("contaminated"))
     perDoc.groupBy(groupCol)
       .agg(count(lit(1)).as("test_docs"),
-        sum(col("candidate")).as("bloom_candidates"),
-        sum(coalesce(col("in_train"), lit(0L))).as("contaminated"),
-        sum(col("candidate") - coalesce(col("in_train"), lit(0L))).as("false_positives"))
+        sum(col("candidate")).as("bloom_candidates"))
+      .join(contam, Seq(groupCol), "left")
+      .select(col(groupCol), col("test_docs"), col("bloom_candidates"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        (col("bloom_candidates") - coalesce(col("contaminated"), lit(0L)))
+          .as("false_positives"))
   }
 
   /** Mixture-weight-GUIDED sampling — the composition that turns
