@@ -237,6 +237,25 @@ object RelQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Native `session_window` sessionization — the built-in counterpart
+    * of [[sessionizeEvents]]'s window-function form (same 30-min gap;
+    * the built-in's boundary differs by design: a gap EXACTLY equal to
+    * the threshold breaks here, and `end` = last event + gap — the
+    * oracle mirrors both). In streaming this same expression is the
+    * watermark-native session aggregation; in batch it plans as one
+    * shuffle + per-user merge, like the manual form minus the window
+    * sort. */
+  def sessionWindowEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
   /** TPC-H Q22-style: customers with above-segment-average balance and no
     * URGENT orders (§2.4 depth — an aggregate-derived predicate plus an
     * anti-join, the decorrelated form of a correlated subquery; the
@@ -385,6 +404,24 @@ object RelQueries {
         |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
     "salted_blocked" ->
       "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'error' GROUP BY user_id ORDER BY user_id",
+    "session_window_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |),
+        |b AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b
+        |)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us, count(*) AS n_events
+        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_start_us""".stripMargin,
     "sessionize_events" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
@@ -465,6 +502,7 @@ object RelQueries {
     "moving_value"       -> movingValue,
     "cube_pricing"       -> cubePricing,
     "gsets_pricing"      -> groupingSetsPricing,
+    "session_window_events" -> sessionWindowEvents,
     "q22_rich_idle"      -> q22RichIdle,
     "pct_value"          -> pctValue,
     "rollup_pricing"     -> rollupPricing
