@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL media codecs in pure JVM bytes — no external libraries: BMP
+  * (24-bit uncompressed, BITMAPINFOHEADER) and WAV (PCM16) are plain
+  * header formats, so unlike JPEG/PNG/MP3 (which stay declared stubs in
+  * [[Multimodal]] — this container has no codec libs) they can be
+  * encoded AND decoded here for full pipeline verification: the
+  * mm2 harness query encodes deterministic payloads, decodes them back,
+  * and the DuckDB oracle recomputes the expected features from the
+  * generating formula — a hash match proves the byte layout (row
+  * padding, chunk walking, endianness) round-trips exactly.
+  *
+  * Everything is little-endian per both formats' specs; decode returns
+  * None for malformed input (the per-row barrier, like the DNS parser).
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------- BMP ----
+
+  /** Per-channel e6-scaled means in storage order (B, G, R). */
+  final case class BmpInfo(width: Int, height: Int, bpp: Int, meanE6: Array[Long])
+
+  /** Encode a 24-bit bottom-up BMP; `pixelByte(k)` supplies the k-th
+    * pixel byte in storage order (B,G,R interleaved, padding excluded). */
+  def encodeBmp(w: Int, h: Int, pixelByte: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowBytes = w * 3
+    val pad = (4 - (rowBytes % 4)) % 4
+    val dataSize = (rowBytes + pad) * h
+    val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize) // file size
+    bb.putInt(0) // reserved
+    bb.putInt(54) // pixel data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w).putInt(h)
+    bb.putShort(1) // planes
+    bb.putShort(24) // bpp
+    bb.putInt(0) // BI_RGB
+    bb.putInt(dataSize)
+    bb.putInt(2835).putInt(2835) // 72 DPI
+    bb.putInt(0).putInt(0) // palette
+    var k = 0
+    (0 until h).foreach { _ =>
+      (0 until rowBytes).foreach { _ =>
+        bb.put((pixelByte(k) & 0xff).toByte); k += 1
+      }
+      (0 until pad).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  /** Decode a 24-bit BMP: dimensions + exact per-channel e6 means
+    * (`sum·10⁶ DIV pixels` — integer, oracle-replayable). */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    try {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = bb.getInt(10)
+      val w = bb.getInt(18)
+      val hRaw = bb.getInt(22)
+      val h = math.abs(hRaw)
+      val bpp = bb.getShort(28).toInt
+      if (bpp != 24 || w <= 0 || h == 0) return None
+      val rowBytes = w * 3
+      val stride = rowBytes + (4 - (rowBytes % 4)) % 4
+      if (offset.toLong + stride.toLong * h > bytes.length) return None
+      val sums = new Array[Long](3)
+      var row = 0
+      while (row < h) {
+        val base = offset + row * stride
+        var i = 0
+        while (i < rowBytes) {
+          sums(i % 3) += (bytes(base + i) & 0xff).toLong
+          i += 1
+        }
+        row += 1
+      }
+      val pixels = w.toLong * h
+      Some(BmpInfo(w, h, bpp, sums.map(s => s * 1000000L / pixels)))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------- WAV ----
+
+  /** Exact-integer audio facts: sample count, µs duration
+    * (`n·10⁶ DIV rate`), and int64 energy (Σ sample²). */
+  final case class WavInfo(sampleRate: Int, channels: Int, nSamples: Long,
+      durationUs: Long, energy: Long)
+
+  /** Encode mono PCM16 WAV. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16) // PCM fmt chunk size
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode PCM16 WAV by walking RIFF chunks (tolerates extra chunks
+    * before fmt/data, per the spec). */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    try {
+      if (bytes.length < 44) return None
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = ascii(pos, 4)
+        val len = bb.getInt(pos + 4)
+        if (id == "fmt ") {
+          if (bb.getShort(pos + 8) != 1) return None // PCM only
+          channels = bb.getShort(pos + 10).toInt
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+      if (dataOff.toLong + dataLen > bytes.length) return None
+      val n = dataLen / 2 / channels
+      var energy = 0L
+      var i = 0
+      while (i < n * channels) {
+        val s = bb.getShort(dataOff + i * 2).toLong
+        energy += s * s
+        i += 1
+      }
+      Some(WavInfo(rate, channels, n.toLong, n.toLong * 1000000L / rate, energy))
+    } catch { case _: Exception => None }
+  }
+}

@@ -452,6 +452,39 @@ object ExtQueries {
     Multimodal.features(s, Multimodal.synthesize(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** REAL codec round-trip ([[graft.operators.MediaCodecs]]): per doc a
+    * deterministic BMP (even ids) or PCM16 WAV (odd ids) is ENCODED to
+    * actual format bytes and DECODED back inside a typed partition-local
+    * pass; the oracle recomputes the expected features from the
+    * generating formula — a hash match proves the full byte layout (BMP
+    * row padding, RIFF chunk walk, endianness) round-trips exactly.
+    * Output (all exact int64): image → (w, h, meanB/G/R_e6);
+    * audio → (rate, n_samples, duration_us, energy). */
+  def mm2CodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodecs
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        if (id % 2 == 0) {
+          val w = (4 + (id % 4) * 2).toInt
+          val h = (2 + (id % 3)).toInt
+          val bytes = MediaCodecs.encodeBmp(w, h, k => ((id * 31 + k * 7) % 256).toInt)
+          val info = MediaCodecs.decodeBmp(bytes).get
+          (id, "image", info.width.toLong, info.height.toLong,
+            info.meanE6(0), info.meanE6(1), info.meanE6(2))
+        } else {
+          val n = (8 + id % 8).toInt
+          val samples = Array.tabulate(n)(i => (((id * 13 + i * 5) % 2001) - 1000).toShort)
+          val bytes = MediaCodecs.encodeWavPcm16(16000, samples)
+          val info = MediaCodecs.decodeWav(bytes).get
+          (id, "audio", info.sampleRate.toLong, info.nSamples,
+            info.durationUs, info.energy, 0L)
+        }
+      }
+    }.toDF("doc_id", "media_type", "m1", "m2", "m3", "m4", "m5")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- oracles ----
 
   /** Rounded quality score fragment shared by the ta_quality and
@@ -1276,6 +1309,40 @@ object ExtQueries {
        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** DuckDB mirror of the codec round-trip (mm2): recomputes the
+    * features from the GENERATING formulas (it never parses the binary —
+    * that asymmetry is the check: if the Scala decoder misreads padding,
+    * offsets, or endianness, the decoded means/energy diverge from the
+    * formula and the hash goes red). */
+  private val duckMm2Codec: String =
+    """WITH img AS (
+      |  SELECT doc_id, 4 + (doc_id % 4)*2 AS w, 2 + (doc_id % 3) AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |ib AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS k FROM img),
+      |ia AS (SELECT doc_id, w, h, k % 3 AS c, (doc_id*31 + k*7) % 256 AS v FROM ib),
+      |ims AS (
+      |  SELECT doc_id, 'image' AS media_type,
+      |    CAST(max(w) AS BIGINT) AS m1, CAST(max(h) AS BIGINT) AS m2,
+      |    CAST((sum(CASE WHEN c = 0 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS m3,
+      |    CAST((sum(CASE WHEN c = 1 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS m4,
+      |    CAST((sum(CASE WHEN c = 2 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS m5
+      |  FROM ia GROUP BY doc_id
+      |),
+      |aud AS (
+      |  SELECT doc_id, 8 + doc_id % 8 AS n FROM documents WHERE doc_id % 2 = 1
+      |),
+      |ab AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+      |aa AS (SELECT doc_id, n, ((doc_id*13 + i*5) % 2001) - 1000 AS s FROM ab),
+      |ams AS (
+      |  SELECT doc_id, 'audio' AS media_type,
+      |    CAST(16000 AS BIGINT) AS m1, CAST(max(n) AS BIGINT) AS m2,
+      |    CAST((max(n) * 1000000) // 16000 AS BIGINT) AS m3,
+      |    CAST(sum(s*s) AS BIGINT) AS m4, CAST(0 AS BIGINT) AS m5
+      |  FROM aa GROUP BY doc_id
+      |)
+      |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id""".stripMargin
+
   /** x32 mirror: posting fingerprint = bit_xor of each member doc's
     * md5-derived signed int64 (the md5Hash64 nibble-fold recipe) —
     * order-independent, so no ORDER BY inside the aggregate is needed
@@ -1328,6 +1395,7 @@ object ExtQueries {
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
     "mm_media_features" -> duckMmFeatures,
+    "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
     "x13_shard_stats" -> duckShardStats,
     "x14_embed_clusters" ->
@@ -1527,6 +1595,7 @@ object ExtQueries {
     "ta_langid"        -> taLangid,
     "ta_fingerprint"   -> taFingerprint,
     "ta_bpe_tokens"    -> taBpeTokens,
-    "mm_media_features" -> mmMediaFeatures // oracle over the declared stub decode
+    "mm_media_features" -> mmMediaFeatures, // oracle over the declared stub decode
+    "mm2_codec_roundtrip" -> mm2CodecRoundtrip // oracle: generating formula vs real decode
   )
 }

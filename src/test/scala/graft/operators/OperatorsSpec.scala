@@ -464,6 +464,33 @@ class TextAnalysisSpec extends SparkTestBase {
 
 class MultimodalSpec extends SparkTestBase {
 
+  test("MediaCodecs: BMP round-trip with row padding; hand-checked means") {
+    // 2×2 image, pixel bytes 0..11 → channel sums B=0+3+6+9=18, G=22, R=26
+    val bmp = MediaCodecs.encodeBmp(2, 2, k => k)
+    val info = MediaCodecs.decodeBmp(bmp).get
+    assert(info.width == 2 && info.height == 2 && info.bpp == 24)
+    assert(info.meanE6.toSeq == Seq(18L, 22L, 26L).map(_ * 1000000L / 4))
+    // w=6 → rowBytes 18 → stride pads to 20: padding must be SKIPPED by
+    // the decoder (including it would drag every mean toward zero)
+    val padded = MediaCodecs.encodeBmp(6, 3, _ => 200)
+    assert((padded.length - 54) == 20 * 3) // padded stride on disk
+    assert(MediaCodecs.decodeBmp(padded).get.meanE6.toSeq == Seq(200000000L, 200000000L, 200000000L))
+    // malformed: wrong magic, truncated
+    assert(MediaCodecs.decodeBmp("notabmp".getBytes).isEmpty)
+    assert(MediaCodecs.decodeBmp(bmp.take(40)).isEmpty)
+  }
+
+  test("MediaCodecs: WAV PCM16 round-trip; exact energy and duration") {
+    val samples = Array[Short](1000, -1000, 500, 0, -500)
+    val wav = MediaCodecs.encodeWavPcm16(16000, samples)
+    val info = MediaCodecs.decodeWav(wav).get
+    assert(info.sampleRate == 16000 && info.channels == 1 && info.nSamples == 5L)
+    assert(info.energy == 1000000L + 1000000L + 250000L + 0L + 250000L)
+    assert(info.durationUs == 5L * 1000000L / 16000L)
+    assert(MediaCodecs.decodeWav("RIFFjunk".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(wav.take(30)).isEmpty)
+  }
+
   test("media synthesis + stubbed decode: schema, determinism, feature range") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
     val media = Multimodal.synthesize(docs)
