@@ -49,4 +49,41 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble) / -element_at(col("kept"), k).getField("score"))
             .as("approx_distinct"): _*)
   }
+
+  /** The d hashed counter positions of a string value — shared by the
+    * sketch build, the point-estimate probe, and (being md5-derived
+    * exact integers) the DuckDB oracle. */
+  private[operators] def cmsPositions(value: org.apache.spark.sql.Column,
+      d: Int, w: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until d).map(i =>
+      pmod(md5Hash64(concat(value.cast("string"), lit(s":cms$i"))), lit(w.toLong)))
+
+  /** COUNT-MIN sketch build: a d×w counter matrix as its (i, pos, cnt)
+    * row set — frequency POINT estimates to go with KMV's distinct and
+    * Misra-Gries' top-k (the remaining member of the mergeable-sketch
+    * family). Counters are purely ADDITIVE, so unlike MG the sketch —
+    * and every estimate read from it — is deterministic under ANY
+    * partitioning/batching and replays exactly in SQL (oracle x41);
+    * the streaming form is a plain summed upsert
+    * ([[graft.streaming.IncrementalCms]]).
+    *
+    * Scale shape: one explode(d)+count aggregation; the sketch is ≤ d·w
+    * rows (KBs) regardless of stream size; estimates never touch the
+    * data again. */
+  def countMin(df: DataFrame, valueCol: String, d: Int = 4, w: Int = 256): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(array(cmsPositions(col(valueCol), d, w): _*)).as(Seq("i", "pos")))
+      .groupBy("i", "pos").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes` (a frame with distinct `valueCol`
+    * rows) against a built sketch: min over the d counters —
+    * `true ≤ est ≤ true + εN` with ε = e/w at the standard depth. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      d: Int = 4, w: Int = 256): DataFrame =
+    probes
+      .select(col(valueCol), posexplode(array(cmsPositions(col(valueCol), d, w): _*))
+        .as(Seq("i", "pos")))
+      .join(sketch, Seq("i", "pos"), "left") // unseen probe → empty counter = 0
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -367,6 +367,21 @@ object ExtQueries {
     graft.operators.InvertedIndex.topPostings(Tables.documents(s, dir),
         "doc_id", "text", k = 20)
 
+  /** Count-Min point estimates ([[Sketches.countMin]]): build the d×w
+    * additive counter sketch over all document tokens, then estimate
+    * every distinct token's frequency from the sketch alone — additive
+    * counters make the whole thing deterministic and SQL-replayable,
+    * unlike MG/HLL. */
+  def x41Cms(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Caching.persisted(Tables.documents(s, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= ""))
+    val sketch = Sketches.countMin(toks, "t")
+    Sketches.countMinEstimate(sketch, toks.distinct(), "t")
+      .select(col("t").as("token"), col("est"))
+      .orderBy("token")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1343,6 +1358,33 @@ object ExtQueries {
       |)
       |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the Count-Min estimates (x41): the d=4 salted
+    * md5 positions via the nibble-fold chain, counter build as a plain
+    * GROUP BY, probe = min over each token's 4 counters. */
+  private val duckCms: String = {
+    val d = 4; val w = 256
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+       |),
+       |tt AS (SELECT t FROM toks WHERE t <> ''),
+       |tm AS (
+       |  SELECT t, i, md5(t || ':cms' || CAST(i AS VARCHAR)) AS mm
+       |  FROM tt, (SELECT unnest([0, 1, 2, 3]) AS i)
+       |),
+       |tp AS (
+       |  SELECT t, i,
+       |    ((${duckSigned(duckNibbleFold("mm"))} % $w) + $w) % $w AS pos
+       |  FROM tm
+       |),
+       |sk AS (SELECT i, pos, count(*) AS cnt FROM tp GROUP BY i, pos),
+       |probe AS (SELECT DISTINCT t, i, pos FROM tp),
+       |est AS (
+       |  SELECT t, min(cnt) AS est
+       |  FROM probe JOIN sk USING (i, pos) GROUP BY t
+       |)
+       |SELECT t AS token, CAST(est AS BIGINT) AS est FROM est ORDER BY token""".stripMargin
+  }
+
   /** x32 mirror: posting fingerprint = bit_xor of each member doc's
     * md5-derived signed int64 (the md5Hash64 nibble-fold recipe) —
     * order-independent, so no ORDER BY inside the aggregate is needed
@@ -1369,6 +1411,7 @@ object ExtQueries {
     "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
     "x40_mixture_sample" -> duckMixtureSample,
+    "x41_cms" -> duckCms,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1576,6 +1619,7 @@ object ExtQueries {
     "x38_heavy_hitters"  -> x38HeavyHitters, // oracle: vocab < k ⇒ sketch is exact
     "x39_quality_classifier" -> x39QualityClassifier, // oracle: rational sigmoid, no libm
     "x40_mixture_sample" -> x40MixtureSample, // oracle: weights→budget→rates→md5 membership
+    "x41_cms"            -> x41Cms, // oracle: additive counters replay exactly
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max
