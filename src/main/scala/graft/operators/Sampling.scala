@@ -170,6 +170,27 @@ object Sampling {
           .as("false_positives"))
   }
 
+  /** Deterministic per-group RESERVOIR sample: the k rows with the
+    * smallest salted md5-uniform positions in each group — a
+    * uniform-without-replacement k-sample with the same reproducibility
+    * guarantees as [[deterministicSample]] (rerun-, cluster-size- and
+    * engine-stable) plus a HARD per-group bound: the eval-set
+    * constructor ("exactly k docs per language for human review").
+    *
+    * Scale shape: the native bounded-heap aggregate
+    * ([[graft.expressions.TopKAggExpr]]) keeps k candidates per
+    * (group × partition) map-side — k rows per partition cross the
+    * shuffle, never the group (a rank window would sort whole groups on
+    * single partitions). */
+  def reservoirSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String = ":res"): DataFrame =
+    df.select(col(groupCol), col(idCol))
+      .withColumn("_u", uniformPos(col(idCol), salt))
+      .groupBy(groupCol)
+      .agg(graft.functions.topK(col(idCol), -col("_u"), k).as("kept"))
+      .select(col(groupCol), explode(col("kept")).as("e"))
+      .select(col(groupCol), col("e.id").as(idCol))
+
   /** Mixture-weight-GUIDED sampling — the composition that turns
     * [[mixtureWeights]] into an actual corpus: pick the largest total
     * token budget `T` every source can serve at its target share

@@ -382,6 +382,15 @@ object ExtQueries {
       .orderBy("token")
   }
 
+  /** Deterministic per-language reservoir
+    * ([[graft.operators.Sampling.reservoirSample]]): exactly 10 docs per
+    * lang by smallest salted md5-uniform position — the reproducible
+    * eval-set constructor, bounded-heap aggregated. */
+  def x42Reservoir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.reservoirSample(Tables.documents(s, dir),
+        "lang", "doc_id", k = 10)
+      .orderBy("lang", "doc_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1358,6 +1367,23 @@ object ExtQueries {
       |)
       |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the reservoir sample (x42): the ':res'-salted
+    * md5-uniform chain, rank by (u, id) per lang, keep 10. */
+  private val duckReservoir: String =
+    s"""WITH m AS (
+       |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)||':res') AS mm FROM documents
+       |),
+       |hh AS (SELECT lang, doc_id, ${duckNibbleFold("mm")} AS hu FROM m),
+       |uu AS (
+       |  SELECT lang, doc_id, ${duckUnitInterval(duckSigned("hu"))} AS u FROM hh
+       |),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+       |  FROM uu
+       |)
+       |SELECT lang, doc_id FROM r WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin
+
   /** DuckDB mirror of the Count-Min estimates (x41): the d=4 salted
     * md5 positions via the nibble-fold chain, counter build as a plain
     * GROUP BY, probe = min over each token's 4 counters. */
@@ -1412,6 +1438,7 @@ object ExtQueries {
     "x31_mixture_weights" -> duckMixture,
     "x40_mixture_sample" -> duckMixtureSample,
     "x41_cms" -> duckCms,
+    "x42_reservoir" -> duckReservoir,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1620,6 +1647,7 @@ object ExtQueries {
     "x39_quality_classifier" -> x39QualityClassifier, // oracle: rational sigmoid, no libm
     "x40_mixture_sample" -> x40MixtureSample, // oracle: weights→budget→rates→md5 membership
     "x41_cms"            -> x41Cms, // oracle: additive counters replay exactly
+    "x42_reservoir"      -> x42Reservoir, // oracle: md5-uniform rank per group
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

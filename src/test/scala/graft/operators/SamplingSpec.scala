@@ -158,6 +158,21 @@ class SamplingSpec extends SparkTestBase {
     assert(got.map(_._4).sum >= 999999L) // ppm still normalizes (c adds 0)
   }
 
+  test("reservoirSample: exactly k per group, stable, subset of the group") {
+    val df = (0L until 500L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val s1 = Sampling.reservoirSample(df, "grp", "id", k = 7)
+      .as[(String, Long)].collect().toSet
+    val s2 = Sampling.reservoirSample(df.repartition(7), "grp", "id", k = 7)
+      .as[(String, Long)].collect().toSet
+    assert(s1 === s2) // stable under repartition (heap merge is associative)
+    assert(s1.groupBy(_._1).forall(_._2.size == 7)) // exactly k per group
+    assert(s1.forall { case (g, id) => s"g${id % 3}" == g }) // members of their group
+    // a different salt draws a different sample
+    val s3 = Sampling.reservoirSample(df, "grp", "id", k = 7, salt = ":other")
+      .as[(String, Long)].collect().toSet
+    assert(s3 != s1)
+  }
+
   test("assignSplit: disjoint, exhaustive, stable, ~80/10/10") {
     val s1 = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
