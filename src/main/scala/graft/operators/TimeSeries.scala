@@ -55,6 +55,46 @@ object TimeSeries {
       .groupBy(col(typeCol), bucketStartSecFromNanos(tsNanosCol, minutes).as("bucket_start"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Time-series PATTERN search (the similarity-search side of the
+    * time-series family, next to [[spikeStats]]' anomaly side): slide a
+    * length-L window over each type's CONTIGUOUS bucket-count series and
+    * rank windows by exact-int64 squared euclidean distance to a pinned
+    * query pattern — "find when traffic looked like THIS". Top-k per
+    * type, (distance, bucket_start) tie-break.
+    *
+    * Exactness: counts and pattern are int64, so every squared diff and
+    * sum is exact integer arithmetic (headroom: |cnt − p| ≤ 3·10⁹ per
+    * element before dist² leaves int64 — far beyond any bucket count);
+    * windows with missing buckets are EXCLUDED by the contiguity check
+    * (lead(bucket_start, L−1) = start + (L−1)·step), not zero-filled —
+    * a gap is absence of data, not a zero observation.
+    *
+    * Scale shape: one bucket aggregation (map-side combined), one
+    * shuffle on type for the lead window, rank over O(buckets) rows —
+    * the raw stream is scanned once; the pattern broadcast is literal. */
+  def patternSearch(events: DataFrame, typeCol: String, tsNanosCol: String,
+      minutes: Int, pattern: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = pattern.size
+    require(L > 0 && k > 0)
+    val step = minutes * 60L
+    val w = Window.partitionBy(typeCol).orderBy("bucket_start")
+    val withLeads = bucketCounts(events, typeCol, tsNanosCol, minutes)
+      .select(Seq(col(typeCol), col("bucket_start")) ++
+        (0 until L).map(i => lead("cnt", i).over(w).as(s"c$i")) :+
+        lead("bucket_start", L - 1).over(w).as("end_start"): _*)
+      .filter(col("end_start") === col("bucket_start") + lit((L - 1) * step))
+    val dist = (0 until L).map { i =>
+      val d = col(s"c$i") - lit(pattern(i)); d * d
+    }.reduceLeft(_ + _)
+    withLeads
+      .select(col(typeCol), col("bucket_start"), dist.as("dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(typeCol).orderBy(col("dist2"), col("bucket_start"))))
+      .filter(col("rn") <= k)
+      .select(col(typeCol), col("bucket_start"), col("dist2"), col("rn").cast("long").as("rn"))
+  }
+
   /** Per-type spike summary: bucket population, z>2 / z>3 spike counts
     * (exact integer decisions), and the maximum z-score (pround4). */
   def spikeStats(events: DataFrame, typeCol: String, tsNanosCol: String,

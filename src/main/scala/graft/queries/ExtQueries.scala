@@ -391,6 +391,16 @@ object ExtQueries {
         "lang", "doc_id", k = 10)
       .orderBy("lang", "doc_id")
 
+  /** Time-series pattern search ([[graft.operators.TimeSeries
+    * .patternSearch]]): top-5 10-minute windows per event type whose
+    * 8-bucket count shape is nearest (exact int64 squared euclidean) to
+    * a pinned flat-ish query pattern. */
+  def x43TsMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.patternSearch(Tables.events(s, dir),
+        "event_type", "ts", minutes = 10,
+        pattern = Seq(12L, 12L, 12L, 12L, 12L, 12L, 12L, 12L), k = 5)
+      .orderBy("event_type", "rn")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1367,6 +1377,40 @@ object ExtQueries {
       |)
       |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the pattern search (x43): same bucket chain as
+    * x30, lead() windows with the contiguity check, exact integer
+    * distances, (dist2, bucket_start) rank. */
+  private val duckTsMatch: String = {
+    val pattern = Seq(12L, 12L, 12L, 12L, 12L, 12L, 12L, 12L)
+    val L = pattern.size
+    val leads = (0 until L).map(i =>
+      s"lead(cnt, $i) OVER (PARTITION BY event_type ORDER BY bucket_start) AS c$i").mkString(",\n    ")
+    val dist = pattern.zipWithIndex.map { case (p, i) => s"(c$i - $p)*(c$i - $p)" }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600 AS bucket_start,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |),
+       |l AS (
+       |  SELECT event_type, bucket_start,
+       |    $leads,
+       |    lead(bucket_start, ${L - 1}) OVER (PARTITION BY event_type ORDER BY bucket_start) AS end_start
+       |  FROM b
+       |),
+       |d AS (
+       |  SELECT event_type, bucket_start, CAST($dist AS BIGINT) AS dist2
+       |  FROM l WHERE end_start = bucket_start + ${(L - 1) * 600}
+       |),
+       |r AS (
+       |  SELECT event_type, bucket_start, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dist2, bucket_start) AS rn
+       |  FROM d
+       |)
+       |SELECT event_type, bucket_start, dist2, rn FROM r WHERE rn <= 5
+       |ORDER BY event_type, rn""".stripMargin
+  }
+
   /** DuckDB mirror of the reservoir sample (x42): the ':res'-salted
     * md5-uniform chain, rank by (u, id) per lang, keep 10. */
   private val duckReservoir: String =
@@ -1439,6 +1483,7 @@ object ExtQueries {
     "x40_mixture_sample" -> duckMixtureSample,
     "x41_cms" -> duckCms,
     "x42_reservoir" -> duckReservoir,
+    "x43_ts_match" -> duckTsMatch,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1648,6 +1693,7 @@ object ExtQueries {
     "x40_mixture_sample" -> x40MixtureSample, // oracle: weights→budget→rates→md5 membership
     "x41_cms"            -> x41Cms, // oracle: additive counters replay exactly
     "x42_reservoir"      -> x42Reservoir, // oracle: md5-uniform rank per group
+    "x43_ts_match"       -> x43TsMatch, // oracle: exact int64 window distances
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max

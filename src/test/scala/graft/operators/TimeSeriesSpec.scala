@@ -34,4 +34,25 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     assert(got === Array(("x", 0L, 1L), ("x", 600L, 2L)))
   }
+
+  test("patternSearch: planted exact shape ranks first; gapped windows excluded") {
+    import org.apache.spark.sql.functions.col
+    def minuteN(m: Long): Long = m * 60L * 1000000000L
+    // buckets (10-min): counts [1,3,1, 2,5, …gap…, 2,5] for type "t":
+    // pattern (2,5) occurs exactly at buckets 3-4; the second (2,5) pair
+    // spans a GAP (bucket 6 missing) so it must NOT form a window
+    val events =
+      Seq.fill(1)(("t", minuteN(0))) ++ Seq.fill(3)(("t", minuteN(10))) ++
+        Seq.fill(1)(("t", minuteN(20))) ++ Seq.fill(2)(("t", minuteN(30))) ++
+        Seq.fill(5)(("t", minuteN(40))) ++
+        Seq.fill(2)(("t", minuteN(70))) ++ Seq.fill(5)(("t", minuteN(90)))
+    val got = TimeSeries.patternSearch(events.toDF("event_type", "ts"),
+        "event_type", "ts", minutes = 10, pattern = Seq(2L, 5L), k = 3)
+      .orderBy("rn").as[(String, Long, Long, Long)].collect()
+    assert(got.head == (("t", 1800L, 0L, 1L))) // exact match at bucket 30min
+    // no window may start at the gapped pair (bucket 70min): starts are
+    // only contiguous-bucket positions
+    assert(!got.exists(_._2 == 4200L))
+    graft.operators.Caching.releaseAll()
+  }
 }
