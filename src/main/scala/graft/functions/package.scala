@@ -183,6 +183,21 @@ package object functions {
   def topK(id: Column, score: Column, k: Int): Column =
     ncol(TopKAggExpr(nexpr(id), nexpr(score), k).toAggregateExpression())
 
+  /** Z-ORDER value of two non-negative long columns: interleave the low
+    * `bits` bits (a → even positions, b → odd), so lexicographic order
+    * on the result approximates locality in BOTH dimensions — the
+    * multi-column clustering key for write-time layout
+    * ([[graft.operators.ZOrder]]): files/row-groups sorted by z carry
+    * tight min/max stats on each dimension, and a 2-dim filter skips
+    * row groups that a single-column sort could only prune on its lead
+    * column. Pure shifts/masks/ors — codegen'd, and replayable in any
+    * engine with bitwise SQL. */
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduceLeft(_ bitwiseOR _)
+
   /** Approximate heavy hitters (Misra-Gries, ≤ k counters): array of
     * (item, est) structs ordered est desc, item asc —
     * [[graft.expressions.FreqAggExpr]]. Every item with true frequency

@@ -401,6 +401,18 @@ object ExtQueries {
         pattern = Seq(12L, 12L, 12L, 12L, 12L, 12L, 12L, 12L), k = 5)
       .orderBy("event_type", "rn")
 
+  /** Z-order key parity ([[graft.functions.zOrder2]], the
+    * [[graft.operators.ZOrder]] clustering key): interleaved-bit values
+    * over (user_id, 16-bit folded time bucket) — pure shifts/masks, so
+    * the write-layout key replays exactly in SQL (the measured pruning
+    * effect lives in ZOrderSpec; this pins the key arithmetic). */
+  def x44ZOrderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_id") < 5000)
+      .withColumn("b16", pmod(expr("((ts DIV 1000) DIV 600000000)"), lit(65536L)))
+      .select(col("event_id"),
+        graft.functions.zOrder2(col("user_id"), col("b16")).as("z"))
+      .orderBy("event_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1411,6 +1423,21 @@ object ExtQueries {
        |ORDER BY event_type, rn""".stripMargin
   }
 
+  /** DuckDB mirror of the z-order key (x44): identical shift/mask/or
+    * interleave over the same 16-bit folded bucket. */
+  private val duckZOrderKey: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((user_id >> $i) & 1) << ${2 * i}) | (((b16 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) % 65536) AS b16
+       |  FROM events WHERE event_id < 5000
+       |)
+       |SELECT event_id, CAST($terms AS BIGINT) AS z
+       |FROM e ORDER BY event_id""".stripMargin
+  }
+
   /** DuckDB mirror of the reservoir sample (x42): the ':res'-salted
     * md5-uniform chain, rank by (u, id) per lang, keep 10. */
   private val duckReservoir: String =
@@ -1484,6 +1511,7 @@ object ExtQueries {
     "x41_cms" -> duckCms,
     "x42_reservoir" -> duckReservoir,
     "x43_ts_match" -> duckTsMatch,
+    "x44_zorder_key" -> duckZOrderKey,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1694,6 +1722,7 @@ object ExtQueries {
     "x41_cms"            -> x41Cms, // oracle: additive counters replay exactly
     "x42_reservoir"      -> x42Reservoir, // oracle: md5-uniform rank per group
     "x43_ts_match"       -> x43TsMatch, // oracle: exact int64 window distances
+    "x44_zorder_key"     -> x44ZOrderKey, // oracle: bit interleave replays
     "x20_profile"      -> x20Profile, // oracle: UNION ALL per column
     "x21_pack_stats"   -> x21PackStats, // oracle: prefix-sum bin rule replays
     "x22_repetition"   -> x22Repetition, // oracle: array metrics + word-count max
