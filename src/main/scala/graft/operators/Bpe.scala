@@ -40,6 +40,15 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Release the RDD blocks behind a `localCheckpoint()`ed frame — each
+    * training round supersedes the previous round's checkpoint, which
+    * would otherwise pin vocab-sized storage for every round of the job. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ =>
+    }
+
   /** Learn `numMerges` merges; returns them in application order. */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
     var seqs = vocab(docs, textCol).localCheckpoint()
@@ -60,7 +69,9 @@ object Bpe {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         merges += ((a, b))
+        val prev = seqs
         seqs = seqs.withColumn("syms", applyMerge(col("syms"), a, b)).localCheckpoint()
+        unpersistCheckpoint(prev)
         rounds += 1
       }
     }

@@ -63,7 +63,9 @@ object MediaCodecs {
       val hRaw = bb.getInt(22)
       val h = math.abs(hRaw)
       val bpp = bb.getShort(28).toInt
-      if (bpp != 24 || w <= 0 || h == 0) return None
+      // w bounded so rowBytes/stride can't overflow Int and fake out the
+      // Long bounds check below with a negative product
+      if (bpp != 24 || w <= 0 || w > Int.MaxValue / 3 - 4 || h == 0) return None
       val rowBytes = w * 3
       val stride = rowBytes + (4 - (rowBytes % 4)) % 4
       if (offset.toLong + stride.toLong * h > bytes.length) return None
@@ -125,6 +127,9 @@ object MediaCodecs {
       while (pos + 8 <= bytes.length) {
         val id = ascii(pos, 4)
         val len = bb.getInt(pos + 4)
+        // a negative/oversized chunk length would make the walk step
+        // non-positive (infinite loop) or read past the buffer
+        if (len < 0 || pos.toLong + 8 + len > bytes.length) return None
         if (id == "fmt ") {
           if (bb.getShort(pos + 8) != 1) return None // PCM only
           channels = bb.getShort(pos + 10).toInt

@@ -49,18 +49,27 @@ object IncrementalAnnIndex {
     * those partitions at the scan (the 100 TB read-path win; run it on
     * whatever cadence the batch-dir count warrants). */
   def compact(spark: SparkSession, stateDir: String): Unit = {
-    val merged = readIndex(spark, stateDir).persist()
-    merged.count() // materialize before replacing the dirs being read
     val base = new Path(s"$stateDir/ann_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(s"$stateDir/ann_index.old")
+    // Recover from a crash mid-compaction (same rename-aside protocol as
+    // [[MvPipeline.upsertMerge]]): commit point is the rename of the
+    // rewritten copy into `base/compacted`. A leftover `.old` next to a
+    // committed base is garbage; next to a missing/uncommitted base it IS
+    // the live index and is restored.
+    if (fs.exists(aside)) {
+      if (fs.exists(new Path(base, "compacted"))) fs.delete(aside, true)
+      else { fs.delete(base, true); require(fs.rename(aside, base), s"recover $aside") }
+    }
+    val merged = readIndex(spark, stateDir).persist()
+    merged.count() // materialize before replacing the dirs being read
     val tmp = new Path(s"$stateDir/ann_index.tmp")
     try merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
     finally merged.unpersist()
-    fs.delete(base, true)
-    require(fs.rename(tmp, new Path(s"$stateDir/ann_index/compacted")) || {
-      // rename into a fresh parent needs the parent to exist
-      fs.mkdirs(base); fs.rename(tmp, new Path(s"$stateDir/ann_index/compacted"))
-    }, s"commit compaction for $base")
+    require(fs.rename(base, aside), s"stage out $base")
+    fs.mkdirs(base)
+    require(fs.rename(tmp, new Path(base, "compacted")), s"commit compaction for $base")
+    fs.delete(aside, true)
   }
 
   /** IVF-PQ search over the maintained index — identical arithmetic to

@@ -478,6 +478,12 @@ class MultimodalSpec extends SparkTestBase {
     // malformed: wrong magic, truncated
     assert(MediaCodecs.decodeBmp("notabmp".getBytes).isEmpty)
     assert(MediaCodecs.decodeBmp(bmp.take(40)).isEmpty)
+    // malformed: width large enough that w*3 overflows Int — must be None,
+    // not Some(zeroed means) via a negative stride passing the bounds check
+    val wide = bmp.clone()
+    java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 716000000)
+    assert(MediaCodecs.decodeBmp(wide).isEmpty)
   }
 
   test("MediaCodecs: WAV PCM16 round-trip; exact energy and duration") {
@@ -489,6 +495,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(info.durationUs == 5L * 1000000L / 16000L)
     assert(MediaCodecs.decodeWav("RIFFjunk".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav(wav.take(30)).isEmpty)
+    // malformed: negative chunk length would make the RIFF walk's step
+    // zero (len = -8) or negative — must return None, not hang the thread
+    for (badLen <- Seq(-8, -9, -1, Int.MinValue, Int.MaxValue)) {
+      val bad = wav.clone()
+      java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(16, badLen) // fmt chunk length field
+      assert(MediaCodecs.decodeWav(bad).isEmpty, s"len=$badLen")
+    }
   }
 
   test("media synthesis + stubbed decode: schema, determinism, feature range") {

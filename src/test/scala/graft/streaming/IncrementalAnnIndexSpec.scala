@@ -64,5 +64,20 @@ class IncrementalAnnIndexSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSet
     graft.operators.Caching.releaseAll()
     assert(afterCompact === batch)
+
+    // crash window: index renamed aside, commit never happened (simulated
+    // by renaming ann_index -> ann_index.old by hand). The next compact
+    // must restore the aside copy — the index is never unreadable.
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$state/ann_index")
+    val aside = new org.apache.hadoop.fs.Path(s"$state/ann_index.old")
+    require(fs.rename(base, aside))
+    IncrementalAnnIndex.compact(spark, state)
+    assert(!fs.exists(aside))
+    val afterRecover = IncrementalAnnIndex.search(spark, state, col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    assert(afterRecover === batch)
   }
 }
