@@ -14,9 +14,19 @@ object Tables {
   private def conf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** The corpus is static for a session, so the analyzed frame (schema +
+    * file listing, NOT data) is memoized per (session, path): every
+    * `spark.read.parquet` call re-lists the directory and re-reads the
+    * parquet footer on the driver, ~90 ms of per-query build time that
+    * repeats identically across the 80-query harness. Keyed on the
+    * session too, so tests with their own sessions never share plans. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     conf(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

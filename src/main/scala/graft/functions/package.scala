@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, IsIPv4, IsIPv6, L2NormExpr, LshBucketExpr, ParseDnsAnswer, TopKAggExpr, VecScaleExpr}
+import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -169,6 +169,28 @@ package object functions {
     * `aggregate`-HOF fold it replaces (plane 0 = MSB), fully codegen'd. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ncol(LshBucketExpr(nexpr(v), planes))
+
+  /** Per-subspace PQ codes against a pinned codebook carried as plan DATA
+    * ([[graft.expressions.PqEncodeExpr]]) — constant expression size in
+    * codebook k, unlike the retired literal-CASE recipe. */
+  def pqEncode(nv: Column, sub: Seq[Seq[Seq[Double]]]): Column =
+    ncol(PqEncodeExpr(nexpr(nv), sub))
+
+  /** Query-side ADC lookup table (array of m·ksub dots) against a pinned
+    * codebook carried as plan data ([[graft.expressions.PqLutExpr]]). */
+  def pqLut(nv: Column, sub: Seq[Seq[Seq[Double]]]): Column =
+    ncol(PqLutExpr(nexpr(nv), sub))
+
+  /** Nearest IVF cell id against a pinned centroid matrix carried as plan
+    * data ([[graft.expressions.NearestCellExpr]]) — bit-identical
+    * arithmetic and tie-break to the literal when-chain it replaces. */
+  def nearestCell(nv: Column, centers: Seq[Seq[Double]]): Column =
+    ncol(NearestCellExpr(nexpr(nv), centers))
+
+  /** The `nprobe` nearest IVF cell ids in (dist², id) order
+    * ([[graft.expressions.IvfProbesExpr]]). */
+  def ivfProbes(nv: Column, centers: Seq[Seq[Double]], nprobe: Int): Column =
+    ncol(IvfProbesExpr(nexpr(nv), centers, nprobe))
 
   /** Cosine similarity of two dense double vectors. `try_divide`: a
     * zero-norm (degenerate) vector yields NULL similarity rather than an

@@ -152,45 +152,27 @@ object Similarity {
       .select(col("qid"), col("s.id").as("nid"),
         (col("pos") + 1).cast("long").as("rn"), col("s.score").as("cos"))
 
-  /** Kernel-order self dot product of a literal vector — `foldLeft` matches
-    * [[graft.expressions.DotProductExpr]]'s left-to-right accumulation, so
-    * the Scala-precomputed constant equals the runtime kernel value
-    * bit-for-bit (and the same constant is embedded in the x12 oracle). */
-  private def selfDot(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+  /** Nearest-cell id by (dist², cell-id) — the codegen'd
+    * [[graft.expressions.NearestCellExpr]] kernel (centroids as plan
+    * data), NOT a window: corpus assignment must stay a pure map pass (no
+    * per-row shuffle) at 100 TB. First index achieving the minimum wins
+    * and degenerate input yields −1, bit-identical to the literal
+    * when-chain this replaces — every oracle CASE chain replays
+    * unchanged, but expression size (and driver build cost) is now
+    * constant in centroids × dims. */
+  def nearestCell(nv: Column, centers: Seq[Seq[Double]]): Column =
+    graft.functions.nearestCell(nv, centers)
 
-  /** Squared euclidean distance (up to the constant |nv|²) from a unit
-    * vector column to a literal centroid: `|c|² − 2·nv·c`. */
-  private def cellDist2(nv: Column, c: Seq[Double]): Column =
-    lit(selfDot(c)) - lit(2.0) * dotProduct(nv, typedLit(c))
-
-  /** Nearest-cell id by (dist², cell-id) — a codegen'd when-chain, NOT a
-    * window: corpus assignment must stay a pure map pass (no per-row
-    * shuffle) at 100 TB. First index matching the minimum wins, mirroring
-    * the oracle's CASE chain. */
-  def nearestCell(nv: Column, centers: Seq[Seq[Double]]): Column = {
-    val ds = centers.map(c => cellDist2(nv, c))
-    val m = least(ds: _*)
-    ds.zipWithIndex.foldRight(lit(-1).cast("int")) { case ((d, j), acc) =>
-      when(d === m, lit(j)).otherwise(acc)
-    }
-  }
-
-  /** (qid, qv, qnv) queries → their `nprobe` nearest cells of a literal
-    * codebook, deterministic (dist², cell-id) order. Query side only — the
-    * per-query window runs on the (small) query set, never the corpus.
-    * `keep` selects which query columns ride along with the probe rows. */
+  /** (qid, qv, qnv) queries → their `nprobe` nearest cells of a pinned
+    * codebook, deterministic (dist², cell-id) order — one
+    * [[graft.expressions.IvfProbesExpr]] kernel call per query row
+    * exploded into probe rows (the former explode-all-cells + window
+    * selection, same order including NaN-last and -0.0 == 0.0 ties).
+    * Query side only. `keep` selects which query columns ride along. */
   private def probeCells(q: DataFrame, centers: Seq[Seq[Double]], nprobe: Int,
       keep: Seq[Column] = Seq(col("qid"), col("qv"))): DataFrame =
-    q.select(Seq(col("qid"), col("qv"),
-        posexplode(typedLit(centers)).as(Seq("bucket", "cvec")), col("qnv")) ++
-        q.columns.filterNot(Set("qid", "qv", "qnv")).map(col): _*)
-      .withColumn("dist2",
-        element_at(typedLit(centers.map(selfDot)), col("bucket") + 1)
-          - lit(2.0) * dotProduct(col("qnv"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist2"), col("bucket"))))
-      .filter(col("rn") <= nprobe)
-      .select(keep :+ col("bucket"): _*)
+    q.select(keep :+
+      explode(graft.functions.ivfProbes(col("qnv"), centers, nprobe)).as("bucket"): _*)
 
   /** Shared IVF probe+rescore tail: assigned corpus (vec_id, v, bucket) ×
     * probe set → exact cosine on ORIGINAL vectors (cells only select
@@ -294,18 +276,20 @@ object Similarity {
     * task 2). At scale the full-precision vectors cannot ride the scan of
     * every query: a 64-dim double vector is 512 bytes/candidate, while its
     * PQ code — the per-subspace id of the nearest centroid in a pinned
-    * 8×16×8 codebook ([[PqCodebook]]) — is 8 bytes, a 64× cut in the bytes
-    * the candidate scan touches.
+    * 8×256×8 codebook ([[PqCodebook256]], production PQ geometry, carried
+    * as plan DATA not literal expressions) — is 8 bytes, a 64× cut in the
+    * bytes the candidate scan touches.
     *
-    * Pipeline (all three stages pinned-literal deterministic, so the whole
-    * thing replays in the DuckDB oracle):
+    * Pipeline (all three stages pinned deterministic — the oracle reads
+    * the SAME codebook rows from parquet, so the whole thing replays in
+    * DuckDB):
     *  1. ENCODE (map pass, no shuffle): each corpus vector gets its IVF
     *     cell ([[nearestCell]]) and 8 PQ codes — per subspace `s`, the
-    *     nearest of 16 pinned centroids to dims [8s, 8s+8) of the unit
+    *     nearest of 256 pinned centroids to dims [8s, 8s+8) of the unit
     *     vector (direct encoding; production systems often encode the
     *     cell RESIDUAL for tighter error — same plumbing, skipped here so
-    *     the oracle stays one CASE chain per subspace).
-    *  2. ADC scan: each query precomputes ONCE its 128-entry lookup table
+    *     the oracle stays a per-(vector, subspace) argmin join).
+    *  2. ADC scan: each query precomputes ONCE its 2048-entry lookup table
     *     `lut[s][j] = dot(qnv[8s..], subCenter(s)(j))`; a candidate's
     *     approximate cosine is then 8 array lookups + 7 adds — no vector
     *     arithmetic per pair, and the scan side carries only
@@ -322,7 +306,7 @@ object Similarity {
     * that at 100 TB would run once at ingest and be stored with the row. */
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       centers: Seq[Seq[Double]] = IvfCodebook.centers,
-      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook256.subCenters,
       nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame =
     searchIvfPqEncoded(
       Caching.persisted(encodeIvfPq(embeddings, centers, sub, dim)),
@@ -332,35 +316,22 @@ object Similarity {
     * (vec_id, v, nv, bucket, code0..code_{m-1}) — the artifact a 100 TB
     * deployment computes once at ingest and stores with the row
     * ([[graft.streaming.IncrementalAnnIndex]] maintains it per
-    * micro-batch). Staged as three narrow projections instead of one
-    * nearestCell-per-subspace mega-expression: a single expression tree
-    * holding 8 × (16 dists + least + CASE) exceeds janino's 64 KB method
-    * limit and silently drops the whole stage to interpreted mode (5.9s →
-    * 0.9s at sf0.1). Column-level stages let codegen split each dist into
-    * its own method, and CollapseProject keeps the stages apart because
-    * the aliases are non-cheap and multiply referenced. */
+    * micro-batch). The codebook is plan DATA inside the codegen'd
+    * [[graft.expressions.PqEncodeExpr]] (round 6 unrolled it into literal
+    * distance expressions, which hit janino's 64 KB method ceiling
+    * already at k=16 and cost ~0.76s of driver tree construction per
+    * query; as a reference-object loop, expression size is constant in k,
+    * so the production 256-centroid geometry fits with no ceiling). */
   def encodeIvfPq(embeddings: DataFrame,
       centers: Seq[Seq[Double]] = IvfCodebook.centers,
-      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook256.subCenters,
       dim: Int = 64): DataFrame = {
     val m = sub.size // subspaces
-    val ksub = sub.head.size // centroids per subspace
-    val d = dim / m // dims per subspace
-    val keep0 = Seq(col("vec_id"), col("v"), col("nv"), col("bucket"))
-    val sliced = normalizedCorpus(embeddings, dim)
+    normalizedCorpus(embeddings, dim)
       .withColumn("bucket", nearestCell(col("nv"), centers))
-      .select(keep0 ++ (0 until m).map(s =>
-        slice(col("nv"), s * d + 1, d).as(s"nv$s")): _*)
-    val withDists = sliced.select(keep0 ++ (for { s <- 0 until m; j <- 0 until ksub } yield
-      (lit(selfDot(sub(s)(j))) - lit(2.0) * dotProduct(col(s"nv$s"), typedLit(sub(s)(j))))
-        .as(s"d${s}_$j")): _*)
-    withDists.select(keep0 ++ (0 until m).map { s =>
-      val ds = (0 until ksub).map(j => col(s"d${s}_$j"))
-      val mn = least(ds: _*)
-      ds.zipWithIndex.foldRight(lit(-1).cast("int")) { case ((dc, j), acc) =>
-        when(dc === mn, lit(j)).otherwise(acc)
-      }.as(s"code$s")
-    }: _*)
+      .withColumn("codes", graft.functions.pqEncode(col("nv"), sub))
+      .select(Seq(col("vec_id"), col("v"), col("nv"), col("bucket")) ++
+        (0 until m).map(s => element_at(col("codes"), s + 1).as(s"code$s")): _*)
   }
 
   /** The SEARCH stages of [[ivfPqTopK]] over an already-encoded index
@@ -368,16 +339,15 @@ object Similarity {
     * the [[encodeIvfPq]] columns. */
   def searchIvfPqEncoded(assigned: DataFrame, queryPred: Column, k: Int,
       centers: Seq[Seq[Double]] = IvfCodebook.centers,
-      sub: Seq[Seq[Seq[Double]]] = PqCodebook.subCenters,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebook256.subCenters,
       nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame = {
     val m = sub.size
     val ksub = sub.head.size
-    val d = dim / m
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
     // per-query LUT: m·ksub dots of length d, computed once per query row
-    val lut = array((for (s <- 0 until m; j <- 0 until ksub) yield
-      dotProduct(slice(col("qnv"), s * d + 1, d), typedLit(sub(s)(j)))): _*)
+    // inside one codegen'd kernel (PqLutExpr — codebook as plan data)
+    val lut = graft.functions.pqLut(col("qnv"), sub)
     val probes = probeCells(q.withColumn("lut", lut), centers, nprobe,
       keep = Seq(col("qid"), col("lut")))
     // ADC: 8 lookups + 7 adds per candidate, fixed s=0..m-1 fold order

@@ -111,14 +111,18 @@ object ExtQueries {
   /** Deterministic training-data sharding ([[graft.operators.Sharding]]):
     * per-shard doc counts + key range prove stable assignment and balance;
     * the md5-derived keys replay in the DuckDB oracle. */
-  /** IVF-PQ ANN over the pinned cell + product-quantization codebooks
-    * ([[Similarity.ivfPqTopK]]): 8-byte PQ codes score candidates via a
-    * per-query LUT (the 100 TB bytes-per-candidate cut), exact rescoring
-    * of the top-`refine·k` restores full-precision ranking. Everything is
-    * pinned-literal IEEE arithmetic → full DuckDB replay. */
-  def x33AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+  /** IVF-PQ ANN over the pinned cell + production-geometry 8×256 PQ
+    * codebook ([[Similarity.ivfPqTopK]]): 8-byte PQ codes score
+    * candidates via a per-query LUT (the 100 TB bytes-per-candidate cut),
+    * exact rescoring of the top-`refine·k` restores full-precision
+    * ranking. The codebook is pinned DATA on both sides — a plan
+    * reference object in the codegen'd encode/LUT kernels, a parquet
+    * relation in the oracle — so the full pipeline replays in DuckDB. */
+  def x33AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.PqCodebook256.ensureParquet(s) // the oracle-side codebook relation
     Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
       .orderBy("qid", "rn")
+  }
 
   /** SemDeDup-style semantic pruning over the pinned IVF cells
     * ([[Similarity.semanticPrune]]): per-vector keep/prune decision with
@@ -851,56 +855,55 @@ object ExtQueries {
        |FROM scored QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  /** DuckDB mirror of [[Similarity.ivfPqTopK]] (x33). Replays all three
-    * stages with the pinned literals: PQ code assignment per subspace
-    * (16-branch distance CASE over the 8-dim slice of nv — same
-    * first-index-wins tie rule as the cell CASE), ADC scoring (the CASE
-    * selects the same left-to-right dot chain the Spark LUT entry holds —
-    * identical IEEE value — and the 8 subspace terms add in the same
-    * s=0..7 order), shortlist by e6-rounded ADC with (adc DESC, vec_id)
-    * ties, then exact-cosine rescoring of the survivors. */
-  private val duckAnnIvfPq: String = {
+  /** DuckDB mirror of [[Similarity.ivfPqTopK]] (x33). The 8×256 codebook
+    * is DATA on both sides: the Spark expressions carry it as a plan
+    * reference object, the oracle reads the identical rows from the
+    * parquet [[graft.operators.PqCodebook256.ensureParquet]] writes
+    * (parquet round-trips doubles exactly). Replays all three stages:
+    * per-(vector, subspace) code assignment as an argmin join against the
+    * codebook relation (ROW_NUMBER ORDER BY dist, j = the kernel's
+    * first-index-wins strict `<` loop), ADC scoring by joining candidate
+    * codes to the query's LUT rows (8 singleton conditional sums pivoted
+    * back to columns so the subspace terms add in the kernel's s=0..7
+    * left-assoc order), shortlist by e6-rounded ADC with (adc DESC,
+    * vec_id) ties, then exact-cosine rescoring of the survivors. */
+  private def duckAnnIvfPq: String = {
     import IvfSql.assignCtes
     import VecSql.{dotVec, normSq}
-    val sub = graft.operators.PqCodebook.subCenters
-    val m = sub.size; val ksub = sub.head.size; val d = 8
+    val m = 8; val ksub = 256; val d = 8
     val nprobe = 3; val refine = 4; val k = 5
-    // left-assoc dot of nv dims [s*8+1 .. s*8+8] with a literal centroid —
-    // matches DotProductExpr over slice(nv, s*8+1, 8)
-    def sliceDot(vCol: String, s: Int, c: Seq[Double]): String =
-      c.zipWithIndex.map { case (w, i) => s"$vCol[${s * d + i + 1}]*($w)" }.mkString(" + ")
-    def subSelfDot(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
-    // per-subspace distance columns + first-match-wins code CASE
-    val pqDists = (0 until m).flatMap(s => (0 until ksub).map(j =>
-      s"(${subSelfDot(sub(s)(j))}) - 2.0*(${sliceDot("nv", s, sub(s)(j))}) AS p${s}_$j"))
+    // left-assoc dot of v dims [s*8+1 .. s*8+8] with codebook entry c —
+    // matches PqKernels' accumulation order (and DotProductExpr's)
+    def sliceDotCb(vCol: String): String =
+      (0 until d).map(i => s"$vCol[cb.s*$d + ${i + 1}]*cb.c[${i + 1}]").mkString(" + ")
+    val cbSelfDot = (0 until d).map(i => s"cb.c[${i + 1}]*cb.c[${i + 1}]").mkString(" + ")
+    // ADC: one lut row per (qid, s) after the code join; singleton
+    // conditional sums make per-subspace terms exact, then the 8 columns
+    // add left-assoc like the kernel's reduceLeft
+    val lutCols = (0 until m).map(s => s"SUM(CASE WHEN pc.s = $s THEN l.lv END) AS l$s")
       .mkString(",\n    ")
-    val pqMins = (0 until m).map(s =>
-      (0 until ksub).map(j => s"p${s}_$j").mkString(s"least(", ", ", s") AS m$s"))
-      .mkString(", ")
-    val pqCodes = (0 until m).map(s =>
-      s"CASE ${(0 until ksub).map(j => s"WHEN p${s}_$j = m$s THEN $j").mkString(" ")} END AS code$s")
-      .mkString(",\n    ")
-    // ADC: per subspace a CASE over the candidate's code selecting the
-    // query-side chain; terms added s=0..7 left-assoc like reduceLeft
-    val adcExpr = (0 until m).map(s =>
-      s"(CASE ${(0 until ksub).map(j =>
-        s"WHEN c.code$s = $j THEN (${sliceDot("p.qnv", s, sub(s)(j))})").mkString(" ")} END)")
-      .mkString(" + ")
+    val adcSum = (0 until m).map(s => s"l$s").mkString(" + ")
     val structList = IvfSql.centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
     val cos =
       s"floor(((${dotVec("q.qv", "cv.v")}) / (sqrt(${normSq("q.qv")}) * sqrt(${normSq("cv.v")}))) * 1000000.0 + 0.5) / 1000000.0"
     s"""WITH $assignCtes,
+       |${graft.operators.PqCodebook256.oracleCte},
        |pd AS (
-       |  SELECT vec_id, v, nv, bucket,
-       |    $pqDists
-       |  FROM a
+       |  SELECT a.vec_id, cb.s, cb.j,
+       |    ($cbSelfDot) - 2.0*(${sliceDotCb("a.nv")}) AS dist
+       |  FROM a, cb
        |),
-       |pc AS (
-       |  SELECT vec_id, v, nv, bucket,
-       |    $pqCodes
-       |  FROM (SELECT *, $pqMins FROM pd)
+       |pcodes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+       |    FROM pd
+       |  ) WHERE rn = 1
        |),
        |q AS (SELECT vec_id AS qid, v AS qv, nv AS qnv FROM a WHERE vec_id < 10),
+       |lutv AS (
+       |  SELECT q.qid, cb.s, cb.j, (${sliceDotCb("q.qnv")}) AS lv
+       |  FROM q, cb
+       |),
        |qd AS (
        |  SELECT qid, qv, qnv,
        |    ${IvfSql.dists("qnv")}
@@ -908,15 +911,26 @@ object ExtQueries {
        |),
        |qp AS (SELECT qid, qv, qnv, unnest([$structList]) AS u FROM qd),
        |probes AS (
-       |  SELECT qid, qnv, b AS bucket FROM (
-       |    SELECT qid, qnv, u.b AS b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d, u.b) AS rn
+       |  SELECT qid, b AS bucket FROM (
+       |    SELECT qid, u.b AS b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d, u.b) AS rn
        |    FROM qp
        |  ) WHERE rn <= $nprobe
        |),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id
+       |  FROM probes p JOIN a c USING (bucket) WHERE c.vec_id <> p.qid
+       |),
+       |adc8 AS (
+       |  SELECT cd.qid, cd.vec_id,
+       |    $lutCols
+       |  FROM cand cd
+       |    JOIN pcodes pc ON pc.vec_id = cd.vec_id
+       |    JOIN lutv l ON l.qid = cd.qid AND l.s = pc.s AND l.j = pc.code
+       |  GROUP BY cd.qid, cd.vec_id
+       |),
        |adc AS (
-       |  SELECT p.qid, c.vec_id,
-       |    floor(($adcExpr) * 1000000.0 + 0.5) / 1000000.0 AS adc
-       |  FROM probes p JOIN pc c USING (bucket) WHERE c.vec_id <> p.qid
+       |  SELECT qid, vec_id, floor(($adcSum) * 1000000.0 + 0.5) / 1000000.0 AS adc
+       |  FROM adc8
        |),
        |short AS (
        |  SELECT qid, vec_id FROM (
@@ -926,7 +940,7 @@ object ExtQueries {
        |),
        |resc AS (
        |  SELECT s.qid, s.vec_id, $cos AS cos
-       |  FROM short s JOIN pc cv ON s.vec_id = cv.vec_id JOIN q ON s.qid = q.qid
+       |  FROM short s JOIN a cv ON s.vec_id = cv.vec_id JOIN q ON s.qid = q.qid
        |)
        |SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn, cos
        |FROM resc QUALIFY rn <= $k ORDER BY qid, rn""".stripMargin

@@ -4,17 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-time build-step fitter for the PINNED product-quantization codebook
-  * ([[graft.operators.PqCodebook]]): per subspace `s` of the L2-normalized
-  * 64-dim corpus (8 slices of 8 dims), fits KMeans (k=16, seed 42+s,
-  * maxIter 10) on the slice and prints the 8×16×8 centroid tensor as Scala
-  * source — the offline "train the PQ index" step of IVF-PQ; queries only
-  * ever replay the frozen literals (the x12 pinned-codebook recipe):
+  * ([[graft.operators.PqCodebook256]]): per subspace `s` of the
+  * L2-normalized 64-dim corpus (8 slices of 8 dims), fits KMeans (k=256,
+  * seed 42+s, maxIter 10) on the slice and writes the 8×256×8 centroid
+  * tensor as the text resource the library loads at class-init
+  * (`graft/pq_codebook_8x256.txt`, one `s j v0..v7` line per centroid,
+  * `Double.toString` for exact round-trip) — the offline "train the PQ
+  * index" step of IVF-PQ. Production-scale k (256 per subspace) is exactly
+  * what the round-6 literal-expression encoding could NOT hold (janino's
+  * 64 KB method ceiling at k=16 already forced staged projections); as
+  * plain DATA the codebook has no expression-size footprint at all.
   *
   * {{{ sbt "runMain graft.tools.FitPqCodebook /root/testdata/sf0.1" }}}
   */
 object FitPqCodebook {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.drop(1).headOption
+      .getOrElse("src/main/resources/graft/pq_codebook_8x256.txt")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -33,19 +40,18 @@ object FitPqCodebook {
       .persist()
     nv.count()
 
-    val sub = (0 until 8).map { s =>
+    val lines = (0 until 8).flatMap { s =>
       val train = nv.select(array_to_vector(slice(col("nv"), s * 8 + 1, 8)).as("fv"))
-      val model = new KMeans().setK(16).setSeed(42L + s).setMaxIter(10)
+      val model = new KMeans().setK(256).setSeed(42L + s).setMaxIter(10)
         .setFeaturesCol("fv").fit(train)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
+      model.clusterCenters.zipWithIndex.map { case (c, j) =>
+        s"$s $j " + c.toArray.map(_.toString).mkString(" ")
+      }
     }
-
-    println("  val subCenters: Seq[Seq[Seq[Double]]] = Seq(")
-    println(sub.map { cs =>
-      "    Seq(\n" + cs.map(c =>
-        c.map(_.toString).mkString("      Seq(", ", ", ")")).mkString(",\n") + "\n    )"
-    }.mkString(",\n"))
-    println("  )")
+    val p = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    println(s"wrote ${lines.size} centroids to $outPath")
     spark.stop()
   }
 }
