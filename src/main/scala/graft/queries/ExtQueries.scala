@@ -417,6 +417,23 @@ object ExtQueries {
         graft.functions.zOrder2(col("user_id"), col("b16")).as("z"))
       .orderBy("event_id")
 
+  /** BM25 ranked retrieval over the inverted index ([[graft.operators
+    * .InvertedIndex.bm25TopK]]) — the read path the maintained index
+    * serves (VERDICT r6 task 2): the search consumes ONLY the postings
+    * detail and doc-length summaries (persisted here, maintained state in
+    * [[graft.streaming.IncrementalIndex.searchBm25]]); the corpus is
+    * never rescanned by the scoring plan. Exact-rational k1=6/5, b=3/4
+    * scoring with e6-quantized int64 term sums → full DuckDB replay. */
+  def x45Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val postings = graft.operators.Caching.persisted(
+      graft.operators.InvertedIndex.postingsDetail(docs, "doc_id", "text"))
+    val lens = graft.operators.Caching.persisted(
+      graft.operators.InvertedIndex.docLengths(docs, "doc_id", "text"))
+    graft.operators.InvertedIndex.bm25TopK(postings, lens,
+      Seq("spark", "vector", "merge"), k = 20)
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1518,7 +1535,31 @@ object ExtQueries {
        |FROM hh GROUP BY token
        |ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  /** x45 mirror: same postings-detail/doc-length CTEs, the exact-rational
+    * BM25 term score — integer numerator/denominator products then ONE
+    * IEEE division per (doc, term) (ln() is not cross-engine bit-stable),
+    * e6-quantized to BIGINT before the order-insensitive per-doc sum. */
+  private val duckBm25: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |detail AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM lens),
+      |qt AS (SELECT * FROM detail WHERE token IN ('spark', 'vector', 'merge')),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY token),
+      |term AS (
+      |  SELECT qt.doc_id,
+      |    CAST(floor(((22*qt.tf*n_docs*total_len)
+      |                / (dfq.df*(10*qt.tf*total_len + 3*total_len + 9*l.dl*n_docs)))
+      |               * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+      |  FROM qt JOIN dfq USING (token) JOIN lens l USING (doc_id), tot
+      |),
+      |sc AS (SELECT doc_id, count(*) AS matched, CAST(sum(term_e6) AS BIGINT) AS score_e6
+      |       FROM term GROUP BY doc_id)
+      |SELECT doc_id, matched, score_e6 FROM sc
+      |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x45_bm25_topk" -> duckBm25,
     "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
     "x40_mixture_sample" -> duckMixtureSample,
@@ -1748,6 +1789,7 @@ object ExtQueries {
     "x30_anomaly"      -> x30Anomaly, // oracle: exact-int spike decisions
     "x31_mixture_weights" -> x31MixtureWeights, // oracle: sqrt + int64 ppm
     "x32_inverted_index" -> x32InvertedIndex, // oracle: xor posting-set fingerprint
+    "x45_bm25_topk"    -> x45Bm25TopK, // oracle: exact-rational BM25, e6 int sums
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

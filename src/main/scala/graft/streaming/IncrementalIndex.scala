@@ -49,11 +49,20 @@ object IncrementalIndex {
     case other         => sum(col(other))
   }
 
-  /** Fold one micro-batch of documents into the index state table. */
+  /** Fold one micro-batch of documents into the three index state tables:
+    * the per-token stats summary, the per-(token, doc) postings DETAIL,
+    * and the per-doc length summary — the latter two are what the BM25
+    * read path ([[searchBm25]]) consumes. All three are abelian-group
+    * merges, so batching order converges to the batch answer. */
   def processBatch(docs: DataFrame, stateDir: String, batchId: Long = -1L,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     MvPipeline.upsertWith(InvertedIndex.postings(docs, idCol, textCol),
       s"$stateDir/inverted_index", Seq("token"), mergeAgg, batchId)
+    MvPipeline.upsertWith(InvertedIndex.postingsDetail(docs, idCol, textCol),
+      s"$stateDir/postings", Seq("token", "doc_id"), sum(_), batchId)
+    MvPipeline.upsertWith(InvertedIndex.docLengths(docs, idCol, textCol),
+      s"$stateDir/doc_lens", Seq("doc_id"), sum(_), batchId)
+  }
 
   /** Remove documents from the index: negate the additive measures, keep
     * the self-inverse fingerprint (XOR-ing a doc's hash again deletes it).
@@ -66,21 +75,42 @@ object IncrementalIndex {
       .withColumn("total_tf", -col("total_tf"))
     MvPipeline.upsertWith(negated, s"$stateDir/inverted_index", Seq("token"),
       mergeAgg, batchId)
+    MvPipeline.upsertWith(
+      InvertedIndex.postingsDetail(docs, idCol, textCol).withColumn("tf", -col("tf")),
+      s"$stateDir/postings", Seq("token", "doc_id"), sum(_), batchId)
+    MvPipeline.upsertWith(
+      InvertedIndex.docLengths(docs, idCol, textCol).withColumn("dl", -col("dl")),
+      s"$stateDir/doc_lens", Seq("doc_id"), sum(_), batchId)
   }
 
-  /** Drop fully-retracted tokens (df == 0) from the state table. */
+  /** Drop fully-retracted rows (df/tf/dl == 0) from the state tables. */
   def compact(spark: SparkSession, stateDir: String): Unit = {
-    val path = s"$stateDir/inverted_index"
-    val live = spark.read.parquet(path).filter(col("df") > 0).persist()
-    live.count() // materialize before overwriting the table being read
-    try live.write.mode("overwrite").parquet(path + ".tmp")
-    finally live.unpersist()
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(path + ".tmp"),
-      new org.apache.hadoop.fs.Path(path)), s"commit compact $path")
+    def sweep(path: String, liveCol: String): Unit = {
+      if (!new java.io.File(path).exists()) return
+      val live = spark.read.parquet(path).filter(col(liveCol) > 0).persist()
+      live.count() // materialize before overwriting the table being read
+      try live.write.mode("overwrite").parquet(path + ".tmp")
+      finally live.unpersist()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(path + ".tmp"),
+        new org.apache.hadoop.fs.Path(path)), s"commit compact $path")
+    }
+    sweep(s"$stateDir/inverted_index", "df")
+    sweep(s"$stateDir/postings", "tf")
+    sweep(s"$stateDir/doc_lens", "dl")
   }
+
+  /** BM25 ranked retrieval served ENTIRELY from maintained state — the
+    * read path the index is maintained for (no corpus anywhere in the
+    * plan; postings + doc-length summaries only). */
+  def searchBm25(spark: SparkSession, stateDir: String, queryTerms: Seq[String],
+      k: Int): DataFrame =
+    InvertedIndex.bm25TopK(
+      MvPipeline.readState(spark, stateDir, "postings"),
+      MvPipeline.readState(spark, stateDir, "doc_lens"),
+      queryTerms, k)
 
   /** Start continuous maintenance over a directory of document files
     * (JSON-lines with `schema`; `Trigger.AvailableNow()` for tests). */

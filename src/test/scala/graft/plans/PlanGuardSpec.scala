@@ -39,10 +39,12 @@ class PlanGuardSpec extends SparkTestBase {
     * x5/x9 broadcast the QUERY set against `vec_id =!= qid` (a non-equi
     * predicate has no hash join); x27 broadcasts the 1-row n_docs
     * aggregate (TextAnalysis.scala scalar crossJoin); x40 broadcasts the
-    * 1-row token-budget aggregate (Sampling.mixtureSample). */
+    * 1-row token-budget aggregate (Sampling.mixtureSample); x45
+    * broadcasts the 1-row (n_docs, total_len) aggregate
+    * (InvertedIndex.bm25TopK scalar crossJoin). */
   private val allowedBnlj = Map(
     "x5_embed_topk" -> 1, "x9_topk_agg" -> 1, "x27_tfidf_topk" -> 1,
-    "x40_mixture_sample" -> 1)
+    "x40_mixture_sample" -> 1, "x45_bm25_topk" -> 1)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -62,6 +62,36 @@ class IncrementalIndexSpec extends SparkTestBase {
       sortedState(batch1))
   }
 
+  test("BM25 search over maintained state == batch search; corpus absent from plan") {
+    val state = tmpDir("ii-bm25")
+    IncrementalIndex.processBatch(chunk1.toDF("doc_id", "text"), state, batchId = 0L)
+    IncrementalIndex.processBatch(chunk2.toDF("doc_id", "text"), state, batchId = 1L)
+
+    val full = (chunk1 ++ chunk2).toDF("doc_id", "text")
+    val batch = InvertedIndex.bm25TopK(
+      InvertedIndex.postingsDetail(full, "doc_id", "text"),
+      InvertedIndex.docLengths(full, "doc_id", "text"),
+      Seq("cat", "ran"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Caching.releaseAll()
+
+    val fromState = IncrementalIndex.searchBm25(spark, state, Seq("cat", "ran"), k = 10)
+    // the read path consumes ONLY the maintained summaries: no in-memory
+    // corpus relation (LocalTableScan/LogicalRDD) anywhere in its plan
+    val plan = fromState.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation") && !plan.contains("LogicalRDD"),
+      s"corpus leaked into the state-serving plan:\n$plan")
+    val got = fromState.as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Caching.releaseAll()
+
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // ranking sanity: doc 3 ("the cat ran") matches BOTH query terms and
+    // outranks doc 4 ("ran ran ran"), whose higher tf on one term can't
+    // beat two summed term scores
+    assert(got.head._1 === 3L && got.head._2 === 2L)
+  }
+
   test("replayed batch id folds exactly once") {
     val state = tmpDir("ii-idem")
     val docs = chunk1.toDF("doc_id", "text")
