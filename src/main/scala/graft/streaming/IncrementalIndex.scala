@@ -112,6 +112,32 @@ object IncrementalIndex {
       MvPipeline.readState(spark, stateDir, "doc_lens"),
       queryTerms, k)
 
+  /** [[processBatch]] with the BUCKETED state layout
+    * ([[MvPipeline.upsertBucketed]]) for the two tables that grow with
+    * the corpus — postings detail (O(vocab × docs), bucketed by token so
+    * a query term's postings live in one bucket) and doc lengths
+    * (O(docs), bucketed by doc_id). A batch rewrites only the buckets its
+    * keys hash into; the O(vocab) stats summary keeps the plain layout.
+    * Same abelian merges, same per-bucket marker idempotence. */
+  def processBatchBucketed(docs: DataFrame, stateDir: String, batchId: Long = -1L,
+      numBuckets: Int = 16, idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    MvPipeline.upsertWith(InvertedIndex.postings(docs, idCol, textCol),
+      s"$stateDir/inverted_index", Seq("token"), mergeAgg, batchId)
+    MvPipeline.upsertBucketed(InvertedIndex.postingsDetail(docs, idCol, textCol),
+      s"$stateDir/postings", Seq("token", "doc_id"), sum(_), batchId,
+      numBuckets, bucketKeys = Seq("token"))
+    MvPipeline.upsertBucketed(InvertedIndex.docLengths(docs, idCol, textCol),
+      s"$stateDir/doc_lens", Seq("doc_id"), sum(_), batchId, numBuckets)
+  }
+
+  /** [[searchBm25]] over the bucketed layout. */
+  def searchBm25Bucketed(spark: SparkSession, stateDir: String,
+      queryTerms: Seq[String], k: Int): DataFrame =
+    InvertedIndex.bm25TopK(
+      MvPipeline.readBucketedState(spark, s"$stateDir/postings"),
+      MvPipeline.readBucketedState(spark, s"$stateDir/doc_lens"),
+      queryTerms, k)
+
   /** Start continuous maintenance over a directory of document files
     * (JSON-lines with `schema`; `Trigger.AvailableNow()` for tests). */
   def start(spark: SparkSession, inputDir: String, schema: StructType,

@@ -171,6 +171,67 @@ object MvPipeline {
     fs.delete(aside, true)
   }
 
+  /** O(Δ)-cost merge for BIG-state views (VERDICT r6 task 3): [[upsert]]
+    * rewrites the WHOLE state table per micro-batch — fine for the 8
+    * small summaries (their point is smallness), but an inverted index at
+    * web vocabulary or an ANN index at corpus scale cannot pay O(state)
+    * per batch. Here state is laid out as `path/bucket=<hash(key) % B>/`
+    * directories and a batch rewrites ONLY the buckets containing
+    * touched keys: bytes-rewritten ∝ touched buckets, not total state
+    * (the SummingMergeTree economics; the ANN index's bucket-dir scheme
+    * generalized to arbitrary keyed merges).
+    *
+    * Crash safety + replay idempotence come from REUSING the single-dir
+    * [[upsertWith]] protocol PER BUCKET — each bucket directory carries
+    * its own `_graft_batch` marker and rename-aside swap, so a crash
+    * midway through the bucket loop is safe: on replay, buckets already
+    * stamped with this batch id skip, the rest merge exactly once, and
+    * the state converges to the full-batch answer.
+    *
+    * @param bucketKeys the key subset to hash for bucket layout (default:
+    *        all keys). Choosing the read path's probe key (e.g. `token`)
+    *        also buys scan pruning: a point lookup reads one bucket. */
+  def upsertBucketed(increment: DataFrame, path: String, keys: Seq[String],
+      mergeAgg: String => org.apache.spark.sql.Column, batchId: Long = -1L,
+      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
+    val bk = if (bucketKeys.nonEmpty) bucketKeys else keys
+    val inc = increment
+      .withColumn("_gb", pmod(xxhash64(bk.map(col): _*), lit(numBuckets.toLong)))
+      .persist()
+    try {
+      // touched-bucket list is bounded by numBuckets, never by state size
+      val touched = inc.select("_gb").distinct()
+        .collect().map(_.getLong(0)).sorted
+      // per-bucket merges are independent single-dir upserts — run them as
+      // concurrent jobs (each is small; serial scheduling would idle the
+      // cluster), same pattern as processBatch's 8-view fan-out
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, touched.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(touched.toSeq.map { b =>
+            scala.concurrent.Future(upsertWith(inc.filter(col("_gb") === b).drop("_gb"),
+              s"$path/bucket=$b", keys, mergeAgg, batchId))
+          }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    } finally inc.unpersist()
+  }
+
+  /** Read bucketed state: union of the live `bucket=<n>` directories
+    * (exact-name match — `.tmp`/`.old` swap leftovers are never read). */
+  def readBucketedState(spark: SparkSession, path: String): DataFrame = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      .map(_.getPath.toString)
+    require(parts.nonEmpty, s"no bucket state under $path")
+    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   /** The reference's literal storage contract: append raw per-batch
     * increments (SummingMergeTree folds lazily at merge time; readers must
     * re-aggregate — SURVEY.md §3.3). Use with an append-only sink like

@@ -92,6 +92,43 @@ class IncrementalIndexSpec extends SparkTestBase {
     assert(got.head._1 === 3L && got.head._2 === 2L)
   }
 
+  test("bucketed state: incremental == batch; small batch rewrites only touched buckets") {
+    val state = tmpDir("ii-bucketed")
+    IncrementalIndex.processBatchBucketed(chunk1.toDF("doc_id", "text"), state,
+      batchId = 0L, numBuckets = 8)
+
+    // record per-bucket mtimes, then fold a one-doc batch with ONE token
+    val postingsDir = new java.io.File(s"$state/postings")
+    def bucketMtimes(): Map[String, Long] =
+      postingsDir.listFiles().filter(_.getName.matches("bucket=\\d+"))
+        .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = bucketMtimes()
+    Thread.sleep(1100) // mtime granularity
+    IncrementalIndex.processBatchBucketed(Seq(9L -> "cat").toDF("doc_id", "text"),
+      state, batchId = 1L, numBuckets = 8)
+    val after = bucketMtimes()
+    val rewritten = after.keySet.filter(b => !before.contains(b) || after(b) > before(b))
+    // "cat" hashes into exactly one bucket — the others are untouched bytes
+    assert(rewritten.size === 1, s"rewrote $rewritten, expected 1 bucket")
+    assert(before.size > 1, "rehearsal needs a multi-bucket state to be meaningful")
+
+    // replay idempotence across the bucket loop
+    IncrementalIndex.processBatchBucketed(Seq(9L -> "cat").toDF("doc_id", "text"),
+      state, batchId = 1L, numBuckets = 8)
+
+    val full = (chunk1 :+ (9L -> "cat")).toDF("doc_id", "text")
+    val batch = InvertedIndex.bm25TopK(
+      InvertedIndex.postingsDetail(full, "doc_id", "text"),
+      InvertedIndex.docLengths(full, "doc_id", "text"),
+      Seq("cat", "sat"), k = 10).as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Caching.releaseAll()
+    val got = IncrementalIndex.searchBm25Bucketed(spark, state, Seq("cat", "sat"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.operators.Caching.releaseAll()
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("replayed batch id folds exactly once") {
     val state = tmpDir("ii-idem")
     val docs = chunk1.toDF("doc_id", "text")
