@@ -273,12 +273,14 @@ object Dedup {
       .select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming ≤ maxHamming over the 64-bit
-    * fingerprints; candidates blocked on equal 16-bit chunks — complete for
-    * maxHamming ≤ 3 by pigeonhole. The Hamming filter runs before the
-    * distinct so the dedup shuffle only carries surviving pairs. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sims = simhashes(docs)
+  /** Hamming-≤-maxHamming pairs over ANY 64-bit fingerprint column —
+    * the blocking tail shared by text SimHash ([[simhashPairs]]) and
+    * perceptual image hashes ([[imageNearDupPairs]]): candidates blocked
+    * on equal 16-bit chunks — complete for maxHamming ≤ 3 by pigeonhole.
+    * The Hamming filter runs before the distinct so the dedup shuffle
+    * only carries surviving pairs.
+    * @param sims (doc_id, simhash) */
+  def hammingPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunkCols: Seq[Column] =
       (0 until 4).map(c => shiftright(col("simhash"), 16 * c).bitwiseAND(0xffffL))
     val chunked = sims
@@ -294,6 +296,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup pairs: Hamming ≤ maxHamming over the 64-bit text
+    * fingerprints, chunk-blocked via [[hammingPairs]]. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashes(docs), maxHamming)
+
+  /** Perceptual IMAGE near-dup pairs — the multimodal member of the
+    * dedup family: decode each BMP payload and compute its 64-bit
+    * average-hash in one codegen'd projection
+    * ([[graft.functions.imageAHash]] — payload bytes never leave the
+    * scan stage; only 8-byte hashes enter the join), then block on
+    * 16-bit chunks exactly like SimHash. Malformed payloads hash to
+    * null and are dropped, the decoder's per-row barrier.
+    * @param media (doc_id, payload: binary BMP) */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      media.select(col("doc_id"),
+        graft.functions.imageAHash(col("payload")).as("simhash"))
+        .filter(col("simhash").isNotNull),
+      maxHamming)
 
   /** Token-level content-defined chunking: a cut point after every token
     * whose md5 ends in nibble '0' (rate 1/16), chunk = the token span up

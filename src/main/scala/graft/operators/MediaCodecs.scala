@@ -85,6 +85,59 @@ object MediaCodecs {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP: the image is
+    * partitioned into an 8×8 grid of cells (cell (i,j) covers storage
+    * rows [i·h/8, (i+1)·h/8) × cols [j·w/8, (j+1)·w/8)); each cell's
+    * value is the exact integer SUM of its pixel bytes (all channels —
+    * a monotone stand-in for the mean, so no division anywhere), and bit
+    * i·8+j is set iff 64·cell > Σcells (strict — the "brighter than
+    * average" rule in pure int64 arithmetic, replayable in SQL). Returns
+    * null for malformed input or images smaller than the 8×8 grid.
+    *
+    * Two perceptually-near images (few pixels changed) differ in few
+    * cells → few bits: Hamming distance over this hash is the image
+    * member of the near-dup family, blocked exactly like SimHash
+    * ([[Dedup.hammingPairs]]). */
+  def aHash64(bytes: Array[Byte]): java.lang.Long = {
+    try {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return null
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = math.abs(bb.getInt(22))
+      val bpp = bb.getShort(28).toInt
+      if (bpp != 24 || w < 8 || w > Int.MaxValue / 3 - 4 || h < 8) return null
+      val rowBytes = w * 3
+      val stride = rowBytes + (4 - (rowBytes % 4)) % 4
+      if (offset.toLong + stride.toLong * h > bytes.length) return null
+      val cells = new Array[Long](64)
+      var r = 0
+      while (r < h) {
+        val ci = r * 8 / h
+        val base = offset + r * stride
+        var x = 0
+        while (x < w) {
+          val cj = x * 8 / w
+          val k = base + x * 3
+          cells(ci * 8 + cj) += (bytes(k) & 0xff).toLong +
+            (bytes(k + 1) & 0xff) + (bytes(k + 2) & 0xff)
+          x += 1
+        }
+        r += 1
+      }
+      var total = 0L
+      var c = 0
+      while (c < 64) { total += cells(c); c += 1 }
+      var hash = 0L
+      c = 0
+      while (c < 64) {
+        if (cells(c) * 64 > total) hash |= (1L << c)
+        c += 1
+      }
+      java.lang.Long.valueOf(hash)
+    } catch { case _: Exception => null }
+  }
+
   // ------------------------------------------------------------- WAV ----
 
   /** Exact-integer audio facts: sample count, µs duration

@@ -54,6 +54,42 @@ object Multimodal {
       when(pmod(col("doc_id"), lit(2)) === 1, 16000).otherwise(0).as("sample_rate")
     )
 
+  /** Synthesize a deterministic REAL-BMP corpus with PLANTED near-dup
+    * groups (the image analogue of the text corpus's repeated documents,
+    * and the mm2 recipe extended): docs form groups of 4 (`group =
+    * doc_id / 4`); member 0 is the base 16×16 image — pixel byte k (in
+    * storage order; 16-wide rows need no padding, so file byte 54+k IS
+    * pixel byte k, making the whole image SQL-replayable) is
+    * `(md5Byte(group, cell) + k·11) mod 256` — the per-(group, cell)
+    * md5-derived base gives proper avalanche, so DISTINCT groups differ
+    * in ~half their aHash bits (a linear-congruential base collapsed
+    * many groups onto identical hashes → quadratic pair blowup; measured
+    * 658k pairs at sf0.1 vs ~6k planted) — and members 1-3 perturb ONE
+    * 2×2 cell each (+120 mod 256 on that cell's bytes), so group members
+    * are perceptually near-identical (few aHash bits differ). Payloads
+    * are genuine 24-bit BMPs through [[MediaCodecs.encodeBmp]]; the
+    * near-dup query decodes them back through the real parser. */
+  def synthesizeBmpNearDups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val group = id / 4
+        val member = (id % 4).toInt
+        val cellBase = Array.tabulate(64)(c =>
+          md.digest(s"$group:$c".getBytes("UTF-8"))(0) & 0xff)
+        val bytes = MediaCodecs.encodeBmp(16, 16, { k =>
+          val r = k / 48; val x = (k % 48) / 3
+          val cell = (r / 2) * 8 + (x / 2)
+          val base = (cellBase(cell) + k * 11) % 256
+          if (member > 0 && cell == member - 1) (base + 120) % 256 else base
+        })
+        (id, bytes)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** STUB decoder — deterministic fake standing in for image decode /
     * audio resample / frame sampling. Real implementation would decode
     * `payload` with a codec library; the fake emits the byte-value histogram

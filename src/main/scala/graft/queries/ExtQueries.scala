@@ -552,6 +552,18 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image near-dup ([[Dedup.imageNearDupPairs]], the
+    * multimodal member of the dedup family): real 24-bit BMPs with
+    * PLANTED near-identical groups ([[Multimodal.synthesizeBmpNearDups]])
+    * are decoded and average-hashed in one codegen'd projection, then
+    * Hamming-blocked exactly like SimHash. All-integer cell sums and the
+    * padding-free 16×16 layout make the full decode+hash+pair pipeline
+    * replayable in SQL. */
+  def x46ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.imageNearDupPairs(
+      Multimodal.synthesizeBmpNearDups(Tables.documents(s, dir)), maxHamming = 3)
+      .orderBy("id1", "id2")
+
   // -------------------------------------------------------------- oracles ----
 
   /** Rounded quality score fragment shared by the ta_quality and
@@ -643,6 +655,56 @@ object ExtQueries {
        |fp AS (
        |  SELECT doc_id, CAST(fph - CASE WHEN fph >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
        |  FROM (SELECT doc_id, ($fpSum) AS fph FROM sig)
+       |),
+       |chunk AS (
+       |  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (16*i)) & 65535 AS chunk
+       |  FROM fp, (SELECT unnest([0,1,2,3]) AS i)
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM chunk a JOIN chunk b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** DuckDB mirror of the image near-dup (x46): regenerates every pixel
+    * byte from the planting formula (file byte 54+k IS pixel byte k for
+    * the padding-free 16×16 layout), folds the 8×8 cell sums, sets bit
+    * i·8+j iff 64·cell > total (the aHash64 rule, pure int), packs the
+    * signed-64 hash via HUGEINT (the x3 recipe), then the identical
+    * 16-bit-chunk blocking + bit_count Hamming tail. */
+  private val duckImageNearDup: String = {
+    val pows = (0 until 64).map(c => s"${BigInt(2).pow(c)}::HUGEINT").mkString("[", ", ", "]")
+    val hexDig = "'0123456789abcdef'"
+    s"""WITH px0 AS (
+       |  SELECT d.doc_id, u.k,
+       |    ((u.k // 48) // 2) * 8 + (((u.k % 48) // 3) // 2) AS cell
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(768)) AS k) u
+       |),
+       |px1 AS (
+       |  SELECT doc_id, k, cell,
+       |    (instr($hexDig, substr(mh, 1, 1)) - 1) * 16
+       |      + (instr($hexDig, substr(mh, 2, 1)) - 1) AS b
+       |  FROM (SELECT doc_id, k, cell,
+       |          md5(CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(cell AS VARCHAR)) AS mh
+       |        FROM px0)
+       |),
+       |px AS (
+       |  SELECT doc_id, cell,
+       |    CASE WHEN doc_id % 4 > 0 AND cell = doc_id % 4 - 1
+       |         THEN ((b + k * 11) % 256 + 120) % 256
+       |         ELSE (b + k * 11) % 256 END AS p
+       |  FROM px1
+       |),
+       |cells AS (SELECT doc_id, cell, CAST(sum(p) AS BIGINT) AS cs FROM px GROUP BY doc_id, cell),
+       |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total FROM cells GROUP BY doc_id),
+       |bits AS (
+       |  SELECT c.doc_id, c.cell, CASE WHEN c.cs * 64 > t.total THEN 1 ELSE 0 END AS bit
+       |  FROM cells c JOIN tot t USING (doc_id)
+       |),
+       |fp AS (
+       |  SELECT doc_id, CAST(fph - CASE WHEN fph >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN $pows[cell + 1] ELSE 0::HUGEINT END) AS fph
+       |        FROM bits GROUP BY doc_id)
        |),
        |chunk AS (
        |  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (16*i)) & 65535 AS chunk
@@ -1592,6 +1654,7 @@ object ExtQueries {
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
+    "x46_image_neardup" -> duckImageNearDup,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -1790,6 +1853,7 @@ object ExtQueries {
     "x31_mixture_weights" -> x31MixtureWeights, // oracle: sqrt + int64 ppm
     "x32_inverted_index" -> x32InvertedIndex, // oracle: xor posting-set fingerprint
     "x45_bm25_topk"    -> x45Bm25TopK, // oracle: exact-rational BM25, e6 int sums
+    "x46_image_neardup" -> x46ImageNearDup, // oracle: formula-replayed aHash pairs
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

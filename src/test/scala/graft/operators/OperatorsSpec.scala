@@ -122,6 +122,40 @@ class DedupSpec extends SparkTestBase {
     val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
     assert(p01.exists(_._3 == 0))
   }
+
+  test("image near-dup: perturbed copies pair with their base, distinct images don't") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    // hand-built corpus: 0 = base; 1 = one cell +120 (near-dup of 0);
+    // 2 = md5-scattered distinct image; 3 = malformed payload (dropped)
+    def bmp(seed: Int, perturbCell: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cellBase = Array.tabulate(64)(c => md.digest(s"$seed:$c".getBytes)(0) & 0xff)
+      MediaCodecs.encodeBmp(16, 16, { k =>
+        val cell = ((k / 48) / 2) * 8 + (((k % 48) / 3) / 2)
+        val base = (cellBase(cell) + k * 11) % 256
+        if (cell == perturbCell) (base + 120) % 256 else base
+      })
+    }
+    val media = Seq(
+      (0L, bmp(7, -1)), (1L, bmp(7, 2)), (2L, bmp(99, -1)),
+      (3L, "notanimage".getBytes)
+    ).toDF("doc_id", "payload")
+    val pairs = Dedup.imageNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    // aHash invariants: decode barrier nulls malformed; distinct scatter
+    assert(MediaCodecs.aHash64("junk".getBytes) == null)
+    assert(MediaCodecs.aHash64(bmp(7, -1)) == MediaCodecs.aHash64(bmp(7, -1)))
+    val h0 = MediaCodecs.aHash64(bmp(7, -1)).longValue
+    val h2 = MediaCodecs.aHash64(bmp(99, -1)).longValue
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 3)
+    // the end-to-end synthesized corpus finds only planted same-group pairs
+    val docs500 = spark.range(0, 80).select(col("id").as("doc_id"), lit("t").as("text"))
+    val synth = Dedup.imageNearDupPairs(Multimodal.synthesizeBmpNearDups(docs500))
+      .as[(Long, Long, Int)].collect()
+    assert(synth.nonEmpty)
+    assert(synth.forall(p => p._1 / 4 == p._2 / 4), "cross-group collision")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
