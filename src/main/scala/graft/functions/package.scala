@@ -220,10 +220,22 @@ package object functions {
     * column. Pure shifts/masks/ors — codegen'd, and replayable in any
     * engine with bitwise SQL. */
   def zOrder2(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduceLeft(_ bitwiseOR _)
+    zOrderN(Seq(a, b), bits)
+
+  /** N-dimensional Z-ORDER value: bit `i` of dimension `d` lands at
+    * position `i·n + d` (dim 0 → lowest position of each group), the
+    * direct generalization of [[zOrder2]] — log-data reads routinely
+    * filter 3 dimensions (client × domain × time), and a 3-dim z layout
+    * bounds ALL THREE per row group. `n·bits` must fit a signed long;
+    * narrow `bits` as dimensions grow (range-fold each dim first). */
+  def zOrderN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, "zOrderN needs at least 2 dimensions")
+    require(cols.size * bits <= 63, s"${cols.size} dims x $bits bits overflow a signed long")
+    val n = cols.size
+    (for { i <- 0 until bits; (c, d) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d))
+      .reduceLeft(_ bitwiseOR _)
+  }
 
   /** Approximate heavy hitters (Misra-Gries, ≤ k counters): array of
     * (item, est) structs ordered est desc, item asc —

@@ -22,7 +22,14 @@ object ZOrder {
     * 2^bits). `filesPerDim²` range partitions ⇒ files tile the z-curve. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
       bits: Int = 16, numFiles: Int = 16): Unit =
-    df.withColumn("_z", graft.functions.zOrder2(col(colA), col(colB), bits))
+    writeZOrderedN(df, Seq(colA, colB), path, bits, numFiles)
+
+  /** N-dimensional [[writeZOrdered]] ([[graft.functions.zOrderN]] key):
+    * every file/row group carries tight min/max on ALL `cols` — the
+    * layout for reads that filter several dimensions at once. */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], path: String,
+      bits: Int = 16, numFiles: Int = 16): Unit =
+    df.withColumn("_z", graft.functions.zOrderN(cols.map(col), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -417,6 +417,19 @@ object ExtQueries {
         graft.functions.zOrder2(col("user_id"), col("b16")).as("z"))
       .orderBy("event_id")
 
+  /** 3-dim Z-order key ([[graft.functions.zOrderN]], R57 generalized):
+    * interleaved bits of (user, md5-folded event type, 16-bit time
+    * bucket) — the (client × domain × time) read pattern's clustering
+    * key. Same pure shift/mask arithmetic, replays exactly in SQL; the
+    * measured 3-dim row-group pruning lives in ZOrderSpec. */
+  def x47ZOrder3(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_id") < 5000)
+      .withColumn("b16", pmod(expr("((ts DIV 1000) DIV 600000000)"), lit(65536L)))
+      .withColumn("tid", pmod(graft.functions.md5Hash64(col("event_type")), lit(256L)))
+      .select(col("event_id"),
+        graft.functions.zOrderN(Seq(col("user_id"), col("tid"), col("b16")), bits = 16).as("z"))
+      .orderBy("event_id")
+
   /** BM25 ranked retrieval over the inverted index ([[graft.operators
     * .InvertedIndex.bm25TopK]]) — the read path the maintained index
     * serves (VERDICT r6 task 2): the search consumes ONLY the postings
@@ -1531,6 +1544,30 @@ object ExtQueries {
        |FROM e ORDER BY event_id""".stripMargin
   }
 
+  /** DuckDB mirror of the 3-dim z-order key (x47): identical
+    * shift/mask/or interleave with bit i of dim d at position 3i+d; the
+    * event-type dim is the md5-fold recipe pmod 256. */
+  private val duckZOrder3: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((user_id >> $i) & 1) << ${3 * i}) | (((tid >> $i) & 1) << ${3 * i + 1})" +
+        s" | (((b16 >> $i) & 1) << ${3 * i + 2})")
+      .mkString(" | ")
+    s"""WITH e0 AS (
+       |  SELECT event_id, user_id,
+       |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) % 65536) AS b16,
+       |    md5(event_type) AS mm
+       |  FROM events WHERE event_id < 5000
+       |),
+       |e1 AS (SELECT event_id, user_id, b16, ${duckNibbleFold("mm")} AS hu FROM e0),
+       |e AS (
+       |  SELECT event_id, user_id, b16,
+       |    (((${duckSigned("hu")}) % 256 + 256) % 256) AS tid
+       |  FROM e1
+       |)
+       |SELECT event_id, CAST($terms AS BIGINT) AS z
+       |FROM e ORDER BY event_id""".stripMargin
+  }
+
   /** DuckDB mirror of the reservoir sample (x42): the ':res'-salted
     * md5-uniform chain, rank by (u, id) per lang, keep 10. */
   private val duckReservoir: String =
@@ -1629,6 +1666,7 @@ object ExtQueries {
     "x42_reservoir" -> duckReservoir,
     "x43_ts_match" -> duckTsMatch,
     "x44_zorder_key" -> duckZOrderKey,
+    "x47_zorder3" -> duckZOrder3,
     "x30_anomaly" -> duckAnomaly,
     "x20_profile" -> duckProfile,
     "x21_pack_stats" -> duckPackStats,
@@ -1854,6 +1892,7 @@ object ExtQueries {
     "x32_inverted_index" -> x32InvertedIndex, // oracle: xor posting-set fingerprint
     "x45_bm25_topk"    -> x45Bm25TopK, // oracle: exact-rational BM25, e6 int sums
     "x46_image_neardup" -> x46ImageNearDup, // oracle: formula-replayed aHash pairs
+    "x47_zorder3"      -> x47ZOrder3, // oracle: 3-dim bit interleave replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
