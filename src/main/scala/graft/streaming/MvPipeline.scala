@@ -40,16 +40,21 @@ object MvPipeline {
 
   /** Start the fan-out over a directory of querylog JSON-line files.
     * @param trigger `Trigger.AvailableNow()` for tests/backfill, a
-    *                processing-time trigger for continuous tailing. */
+    *                processing-time trigger for continuous tailing.
+    * @param maxFilesPerTrigger cap files per micro-batch (0 = no cap) —
+    *                the replay-cadence knob StreamBench uses to measure
+    *                per-batch latency at a controlled batch size. */
   def start(
       spark: SparkSession,
       inputDir: String,
       stateDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()
-  ): StreamingQuery =
-    spark.readStream
-      .format("text")
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 0
+  ): StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    (if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader)
       .load(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -58,6 +63,7 @@ object MvPipeline {
         processBatch(batch, stateDir, batchId)
       }
       .start()
+  }
 
   /** Start the fan-out over ONE growing querylog file — the reference's
     * literal layout (`tailer.follow`, collector.py:45): appended complete

@@ -16,20 +16,12 @@ import graft.views.Summaries
   * on synthetic lines generated on the fly.
   */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    // deterministic synthetic querylog: a realistic A-answer wire message
-    // (header + question + compressed-name A answer), hostnames/IPs/flags
-    // varied per row
+  /** Deterministic synthetic querylog lines: a realistic A-answer wire
+    * message (header + question + compressed-name A answer),
+    * hostnames/IPs/flags varied per row. Shared with
+    * [[StreamBench]]'s replay input. */
+  def syntheticLines(spark: SparkSession, rows: Long): org.apache.spark.sql.DataFrame = {
     val wire: Array[Byte] = {
       def u16(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
       val name = Array[Byte](7) ++ "example".getBytes ++ Array[Byte](3) ++ "com".getBytes :+ 0.toByte
@@ -39,7 +31,7 @@ object IngestBench {
         Array(93.toByte, 184.toByte, 216.toByte, 34.toByte)
     }
     val aB64 = java.util.Base64.getEncoder.encodeToString(wire)
-    val lines = spark.range(rows).select(concat(
+    spark.range(rows).select(concat(
       lit("""{"T":"2024-01-01T"""),
       lpad(pmod(col("id"), lit(24)).cast("string"), 2, "0"), lit(":"),
       lpad(pmod(floor(col("id") / 24), lit(60)).cast("string"), 2, "0"), lit(""":00.123456+03:00","QH":"host"""),
@@ -52,6 +44,20 @@ object IngestBench {
       (pmod(col("id"), lit(5)) === 0).cast("string"),
       lit(s"""},"Answer":"$aB64"}""")
     ).as("value"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lines = syntheticLines(spark, rows)
 
     val t0 = System.nanoTime()
     val parsed = Querylog.parse(lines)
