@@ -149,7 +149,18 @@ object MvPipeline {
     * (e.g. the Misra-Gries trim of [[IncrementalHeavyHitters]], which
     * must subtract a global order statistic after combining). `mergeFn`
     * must be associative-in-effect over increments so replay order
-    * converges; the marker/rename crash-safety protocol is unchanged. */
+    * converges; the marker/rename crash-safety protocol is unchanged.
+    *
+    * SINGLE-WRITER contract: one streaming query owns a state directory
+    * (Spark enforces this upstream via the checkpoint lock; ad-hoc
+    * backfills must not run concurrently with the stream). The protocol
+    * additionally DETECTS contract violations instead of silently
+    * losing an update: the marker carries a per-writer token, and the
+    * state read at merge time is validated — after the old state is
+    * renamed aside, a marker that no longer matches the one this merge
+    * was computed FROM means another writer committed in between; the
+    * old state is restored and the merge aborts (retry folds the newer
+    * state). The unstamped-tmp/aside recovery semantics are unchanged. */
   def upsertMerge(increment: DataFrame, path: String,
       mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L): Unit = {
     val spark = increment.sparkSession
@@ -159,20 +170,42 @@ object MvPipeline {
     // recover from a crash that left state renamed aside
     if (!fs.exists(target) && fs.exists(aside)) require(fs.rename(aside, target), s"recover $aside")
     val marker = new Path(path + "/_graft_batch")
-    if (batchId >= 0 && fs.exists(marker)) {
-      val in = fs.open(marker)
-      val committed = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-      if (committed == batchId) return // replayed batch: already merged
-    }
+    def readMarker(p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
+      }
+    // the marker state this merge is computed FROM (first line = batch id,
+    // optional second line = writer token)
+    val observed = readMarker(marker)
+    if (batchId >= 0)
+      observed.map(_.linesIterator.next().trim.toLong).foreach { committed =>
+        if (committed == batchId) return // replayed batch: already merged
+      }
     val merged =
       if (fs.exists(target)) mergeFn(spark.read.parquet(path), increment)
       else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    val token = java.util.UUID.randomUUID.toString
     val out = fs.create(new Path(tmp, "_graft_batch"), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$batchId\n$token".getBytes("UTF-8")) finally out.close()
     fs.delete(aside, true)
-    if (fs.exists(target)) require(fs.rename(target, aside), s"stage out $target")
+    if (fs.exists(target)) {
+      require(fs.rename(target, aside), s"stage out $target")
+      // concurrent-writer detection: the state we just staged out must be
+      // the state this merge was computed from
+      val asideMarker = readMarker(new Path(aside, "_graft_batch"))
+      if (asideMarker != observed) {
+        require(fs.rename(aside, target), s"restore $aside after collision")
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"concurrent writer detected on $path: state committed by another " +
+            s"writer between merge read and swap (expected marker $observed, " +
+            s"found $asideMarker); merge aborted and prior state restored")
+      }
+    }
     require(fs.rename(tmp, target), s"commit $tmp -> $target")
     fs.delete(aside, true)
   }

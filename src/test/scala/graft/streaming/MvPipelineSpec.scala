@@ -72,6 +72,36 @@ class MvPipelineSpec extends SparkTestBase {
     assert(m2 == Map("a.com" -> 2L, "b.com" -> 4L))
   }
 
+  test("concurrent writer committing mid-merge is detected and the merge aborts") {
+    val path = s"${tmpDir("mv-collide")}/t"
+    MvPipeline.upsert(Seq((1L, 10L)).toDF("k", "v"), path, Seq("k"), batchId = 0L)
+
+    // simulate a second writer violating the single-writer contract: its
+    // commit lands between this merge's state read and the dir swap (the
+    // lost-update window). The tampered marker stands in for the other
+    // writer's committed marker; data files stay readable so the abort
+    // path itself is what's exercised.
+    val ex = intercept[IllegalStateException] {
+      MvPipeline.upsertMerge(Seq((1L, 5L)).toDF("k", "v"), path, (old, inc) => {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, "_graft_batch"), true)
+        try out.write("7\nanother-writer-token".getBytes("UTF-8")) finally out.close()
+        old.unionByName(inc).groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      }, batchId = 2L)
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    // the other writer's state survives untouched — no last-write-wins
+    assert(spark.read.parquet(path).as[(Long, Long)].collect().toMap === Map(1L -> 10L))
+    // and the state dir is live (restored, not left renamed aside)
+    assert(!new java.io.File(path + ".old").exists())
+
+    // an uncontended retry then folds cleanly
+    MvPipeline.upsert(Seq((1L, 5L)).toDF("k", "v"), path, Seq("k"), batchId = 2L)
+    assert(spark.read.parquet(path).as[(Long, Long)].collect().toMap === Map(1L -> 15L))
+  }
+
   test("late row updated its old 10-minute bucket") {
     // separate state from the previous test is fine: rebuild quickly
     val in = tmpDir("mv-in2"); val state = tmpDir("mv-state2"); val ckpt = tmpDir("mv-ckpt2")
