@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
+import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqEncodeResidualExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -180,6 +180,12 @@ package object functions {
     * codebook carried as plan data ([[graft.expressions.PqLutExpr]]). */
   def pqLut(nv: Column, sub: Seq[Seq[Seq[Double]]]): Column =
     ncol(PqLutExpr(nexpr(nv), sub))
+
+  /** Residual PQ codes (IVFADC) of `nv − c(bucket)` against a pinned
+    * residual codebook ([[graft.expressions.PqEncodeResidualExpr]]). */
+  def pqEncodeResidual(nv: Column, bucket: Column, centers: Seq[Seq[Double]],
+      sub: Seq[Seq[Seq[Double]]]): Column =
+    ncol(PqEncodeResidualExpr(nexpr(nv), nexpr(bucket), centers, sub))
 
   /** 64-bit perceptual average-hash of a BMP binary column
     * ([[graft.expressions.ImageAHashExpr]]) — decode + 8×8 cell-sum hash

@@ -373,6 +373,82 @@ object Similarity {
       k)
   }
 
+  /** IVFADC — the published production refinement of [[ivfPqTopK]]: PQ
+    * codes encode the CELL RESIDUAL `nv − c(bucket)` instead of the raw
+    * unit vector. Residuals concentrate around the origin within each
+    * cell, so the same 8×256 codebook ([[PqCodebookResidual256]]) spends
+    * its resolution on within-cell structure rather than the inter-cell
+    * variance the IVF assignment already captured — tighter quantization
+    * at identical index bytes (8 codes/vector).
+    *
+    * ADC changes accordingly: with x ≈ c_cell + r,
+    * `dot(q, x) ≈ dot(q, c_cell) + Σₛ lut[s][codeₛ]` — the per-probe
+    * `dot(q, c_cell)` term is computed once per (query, probed cell) on
+    * the tiny probe set; the LUT is the same [[graft.functions.pqLut]]
+    * kernel. Exact rescoring of the shortlist is unchanged, so recall
+    * can only differ through shortlist quality. All stages remain
+    * pinned-data deterministic → full DuckDB replay (x48). */
+  def ivfAdcTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebookResidual256.subCenters,
+      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame =
+    searchIvfAdcEncoded(
+      Caching.persisted(encodeIvfAdc(embeddings, centers, sub, dim)),
+      queryPred, k, centers, sub, nprobe, refine, dim)
+
+  /** The ENCODE stage of [[ivfAdcTopK]]: cell + residual PQ codes, one
+    * codegen'd kernel pass ([[graft.functions.pqEncodeResidual]]). */
+  def encodeIvfAdc(embeddings: DataFrame,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebookResidual256.subCenters,
+      dim: Int = 64): DataFrame = {
+    val m = sub.size
+    normalizedCorpus(embeddings, dim)
+      .withColumn("bucket", nearestCell(col("nv"), centers))
+      .withColumn("codes", graft.functions.pqEncodeResidual(col("nv"), col("bucket"), centers, sub))
+      .select(Seq(col("vec_id"), col("v"), col("nv"), col("bucket")) ++
+        (0 until m).map(s => element_at(col("codes"), s + 1).as(s"code$s")): _*)
+  }
+
+  /** The SEARCH stages of [[ivfAdcTopK]] over an already-encoded index:
+    * probe → (cell-dot + LUT) ADC shortlist → exact rescore. */
+  def searchIvfAdcEncoded(assigned: DataFrame, queryPred: Column, k: Int,
+      centers: Seq[Seq[Double]] = IvfCodebook.centers,
+      sub: Seq[Seq[Seq[Double]]] = PqCodebookResidual256.subCenters,
+      nprobe: Int = 3, refine: Int = 4, dim: Int = 64): DataFrame = {
+    val m = sub.size
+    val ksub = sub.head.size
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("qnv"))
+    val lut = graft.functions.pqLut(col("qnv"), sub)
+    // probes carry the per-(query, cell) dot(q, c_cell) ADC base term —
+    // nprobe rows per query, so the literal centroid lookup is tiny
+    val probes = probeCells(q.withColumn("lut", lut), centers, nprobe,
+      keep = Seq(col("qid"), col("lut"), col("qnv")))
+      .withColumn("cdot",
+        dotProduct(col("qnv"), element_at(typedLit(centers), col("bucket") + 1)))
+      .drop("qnv")
+    val adc = (col("cdot") +: (0 until m).map(s =>
+      element_at(col("lut"), lit(s * ksub + 1) + col(s"code$s")))).reduceLeft(_ + _)
+    val shortlist = assigned
+      .select(col("vec_id") +: col("bucket") +: (0 until m).map(s => col(s"code$s")): _*)
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pround6(adc).as("adc"))
+      .filter(realScore(col("adc")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("arn") <= refine * k)
+      .select("qid", "vec_id")
+    rankTopK(
+      assigned.select(col("vec_id"), col("v"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"), col("vec_id"), pround6(cosineSim(col("qv"), col("v"))).as("cos"))
+        .filter(realScore(col("cos"))),
+      k)
+  }
+
   /** Per-cell occupancy/alignment stats of the pinned-codebook IVF index —
     * the embedding CLUSTERING surface (assign every vector to its nearest
     * codebook centroid, then summarize each cell): cell size, summed

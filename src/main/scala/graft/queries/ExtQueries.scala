@@ -124,6 +124,17 @@ object ExtQueries {
       .orderBy("qid", "rn")
   }
 
+  /** IVFADC ANN ([[Similarity.ivfAdcTopK]]): the published production
+    * refinement of x33 — PQ codes encode the CELL RESIDUAL against the
+    * pinned residual codebook, and ADC adds the per-probe
+    * `dot(q, c_cell)` base term. Same pinned-data determinism, full
+    * DuckDB replay. */
+  def x48AnnIvfAdc(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.PqCodebookResidual256.ensureParquet(s)
+    Similarity.ivfAdcTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+      .orderBy("qid", "rn")
+  }
+
   /** SemDeDup-style semantic pruning over the pinned IVF cells
     * ([[Similarity.semanticPrune]]): per-vector keep/prune decision with
     * the exact int64 alignment tie-break — every stage pinned-literal
@@ -1038,6 +1049,100 @@ object ExtQueries {
        |FROM resc QUALIFY rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.ivfAdcTopK]] (x48): the x33 recipe
+    * with residual encoding — a 16-row literal centroid relation joins
+    * on each vector's cell, pd's distance subtracts the centroid
+    * component inside each dot term, and the ADC sum gains the
+    * per-probe `dot(qnv, c_cell)` base term (64-term literal chain in
+    * DotProductExpr's accumulation order). */
+  private def duckAnnIvfAdc: String = {
+    import IvfSql.assignCtes
+    import VecSql.{dotVec, normSq}
+    val m = 8; val ksub = 256; val d = 8
+    val nprobe = 3; val refine = 4; val k = 5
+    def sliceDotResidual(vCol: String, cvCol: String): String =
+      (0 until d).map(i =>
+        s"($vCol[cbr.s*$d + ${i + 1}] - $cvCol[cbr.s*$d + ${i + 1}])*cbr.c[${i + 1}]")
+        .mkString(" + ")
+    def sliceDotCb(vCol: String): String =
+      (0 until d).map(i => s"$vCol[cbr.s*$d + ${i + 1}]*cbr.c[${i + 1}]").mkString(" + ")
+    val cbSelfDot = (0 until d).map(i => s"cbr.c[${i + 1}]*cbr.c[${i + 1}]").mkString(" + ")
+    val cvRows = IvfSql.centers.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val cdot = (1 to 64).map(i => s"q.qnv[$i]*cv.cv[$i]").mkString(" + ")
+    val lutCols = (0 until m).map(s => s"SUM(CASE WHEN pc.s = $s THEN l.lv END) AS l$s")
+      .mkString(",\n    ")
+    val adcSum = "cdot + " + (0 until m).map(s => s"l$s").mkString(" + ")
+    val structList = IvfSql.centers.indices.map(j => s"{'b': $j, 'd': d$j}").mkString(", ")
+    val cos =
+      s"floor(((${dotVec("q.qv", "cv.v")}) / (sqrt(${normSq("q.qv")}) * sqrt(${normSq("cv.v")}))) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH $assignCtes,
+       |${graft.operators.PqCodebookResidual256.oracleCte("cbr")},
+       |cvrel AS (SELECT * FROM (VALUES
+       |    $cvRows
+       |) AS t(bucket, cv)),
+       |pd AS (
+       |  SELECT a.vec_id, cbr.s, cbr.j,
+       |    ($cbSelfDot) - 2.0*(${sliceDotResidual("a.nv", "cvr.cv")}) AS dist
+       |  FROM a JOIN cvrel cvr ON a.bucket = cvr.bucket CROSS JOIN cbr
+       |),
+       |pcodes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+       |    FROM pd
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT vec_id AS qid, v AS qv, nv AS qnv FROM a WHERE vec_id < 10),
+       |lutv AS (
+       |  SELECT q.qid, cbr.s, cbr.j, (${sliceDotCb("q.qnv")}) AS lv
+       |  FROM q, cbr
+       |),
+       |qd AS (
+       |  SELECT qid, qv, qnv,
+       |    ${IvfSql.dists("qnv")}
+       |  FROM q
+       |),
+       |qp AS (SELECT qid, qv, qnv, unnest([$structList]) AS u FROM qd),
+       |probes AS (
+       |  SELECT p.qid, p.bucket, ($cdot) AS cdot
+       |  FROM (
+       |    SELECT qid, qnv, b AS bucket FROM (
+       |      SELECT qid, qnv, u.b AS b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d, u.b) AS rn
+       |      FROM qp
+       |    ) WHERE rn <= $nprobe
+       |  ) p JOIN q ON p.qid = q.qid JOIN cvrel cv ON p.bucket = cv.bucket
+       |),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id, p.cdot
+       |  FROM probes p JOIN a c USING (bucket) WHERE c.vec_id <> p.qid
+       |),
+       |adc8 AS (
+       |  SELECT cd.qid, cd.vec_id, cd.cdot,
+       |    $lutCols
+       |  FROM cand cd
+       |    JOIN pcodes pc ON pc.vec_id = cd.vec_id
+       |    JOIN lutv l ON l.qid = cd.qid AND l.s = pc.s AND l.j = pc.code
+       |  GROUP BY cd.qid, cd.vec_id, cd.cdot
+       |),
+       |adc AS (
+       |  SELECT qid, vec_id, floor(($adcSum) * 1000000.0 + 0.5) / 1000000.0 AS adc
+       |  FROM adc8
+       |),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= ${refine * k}
+       |),
+       |resc AS (
+       |  SELECT s.qid, s.vec_id, $cos AS cos
+       |  FROM short s JOIN a cv ON s.vec_id = cv.vec_id JOIN q ON s.qid = q.qid
+       |)
+       |SELECT qid, vec_id AS nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn, cos
+       |FROM resc QUALIFY rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.semanticPrune]] (x34): shared
     * assignment CTEs, per-row alignment as the x15 CASE of literal
     * chains, then the dominance EXISTS — same-cell neighbor with
@@ -1688,6 +1793,7 @@ object ExtQueries {
         |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "x12_ann_ivf" -> duckAnnIvf,
     "x33_ann_ivfpq" -> duckAnnIvfPq,
+    "x48_ann_ivfadc" -> duckAnnIvfAdc,
     "x34_semantic_prune" -> duckSemanticPrune,
     "x15_ivf_cells" -> duckIvfCells,
     "x16_kmv_distinct" -> duckKmvDistinct,
@@ -1893,6 +1999,7 @@ object ExtQueries {
     "x45_bm25_topk"    -> x45Bm25TopK, // oracle: exact-rational BM25, e6 int sums
     "x46_image_neardup" -> x46ImageNearDup, // oracle: formula-replayed aHash pairs
     "x47_zorder3"      -> x47ZOrder3, // oracle: 3-dim bit interleave replays
+    "x48_ann_ivfadc"   -> x48AnnIvfAdc, // oracle: residual PQ + cell-dot ADC replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   * plain DATA the codebook has no expression-size footprint at all.
   *
   * {{{ sbt "runMain graft.tools.FitPqCodebook /root/testdata/sf0.1" }}}
+  *
+  * With `--residual`, fits on the CELL RESIDUALS `nv − c(bucket(nv))`
+  * instead of the raw unit vectors (the IVFADC codebook,
+  * [[graft.operators.PqCodebookResidual256]]) — residuals concentrate
+  * around the origin per cell, so the same 256 centroids spend their
+  * resolution on the within-cell structure the direct codebook wastes on
+  * inter-cell variance.
   */
 object FitPqCodebook {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outPath = args.drop(1).headOption
-      .getOrElse("src/main/resources/graft/pq_codebook_8x256.txt")
+    val residual = args.contains("--residual")
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = pos.drop(1).headOption.getOrElse(
+      if (residual) "src/main/resources/graft/pq_residual_8x256.txt"
+      else "src/main/resources/graft/pq_codebook_8x256.txt")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -40,8 +50,18 @@ object FitPqCodebook {
       .persist()
     nv.count()
 
+    // residual mode: subtract the assigned pinned IVF centroid per vector
+    val fitInput =
+      if (!residual) nv
+      else nv
+        .withColumn("bucket",
+          graft.functions.nearestCell(col("nv"), graft.operators.IvfCodebook.centers))
+        .withColumn("cv",
+          element_at(typedLit(graft.operators.IvfCodebook.centers), col("bucket") + 1))
+        .select(zip_with(col("nv"), col("cv"), (a, b) => a - b).as("nv"))
+
     val lines = (0 until 8).flatMap { s =>
-      val train = nv.select(array_to_vector(slice(col("nv"), s * 8 + 1, 8)).as("fv"))
+      val train = fitInput.select(array_to_vector(slice(col("nv"), s * 8 + 1, 8)).as("fv"))
       val model = new KMeans().setK(256).setSeed(42L + s).setMaxIter(10)
         .setFeaturesCol("fv").fit(train)
       model.clusterCenters.zipWithIndex.map { case (c, j) =>

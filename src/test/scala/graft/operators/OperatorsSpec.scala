@@ -292,6 +292,38 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.Caching.releaseAll()
   }
 
+  test("ivfAdcTopK (residual PQ): recall >= direct PQ; exact rescoring contract") {
+    val embr = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = embr.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Similarity.bruteTopK(q, e, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    graft.operators.Caching.releaseAll()
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.as[(Long, Long, Long, Double)].collect()
+      graft.operators.Caching.releaseAll()
+      got
+    }
+    val adc = pairs(Similarity.ivfAdcTopK(embr, col("vec_id") < 10, k = 5))
+    val pq = pairs(Similarity.ivfPqTopK(embr, col("vec_id") < 10, k = 5))
+    assert(adc.groupBy(_._1).forall(_._2.length == 5))
+    def recall(rs: Array[(Long, Long, Long, Double)]) =
+      (exactSet & rs.map(r => (r._1, r._2)).toSet).size.toDouble / exactSet.size
+    // residual quantization is strictly tighter at identical index bytes:
+    // its shortlist never loses MORE true neighbors than the direct code
+    // (measured: adc hits the pinned-IVF probe ceiling at sf0.001/sf0.01
+    // where direct PQ drops below it at sf0.01)
+    assert(recall(adc) >= recall(pq), s"residual ${recall(adc)} < direct ${recall(pq)}")
+    assert(recall(adc) >= 0.1, s"IVFADC recall collapsed: ${recall(adc)}")
+    // exact-rescore contract: shared (qid, nid) pairs carry the exact cosine
+    val exactCos = exact.map(r => (r._1, r._2) -> r._4).toMap
+    adc.foreach { r =>
+      exactCos.get((r._1, r._2)).foreach(c => assert(c == r._4,
+        s"rescored cosine diverged for ${(r._1, r._2)}: ${r._4} vs $c"))
+    }
+  }
+
   test("semanticPrune: planted dup group keeps exactly its least-aligned member") {
     val embr = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.semanticPrune(embr, threshold = 0.4)
