@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqEncodeResidualExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
+import graft.expressions.{AudioHashExpr, DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqEncodeResidualExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -191,6 +191,10 @@ package object functions {
     * ([[graft.expressions.ImageAHashExpr]]) — decode + 8×8 cell-sum hash
     * as one codegen'd per-row kernel; null for malformed images. */
   def imageAHash(payload: Column): Column = ncol(ImageAHashExpr(nexpr(payload)))
+
+  /** 64-bit perceptual energy-envelope hash of a PCM16 WAV binary column
+    * ([[graft.expressions.AudioHashExpr]]). */
+  def audioHash(payload: Column): Column = ncol(AudioHashExpr(nexpr(payload)))
 
   /** Nearest IVF cell id against a pinned centroid matrix carried as plan
     * data ([[graft.expressions.NearestCellExpr]]) — bit-identical

@@ -317,6 +317,18 @@ object Dedup {
         .filter(col("simhash").isNotNull),
       maxHamming)
 
+  /** Perceptual AUDIO near-dup pairs — same shape as
+    * [[imageNearDupPairs]] with the WAV energy-envelope hash
+    * ([[graft.functions.audioHash]]): decode + 64-window energy hash in
+    * one codegen'd projection, then the shared 16-bit-chunk Hamming
+    * blocking. @param media (doc_id, payload: binary PCM16 WAV) */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      media.select(col("doc_id"),
+        graft.functions.audioHash(col("payload")).as("simhash"))
+        .filter(col("simhash").isNotNull),
+      maxHamming)
+
   /** Token-level content-defined chunking: a cut point after every token
     * whose md5 ends in nibble '0' (rate 1/16), chunk = the token span up
     * to and including a cut. Because each boundary depends only on the

@@ -166,6 +166,50 @@ object MediaCodecs {
     bb.array()
   }
 
+  /** 64-bit perceptual hash of a PCM16 WAV: samples are partitioned into
+    * 64 equal windows (window w covers samples [w·n/64, (w+1)·n/64)),
+    * each window's value is its exact int64 ENERGY (Σ sample²), and bit
+    * w is set iff 64·energy(w) > Σenergies (strict) — the audio analogue
+    * of [[aHash64]]'s brighter-than-average rule, in pure int arithmetic
+    * replayable in SQL. Perceptually-near audio (a few samples changed)
+    * differs in few windows → few bits; Hamming-blocked pairing reuses
+    * [[Dedup.hammingPairs]]. Null for malformed input or fewer than 64
+    * samples. */
+  def audioHash64(bytes: Array[Byte]): java.lang.Long = {
+    val info = decodeWav(bytes)
+    if (info.isEmpty) return null
+    val w = info.get
+    val n = (w.nSamples * w.channels).toInt
+    if (n < 64) return null
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // re-locate the data chunk (decodeWav validated the walk already)
+    var pos = 12
+    var dataOff = -1
+    while (dataOff < 0 && pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "data") dataOff = pos + 8
+      else pos += 8 + len + (len & 1)
+    }
+    val wins = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(dataOff + i * 2).toLong
+      wins((i.toLong * 64 / n).toInt) += s * s // long math: i*64 can pass Int.MaxValue
+      i += 1
+    }
+    var total = 0L
+    var c = 0
+    while (c < 64) { total += wins(c); c += 1 }
+    var hash = 0L
+    c = 0
+    while (c < 64) {
+      if (wins(c) * 64 > total) hash |= (1L << c)
+      c += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   /** Decode PCM16 WAV by walking RIFF chunks (tolerates extra chunks
     * before fmt/data, per the spec). */
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {

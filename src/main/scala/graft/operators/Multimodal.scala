@@ -90,6 +90,33 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** The audio sibling of [[synthesizeBmpNearDups]]: deterministic REAL
+    * PCM16 WAVs with planted near-dup groups of 4 — 256 mono samples in
+    * 64 energy windows of 4; window base amplitude is the per-(group,
+    * window) md5 byte (`s(k) = b_w·8 − 1024 + (k mod 4)·64`, avalanche
+    * across groups), members 1-3 shift ONE window's samples by +400.
+    * Payloads round-trip [[MediaCodecs.encodeWavPcm16]]/decode. */
+  def synthesizeWavNearDups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val group = id / 4
+        val member = (id % 4).toInt
+        val winBase = Array.tabulate(64)(w =>
+          md.digest(s"$group:$w".getBytes("UTF-8"))(0) & 0xff)
+        val samples = Array.tabulate(256) { k =>
+          val w = k / 4
+          val s = winBase(w) * 8 - 1024 + (k % 4) * 64 +
+            (if (member > 0 && w == member - 1) 400 else 0)
+          s.toShort
+        }
+        (id, MediaCodecs.encodeWavPcm16(16000, samples))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** STUB decoder — deterministic fake standing in for image decode /
     * audio resample / frame sampling. Real implementation would decode
     * `payload` with a codec library; the fake emits the byte-value histogram

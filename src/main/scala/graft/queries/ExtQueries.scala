@@ -588,6 +588,17 @@ object ExtQueries {
       Multimodal.synthesizeBmpNearDups(Tables.documents(s, dir)), maxHamming = 3)
       .orderBy("id1", "id2")
 
+  /** Perceptual audio near-dup ([[Dedup.audioNearDupPairs]]): real PCM16
+    * WAVs with planted near-identical groups
+    * ([[Multimodal.synthesizeWavNearDups]]), decoded and energy-envelope
+    * hashed in one codegen'd projection, Hamming-blocked like SimHash —
+    * the audio member of the dedup family. All-integer window energies
+    * make the full pipeline SQL-replayable. */
+  def x49AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.audioNearDupPairs(
+      Multimodal.synthesizeWavNearDups(Tables.documents(s, dir)), maxHamming = 3)
+      .orderBy("id1", "id2")
+
   // -------------------------------------------------------------- oracles ----
 
   /** Rounded quality score fragment shared by the ta_quality and
@@ -724,6 +735,52 @@ object ExtQueries {
        |bits AS (
        |  SELECT c.doc_id, c.cell, CASE WHEN c.cs * 64 > t.total THEN 1 ELSE 0 END AS bit
        |  FROM cells c JOIN tot t USING (doc_id)
+       |),
+       |fp AS (
+       |  SELECT doc_id, CAST(fph - CASE WHEN fph >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN $pows[cell + 1] ELSE 0::HUGEINT END) AS fph
+       |        FROM bits GROUP BY doc_id)
+       |),
+       |chunk AS (
+       |  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (16*i)) & 65535 AS chunk
+       |  FROM fp, (SELECT unnest([0,1,2,3]) AS i)
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM chunk a JOIN chunk b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** DuckDB mirror of the audio near-dup (x49): regenerates every sample
+    * from the planting formula, folds 64 window energies (Σ s², exact
+    * int64), sets bit w iff 64·energy > total, then the x46 pack + chunk
+    * + Hamming tail. */
+  private val duckAudioNearDup: String = {
+    val pows = (0 until 64).map(c => s"${BigInt(2).pow(c)}::HUGEINT").mkString("[", ", ", "]")
+    val hexDig = "'0123456789abcdef'"
+    s"""WITH sm0 AS (
+       |  SELECT d.doc_id, u.k, (u.k // 4) AS w
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(256)) AS k) u
+       |),
+       |sm1 AS (
+       |  SELECT doc_id, k, w,
+       |    (instr($hexDig, substr(mh, 1, 1)) - 1) * 16
+       |      + (instr($hexDig, substr(mh, 2, 1)) - 1) AS b
+       |  FROM (SELECT doc_id, k, w,
+       |          md5(CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(w AS VARCHAR)) AS mh
+       |        FROM sm0)
+       |),
+       |sm AS (
+       |  SELECT doc_id, w,
+       |    b * 8 - 1024 + (k % 4) * 64
+       |      + CASE WHEN doc_id % 4 > 0 AND w = doc_id % 4 - 1 THEN 400 ELSE 0 END AS s
+       |  FROM sm1
+       |),
+       |wins AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS e FROM sm GROUP BY doc_id, w),
+       |tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM wins GROUP BY doc_id),
+       |bits AS (
+       |  SELECT c.doc_id, c.w AS cell, CASE WHEN c.e * 64 > t.total THEN 1 ELSE 0 END AS bit
+       |  FROM wins c JOIN tot t USING (doc_id)
        |),
        |fp AS (
        |  SELECT doc_id, CAST(fph - CASE WHEN fph >= ${BigInt(2).pow(63)}::HUGEINT THEN ${BigInt(2).pow(64)}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
@@ -1799,6 +1856,7 @@ object ExtQueries {
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
     "x46_image_neardup" -> duckImageNearDup,
+    "x49_audio_neardup" -> duckAudioNearDup,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2000,6 +2058,7 @@ object ExtQueries {
     "x46_image_neardup" -> x46ImageNearDup, // oracle: formula-replayed aHash pairs
     "x47_zorder3"      -> x47ZOrder3, // oracle: 3-dim bit interleave replays
     "x48_ann_ivfadc"   -> x48AnnIvfAdc, // oracle: residual PQ + cell-dot ADC replays
+    "x49_audio_neardup" -> x49AudioNearDup, // oracle: formula-replayed energy hash pairs
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -156,6 +156,35 @@ class DedupSpec extends SparkTestBase {
     assert(synth.nonEmpty)
     assert(synth.forall(p => p._1 / 4 == p._2 / 4), "cross-group collision")
   }
+
+  test("audio near-dup: perturbed windows pair with their base; malformed dropped") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    def wav(seed: Int, perturbWin: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = Array.tabulate(64)(w => md.digest(s"$seed:$w".getBytes)(0) & 0xff)
+      MediaCodecs.encodeWavPcm16(16000, Array.tabulate(256) { k =>
+        val w = k / 4
+        (base(w) * 8 - 1024 + (k % 4) * 64 + (if (w == perturbWin) 400 else 0)).toShort
+      })
+    }
+    val media = Seq(
+      (0L, wav(7, -1)), (1L, wav(7, 5)), (2L, wav(99, -1)),
+      (3L, "notawav".getBytes)
+    ).toDF("doc_id", "payload")
+    val pairs = Dedup.audioNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    assert(MediaCodecs.audioHash64("junk".getBytes) == null)
+    val h0 = MediaCodecs.audioHash64(wav(7, -1)).longValue
+    val h2 = MediaCodecs.audioHash64(wav(99, -1)).longValue
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 3)
+    // end-to-end synthesized corpus: only planted same-group pairs
+    val docs = spark.range(0, 80).select(col("id").as("doc_id"), lit("t").as("text"))
+    val synth = Dedup.audioNearDupPairs(Multimodal.synthesizeWavNearDups(docs))
+      .as[(Long, Long, Int)].collect()
+    assert(synth.nonEmpty)
+    assert(synth.forall(p => p._1 / 4 == p._2 / 4), "cross-group collision")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
