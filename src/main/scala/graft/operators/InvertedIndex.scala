@@ -123,6 +123,40 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** POSITIONAL postings: (token, doc_id, positions) with 1-based token
+    * positions sorted ascending — the index detail phrase/proximity
+    * queries consume. One posexplode + one partial+final aggregation;
+    * shuffle carries (token, doc, pos) tuples, never texts. Keyed by
+    * (token, doc_id) with a per-doc-static value, so state maintenance
+    * is a disjoint-key union ([[graft.streaming.IncrementalIndex
+    * .processBatchPositional]]). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+
+  /** Exact PHRASE search served from positional postings — the second
+    * read path over the maintained index (with [[bm25TopK]]): a doc
+    * position p starts an occurrence of `phrase` iff p is in term 0's
+    * postings, p+1 in term 1's, … Relationally: each term's postings
+    * (filter pushed into the index scan — probe cost O(matched
+    * postings), never O(index)) explode to candidate starts shifted by
+    * the term's offset, then a left-semi equi-join chain keeps starts
+    * present for EVERY term. Returns (doc_id, occurrences). */
+  def phraseSearch(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("token") === t)
+        .select(col("doc_id"), explode(col("positions")).as("pp"))
+        .select(col("doc_id"), (col("pp") - i).as("p"))
+    }
+    terms.reduceLeft((a, b) => a.join(b, Seq("doc_id", "p"), "left_semi"))
+      .groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** The `k` highest-df tokens (ties broken by token asc — fully
     * deterministic head of the index). */
   def topPostings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

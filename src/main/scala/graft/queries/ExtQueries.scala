@@ -588,6 +588,19 @@ object ExtQueries {
       Multimodal.synthesizeBmpNearDups(Tables.documents(s, dir)), maxHamming = 3)
       .orderBy("id1", "id2")
 
+  /** Exact phrase search over the positional inverted index
+    * ([[graft.operators.InvertedIndex.phraseSearch]]): per-doc
+    * occurrence counts of the phrase "table hash", served from the
+    * positional postings (persisted here; maintained state in
+    * [[graft.streaming.IncrementalIndex.searchPhrase]]) — the corpus is
+    * never rescanned by the matching plan. */
+  def x50PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val pos = graft.operators.Caching.persisted(
+      graft.operators.InvertedIndex.positionalPostings(
+        Tables.documents(s, dir), "doc_id", "text"))
+    graft.operators.InvertedIndex.phraseSearch(pos, Seq("table", "hash"))
+  }
+
   /** Perceptual audio near-dup ([[Dedup.audioNearDupPairs]]): real PCM16
     * WAVs with planted near-identical groups
     * ([[Multimodal.synthesizeWavNearDups]]), decoded and energy-envelope
@@ -750,6 +763,21 @@ object ExtQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id1, id2""".stripMargin
   }
+
+  /** DuckDB mirror of the phrase search (x50): 1-based positions via
+    * struct-literal unnest (the x28 recipe), occurrence = a start whose
+    * successor positions carry the remaining phrase terms. */
+  private val duckPhraseSearch: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS u FROM t),
+      |e AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM p),
+      |starts AS (
+      |  SELECT a.doc_id, a.pos FROM e a
+      |  JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = 'hash'
+      |  WHERE a.tok = 'table'
+      |)
+      |SELECT doc_id, count(*) AS occurrences FROM starts
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the audio near-dup (x49): regenerates every sample
     * from the planting formula, folds 64 window energies (Σ s², exact
@@ -1857,6 +1885,7 @@ object ExtQueries {
     "x3_simhash" -> duckSimhashPairs,
     "x46_image_neardup" -> duckImageNearDup,
     "x49_audio_neardup" -> duckAudioNearDup,
+    "x50_phrase_search" -> duckPhraseSearch,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2059,6 +2088,7 @@ object ExtQueries {
     "x47_zorder3"      -> x47ZOrder3, // oracle: 3-dim bit interleave replays
     "x48_ann_ivfadc"   -> x48AnnIvfAdc, // oracle: residual PQ + cell-dot ADC replays
     "x49_audio_neardup" -> x49AudioNearDup, // oracle: formula-replayed energy hash pairs
+    "x50_phrase_search" -> x50PhraseSearch, // oracle: positional-join phrase counts
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

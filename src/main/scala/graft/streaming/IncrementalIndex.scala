@@ -138,6 +138,24 @@ object IncrementalIndex {
       MvPipeline.readBucketedState(spark, s"$stateDir/doc_lens"),
       queryTerms, k)
 
+  /** Maintain the POSITIONAL postings state. A (token, doc) row's
+    * position list is static once the doc arrives, and each doc arrives
+    * in exactly one batch (the [[IncrementalIndex]] precondition), so
+    * increments are key-disjoint from state and the merge is a plain
+    * union — no re-aggregation, O(Δ) new rows. No retraction path
+    * (position lists aren't abelian); rebuild on delete-heavy sources. */
+  def processBatchPositional(docs: DataFrame, stateDir: String, batchId: Long = -1L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    MvPipeline.upsertMerge(InvertedIndex.positionalPostings(docs, idCol, textCol),
+      s"$stateDir/positional", (old, inc) => old.unionByName(inc), batchId)
+
+  /** Exact phrase search served entirely from the maintained positional
+    * state ([[InvertedIndex.phraseSearch]]). */
+  def searchPhrase(spark: SparkSession, stateDir: String,
+      phrase: Seq[String]): DataFrame =
+    InvertedIndex.phraseSearch(
+      MvPipeline.readState(spark, stateDir, "positional"), phrase)
+
   /** Start continuous maintenance over a directory of document files
     * (JSON-lines with `schema`; `Trigger.AvailableNow()` for tests). */
   def start(spark: SparkSession, inputDir: String, schema: StructType,

@@ -129,6 +129,29 @@ class IncrementalIndexSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("positional state: incremental == batch; phrase search from state == recompute") {
+    val state = tmpDir("ii-pos")
+    IncrementalIndex.processBatchPositional(chunk1.toDF("doc_id", "text"), state, batchId = 0L)
+    IncrementalIndex.processBatchPositional(chunk2.toDF("doc_id", "text"), state, batchId = 1L)
+    // replay folds nothing twice
+    IncrementalIndex.processBatchPositional(chunk2.toDF("doc_id", "text"), state, batchId = 1L)
+
+    val full = (chunk1 ++ chunk2).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("token", "doc_id").as[(String, Long, Seq[Int])].collect().toSeq
+    assert(canon(MvPipeline.readState(spark, state, "positional")) ===
+      canon(InvertedIndex.positionalPostings(full, "doc_id", "text")))
+
+    // "the cat" occurs in docs 1 and 3 exactly once each; doc 2 has "the"
+    // but not the phrase; "sat sat" only in doc 2
+    val got = IncrementalIndex.searchPhrase(spark, state, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (3L, 1L)))
+    val rep = IncrementalIndex.searchPhrase(spark, state, Seq("sat", "sat"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rep === Seq((2L, 1L)))
+  }
+
   test("replayed batch id folds exactly once") {
     val state = tmpDir("ii-idem")
     val docs = chunk1.toDF("doc_id", "text")
