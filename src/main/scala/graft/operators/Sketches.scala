@@ -86,4 +86,44 @@ object Sketches {
       .join(sketch, Seq("i", "pos"), "left") // unseen probe → empty counter = 0
       .groupBy(valueCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Fixed-resolution HISTOGRAM sketch: per-group counts of the exact
+    * CENTS bucket (`floor(v·100 + 0.5)`, the money rule applied to the
+    * value axis) — the deterministic, fully-ORACLED member of the
+    * approximate-percentile family. Where t-digest's centroids are
+    * engine-specific (x10 is rows-only by nature), a fixed grid makes
+    * the whole sketch exact integer state: additive counters ⇒ mergeable
+    * under any partitioning AND incrementally maintainable with a plain
+    * summed upsert ([[graft.streaming.IncrementalHistogram]]); the
+    * quantile read is pure integer arithmetic. Error is the grid
+    * resolution (≤ half a cent), not a probabilistic bound; state is
+    * O(distinct buckets) = O(value range × 100) per group. */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ graft.functions.cents(col(valueCol)).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile read over a [[histogram]] (or its maintained state):
+    * for each rational q = nu/de, the smallest bucket whose running
+    * count reaches `ceil(nu·n / de)` — rank arithmetic in exact int64
+    * (`(nu·n + de − 1) DIV de`), cumulative counts via one window per
+    * group, so every engine computes the identical bucket.
+    * @param qs (label, numerator, denominator) */
+  def histogramQuantiles(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")))
+    val targets = hist.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
+      .select(groupCols.map(col) :+ col("n") :+ explode(array(qs.map { case (l, nu, de) =>
+        struct(lit(l).as("q"), lit(nu.toLong).as("nu"), lit(de.toLong).as("de"))
+      }: _*)).as("qq"): _*)
+      .select(groupCols.map(col) :+ col("n") :+ col("qq.q").as("q") :+
+        expr("(qq.nu * n + qq.de - 1) DIV qq.de").as("target"): _*)
+    cum.join(targets, groupCols)
+      .filter(col("cum") >= col("target"))
+      .groupBy((groupCols :+ "q").map(col): _*)
+      .agg(min("n").as("n"), min("bucket").as("est_cents"))
+  }
 }

@@ -458,6 +458,20 @@ object ExtQueries {
       Seq("spark", "vector", "merge"), k = 20)
   }
 
+  /** Histogram-sketch quantiles ([[Sketches.histogram]] +
+    * [[Sketches.histogramQuantiles]]): the fully-ORACLED member of the
+    * approximate-percentile family — exact cents-grid counters, integer
+    * rank arithmetic, so unlike t-digest (x10, rows-only by nature) the
+    * estimates replay bit-for-bit in DuckDB. Also incrementally
+    * maintainable ([[graft.streaming.IncrementalHistogram]]). */
+  def x51HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.operators.Caching.persisted(
+      Sketches.histogram(Tables.events(s, dir), Seq("event_type"), "value"))
+    Sketches.histogramQuantiles(hist, Seq("event_type"),
+      Seq(("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4), ("q95", 19, 20)))
+      .orderBy("event_type", "q")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -763,6 +777,29 @@ object ExtQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id1, id2""".stripMargin
   }
+
+  /** DuckDB mirror of the histogram quantiles (x51): identical cents
+    * grid, window cumsum per group, and the exact integer rank rule
+    * `(nu·n + de − 1) // de`. */
+  private val duckHistQuantiles: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bucket, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT event_type, bucket,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum
+      |  FROM h
+      |),
+      |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      |qv AS (SELECT * FROM (VALUES ('q25', 1, 4), ('q50', 1, 2), ('q75', 3, 4), ('q95', 19, 20)) AS v(q, nu, de)),
+      |tg AS (SELECT event_type, q, n, (nu * n + de - 1) // de AS target FROM t CROSS JOIN qv),
+      |r AS (
+      |  SELECT c.event_type, tg.q, CAST(min(tg.n) AS BIGINT) AS n, min(c.bucket) AS est_cents
+      |  FROM c JOIN tg ON c.event_type = tg.event_type AND c.cum >= tg.target
+      |  GROUP BY 1, 2
+      |)
+      |SELECT event_type, q, n, est_cents FROM r ORDER BY event_type, q""".stripMargin
 
   /** DuckDB mirror of the phrase search (x50): 1-based positions via
     * struct-literal unnest (the x28 recipe), occurrence = a start whose
@@ -1886,6 +1923,7 @@ object ExtQueries {
     "x46_image_neardup" -> duckImageNearDup,
     "x49_audio_neardup" -> duckAudioNearDup,
     "x50_phrase_search" -> duckPhraseSearch,
+    "x51_hist_quantiles" -> duckHistQuantiles,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2089,6 +2127,7 @@ object ExtQueries {
     "x48_ann_ivfadc"   -> x48AnnIvfAdc, // oracle: residual PQ + cell-dot ADC replays
     "x49_audio_neardup" -> x49AudioNearDup, // oracle: formula-replayed energy hash pairs
     "x50_phrase_search" -> x50PhraseSearch, // oracle: positional-join phrase counts
+    "x51_hist_quantiles" -> x51HistQuantiles, // oracle: exact cents-grid quantiles
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
