@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over corpus-derived graphs (SURVEY.md §2.11 extension
+  * family): weighted PageRank with a FIXED iteration count in exact int64
+  * arithmetic, so the result replays bit-for-bit in any engine — the
+  * iterative-computation member of the pipeline-operator family (vocabulary
+  * importance for tokenizer/stopword decisions is the training-data use;
+  * the same kernel ranks domains on a click graph).
+  *
+  * Scale shape: the corpus is touched ONCE — edge extraction is a per-doc
+  * projection (adjacent-token zip) + one hash aggregation shuffling
+  * `(src, dst, count)` tuples, never texts. Each PageRank iteration is then
+  * one shuffle join of the O(V) rank table against the O(E) edge table plus
+  * one hash aggregation — independent of corpus size. Rank lineage is cut
+  * per iteration with `localCheckpoint` (O(V) rows), so K iterations never
+  * stack K joins into one Catalyst plan.
+  *
+  * Exactness: ranks are integer "picoranks" (total mass T = 1e12). Each
+  * edge carries its out-weight share in ppm — `(c·1e6) DIV W(u)`, bounded
+  * ≤ 1e6 — so the per-edge contribution `(r·share) DIV 1e6` stays below
+  * 1e18 regardless of corpus size (raw `r·c` would overflow int64 once an
+  * edge count passes ~9e6 at 100 TB). Truncation leaks ≤ |E|·1e-6 of mass
+  * per iteration — deterministic, identical in every engine, and irrelevant
+  * to ordering at vocabulary scale. Dangling nodes (no out-edges) simply
+  * leak their mass: the standard simplification, applied identically on
+  * both sides of the oracle.
+  */
+object Graph {
+
+  /** Directed token-adjacency edges `(src, dst, c)` of a corpus: one row
+    * per DISTINCT adjacent pair with its occurrence count. Adjacent-token
+    * zip is two slices of the per-doc token array (codegen'd), then one
+    * count aggregation with map-side combine. */
+  def tokenEdges(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(TextOps.tokens(col(textCol)).as("w"))
+      .select(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        expr("slice(w, 2, size(w) - 1)").as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+
+  /** Total rank mass: 1e12 "picoranks" — small enough that every product
+    * in the update rule stays inside int64 (see class doc). */
+  val TotalMass: Long = 1000000000000L
+
+  /** Weighted PageRank over an edge table `(src, dst, c)`, damping 85/100,
+    * `iters` fixed iterations. Returns `(token, rank_e12)` for every node
+    * (sources and sinks alike). Exact int64 arithmetic throughout:
+    *
+    *   r0(v)    = T DIV n
+    *   share    = (c · 1e6) DIV W(src)           (per-edge, precomputed)
+    *   s(v)     = Σ_{u→v} (r(u) · share) DIV 1e6
+    *   r'(v)    = (15·(T DIV n)) DIV 100 + (85·s(v)) DIV 100
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    // per-edge ppm share of the source's out-weight; persisted — it is
+    // joined once per iteration
+    val outw = edges.groupBy("src").agg(sum("c").as("wout"))
+    val ew = Caching.persisted(
+      edges.join(outw, "src")
+        .select(col("src"), col("dst"),
+          expr("(c * 1000000L) DIV wout").as("share_ppm")))
+    val nodes = Caching.persisted(
+      ew.select(col("src").as("token"))
+        .union(ew.select(col("dst").as("token"))).distinct())
+    // one O(V) scalar job at build time (the BPE trained-artifact pattern):
+    // n parameterizes every iteration's base term as a literal
+    val n = nodes.count()
+    val base = 15L * (TotalMass / n) / 100L
+
+    var r = nodes.select(col("token"), lit(TotalMass / n).as("r"))
+    for (_ <- 1 to iters) {
+      val s = ew.join(r, ew("src") === r("token"))
+        .select(col("dst"), expr("(r * share_ppm) DIV 1000000L").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      r = nodes.join(s, nodes("token") === s("dst"), "left")
+        .select(col("token"),
+          (lit(base) + expr("(85L * coalesce(s, 0L)) DIV 100L")).as("r"))
+        .localCheckpoint() // cut lineage: next plan starts from O(V) rows
+    }
+    r.select(col("token"), col("r").as("rank_e12"))
+  }
+}

@@ -472,6 +472,17 @@ object ExtQueries {
       .orderBy("event_type", "q")
   }
 
+  /** Token-graph PageRank ([[graft.operators.Graph.pageRank]]): weighted
+    * PageRank over the corpus's token-adjacency graph, 5 fixed iterations
+    * in exact int64 picorank arithmetic — the iterative-computation member
+    * of the extension family; replays bit-for-bit in DuckDB as 5 unrolled
+    * CTE stages. */
+  def x52TokenPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.tokenEdges(Tables.documents(s, dir), "text")
+    graft.operators.Graph.pageRank(s, edges, iters = 5)
+      .orderBy(col("rank_e12").desc, col("token"))
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -781,6 +792,35 @@ object ExtQueries {
   /** DuckDB mirror of the histogram quantiles (x51): identical cents
     * grid, window cumsum per group, and the exact integer rank rule
     * `(nu·n + de − 1) // de`. */
+  /** DuckDB mirror of the token PageRank (x52): identical edge shares in
+    * ppm, 5 unrolled iteration stages, the same int64 `//` update rule. */
+  private val duckTokenPagerank: String = {
+    val rIter = (1 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT ew.dst, CAST(sum((r.r * ew.share_ppm) // 1000000) AS BIGINT) AS s
+         |  FROM ew JOIN r${i - 1} r ON ew.src = r.token GROUP BY 1
+         |),
+         |r$i AS (
+         |  SELECT n.token,
+         |    (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+         |      + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN s$i s ON n.token = s.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |pairs AS (SELECT unnest(w[1:len(w)-1]) AS src, unnest(w[2:len(w)]) AS dst FROM toks),
+       |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(c) AS BIGINT) AS wout FROM edges GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, (e.c * 1000000) // o.wout AS share_ppm
+       |       FROM edges e JOIN outw o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT token FROM
+       |  (SELECT src AS token FROM ew UNION ALL SELECT dst FROM ew)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT token, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+       |$rIter
+       |SELECT token, r AS rank_e12 FROM r5 ORDER BY rank_e12 DESC, token""".stripMargin
+  }
+
   private val duckHistQuantiles: String =
     """WITH h AS (
       |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bucket, count(*) AS cnt
@@ -1924,6 +1964,7 @@ object ExtQueries {
     "x49_audio_neardup" -> duckAudioNearDup,
     "x50_phrase_search" -> duckPhraseSearch,
     "x51_hist_quantiles" -> duckHistQuantiles,
+    "x52_token_pagerank" -> duckTokenPagerank,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2128,6 +2169,7 @@ object ExtQueries {
     "x49_audio_neardup" -> x49AudioNearDup, // oracle: formula-replayed energy hash pairs
     "x50_phrase_search" -> x50PhraseSearch, // oracle: positional-join phrase counts
     "x51_hist_quantiles" -> x51HistQuantiles, // oracle: exact cents-grid quantiles
+    "x52_token_pagerank" -> x52TokenPagerank, // oracle: 5 unrolled exact-int iterations
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
