@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer Lloyd's k-means over an embedding corpus — the TRAINER
+  * behind the ANN family's codebooks (SURVEY.md §2.11): x12/x33/x48 run
+  * over PINNED centroids (the production shape — a build-time fit frozen
+  * as data); this operator is where such centroids come from, expressed so
+  * the whole fit replays bit-for-bit in any engine.
+  *
+  * Exactness: embeddings are quantized once to int64 "e6" units
+  * (`floor(x·1e6 + 0.5)`, the money rule on the embedding axis). Distances
+  * are exact integer Σ(v−c)²; centroid updates are integer means
+  * (`sum DIV count` — Spark's `DIV` and DuckDB's `//` both truncate toward
+  * zero, verified, so the recurrence is engine-identical); argmin ties
+  * break to the lowest centroid id. No IEEE accumulation order anywhere —
+  * the one thing that makes a float k-means un-oracleable.
+  *
+  * Scale shape (the classic distributed Lloyd's): the quantized corpus is
+  * long-form `(vec_id, dim, v)` — persisted once, reused every iteration.
+  * Each iteration is (1) a BROADCAST join against the O(k·dim) centroid
+  * table + one hash aggregation to `(vec_id, cid, dist)` with map-side
+  * combine, (2) an argmin by `min(struct(d, cid))` — an aggregate, not a
+  * window, so no per-vector sort — and (3) a per-(cid, dim) sum for the
+  * new means. Nothing is ever collected to the driver; centroids stay a
+  * DataFrame end-to-end, and rank lineage is cut per iteration with
+  * `localCheckpoint` (O(k·dim) rows). Per-iteration shuffle volume is
+  * O(N·k) distance rows + O(N·dim) update rows — the textbook k-means
+  * cost, independent of iteration count.
+  *
+  * Overflow bounds (int64): |v| ≤ 1e6 ⇒ per-dim squared diff ≤ 4e12,
+  * per-pair dist ≤ dim·4e12 ≈ 3e15 at dim 768; per-(cid,dim) sums are
+  * |v|·N. Inertia is reported in e6-scaled units so corpus-level sums stay
+  * bounded at any N. Empty clusters keep their previous centroid (the
+  * deterministic rule, applied identically in the oracle).
+  */
+object KMeansInt {
+
+  /** Long-form e6-quantized embeddings `(vec_id, i, v)`. */
+  def quantized(embs: DataFrame, vecCol: String): DataFrame =
+    embs
+      .select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("v"))
+
+  /** One assignment pass: each vector's nearest centroid by exact integer
+    * squared L2, ties to the lowest cid. `cdf` is `(cid, i, c)`. */
+  private def assign(qv: DataFrame, cdf: DataFrame): DataFrame =
+    qv.join(broadcast(cdf), "i")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
+
+  /** Fit `iters` Lloyd's iterations from the k lowest-`vec_id` vectors as
+    * seeds; returns per-cluster stats of the FINAL assignment:
+    * `(cid, n, centroid_sum, inertia_e6)` — size, the centroid's summed e6
+    * coordinates (the compact fingerprint of k·dim values), and e6-scaled
+    * inertia. One row per non-empty final cluster, ordered by cid. */
+  def fit(spark: SparkSession, embs: DataFrame, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val qv = Caching.persisted(quantized(embs, vecCol))
+    val init = embs.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cid"))
+    var c = qv.join(init, "vec_id")
+      .select(col("cid"), col("i"), col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val a = assign(qv, c)
+      val sums = qv.join(a.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "i")
+        .agg(expr("sum(v) DIV count(1)").as("cnew"))
+      c = c.join(sums, Seq("cid", "i"), "left")
+        .select(col("cid"), col("i"), coalesce(col("cnew"), col("c")).as("c"))
+        .localCheckpoint() // cut lineage: next plan starts from O(k·dim) rows
+    }
+    val fin = assign(qv, c)
+    val stats = fin.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(expr("d DIV 1000000")).as("inertia_e6"))
+    val csum = c.groupBy("cid").agg(sum("c").as("centroid_sum"))
+    stats.join(csum, "cid")
+      .select(col("cid"), col("n"), col("centroid_sum"), col("inertia_e6"))
+      .orderBy("cid")
+  }
+}

@@ -483,6 +483,14 @@ object ExtQueries {
       .orderBy(col("rank_e12").desc, col("token"))
   }
 
+  /** Exact-integer k-means fit ([[graft.operators.KMeansInt]]): 2 Lloyd's
+    * iterations over the e6-quantized embeddings from the 4 lowest-vec_id
+    * seeds — the TRAINER behind the pinned IVF/PQ codebooks, replayed
+    * bit-for-bit in DuckDB as unrolled assignment/update stages. */
+  def x53KmeansFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansInt.fit(s, Tables.embeddings(s, dir), "embedding",
+      k = 4, iters = 2)
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -792,6 +800,55 @@ object ExtQueries {
   /** DuckDB mirror of the histogram quantiles (x51): identical cents
     * grid, window cumsum per group, and the exact integer rank rule
     * `(nu·n + de − 1) // de`. */
+  /** DuckDB mirror of the exact-integer k-means fit (x53): identical e6
+    * quantization, unrolled assignment (ROW_NUMBER argmin ≡ the kernel's
+    * min(struct(d, cid))), integer-mean updates with empty-cluster carry,
+    * final-assignment stats. `//` and Spark `DIV` both truncate toward
+    * zero, so the recurrence is engine-identical. */
+  private val duckKmeansFit: String = {
+    def assignCte(name: String, cdf: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT qv.vec_id, $cdf.cid,
+         |      CAST(sum((qv.v - $cdf.c) * (qv.v - $cdf.c)) AS BIGINT) AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |        ORDER BY CAST(sum((qv.v - $cdf.c) * (qv.v - $cdf.c)) AS BIGINT), $cdf.cid) AS rn
+         |    FROM qv JOIN $cdf USING (i) GROUP BY qv.vec_id, $cdf.cid
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, prev: String, a: String): String =
+      s"""$name AS (
+         |  SELECT $prev.cid, $prev.i, coalesce(s.cnew, $prev.c) AS c
+         |  FROM $prev LEFT JOIN (
+         |    SELECT $a.cid, qv.i, CAST(sum(qv.v) AS BIGINT) // count(*) AS cnew
+         |    FROM qv JOIN $a USING (vec_id) GROUP BY 1, 2
+         |  ) s ON $prev.cid = s.cid AND $prev.i = s.i
+         |)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(768)) AS i)
+       |),
+       |init AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+       |),
+       |c0 AS (SELECT init.cid, qv.i, qv.v AS c FROM init JOIN qv USING (vec_id)),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "c0", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "c1", "a2")},
+       |${assignCte("af", "c2")},
+       |stats AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d // 1000000) AS BIGINT) AS inertia_e6
+       |  FROM af GROUP BY 1
+       |),
+       |cs AS (SELECT cid, CAST(sum(c) AS BIGINT) AS centroid_sum FROM c2 GROUP BY 1)
+       |SELECT stats.cid, n, centroid_sum, inertia_e6
+       |FROM stats JOIN cs ON stats.cid = cs.cid ORDER BY stats.cid""".stripMargin
+  }
+
   /** DuckDB mirror of the token PageRank (x52): identical edge shares in
     * ppm, 5 unrolled iteration stages, the same int64 `//` update rule. */
   private val duckTokenPagerank: String = {
@@ -1965,6 +2022,7 @@ object ExtQueries {
     "x50_phrase_search" -> duckPhraseSearch,
     "x51_hist_quantiles" -> duckHistQuantiles,
     "x52_token_pagerank" -> duckTokenPagerank,
+    "x53_kmeans_fit" -> duckKmeansFit,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2170,6 +2228,7 @@ object ExtQueries {
     "x50_phrase_search" -> x50PhraseSearch, // oracle: positional-join phrase counts
     "x51_hist_quantiles" -> x51HistQuantiles, // oracle: exact cents-grid quantiles
     "x52_token_pagerank" -> x52TokenPagerank, // oracle: 5 unrolled exact-int iterations
+    "x53_kmeans_fit"   -> x53KmeansFit, // oracle: unrolled exact-int Lloyd's stages
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
