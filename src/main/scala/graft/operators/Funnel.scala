@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral-sequence aggregates from the reference engine's family
+  * (ClickHouse's `windowFunnel` / `retention` surface — the reference's
+  * summaries live in that engine, and a user switching from it expects
+  * these): funnel-stage progression and cohort retention, both expressed
+  * as chained equi-joins + aggregations so every timestamp comparison is
+  * exact integer microseconds and the whole computation replays in SQL.
+  *
+  * Scale shape: everything is keyed by user — per-step joins are
+  * co-partitioned shuffles on the user key (AQE handles skewed users),
+  * per-stage reductions are hash aggregations with map-side combine. No
+  * window sorts, no per-user collected arrays: state per user is one row
+  * per surviving (anchor, stage) pair, bounded by that user's step-1
+  * event count.
+  */
+object Funnel {
+
+  /** `windowFunnel`: for each user, the deepest step k of `steps` reachable
+    * as a strictly-increasing event chain `t1 < t2 < … < tk ≤ t1 + windowUs`
+    * anchored at ANY step-1 occurrence. Greedy minimal continuation per
+    * anchor is exhaustive: for a fixed anchor t1, taking the earliest valid
+    * t_{i+1} only widens every later stage's window, so a user reaches
+    * stage k iff some anchor survives k−1 greedy extensions. Returns
+    * `(user, level)` — level 0 rows cover users with events but no step-1.
+    *
+    * `tsUsCol` must be integer microseconds (exact arithmetic — never
+    * engine-divergent interval types). */
+  def windowFunnel(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val byType = steps.map(t =>
+      events.filter(col(typeCol) === t)
+        .select(col(userCol).as("user"), col(tsUsCol).as("t")))
+
+    // stage k frame: (user, t1, tk) — anchors still alive after k-1 extensions
+    val s1 = byType.head.select(col("user"), col("t").as("t1"), col("t").as("tk"))
+    val stages = byType.tail.scanLeft(s1) { (cur, ek) =>
+      cur.join(ek, "user")
+        .filter(col("t") > col("tk") && col("t") <= col("t1") + lit(windowUs))
+        .groupBy("user", "t1")
+        .agg(min(col("t")).as("tk"))
+    }
+
+    val levels = events.select(col(userCol).as("user")).distinct()
+      .select(col("user"), lit(0).as("level")) +:
+      stages.zipWithIndex.map { case (s, i) =>
+        s.select(col("user")).distinct().select(col("user"), lit(i + 1).as("level"))
+      }
+    levels.reduce(_.union(_)).groupBy("user").agg(max("level").as("level"))
+  }
+
+  /** `retention`: cohort users by the DAY of their first `anchorType`
+    * event, then for each `(label, eventType, startUs, endUs)` condition
+    * count the cohort's users with a matching event in
+    * `[first + startUs, first + endUs)`. Returns one row per cohort day:
+    * `(cohort_day, users, <label columns…>)`. */
+  def retention(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, anchorType: String,
+      conds: Seq[(String, String, Long, Long)]): DataFrame = {
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("user")).agg(min(col(tsUsCol)).as("f"))
+    val condFlags = conds.map { case (label, et, s, e) =>
+      max(when(col("et") === et && col("t") >= col("f") + lit(s) &&
+        col("t") < col("f") + lit(e), 1L).otherwise(0L)).as(label)
+    }
+    val flags = events
+      .select(col(userCol).as("user"), col(tsUsCol).as("t"), col(typeCol).as("et"))
+      .join(anchors, "user")
+      .groupBy(col("user"), expr("f DIV 86400000000").as("cohort_day"))
+      .agg(condFlags.head, condFlags.tail: _*)
+    val out = count(lit(1)).as("users") +: conds.map { case (label, _, _, _) =>
+      sum(col(label)).as(label)
+    }
+    flags.groupBy("cohort_day").agg(out.head, out.tail: _*)
+  }
+}

@@ -491,6 +491,30 @@ object ExtQueries {
     graft.operators.KMeansInt.fit(s, Tables.embeddings(s, dir), "embedding",
       k = 4, iters = 2)
 
+  /** windowFunnel ([[graft.operators.Funnel.windowFunnel]]): users by the
+    * deepest signup → click → purchase chain completed within 1 day of
+    * ANY signup anchor — the ClickHouse behavioral-aggregate surface,
+    * exact integer-µs comparisons, full DuckDB replay. */
+  def x54WindowFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnel(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type",
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+
+  /** retention ([[graft.operators.Funnel.retention]]): cohorts by first
+    * signup day; day-1 click retention and 7-day purchase conversion per
+    * cohort — exact integer-µs day arithmetic, full DuckDB replay. */
+  def x55Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type", anchorType = "signup",
+        conds = Seq(
+          ("ret_click_d1", "click", 86400000000L, 172800000000L),
+          ("ret_purchase_d7", "purchase", 0L, 604800000000L)))
+      .orderBy("cohort_day")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -797,9 +821,58 @@ object ExtQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** DuckDB mirror of the histogram quantiles (x51): identical cents
-    * grid, window cumsum per group, and the exact integer rank rule
-    * `(nu·n + de − 1) // de`. */
+  /** DuckDB mirror of the window funnel (x54): same greedy minimal
+    * continuation per signup anchor, exact integer-µs comparisons. */
+  private val duckWindowFunnel: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |),
+      |s1 AS (SELECT u, t AS t1, t AS tk FROM e WHERE et = 'signup'),
+      |s2 AS (
+      |  SELECT s1.u, t1, min(e.t) AS tk FROM s1 JOIN e USING (u)
+      |  WHERE e.et = 'click' AND e.t > s1.tk AND e.t <= t1 + 86400000000
+      |  GROUP BY s1.u, t1
+      |),
+      |s3 AS (
+      |  SELECT s2.u, t1, min(e.t) AS tk FROM s2 JOIN e USING (u)
+      |  WHERE e.et = 'purchase' AND e.t > s2.tk AND e.t <= t1 + 86400000000
+      |  GROUP BY s2.u, t1
+      |),
+      |lv AS (
+      |  SELECT u, max(l) AS level FROM (
+      |    SELECT DISTINCT u, 0 AS l FROM e
+      |    UNION ALL SELECT DISTINCT u, 1 FROM s1
+      |    UNION ALL SELECT DISTINCT u, 2 FROM s2
+      |    UNION ALL SELECT DISTINCT u, 3 FROM s3
+      |  ) GROUP BY u
+      |)
+      |SELECT level, CAST(count(*) AS BIGINT) AS n_users
+      |FROM lv GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
+    * via integer-µs `//`, the same half-open condition windows. */
+  private val duckRetention: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |),
+      |a AS (SELECT u, min(t) AS f FROM e WHERE et = 'signup' GROUP BY u),
+      |fl AS (
+      |  SELECT e.u, f // 86400000000 AS cohort_day,
+      |    max(CASE WHEN e.et = 'click'
+      |      AND e.t >= f + 86400000000 AND e.t < f + 172800000000
+      |      THEN 1 ELSE 0 END) AS ret_click_d1,
+      |    max(CASE WHEN e.et = 'purchase'
+      |      AND e.t >= f AND e.t < f + 604800000000
+      |      THEN 1 ELSE 0 END) AS ret_purchase_d7
+      |  FROM e JOIN a USING (u) GROUP BY 1, 2
+      |)
+      |SELECT cohort_day, CAST(count(*) AS BIGINT) AS users,
+      |  CAST(sum(ret_click_d1) AS BIGINT) AS ret_click_d1,
+      |  CAST(sum(ret_purchase_d7) AS BIGINT) AS ret_purchase_d7
+      |FROM fl GROUP BY 1 ORDER BY cohort_day""".stripMargin
+
   /** DuckDB mirror of the exact-integer k-means fit (x53): identical e6
     * quantization, unrolled assignment (ROW_NUMBER argmin ≡ the kernel's
     * min(struct(d, cid))), integer-mean updates with empty-cluster carry,
@@ -878,6 +951,9 @@ object ExtQueries {
        |SELECT token, r AS rank_e12 FROM r5 ORDER BY rank_e12 DESC, token""".stripMargin
   }
 
+  /** DuckDB mirror of the histogram quantiles (x51): identical cents
+    * grid, window cumsum per group, and the exact integer rank rule
+    * `(nu·n + de − 1) // de`. */
   private val duckHistQuantiles: String =
     """WITH h AS (
       |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bucket, count(*) AS cnt
@@ -2023,6 +2099,8 @@ object ExtQueries {
     "x51_hist_quantiles" -> duckHistQuantiles,
     "x52_token_pagerank" -> duckTokenPagerank,
     "x53_kmeans_fit" -> duckKmeansFit,
+    "x54_window_funnel" -> duckWindowFunnel,
+    "x55_retention" -> duckRetention,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2229,6 +2307,8 @@ object ExtQueries {
     "x51_hist_quantiles" -> x51HistQuantiles, // oracle: exact cents-grid quantiles
     "x52_token_pagerank" -> x52TokenPagerank, // oracle: 5 unrolled exact-int iterations
     "x53_kmeans_fit"   -> x53KmeansFit, // oracle: unrolled exact-int Lloyd's stages
+    "x54_window_funnel" -> x54WindowFunnel, // oracle: greedy per-anchor chain replays
+    "x55_retention"    -> x55Retention, // oracle: integer-µs cohort windows
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Funnel / retention on planted event sequences (timestamps in µs). */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DAY = 86400000000L
+  private val steps = Seq("signup", "click", "purchase")
+
+  test("windowFunnel: levels, window cutoff, and the late-anchor rescue") {
+    val events = Seq(
+      // u1 completes the chain inside the window
+      (1L, "signup", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2 clicks but purchases AFTER the window -> level 2
+      (2L, "signup", 0L), (2L, "click", 10L), (2L, "purchase", 8 * DAY),
+      // u3: first anchor's window misses, a LATER anchor completes ->
+      // level 3 only because every step-1 occurrence anchors a chain
+      (3L, "signup", 0L), (3L, "signup", 7 * DAY),
+      (3L, "click", 7 * DAY + 10L), (3L, "purchase", 7 * DAY + 20L),
+      // u4 purchase precedes click -> strictly-increasing chain stops at 2
+      (4L, "signup", 0L), (4L, "purchase", 5L), (4L, "click", 10L),
+      // u5 never signs up -> level 0
+      (5L, "click", 0L), (5L, "purchase", 10L)
+    ).toDF("user_id", "event_type", "t_us")
+
+    val lv = Funnel.windowFunnel(events, "user_id", "t_us", "event_type",
+      steps, windowUs = 7 * DAY).as[(Long, Int)].collect().toMap
+    assert(lv === Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 0))
+  }
+
+  test("retention: cohort day from first signup, half-open condition windows") {
+    val events = Seq(
+      // u1: signup day 0; click on day 1 (retained), purchase day 6 (converted)
+      (1L, "signup", 0L), (1L, "click", DAY + 5L), (1L, "purchase", 6 * DAY),
+      // u2: signup day 0; click on day 0 (NOT day-1 retention), no purchase
+      (2L, "signup", 100L), (2L, "click", 200L),
+      // u3: signup day 2; purchase exactly at the 7-day bound -> excluded
+      (3L, "signup", 2 * DAY), (3L, "purchase", 9 * DAY),
+      // u4: no signup -> no cohort row
+      (4L, "click", 0L)
+    ).toDF("user_id", "event_type", "t_us")
+
+    val r = Funnel.retention(events, "user_id", "t_us", "event_type", "signup",
+        Seq(("ret_click_d1", "click", DAY, 2 * DAY),
+          ("ret_purchase_d7", "purchase", 0L, 7 * DAY)))
+      .orderBy("cohort_day")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 2L, 1L, 1L), (2L, 1L, 0L, 0L)))
+  }
+}
