@@ -53,6 +53,38 @@ object Funnel {
     levels.reduce(_.union(_)).groupBy("user").agg(max("level").as("level"))
   }
 
+  /** `sequenceMatch`: 1 for each user with events matching the condition
+    * chain `conds = (type, maxGapUs)` — event i+1 strictly after event i
+    * and, when `maxGapUs` is set, within that gap OF THE PREVIOUS MATCHED
+    * EVENT (the head's gap is ignored). Per-gap bounds break windowFunnel's
+    * greedy argument — an earlier stage-k match can strand a later stage
+    * whose window a later match would reach — so each stage carries the
+    * FULL feasible set of last-match times, not the minimum: stage k =
+    * distinct (user, t) with t a type-k event reachable from SOME feasible
+    * stage-(k−1) time. Exact, still relational; stage size is bounded by
+    * the user's event count of that type. Returns `(user, matched)` over
+    * all users. */
+  def sequenceMatch(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, conds: Seq[(String, Option[Long])]): DataFrame = {
+    require(conds.nonEmpty)
+    val byType = conds.map { case (t, _) =>
+      events.filter(col(typeCol) === t)
+        .select(col(userCol).as("user"), col(tsUsCol).as("t"))
+    }
+    val s1 = byType.head.distinct()
+    val last = byType.tail.zip(conds.tail.map(_._2)).foldLeft(s1) {
+      case (cur, (ek, gap)) =>
+        val prev = cur.select(col("user"), col("t").as("tp"))
+        val bound = gap.fold(lit(true))(g => col("t") <= col("tp") + lit(g))
+        ek.join(prev, "user").filter(col("t") > col("tp") && bound)
+          .select("user", "t").distinct()
+    }
+    events.select(col(userCol).as("user")).distinct()
+      .join(last.select(col("user")).distinct().withColumn("m", lit(1)),
+        Seq("user"), "left")
+      .select(col("user"), coalesce(col("m"), lit(0)).as("matched"))
+  }
+
   /** `retention`: cohort users by the DAY of their first `anchorType`
     * event, then for each `(label, eventType, startUs, endUs)` condition
     * count the cohort's users with a matching event in

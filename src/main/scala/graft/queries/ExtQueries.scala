@@ -515,6 +515,20 @@ object ExtQueries {
           ("ret_purchase_d7", "purchase", 0L, 604800000000L)))
       .orderBy("cohort_day")
 
+  /** sequenceMatch ([[graft.operators.Funnel.sequenceMatch]]): users whose
+    * events contain a view → click (≤1 h later) → purchase (≤1 day after
+    * that click) chain — per-gap bounds, so the feasible-set DP (not
+    * windowFunnel's greedy anchor walk) decides the match; full DuckDB
+    * replay of the stage chain. */
+  def x56SequenceMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceMatch(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type",
+        Seq(("view", None), ("click", Some(3600000000L)),
+          ("purchase", Some(86400000000L))))
+      .groupBy("matched").agg(count(lit(1)).as("n_users"))
+      .orderBy("matched")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -849,6 +863,30 @@ object ExtQueries {
       |)
       |SELECT level, CAST(count(*) AS BIGINT) AS n_users
       |FROM lv GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** DuckDB mirror of the sequence match (x56): the same feasible-set
+    * stage chain — DISTINCT (user, t) per stage, per-gap upper bounds
+    * relative to the previous matched event. */
+  private val duckSequenceMatch: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |),
+      |s1 AS (SELECT DISTINCT u, t FROM e WHERE et = 'view'),
+      |s2 AS (
+      |  SELECT DISTINCT e.u, e.t FROM e JOIN s1 ON e.u = s1.u
+      |  WHERE e.et = 'click' AND e.t > s1.t AND e.t <= s1.t + 3600000000
+      |),
+      |s3 AS (
+      |  SELECT DISTINCT e.u, e.t FROM e JOIN s2 ON e.u = s2.u
+      |  WHERE e.et = 'purchase' AND e.t > s2.t AND e.t <= s2.t + 86400000000
+      |),
+      |m AS (
+      |  SELECT u, CASE WHEN u IN (SELECT u FROM s3) THEN 1 ELSE 0 END AS matched
+      |  FROM (SELECT DISTINCT u FROM e)
+      |)
+      |SELECT matched, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1 ORDER BY matched""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -2101,6 +2139,7 @@ object ExtQueries {
     "x53_kmeans_fit" -> duckKmeansFit,
     "x54_window_funnel" -> duckWindowFunnel,
     "x55_retention" -> duckRetention,
+    "x56_sequence_match" -> duckSequenceMatch,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2309,6 +2348,7 @@ object ExtQueries {
     "x53_kmeans_fit"   -> x53KmeansFit, // oracle: unrolled exact-int Lloyd's stages
     "x54_window_funnel" -> x54WindowFunnel, // oracle: greedy per-anchor chain replays
     "x55_retention"    -> x55Retention, // oracle: integer-µs cohort windows
+    "x56_sequence_match" -> x56SequenceMatch, // oracle: feasible-set stage chain
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -30,6 +30,35 @@ class FunnelSpec extends SparkTestBase {
     assert(lv === Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 0))
   }
 
+  test("sequenceMatch: per-gap bounds, feasible-set beats greedy, unbounded gaps") {
+    val events = Seq(
+      // u1: view -> click(+10) -> purchase(+10), all inside 1h gaps
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2: the greedy killer — both clicks are view-reachable, but the
+      // earliest (t=1) strands the purchase (80 > 1+50); only the later
+      // click (t=40) reaches it
+      (2L, "view", 0L), (2L, "click", 1L), (2L, "click", 40L),
+      (2L, "purchase", 80L),
+      // u3: purchase exceeds its gap from the matched click -> no match
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "purchase", 1000L),
+      // u4: right types, wrong order
+      (4L, "purchase", 0L), (4L, "click", 10L), (4L, "view", 20L),
+      // u5: no view at all
+      (5L, "click", 0L), (5L, "purchase", 10L)
+    ).toDF("user_id", "event_type", "t_us")
+
+    val m = Funnel.sequenceMatch(events, "user_id", "t_us", "event_type",
+        Seq(("view", None), ("click", Some(50L)), ("purchase", Some(50L))))
+      .as[(Long, Int)].collect().toMap
+    assert(m === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0))
+
+    // unbounded gaps: pure subsequence containment
+    val m2 = Funnel.sequenceMatch(events, "user_id", "t_us", "event_type",
+        Seq(("view", None), ("purchase", None)))
+      .as[(Long, Int)].collect().toMap
+    assert(m2 === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
+  }
+
   test("retention: cohort day from first signup, half-open condition windows") {
     val events = Seq(
       // u1: signup day 0; click on day 1 (retained), purchase day 6 (converted)
