@@ -529,6 +529,24 @@ object ExtQueries {
       .groupBy("matched").agg(count(lit(1)).as("n_users"))
       .orderBy("matched")
 
+  /** groupBitmap retention ([[graft.operators.Bitmaps]]): day-keyed exact
+    * user bitmaps (63-bit packed words, OR-merged), then per-day active
+    * users and next-day returning users read ENTIRELY from bitmap state —
+    * |day| and |day ∩ day+1| as popcounts over word joins, the fact
+    * stream scanned once to build the state. Exact (unlike HLL x8), and
+    * the same word layout replays in DuckDB. */
+  def x57BitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+    val st = graft.operators.Caching.persisted(
+      graft.operators.Bitmaps.bitmapState(ev, "day", "user_id"))
+    graft.operators.Bitmaps.cardinality(st)
+      .join(graft.operators.Bitmaps.adjacentAndCardinality(st, 1L), "g")
+      .select(col("g").as("day"), col("card").as("n_users"),
+        col("card_and").as("n_returning"))
+      .orderBy("day")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -887,6 +905,26 @@ object ExtQueries {
       |)
       |SELECT matched, CAST(count(*) AS BIGINT) AS n_users
       |FROM m GROUP BY 1 ORDER BY matched""".stripMargin
+
+  /** DuckDB mirror of the bitmap retention (x57): identical 63-bit word
+    * layout (DuckDB's `<<` raises on 1<<63, hence 63 bits/word on both
+    * engines), popcounts over the same word joins. */
+  private val duckBitmapRetention: String =
+    """WITH st AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+      |    user_id // 63 AS word,
+      |    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2
+      |),
+      |card AS (SELECT g, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+      |         FROM st GROUP BY 1),
+      |nxt AS (SELECT a.g,
+      |          CAST(sum(bit_count(COALESCE(a.bits & b.bits, 0))) AS BIGINT)
+      |            AS n_returning
+      |        FROM st a LEFT JOIN st b ON b.g = a.g + 1 AND b.word = a.word
+      |        GROUP BY a.g)
+      |SELECT card.g AS day, n_users, n_returning
+      |FROM card JOIN nxt ON card.g = nxt.g ORDER BY day""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -2140,6 +2178,7 @@ object ExtQueries {
     "x54_window_funnel" -> duckWindowFunnel,
     "x55_retention" -> duckRetention,
     "x56_sequence_match" -> duckSequenceMatch,
+    "x57_bitmap_retention" -> duckBitmapRetention,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2349,6 +2388,7 @@ object ExtQueries {
     "x54_window_funnel" -> x54WindowFunnel, // oracle: greedy per-anchor chain replays
     "x55_retention"    -> x55Retention, // oracle: integer-µs cohort windows
     "x56_sequence_match" -> x56SequenceMatch, // oracle: feasible-set stage chain
+    "x57_bitmap_retention" -> x57BitmapRetention, // oracle: identical 63-bit words
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
