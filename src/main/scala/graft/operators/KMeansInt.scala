@@ -55,6 +55,64 @@ object KMeansInt {
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
 
+  /** One PQ assignment pass: nearest centroid PER SUBSPACE (`sub = i DIV
+    * subDim`) by exact integer squared L2 over that subspace's dims only,
+    * ties to the lowest cid. Same join as [[assign]] — the subspace split
+    * is a grouping key, not m separate jobs. */
+  private def assignPq(qv: DataFrame, cdf: DataFrame): DataFrame =
+    qv.join(broadcast(cdf), "i")
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cid").as("cid"), col("m.d").as("d"))
+
+  /** The PQ TRAINER: k-means per `subDim`-wide subspace — where the
+    * x33/x48 codebooks come from, completing the trained-artifact loop
+    * (R68 trains coarse IVF centroids; this trains the product codebooks).
+    * A PQ codebook is m INDEPENDENT per-subspace fits; expressing `sub`
+    * as a grouping key trains all of them in the SAME broadcast join +
+    * aggregations a single fit costs — per iteration one O(N·k·m)
+    * distance aggregation and one O(N·dim) mean update, not m jobs.
+    * Centroid row (cid, i) holds subspace `i DIV subDim`'s entry `cid`,
+    * so the table is the concatenated codebook family. Same exact-integer
+    * recurrence, tie, and empty-cluster rules as [[fit]], so the whole
+    * training replays bit-for-bit in the oracle.
+    *
+    * Returns final per-(sub, cid) stats `(sub, cid, n, centroid_sum,
+    * inertia_e6)`, ordered. */
+  def fitPq(spark: SparkSession, embs: DataFrame, vecCol: String,
+      subDim: Int, k: Int, iters: Int): DataFrame = {
+    val qv = Caching.persisted(quantized(embs, vecCol)
+      .withColumn("sub", expr(s"i DIV $subDim")))
+    val init = embs.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cid"))
+    var c = qv.join(init, "vec_id")
+      .select(col("cid"), col("i"), col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val a = assignPq(qv, c)
+      val sums = qv.join(a.select("vec_id", "sub", "cid"), Seq("vec_id", "sub"))
+        .groupBy("cid", "i")
+        .agg(expr("sum(v) DIV count(1)").as("cnew"))
+      c = c.join(sums, Seq("cid", "i"), "left")
+        .select(col("cid"), col("i"), coalesce(col("cnew"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    val fin = assignPq(qv, c)
+    val stats = fin.groupBy("sub", "cid").agg(
+      count(lit(1)).as("n"),
+      sum(expr("d DIV 1000000")).as("inertia_e6"))
+    val csum = c.withColumn("sub", expr(s"i DIV $subDim"))
+      .groupBy("sub", "cid").agg(sum("c").as("centroid_sum"))
+    stats.join(csum, Seq("sub", "cid"))
+      .select(col("sub"), col("cid"), col("n"),
+        col("centroid_sum"), col("inertia_e6"))
+      .orderBy("sub", "cid")
+  }
+
   /** Fit `iters` Lloyd's iterations from the k lowest-`vec_id` vectors as
     * seeds; returns per-cluster stats of the FINAL assignment:
     * `(cid, n, centroid_sum, inertia_e6)` — size, the centroid's summed e6

@@ -547,6 +547,15 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  /** PQ trainer ([[graft.operators.KMeansInt.fitPq]]): 4 per-subspace
+    * codebooks (subDim 16, k=4, 2 Lloyd's iterations) fit simultaneously
+    * over the embeddings corpus — the trained-artifact path behind the
+    * x33/x48 pinned codebooks, exact-int recurrence, full DuckDB replay
+    * of every iteration. */
+  def x58PqTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansInt.fitPq(s, Tables.embeddings(s, dir),
+      "embedding", subDim = 16, k = 4, iters = 2)
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -996,6 +1005,56 @@ object ExtQueries {
        |cs AS (SELECT cid, CAST(sum(c) AS BIGINT) AS centroid_sum FROM c2 GROUP BY 1)
        |SELECT stats.cid, n, centroid_sum, inertia_e6
        |FROM stats JOIN cs ON stats.cid = cs.cid ORDER BY stats.cid""".stripMargin
+  }
+
+  /** DuckDB mirror of the PQ trainer (x58): the x53 recurrence with
+    * (vec_id, sub) assignment keys — per-subspace argmin partitions,
+    * mean updates joined through the assignment's subspace. */
+  private val duckPqTrain: String = {
+    def assignCte(name: String, cdf: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cid, d FROM (
+         |    SELECT qv.vec_id, qv.sub, $cdf.cid,
+         |      CAST(sum((qv.v - $cdf.c) * (qv.v - $cdf.c)) AS BIGINT) AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id, qv.sub
+         |        ORDER BY CAST(sum((qv.v - $cdf.c) * (qv.v - $cdf.c)) AS BIGINT), $cdf.cid) AS rn
+         |    FROM qv JOIN $cdf USING (i) GROUP BY qv.vec_id, qv.sub, $cdf.cid
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, prev: String, a: String): String =
+      s"""$name AS (
+         |  SELECT $prev.cid, $prev.i, coalesce(s.cnew, $prev.c) AS c
+         |  FROM $prev LEFT JOIN (
+         |    SELECT $a.cid, qv.i, CAST(sum(qv.v) AS BIGINT) // count(*) AS cnew
+         |    FROM qv JOIN $a ON qv.vec_id = $a.vec_id AND qv.sub = $a.sub
+         |    GROUP BY 1, 2
+         |  ) s ON $prev.cid = s.cid AND $prev.i = s.i
+         |)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id, i, i // 16 AS sub,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+       |),
+       |init AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+       |),
+       |c0 AS (SELECT init.cid, qv.i, qv.v AS c FROM init JOIN qv USING (vec_id)),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "c0", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "c1", "a2")},
+       |${assignCte("af", "c2")},
+       |stats AS (
+       |  SELECT sub, cid, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d // 1000000) AS BIGINT) AS inertia_e6
+       |  FROM af GROUP BY 1, 2
+       |),
+       |cs AS (SELECT i // 16 AS sub, cid, CAST(sum(c) AS BIGINT) AS centroid_sum
+       |       FROM c2 GROUP BY 1, 2)
+       |SELECT stats.sub, stats.cid, n, centroid_sum, inertia_e6
+       |FROM stats JOIN cs ON stats.sub = cs.sub AND stats.cid = cs.cid
+       |ORDER BY stats.sub, stats.cid""".stripMargin
   }
 
   /** DuckDB mirror of the token PageRank (x52): identical edge shares in
@@ -2179,6 +2238,7 @@ object ExtQueries {
     "x55_retention" -> duckRetention,
     "x56_sequence_match" -> duckSequenceMatch,
     "x57_bitmap_retention" -> duckBitmapRetention,
+    "x58_pq_train" -> duckPqTrain,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2389,6 +2449,7 @@ object ExtQueries {
     "x55_retention"    -> x55Retention, // oracle: integer-µs cohort windows
     "x56_sequence_match" -> x56SequenceMatch, // oracle: feasible-set stage chain
     "x57_bitmap_retention" -> x57BitmapRetention, // oracle: identical 63-bit words
+    "x58_pq_train"     -> x58PqTrain, // oracle: unrolled per-subspace Lloyd's
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

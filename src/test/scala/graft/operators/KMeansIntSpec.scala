@@ -36,6 +36,41 @@ class KMeansIntSpec extends SparkTestBase {
     assert(byCid(1)._4 === 10000L)
   }
 
+  test("fitPq: subspaces cluster INDEPENDENTLY in one training pass") {
+    // dim 4, subDim 2 -> subspaces {0,1} and {2,3}. Planted so the two
+    // subspaces partition the vectors DIFFERENTLY: sub 0 groups {0,2} vs
+    // {1,3}; sub 1 groups {0,1} vs {2,3}. A whole-vector k-means cannot
+    // produce both splits — only a per-subspace fit can.
+    val embs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+
+    val r = KMeansInt.fitPq(spark, embs, "embedding",
+        subDim = 2, k = 2, iters = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // seeds: vec 0 -> cid 0, vec 1 -> cid 1.
+    // sub 0: seeds (0,0)/(1e6,1e6) -> immediate split {0,2} vs {1,3}.
+    // sub 1: BOTH seeds are (0,0); round 1 ties everything to cid 0,
+    //   emptied cid 1 carries (0,0); round 2 cid 0 has drifted to the
+    //   global mean, so the carried cid 1 recaptures {0,1} and cid 0
+    //   keeps {2,3} — the empty-cluster carry rule converging to the
+    //   OTHER split than sub 0. No whole-vector fit produces both.
+    val bySub = r.groupBy(_._1)
+    assert(bySub(0L).map(x => x._2 -> x._3).toMap === Map(0 -> 2L, 1 -> 2L))
+    assert(bySub(1L).map(x => x._2 -> x._3).toMap === Map(0 -> 2L, 1 -> 2L))
+    // exact planted means, zero inertia, in both subspaces — but with
+    // OPPOSITE cid orientation (sub 0: cid 1 is the ones-corner; sub 1:
+    // cid 0 is)
+    val s0 = bySub(0L).map(x => x._2 -> x).toMap
+    val s1 = bySub(1L).map(x => x._2 -> x).toMap
+    assert(s0(0)._4 === 0L && s0(1)._4 === 2000000L)
+    assert(s1(0)._4 === 2000000L && s1(1)._4 === 0L)
+    assert(r.forall(_._5 === 0L))
+  }
+
   test("emptied cluster keeps its previous centroid and drops from final stats") {
     // identical vectors: every assignment ties to cid 0, so cid 1 empties
     // after the seed round — its centroid must carry (not NULL out), and
