@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.SparkShim
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{AudioHashExpr, DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqEncodeResidualExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
+import graft.expressions.{AudioHashExpr, DotProductExpr, FreqAggExpr, GraftExtensions, ImageAHashExpr, IsIPv4, IsIPv6, IvfProbesExpr, L2NormExpr, LshBucketExpr, MapAggExpr, NearestCellExpr, ParseDnsAnswer, PqEncodeExpr, PqEncodeResidualExpr, PqLutExpr, TopKAggExpr, VecScaleExpr}
 
 /** Column-level function surface of the engine (SURVEY.md §2.9).
   *
@@ -254,6 +254,15 @@ package object functions {
     * below the true count (pinned in SketchAccuracySpec). */
   def heavyHitters(item: Column, k: Int): Column =
     ncol(FreqAggExpr(nexpr(item), k).toAggregateExpression())
+
+  /** Key-wise map aggregation (ClickHouse sumMap/minMap/maxMap): each row
+    * contributes (key, value); result is key-sorted (key, val) entries
+    * with values folded under `op` ∈ sum|min|max —
+    * [[graft.expressions.MapAggExpr]]. Deterministic (commutative folds +
+    * sorted output), hence oracle-hashable, unlike the sketch aggs. */
+  def mapAgg(key: Column, value: Column, op: String = "sum"): Column =
+    ncol(MapAggExpr(nexpr(key), nexpr(value), MapAggExpr.opOf(op))
+      .toAggregateExpression())
 
   // ------------------------------------------------------- registration ----
 

@@ -556,6 +556,23 @@ object ExtQueries {
     graft.operators.KMeansInt.fitPq(s, Tables.embeddings(s, dir),
       "embedding", subDim = 16, k = 4, iters = 2)
 
+  /** sumMap ([[graft.functions.mapAgg]], [[graft.expressions.MapAggExpr]]):
+    * per-day map of event_type → summed value cents as ONE native map
+    * aggregation (partials merge map-side; one shuffle row per
+    * (day × partition), not per (day, type) pair), exploded to rows for
+    * the oracle. Exact int64 cents; key-sorted entries make the agg
+    * deterministic and hashable. */
+  def x59SumMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .agg(graft.functions.mapAgg(col("event_type"),
+        graft.functions.cents(col("value"))).as("m"))
+      .select(col("day"), explode(col("m")).as("e"))
+      .select(col("day"), col("e.key").as("event_type"),
+        col("e.val").as("sum_cents"))
+      .orderBy("day", "event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -934,6 +951,15 @@ object ExtQueries {
       |        GROUP BY a.g)
       |SELECT card.g AS day, n_users, n_returning
       |FROM card JOIN nxt ON card.g = nxt.g ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the sumMap rows (x59): the exploded map IS the
+    * keyed sum — same day arithmetic, same exact cents. */
+  private val duckSumMap: String =
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |  event_type,
+       |  CAST(sum(${graft.functions.centsSql("value")}) AS BIGINT) AS sum_cents
+       |FROM events WHERE value IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -2239,6 +2265,7 @@ object ExtQueries {
     "x56_sequence_match" -> duckSequenceMatch,
     "x57_bitmap_retention" -> duckBitmapRetention,
     "x58_pq_train" -> duckPqTrain,
+    "x59_summap" -> duckSumMap,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2450,6 +2477,7 @@ object ExtQueries {
     "x56_sequence_match" -> x56SequenceMatch, // oracle: feasible-set stage chain
     "x57_bitmap_retention" -> x57BitmapRetention, // oracle: identical 63-bit words
     "x58_pq_train"     -> x58PqTrain, // oracle: unrolled per-subspace Lloyd's
+    "x59_summap"       -> x59SumMap, // oracle: exploded keyed cents sums
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

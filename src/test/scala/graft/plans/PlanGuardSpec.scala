@@ -31,7 +31,7 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedFallbacks = Set(
     "JsonToStructs",
     "Percentile", "ApproximatePercentile", "HyperLogLogPlusPlus",
-    "CollectList", "TopKAggExpr", "FreqAggExpr",
+    "CollectList", "TopKAggExpr", "FreqAggExpr", "MapAggExpr",
     "ArrayFilter", "ArrayTransform", "ArrayExists", "ArraySort",
     "LambdaFunction", "NamedLambdaVariable")
 
