@@ -223,6 +223,43 @@ object TextAnalysis {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** Bigram-LM surprisal scoring — the CCNet-style quality filter: score
+    * each document by how surprising its token bigrams are under a bigram
+    * model trained on the corpus itself (high surprisal ⇒ gibberish /
+    * boilerplate-free tail; low ⇒ formulaic text). The classic score is
+    * Σ −log₂ p(w₂|w₁) = Σ (log₂ c(w₁) − log₂ c(w₁w₂)) — IEEE logs would
+    * be un-oracleable, so the surprisal is taken at integer floor-log₂
+    * resolution via `length(bin(count))` (the binary digit count, exact
+    * in any engine): bits = len(bin(c₁)) − len(bin(c₁₂)) per bigram,
+    * within 1 bit of the real log-ratio and EXACT as arithmetic. Output
+    * per doc: bigram count, total bits, and milli-bits/bigram
+    * (`total·1000 DIV n` — integer, no IEEE division).
+    *
+    * Shape: one pos-window pass to form bigrams (shuffle by doc), two
+    * count aggregations (the "model" — plain DataFrames, never a driver
+    * artifact), then count joins keyed by bigram — all hash joins with
+    * map-side-combined counts; at 100 TB the model tables are
+    * vocab-sized, the per-doc pass is corpus-sized, nothing is
+    * quadratic. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = Caching.persisted(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
+      .withColumn("bits_e3", expr("total_bits * 1000 DIV n_bigrams"))
+  }
+
   /** Per-doc fingerprint: minimum md5 over word 3-grams — a 1-hash MinHash;
     * identical fingerprints are a strong near-dup signal, and min-md5 is
     * reproducible in any engine with md5 (oracle-checkable), unlike a

@@ -573,6 +573,15 @@ object ExtQueries {
         col("e.val").as("sum_cents"))
       .orderBy("day", "event_type")
 
+  /** Bigram-LM surprisal scoring
+    * ([[graft.operators.TextAnalysis.bigramSurprisal]]): the CCNet-style
+    * quality filter at exact integer floor-log₂ resolution
+    * (`length(bin(count))` — no IEEE logs), scored over the documents
+    * corpus; full DuckDB replay. */
+  def x60BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -951,6 +960,24 @@ object ExtQueries {
       |        GROUP BY a.g)
       |SELECT card.g AS day, n_users, n_returning
       |FROM card JOIN nxt ON card.g = nxt.g ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the bigram surprisal (x60): identical tokenization,
+    * lead-window bigrams, and the same `length(bin(count))` exact
+    * floor-log₂ — the trick that makes an LM-style score hashable. */
+  private val duckBigramSurprisal: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (SELECT doc_id, unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS u FROM t),
+      |bg0 AS (SELECT doc_id, u.tok AS w1,
+      |          lead(u.tok) OVER (PARTITION BY doc_id ORDER BY u.pos) AS w2 FROM tk),
+      |bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |sc AS (SELECT bg.doc_id, length(bin(c1.c1)) - length(bin(c12.c12)) AS bits
+      |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(bits) AS BIGINT) AS total_bits,
+      |  CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS bits_e3
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the sumMap rows (x59): the exploded map IS the
     * keyed sum — same day arithmetic, same exact cents. */
@@ -2266,6 +2293,7 @@ object ExtQueries {
     "x57_bitmap_retention" -> duckBitmapRetention,
     "x58_pq_train" -> duckPqTrain,
     "x59_summap" -> duckSumMap,
+    "x60_bigram_surprisal" -> duckBigramSurprisal,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2478,6 +2506,7 @@ object ExtQueries {
     "x57_bitmap_retention" -> x57BitmapRetention, // oracle: identical 63-bit words
     "x58_pq_train"     -> x58PqTrain, // oracle: unrolled per-subspace Lloyd's
     "x59_summap"       -> x59SumMap, // oracle: exploded keyed cents sums
+    "x60_bigram_surprisal" -> x60BigramSurprisal, // oracle: exact bin-length log2
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -460,6 +460,18 @@ class SimilaritySpec extends SparkTestBase {
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bigramSurprisal: rare continuations cost bits, formulaic ones don't") {
+    // corpus bigrams: docA (a,b)×2 (b,a)×2; docB (a,z)×1
+    // counts: c1(a)=3, c1(b)=2; c12(a,b)=2, (b,a)=2, (a,z)=1
+    // docA bits: (a,b): len(bin 3)−len(bin 2) = 2−2 = 0 (×2);
+    //            (b,a): 2−2 = 0 (×2) → total 0
+    // docB bits: (a,z): len(bin 3)−len(bin 1) = 2−1 = 1 → 1000 milli-bits
+    val docs = Seq((1L, "a b a b a"), (2L, "a z")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprisal(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 4L, 0L, 0L), (2L, 1L, 1L, 1000L)))
+  }
+
   test("quality metrics on a known document") {
     val docs = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(docs).collect().head
