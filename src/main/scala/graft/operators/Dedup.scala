@@ -235,6 +235,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the partial-copy member of the
+    * near-dup family: `containment(a→b) = |grams(a) ∩ grams(b)| /
+    * |grams(a)|`, so a short document swallowed whole by a long one
+    * scores 1.0 where Jaccard (x4) scores near |a|/|b| and slips under
+    * any sane threshold. Emits BOTH directions (the measure is
+    * asymmetric — that asymmetry is the signal: quote-inclusion, page
+    * boilerplate, doc-in-doc concatenation).
+    *
+    * Blocking is (lang, source) only — deliberately NOT the n_chars
+    * size bucket [[ngramJaccardPairs]] adds, because containment's
+    * target pairs are precisely the size-ASYMMETRIC ones a size-bucket
+    * block would separate. Block sizes are corpus/|lang×source|; pairs
+    * stay quadratic-in-block like every verify stage here, with the
+    * per-pair kernel the native sorted merge-walk. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.hashedSet(
+          TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gh"))
+      .filter(size(col("gh")) > 0)
+      .repartition(col("lang"), col("source"))
+      .transform(Caching.persisted)
+    g.as("a")
+      .join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        pround4(TextOps.containmentHashed(col("a.gh"), col("b.gh")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** doc_id → 64-bit SimHash (Charikar), computed as explode(distinct
     * tokens) → md5-derived 64-bit hash ([[graft.functions.md5Hash64]] —
     * reproducible in the DuckDB oracle, unlike round-1's xxhash64) →

@@ -59,6 +59,18 @@ object TextOps {
     inter / when(union === 0, lit(null)).otherwise(union)
   }
 
+  /** DIRECTED containment |A∩B| / |A| over [[hashedSet]] columns — the
+    * asymmetric cousin of [[jaccardHashed]]: 1.0 means every element of A
+    * appears in B regardless of how much bigger B is, exactly the signal
+    * symmetric Jaccard dilutes for size-skewed pairs. Same native sorted
+    * merge-walk intersection; null when A is empty. */
+  def containmentHashed(a: Column, b: Column): Column = {
+    val shim = org.apache.spark.sql.graft.SparkShim
+    val inter = shim.column(graft.expressions.SortedIntersectCount(
+      shim.expression(a), shim.expression(b)))
+    inter / when(size(a) === 0, lit(null)).otherwise(size(a))
+  }
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

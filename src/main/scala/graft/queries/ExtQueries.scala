@@ -36,6 +36,16 @@ object ExtQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleN = 3, threshold = 0.01)
       .orderBy("id1", "id2")
 
+  /** Directed n-gram containment pairs
+    * ([[graft.operators.Dedup.ngramContainmentPairs]]): the partial-copy
+    * detector — |grams(a)∩grams(b)|/|grams(a)| ≥ 0.5 within
+    * (lang, source) blocks, both directions (the asymmetry IS the
+    * signal; the corpus's planted swallow pair scores 1.0 one way). */
+  def x61NgramContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.documents(s, dir),
+        shingleN = 3, threshold = 0.5)
+      .orderBy("id1", "id2")
+
   /** Duplicate clusters: connected components over the MinHash-LSH pairs —
     * (doc, min-id-of-component) for every doc in some near-dup pair. */
   def x11DedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -2370,6 +2380,18 @@ object ExtQueries {
          |WHERE floor((len(list_intersect(a.grams, b.grams)) * 1.0 /
          |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) * 10000.0 + 0.5) / 10000.0 >= 0.01
          |ORDER BY id1, id2""".stripMargin,
+    "x61_ngram_containment" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, source, $duckGrams AS grams
+         |  FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  floor((len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)) * 10000.0 + 0.5) / 10000.0 AS containment
+         |FROM g a JOIN g b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+         |WHERE floor((len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
     "x5_embed_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
@@ -2507,6 +2529,7 @@ object ExtQueries {
     "x58_pq_train"     -> x58PqTrain, // oracle: unrolled per-subspace Lloyd's
     "x59_summap"       -> x59SumMap, // oracle: exploded keyed cents sums
     "x60_bigram_surprisal" -> x60BigramSurprisal, // oracle: exact bin-length log2
+    "x61_ngram_containment" -> x61NgramContainment, // oracle: directed gram overlap
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -41,6 +41,18 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head._3 > 0.5)
   }
 
+  test("ngram containment: directed, catches the size-asymmetric swallow") {
+    // doc 2 ⊃ doc 0's text: all 11 of doc 0's 3-grams are in doc 2 ->
+    // containment(0→2) = 1.0; the reverse is 11/12 = 0.9167 (doc 2 has
+    // one extra gram). doc 1 is doc 0's text in ANOTHER source block:
+    // never paired.
+    val pairs = Dedup.ngramContainmentPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet === Set((0L, 2L), (2L, 0L)))
+    assert(pairs((0L, 2L)) === 1.0)
+    assert(pairs((2L, 0L)) === 0.9167)
+  }
+
   test("clusters: connected components with min-id labels, chains merge transitively") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolated pairs only
