@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral-sequence aggregates from the reference engine's family
@@ -83,6 +84,38 @@ object Funnel {
       .join(last.select(col("user")).distinct().withColumn("m", lit(1)),
         Seq("user"), "left")
       .select(col("user"), coalesce(col("m"), lit(0)).as("matched"))
+  }
+
+  /** `sequenceCount` for a 2-step pattern: the number of NON-OVERLAPPING
+    * `first → second` chains per user, scanning left to right (the
+    * ClickHouse semantics). The scan is inherently sequential, but for
+    * two steps it collapses to the bracket-matching identity: treat
+    * `first` as '(' and `second` as ')' — greedy matching is maximal
+    * (an exchange argument: re-pairing any matched ')' with a later '('
+    * can only strand more), and the unmatched-')' count is the largest
+    * prefix surplus of ')' over '('. Hence
+    *
+    *   matches = n_second − max(0, max over prefixes (cnt₂ − cnt₁))
+    *
+    * — one per-user window cumsum + max, no iteration. Ties at the same
+    * timestamp order `second` BEFORE `first` so a same-instant pair never
+    * matches (strict `t₂ > t₁`, consistent with the other behavioral
+    * aggregates); peer rows in a tie share a type, so the RANGE-frame
+    * cumulative value both engines default to attains every true interior
+    * maximum at a group boundary. Returns `(user, n_matches)` over users
+    * with either event type. */
+  def sequenceCount2(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, first: String, second: String): DataFrame = {
+    val e = events.filter(col(typeCol).isin(first, second))
+      .select(col(userCol).as("user"), col(tsUsCol).as("t"),
+        when(col(typeCol) === second, 1L).otherwise(-1L).as("d"),
+        when(col(typeCol) === second, 0).otherwise(1).as("ord"))
+    val w = Window.partitionBy("user").orderBy(col("t"), col("ord"))
+    e.withColumn("s", sum("d").over(w))
+      .groupBy("user")
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("nb"),
+        greatest(max("s"), lit(0L)).as("surplus"))
+      .select(col("user"), (col("nb") - col("surplus")).as("n_matches"))
   }
 
   /** `retention`: cohort users by the DAY of their first `anchorType`

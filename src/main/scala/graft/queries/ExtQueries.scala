@@ -592,6 +592,17 @@ object ExtQueries {
     graft.operators.TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
       .orderBy("doc_id")
 
+  /** sequenceCount ([[graft.operators.Funnel.sequenceCount2]]): users by
+    * their number of non-overlapping view → purchase chains — the
+    * sequential greedy scan made relational via the bracket-matching
+    * identity (one window cumsum + max); full DuckDB replay. */
+  def x62SequenceCount(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceCount2(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type", "view", "purchase")
+      .groupBy("n_matches").agg(count(lit(1)).as("n_users"))
+      .orderBy("n_matches")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -997,6 +1008,23 @@ object ExtQueries {
        |  CAST(sum(${graft.functions.centsSql("value")}) AS BIGINT) AS sum_cents
        |FROM events WHERE value IS NOT NULL
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** DuckDB mirror of the sequence count (x62): the same bracket
+    * identity — RANGE-frame cumsum (both engines' default), same
+    * second-before-first tie order. */
+  private val duckSequenceCount: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS d,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS ord
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |),
+      |s AS (SELECT u, d, sum(d) OVER (PARTITION BY u ORDER BY t, ord) AS cum FROM e),
+      |m AS (SELECT u, sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS nb,
+      |        greatest(max(cum), 0) AS surplus FROM s GROUP BY u)
+      |SELECT CAST(nb - surplus AS BIGINT) AS n_matches,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -2304,6 +2332,7 @@ object ExtQueries {
     "x58_pq_train" -> duckPqTrain,
     "x59_summap" -> duckSumMap,
     "x60_bigram_surprisal" -> duckBigramSurprisal,
+    "x62_sequence_count" -> duckSequenceCount,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2530,6 +2559,7 @@ object ExtQueries {
     "x59_summap"       -> x59SumMap, // oracle: exploded keyed cents sums
     "x60_bigram_surprisal" -> x60BigramSurprisal, // oracle: exact bin-length log2
     "x61_ngram_containment" -> x61NgramContainment, // oracle: directed gram overlap
+    "x62_sequence_count" -> x62SequenceCount, // oracle: bracket-identity windows
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -59,6 +59,28 @@ class FunnelSpec extends SparkTestBase {
     assert(m2 === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
   }
 
+  test("sequenceCount2: non-overlapping greedy chains via the bracket identity") {
+    val events = Seq(
+      // u1: A B A B -> 2 chains
+      (1L, "view", 0L), (1L, "purchase", 1L), (1L, "view", 2L), (1L, "purchase", 3L),
+      // u2: A B B A -> 1 (second B unmatched, trailing A unmatched)
+      (2L, "view", 0L), (2L, "purchase", 1L), (2L, "purchase", 2L), (2L, "view", 3L),
+      // u3: A A B B -> 2 (both As matched in order)
+      (3L, "view", 0L), (3L, "view", 1L), (3L, "purchase", 2L), (3L, "purchase", 3L),
+      // u4: B A B -> 1 (leading B unmatched)
+      (4L, "purchase", 0L), (4L, "view", 1L), (4L, "purchase", 2L),
+      // u5: same-instant pair never matches (strict t2 > t1)
+      (5L, "view", 7L), (5L, "purchase", 7L),
+      // u6: only purchases -> 0
+      (6L, "purchase", 0L), (6L, "purchase", 1L)
+    ).toDF("user_id", "event_type", "t_us")
+
+    val r = Funnel.sequenceCount2(events, "user_id", "t_us", "event_type",
+        "view", "purchase")
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("retention: cohort day from first signup, half-open condition windows") {
     val events = Seq(
       // u1: signup day 0; click on day 1 (retained), purchase day 6 (converted)
