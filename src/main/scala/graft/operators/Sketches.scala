@@ -50,6 +50,58 @@ object Sketches {
             .as("approx_distinct"): _*)
   }
 
+  /** KMV SET ALGEBRA — the approximate counterpart of [[Bitmaps]]' exact
+    * reads, closing the sketch family's set-operation story: for each
+    * requested `(g1, g2)` pair, estimate |A∪B|, |A∩B| and Jaccard from
+    * the two groups' k-sized KMV sketches alone (the classic KMV
+    * estimator: union sketch = k smallest of S_A ∪ S_B; ρ = fraction of
+    * union-sketch hashes present in BOTH; |A∪B| ≈ (k−1)/u₍ₖ₎; |A∩B| ≈
+    * ρ·|A∪B|). When the union sketch is under k the sets are fully
+    * visible and every figure is EXACT.
+    *
+    * Deterministic end-to-end (md5 positions, integer ρ in ppm, one
+    * fixed IEEE expression per estimate) — unlike HLL the whole
+    * computation replays in SQL, and the sketch rows are exactly the
+    * state [[graft.streaming.IncrementalKmv]] maintains, so these reads
+    * also serve from continuously-maintained state.
+    *
+    * Scale shape: sketches are one k-row window per group; pair work is
+    * O(pairs × 2k) rows — `pairs` (a `(g1, g2)` frame) is caller-chosen
+    * precisely so a 10⁶-group table never implies 10¹² pairs. */
+  def kmvSetAlgebra(df: DataFrame, groupCol: String, valueCol: String,
+      pairs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), md5Hash64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("u", unitInterval(col("h")))
+      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("u", "h")))
+      .filter(col("rk") <= k)
+      .drop("rk")
+      .transform(Caching.persisted)
+    val a = pairs.join(sk.withColumnRenamed("g", "g1"), Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"), col("u"), lit("a").as("side"))
+    val b = pairs.join(sk.withColumnRenamed("g", "g2"), Seq("g2"))
+      .select(col("g1"), col("g2"), col("h"), col("u"), lit("b").as("side"))
+    a.unionByName(b)
+      .groupBy("g1", "g2", "h", "u")
+      .agg(countDistinct("side").as("sides"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("g1", "g2").orderBy("u", "h")))
+      .filter(col("rk") <= k)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("n_both"),
+        max(when(col("rk") === k, col("u"))).as("uk"))
+      .select(col("g1"), col("g2"),
+        expr("n_both * 1000000 DIV m").as("jaccard_ppm"),
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("uk")).as("union_est"),
+        when(col("m") < k, col("n_both").cast("double"))
+          .otherwise(col("n_both").cast("double") / lit(k.toDouble) *
+            (lit((k - 1).toDouble) / col("uk"))).as("inter_est"))
+  }
+
   /** The d hashed counter positions of a string value — shared by the
     * sketch build, the point-estimate probe, and (being md5-derived
     * exact integers) the DuckDB oracle. */

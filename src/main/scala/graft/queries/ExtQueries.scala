@@ -603,6 +603,23 @@ object ExtQueries {
       .groupBy("n_matches").agg(count(lit(1)).as("n_users"))
       .orderBy("n_matches")
 
+  /** KMV set algebra ([[graft.operators.Sketches.kmvSetAlgebra]]): the
+    * approximate twin of x57's exact bitmaps — adjacent-day user-set
+    * union/intersection/Jaccard estimated from k=64 md5-KMV sketches,
+    * fully deterministic (integer ρ ppm, one fixed IEEE expression per
+    * estimate) and DuckDB-replayable, unlike HLL (x8). */
+  def x63KmvSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+    val days = ev.select(col("day")).distinct()
+    val pairs = days.select(col("day").as("g1"), (col("day") + 1).as("g2"))
+      .join(days.select(col("day").as("g2")), Seq("g2"), "left_semi")
+    graft.operators.Sketches.kmvSetAlgebra(ev, "day", "user_id", pairs, k = 64)
+      .select(col("g1").as("day"), col("g2").as("next_day"),
+        col("jaccard_ppm"), col("union_est"), col("inter_est"))
+      .orderBy("day")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -999,6 +1016,44 @@ object ExtQueries {
       |  CAST(sum(bits) AS BIGINT) AS total_bits,
       |  CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS bits_e3
       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the KMV set algebra (x63): same md5 sketches, the
+    * same union-rank/ρ/uk estimator expressions term for term. */
+  private val duckKmvSetAlgebra: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g, user_id
+       |  FROM events WHERE user_id IS NOT NULL
+       |),
+       |m0 AS (SELECT g, md5(CAST(user_id AS VARCHAR)) AS mm FROM e),
+       |hh AS (SELECT g, ${duckNibbleFold("mm")} AS hu FROM m0),
+       |dh AS (SELECT DISTINCT g, ${duckSigned("hu")} AS h FROM hh),
+       |du AS (SELECT g, h, ${duckUnitInterval("h")} AS u FROM dh),
+       |sk AS (
+       |  SELECT g, h, u FROM (
+       |    SELECT g, h, u, ROW_NUMBER() OVER (PARTITION BY g ORDER BY u, h) AS rn
+       |    FROM du) WHERE rn <= 64
+       |),
+       |days AS (SELECT DISTINCT g FROM e),
+       |pairs AS (SELECT a.g AS g1, a.g + 1 AS g2 FROM days a JOIN days b ON b.g = a.g + 1),
+       |un AS (
+       |  SELECT g1, g2, h, u, count(DISTINCT side) AS sides FROM (
+       |    SELECT p.g1, p.g2, s.h, s.u, 'a' AS side FROM pairs p JOIN sk s ON s.g = p.g1
+       |    UNION ALL
+       |    SELECT p.g1, p.g2, s.h, s.u, 'b' FROM pairs p JOIN sk s ON s.g = p.g2
+       |  ) GROUP BY 1, 2, 3, 4
+       |),
+       |r AS (SELECT g1, g2, sides, u,
+       |        ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY u, h) AS rk FROM un),
+       |f AS (SELECT g1, g2, count(*) AS m,
+       |        sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS n_both,
+       |        max(CASE WHEN rk = 64 THEN u END) AS uk
+       |      FROM r WHERE rk <= 64 GROUP BY 1, 2)
+       |SELECT g1 AS day, g2 AS next_day,
+       |  CAST(n_both AS BIGINT) * 1000000 // CAST(m AS BIGINT) AS jaccard_ppm,
+       |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE 63.0 / uk END AS union_est,
+       |  CASE WHEN m < 64 THEN CAST(n_both AS DOUBLE)
+       |       ELSE CAST(n_both AS DOUBLE) / 64.0 * (63.0 / uk) END AS inter_est
+       |FROM f ORDER BY day""".stripMargin
 
   /** DuckDB mirror of the sumMap rows (x59): the exploded map IS the
     * keyed sum — same day arithmetic, same exact cents. */
@@ -2333,6 +2388,7 @@ object ExtQueries {
     "x59_summap" -> duckSumMap,
     "x60_bigram_surprisal" -> duckBigramSurprisal,
     "x62_sequence_count" -> duckSequenceCount,
+    "x63_kmv_set_algebra" -> duckKmvSetAlgebra,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2560,6 +2616,7 @@ object ExtQueries {
     "x60_bigram_surprisal" -> x60BigramSurprisal, // oracle: exact bin-length log2
     "x61_ngram_containment" -> x61NgramContainment, // oracle: directed gram overlap
     "x62_sequence_count" -> x62SequenceCount, // oracle: bracket-identity windows
+    "x63_kmv_set_algebra" -> x63KmvSetAlgebra, // oracle: md5-KMV estimator replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

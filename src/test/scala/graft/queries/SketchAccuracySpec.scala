@@ -48,6 +48,30 @@ class SketchAccuracySpec extends SparkTestBase {
     }
   }
 
+  test("kmv set algebra: exact under k; estimator within 3σ on planted overlap") {
+    import spark.implicits._
+    // planted: A = 0..999, B = 500..1499 -> |A∩B| = 500, |A∪B| = 1500,
+    // jaccard = 1/3. Also a small pair fully visible at k (exact path).
+    val big = ((0L until 1000L).map(("A", _)) ++ (500L until 1500L).map(("B", _)) ++
+      (0L until 20L).map(("C", _)) ++ (10L until 30L).map(("D", _)))
+      .toDF("g", "v")
+    val pairs = Seq(("A", "B"), ("C", "D")).toDF("g1", "g2")
+    val r = graft.operators.Sketches.kmvSetAlgebra(big, "g", "v", pairs, k = 64)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+
+    val cd = r(("C", "D")) // union 30 < k: everything exact
+    assert(cd.getAs[Long]("jaccard_ppm") === 10L * 1000000L / 30L)
+    assert(cd.getAs[Double]("union_est") === 30.0)
+    assert(cd.getAs[Double]("inter_est") === 10.0)
+
+    val ab = r(("A", "B")) // estimator path: 3σ bounds, σ ≈ 1/√(k−2)
+    val se = 1.0 / math.sqrt(62.0)
+    assert(math.abs(ab.getAs[Double]("union_est") - 1500.0) / 1500.0 <= 3 * se)
+    assert(math.abs(ab.getAs[Double]("inter_est") - 500.0) / 500.0 <= 6 * se)
+    val j = ab.getAs[Long]("jaccard_ppm").toDouble / 1e6
+    assert(math.abs(j - 1.0 / 3.0) <= 3 * se)
+  }
+
   test("x15: IVF cell stats partition the whole corpus") {
     val emb = Tables.embeddings(spark, dir)
     val stats = graft.operators.Similarity.cellStats(emb).collect()
