@@ -153,4 +153,33 @@ object TimeSeries {
           pround4(col("dev").cast("double") / sqrt(col("varnum").cast("double")))))
           .as("max_z4"))
   }
+
+  /** Exponentially-decayed ("trending") sums — the reference engine
+    * family's `exponentialTimeDecayedSum` surface, made EXACT: weight is
+    * a power of two per day of age (half-life = 1 day), so each row's
+    * contribution is `cents·10⁶ DIV 2^age_days` — integer shift and
+    * truncating division, no IEEE decay anywhere, and the figure replays
+    * bit-for-bit in SQL. Age is relative to the CORPUS max day (a
+    * deterministic anchor — never wall-clock), capped at 62 so the shift
+    * stays in-range (a 62-day-old row contributes < 10⁻¹² of its value —
+    * zero after truncation for any real magnitude). Dividing PER ROW
+    * before summing keeps every intermediate bounded by the plain sum at
+    * any corpus size.
+    *
+    * Shape: one 1-row max-day broadcast + one hash aggregation —
+    * summary-sized output, stream scanned once. */
+  def decayedSum(events: DataFrame, groupCol: String, tsUsCol: String,
+      valueCents: Column): DataFrame = {
+    val day = expr(s"$tsUsCol DIV 86400000000")
+    val mx = events.agg(max(day).as("mx"))
+    // 1-row scalar broadcast (the allowlisted BNLJ shape, cf. x27/x40)
+    events.crossJoin(broadcast(mx))
+      .select(col(groupCol),
+        valueCents.as("c"),
+        expr(s"CAST(LEAST(mx - ($tsUsCol DIV 86400000000), 62L) AS INT)").as("age"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        sum(expr("c * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
+  }
 }

@@ -620,6 +620,18 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  /** Decayed/trending sums ([[graft.operators.TimeSeries.decayedSum]]):
+    * per-type exponentially-decayed value totals with EXACT power-of-2
+    * day weights (`cents·10⁶ DIV 2^age`), anchored at the corpus max day
+    * — the deterministic, oracle-replayable form of
+    * exponentialTimeDecayedSum. */
+  def x64DecayedSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.decayedSum(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .withColumn("t_us", expr("ts DIV 1000")),
+        "event_type", "t_us", graft.functions.cents(col("value")))
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1054,6 +1066,20 @@ object ExtQueries {
        |  CASE WHEN m < 64 THEN CAST(n_both AS DOUBLE)
        |       ELSE CAST(n_both AS DOUBLE) / 64.0 * (63.0 / uk) END AS inter_est
        |FROM f ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the decayed sums (x64): same cents, same max-day
+    * anchor, the same per-row `· 10⁶ // 2^age` truncation. */
+  private val duckDecayedSum: String =
+    s"""WITH e AS (
+       |  SELECT event_type, ${graft.functions.centsSql("value")} AS c,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |m AS (SELECT max(day) AS mx FROM e)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(c) AS BIGINT) AS sum_cents,
+       |  CAST(sum(c * 1000000 // (1::BIGINT << CAST(LEAST(mx - day, 62) AS INT))) AS BIGINT) AS decayed_e6
+       |FROM e, m GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** DuckDB mirror of the sumMap rows (x59): the exploded map IS the
     * keyed sum — same day arithmetic, same exact cents. */
@@ -2389,6 +2415,7 @@ object ExtQueries {
     "x60_bigram_surprisal" -> duckBigramSurprisal,
     "x62_sequence_count" -> duckSequenceCount,
     "x63_kmv_set_algebra" -> duckKmvSetAlgebra,
+    "x64_decayed_sum" -> duckDecayedSum,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2617,6 +2644,7 @@ object ExtQueries {
     "x61_ngram_containment" -> x61NgramContainment, // oracle: directed gram overlap
     "x62_sequence_count" -> x62SequenceCount, // oracle: bracket-identity windows
     "x63_kmv_set_algebra" -> x63KmvSetAlgebra, // oracle: md5-KMV estimator replays
+    "x64_decayed_sum"  -> x64DecayedSum, // oracle: power-of-2 decay replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

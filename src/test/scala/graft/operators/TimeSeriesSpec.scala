@@ -55,4 +55,19 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(!got.exists(_._2 == 4200L))
     graft.operators.Caching.releaseAll()
   }
+
+  test("decayedSum: exact power-of-2 day decay anchored at the corpus max day") {
+    import spark.implicits._
+    val DAY = 86400000000L
+    val rows = Seq(
+      ("a", 2 * DAY, 1.00), // age 0: 100 cents -> 100_000_000 e6
+      ("a", 1 * DAY, 1.00), // age 1: -> 50_000_000
+      ("a", 0L, 0.01),      // age 2: 1 cent -> 1_000_000 DIV 4 = 250_000
+      ("b", 2 * DAY, 0.02)  // age 0: 2 cents -> 2_000_000
+    ).toDF("g", "t_us", "v")
+    val r = graft.operators.TimeSeries.decayedSum(rows, "g", "t_us",
+        graft.functions.cents(org.apache.spark.sql.functions.col("v")))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", 3L, 201L, 150250000L), ("b", 1L, 2L, 2000000L)))
+  }
 }
