@@ -182,4 +182,26 @@ object TimeSeries {
         sum(col("c")).as("sum_cents"),
         sum(expr("c * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
   }
+
+  /** [[decayedSum]] served from a maintained `(group, day, n, sum_cents)`
+    * day summary instead of the fact stream — the reference's MV
+    * economics applied to decay: the summary is plain additive state
+    * (`MvPipeline.upsert` SUM merge), and because the decay weight is
+    * constant WITHIN a day, folding a whole day's cents before decaying
+    * changes nothing: `Σᵢ(cᵢ·10⁶ DIV 2ᵃ)` vs `(Σᵢcᵢ)·10⁶ DIV 2ᵃ` differ
+    * only in truncation points — we define day granularity as the
+    * contract (both the operator and this read truncate once per
+    * (group, day) when fed the same summary; the spec pins the
+    * equivalence on per-day-folded input). Reads are O(summary), the
+    * stream is never rescanned. */
+  def decayedSumFromDaySummary(dayCents: DataFrame, groupCol: String): DataFrame = {
+    val mx = dayCents.agg(max(col("day")).as("mx"))
+    dayCents.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n"), col("sum_cents"),
+        expr("CAST(LEAST(mx - day, 62L) AS INT)").as("age"))
+      .groupBy(groupCol)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        sum(expr("sum_cents * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
+  }
 }

@@ -69,5 +69,17 @@ class TimeSeriesSpec extends SparkTestBase {
         graft.functions.cents(org.apache.spark.sql.functions.col("v")))
       .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
     assert(r === Seq(("a", 3L, 201L, 150250000L), ("b", 1L, 2L, 2000000L)))
+
+    // state-served read: the same figures off a maintained (g, day)
+    // summary — one row per (g, day) makes per-day folding a no-op, so
+    // the equivalence is exact
+    import org.apache.spark.sql.functions._
+    val summary = rows
+      .groupBy(col("g"), expr("t_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.cents(col("v"))).as("sum_cents"))
+    val served = graft.operators.TimeSeries.decayedSumFromDaySummary(summary, "g")
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(served === r)
   }
 }
