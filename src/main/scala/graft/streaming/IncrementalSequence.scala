@@ -67,6 +67,16 @@ object IncrementalSequence {
       .filter(col("kind") === "f" && col("k") === numConds)
       .select("user").distinct()
 
+  /** Per-user progression depth served from state: the deepest stage k
+    * whose feasible set contains the user (the funnel-levels read under
+    * sequence-DP semantics — per-gap bounds, not windowFunnel's anchor
+    * window). One scan of the f-rows, no joins. */
+  def levels(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readState(spark, stateDir, "seq")
+      .filter(col("kind") === "f")
+      .groupBy("user")
+      .agg(max(col("k")).as("level"))
+
   /** Raw events → `(kind='e', k, user, t)` rows, one per condition the
     * event's type participates in (a type may appear in several). */
   private def project(df: DataFrame, userCol: String, tsUsCol: String,

@@ -59,5 +59,10 @@ class IncrementalSequenceSpec extends SparkTestBase {
     run()
     assert(served() === batchTruth(b1 ++ b2 ++ b3))
     assert(served() === Set(1L, 2L, 3L)) // cross-batch feasible-set rescue
+
+    // levels read: deepest feasible stage per user with any stage-1 entry
+    val lv = IncrementalSequence.levels(spark, state)
+      .as[(Long, Int)].collect().toMap
+    assert(lv === Map(1L -> 3, 2L -> 3, 3L -> 3))
   }
 }
