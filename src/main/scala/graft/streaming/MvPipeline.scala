@@ -281,4 +281,20 @@ object MvPipeline {
   /** Read a summary state table. */
   def readState(spark: SparkSession, stateDir: String, view: String): DataFrame =
     spark.read.parquet(s"$stateDir/$view")
+
+  /** Order-free content digest of a state table — the anti-entropy
+    * primitive for replicated/backfilled state dirs: two replicas of a
+    * maintained summary agree iff their digests agree, at the cost of one
+    * scan and an 8-byte exchange (vs shipping either table). XOR of
+    * per-row md5-derived int64s over a name-sorted JSON canonical form,
+    * so partitioning, file layout, row order, and column order are all
+    * invisible; XOR's self-inverse also means a retraction (remove one
+    * row) shifts the digest by exactly that row's hash. NOTE: a digest
+    * treats the table as a SET — duplicate rows in pairs cancel; state
+    * tables here are keyed (one row per key), which is the contract. */
+  def stateDigest(df: DataFrame): DataFrame = {
+    val canon = to_json(struct(df.columns.sorted.map(col): _*))
+    df.select(graft.functions.md5Hash64(canon).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("digest"))
+  }
 }

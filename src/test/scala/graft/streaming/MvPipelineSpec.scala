@@ -116,4 +116,19 @@ class MvPipelineSpec extends SparkTestBase {
     // 10.0.0.2's late 00:01:30 blocked row joined its 00:00 bucket
     assert(s(("10.0.0.2", bucket0)) == (1L, 1L))
   }
+
+  test("stateDigest: order/partition/column-order invariant, content-sensitive") {
+    import spark.implicits._
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      MvPipeline.stateDigest(df).as[Long].collect().head
+    val a = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("k", "v")
+    val shuffled = Seq(("z", 3L), ("x", 1L), ("y", 2L)).toDF("k", "v")
+      .repartition(7)
+    val reordered = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("v", "k")
+    assert(digest(a) === digest(shuffled))
+    assert(digest(a) === digest(reordered)) // name-sorted canonical form
+    val changed = Seq(("x", 1L), ("y", 2L), ("z", 4L)).toDF("k", "v")
+    assert(digest(a) !== digest(changed))
+    assert(digest(a.limit(0)) === 0L) // empty table digests to 0
+  }
 }
