@@ -632,6 +632,18 @@ object ExtQueries {
         "event_type", "t_us", graft.functions.cents(col("value")))
       .orderBy("event_type")
 
+  /** Pivot/reshape surface: per-day event counts pivoted to one column
+    * per event type — `Dataset.pivot` with EXPLICIT values (dynamic
+    * value discovery would make the schema data-dependent and
+    * un-oracleable); replays as conditional counts. */
+  def x65PivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1080,6 +1092,17 @@ object ExtQueries {
        |  CAST(sum(c) AS BIGINT) AS sum_cents,
        |  CAST(sum(c * 1000000 // (1::BIGINT << CAST(LEAST(mx - day, 62) AS INT))) AS BIGINT) AS decayed_e6
        |FROM e, m GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the daily pivot (x65): explicit conditional
+    * counts — the relational meaning of a fixed-values pivot. */
+  private val duckPivotDaily: String =
+    """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** DuckDB mirror of the sumMap rows (x59): the exploded map IS the
     * keyed sum — same day arithmetic, same exact cents. */
@@ -2416,6 +2439,7 @@ object ExtQueries {
     "x62_sequence_count" -> duckSequenceCount,
     "x63_kmv_set_algebra" -> duckKmvSetAlgebra,
     "x64_decayed_sum" -> duckDecayedSum,
+    "x65_pivot_daily" -> duckPivotDaily,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2645,6 +2669,7 @@ object ExtQueries {
     "x62_sequence_count" -> x62SequenceCount, // oracle: bracket-identity windows
     "x63_kmv_set_algebra" -> x63KmvSetAlgebra, // oracle: md5-KMV estimator replays
     "x64_decayed_sum"  -> x64DecayedSum, // oracle: power-of-2 decay replays
+    "x65_pivot_daily"  -> x65PivotDaily, // oracle: explicit conditional counts
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkTestBase {
     "JsonToStructs",
     "Percentile", "ApproximatePercentile", "HyperLogLogPlusPlus",
     "CollectList", "TopKAggExpr", "FreqAggExpr", "MapAggExpr",
+    "PivotFirst", // Spark's own pivot lowering — imperative agg, values-bounded buffer
     "ArrayFilter", "ArrayTransform", "ArrayExists", "ArraySort",
     "LambdaFunction", "NamedLambdaVariable")
 
