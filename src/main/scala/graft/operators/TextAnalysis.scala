@@ -260,6 +260,29 @@ object TextAnalysis {
       .withColumn("bits_e3", expr("total_bits * 1000 DIV n_bigrams"))
   }
 
+  /** Document NOVELTY — the marginal-contribution / dedup-priority
+    * metric: the share of a document's distinct n-grams whose FIRST
+    * corpus occurrence (lowest doc_id — ingestion order) is the document
+    * itself. A verbatim copy scores 0, fresh text 1.0; curation keeps
+    * high-novelty docs first, which is the principled order for dedup
+    * retention and curriculum passes. Exact integer ppm.
+    *
+    * Shape: one shingle explode (the near-dup family's gram pass), one
+    * per-gram min aggregation (the "first seen" table — vocab-sized,
+    * map-side combined), one join back. Nothing pairwise: novelty is
+    * corpus-relative without comparing documents to each other. */
+  def novelty(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val g = Caching.persisted(docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gram")))
+    val fo = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    g.join(fo, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_ppm", expr("novel_grams * 1000000 DIV n_grams"))
+  }
+
   /** Per-doc fingerprint: minimum md5 over word 3-grams — a 1-hash MinHash;
     * identical fingerprints are a strong near-dup signal, and min-md5 is
     * reproducible in any engine with md5 (oracle-checkable), unlike a

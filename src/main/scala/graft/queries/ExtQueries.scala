@@ -644,6 +644,14 @@ object ExtQueries {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Document novelty ([[graft.operators.TextAnalysis.novelty]]): each
+    * doc's share of corpus-first n-grams — the dedup-priority /
+    * marginal-contribution metric, exact integer ppm; full DuckDB
+    * replay. */
+  def x66Novelty(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.novelty(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1092,6 +1100,21 @@ object ExtQueries {
        |  CAST(sum(c) AS BIGINT) AS sum_cents,
        |  CAST(sum(c * 1000000 // (1::BIGINT << CAST(LEAST(mx - day, 62) AS INT))) AS BIGINT) AS decayed_e6
        |FROM e, m GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the novelty scores (x66): same distinct grams,
+    * same min-doc_id first-occurrence rule, same integer ppm. */
+  private val duckNovelty: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest($duckGrams) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |),
+       |fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+       |FROM g JOIN fo USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2440,6 +2463,7 @@ object ExtQueries {
     "x63_kmv_set_algebra" -> duckKmvSetAlgebra,
     "x64_decayed_sum" -> duckDecayedSum,
     "x65_pivot_daily" -> duckPivotDaily,
+    "x66_novelty" -> duckNovelty,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2670,6 +2694,7 @@ object ExtQueries {
     "x63_kmv_set_algebra" -> x63KmvSetAlgebra, // oracle: md5-KMV estimator replays
     "x64_decayed_sum"  -> x64DecayedSum, // oracle: power-of-2 decay replays
     "x65_pivot_daily"  -> x65PivotDaily, // oracle: explicit conditional counts
+    "x66_novelty"      -> x66Novelty, // oracle: first-occurrence ppm replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -484,6 +484,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r === Seq((1L, 4L, 0L, 0L), (2L, 1L, 1L, 1000L)))
   }
 
+  test("novelty: copies score 0, fresh text 1.0, partial overlap in between") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, base),          // first occurrence of all 7 grams -> 1.0
+      (2L, base),          // verbatim copy -> 0
+      (3L, base + " and then something completely new happened")
+      // doc 3: 13 tokens -> 11 distinct grams; the 6 containing only base
+      // tokens... grams 1-7 are base grams (seen in doc 1), the 6 grams
+      // crossing into the new tail are first-seen here
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.novelty(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r(0) === ((1L, 7L, 7L, 1000000L)))
+    assert(r(1) === ((2L, 7L, 0L, 0L)))
+    val (_, n3, nov3, ppm3) = r(2)
+    assert(n3 === 13L && nov3 === 6L && ppm3 === 6L * 1000000L / 13L)
+  }
+
   test("quality metrics on a known document") {
     val docs = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(docs).collect().head
