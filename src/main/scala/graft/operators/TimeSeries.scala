@@ -183,6 +183,37 @@ object TimeSeries {
         sum(expr("c * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
   }
 
+  /** Merged-interval coverage — the reference engine family's
+    * `intervalLengthSum`: per key, the total length of the UNION of
+    * `[s, e)` intervals (overlaps and containments counted once) and the
+    * number of disjoint islands. The classic gaps-and-islands rewrite,
+    * exact in integer units: running `max(e)` over the `(s, e)`-ordered
+    * prefix (ROWS frame — explicit, because the RANGE default would let
+    * tie-peers see their own ends), a new island wherever `s` clears
+    * every earlier end, then `max(e) − min(s)` per island. Identical
+    * duplicate rows are order-interchangeable, so the (s, e) sort is
+    * deterministic without a unique tiebreak.
+    *
+    * Shape: one shuffle on the key, two window passes over each key's
+    * rows, one aggregation — O(intervals) everything; per-key row counts
+    * bound the window memory (AQE skew-splits hot keys). */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("k").orderBy("s", "e")
+    df.select(col(keyCol).as("k"), col(startCol).as("s"), col(endCol).as("e"))
+      .withColumn("pm", max(col("e")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw", when(col("pm").isNull || col("s") > col("pm"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("nw")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "island")
+      .agg((max(col("e")) - min(col("s"))).as("len"))
+      .groupBy("k")
+      .agg(sum(col("len")).as("covered"), count(lit(1)).as("n_islands"))
+  }
+
   /** [[decayedSum]] served from a maintained `(group, day, n, sum_cents)`
     * day summary instead of the fact stream — the reference's MV
     * economics applied to decay: the summary is plain additive state

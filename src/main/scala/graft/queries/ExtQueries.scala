@@ -652,6 +652,20 @@ object ExtQueries {
     graft.operators.TextAnalysis.novelty(Tables.documents(s, dir))
       .orderBy("doc_id")
 
+  /** Interval coverage ([[graft.operators.TimeSeries.intervalCoverage]]):
+    * per-user time-on-site — each event opens a 30-minute presence
+    * interval, overlaps merge (intervalLengthSum semantics), exact
+    * integer-µs gaps-and-islands; full DuckDB replay. */
+  def x67IntervalCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.intervalCoverage(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("ts DIV 1000").as("s"),
+            expr("ts DIV 1000 + 1800000000").as("e")),
+        "user_id", "s", "e")
+      .select(col("k").as("user_id"),
+        expr("covered DIV 1000000").as("covered_sec"), col("n_islands"))
+      .orderBy("user_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1115,6 +1129,29 @@ object ExtQueries {
        |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000
        |    // CAST(count(*) AS BIGINT) AS novelty_ppm
        |FROM g JOIN fo USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** DuckDB mirror of the interval coverage (x67): same (s, e)-ordered
+    * ROWS-frame running max, island flags, per-island spans. */
+  private val duckIntervalCoverage: String =
+    """WITH iv AS (
+      |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      |  FROM events
+      |),
+      |w AS (SELECT k, s, e,
+      |        max(e) OVER (PARTITION BY k ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM iv),
+      |fl AS (SELECT k, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM w),
+      |isl AS (SELECT k, s, e,
+      |          sum(nw) OVER (PARTITION BY k ORDER BY s, e
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM fl),
+      |cov AS (SELECT k, island, max(e) - min(s) AS len FROM isl GROUP BY 1, 2)
+      |SELECT k AS user_id,
+      |  CAST(sum(len) AS BIGINT) // 1000000 AS covered_sec,
+      |  CAST(count(*) AS BIGINT) AS n_islands
+      |FROM cov GROUP BY k ORDER BY user_id""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2464,6 +2501,7 @@ object ExtQueries {
     "x64_decayed_sum" -> duckDecayedSum,
     "x65_pivot_daily" -> duckPivotDaily,
     "x66_novelty" -> duckNovelty,
+    "x67_interval_coverage" -> duckIntervalCoverage,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2695,6 +2733,7 @@ object ExtQueries {
     "x64_decayed_sum"  -> x64DecayedSum, // oracle: power-of-2 decay replays
     "x65_pivot_daily"  -> x65PivotDaily, // oracle: explicit conditional counts
     "x66_novelty"      -> x66Novelty, // oracle: first-occurrence ppm replays
+    "x67_interval_coverage" -> x67IntervalCoverage, // oracle: gaps-and-islands replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -136,6 +136,41 @@ object StreamBench {
       }
     }
 
+    // ---- beh3: event-side behavioral state (delta-join sequence view +
+    //      day bitmaps + value histogram), 10 file-batches ----
+    locally {
+      val (in, state, ckpt) = fresh("beh3")
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("t_us"), col("value"))
+        .repartition(10).write.json(in)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("t_us", LongType), StructField("value", DoubleType)))
+      val conds = Seq(("view", None), ("click", Some(3600000000L)),
+        ("purchase", Some(86400000000L)))
+      measure("beh3") {
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val b = batch.persist()
+            try {
+              b.count()
+              graft.streaming.IncrementalSequence.processBatch(
+                b, "user_id", "t_us", "event_type", conds, state, bid)
+              graft.streaming.IncrementalBitmap.processBatch(
+                b.select(expr("t_us DIV 86400000000").as("day"), col("user_id")),
+                "day", "user_id", state, bid)
+              graft.streaming.IncrementalHistogram.processBatch(
+                b, Seq("event_type"), "value", state, bid)
+              ()
+            } finally { b.unpersist(); () }
+          }
+          .start().awaitTermination()
+      }
+    }
+
     // ---- ann: embedding-side IVF-PQ index maintenance, 10 file-batches ----
     locally {
       val (in, state, ckpt) = fresh("ann")

@@ -82,4 +82,21 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
     assert(served === r)
   }
+
+  test("intervalCoverage: overlaps merge, containment counts once, islands split") {
+    import spark.implicits._
+    val iv = Seq(
+      // k=a: [0,10) ∪ [5,20) merge -> [0,20); [20,25) touches END-exclusive
+      //      boundary (20 > pm=20 is false) -> SAME island -> [0,25);
+      //      [40,50) is a gap -> island 2. covered = 25 + 10 = 35
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L), ("a", 40L, 50L),
+      // k=b: [0,100) contains [10,20) and duplicates -> one island, 100
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 10L, 20L),
+      // k=c: single point-ish interval
+      ("c", 7L, 8L)
+    ).toDF("k", "s", "e")
+    val r = graft.operators.TimeSeries.intervalCoverage(iv, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", 35L, 2L), ("b", 100L, 1L), ("c", 1L, 1L)))
+  }
 }
