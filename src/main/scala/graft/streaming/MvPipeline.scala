@@ -282,6 +282,58 @@ object MvPipeline {
   def readState(spark: SparkSession, stateDir: String, view: String): DataFrame =
     spark.read.parquet(s"$stateDir/$view")
 
+  /** TTL expiry for a state table — the reference engine family's
+    * `TTL ... DELETE` semantics (MergeTree ages rows out at merge time;
+    * here it is an explicit maintenance pass, which is also the GDPR
+    * deletion path): rewrite the table keeping only rows where `keep`
+    * holds, under the SAME tmp/aside rename protocol as the upsert
+    * family — a crash mid-expiry leaves either the old or the new state,
+    * never neither, and concurrent-writer detection still applies.
+    * Returns the number of expired rows. No-op (no rewrite at all) when
+    * nothing expires. */
+  def expireState(spark: SparkSession, path: String,
+      keep: org.apache.spark.sql.Column): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val aside = new Path(path + ".old")
+    if (!fs.exists(target) && fs.exists(aside)) require(fs.rename(aside, target), s"recover $aside")
+    if (!fs.exists(target)) return 0L
+    val marker = new Path(path + "/_graft_batch")
+    def readMarker(p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
+      }
+    val observed = readMarker(marker)
+    val before = spark.read.parquet(path).count()
+    val kept = spark.read.parquet(path).filter(keep)
+    val after = kept.count()
+    if (after == before) return 0L
+    val tmp = new Path(path + ".tmp")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    // PRESERVE the committed batch id (erasing it would disarm replay
+    // detection for the owning stream's next restart) under a fresh
+    // writer token (expiry IS a writer — an in-flight merge computed from
+    // pre-expiry state must collide and abort, not last-write-win)
+    val committedId = observed.map(_.linesIterator.next().trim).getOrElse("-1")
+    val token = java.util.UUID.randomUUID.toString
+    val out = fs.create(new Path(tmp, "_graft_batch"), true)
+    try out.write(s"$committedId\n$token".getBytes("UTF-8")) finally out.close()
+    fs.delete(aside, true)
+    require(fs.rename(target, aside), s"stage out $target")
+    val asideMarker = readMarker(new Path(aside, "_graft_batch"))
+    if (asideMarker != observed) {
+      require(fs.rename(aside, target), s"restore $aside after collision")
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"concurrent writer detected on $path during expiry; aborted")
+    }
+    require(fs.rename(tmp, target), s"commit $tmp -> $target")
+    fs.delete(aside, true)
+    before - after
+  }
+
   /** Order-free content digest of a state table — the anti-entropy
     * primitive for replicated/backfilled state dirs: two replicas of a
     * maintained summary agree iff their digests agree, at the cost of one

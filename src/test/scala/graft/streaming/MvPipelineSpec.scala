@@ -117,6 +117,33 @@ class MvPipelineSpec extends SparkTestBase {
     assert(s(("10.0.0.2", bucket0)) == (1L, 1L))
   }
 
+  test("expireState: TTL rewrite preserves the replay marker; no-op when nothing expires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ttl-state"); val path = s"$dir/view"
+    // commit batch 7 through the normal upsert path
+    MvPipeline.upsert(Seq(("a", 1L, 1L), ("b", 9L, 2L)).toDF("k", "day", "cnt"),
+      path, Seq("k", "day"), batchId = 7L)
+
+    assert(MvPipeline.expireState(spark, path, col("day") >= 5L) === 1L)
+    val left = spark.read.parquet(path).as[(String, Long, Long)].collect().toSeq
+    assert(left === Seq(("b", 9L, 2L)))
+
+    // replay of batch 7 must STILL be skipped (marker id survived expiry)
+    MvPipeline.upsert(Seq(("b", 9L, 100L)).toDF("k", "day", "cnt"),
+      path, Seq("k", "day"), batchId = 7L)
+    assert(spark.read.parquet(path).as[(String, Long, Long)].collect().toSeq
+      === Seq(("b", 9L, 2L)))
+
+    // nothing expires -> no rewrite, 0 reported
+    assert(MvPipeline.expireState(spark, path, col("day") >= 0L) === 0L)
+    // a NEW batch still applies normally after expiry
+    MvPipeline.upsert(Seq(("b", 9L, 3L)).toDF("k", "day", "cnt"),
+      path, Seq("k", "day"), batchId = 8L)
+    assert(spark.read.parquet(path).as[(String, Long, Long)].collect().toSeq
+      === Seq(("b", 9L, 5L)))
+  }
+
   test("stateDigest: order/partition/column-order invariant, content-sensitive") {
     import spark.implicits._
     def digest(df: org.apache.spark.sql.DataFrame): Long =
