@@ -39,4 +39,37 @@ object Profiling {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group covariance/correlation — the reference engine family's
+    * `covarPop`/`corr` surface, structured the engine's way: the ARTIFACT
+    * is the five raw moment sums (n, Σx, Σy, Σxy, Σx², Σy²) over
+    * caller-gridded INTEGER columns — exact int64, purely ADDITIVE
+    * (partial-mergeable, incrementally maintainable under the plain SUM
+    * upsert, the same economics as every summary here); the correlation
+    * is a READ over those sums in one fixed IEEE expression (the n·Σ
+    * cross-products overflow int64 at ~10⁶ rows/group, so exactness ends
+    * at the sums — the honest boundary, documented rather than papered
+    * over), rounded with pround4 for oracle parity.
+    *
+    * Caller grids x/y (e.g. cents DIV 100) so Σx² stays inside int64 at
+    * the target group size: the bound is n·max(x²) < 2⁶³. */
+  def corrMoments(df: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = df.select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val varx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vary = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    // zero variance -> corr undefined -> NULL (ANSI would throw on the
+    // division; NULL is also the cleaner caller contract)
+    m.withColumn("corr4", when(varx > 0 && vary > 0, pround4(
+      (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(varx) * sqrt(vary)))))
+  }
 }

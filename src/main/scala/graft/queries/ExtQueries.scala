@@ -666,6 +666,18 @@ object ExtQueries {
         expr("covered DIV 1000000").as("covered_sec"), col("n_islands"))
       .orderBy("user_id")
 
+  /** Correlation moments ([[graft.operators.Profiling.corrMoments]]):
+    * price (dollar grid) × quantity per return flag — exact additive
+    * int64 moment sums + one fixed-IEEE corr read, full DuckDB replay. */
+  def x68CorrMoments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.corrMoments(
+        Tables.lineitem(s, dir)
+          .withColumn("xc", graft.functions.cents(col("l_extendedprice"))),
+        "l_returnflag",
+        expr("xc DIV 100"), col("l_quantity").cast("long"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy("l_returnflag")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1152,6 +1164,28 @@ object ExtQueries {
       |  CAST(sum(len) AS BIGINT) // 1000000 AS covered_sec,
       |  CAST(count(*) AS BIGINT) AS n_islands
       |FROM cov GROUP BY k ORDER BY user_id""".stripMargin
+
+  /** DuckDB mirror of the correlation moments (x68): same dollar grid,
+    * same additive int64 sums, same fixed-IEEE corr expression. */
+  private val duckCorrMoments: String =
+    s"""WITH e AS (
+       |  SELECT l_returnflag AS g,
+       |    ${graft.functions.centsSql("l_extendedprice")} // 100 AS x,
+       |    CAST(l_quantity AS BIGINT) AS y
+       |  FROM lineitem
+       |),
+       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+       |      FROM e GROUP BY g)
+       |SELECT g AS l_returnflag, n, sx, sy, sxy, sxx, syy,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |  THEN floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+       |  END AS corr4
+       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2502,6 +2536,7 @@ object ExtQueries {
     "x65_pivot_daily" -> duckPivotDaily,
     "x66_novelty" -> duckNovelty,
     "x67_interval_coverage" -> duckIntervalCoverage,
+    "x68_corr_moments" -> duckCorrMoments,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2734,6 +2769,7 @@ object ExtQueries {
     "x65_pivot_daily"  -> x65PivotDaily, // oracle: explicit conditional counts
     "x66_novelty"      -> x66Novelty, // oracle: first-occurrence ppm replays
     "x67_interval_coverage" -> x67IntervalCoverage, // oracle: gaps-and-islands replays
+    "x68_corr_moments" -> x68CorrMoments, // oracle: additive moments + fixed-IEEE corr
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

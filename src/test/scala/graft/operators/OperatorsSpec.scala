@@ -709,3 +709,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(top === Array("a"))
   }
 }
+
+class ProfilingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("corrMoments: exact sums; corr ±1 on perfectly (anti)correlated groups") {
+    val rows = Seq(
+      ("pos", 1L, 2L), ("pos", 2L, 4L), ("pos", 3L, 6L), // y = 2x -> corr 1
+      ("neg", 1L, -1L), ("neg", 2L, -2L), ("neg", 3L, -3L), // y = -x -> -1
+      ("mix", 0L, 5L), ("mix", 1L, 5L), ("mix", 2L, 5L) // constant y -> NaN/null
+    ).toDF("g", "x", "y")
+    val r = Profiling.corrMoments(rows, "g",
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val pos = r("pos")
+    assert(pos.getAs[Long]("n") === 3L && pos.getAs[Long]("sx") === 6L &&
+      pos.getAs[Long]("sxy") === 28L && pos.getAs[Long]("sxx") === 14L)
+    assert(pos.getAs[Double]("corr4") === 1.0)
+    assert(r("neg").getAs[Double]("corr4") === -1.0)
+    // zero variance -> corr undefined -> NULL by contract
+    assert(r("mix").isNullAt(r("mix").fieldIndex("corr4")))
+  }
+}
