@@ -86,6 +86,31 @@ object Funnel {
       .select(col("user"), coalesce(col("m"), lit(0)).as("matched"))
   }
 
+  /** Conversion latency: for each user completing the FULL `steps` chain
+    * within `windowUs` of some anchor ([[windowFunnel]] level = K), the
+    * minimum `t_K − t₁` over that user's surviving anchors — "how fast do
+    * converters convert". Same greedy stage frames as [[windowFunnel]]
+    * (greedy minimal continuation also minimizes the completion time for
+    * a FIXED anchor, so min over anchors of the greedy tk is the true
+    * minimum latency); one extra aggregation over the final frame. */
+  def conversionLatency(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2)
+    val byType = steps.map(t =>
+      events.filter(col(typeCol) === t)
+        .select(col(userCol).as("user"), col(tsUsCol).as("t")))
+    val s1 = byType.head.select(col("user"), col("t").as("t1"), col("t").as("tk"))
+    val last = byType.tail.foldLeft(s1) { (cur, ek) =>
+      cur.join(ek, "user")
+        .filter(col("t") > col("tk") && col("t") <= col("t1") + lit(windowUs))
+        .groupBy("user", "t1")
+        .agg(min(col("t")).as("tk"))
+    }
+    last.groupBy("user")
+      .agg(min(col("tk") - col("t1")).as("latency_us"),
+        count(lit(1)).as("n_anchors"))
+  }
+
   /** `sequenceCount` for a 2-step pattern: the number of NON-OVERLAPPING
     * `first → second` chains per user, scanning left to right (the
     * ClickHouse semantics). The scan is inherently sequential, but for

@@ -678,6 +678,19 @@ object ExtQueries {
       .withColumnRenamed("g", "l_returnflag")
       .orderBy("l_returnflag")
 
+  /** Conversion latency ([[graft.operators.Funnel.conversionLatency]]):
+    * per converting user, the fastest signup → click → purchase chain
+    * inside a 1-day anchor window, in seconds (integer DIV) — plus how
+    * many anchors converted; full DuckDB replay of the stage chain. */
+  def x69ConversionLatency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversionLatency(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type",
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)
+      .select(col("user").as("user_id"),
+        expr("latency_us DIV 1000000").as("latency_sec"), col("n_anchors"))
+      .orderBy("user_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1223,6 +1236,28 @@ object ExtQueries {
       |SELECT CAST(nb - surplus AS BIGINT) AS n_matches,
       |  CAST(count(*) AS BIGINT) AS n_users
       |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin
+
+  /** DuckDB mirror of the conversion latency (x69): the x54 stage chain
+    * kept at (user, t1, tk) granularity, min span per user. */
+  private val duckConversionLatency: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |),
+      |s1 AS (SELECT u, t AS t1, t AS tk FROM e WHERE et = 'signup'),
+      |s2 AS (
+      |  SELECT s1.u, t1, min(e.t) AS tk FROM s1 JOIN e USING (u)
+      |  WHERE e.et = 'click' AND e.t > s1.tk AND e.t <= t1 + 86400000000
+      |  GROUP BY s1.u, t1
+      |),
+      |s3 AS (
+      |  SELECT s2.u, t1, min(e.t) AS tk FROM s2 JOIN e USING (u)
+      |  WHERE e.et = 'purchase' AND e.t > s2.tk AND e.t <= t1 + 86400000000
+      |  GROUP BY s2.u, t1
+      |)
+      |SELECT u AS user_id, CAST(min(tk - t1) AS BIGINT) // 1000000 AS latency_sec,
+      |  CAST(count(*) AS BIGINT) AS n_anchors
+      |FROM s3 GROUP BY u ORDER BY user_id""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -2537,6 +2572,7 @@ object ExtQueries {
     "x66_novelty" -> duckNovelty,
     "x67_interval_coverage" -> duckIntervalCoverage,
     "x68_corr_moments" -> duckCorrMoments,
+    "x69_conversion_latency" -> duckConversionLatency,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2770,6 +2806,7 @@ object ExtQueries {
     "x66_novelty"      -> x66Novelty, // oracle: first-occurrence ppm replays
     "x67_interval_coverage" -> x67IntervalCoverage, // oracle: gaps-and-islands replays
     "x68_corr_moments" -> x68CorrMoments, // oracle: additive moments + fixed-IEEE corr
+    "x69_conversion_latency" -> x69ConversionLatency, // oracle: stage-chain min spans
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

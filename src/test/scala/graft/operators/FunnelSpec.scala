@@ -59,6 +59,25 @@ class FunnelSpec extends SparkTestBase {
     assert(m2 === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
   }
 
+  test("conversionLatency: min over anchors, only full-chain completers appear") {
+    val events = Seq(
+      (1L, "signup", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2 never completes -> absent
+      (2L, "signup", 0L), (2L, "click", 10L),
+      // u3: anchor@0 window misses; anchor@7d completes in 20µs -> 20, 1 anchor
+      (3L, "signup", 0L), (3L, "signup", 7 * DAY),
+      (3L, "click", 7 * DAY + 10L), (3L, "purchase", 7 * DAY + 20L),
+      // u4: two completing anchors (0 -> 500, 100 -> 200); min latency 100
+      (4L, "signup", 0L), (4L, "signup", 100L),
+      (4L, "click", 150L), (4L, "purchase", 200L), (4L, "purchase", 500L)
+    ).toDF("user_id", "event_type", "t_us")
+
+    val r = Funnel.conversionLatency(events, "user_id", "t_us", "event_type",
+        steps, windowUs = 7 * DAY)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r === Map(1L -> ((20L, 1L)), 3L -> ((20L, 1L)), 4L -> ((100L, 2L))))
+  }
+
   test("sequenceCount2: non-overlapping greedy chains via the bracket identity") {
     val events = Seq(
       // u1: A B A B -> 2 chains
