@@ -691,6 +691,22 @@ object ExtQueries {
         expr("latency_us DIV 1000000").as("latency_sec"), col("n_anchors"))
       .orderBy("user_id")
 
+  /** argMax surface (ClickHouse's most-used pair aggregate): per type,
+    * the user holding the max value — `max_by` keyed by a TOTAL order
+    * struct (cents, user_id), because a bare max_by on a tied key is
+    * nondeterministic and therefore un-oracleable; ties break to the
+    * highest user id, mirrored exactly in the SQL's ORDER BY. */
+  def x70ArgMax(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", graft.functions.cents(col("value")))
+      .filter(col("c").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        max_by(col("user_id"), struct(col("c"), col("user_id"))).as("top_user"),
+        max(col("c")).as("top_cents"))
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1199,6 +1215,19 @@ object ExtQueries {
        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
        |  END AS corr4
        |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** DuckDB mirror of the argMax (x70): ROW_NUMBER over the identical
+    * (cents DESC, user_id DESC) total order. */
+  private val duckArgMax: String =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id, ${graft.functions.centsSql("value")} AS c
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |r AS (SELECT event_type, user_id, c,
+       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, user_id DESC) AS rn
+       |      FROM e WHERE c IS NOT NULL)
+       |SELECT event_type, user_id AS top_user, c AS top_cents
+       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2573,6 +2602,7 @@ object ExtQueries {
     "x67_interval_coverage" -> duckIntervalCoverage,
     "x68_corr_moments" -> duckCorrMoments,
     "x69_conversion_latency" -> duckConversionLatency,
+    "x70_argmax" -> duckArgMax,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2807,6 +2837,7 @@ object ExtQueries {
     "x67_interval_coverage" -> x67IntervalCoverage, // oracle: gaps-and-islands replays
     "x68_corr_moments" -> x68CorrMoments, // oracle: additive moments + fixed-IEEE corr
     "x69_conversion_latency" -> x69ConversionLatency, // oracle: stage-chain min spans
+    "x70_argmax"       -> x70ArgMax, // oracle: total-order max_by replays
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
