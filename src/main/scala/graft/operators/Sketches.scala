@@ -50,6 +50,28 @@ object Sketches {
             .as("approx_distinct"): _*)
   }
 
+  /** `uniqUpTo(N)` — ClickHouse's bounded exact-distinct: the EXACT
+    * distinct count while it is ≤ N, saturating at N+1 ("N+") beyond —
+    * the common dashboard contract ("show exact small counts, cap the
+    * tail") at O(N) state per group instead of O(distinct). Same
+    * k-smallest-hash keep rule as the KMV sketch with k = N+1: the kept
+    * set IS the distinct set until it saturates, so the answer is exact
+    * by construction, deterministic, and trivially mergeable (k-smallest
+    * of union — [[graft.streaming.IncrementalKmv]]'s maintained state
+    * serves this read with k = N+1). */
+  def uniqUpTo(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      n: Int): DataFrame = {
+    val h = md5Hash64(col(valueCol).cast("string"))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("h"): _*)
+      .distinct()
+      .withColumn("u", unitInterval(col("h")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(topK(col("h"), -col("u"), n + 1).as("kept"))
+      .select(groupCols.map(col) :+
+        size(col("kept")).cast("long").as("uniq_up_to"): _*)
+  }
+
   /** KMV SET ALGEBRA — the approximate counterpart of [[Bitmaps]]' exact
     * reads, closing the sketch family's set-operation story: for each
     * requested `(g1, g2)` pair, estimate |A∪B|, |A∩B| and Jaccard from

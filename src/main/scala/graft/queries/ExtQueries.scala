@@ -707,6 +707,16 @@ object ExtQueries {
         max(col("c")).as("top_cents"))
       .orderBy("event_type")
 
+  /** uniqUpTo ([[graft.operators.Sketches.uniqUpTo]]): exact distinct
+    * users per (type, day) while ≤ 40, saturating at 41 — bounded-state
+    * exact counting; the saturation cap replays as LEAST in SQL. */
+  def x71UniqUpTo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.uniqUpTo(
+        Tables.events(s, dir)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000")),
+        Seq("event_type", "day"), "user_id", n = 40)
+      .orderBy("event_type", "day")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1215,6 +1225,14 @@ object ExtQueries {
        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
        |  END AS corr4
        |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** DuckDB mirror of uniqUpTo (x71): the saturating cap is just LEAST
+    * over the exact distinct count. */
+  private val duckUniqUpTo: String =
+    """SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |  LEAST(CAST(count(DISTINCT user_id) AS BIGINT), 41) AS uniq_up_to
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 
   /** DuckDB mirror of the argMax (x70): ROW_NUMBER over the identical
     * (cents DESC, user_id DESC) total order. */
@@ -2603,6 +2621,7 @@ object ExtQueries {
     "x68_corr_moments" -> duckCorrMoments,
     "x69_conversion_latency" -> duckConversionLatency,
     "x70_argmax" -> duckArgMax,
+    "x71_uniq_up_to" -> duckUniqUpTo,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2838,6 +2857,7 @@ object ExtQueries {
     "x68_corr_moments" -> x68CorrMoments, // oracle: additive moments + fixed-IEEE corr
     "x69_conversion_latency" -> x69ConversionLatency, // oracle: stage-chain min spans
     "x70_argmax"       -> x70ArgMax, // oracle: total-order max_by replays
+    "x71_uniq_up_to"   -> x71UniqUpTo, // oracle: LEAST-capped exact distinct
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
