@@ -235,4 +235,89 @@ object TimeSeries {
         sum(col("sum_cents")).as("sum_cents"),
         sum(expr("sum_cents * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
   }
+
+  /** Peak concurrency — the reference engine family's `maxIntersections`
+    * / `maxIntersectionsPosition`: per key, the maximum number of
+    * half-open `[s, e)` intervals open at once, and the EARLIEST point
+    * where that peak is reached. Classic sweep-line as a window
+    * aggregate: each interval contributes `(s, +1)` and `(e, −1)`
+    * deltas; the running sum over `(point, ord)` — ends ordered BEFORE
+    * starts at the same point, so back-to-back intervals never overlap —
+    * is the live count. Tie-peers inside one `(point, ord)` group share
+    * a sign, so the engine-default RANGE cumulative frame (peers see
+    * each other) reads the count AFTER the whole batch of simultaneous
+    * opens/closes — exactly the post-event concurrency, identical in
+    * both engines. The peak position filters to `+1` rows (a close can
+    * never set a new peak) and takes the minimum point.
+    *
+    * Shape: one narrow 2-row-per-interval explode, one shuffle on the
+    * key for the window pass, one aggregation — O(intervals), stream
+    * scanned once; per-key row counts bound window memory. */
+  def maxIntersections(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df
+      .select(col(keyCol).as("k"),
+        explode(array(
+          struct(col(startCol).as("p"), lit(1L).as("d"), lit(1).as("ord")),
+          struct(col(endCol).as("p"), lit(-1L).as("d"), lit(0).as("ord")))).as("x"))
+      .select(col("k"), col("x.p").as("p"), col("x.d").as("d"), col("x.ord").as("ord"))
+    // RANGE default frame on purpose: same-sign tie-peers share the
+    // post-batch count (see scaladoc); DuckDB's default frame matches.
+    val sweep = Window.partitionBy("k").orderBy("p", "ord")
+    pts
+      .withColumn("cum", sum(col("d")).over(sweep))
+      .withColumn("mx", max(col("cum")).over(Window.partitionBy("k")))
+      .groupBy("k")
+      .agg(first(col("mx")).as("max_conc"),
+        min(when(col("cum") === col("mx") && col("d") === 1L, col("p"))).as("at_p"))
+  }
+
+  /** `deltaSum` — the reference engine family's positive-delta
+    * accumulator: per key, the sum of increases of an ordered series
+    * (counter-reset-tolerant rate reads). The order MUST be total —
+    * `(t, id)` with a unique id tiebreak — or the lag pairs are
+    * nondeterministic and the figure un-oracleable. Exact int64 (cents
+    * in, cents out); first row of a key contributes 0 by definition.
+    *
+    * Shape: one shuffle on the key, one lag pass, one aggregation. At
+    * 100 TB the same figure is served from a day summary instead — see
+    * [[deltaSumFromDaySummary]]: the state `(first, last, inner)` merges
+    * associatively across ordered day spans, so per-day partial states
+    * maintain under append without re-reading the stream. */
+  def deltaSum(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t", "id")
+    df.select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
+        col(valCol).as("v"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("step",
+        when(col("prev").isNull, lit(0L))
+          .otherwise(greatest(col("v") - col("prev"), lit(0L))))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("step")).as("delta_sum"))
+  }
+
+  /** [[deltaSum]] served from per-day partial states — the mergeable
+    * form. A day's state under the `(t, id)` order is
+    * `(first_v, last_v, inner)` where `inner` is the deltaSum within the
+    * day; two ADJACENT spans merge as
+    * `inner(a⊕b) = inner(a) + inner(b) + max(0, first_v(b) − last_v(a))`
+    * — associative over ordered spans, so day states fold left-to-right
+    * with a lag window over O(days) rows. Same economics as
+    * [[decayedSumFromDaySummary]]: maintain O(keys × days) state under
+    * append, never rescan the stream to read. */
+  def deltaSumFromDayStates(dayStates: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    dayStates
+      .withColumn("prev_last", lag(col("last_v"), 1).over(w))
+      .withColumn("bridge",
+        when(col("prev_last").isNull, lit(0L))
+          .otherwise(greatest(col("first_v") - col("prev_last"), lit(0L))))
+      .groupBy(keyCol)
+      .agg(sum(col("n")).as("n"),
+        sum(col("inner") + col("bridge")).as("delta_sum"))
+  }
 }

@@ -717,6 +717,34 @@ object ExtQueries {
         Seq("event_type", "day"), "user_id", n = 40)
       .orderBy("event_type", "day")
 
+  /** Peak concurrency ([[graft.operators.TimeSeries.maxIntersections]]):
+    * per user, the max number of 30-minute event intervals open at once
+    * and the EARLIEST microsecond the peak is reached — the sweep-line
+    * as a window aggregate, fully replayed by DuckDB's identical default
+    * RANGE cumulative frame. */
+  def x72MaxIntersections(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.maxIntersections(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("ts DIV 1000").as("s"),
+            expr("ts DIV 1000 + 1800000000").as("e")),
+        "user_id", "s", "e")
+      .select(col("k").as("user_id"), col("max_conc"), col("at_p"))
+      .orderBy("user_id")
+
+  /** deltaSum ([[graft.operators.TimeSeries.deltaSum]]): per user, the
+    * sum of positive cents increases under the total (ts, event_id)
+    * order — counter-reset-tolerant accumulation, exact int64. */
+  def x73DeltaSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.deltaSum(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("c", graft.functions.cents(col("value")))
+          .filter(col("c").isNotNull)
+          .withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_id", "c")
+      .select(col("k").as("user_id"), col("n"), col("delta_sum"))
+      .orderBy("user_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1246,6 +1274,43 @@ object ExtQueries {
        |      FROM e WHERE c IS NOT NULL)
        |SELECT event_type, user_id AS top_user, c AS top_cents
        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the peak concurrency (x72): the same sweep-line
+    * deltas under the same `(p, ord)` order; DuckDB's default window
+    * frame is the same RANGE cumulative frame, so tie-peers read the
+    * identical post-batch count. */
+  private val duckMaxIntersections: String =
+    """WITH iv AS (
+      |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      |  FROM events
+      |),
+      |pts AS (
+      |  SELECT k, s AS p, 1 AS d, 1 AS ord FROM iv
+      |  UNION ALL
+      |  SELECT k, e AS p, -1 AS d, 0 AS ord FROM iv
+      |),
+      |c AS (SELECT k, p, d,
+      |        sum(d) OVER (PARTITION BY k ORDER BY p, ord) AS cum
+      |      FROM pts),
+      |m AS (SELECT k, p, d, cum, max(cum) OVER (PARTITION BY k) AS mx FROM c)
+      |SELECT k AS user_id, CAST(max(cum) AS BIGINT) AS max_conc,
+      |  CAST(min(CASE WHEN cum = mx AND d = 1 THEN p END) AS BIGINT) AS at_p
+      |FROM m GROUP BY k ORDER BY user_id""".stripMargin
+
+  /** DuckDB mirror of the deltaSum (x73): lag under the identical total
+    * `(t, id)` order, GREATEST-clamped steps, first row contributes 0. */
+  private val duckDeltaSum: String =
+    s"""WITH e AS (
+       |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+       |    event_id AS id, ${graft.functions.centsSql("value")} AS v
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |l AS (SELECT k, v, lag(v) OVER (PARTITION BY k ORDER BY t, id) AS prev
+       |      FROM e WHERE v IS NOT NULL)
+       |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN prev IS NULL THEN 0 ELSE GREATEST(v - prev, 0) END) AS BIGINT) AS delta_sum
+       |FROM l GROUP BY k ORDER BY user_id""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2622,6 +2687,8 @@ object ExtQueries {
     "x69_conversion_latency" -> duckConversionLatency,
     "x70_argmax" -> duckArgMax,
     "x71_uniq_up_to" -> duckUniqUpTo,
+    "x72_max_intersections" -> duckMaxIntersections,
+    "x73_delta_sum" -> duckDeltaSum,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2858,6 +2925,8 @@ object ExtQueries {
     "x69_conversion_latency" -> x69ConversionLatency, // oracle: stage-chain min spans
     "x70_argmax"       -> x70ArgMax, // oracle: total-order max_by replays
     "x71_uniq_up_to"   -> x71UniqUpTo, // oracle: LEAST-capped exact distinct
+    "x72_max_intersections" -> x72MaxIntersections, // oracle: sweep-line replays
+    "x73_delta_sum"    -> x73DeltaSum, // oracle: clamped lag steps replay
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -83,6 +83,63 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(served === r)
   }
 
+  test("maxIntersections: peak concurrency, earliest peak, back-to-back excluded") {
+    import spark.implicits._
+    val iv = Seq(
+      // k=a: [0,10) [5,15) [10,20): peak 2, first reached at p=5; the
+      //      end at 10 closes BEFORE the start at 10 opens (ord order),
+      //      so the stack never reaches 3
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
+      // k=b: back-to-back [0,10) [10,20) never overlap -> peak 1 at 0
+      ("b", 0L, 10L), ("b", 10L, 20L),
+      // k=c: two identical intervals open simultaneously -> tie-peers
+      //      share the post-batch count 2 at p=0
+      ("c", 0L, 10L), ("c", 0L, 10L)
+    ).toDF("k", "s", "e")
+    val r = TimeSeries.maxIntersections(iv, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", 2L, 5L), ("b", 1L, 0L), ("c", 2L, 0L)))
+  }
+
+  test("deltaSum: positive steps only, first row zero, day states fold exactly") {
+    import spark.implicits._
+    val DAY = 86400000000L
+    // k=a day0: 10,4,6 (inner 2); day1: 9,5 (inner 0); bridge max(0,9-6)=3
+    // direct steps: 0,0,2,3,0 -> 5
+    val rows = Seq(
+      ("a", 0L, 1L, 10L), ("a", 1L, 2L, 4L), ("a", 2L, 3L, 6L),
+      ("a", DAY, 4L, 9L), ("a", DAY + 1L, 5L, 5L),
+      // k=b: a tie timestamp resolved by the id tiebreak: (t=0,id=1,v=7)
+      //      then (t=0,id=2,v=9) -> step 2
+      ("b", 0L, 2L, 9L), ("b", 0L, 1L, 7L)
+    ).toDF("k", "t", "id", "v")
+    val direct = TimeSeries.deltaSum(rows, "k", "t", "id", "v")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(direct === Seq(("a", 5L, 5L), ("b", 2L, 2L)))
+
+    // mergeable read: fold per-day (first, last, inner) states
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "day").orderBy("t", "id")
+    val states = rows
+      .withColumn("day", expr("t DIV 86400000000"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("step", when(col("prev").isNull, lit(0L))
+        .otherwise(greatest(col("v") - col("prev"), lit(0L))))
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k", "day").orderBy(col("t").desc, col("id").desc)))
+      .groupBy("k", "day")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("v"))).as("first_v"),
+        max(when(col("rn_d") === 1, col("v"))).as("last_v"),
+        sum(col("step")).as("inner"))
+    val folded = TimeSeries.deltaSumFromDayStates(states, "k")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(folded === direct)
+  }
+
   test("intervalCoverage: overlaps merge, containment counts once, islands split") {
     import spark.implicits._
     val iv = Seq(
