@@ -72,4 +72,70 @@ object Profiling {
       (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
         (sqrt(varx) * sqrt(vary)))))
   }
+
+  /** `simpleLinearRegression` — slope/intercept READS over the SAME
+    * artifact [[corrMoments]] maintains (n, Σx, Σy, Σxy, Σx²): the
+    * moments are the state, every regression statistic is a cheap read —
+    * `slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²)`, `intercept =
+    * (Σy − slope·Σx)/n`, each ONE fixed IEEE expression with the raw
+    * (unrounded) slope feeding the intercept so both engines chain the
+    * identical doubles; pround4 only at the output boundary. Zero x
+    * variance → NULL by contract (vertical line). */
+  def linRegRead(moments: DataFrame): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    moments
+      .withColumn("varx",
+        d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("slope_raw", when(col("varx") > 0,
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / col("varx")))
+      .withColumn("slope4", pround4(col("slope_raw")))
+      .withColumn("icept4",
+        pround4((d(col("sy")) - col("slope_raw") * d(col("sx"))) / d(col("n"))))
+      .drop("varx", "slope_raw")
+  }
+
+  /** Higher central moments — the engine family's `skewPop`/`kurtPop`,
+    * structured exactly like [[corrMoments]]: the ARTIFACT is the five
+    * additive int64 raw power sums (n, Σx, Σx², Σx³, Σx⁴) over a
+    * caller-gridded INTEGER column — partial-mergeable and incrementally
+    * maintainable under the plain SUM upsert; skewness and kurtosis are
+    * READS in one fixed IEEE expression each. Parity discipline: the
+    * mean is computed ONCE and reused (both engines see the identical
+    * double), every product associates left-to-right, and `m2^1.5` is
+    * spelled `m2·sqrt(m2)` — sqrt is correctly-rounded IEEE-754 in both
+    * engines while `pow(x, 1.5)` carries no such guarantee; pround4 for
+    * the boundary-digit round. Zero variance → NULL reads by contract.
+    *
+    * Grid bound: n·max(x⁴) < 2⁶³ — e.g. a ≤10³ dollars grid holds to
+    * ~9·10⁶ rows/group; re-grid coarser for bigger groups. */
+  def momentStats(df: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = df.select(col(groupCol).as("g"), x.as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    m.withColumn("mean", d(col("s1")) / d(col("n")))
+      .withColumn("m2",
+        d(col("s2")) / d(col("n")) - col("mean") * col("mean"))
+      .withColumn("m3",
+        d(col("s3")) / d(col("n")) -
+          lit(3.0) * col("mean") * (d(col("s2")) / d(col("n"))) +
+          lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        d(col("s4")) / d(col("n")) -
+          lit(4.0) * col("mean") * (d(col("s3")) / d(col("n"))) +
+          lit(6.0) * col("mean") * col("mean") * (d(col("s2")) / d(col("n"))) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("skew4",
+        when(col("m2") > 0, pround4(col("m3") / (col("m2") * sqrt(col("m2"))))))
+      .withColumn("kurt4",
+        when(col("m2") > 0, pround4(col("m4") / (col("m2") * col("m2")))))
+      .drop("mean", "m2", "m3", "m4")
+  }
 }

@@ -200,4 +200,22 @@ object Sketches {
       .groupBy((groupCols :+ "q").map(col): _*)
       .agg(min("n").as("n"), min("bucket").as("est_cents"))
   }
+
+  /** `quantileExactWeighted` — the engine family's exact weighted
+    * quantile: the smallest value whose cumulative WEIGHT reaches
+    * `ceil(q·W)`, all rank arithmetic in exact int64. Structurally
+    * [[histogramQuantiles]] with counts generalized to integer weights:
+    * weights first aggregate per distinct value (the mergeable O(distinct)
+    * state — a plain SUM upsert maintains it incrementally), then the
+    * identical window-cumsum read. Weight 0 rows legitimately contribute
+    * nothing; negative weights are the caller's contract violation. */
+  def quantileExactWeighted(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      qs: Seq[(String, Int, Int)]): DataFrame =
+    histogramQuantiles(
+      df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+        .groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(sum(col(weightCol)).as("cnt"))
+        .withColumnRenamed(valueCol, "bucket"),
+      groupCols, qs)
 }

@@ -745,6 +745,47 @@ object ExtQueries {
       .select(col("k").as("user_id"), col("n"), col("delta_sum"))
       .orderBy("user_id")
 
+  /** Higher moments ([[graft.operators.Profiling.momentStats]]):
+    * skewness/kurtosis of the dollars grid per event type — exact
+    * additive int64 power sums + two fixed-IEEE reads, full replay. */
+  def x74MomentStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.momentStats(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("xc", graft.functions.cents(col("value"))),
+        "event_type", expr("xc DIV 100"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
+  /** quantileExactWeighted ([[graft.operators.Sketches
+    * .quantileExactWeighted]]): per return flag, the price cents at the
+    * quantity-weighted quartiles — exact int64 rank arithmetic over
+    * per-value weight sums, full DuckDB replay. */
+  def x75WeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileExactWeighted(
+        Tables.lineitem(s, dir)
+          .withColumn("vc", graft.functions.cents(col("l_extendedprice")))
+          .withColumn("w", col("l_quantity").cast("long")),
+        Seq("l_returnflag"), "vc", "w",
+        Seq(("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4)))
+      .select(col("l_returnflag"), col("q"), col("n").as("w_total"),
+        col("est_cents").as("value_cents"))
+      .orderBy("l_returnflag", "q")
+
+  /** simpleLinearRegression ([[graft.operators.Profiling.linRegRead]]):
+    * quantity regressed on dollars per return flag — reads over the x68
+    * moment artifact, raw slope chained into the intercept, pround4 at
+    * the boundary; full DuckDB replay. */
+  def x76LinReg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.linRegRead(
+        graft.operators.Profiling.corrMoments(
+          Tables.lineitem(s, dir)
+            .withColumn("xc", graft.functions.cents(col("l_extendedprice"))),
+          "l_returnflag",
+          expr("xc DIV 100"), col("l_quantity").cast("long")))
+      .select(col("g").as("l_returnflag"), col("n"), col("slope4"), col("icept4"))
+      .orderBy("l_returnflag")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1311,6 +1352,78 @@ object ExtQueries {
        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CASE WHEN prev IS NULL THEN 0 ELSE GREATEST(v - prev, 0) END) AS BIGINT) AS delta_sum
        |FROM l GROUP BY k ORDER BY user_id""".stripMargin
+
+  /** DuckDB mirror of the higher moments (x74): identical additive
+    * power sums, then the identical fixed-IEEE reads — mean computed
+    * once, left-to-right products, `m2·sqrt(m2)` (never `pow`). */
+  private val duckMomentStats: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, ${graft.functions.centsSql("value")} // 100 AS x
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2,
+       |        CAST(sum(x*x*x) AS BIGINT) AS s3, CAST(sum(x*x*x*x) AS BIGINT) AS s4
+       |      FROM e GROUP BY g),
+       |b AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM a),
+       |c AS (SELECT *,
+       |        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+       |        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+       |          - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          + 2.0 * mean * mean * mean AS m3,
+       |        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+       |          - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          - 3.0 * mean * mean * mean * mean AS m4
+       |      FROM b)
+       |SELECT g AS event_type, n, s1, s2, s3, s4,
+       |  CASE WHEN m2 > 0 THEN ${graft.functions.duckRound("m3 / (m2 * sqrt(m2))", 4)} END AS skew4,
+       |  CASE WHEN m2 > 0 THEN ${graft.functions.duckRound("m4 / (m2 * m2)", 4)} END AS kurt4
+       |FROM c ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the weighted quantiles (x75): identical per-value
+    * weight sums, identical ceil-rank targets, same min-value pick. */
+  private val duckWeightedQuantiles: String =
+    s"""WITH e AS (
+       |  SELECT l_returnflag AS g, ${graft.functions.centsSql("l_extendedprice")} AS v,
+       |    CAST(l_quantity AS BIGINT) AS w
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |),
+       |h AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS cnt FROM e GROUP BY g, v),
+       |c AS (SELECT g, v,
+       |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+       |      FROM h),
+       |t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY g),
+       |qv AS (SELECT * FROM (VALUES ('q25', 1, 4), ('q50', 1, 2), ('q75', 3, 4)) AS v(q, nu, de)),
+       |tg AS (SELECT g, q, n, (nu * n + de - 1) // de AS target FROM t CROSS JOIN qv)
+       |SELECT c.g AS l_returnflag, tg.q, CAST(min(tg.n) AS BIGINT) AS w_total,
+       |  min(c.v) AS value_cents
+       |FROM c JOIN tg ON c.g = tg.g AND c.cum >= tg.target
+       |GROUP BY c.g, tg.q ORDER BY l_returnflag, q""".stripMargin
+
+  /** DuckDB mirror of the linear regression (x76): identical moment
+    * sums, identical varx gate, the raw slope chained into the
+    * intercept before the boundary round. */
+  private val duckLinReg: String =
+    s"""WITH e AS (
+       |  SELECT l_returnflag AS g,
+       |    ${graft.functions.centsSql("l_extendedprice")} // 100 AS x,
+       |    CAST(l_quantity AS BIGINT) AS y
+       |  FROM lineitem
+       |),
+       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) AS BIGINT) AS sxx
+       |      FROM e GROUP BY g),
+       |v AS (SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx FROM m),
+       |s AS (SELECT *, CASE WHEN varx > 0 THEN
+       |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / varx
+       |      END AS slope_raw FROM v)
+       |SELECT g AS l_returnflag, n,
+       |  ${graft.functions.duckRound("slope_raw", 4)} AS slope4,
+       |  ${graft.functions.duckRound("(CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)} AS icept4
+       |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2689,6 +2802,9 @@ object ExtQueries {
     "x71_uniq_up_to" -> duckUniqUpTo,
     "x72_max_intersections" -> duckMaxIntersections,
     "x73_delta_sum" -> duckDeltaSum,
+    "x74_moment_stats" -> duckMomentStats,
+    "x75_weighted_quantiles" -> duckWeightedQuantiles,
+    "x76_linreg" -> duckLinReg,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -2927,6 +3043,9 @@ object ExtQueries {
     "x71_uniq_up_to"   -> x71UniqUpTo, // oracle: LEAST-capped exact distinct
     "x72_max_intersections" -> x72MaxIntersections, // oracle: sweep-line replays
     "x73_delta_sum"    -> x73DeltaSum, // oracle: clamped lag steps replay
+    "x74_moment_stats" -> x74MomentStats, // oracle: fixed-IEEE moment reads
+    "x75_weighted_quantiles" -> x75WeightedQuantiles, // oracle: int64 rank targets
+    "x76_linreg"       -> x76LinReg, // oracle: chained fixed-IEEE slope/intercept
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

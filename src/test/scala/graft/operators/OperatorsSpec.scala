@@ -731,4 +731,62 @@ class ProfilingSpec extends SparkTestBase {
     // zero variance -> corr undefined -> NULL by contract
     assert(r("mix").isNullAt(r("mix").fieldIndex("corr4")))
   }
+
+  test("momentStats: exact power sums; symmetric skew 0, two-point kurtosis 1") {
+    val rows = Seq(
+      // symmetric {1,2,3}: m2=2/3, m3=0 -> skew 0; m4=2/3 -> kurt = 1.5
+      ("sym", 1L), ("sym", 2L), ("sym", 3L),
+      // two equal-mass points {0,2}: mean 1, m2=1, m3=0, m4=1 -> kurt 1
+      ("two", 0L), ("two", 2L),
+      // constant -> m2=0 -> NULL reads
+      ("const", 5L), ("const", 5L)
+    ).toDF("g", "x")
+    val r = Profiling.momentStats(rows, "g",
+        org.apache.spark.sql.functions.col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val sym = r("sym")
+    assert(sym.getAs[Long]("n") === 3L && sym.getAs[Long]("s1") === 6L &&
+      sym.getAs[Long]("s2") === 14L && sym.getAs[Long]("s3") === 36L &&
+      sym.getAs[Long]("s4") === 98L)
+    assert(sym.getAs[Double]("skew4") === 0.0)
+    assert(sym.getAs[Double]("kurt4") === 1.5)
+    assert(r("two").getAs[Double]("skew4") === 0.0)
+    assert(r("two").getAs[Double]("kurt4") === 1.0)
+    assert(r("const").isNullAt(r("const").fieldIndex("skew4")))
+    assert(r("const").isNullAt(r("const").fieldIndex("kurt4")))
+  }
+
+  test("linRegRead: exact line recovered; zero x-variance -> NULL") {
+    val rows = Seq(
+      ("line", 1L, 3L), ("line", 2L, 5L), ("line", 3L, 7L), // y = 2x+1
+      ("vert", 4L, 1L), ("vert", 4L, 9L) // constant x -> vertical, undefined
+    ).toDF("g", "x", "y")
+    val r = Profiling.linRegRead(Profiling.corrMoments(rows, "g",
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("line").getAs[Double]("slope4") === 2.0)
+    assert(r("line").getAs[Double]("icept4") === 1.0)
+    assert(r("vert").isNullAt(r("vert").fieldIndex("slope4")))
+    assert(r("vert").isNullAt(r("vert").fieldIndex("icept4")))
+  }
+
+  test("quantileExactWeighted: ceil-rank over cumulative weights, duplicates merge") {
+    // g=a values(weight): 10(1) 20(3) 30(1), W=5
+    //   q50 target=ceil(5/2)=3 -> cum: 10->1, 20->4 >= 3 -> 20
+    //   q75 target=ceil(15/4)=4 -> 20 (cum 4); q25 target=2 -> 20
+    // g=b duplicate value rows merge weights first: 5(2+2)=4, 7(1), W=5
+    //   q50 target=3 -> 5 (cum 4)
+    val rows = Seq(
+      ("a", 10L, 1L), ("a", 20L, 3L), ("a", 30L, 1L),
+      ("b", 5L, 2L), ("b", 5L, 2L), ("b", 7L, 1L)
+    ).toDF("g", "v", "w")
+    val r = graft.operators.Sketches.quantileExactWeighted(
+        rows, Seq("g"), "v", "w",
+        Seq(("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4)))
+      .orderBy("g", "q").as[(String, String, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("a", "q25", 5L, 20L), ("a", "q50", 5L, 20L), ("a", "q75", 5L, 20L),
+      ("b", "q25", 5L, 5L), ("b", "q50", 5L, 5L), ("b", "q75", 5L, 5L)))
+  }
 }
