@@ -73,6 +73,61 @@ object Profiling {
         (sqrt(varx) * sqrt(vary)))))
   }
 
+  /** `mannWhitneyUTest` — the rank-sum test STATISTIC, exact. All rank
+    * arithmetic stays integer by working with DOUBLED tie-averaged
+    * ranks: for a row of value v, `2·avgrank = 2·rank(v) + cnt_eq(v) − 1`
+    * (rank() = 1 + #smaller; a tie group of size m starting at rank r
+    * averages r + (m−1)/2). Then `U2_A = Σ_A 2·avgrank − n_A(n_A+1)`
+    * (the doubled U) and `U2_B = 2·n_A·n_B − U2_A` by the rank-sum
+    * identity — every figure int64, fully oracle-replayable; the p-value
+    * is a caller-side normal lookup, deliberately NOT computed here
+    * (erfc is not reproducible across engines).
+    *
+    * Shape: one shuffle on the group for the two rank windows, one
+    * aggregation — O(rows). Rows not in either sample are excluded
+    * BEFORE ranking (they must not shift ranks). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, aLabel: String, bLabel: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val in = df
+      .filter(col(sampleCol).isin(aLabel, bLabel) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(sampleCol).as("s"),
+        col(valueCol).as("v"))
+    val ranked = in
+      .withColumn("rk", rank().over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("ceq", count(lit(1)).over(Window.partitionBy("g", "v")))
+      .withColumn("r2", lit(2L) * col("rk") + col("ceq") - lit(1L))
+    ranked.groupBy("g")
+      .agg(
+        sum(when(col("s") === aLabel, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("s") === bLabel, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("s") === aLabel, col("r2")).otherwise(0L)).as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+      .drop("r2_a")
+  }
+
+  /** Spearman rank correlation — rank both columns with the SAME doubled
+    * tie-averaged ranks as [[mannWhitneyU]] (integers, so the rank
+    * transform is exact and engine-identical), then reuse the
+    * [[corrMoments]] artifact+read verbatim: corr is scale-invariant, so
+    * doubling ranks changes nothing mathematically, and BOTH engines run
+    * the identical integer sums and the identical fixed-IEEE read.
+    * Overflow bound: Σ(2n)² per group ⇒ n³ ≲ 2⁶¹ — ~10⁶ rows/group;
+    * beyond that, pre-bucket values into a coarser grid first. */
+  def spearmanCorr(df: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val in = df.select(col(groupCol).as("g"), x.as("xv"), y.as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    def r2(c: String) =
+      lit(2L) * rank().over(Window.partitionBy("g").orderBy(c)) +
+        count(lit(1)).over(Window.partitionBy("g", c)) - lit(1L)
+    val ranked = in.withColumn("rx", r2("xv")).withColumn("ry", r2("yv"))
+    corrMoments(ranked, "g", col("rx"), col("ry"))
+      .withColumnRenamed("corr4", "rho4")
+  }
+
   /** `simpleLinearRegression` — slope/intercept READS over the SAME
     * artifact [[corrMoments]] maintains (n, Σx, Σy, Σxy, Σx²): the
     * moments are the state, every regression statistic is a cheap read —

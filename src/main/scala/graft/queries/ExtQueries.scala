@@ -786,6 +786,48 @@ object ExtQueries {
       .select(col("g").as("l_returnflag"), col("n"), col("slope4"), col("icept4"))
       .orderBy("l_returnflag")
 
+  /** Mann-Whitney U ([[graft.operators.Profiling.mannWhitneyU]]): per
+    * day, the doubled-rank U statistics comparing click vs error value
+    * distributions — all-integer rank arithmetic, full DuckDB replay. */
+  def x77MannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.mannWhitneyU(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "day", "c", "event_type", "click", "error")
+      .withColumnRenamed("g", "day")
+      .orderBy("day")
+
+  /** groupUniqArray-sorted (the engine family's array-aggregation
+    * surface, made deterministic): per (type, day), the DISTINCT user
+    * ids sorted ascending and comma-joined — distinct first, sort before
+    * stringify (numeric order, not lexicographic), so both engines emit
+    * the identical string. */
+  def x78GroupConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+      .distinct()
+      .groupBy("event_type", "day")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("user_id"))).cast("array<string>"))
+          .as("users"),
+        count(lit(1)).as("n_users"))
+      .orderBy("event_type", "day")
+
+  /** Spearman rank correlation ([[graft.operators.Profiling
+    * .spearmanCorr]]): dollars vs quantity per return flag over doubled
+    * tie-averaged ranks — integer rank transform + the x68 moment read. */
+  def x79Spearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.spearmanCorr(
+        Tables.lineitem(s, dir)
+          .withColumn("xc", graft.functions.cents(col("l_extendedprice"))),
+        "l_returnflag",
+        expr("xc DIV 100"), col("l_quantity").cast("long"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy("l_returnflag")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1424,6 +1466,72 @@ object ExtQueries {
        |  ${graft.functions.duckRound("slope_raw", 4)} AS slope4,
        |  ${graft.functions.duckRound("(CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)} AS icept4
        |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** DuckDB mirror of the Mann-Whitney U (x77): identical doubled
+    * tie-averaged ranks (2·rank + cnt_eq − 1), identical U identities. */
+  private val duckMannWhitney: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+       |    event_type AS s, ${graft.functions.centsSql("value")} AS v
+       |  FROM events
+       |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+       |),
+       |r AS (SELECT g, s,
+       |        rank() OVER (PARTITION BY g ORDER BY v) AS rk,
+       |        count(*) OVER (PARTITION BY g, v) AS ceq
+       |      FROM e),
+       |r2 AS (SELECT g, s, 2 * rk + ceq - 1 AS r2 FROM r),
+       |a AS (SELECT g,
+       |        CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN s = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(sum(CASE WHEN s = 'click' THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+       |      FROM r2 GROUP BY g)
+       |SELECT g AS day, n_a, n_b,
+       |  r2_a - n_a * (n_a + 1) AS u2_a,
+       |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
+       |FROM a ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the sorted group-concat (x78): distinct first,
+    * numeric ORDER BY inside string_agg, per-element VARCHAR cast. */
+  private val duckGroupConcat: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+      |  FROM events
+      |)
+      |SELECT event_type, day,
+      |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM d GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  /** DuckDB mirror of the Spearman rho (x79): identical doubled ranks
+    * feeding the identical x68 moment sums and fixed-IEEE corr read. */
+  private val duckSpearman: String =
+    s"""WITH e AS (
+       |  SELECT l_returnflag AS g,
+       |    ${graft.functions.centsSql("l_extendedprice")} // 100 AS xv,
+       |    CAST(l_quantity AS BIGINT) AS yv
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |),
+       |r AS (SELECT g,
+       |        2 * rank() OVER (PARTITION BY g ORDER BY xv)
+       |          + count(*) OVER (PARTITION BY g, xv) - 1 AS x,
+       |        2 * rank() OVER (PARTITION BY g ORDER BY yv)
+       |          + count(*) OVER (PARTITION BY g, yv) - 1 AS y
+       |      FROM e),
+       |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+       |      FROM r GROUP BY g)
+       |SELECT g AS l_returnflag, n, sx, sy, sxy, sxx, syy,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |  THEN floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+       |  END AS rho4
+       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2805,6 +2913,9 @@ object ExtQueries {
     "x74_moment_stats" -> duckMomentStats,
     "x75_weighted_quantiles" -> duckWeightedQuantiles,
     "x76_linreg" -> duckLinReg,
+    "x77_mann_whitney" -> duckMannWhitney,
+    "x78_group_concat" -> duckGroupConcat,
+    "x79_spearman" -> duckSpearman,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3046,6 +3157,9 @@ object ExtQueries {
     "x74_moment_stats" -> x74MomentStats, // oracle: fixed-IEEE moment reads
     "x75_weighted_quantiles" -> x75WeightedQuantiles, // oracle: int64 rank targets
     "x76_linreg"       -> x76LinReg, // oracle: chained fixed-IEEE slope/intercept
+    "x77_mann_whitney" -> x77MannWhitney, // oracle: doubled-rank U identities
+    "x78_group_concat" -> x78GroupConcat, // oracle: distinct, numeric-sorted join
+    "x79_spearman"     -> x79Spearman, // oracle: doubled ranks + x68 corr read
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

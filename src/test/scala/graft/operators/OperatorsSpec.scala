@@ -771,6 +771,36 @@ class ProfilingSpec extends SparkTestBase {
     assert(r("vert").isNullAt(r("vert").fieldIndex("icept4")))
   }
 
+  test("mannWhitneyU: doubled tie-averaged ranks; off-sample rows excluded") {
+    // g1: A={1,2}, B={2,3} -> avg ranks 1, 2.5 | 2.5, 4
+    //   r2_a = 2+5 = 7 -> u2_a = 7 - 2·3 = 1 (U_A = 0.5: one tie pair)
+    //   u2_b = 2·2·2 - 1 = 7
+    val rows = Seq(
+      ("g1", "A", 1L), ("g1", "A", 2L), ("g1", "B", 2L), ("g1", "B", 3L),
+      // a third label with the smallest value MUST NOT shift the ranks
+      ("g1", "C", 0L)
+    ).toDF("g", "s", "v")
+    val r = Profiling.mannWhitneyU(rows, "g", "v", "s", "A", "B")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("g1", 2L, 2L, 1L, 7L)))
+  }
+
+  test("spearmanCorr: monotone -> 1; y-ties give the tie-corrected rho") {
+    val rows = Seq(
+      ("mono", 1L, 1L), ("mono", 2L, 4L), ("mono", 3L, 9L), // nonlinear monotone
+      ("anti", 1L, 9L), ("anti", 2L, 4L), ("anti", 3L, 1L),
+      // (1,1),(2,1),(3,2): rx=(2,4,6), ry=(3,3,6) -> rho = √3/2 -> 0.866
+      ("ties", 1L, 1L), ("ties", 2L, 1L), ("ties", 3L, 2L)
+    ).toDF("g", "x", "y")
+    val r = Profiling.spearmanCorr(rows, "g",
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("rho4")).toMap
+    assert(r("mono") === 1.0)
+    assert(r("anti") === -1.0)
+    assert(r("ties") === 0.866)
+  }
+
   test("quantileExactWeighted: ceil-rank over cumulative weights, duplicates merge") {
     // g=a values(weight): 10(1) 20(3) 30(1), W=5
     //   q50 target=ceil(5/2)=3 -> cum: 10->1, 20->4 >= 3 -> 20
