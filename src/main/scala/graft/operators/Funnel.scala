@@ -167,4 +167,26 @@ object Funnel {
     }
     flags.groupBy("cohort_day").agg(out.head, out.tail: _*)
   }
+
+  /** `sequenceNextNode` — the "what happens after X" behavioral read:
+    * for every `anchorType` event, the type of the SAME user's next
+    * event under the TOTAL `(t, id)` order (the determinism rule: a
+    * bare-timestamp lead is nondeterministic on ties), aggregated into
+    * a successor-type distribution. Anchors with no successor are
+    * counted separately (`n_terminal`) rather than dropped — the
+    * terminal share is part of the answer.
+    *
+    * Shape: one shuffle on the user key, one lead pass, one hash
+    * aggregation over O(types) groups. */
+  def nextNodeCounts(events: DataFrame, userCol: String, tsUsCol: String,
+      idCol: String, typeCol: String, anchorType: String): DataFrame = {
+    val w = Window.partitionBy("user").orderBy("t", "id")
+    events
+      .select(col(userCol).as("user"), col(tsUsCol).as("t"),
+        col(idCol).as("id"), col(typeCol).as("et"))
+      .withColumn("nxt", lead(col("et"), 1).over(w))
+      .filter(col("et") === anchorType)
+      .groupBy(coalesce(col("nxt"), lit("<end>")).as("next_type"))
+      .agg(count(lit(1)).as("n_anchors"))
+  }
 }

@@ -73,6 +73,25 @@ object Profiling {
         (sqrt(varx) * sqrt(vary)))))
   }
 
+  /** `boundingRatio` — the engine family's bounding-box slope: per
+    * group, `(max(y) − min(y)) / (max(x) − min(x))` over integer-gridded
+    * columns. The artifact is the four int64 extrema (mergeable under
+    * min/max upsert); the ratio is one fixed-IEEE read with pround4,
+    * NULL when the x-extent is zero. */
+  def boundingRatio(df: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    df.select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("ratio4", when(col("max_x") > col("min_x"), pround4(
+        d(col("max_y") - col("min_y")) / d(col("max_x") - col("min_x")))))
+  }
+
   /** `mannWhitneyUTest` — the rank-sum test STATISTIC, exact. All rank
     * arithmetic stays integer by working with DOUBLED tie-averaged
     * ranks: for a row of value v, `2·avgrank = 2·rank(v) + cnt_eq(v) − 1`

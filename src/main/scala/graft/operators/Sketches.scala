@@ -218,4 +218,48 @@ object Sketches {
         .agg(sum(col(weightCol)).as("cnt"))
         .withColumnRenamed(valueCol, "bucket"),
       groupCols, qs)
+
+  /** Exact per-group median of an integer column via count-cumsum rank
+    * selection — O(distinct values) state, not O(rows): the smallest
+    * value whose cumulative count reaches `(n+1) DIV 2` (= ceil(n/2),
+    * the lower median — a DELIBERATE choice: the midpoint average of an
+    * even split is a non-grid rational, and every engine agrees on a
+    * grid point). Returns `(g, n, med)`. */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = h.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("g").orderBy("v")))
+    val t = h.groupBy("g").agg(sum("cnt").as("n"))
+      .withColumn("target", expr("(n + 1) DIV 2"))
+    cum.join(t, "g").filter(col("cum") >= col("target"))
+      .groupBy("g").agg(min("n").as("n"), min("v").as("med"))
+  }
+
+  /** `medianAbsoluteDeviation` — the robust-scale statistic, EXACT on
+    * the integer grid: median of `|x − median(x)|`, both medians via
+    * [[exactMedian]]'s ceil-rank selection. The first median is a tiny
+    * per-group scalar (one row per group, broadcast-joined back), so the
+    * whole figure costs two count-cumsum passes — no per-row windows
+    * over raw data, O(distinct) state each pass. */
+  def madExact(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("c"))
+    val med = exactMedian(base, "g", "c") // (g, n, med) — one tiny row/group
+    // the second ceil-rank pass CARRIES (n, med) through its aggregation
+    // keys, so the median subtree is evaluated once (the broadcast join)
+    // and never re-joined — without this the med branch is duplicated
+    // into both passes and the plan doubles its exchanges
+    val dev = base.join(broadcast(med), "g")
+      .withColumn("dev", abs(col("c") - col("med")))
+    val h = dev.groupBy("g", "n", "med", "dev").agg(count(lit(1)).as("cnt"))
+    h.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("dev")))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("g")
+      .agg(min("n").as("n"), min("med").as("med"), min("dev").as("mad"))
+  }
 }

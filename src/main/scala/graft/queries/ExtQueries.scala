@@ -828,6 +828,43 @@ object ExtQueries {
       .withColumnRenamed("g", "l_returnflag")
       .orderBy("l_returnflag")
 
+  /** Median absolute deviation ([[graft.operators.Sketches.madExact]]):
+    * per event type, the exact lower-median of cents and the exact MAD
+    * around it — two count-cumsum rank selections, full replay. */
+  def x80Mad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.madExact(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "event_type", "c")
+      .withColumnRenamed("g", "event_type")
+      .select(col("event_type"), col("n"), col("med").as("median_cents"),
+        col("mad").as("mad_cents"))
+      .orderBy("event_type")
+
+  /** sequenceNextNode ([[graft.operators.Funnel.nextNodeCounts]]): the
+    * distribution of what users do immediately after a signup, under the
+    * total (ts, event_id) order; anchors with no successor count as
+    * `<end>`. */
+  def x81NextNode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.nextNodeCounts(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_id", "event_type", "signup")
+      .orderBy("next_type")
+
+  /** boundingRatio ([[graft.operators.Profiling.boundingRatio]]): per
+    * event type, the bounding-box slope of cents over elapsed seconds —
+    * four int64 extrema + one fixed-IEEE read. */
+  def x82BoundingRatio(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.boundingRatio(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("sec", expr("(ts DIV 1000) DIV 1000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "event_type", col("sec"), col("c"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1532,6 +1569,60 @@ object ExtQueries {
        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
        |  END AS rho4
        |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** DuckDB mirror of the exact MAD (x80): the same ceil-rank lower
+    * medians over count cumsums, deviations around the first. */
+  private val duckMad: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, ${graft.functions.centsSql("value")} AS c
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |h1 AS (SELECT g, c AS v, count(*) AS cnt FROM e GROUP BY g, c),
+       |c1 AS (SELECT g, v, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM h1),
+       |t1 AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n, (CAST(sum(cnt) AS BIGINT) + 1) // 2 AS target FROM h1 GROUP BY g),
+       |m1 AS (SELECT c1.g, min(t1.n) AS n, min(c1.v) AS med
+       |       FROM c1 JOIN t1 ON c1.g = t1.g AND c1.cum >= t1.target GROUP BY c1.g),
+       |d AS (SELECT e.g, abs(e.c - m1.med) AS dev FROM e JOIN m1 ON e.g = m1.g),
+       |h2 AS (SELECT g, dev AS v, count(*) AS cnt FROM d GROUP BY g, dev),
+       |c2 AS (SELECT g, v, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM h2),
+       |t2 AS (SELECT g, (CAST(sum(cnt) AS BIGINT) + 1) // 2 AS target FROM h2 GROUP BY g),
+       |m2 AS (SELECT c2.g, min(c2.v) AS mad
+       |       FROM c2 JOIN t2 ON c2.g = t2.g AND c2.cum >= t2.target GROUP BY c2.g)
+       |SELECT m1.g AS event_type, m1.n, m1.med AS median_cents, m2.mad AS mad_cents
+       |FROM m1 JOIN m2 ON m1.g = m2.g ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of sequenceNextNode (x81): lead under the identical
+    * total (t, id) order, `<end>` for terminal anchors. */
+  private val duckNextNode: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_id AS id, event_type AS et
+      |  FROM events
+      |),
+      |l AS (SELECT u, t, id, et,
+      |        lead(et) OVER (PARTITION BY u ORDER BY t, id) AS nxt
+      |      FROM e)
+      |SELECT COALESCE(nxt, '<end>') AS next_type,
+      |  CAST(count(*) AS BIGINT) AS n_anchors
+      |FROM l WHERE et = 'signup'
+      |GROUP BY 1 ORDER BY next_type""".stripMargin
+
+  /** DuckDB mirror of boundingRatio (x82): identical int64 extrema and
+    * the identical guarded IEEE division. */
+  private val duckBoundingRatio: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+       |    ${graft.functions.centsSql("value")} AS y
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |        min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |      FROM e GROUP BY g)
+       |SELECT g AS event_type, n, min_x, max_x, min_y, max_y,
+       |  CASE WHEN max_x > min_x THEN
+       |    ${graft.functions.duckRound("CAST(max_y - min_y AS DOUBLE) / CAST(max_x - min_x AS DOUBLE)", 4)}
+       |  END AS ratio4
+       |FROM a ORDER BY event_type""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -2916,6 +3007,9 @@ object ExtQueries {
     "x77_mann_whitney" -> duckMannWhitney,
     "x78_group_concat" -> duckGroupConcat,
     "x79_spearman" -> duckSpearman,
+    "x80_mad" -> duckMad,
+    "x81_next_node" -> duckNextNode,
+    "x82_bounding_ratio" -> duckBoundingRatio,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3160,6 +3254,9 @@ object ExtQueries {
     "x77_mann_whitney" -> x77MannWhitney, // oracle: doubled-rank U identities
     "x78_group_concat" -> x78GroupConcat, // oracle: distinct, numeric-sorted join
     "x79_spearman"     -> x79Spearman, // oracle: doubled ranks + x68 corr read
+    "x80_mad"          -> x80Mad, // oracle: two ceil-rank median selections
+    "x81_next_node"    -> x81NextNode, // oracle: total-order lead replays
+    "x82_bounding_ratio" -> x82BoundingRatio, // oracle: extrema + guarded ratio
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

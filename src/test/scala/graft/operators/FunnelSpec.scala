@@ -119,4 +119,19 @@ class FunnelSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(r === Seq((0L, 2L, 1L, 1L), (2L, 1L, 0L, 0L)))
   }
+
+  test("nextNodeCounts: total-order successor, tie broken by id, terminal <end>") {
+    val events = Seq(
+      // u1: signup(t=0) -> click(t=1); a same-instant pair at t=5 where
+      // the id tiebreak decides: signup(id=10) then view(id=11)
+      (1L, 0L, 1L, "signup"), (1L, 1L, 2L, "click"),
+      (1L, 5L, 10L, "signup"), (1L, 5L, 11L, "view"),
+      // u2: trailing signup with no successor -> <end>
+      (2L, 3L, 20L, "click"), (2L, 9L, 21L, "signup")
+    ).toDF("user_id", "t_us", "event_id", "event_type")
+    val r = Funnel.nextNodeCounts(events, "user_id", "t_us", "event_id",
+        "event_type", "signup")
+      .orderBy("next_type").as[(String, Long)].collect().toSeq
+    assert(r === Seq(("<end>", 1L), ("click", 1L), ("view", 1L)))
+  }
 }

@@ -801,6 +801,27 @@ class ProfilingSpec extends SparkTestBase {
     assert(r("ties") === 0.866)
   }
 
+  test("madExact: lower medians, deviation ties collapse, broadcast scalar joins") {
+    // g=a {1,3,7,20}: n=4, target=2 -> med=3; devs {2,0,4,17} -> mad=2
+    // g=b {5,5,9}: n=3, target=2 -> med=5; devs {0,0,4} -> mad=0
+    val rows = Seq(("a", 1L), ("a", 3L), ("a", 7L), ("a", 20L),
+      ("b", 5L), ("b", 5L), ("b", 9L)).toDF("g", "c")
+    val r = graft.operators.Sketches.madExact(rows, "g", "c")
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", 4L, 3L, 2L), ("b", 3L, 5L, 0L)))
+  }
+
+  test("boundingRatio: extrema reads; zero x-extent -> NULL") {
+    val rows = Seq(("up", 0L, 10L), ("up", 4L, 30L), ("up", 2L, 50L),
+      ("pt", 7L, 1L), ("pt", 7L, 9L)).toDF("g", "x", "y")
+    val r = Profiling.boundingRatio(rows, "g",
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("up").getAs[Double]("ratio4") === 10.0) // (50-10)/(4-0)
+    assert(r("pt").isNullAt(r("pt").fieldIndex("ratio4")))
+  }
+
   test("quantileExactWeighted: ceil-rank over cumulative weights, duplicates merge") {
     // g=a values(weight): 10(1) 20(3) 30(1), W=5
     //   q50 target=ceil(5/2)=3 -> cum: 10->1, 20->4 >= 3 -> 20
