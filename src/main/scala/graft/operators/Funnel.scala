@@ -168,6 +168,39 @@ object Funnel {
     flags.groupBy("cohort_day").agg(out.head, out.tail: _*)
   }
 
+  /** `windowFunnel` in strict-order mode — ANY intervening event aborts
+    * the chain (A→B→D→C stops at D), so the matched steps must occupy
+    * CONSECUTIVE positions of the user's event stream under the total
+    * `(t, id)` order, all within `windowUs` of the anchor. That makes the
+    * whole funnel ONE window pass: k−1 `lead` pairs per row, a nested
+    * conditional counting consecutive prefix matches, and a per-user max —
+    * no per-stage joins at all (the consecutive requirement kills the
+    * anchor-set recursion that the relaxed mode needs). Tie contract:
+    * same-instant events are ordered by id, like every behavioral op here.
+    * Returns `(user, level)` for ALL users with events. */
+  def windowFunnelStrictOrder(events: DataFrame, userCol: String,
+      tsUsCol: String, idCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val w = Window.partitionBy("user").orderBy("t", "id")
+    val base = events.select(col(userCol).as("user"), col(tsUsCol).as("t"),
+      col(idCol).as("id"), col(typeCol).as("et"))
+    val withLeads = steps.indices.tail.foldLeft(base) { (d, i) =>
+      d.withColumn(s"et_$i", lead(col("et"), i).over(w))
+        .withColumn(s"t_$i", lead(col("t"), i).over(w))
+    }
+    // consecutive-prefix count: fold from the deepest step inward so the
+    // conditional nests as match₁ → (1 + (match₂ → (1 + …)))
+    val inner = steps.indices.tail.reverse.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"et_$i") === steps(i) &&
+        col(s"t_$i") <= col("t") + lit(windowUs), lit(1) + acc).otherwise(lit(0))
+    }
+    withLeads
+      .withColumn("lvl",
+        when(col("et") === steps.head, lit(1) + inner).otherwise(lit(0)))
+      .groupBy("user").agg(max("lvl").as("level"))
+  }
+
   /** `sequenceNextNode` — the "what happens after X" behavioral read:
     * for every `anchorType` event, the type of the SAME user's next
     * event under the TOTAL `(t, id)` order (the determinism rule: a

@@ -147,6 +147,53 @@ object Profiling {
       .withColumnRenamed("corr4", "rho4")
   }
 
+  /** `studentTTest` / `welchTTest` — the two-sample location-test
+    * STATISTICS in the moment-artifact architecture: state = six int64
+    * conditional sums (n, Σx, Σx² per sample — SUM-upsert-maintainable),
+    * reads = the pooled-variance (Student) and unpooled (Welch) t in one
+    * fixed-IEEE expression each: means computed once, the corrected sums
+    * `q = Σx² − Σx·mean` chained through both reads, pround4 at the
+    * boundary. p-values are caller-side by the same contract as
+    * [[mannWhitneyU]] (no cross-engine erfc). Guards: each sample needs
+    * n ≥ 2 and a positive variance term, else NULL. */
+  def tTestMoments(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, aLabel: String, bLabel: String): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = df
+      .filter(col(sampleCol).isin(aLabel, bLabel) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(sampleCol).as("s"),
+        col(valueCol).as("v"))
+      .groupBy("g")
+      .agg(
+        sum(when(col("s") === aLabel, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("s") === aLabel, col("v")).otherwise(0L)).as("s1_a"),
+        sum(when(col("s") === aLabel, col("v") * col("v")).otherwise(0L)).as("s2_a"),
+        sum(when(col("s") === bLabel, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("s") === bLabel, col("v")).otherwise(0L)).as("s1_b"),
+        sum(when(col("s") === bLabel, col("v") * col("v")).otherwise(0L)).as("s2_b"))
+    // every division sits under a guard: ANSI-on Spark throws on x/0
+    // even for doubles, so degenerate samples must SKIP the division,
+    // not clean up after it; the guards are mirrored verbatim in SQL
+    m.withColumn("ma", when(col("n_a") > 0L, d(col("s1_a")) / d(col("n_a"))))
+      .withColumn("mb", when(col("n_b") > 0L, d(col("s1_b")) / d(col("n_b"))))
+      .withColumn("qa", d(col("s2_a")) - d(col("s1_a")) * col("ma"))
+      .withColumn("qb", d(col("s2_b")) - d(col("s1_b")) * col("mb"))
+      .withColumn("sp2", when(col("n_a") + col("n_b") > 2L,
+        (col("qa") + col("qb")) / d(col("n_a") + col("n_b") - 2L)))
+      .withColumn("t_student4",
+        when(col("n_a") > 1L && col("n_b") > 1L && col("sp2") > 0, pround4(
+          (col("ma") - col("mb")) /
+            sqrt(col("sp2") * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))))
+      .withColumn("vna",
+        when(col("n_a") > 1L, col("qa") / d(col("n_a") - 1L) / d(col("n_a"))))
+      .withColumn("vnb",
+        when(col("n_b") > 1L, col("qb") / d(col("n_b") - 1L) / d(col("n_b"))))
+      .withColumn("t_welch4", when(col("vna") + col("vnb") > 0,
+        pround4((col("ma") - col("mb")) / sqrt(col("vna") + col("vnb")))))
+      .drop("ma", "mb", "qa", "qb", "sp2", "vna", "vnb")
+  }
+
   /** `simpleLinearRegression` — slope/intercept READS over the SAME
     * artifact [[corrMoments]] maintains (n, Σx, Σy, Σxy, Σx²): the
     * moments are the state, every regression statistic is a cheap read —

@@ -865,6 +865,42 @@ object ExtQueries {
       .withColumnRenamed("g", "event_type")
       .orderBy("event_type")
 
+  /** Student/Welch t statistics ([[graft.operators.Profiling
+    * .tTestMoments]]): click vs error dollars per day — six int64
+    * conditional sums + two fixed-IEEE reads, full replay. */
+  def x83TTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.tTestMoments(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+          .withColumn("xc", graft.functions.cents(col("value")))
+          .withColumn("dollars", expr("xc DIV 100")),
+        "day", "dollars", "event_type", "click", "error")
+      .withColumnRenamed("g", "day")
+      .orderBy("day")
+
+  /** Strict-order windowFunnel ([[graft.operators.Funnel
+    * .windowFunnelStrictOrder]]): signup→click→purchase where any
+    * intervening event aborts the chain — level distribution. */
+  def x84FunnelStrict(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnelStrictOrder(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_id", "event_type",
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+
+  /** groupBitAnd/Or/Xor: the bitwise aggregate surface over cents per
+    * event type — exact int64 in any engine. */
+  def x85BitOps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", graft.functions.cents(col("value")))
+      .groupBy("event_type")
+      .agg(expr("bit_and(c)").as("band"), expr("bit_or(c)").as("bor"),
+        expr("bit_xor(c)").as("bxor"))
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1623,6 +1659,76 @@ object ExtQueries {
        |    ${graft.functions.duckRound("CAST(max_y - min_y AS DOUBLE) / CAST(max_x - min_x AS DOUBLE)", 4)}
        |  END AS ratio4
        |FROM a ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the t statistics (x83): identical conditional
+    * sums, means computed once, q-terms chained into both reads. */
+  private val duckTTest: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+       |    event_type AS s, ${graft.functions.centsSql("value")} // 100 AS v
+       |  FROM events
+       |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+       |),
+       |m AS (SELECT g,
+       |        CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN s = 'click' THEN v ELSE 0 END) AS BIGINT) AS s1_a,
+       |        CAST(sum(CASE WHEN s = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS s2_a,
+       |        CAST(sum(CASE WHEN s = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(sum(CASE WHEN s = 'error' THEN v ELSE 0 END) AS BIGINT) AS s1_b,
+       |        CAST(sum(CASE WHEN s = 'error' THEN v * v ELSE 0 END) AS BIGINT) AS s2_b
+       |      FROM e GROUP BY g),
+       |b AS (SELECT *,
+       |        CASE WHEN n_a > 0 THEN CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS ma,
+       |        CASE WHEN n_b > 0 THEN CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mb FROM m),
+       |q AS (SELECT *, CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * ma AS qa,
+       |        CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * mb AS qb FROM b),
+       |p AS (SELECT *,
+       |        CASE WHEN n_a + n_b > 2 THEN (qa + qb) / CAST(n_a + n_b - 2 AS DOUBLE) END AS sp2,
+       |        CASE WHEN n_a > 1 THEN qa / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE) END AS vna,
+       |        CASE WHEN n_b > 1 THEN qb / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE) END AS vnb
+       |      FROM q)
+       |SELECT g AS day, n_a, s1_a, s2_a, n_b, s1_b, s2_b,
+       |  CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0 THEN
+       |    ${graft.functions.duckRound("(ma - mb) / sqrt(sp2 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))", 4)}
+       |  END AS t_student4,
+       |  CASE WHEN vna + vnb > 0 THEN
+       |    ${graft.functions.duckRound("(ma - mb) / sqrt(vna + vnb)", 4)}
+       |  END AS t_welch4
+       |FROM p ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the strict-order funnel (x84): identical lead
+    * pairs under the identical total order, identical nested CASE. */
+  private val duckFunnelStrict: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_id AS id, event_type AS et
+      |  FROM events
+      |),
+      |l AS (SELECT u, t, et,
+      |        lead(et, 1) OVER (PARTITION BY u ORDER BY t, id) AS et_1,
+      |        lead(t, 1) OVER (PARTITION BY u ORDER BY t, id) AS t_1,
+      |        lead(et, 2) OVER (PARTITION BY u ORDER BY t, id) AS et_2,
+      |        lead(t, 2) OVER (PARTITION BY u ORDER BY t, id) AS t_2
+      |      FROM e),
+      |v AS (SELECT u,
+      |        CASE WHEN et = 'signup' THEN 1 +
+      |          CASE WHEN et_1 = 'click' AND t_1 <= t + 86400000000 THEN 1 +
+      |            CASE WHEN et_2 = 'purchase' AND t_2 <= t + 86400000000 THEN 1 ELSE 0 END
+      |          ELSE 0 END
+      |        ELSE 0 END AS lvl
+      |      FROM l),
+      |m AS (SELECT u, max(lvl) AS level FROM v GROUP BY u)
+      |SELECT level, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY level ORDER BY level""".stripMargin
+
+  /** DuckDB mirror of the bit aggregates (x85). */
+  private val duckBitOps: String =
+    s"""SELECT event_type,
+       |  bit_and(${graft.functions.centsSql("value")}) AS band,
+       |  bit_or(${graft.functions.centsSql("value")}) AS bor,
+       |  bit_xor(${graft.functions.centsSql("value")}) AS bxor
+       |FROM events WHERE value IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -3010,6 +3116,9 @@ object ExtQueries {
     "x80_mad" -> duckMad,
     "x81_next_node" -> duckNextNode,
     "x82_bounding_ratio" -> duckBoundingRatio,
+    "x83_ttest" -> duckTTest,
+    "x84_funnel_strict" -> duckFunnelStrict,
+    "x85_bit_ops" -> duckBitOps,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3257,6 +3366,9 @@ object ExtQueries {
     "x80_mad"          -> x80Mad, // oracle: two ceil-rank median selections
     "x81_next_node"    -> x81NextNode, // oracle: total-order lead replays
     "x82_bounding_ratio" -> x82BoundingRatio, // oracle: extrema + guarded ratio
+    "x83_ttest"        -> x83TTest, // oracle: chained fixed-IEEE t reads
+    "x84_funnel_strict" -> x84FunnelStrict, // oracle: lead-pair nested CASE
+    "x85_bit_ops"      -> x85BitOps, // oracle: exact int64 bitwise folds
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

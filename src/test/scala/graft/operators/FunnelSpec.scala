@@ -120,6 +120,24 @@ class FunnelSpec extends SparkTestBase {
     assert(r === Seq((0L, 2L, 1L, 1L), (2L, 1L, 0L, 0L)))
   }
 
+  test("windowFunnelStrictOrder: intervening event aborts; window cuts deep steps") {
+    val W = 10L
+    val events = Seq(
+      // u1: clean consecutive chain -> 3
+      (1L, 0L, 1L, "signup"), (1L, 1L, 2L, "click"), (1L, 2L, 3L, "purchase"),
+      // u2: view intervenes between signup and click -> aborts at 1
+      (2L, 0L, 1L, "signup"), (2L, 1L, 2L, "view"), (2L, 2L, 3L, "click"),
+      // u3: click is consecutive but outside the window -> 1
+      (3L, 0L, 1L, "signup"), (3L, 20L, 2L, "click"),
+      // u4: no anchor -> 0
+      (4L, 5L, 1L, "view")
+    ).toDF("user_id", "t_us", "event_id", "event_type")
+    val r = Funnel.windowFunnelStrictOrder(events, "user_id", "t_us",
+        "event_id", "event_type", Seq("signup", "click", "purchase"), W)
+      .orderBy("user").as[(Long, Int)].collect().toSeq
+    assert(r === Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
   test("nextNodeCounts: total-order successor, tie broken by id, terminal <end>") {
     val events = Seq(
       // u1: signup(t=0) -> click(t=1); a same-instant pair at t=5 where

@@ -801,6 +801,21 @@ class ProfilingSpec extends SparkTestBase {
     assert(r("ties") === 0.866)
   }
 
+  test("tTestMoments: equal-variance hand case gives -4/sqrt(2) on both reads") {
+    // A={0,2}: ma=1, qa=2; B={4,6}: mb=5, qb=2 -> sp2=2
+    // t_student = -4/sqrt(2·(1/2+1/2)) = -2.8284; Welch identical here
+    val rows = Seq(("g", "A", 0L), ("g", "A", 2L), ("g", "B", 4L), ("g", "B", 6L),
+      // single-sample group -> guards nullify both reads
+      ("h", "A", 1L), ("h", "A", 2L), ("h", "B", 7L)
+    ).toDF("g", "s", "v")
+    val r = Profiling.tTestMoments(rows, "g", "v", "s", "A", "B")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("g").getAs[Double]("t_student4") === -2.8284)
+    assert(r("g").getAs[Double]("t_welch4") === -2.8284)
+    assert(r("h").isNullAt(r("h").fieldIndex("t_student4")))
+    assert(r("h").isNullAt(r("h").fieldIndex("t_welch4")))
+  }
+
   test("madExact: lower medians, deviation ties collapse, broadcast scalar joins") {
     // g=a {1,3,7,20}: n=4, target=2 -> med=3; devs {2,0,4,17} -> mad=2
     // g=b {5,5,9}: n=3, target=2 -> med=5; devs {0,0,4} -> mad=0
