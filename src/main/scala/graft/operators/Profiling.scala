@@ -126,6 +126,21 @@ object Profiling {
       .drop("r2_a")
   }
 
+  /** `arrayAUC` — ROC-AUC as a READ over [[mannWhitneyU]]'s doubled-rank
+    * artifact: AUC = U_pos / (n_pos·n_neg) exactly (ties contribute ½ via
+    * the tie-averaged ranks), so `auc4 = u2_a / (2·n_a·n_b)` in one
+    * guarded IEEE division — the probabilistic interpretation of the
+    * rank-sum statistic, zero new machinery. NULL when either class is
+    * empty. */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, posLabel: String, negLabel: String): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    mannWhitneyU(df, groupCol, scoreCol, labelCol, posLabel, negLabel)
+      .withColumn("auc4", when(col("n_a") > 0L && col("n_b") > 0L,
+        pround4(d(col("u2_a")) / d(lit(2L) * col("n_a") * col("n_b")))))
+  }
+
   /** Spearman rank correlation — rank both columns with the SAME doubled
     * tie-averaged ranks as [[mannWhitneyU]] (integers, so the rank
     * transform is exact and engine-identical), then reuse the

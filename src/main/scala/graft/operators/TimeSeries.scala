@@ -273,6 +273,80 @@ object TimeSeries {
         min(when(col("cum") === col("mx") && col("d") === 1L, col("p"))).as("at_p"))
   }
 
+  /** `largestTriangleThreeBuckets` — the LTTB chart-downsampling
+    * aggregate, EXACT and sequential-faithful: first/last points pinned;
+    * the middle positions split into `nBuckets − 2` equal-position
+    * buckets; bucket k's pick maximizes the triangle area with the
+    * PREVIOUSLY SELECTED point and the NEXT bucket's average (the last
+    * pick uses the last point). The per-bucket dependency chain is
+    * unrolled into `nBuckets − 2` plan stages (the x52/x53 iterative
+    * recipe): each stage joins the 1-row-per-key previous pick
+    * (broadcast) to the bucket's candidates and takes a `max_by` under
+    * the TOTAL order (area, −t, −v) — deterministic on area ties.
+    *
+    * Exactness: the next-bucket average `(Σx/c, Σy/c)` is rational, so
+    * the comparison multiplies the doubled area through by `c`:
+    * `a = |(x_prev·c − Σx)(y − y_prev) − (x_prev − x)(Σy − y_prev·c)|` —
+    * all int64 (bound: t_span·points_per_bucket·v_span < 2⁶³). Keys with
+    * n ≤ nBuckets pass through whole. Returns `(g, sel, t, v)` with
+    * `sel` the output position.
+    *
+    * Scale shape: one window pass for positions, one bucket aggregation,
+    * then B−2 broadcast joins against 1-row/key picks — the series data
+    * is scanned once per bucket stage but each stage filters to its own
+    * bucket, so total candidate work is O(points); the position pass is
+    * persisted to keep the unrolled stages from recomputing it. */
+  def lttb(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+      idCol: String, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 3, "lttb needs at least first + one middle + last")
+    val base = df.select(col(keyCol).as("g"), col(tCol).as("t"),
+        col(vCol).as("v"), col(idCol).as("id"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+    val pos = Caching.persisted(base
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("t", "id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .drop("id"))
+    val small = pos.filter(col("n") <= nBuckets)
+      .select(col("g"), (col("rn") - 1).cast("int").as("sel"), col("t"), col("v"))
+    val big = pos.filter(col("n") > nBuckets)
+    val mid = big.filter(col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("bk", expr(s"(rn - 2) * ${nBuckets - 2} DIV (n - 2)"))
+    val midAgg = mid.groupBy("g", "bk")
+      .agg(count(lit(1)).as("c"), sum("t").as("sx"), sum("v").as("sy"))
+    val first = big.filter(col("rn") === 1).select(col("g"), col("t"), col("v"))
+    val last = big.filter(col("rn") === col("n")).select(col("g"), col("t"), col("v"))
+
+    var prev = first
+    var picks = Vector(first)
+    for (k <- 0 until nBuckets - 2) {
+      val nxt =
+        if (k < nBuckets - 3)
+          midAgg.filter(col("bk") === (k + 1))
+            .select(col("g"), col("c"), col("sx"), col("sy"))
+        else
+          last.select(col("g"), lit(1L).as("c"), col("t").as("sx"),
+            col("v").as("sy"))
+      val pick = mid.filter(col("bk") === k)
+        .join(broadcast(prev.select(col("g"), col("t").as("px"), col("v").as("py"))), "g")
+        .join(broadcast(nxt), "g")
+        .withColumn("a", abs(
+          (col("px") * col("c") - col("sx")) * (col("v") - col("py")) -
+            (col("px") - col("t")) * (col("sy") - col("py") * col("c"))))
+        .groupBy("g")
+        .agg(max_by(struct(col("t"), col("v")),
+          struct(col("a"), (-col("t")).as("nt"), (-col("v")).as("nv"))).as("p"))
+        .select(col("g"), col("p.t").as("t"), col("p.v").as("v"))
+      picks = picks :+ pick
+      prev = pick
+    }
+    picks = picks :+ last
+    val bigOut = picks.zipWithIndex.map { case (d, i) =>
+      d.select(col("g"), lit(i).as("sel"), col("t"), col("v"))
+    }.reduce(_.union(_))
+    small.union(bigOut)
+  }
+
   /** `deltaSum` — the reference engine family's positive-delta
     * accumulator: per key, the sum of increases of an ordered series
     * (counter-reset-tolerant rate reads). The order MUST be total —

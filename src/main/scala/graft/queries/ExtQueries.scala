@@ -901,6 +901,34 @@ object ExtQueries {
         expr("bit_xor(c)").as("bxor"))
       .orderBy("event_type")
 
+  /** ROC-AUC ([[graft.operators.Profiling.rocAuc]]): value cents as the
+    * score, purchase vs view as the classes, per day — the U statistic's
+    * probabilistic read, tie-aware via doubled ranks. */
+  def x86RocAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.rocAuc(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "day", "c", "event_type", "purchase", "view")
+      .withColumnRenamed("g", "day")
+      .orderBy("day")
+
+  /** LTTB downsampling ([[graft.operators.TimeSeries.lttb]]): each
+    * event type's (second, cents) series reduced to 6 visually-dominant
+    * points — sequential-faithful picks, exact integer areas, replayed
+    * as 4 unrolled CTE stages. */
+  def x87Lttb(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.lttb(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("sec", expr("(ts DIV 1000) DIV 1000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "event_type", "sec", "c", "event_id", nBuckets = 6)
+      .select(col("g").as("event_type"), col("sel"), col("t").as("sec"),
+        col("v").as("cents"))
+      .orderBy("event_type", "sel")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1729,6 +1757,75 @@ object ExtQueries {
        |  bit_xor(${graft.functions.centsSql("value")}) AS bxor
        |FROM events WHERE value IS NOT NULL
        |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the ROC-AUC (x86): the x77 doubled-rank machinery
+    * with purchase/view classes plus the guarded AUC division. */
+  private val duckRocAuc: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+       |    event_type AS s, ${graft.functions.centsSql("value")} AS v
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+       |),
+       |r AS (SELECT g, s,
+       |        rank() OVER (PARTITION BY g ORDER BY v) AS rk,
+       |        count(*) OVER (PARTITION BY g, v) AS ceq
+       |      FROM e),
+       |r2 AS (SELECT g, s, 2 * rk + ceq - 1 AS r2 FROM r),
+       |a AS (SELECT g,
+       |        CAST(sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(sum(CASE WHEN s = 'purchase' THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+       |      FROM r2 GROUP BY g),
+       |u AS (SELECT g, n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a FROM a)
+       |SELECT g AS day, n_a, n_b, u2_a, 2 * n_a * n_b - u2_a AS u2_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${graft.functions.duckRound("CAST(u2_a AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)", 4)}
+       |  END AS auc4
+       |FROM u ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the LTTB downsample (x87, B=6): the 4 selection
+    * stages unrolled as CTEs — each stage's pick maximizes the same
+    * c-multiplied integer doubled-area against the previous stage's pick
+    * and the next bucket's sum-average, ties to (min t, min v). */
+  private val duckLttb: String = {
+    def stage(k: Int, prev: String): String = {
+      val nxt =
+        if (k < 3) s"(SELECT g, CAST(count(*) AS BIGINT) AS c, CAST(sum(t) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy FROM m WHERE bk = ${k + 1} GROUP BY g)"
+        else "(SELECT g, CAST(1 AS BIGINT) AS c, t AS sx, v AS sy FROM lN)"
+      s"""c$k AS (SELECT m.g, m.t, m.v,
+         |  abs(($prev.t * nx.c - nx.sx) * (m.v - $prev.v) - ($prev.t - m.t) * (nx.sy - $prev.v * nx.c)) AS a
+         |  FROM m JOIN $prev ON m.g = $prev.g JOIN $nxt nx ON nx.g = m.g
+         |  WHERE m.bk = $k),
+         |s$k AS (SELECT g, t, v FROM (
+         |  SELECT g, t, v, row_number() OVER (PARTITION BY g ORDER BY a DESC, t ASC, v ASC) AS rr
+         |  FROM c$k) WHERE rr = 1)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+       |    ${graft.functions.centsSql("value")} AS v, event_id AS id
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |p AS (SELECT g, t, v,
+       |        row_number() OVER (PARTITION BY g ORDER BY t, id) AS rn,
+       |        count(*) OVER (PARTITION BY g) AS n
+       |      FROM e),
+       |m AS (SELECT g, t, v, (rn - 2) * 4 // (n - 2) AS bk FROM p WHERE rn > 1 AND rn < n),
+       |f0 AS (SELECT g, t, v FROM p WHERE rn = 1),
+       |lN AS (SELECT g, t, v FROM p WHERE rn = n),
+       |${stage(0, "f0")},
+       |${stage(1, "s0")},
+       |${stage(2, "s1")},
+       |${stage(3, "s2")}
+       |SELECT g AS event_type, sel, t AS sec, v AS cents FROM (
+       |  SELECT g, 0 AS sel, t, v FROM f0 UNION ALL
+       |  SELECT g, 1, t, v FROM s0 UNION ALL
+       |  SELECT g, 2, t, v FROM s1 UNION ALL
+       |  SELECT g, 3, t, v FROM s2 UNION ALL
+       |  SELECT g, 4, t, v FROM s3 UNION ALL
+       |  SELECT g, 5, t, v FROM lN
+       |) ORDER BY event_type, sel""".stripMargin
+  }
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -3119,6 +3216,8 @@ object ExtQueries {
     "x83_ttest" -> duckTTest,
     "x84_funnel_strict" -> duckFunnelStrict,
     "x85_bit_ops" -> duckBitOps,
+    "x86_roc_auc" -> duckRocAuc,
+    "x87_lttb" -> duckLttb,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3369,6 +3468,8 @@ object ExtQueries {
     "x83_ttest"        -> x83TTest, // oracle: chained fixed-IEEE t reads
     "x84_funnel_strict" -> x84FunnelStrict, // oracle: lead-pair nested CASE
     "x85_bit_ops"      -> x85BitOps, // oracle: exact int64 bitwise folds
+    "x86_roc_auc"      -> x86RocAuc, // oracle: doubled-rank U -> AUC read
+    "x87_lttb"         -> x87Lttb, // oracle: 4 unrolled integer-area stages
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -816,6 +816,17 @@ class ProfilingSpec extends SparkTestBase {
     assert(r("h").isNullAt(r("h").fieldIndex("t_welch4")))
   }
 
+  test("rocAuc: separable -> 1.0, all-tied -> 0.5 via tie-averaged ranks") {
+    val rows = Seq(
+      ("sep", "P", 3L), ("sep", "N", 1L), ("sep", "N", 2L),
+      ("tie", "P", 2L), ("tie", "N", 2L)
+    ).toDF("g", "s", "v")
+    val r = Profiling.rocAuc(rows, "g", "v", "s", "P", "N")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("auc4")).toMap
+    assert(r("sep") === 1.0)
+    assert(r("tie") === 0.5)
+  }
+
   test("madExact: lower medians, deviation ties collapse, broadcast scalar joins") {
     // g=a {1,3,7,20}: n=4, target=2 -> med=3; devs {2,0,4,17} -> mad=2
     // g=b {5,5,9}: n=3, target=2 -> med=5; devs {0,0,4} -> mad=0

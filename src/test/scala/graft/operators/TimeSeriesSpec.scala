@@ -140,6 +140,23 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(folded === direct)
   }
 
+  test("lttb: pinned ends, per-bucket area argmax vs next-bucket average, passthrough") {
+    import spark.implicits._
+    // n=8, B=6 -> mid rn 2..7, bk = 0,0,1,2,2,3; planted peaks at t=2
+    // (bk0) and t=5 (bk2) must win their buckets; singleton buckets pass
+    val big = Seq((0L, 0L), (1L, 0L), (2L, 100L), (3L, 0L), (4L, 0L),
+      (5L, 50L), (6L, 0L), (7L, 0L)).map { case (t, v) => ("big", t, v, t) }
+    val sm = Seq(("sm", 0L, 5L, 0L), ("sm", 1L, 6L, 1L)) // n=2 <= B
+    val df = (big ++ sm).toDF("g", "t", "v", "id")
+    val r = TimeSeries.lttb(df, "g", "t", "v", "id", nBuckets = 6)
+      .orderBy("g", "sel").as[(String, Int, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("big", 0, 0L, 0L), ("big", 1, 2L, 100L), ("big", 2, 3L, 0L),
+      ("big", 3, 5L, 50L), ("big", 4, 6L, 0L), ("big", 5, 7L, 0L),
+      ("sm", 0, 0L, 5L), ("sm", 1, 1L, 6L)))
+    Caching.releaseAll()
+  }
+
   test("intervalCoverage: overlaps merge, containment counts once, islands split") {
     import spark.implicits._
     val iv = Seq(
