@@ -141,6 +141,73 @@ object Profiling {
         pround4(d(col("u2_a")) / d(lit(2L) * col("n_a") * col("n_b")))))
   }
 
+  /** `kolmogorovSmirnovTest` — the KS STATISTIC, exact as a rational:
+    * over discrete observations the supremum of |F_a − F_b| is attained
+    * at an observed point, so
+    * `D = max |cum_a·n_b − cum_b·n_a| / (n_a·n_b)` with every term int64
+    * (numerator and denominator returned alongside the pround4 read —
+    * the exact figure survives the oracle, the rounded one is for
+    * humans). One distinct-value aggregation + one window cumsum, state
+    * O(distinct values). p-values caller-side (same contract as
+    * [[mannWhitneyU]]). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, aLabel: String, bLabel: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val h = df
+      .filter(col(sampleCol).isin(aLabel, bLabel) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(sampleCol).as("s"),
+        col(valueCol).as("v"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("s") === aLabel, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === bLabel, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val t = h.groupBy("g").agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    h.withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .join(broadcast(t), "g")
+      .withColumn("dev",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy("g")
+      .agg(min("n_a").as("n_a"), min("n_b").as("n_b"),
+        max("dev").as("d_num"))
+      .withColumn("d_den", col("n_a") * col("n_b"))
+      .withColumn("d4", when(col("d_den") > 0,
+        pround4(d(col("d_num")) / d(col("d_den")))))
+  }
+
+  /** Two-proportion z STATISTIC — conversion-rate comparison in the
+    * moment architecture: artifact = four int64 counts (trials and
+    * successes per sample), read = the pooled z in one guarded
+    * fixed-IEEE expression (pool computed once, every division under
+    * its guard — the ANSI x/0 rule). */
+  def proportionZ(df: DataFrame, groupCol: String, sampleCol: String,
+      aLabel: String, bLabel: String,
+      success: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = df.filter(col(sampleCol).isin(aLabel, bLabel))
+      .select(col(groupCol).as("g"), col(sampleCol).as("s"),
+        when(success, 1L).otherwise(0L).as("ok"))
+      .groupBy("g")
+      .agg(
+        sum(when(col("s") === aLabel, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("s") === aLabel, col("ok")).otherwise(0L)).as("x_a"),
+        sum(when(col("s") === bLabel, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("s") === bLabel, col("ok")).otherwise(0L)).as("x_b"))
+    m.withColumn("p1", when(col("n_a") > 0L, d(col("x_a")) / d(col("n_a"))))
+      .withColumn("p2", when(col("n_b") > 0L, d(col("x_b")) / d(col("n_b"))))
+      .withColumn("pp", when(col("n_a") + col("n_b") > 0L,
+        d(col("x_a") + col("x_b")) / d(col("n_a") + col("n_b"))))
+      .withColumn("se2", when(col("n_a") > 0L && col("n_b") > 0L,
+        col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+      .withColumn("z4", when(col("n_a") > 0L && col("n_b") > 0L &&
+        col("se2") > 0, pround4((col("p1") - col("p2")) / sqrt(col("se2")))))
+      .drop("p1", "p2", "pp", "se2")
+  }
+
   /** Spearman rank correlation — rank both columns with the SAME doubled
     * tie-averaged ranks as [[mannWhitneyU]] (integers, so the rank
     * transform is exact and engine-identical), then reuse the

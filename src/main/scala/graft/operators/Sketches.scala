@@ -219,6 +219,38 @@ object Sketches {
         .withColumnRenamed(valueCol, "bucket"),
       groupCols, qs)
 
+  /** Tukey-fence outlier counts — robust outlier detection EXACT on the
+    * integer grid: Q1/Q3 via the same ceil-rank selection as
+    * [[exactMedian]], fences `Q1 − 1.5·IQR` / `Q3 + 1.5·IQR` carried as
+    * DOUBLED integers (`low2 = 5·Q1 − 3·Q3`, `high2 = 5·Q3 − 3·Q1` —
+    * the ×1.5 half-grid rational cleared the same way the rank tests
+    * clear tie-halves), outliers counted against `2·v`. One count-cumsum
+    * pass for the quartiles (O(distinct) state), one broadcast join back
+    * for the counts. */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val h = base.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val cum = h.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("g").orderBy("v")))
+    val t = h.groupBy("g").agg(sum("cnt").as("n"))
+      .withColumn("t1", expr("(n + 3) DIV 4"))       // ceil(n/4)
+      .withColumn("t3", expr("(3 * n + 3) DIV 4"))   // ceil(3n/4)
+    val q = cum.join(broadcast(t), "g")
+      .groupBy("g")
+      .agg(min("n").as("n"),
+        min(when(col("cum") >= col("t1"), col("v"))).as("q1"),
+        min(when(col("cum") >= col("t3"), col("v"))).as("q3"))
+      .withColumn("low2", lit(5L) * col("q1") - lit(3L) * col("q3"))
+      .withColumn("high2", lit(5L) * col("q3") - lit(3L) * col("q1"))
+    base.join(broadcast(q), "g")
+      .groupBy("g")
+      .agg(min("n").as("n"), min("q1").as("q1"), min("q3").as("q3"),
+        sum(when(col("v") * 2L < col("low2"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 2L > col("high2"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Exact per-group median of an integer column via count-cumsum rank
     * selection — O(distinct values) state, not O(rows): the smallest
     * value whose cumulative count reaches `(n+1) DIV 2` (= ceil(n/2),

@@ -929,6 +929,44 @@ object ExtQueries {
         col("v").as("cents"))
       .orderBy("event_type", "sel")
 
+  /** Kolmogorov-Smirnov ([[graft.operators.Profiling.ksTest]]): click vs
+    * error value distributions per day — exact rational D plus the
+    * rounded read. */
+  def x88KsTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.ksTest(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "day", "c", "event_type", "click", "error")
+      .withColumnRenamed("g", "day")
+      .orderBy("day")
+
+  /** Tukey outliers ([[graft.operators.Sketches.tukeyOutliers]]): per
+    * event type, exact quartiles on the cents grid and the fence-breaker
+    * counts with doubled-integer fences. */
+  def x89Tukey(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.tukeyOutliers(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "event_type", "c")
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
+  /** Two-proportion z ([[graft.operators.Profiling.proportionZ]]): the
+    * share of ≥$100 values among views vs clicks per day — four int64
+    * counts + one guarded fixed-IEEE read. */
+  def x90ProportionZ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.proportionZ(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+          .withColumn("c", graft.functions.cents(col("value"))),
+        "day", "event_type", "view", "click", col("c") >= 10000L)
+      .withColumnRenamed("g", "day")
+      .orderBy("day")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -1826,6 +1864,88 @@ object ExtQueries {
        |  SELECT g, 5, t, v FROM lN
        |) ORDER BY event_type, sel""".stripMargin
   }
+
+  /** DuckDB mirror of the KS statistic (x88): identical distinct-value
+    * cumsums and the identical integer cross-products. */
+  private val duckKsTest: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+       |    event_type AS s, ${graft.functions.centsSql("value")} AS v
+       |  FROM events
+       |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+       |),
+       |h AS (SELECT g, v,
+       |        CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |        CAST(sum(CASE WHEN s = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |      FROM e GROUP BY g, v),
+       |t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM h GROUP BY g),
+       |c AS (SELECT g, v,
+       |        CAST(sum(ca) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_a,
+       |        CAST(sum(cb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_b
+       |      FROM h),
+       |m AS (SELECT c.g, min(t.n_a) AS n_a, min(t.n_b) AS n_b,
+       |        max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS d_num
+       |      FROM c JOIN t ON c.g = t.g GROUP BY c.g)
+       |SELECT g AS day, n_a, n_b, d_num, n_a * n_b AS d_den,
+       |  CASE WHEN n_a * n_b > 0 THEN
+       |    ${graft.functions.duckRound("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 4)}
+       |  END AS d4
+       |FROM m ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the Tukey outliers (x89): identical ceil-rank
+    * quartiles and doubled-integer fences. */
+  private val duckTukey: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, ${graft.functions.centsSql("value")} AS v
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |h AS (SELECT g, v, count(*) AS cnt FROM e GROUP BY g, v),
+       |c AS (SELECT g, v, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM h),
+       |t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+       |        (CAST(sum(cnt) AS BIGINT) + 3) // 4 AS t1,
+       |        (3 * CAST(sum(cnt) AS BIGINT) + 3) // 4 AS t3
+       |      FROM h GROUP BY g),
+       |q AS (SELECT c.g, min(t.n) AS n,
+       |        min(CASE WHEN c.cum >= t.t1 THEN c.v END) AS q1,
+       |        min(CASE WHEN c.cum >= t.t3 THEN c.v END) AS q3
+       |      FROM c JOIN t ON c.g = t.g GROUP BY c.g),
+       |f AS (SELECT *, 5 * q1 - 3 * q3 AS low2, 5 * q3 - 3 * q1 AS high2 FROM q)
+       |SELECT e.g AS event_type, min(f.n) AS n, min(f.q1) AS q1, min(f.q3) AS q3,
+       |  CAST(sum(CASE WHEN e.v * 2 < f.low2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(sum(CASE WHEN e.v * 2 > f.high2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       |FROM e JOIN f ON e.g = f.g GROUP BY e.g ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the two-proportion z (x90): identical counts,
+    * pool computed once, guards mirrored. */
+  private val duckProportionZ: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS g,
+       |    event_type AS s,
+       |    CASE WHEN ${graft.functions.centsSql("value")} >= 10000 THEN 1 ELSE 0 END AS ok
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+       |),
+       |m AS (SELECT g,
+       |        CAST(sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN s = 'view' THEN ok ELSE 0 END) AS BIGINT) AS x_a,
+       |        CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(sum(CASE WHEN s = 'click' THEN ok ELSE 0 END) AS BIGINT) AS x_b
+       |      FROM e GROUP BY g),
+       |b AS (SELECT *,
+       |        CASE WHEN n_a > 0 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p1,
+       |        CASE WHEN n_b > 0 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p2,
+       |        CASE WHEN n_a + n_b > 0 THEN CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS pp
+       |      FROM m),
+       |v AS (SELECT *,
+       |        CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |          pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+       |        END AS se2
+       |      FROM b)
+       |SELECT g AS day, n_a, x_a, n_b, x_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0 THEN
+       |    ${graft.functions.duckRound("(p1 - p2) / sqrt(se2)", 4)}
+       |  END AS z4
+       |FROM v ORDER BY day""".stripMargin
 
   /** DuckDB mirror of the daily pivot (x65): explicit conditional
     * counts — the relational meaning of a fixed-values pivot. */
@@ -3218,6 +3338,9 @@ object ExtQueries {
     "x85_bit_ops" -> duckBitOps,
     "x86_roc_auc" -> duckRocAuc,
     "x87_lttb" -> duckLttb,
+    "x88_ks_test" -> duckKsTest,
+    "x89_tukey" -> duckTukey,
+    "x90_proportion_z" -> duckProportionZ,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3470,6 +3593,9 @@ object ExtQueries {
     "x85_bit_ops"      -> x85BitOps, // oracle: exact int64 bitwise folds
     "x86_roc_auc"      -> x86RocAuc, // oracle: doubled-rank U -> AUC read
     "x87_lttb"         -> x87Lttb, // oracle: 4 unrolled integer-area stages
+    "x88_ks_test"      -> x88KsTest, // oracle: exact rational D + cross-products
+    "x89_tukey"        -> x89Tukey, // oracle: ceil-rank quartiles, doubled fences
+    "x90_proportion_z" -> x90ProportionZ, // oracle: pooled guarded z read
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -827,6 +827,41 @@ class ProfilingSpec extends SparkTestBase {
     assert(r("tie") === 0.5)
   }
 
+  test("ksTest: separated samples -> D=1 exact rational; identical -> 0") {
+    val rows = Seq(
+      ("sep", "A", 1L), ("sep", "A", 2L), ("sep", "B", 3L), ("sep", "B", 4L),
+      ("same", "A", 1L), ("same", "B", 1L)
+    ).toDF("g", "s", "v")
+    val r = Profiling.ksTest(rows, "g", "v", "s", "A", "B")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("sep").getAs[Long]("d_num") === 4L &&
+      r("sep").getAs[Long]("d_den") === 4L &&
+      r("sep").getAs[Double]("d4") === 1.0)
+    assert(r("same").getAs[Long]("d_num") === 0L &&
+      r("same").getAs[Double]("d4") === 0.0)
+  }
+
+  test("tukeyOutliers: ceil-rank quartiles, doubled fences catch the planted spike") {
+    // {1..8, 100}: n=9 -> q1 = 3 (ceil 9/4 = 3rd), q3 = 7 (ceil 27/4 = 7th)
+    // fences: low2 = 15-21 = -6, high2 = 35-9 = 26 -> only 100 breaks high
+    val rows = ((1L to 8L) :+ 100L).map(("t", _)).toDF("g", "c")
+    val r = graft.operators.Sketches.tukeyOutliers(rows, "g", "c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("t", 9L, 3L, 7L, 0L, 1L)))
+  }
+
+  test("proportionZ: equal shares -> 0; missing sample -> NULL") {
+    val rows = Seq(
+      ("eq", "A", 1L), ("eq", "A", 0L), ("eq", "B", 1L), ("eq", "B", 0L),
+      ("solo", "A", 1L)
+    ).toDF("g", "s", "ok")
+    val r = Profiling.proportionZ(rows, "g", "s", "A", "B",
+        org.apache.spark.sql.functions.col("ok") === 1L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("eq").getAs[Double]("z4") === 0.0)
+    assert(r("solo").isNullAt(r("solo").fieldIndex("z4")))
+  }
+
   test("madExact: lower medians, deviation ties collapse, broadcast scalar joins") {
     // g=a {1,3,7,20}: n=4, target=2 -> med=3; devs {2,0,4,17} -> mad=2
     // g=b {5,5,9}: n=3, target=2 -> med=5; devs {0,0,4} -> mad=0
