@@ -88,6 +88,26 @@ object TextAnalysis {
       when(p >= 0.5, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Classifier CALIBRATION buckets — the model-quality read a curation
+    * pipeline runs after [[classifierScore]]: decile-bucket the score
+    * and measure, per bucket, the share of documents carrying an
+    * independent label (here: length ≥ `labelMinTokens` tokens) in exact
+    * integer ppm. A well-calibrated score is monotone in the share; the
+    * whole figure is one join of two same-scan projections plus one
+    * O(10)-group aggregation. Bucketing floors `score·10` — the score is
+    * already a pround4'd engine-equal double, so the floor is identical
+    * everywhere; the top bucket absorbs score = 1.0 via LEAST. */
+  def calibration(docs: DataFrame, labelMinTokens: Long = 50L): DataFrame =
+    classifierScore(docs)
+      .join(quality(docs).select(col("doc_id"), col("n_tokens")), "doc_id")
+      .withColumn("bucket",
+        least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .withColumn("label",
+        when(col("n_tokens") >= labelMinTokens, 1L).otherwise(0L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_long"))
+      .withColumn("long_ppm", expr("n_long * 1000000 DIV n"))
+
   /** Per-document repetition metrics (SURVEY.md §2.11 R22) — the
     * MassiveText/Gopher-style repetitious-text filters: duplicate-token
     * fraction, duplicate-bigram fraction, and the most-frequent-token

@@ -273,6 +273,30 @@ object TimeSeries {
         min(when(col("cum") === col("mx") && col("d") === 1L, col("p"))).as("at_p"))
   }
 
+  /** `sparkbar` — the engine family's inline bar-chart render, made
+    * oracle-exact: per key, bucket counts normalize to eight block
+    * heights with INTEGER arithmetic (`h = cnt·7 DIV max_cnt` — no
+    * float rescale to diverge on), each height maps through a literal
+    * glyph array, and the glyphs concatenate in bucket order via the
+    * deterministic sorted-collect recipe. Empty buckets are the
+    * caller's densify contract (a missing bucket renders nothing —
+    * LEFT-join a calendar first if gaps must show). */
+  def sparkbar(df: DataFrame, keyCol: String, bucketCol: String,
+      cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = array(Seq("▁", "▂", "▃", "▄",
+      "▅", "▆", "▇", "█").map(lit): _*)
+    df.select(col(keyCol).as("k"), col(bucketCol).as("b"),
+        col(cntCol).as("cnt"))
+      .withColumn("mx", max("cnt").over(Window.partitionBy("k")))
+      .withColumn("h", expr("cnt * 7 DIV mx"))
+      .withColumn("ch", element_at(blocks, (col("h") + 1).cast("int")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("array_join(transform(sort_array(collect_list(struct(b, ch))), s -> s.ch), '')")
+          .as("bar"))
+  }
+
   /** `largestTriangleThreeBuckets` — the LTTB chart-downsampling
     * aggregate, EXACT and sequential-faithful: first/last points pinned;
     * the middle positions split into `nBuckets − 2` equal-position

@@ -967,6 +967,25 @@ object ExtQueries {
       .withColumnRenamed("g", "day")
       .orderBy("day")
 
+  /** sparkbar ([[graft.operators.TimeSeries.sparkbar]]): each event
+    * type's daily volume as an 8-level block-glyph bar — integer height
+    * normalization, ordered glyph concat, engine-identical strings. */
+  def x91Sparkbar(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.sparkbar(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day", "cnt")
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
+  /** Calibration buckets ([[graft.operators.TextAnalysis.calibration]]):
+    * score deciles vs the long-document share in exact ppm. */
+  def x92Calibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.calibration(Tables.documents(s, dir))
+      .orderBy("bucket")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2815,6 +2834,44 @@ object ExtQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of the sparkbar (x91): identical integer heights,
+    * identical glyph array, bucket-ordered string_agg. */
+  private val duckSparkbar: String =
+    """WITH c AS (
+      |  SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |m AS (SELECT k, b, cnt, max(cnt) OVER (PARTITION BY k) AS mx FROM c),
+      |h AS (SELECT k, b,
+      |        ['▁','▂','▃','▄','▅','▆','▇','█'][CAST(cnt * 7 // mx AS INT) + 1] AS ch
+      |      FROM m)
+      |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+      |  string_agg(ch, '' ORDER BY b) AS bar
+      |FROM h GROUP BY k ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the calibration buckets (x92): the x39 score CTE
+    * plus the identical decile floor and exact ppm share. */
+  private val duckCalibration: String = {
+    val ntok = "len(string_split(text,' '))"
+    val ttr = s"floor((len(list_distinct(string_split(text,' '))) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val avg = s"floor(((length(text) - ($ntok - 1)) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val stop = s"floor((len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in'))) / $ntok) * 10000.0 + 0.5) / 10000.0"
+    val f1 = s"least($ntok, 100) / 100.0"
+    val z = s"(-1.2) + 2.0*($f1) + 0.8*($ttr) + (-1.5)*($stop) + 0.1*($avg)"
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    floor((0.5 + 0.5*($z)/(1.0 + abs($z))) * 10000.0 + 0.5) / 10000.0 AS score,
+       |    CASE WHEN $ntok >= 50 THEN 1 ELSE 0 END AS label
+       |  FROM documents
+       |)
+       |SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(label) AS BIGINT) AS n_long,
+       |  CAST(sum(label) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS long_ppm
+       |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -3341,6 +3398,8 @@ object ExtQueries {
     "x88_ks_test" -> duckKsTest,
     "x89_tukey" -> duckTukey,
     "x90_proportion_z" -> duckProportionZ,
+    "x91_sparkbar" -> duckSparkbar,
+    "x92_calibration" -> duckCalibration,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3596,6 +3655,8 @@ object ExtQueries {
     "x88_ks_test"      -> x88KsTest, // oracle: exact rational D + cross-products
     "x89_tukey"        -> x89Tukey, // oracle: ceil-rank quartiles, doubled fences
     "x90_proportion_z" -> x90ProportionZ, // oracle: pooled guarded z read
+    "x91_sparkbar"     -> x91Sparkbar, // oracle: integer heights, ordered glyphs
+    "x92_calibration"  -> x92Calibration, // oracle: x39 score CTE + ppm share
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -157,6 +157,16 @@ class TimeSeriesSpec extends SparkTestBase {
     Caching.releaseAll()
   }
 
+  test("sparkbar: integer heights, bucket-ordered glyphs, single-bucket full block") {
+    import spark.implicits._
+    val counts = Seq(("a", 0L, 1L), ("a", 2L, 14L), ("a", 1L, 7L), ("b", 5L, 5L))
+      .toDF("k", "day", "cnt")
+    val r = TimeSeries.sparkbar(counts, "k", "day", "cnt")
+      .orderBy("k").as[(String, Long, String)].collect().toSeq
+    // a: mx=14 -> h = 0, 7*7/14=3, 7 in day order -> lowest, mid, full
+    assert(r === Seq(("a", 3L, "▁▄█"), ("b", 1L, "█")))
+  }
+
   test("intervalCoverage: overlaps merge, containment counts once, islands split") {
     import spark.implicits._
     val iv = Seq(
