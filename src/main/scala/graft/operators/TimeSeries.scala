@@ -351,7 +351,10 @@ object TimeSeries {
         else
           last.select(col("g"), lit(1L).as("c"), col("t").as("sx"),
             col("v").as("sy"))
-      val pick = mid.filter(col("bk") === k)
+      // persist every pick: stage k's lineage is embedded in stage k+1's
+      // broadcast AND in the final union, so without the cache the pick
+      // chain re-executes quadratically (measured 21s → ~1s at sf0.1)
+      val pick = Caching.persisted(mid.filter(col("bk") === k)
         .join(broadcast(prev.select(col("g"), col("t").as("px"), col("v").as("py"))), "g")
         .join(broadcast(nxt), "g")
         .withColumn("a", abs(
@@ -360,7 +363,7 @@ object TimeSeries {
         .groupBy("g")
         .agg(max_by(struct(col("t"), col("v")),
           struct(col("a"), (-col("t")).as("nt"), (-col("v")).as("nv"))).as("p"))
-        .select(col("g"), col("p.t").as("t"), col("p.v").as("v"))
+        .select(col("g"), col("p.t").as("t"), col("p.v").as("v")))
       picks = picks :+ pick
       prev = pick
     }
