@@ -254,23 +254,93 @@ object TimeSeries {
     * key for the window pass, one aggregation — O(intervals), stream
     * scanned once; per-key row counts bound window memory. */
   def maxIntersections(df: DataFrame, keyCol: String,
-      startCol: String, endCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pts = df
-      .select(col(keyCol).as("k"),
+      startCol: String, endCol: String): DataFrame =
+    maxIntersectionsFromDeltas(intervalDeltas(df, keyCol, startCol, endCol))
+
+  /** The sweep-line DELTA table of an interval set — `(k, p, ord, d)`
+    * with `d` summed per distinct point: +1 per start, −1 per end, ends
+    * ordered before starts. This IS the mergeable artifact: deltas are
+    * additive, so batches fold under a plain SUM upsert
+    * ([[graft.streaming.IncrementalConcurrency]]) and the state is
+    * O(distinct boundary points), not O(intervals). */
+  def intervalDeltas(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame =
+    df.select(col(keyCol).as("k"),
         explode(array(
           struct(col(startCol).as("p"), lit(1L).as("d"), lit(1).as("ord")),
           struct(col(endCol).as("p"), lit(-1L).as("d"), lit(0).as("ord")))).as("x"))
       .select(col("k"), col("x.p").as("p"), col("x.d").as("d"), col("x.ord").as("ord"))
-    // RANGE default frame on purpose: same-sign tie-peers share the
-    // post-batch count (see scaladoc); DuckDB's default frame matches.
+      .groupBy("k", "p", "ord").agg(sum("d").as("d"))
+
+  /** The peak-concurrency READ over [[intervalDeltas]] (or its
+    * maintained state). RANGE default frame on purpose: same-sign
+    * tie-peers share the post-batch count (see [[maxIntersections]]
+    * scaladoc); DuckDB's default frame matches. */
+  def maxIntersectionsFromDeltas(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sweep = Window.partitionBy("k").orderBy("p", "ord")
-    pts
+    deltas
       .withColumn("cum", sum(col("d")).over(sweep))
       .withColumn("mx", max(col("cum")).over(Window.partitionBy("k")))
       .groupBy("k")
       .agg(first(col("mx")).as("max_conc"),
-        min(when(col("cum") === col("mx") && col("d") === 1L, col("p"))).as("at_p"))
+        min(when(col("cum") === col("mx") && col("d") > 0L, col("p"))).as("at_p"))
+  }
+
+  /** `seriesPeriodDetect` — dominant-period detection over a bucketed
+    * count series, EXACT in int64: no FFT, no floats — the figure is the
+    * raw autocorrelation of the B-scaled mean-centered series,
+    * `d_t = B·c_t − S` (integers by construction), `R(L) = Σ d_t·d_{t+L}`
+    * per candidate lag via a bounded band self-join, and the winning lag
+    * the `max_by` under the total (R, −lag) order (smallest lag on
+    * ties). Caller contract: contiguous bucket indices per key (densify
+    * first — a silent gap would alias lags). Overflow bound:
+    * `B³·max(c)² < 2⁶³` on the centered scale.
+    *
+    * Shape: one scalar aggregation, one banded self-join (each row meets
+    * ≤ maxLag partners — O(B·maxLag) pairs), one aggregation. */
+  def periodDetect(counts: DataFrame, keyCol: String, bucketCol: String,
+      cntCol: String, maxLag: Int): DataFrame = {
+    val base = counts.select(col(keyCol).as("k"), col(bucketCol).as("b"),
+      col(cntCol).as("cnt"))
+    val scal = base.groupBy("k")
+      .agg(count(lit(1)).as("nb"), sum("cnt").as("s"))
+    val d = base.join(broadcast(scal), "k")
+      .withColumn("d", col("nb") * col("cnt") - col("s"))
+      .select(col("k"), col("b"), col("d"), col("nb"))
+    val pairs = d.as("l").join(d.as("r"),
+      col("l.k") === col("r.k") &&
+        col("r.b") > col("l.b") && col("r.b") <= col("l.b") + maxLag)
+      .select(col("l.k").as("k"), (col("r.b") - col("l.b")).as("lag"),
+        (col("l.d") * col("r.d")).as("prod"), col("l.nb").as("nb"))
+    pairs.groupBy("k", "lag").agg(min("nb").as("nb"), sum("prod").as("r"))
+      .groupBy("k")
+      .agg(min("nb").as("n_buckets"),
+        max_by(col("lag"), struct(col("r"), (-col("lag")).as("nl"))).as("best_lag"),
+        max("r").as("best_r"))
+  }
+
+  /** CUSUM change-point detection, EXACT in int64: the bucket where the
+    * cumulative count deviates most from the uniform ramp —
+    * `dev_t = |B·cum_t − t·S|` (both terms integer on the B-scaled
+    * grid), argmax under the total (dev, −t) order (earliest bucket on
+    * ties). Same densified-bucket contract as [[periodDetect]].
+    * One window pass over O(buckets) rows per key. */
+  def changePoint(counts: DataFrame, keyCol: String, bucketCol: String,
+      cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("b")
+    counts.select(col(keyCol).as("k"), col(bucketCol).as("b"),
+        col(cntCol).as("cnt"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("s", sum("cnt").over(Window.partitionBy("k")))
+      .withColumn("dev", abs(col("nb") * col("cum") - col("idx") * col("s")))
+      .groupBy("k")
+      .agg(min("nb").as("n_buckets"),
+        max_by(col("b"), struct(col("dev"), (-col("idx")).as("ni"))).as("cp_bucket"),
+        max("dev").as("max_dev"))
   }
 
   /** `sparkbar` — the engine family's inline bar-chart render, made

@@ -986,6 +986,32 @@ object ExtQueries {
     graft.operators.TextAnalysis.calibration(Tables.documents(s, dir))
       .orderBy("bucket")
 
+  /** Period detection ([[graft.operators.TimeSeries.periodDetect]]):
+    * the dominant daily-volume period per event type via exact integer
+    * autocorrelation — no FFT, no floats. */
+  def x93PeriodDetect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.periodDetect(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day", "cnt", maxLag = 10)
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
+  /** Change point ([[graft.operators.TimeSeries.changePoint]]): the day
+    * where each type's cumulative volume deviates most from the uniform
+    * ramp — integer CUSUM, earliest bucket on ties. */
+  def x94ChangePoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.changePoint(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts DIV 1000) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day", "cnt")
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2872,6 +2898,46 @@ object ExtQueries {
        |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** DuckDB mirror of the period detector (x93): identical centered
+    * integers, banded self-join, (R, −lag) total order. */
+  private val duckPeriodDetect: String =
+    """WITH c AS (
+      |  SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |s AS (SELECT k, CAST(count(*) AS BIGINT) AS nb, CAST(sum(cnt) AS BIGINT) AS sm FROM c GROUP BY k),
+      |d AS (SELECT c.k, c.b, s.nb * c.cnt - s.sm AS d, s.nb FROM c JOIN s ON c.k = s.k),
+      |p AS (SELECT l.k, r.b - l.b AS lag, l.d * r.d AS prod, l.nb
+      |      FROM d l JOIN d r ON l.k = r.k AND r.b > l.b AND r.b <= l.b + 10),
+      |a AS (SELECT k, lag, min(nb) AS nb, CAST(sum(prod) AS BIGINT) AS r FROM p GROUP BY 1, 2),
+      |rk AS (SELECT k, nb, lag, r,
+      |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY r DESC, lag ASC) AS rn
+      |       FROM a)
+      |SELECT k AS event_type, nb AS n_buckets, lag AS best_lag, r AS best_r
+      |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of the change point (x94): identical integer CUSUM
+    * deviations under the identical (dev, −idx) order. */
+  private val duckChangePoint: String =
+    """WITH c AS (
+      |  SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |w AS (SELECT k, b, cnt,
+      |        CAST(row_number() OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS idx,
+      |        CAST(sum(cnt) OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS cum,
+      |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS nb,
+      |        CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS sm
+      |      FROM c),
+      |dv AS (SELECT k, b, idx, nb, CAST(abs(nb * cum - idx * sm) AS BIGINT) AS dev FROM w),
+      |rk AS (SELECT k, nb, b, dev,
+      |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY dev DESC, idx ASC) AS rn
+      |       FROM dv)
+      |SELECT k AS event_type, nb AS n_buckets, b AS cp_bucket, dev AS max_dev
+      |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -3400,6 +3466,8 @@ object ExtQueries {
     "x90_proportion_z" -> duckProportionZ,
     "x91_sparkbar" -> duckSparkbar,
     "x92_calibration" -> duckCalibration,
+    "x93_period_detect" -> duckPeriodDetect,
+    "x94_change_point" -> duckChangePoint,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3657,6 +3725,8 @@ object ExtQueries {
     "x90_proportion_z" -> x90ProportionZ, // oracle: pooled guarded z read
     "x91_sparkbar"     -> x91Sparkbar, // oracle: integer heights, ordered glyphs
     "x92_calibration"  -> x92Calibration, // oracle: x39 score CTE + ppm share
+    "x93_period_detect" -> x93PeriodDetect, // oracle: integer autocorrelation
+    "x94_change_point" -> x94ChangePoint, // oracle: integer CUSUM argmax
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -167,6 +167,25 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r === Seq(("a", 3L, "▁▄█"), ("b", 1L, "█")))
   }
 
+  test("periodDetect: planted period-3 wins; changePoint finds the step") {
+    import spark.implicits._
+    // period 3: spikes at buckets 0, 3, 6 of a 9-bucket series
+    val per = Seq(10L, 1L, 1L, 10L, 1L, 1L, 10L, 1L, 1L).zipWithIndex
+      .map { case (c, b) => ("p", b.toLong, c) }
+    val rp = TimeSeries.periodDetect(per.toDF("k", "b", "cnt"),
+        "k", "b", "cnt", maxLag = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rp.head._1 == "p" && rp.head._2 == 9L && rp.head._3 == 3L)
+
+    // step at bucket 3 of [0,0,0,10,10,10]: dev = |6·cum − idx·30| peaks
+    // at idx 3 (bucket 2) with 90
+    val st = Seq(0L, 0L, 0L, 10L, 10L, 10L).zipWithIndex
+      .map { case (c, b) => ("s", b.toLong, c) }
+    val rc = TimeSeries.changePoint(st.toDF("k", "b", "cnt"), "k", "b", "cnt")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rc === Seq(("s", 6L, 2L, 90L)))
+  }
+
   test("intervalCoverage: overlaps merge, containment counts once, islands split") {
     import spark.implicits._
     val iv = Seq(
