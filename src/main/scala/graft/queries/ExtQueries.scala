@@ -1012,6 +1012,48 @@ object ExtQueries {
       .withColumnRenamed("k", "event_type")
       .orderBy("event_type")
 
+  /** Trailing-7-day active users — the classic rolling-distinct metric,
+    * EXACT via bounded fan-out: each (day, user) pair contributes to the
+    * 7 target days it falls inside (explode of a 7-element sequence —
+    * shuffle carries distinct pairs ×7, never raw events), then one
+    * distinct-count per target day; future-partial windows past the
+    * corpus max day are cut. At 100 TB the same shape holds: the
+    * fan-out factor is the window length, a constant. */
+  def x95TrailingActives(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val mx = ev.agg(max("day").as("mx"))
+    ev.withColumn("d", explode(expr("sequence(day, day + 6)")))
+      .join(broadcast(mx), col("d") <= col("mx"))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy("day")
+  }
+
+  /** Audience overlap — pairwise Jaccard between event-type user sets,
+    * exact integer ppm: distinct (type, user) pairs self-joined on the
+    * user key (co-partitioned shuffle), per-type sizes broadcast back;
+    * |A∩B|, |A∪B| = |A|+|B|−|A∩B|, all int64. */
+  def x96AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(s, dir)
+      .select(col("event_type").as("et"), col("user_id")).distinct()
+    val sizes = tu.groupBy("et").agg(count(lit(1)).as("sz"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.et") < col("b.et"))
+      .groupBy(col("a.et").as("et_a"), col("b.et").as("et_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("et", "et_a")
+        .withColumnRenamed("sz", "n_a")), "et_a")
+      .join(broadcast(sizes.withColumnRenamed("et", "et_b")
+        .withColumnRenamed("sz", "n_b")), "et_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jac_ppm", expr("n_inter * 1000000 DIV n_union"))
+      .select("et_a", "et_b", "n_a", "n_b", "n_inter", "n_union", "jac_ppm")
+      .orderBy("et_a", "et_b")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2938,6 +2980,33 @@ object ExtQueries {
       |SELECT k AS event_type, nb AS n_buckets, b AS cp_bucket, dev AS max_dev
       |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** DuckDB mirror of the trailing actives (x95): identical 7-day
+    * fan-out, identical max-day cut. */
+  private val duckTrailingActives: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+      |  FROM events
+      |),
+      |mx AS (SELECT max(day) AS mx FROM ev),
+      |ex AS (SELECT unnest(generate_series(day, day + 6)) AS d, user_id FROM ev)
+      |SELECT ex.d AS day, CAST(count(DISTINCT ex.user_id) AS BIGINT) AS active_7d
+      |FROM ex, mx WHERE ex.d <= mx.mx
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the audience overlap (x96): identical distinct
+    * pair join and exact ppm Jaccard. */
+  private val duckAudienceOverlap: String =
+    """WITH tu AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+      |sz AS (SELECT et, CAST(count(*) AS BIGINT) AS sz FROM tu GROUP BY et),
+      |iv AS (SELECT a.et AS et_a, b.et AS et_b, CAST(count(*) AS BIGINT) AS n_inter
+      |       FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+      |       GROUP BY 1, 2)
+      |SELECT iv.et_a, iv.et_b, sa.sz AS n_a, sb.sz AS n_b, iv.n_inter,
+      |  sa.sz + sb.sz - iv.n_inter AS n_union,
+      |  iv.n_inter * 1000000 // (sa.sz + sb.sz - iv.n_inter) AS jac_ppm
+      |FROM iv JOIN sz sa ON iv.et_a = sa.et JOIN sz sb ON iv.et_b = sb.et
+      |ORDER BY et_a, et_b""".stripMargin
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -3468,6 +3537,8 @@ object ExtQueries {
     "x92_calibration" -> duckCalibration,
     "x93_period_detect" -> duckPeriodDetect,
     "x94_change_point" -> duckChangePoint,
+    "x95_trailing_actives" -> duckTrailingActives,
+    "x96_audience_overlap" -> duckAudienceOverlap,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3727,6 +3798,8 @@ object ExtQueries {
     "x92_calibration"  -> x92Calibration, // oracle: x39 score CTE + ppm share
     "x93_period_detect" -> x93PeriodDetect, // oracle: integer autocorrelation
     "x94_change_point" -> x94ChangePoint, // oracle: integer CUSUM argmax
+    "x95_trailing_actives" -> x95TrailingActives, // oracle: 7-day fan-out distinct
+    "x96_audience_overlap" -> x96AudienceOverlap, // oracle: exact ppm Jaccard
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

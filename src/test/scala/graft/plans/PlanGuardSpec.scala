@@ -46,6 +46,7 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedBnlj = Map(
     "x5_embed_topk" -> 1, "x9_topk_agg" -> 1, "x27_tfidf_topk" -> 1,
     "x64_decayed_sum" -> 1, // 1-row max-day scalar broadcast
+    "x95_trailing_actives" -> 1, // 1-row max-day scalar broadcast (d <= mx cut)
     "x40_mixture_sample" -> 1, "x45_bm25_topk" -> 1)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
