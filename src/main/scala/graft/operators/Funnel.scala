@@ -168,6 +168,61 @@ object Funnel {
     flags.groupBy("cohort_day").agg(out.head, out.tail: _*)
   }
 
+  /** `windowFunnel` in strict-dedup mode — a repeat of ANY
+    * already-matched step kills the chain. Semantics (defined by the
+    * engine family's sequential scan, stated here precisely because two
+    * plausible readings differ): per anchor, the chain advances by the
+    * EARLIEST valid continuation, and the advance `t_k → t_{k+1}` is
+    * valid only if no event of steps 1..k lies strictly inside
+    * `(t_k, t_{k+1})` (a dup at exactly `t_{k+1}` loses the race and
+    * does not abort). A dup-killed anchor is dead — no re-anchoring of
+    * that chain (later dups can still BE anchors of their own chains).
+    *
+    * Why not feasibility-max: under "exists any clean chain" semantics
+    * strict-dedup degenerates to the relaxed funnel — any relaxed chain
+    * re-anchors to the latest predecessor of each step, whose gaps are
+    * dup-free by construction. The scan semantics is the one that
+    * actually distinguishes the mode (A B B' C on pattern A→B→C: the
+    * scan's A-B chain dies at B', level 2; feasibility would take
+    * A-B'-C and report 3).
+    *
+    * Shape: per stage one extension join (earliest continuation per
+    * anchor) + one dup-check join against the union of matched steps,
+    * all user-keyed co-partitioned shuffles, one row per live anchor. */
+  def windowFunnelStrictDedup(events: DataFrame, userCol: String,
+      tsUsCol: String, typeCol: String, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val byType = steps.map(t =>
+      events.filter(col(typeCol) === t)
+        .select(col(userCol).as("user"), col(tsUsCol).as("t")))
+    val s1 = byType.head.select(col("user"), col("t").as("t1"), col("t").as("tk"))
+    var cur = s1
+    var stages = Vector(s1)
+    for (i <- 1 until steps.length) {
+      val ext = cur.join(byType(i), "user")
+        .filter(col("t") > col("tk") && col("t") <= col("t1") + lit(windowUs))
+        .groupBy("user", "t1", "tk")
+        .agg(min(col("t")).as("tn"))
+      val dupSrc = byType.take(i).reduce(_.union(_))
+        .select(col("user"), col("t").as("td"))
+      cur = ext.join(dupSrc, Seq("user"), "left")
+        .withColumn("bad",
+          col("td").isNotNull && col("td") > col("tk") && col("td") < col("tn"))
+        .groupBy("user", "t1", "tn")
+        .agg(max(when(col("bad"), 1L).otherwise(0L)).as("aborted"))
+        .filter(col("aborted") === 0L)
+        .select(col("user"), col("t1"), col("tn").as("tk"))
+      stages = stages :+ cur
+    }
+    val levels = events.select(col(userCol).as("user")).distinct()
+      .select(col("user"), lit(0).as("level")) +:
+      stages.zipWithIndex.map { case (s, i) =>
+        s.select(col("user")).distinct().select(col("user"), lit(i + 1).as("level"))
+      }
+    levels.reduce(_.union(_)).groupBy("user").agg(max("level").as("level"))
+  }
+
   /** `windowFunnel` in strict-order mode — ANY intervening event aborts
     * the chain (A→B→D→C stops at D), so the matched steps must occupy
     * CONSECUTIVE positions of the user's event stream under the total

@@ -313,16 +313,28 @@ object Profiling {
     * Grid bound: n·max(x⁴) < 2⁶³ — e.g. a ≤10³ dollars grid holds to
     * ~9·10⁶ rows/group; re-grid coarser for bigger groups. */
   def momentStats(df: DataFrame, groupCol: String,
-      x: org.apache.spark.sql.Column): DataFrame = {
-    import graft.functions.pround4
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    val m = df.select(col(groupCol).as("g"), x.as("x"))
+      x: org.apache.spark.sql.Column): DataFrame =
+    momentReads(momentSums(df, groupCol, x))
+
+  /** The ARTIFACT half of [[momentStats]]: the five additive int64 power
+    * sums per group — every measure a plain SUM, so the state maintains
+    * incrementally under [[graft.streaming.MvPipeline.upsert]]
+    * ([[graft.streaming.IncrementalMoments]]). */
+  def momentSums(df: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(groupCol).as("g"), x.as("x"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"),
         sum(col("x") * col("x") * col("x")).as("s3"),
         sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+
+  /** The READ half of [[momentStats]] — runs identically over the batch
+    * sums or the incrementally maintained state. */
+  def momentReads(m: DataFrame): DataFrame = {
+    import graft.functions.pround4
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
     m.withColumn("mean", d(col("s1")) / d(col("n")))
       .withColumn("m2",
         d(col("s2")) / d(col("n")) - col("mean") * col("mean"))

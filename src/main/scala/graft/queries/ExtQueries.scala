@@ -1054,6 +1054,18 @@ object ExtQueries {
       .orderBy("et_a", "et_b")
   }
 
+  /** Strict-dedup windowFunnel ([[graft.operators.Funnel
+    * .windowFunnelStrictDedup]]): signup→click→purchase where a repeated
+    * current-step event inside a gap aborts that chain — exact
+    * feasible-set semantics (greedy is unsound in this mode). */
+  def x97FunnelDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnelStrictDedup(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_type",
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -3007,6 +3019,39 @@ object ExtQueries {
       |FROM iv JOIN sz sa ON iv.et_a = sa.et JOIN sz sb ON iv.et_b = sb.et
       |ORDER BY et_a, et_b""".stripMargin
 
+  /** DuckDB mirror of the strict-dedup funnel (x97): the identical
+    * scan semantics — earliest continuation per anchor, NOT-EXISTS
+    * abort against the union of already-matched steps. */
+  private val duckFunnelDedup: String =
+    """WITH ev AS (
+      |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type AS et
+      |  FROM events
+      |),
+      |s1 AS (SELECT u, t AS t1, t AS tk FROM ev WHERE et = 'signup'),
+      |x2 AS (SELECT s1.u, s1.t1, s1.tk, min(e.t) AS tn
+      |       FROM s1 JOIN ev e ON e.u = s1.u AND e.et = 'click'
+      |        AND e.t > s1.tk AND e.t <= s1.t1 + 86400000000
+      |       GROUP BY 1, 2, 3),
+      |s2 AS (SELECT u, t1, tn AS tk FROM x2
+      |       WHERE NOT EXISTS (SELECT 1 FROM ev d WHERE d.u = x2.u
+      |        AND d.et = 'signup' AND d.t > x2.tk AND d.t < x2.tn)),
+      |x3 AS (SELECT s2.u, s2.t1, s2.tk, min(e.t) AS tn
+      |       FROM s2 JOIN ev e ON e.u = s2.u AND e.et = 'purchase'
+      |        AND e.t > s2.tk AND e.t <= s2.t1 + 86400000000
+      |       GROUP BY 1, 2, 3),
+      |s3 AS (SELECT u, t1, tn AS tk FROM x3
+      |       WHERE NOT EXISTS (SELECT 1 FROM ev d WHERE d.u = x3.u
+      |        AND d.et IN ('signup', 'click') AND d.t > x3.tk AND d.t < x3.tn)),
+      |lv AS (
+      |  SELECT u, 0 AS level FROM (SELECT DISTINCT u FROM ev)
+      |  UNION ALL SELECT DISTINCT u, 1 FROM s1
+      |  UNION ALL SELECT DISTINCT u, 2 FROM s2
+      |  UNION ALL SELECT DISTINCT u, 3 FROM s3
+      |),
+      |m AS (SELECT u, max(level) AS level FROM lv GROUP BY u)
+      |SELECT level, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY level ORDER BY level""".stripMargin
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -3539,6 +3584,7 @@ object ExtQueries {
     "x94_change_point" -> duckChangePoint,
     "x95_trailing_actives" -> duckTrailingActives,
     "x96_audience_overlap" -> duckAudienceOverlap,
+    "x97_funnel_dedup" -> duckFunnelDedup,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3800,6 +3846,7 @@ object ExtQueries {
     "x94_change_point" -> x94ChangePoint, // oracle: integer CUSUM argmax
     "x95_trailing_actives" -> x95TrailingActives, // oracle: 7-day fan-out distinct
     "x96_audience_overlap" -> x96AudienceOverlap, // oracle: exact ppm Jaccard
+    "x97_funnel_dedup" -> x97FunnelDedup, // oracle: NOT-EXISTS feasible frames
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

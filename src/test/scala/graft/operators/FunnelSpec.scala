@@ -138,6 +138,26 @@ class FunnelSpec extends SparkTestBase {
     assert(r === Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
   }
 
+  test("windowFunnelStrictDedup: matched-step repeat kills the chain, scan not feasibility") {
+    val W = 100L
+    val events = Seq(
+      // u1: A B B' C — the scan's A-B chain dies at B' (dup of matched
+      // click inside (B, C)) -> level 2; feasibility would report 3
+      (1L, 0L, "signup"), (1L, 1L, "click"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // u2: clean A B C -> 3
+      (2L, 0L, "signup"), (2L, 1L, "click"), (2L, 2L, "purchase"),
+      // u3: A A' B — anchor A dies (signup dup in (0,2)); anchor A'
+      // survives (gap (1,2) clean) -> level 2
+      (3L, 0L, "signup"), (3L, 1L, "signup"), (3L, 2L, "click"),
+      // u4: A B A' C — dup of matched SIGNUP inside (B, C) kills it -> 2
+      (4L, 0L, "signup"), (4L, 1L, "click"), (4L, 2L, "signup"), (4L, 3L, "purchase")
+    ).toDF("user_id", "t_us", "event_type")
+    val r = Funnel.windowFunnelStrictDedup(events, "user_id", "t_us",
+        "event_type", Seq("signup", "click", "purchase"), W)
+      .orderBy("user").as[(Long, Int)].collect().toSeq
+    assert(r === Seq((1L, 2), (2L, 3), (3L, 2), (4L, 2)))
+  }
+
   test("nextNodeCounts: total-order successor, tie broken by id, terminal <end>") {
     val events = Seq(
       // u1: signup(t=0) -> click(t=1); a same-instant pair at t=5 where
