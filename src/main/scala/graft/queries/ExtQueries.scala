@@ -1066,6 +1066,73 @@ object ExtQueries {
       .groupBy("level").agg(count(lit(1)).as("n_users"))
       .orderBy("level")
 
+  /** Retention triangle — the cohort × day-offset matrix behind every
+    * retention curve: users cohorted by FIRST signup day, then for each
+    * later day-offset the count of cohort users active that day (any
+    * event). All integer-day arithmetic; the anchor join is user-keyed
+    * (broadcastable cohort map at these SFs, co-partitioned shuffle at
+    * 100 TB). Complements [[graft.operators.Funnel.retention]]'s fixed
+    * condition windows with the full unrolled matrix. */
+  def x98RetentionTriangle(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        col("event_type"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.select(col("user_id"), col("day")).distinct()
+      .join(cohorts, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  /** RFM segmentation — recency/frequency/monetary quartile scores per
+    * purchasing user, all THREE dimensions bucketed by the same
+    * ceil-rank thresholds as [[graft.operators.Sketches.exactMedian]]
+    * (NTILE is rank-order nondeterministic on ties — threshold
+    * bucketing is the oracleable form), then segment counts. Exact
+    * int64 end to end: recency in days, frequency in events, monetary
+    * in cents. */
+  def x99RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+      .withColumn("c", graft.functions.cents(col("value")))
+    val mx = ev.agg(max("day").as("mx"))
+    val rfm = ev.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg((min(col("mx")) - max(col("day"))).as("r"),
+        count(lit(1)).as("f"), sum(col("c")).as("m"))
+    // quartile thresholds per dimension: the value at ceil-rank n/4, n/2,
+    // 3n/4 over THAT dimension's distribution; score = 1 + #thresholds
+    // strictly below the value (ties share a score — deterministic)
+    def thresholds(d: String) = {
+      val w = Window.orderBy(col(d))
+      rfm.select(col(d))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over())
+        .filter(col("rk") === expr("(n + 3) DIV 4") ||
+          col("rk") === expr("(n + 1) DIV 2") || col("rk") === expr("(3 * n + 3) DIV 4"))
+      .groupBy()
+      .agg(min(when(col("rk") === expr("(n + 3) DIV 4"), col(d))).as(s"${d}_q1"),
+        min(when(col("rk") === expr("(n + 1) DIV 2"), col(d))).as(s"${d}_q2"),
+        min(when(col("rk") === expr("(3 * n + 3) DIV 4"), col(d))).as(s"${d}_q3"))
+    }
+    def score(d: String) =
+      (lit(1) + when(col(d) > col(s"${d}_q1"), 1).otherwise(0) +
+        when(col(d) > col(s"${d}_q2"), 1).otherwise(0) +
+        when(col(d) > col(s"${d}_q3"), 1).otherwise(0)).as(s"${d}_score")
+    rfm.crossJoin(broadcast(thresholds("r")))
+      .crossJoin(broadcast(thresholds("f")))
+      .crossJoin(broadcast(thresholds("m")))
+      .select(col("user_id"), score("r"), score("f"), score("m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -3052,6 +3119,51 @@ object ExtQueries {
       |SELECT level, CAST(count(*) AS BIGINT) AS n_users
       |FROM m GROUP BY level ORDER BY level""".stripMargin
 
+  /** DuckDB mirror of the retention triangle (x98). */
+  private val duckRetentionTriangle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+      |  FROM events
+      |),
+      |co AS (SELECT user_id, min(day) AS cohort_day FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |ad AS (SELECT DISTINCT user_id, day FROM ev)
+      |SELECT co.cohort_day, ad.day - co.cohort_day AS "offset",
+      |  CAST(count(DISTINCT ad.user_id) AS BIGINT) AS n_active
+      |FROM ad JOIN co USING (user_id)
+      |WHERE ad.day >= co.cohort_day
+      |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin
+
+  /** DuckDB mirror of the RFM segments (x99): identical ceil-rank
+    * thresholds per dimension and identical strict-greater scoring. */
+  private val duckRfmSegments: String = {
+    def thr(d: String) =
+      s"""t_$d AS (SELECT
+         |  min(CASE WHEN rk = (n + 3) // 4 THEN $d END) AS ${d}_q1,
+         |  min(CASE WHEN rk = (n + 1) // 2 THEN $d END) AS ${d}_q2,
+         |  min(CASE WHEN rk = (3 * n + 3) // 4 THEN $d END) AS ${d}_q3
+         |FROM (SELECT $d, row_number() OVER (ORDER BY $d) AS rk,
+         |        count(*) OVER () AS n FROM rfm))""".stripMargin
+    def sc(d: String) =
+      s"1 + CASE WHEN $d > ${d}_q1 THEN 1 ELSE 0 END + CASE WHEN $d > ${d}_q2 THEN 1 ELSE 0 END + CASE WHEN $d > ${d}_q3 THEN 1 ELSE 0 END"
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    ${graft.functions.centsSql("value")} AS c
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |),
+       |mx AS (SELECT max(day) AS mx FROM ev),
+       |rfm AS (SELECT user_id, min(mx.mx) - max(day) AS r,
+       |          CAST(count(*) AS BIGINT) AS f, CAST(sum(c) AS BIGINT) AS m
+       |        FROM ev, mx GROUP BY user_id),
+       |${thr("r")},
+       |${thr("f")},
+       |${thr("m")},
+       |sc AS (SELECT ${sc("r")} AS r_score, ${sc("f")} AS f_score, ${sc("m")} AS m_score
+       |       FROM rfm, t_r, t_f, t_m)
+       |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users
+       |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+  }
+
   /** DuckDB mirror of the fuzzy match (x37): same 40-char prefixes,
     * lang blocking, levenshtein (identical DP on both engines), and
     * (dist, id) tie-break. */
@@ -3585,6 +3697,8 @@ object ExtQueries {
     "x95_trailing_actives" -> duckTrailingActives,
     "x96_audience_overlap" -> duckAudienceOverlap,
     "x97_funnel_dedup" -> duckFunnelDedup,
+    "x98_retention_triangle" -> duckRetentionTriangle,
+    "x99_rfm_segments" -> duckRfmSegments,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3846,7 +3960,9 @@ object ExtQueries {
     "x94_change_point" -> x94ChangePoint, // oracle: integer CUSUM argmax
     "x95_trailing_actives" -> x95TrailingActives, // oracle: 7-day fan-out distinct
     "x96_audience_overlap" -> x96AudienceOverlap, // oracle: exact ppm Jaccard
-    "x97_funnel_dedup" -> x97FunnelDedup, // oracle: NOT-EXISTS feasible frames
+    "x97_funnel_dedup" -> x97FunnelDedup, // oracle: scan-semantics NOT-EXISTS frames
+    "x98_retention_triangle" -> x98RetentionTriangle, // oracle: integer-day matrix
+    "x99_rfm_segments" -> x99RfmSegments, // oracle: ceil-rank quartile scores
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

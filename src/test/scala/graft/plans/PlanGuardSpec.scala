@@ -47,6 +47,7 @@ class PlanGuardSpec extends SparkTestBase {
     "x5_embed_topk" -> 1, "x9_topk_agg" -> 1, "x27_tfidf_topk" -> 1,
     "x64_decayed_sum" -> 1, // 1-row max-day scalar broadcast
     "x95_trailing_actives" -> 1, // 1-row max-day scalar broadcast (d <= mx cut)
+    "x99_rfm_segments" -> 7, // all 1-row scalar crossJoins: max-day + 3 quartile-threshold tables (one per RFM dimension, some doubled by AQE stage reuse)
     "x40_mixture_sample" -> 1, "x45_bm25_topk" -> 1)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
