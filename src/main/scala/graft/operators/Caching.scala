@@ -27,6 +27,18 @@ object Caching {
     df
   }
 
+  private val ckpts = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** Track a `localCheckpoint()`ed DataFrame that ESCAPES its operator
+    * (the final iteration's state): its backing RDD is only safe to
+    * unpersist after the consuming query finishes, so it is released by
+    * [[releaseAll]] rather than in the loop. (Superseded per-iteration
+    * checkpoints are released eagerly via [[releaseCheckpoint]].) */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    ckpts.add(df)
+    df
+  }
+
   /** Unpersist every tracked handle (idempotent; safe while queries on
     * other data are running — Spark recomputes dropped blocks lazily). */
   def releaseAll(): Unit = {
@@ -35,8 +47,24 @@ object Caching {
       df.unpersist(blocking = false)
       df = handles.poll()
     }
+    var ck = ckpts.poll()
+    while (ck != null) {
+      releaseCheckpoint(ck)
+      ck = ckpts.poll()
+    }
   }
 
   /** Number of currently tracked handles (test introspection). */
   def trackedCount: Int = handles.size()
+
+  /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame.
+    * Iterative operators (pageRank, k-means, label propagation, BPE)
+    * checkpoint per iteration; each superseded checkpoint must be
+    * released or the job pins one O(state) RDD PER ITERATION for its
+    * lifetime (visible as residual blocks in the storage audit). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ =>
+    }
 }

@@ -193,10 +193,12 @@ object Dedup {
         .localCheckpoint()
       converged = next.as("a").join(labels.as("b"), "id")
         .filter(col("a.label") =!= col("b.label")).isEmpty
+      Caching.releaseCheckpoint(labels) // superseded iteration's checkpoint
       labels = next
       i += 1
       lastClusterIterations = i
     }
+    Caching.trackCheckpoint(labels) // final labels: released post-query
     edges.unpersist()
     edgePairs.unpersist()
     if (!converged)

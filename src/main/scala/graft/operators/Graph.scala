@@ -78,11 +78,14 @@ object Graph {
       val s = ew.join(r, ew("src") === r("token"))
         .select(col("dst"), expr("(r * share_ppm) DIV 1000000L").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
+      val prev = r
       r = nodes.join(s, nodes("token") === s("dst"), "left")
         .select(col("token"),
           (lit(base) + expr("(85L * coalesce(s, 0L)) DIV 100L")).as("r"))
         .localCheckpoint() // cut lineage: next plan starts from O(V) rows
+      Caching.releaseCheckpoint(prev) // superseded iteration (no-op on iter 1)
     }
+    Caching.trackCheckpoint(r) // final state: released post-query by releaseAll
     r.select(col("token"), col("r").as("rank_e12"))
   }
 }

@@ -97,10 +97,13 @@ object KMeansInt {
       val sums = qv.join(a.select("vec_id", "sub", "cid"), Seq("vec_id", "sub"))
         .groupBy("cid", "i")
         .agg(expr("sum(v) DIV count(1)").as("cnew"))
+      val prev = c
       c = c.join(sums, Seq("cid", "i"), "left")
         .select(col("cid"), col("i"), coalesce(col("cnew"), col("c")).as("c"))
         .localCheckpoint()
+      Caching.releaseCheckpoint(prev) // superseded iteration's checkpoint
     }
+    Caching.trackCheckpoint(c) // final codebook: released post-query
     val fin = assignPq(qv, c)
     val stats = fin.groupBy("sub", "cid").agg(
       count(lit(1)).as("n"),
@@ -132,10 +135,13 @@ object KMeansInt {
       val sums = qv.join(a.select("vec_id", "cid"), "vec_id")
         .groupBy("cid", "i")
         .agg(expr("sum(v) DIV count(1)").as("cnew"))
+      val prev = c
       c = c.join(sums, Seq("cid", "i"), "left")
         .select(col("cid"), col("i"), coalesce(col("cnew"), col("c")).as("c"))
         .localCheckpoint() // cut lineage: next plan starts from O(k·dim) rows
+      Caching.releaseCheckpoint(prev) // superseded iteration's checkpoint
     }
+    Caching.trackCheckpoint(c) // final centroids: released post-query
     val fin = assign(qv, c)
     val stats = fin.groupBy("cid").agg(
       count(lit(1)).as("n"),
