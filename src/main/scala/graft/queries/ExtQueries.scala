@@ -1133,6 +1133,16 @@ object ExtQueries {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Conversion-latency histogram — the distribution read over the x69
+    * conversion figures (reads compose over reads, the engine-family
+    * habit): converting users bucketed by whole hours to convert. */
+  def x100LatencyHistogram(s: SparkSession, dir: String): DataFrame =
+    x69ConversionLatency(s, dir)
+      .withColumn("hr", expr("latency_sec DIV 3600"))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("n_users"), sum("n_anchors").as("n_anchors"))
+      .orderBy("hr")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2171,6 +2181,15 @@ object ExtQueries {
       |SELECT u AS user_id, CAST(min(tk - t1) AS BIGINT) // 1000000 AS latency_sec,
       |  CAST(count(*) AS BIGINT) AS n_anchors
       |FROM s3 GROUP BY u ORDER BY user_id""".stripMargin
+
+  /** DuckDB mirror of the latency histogram (x100): the x69 read as a
+    * subquery, hour-bucketed. */
+  private val duckLatencyHistogram: String =
+    s"""SELECT latency_sec // 3600 AS hr,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(n_anchors) AS BIGINT) AS n_anchors
+       |FROM ($duckConversionLatency)
+       |GROUP BY 1 ORDER BY hr""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -3699,6 +3718,7 @@ object ExtQueries {
     "x97_funnel_dedup" -> duckFunnelDedup,
     "x98_retention_triangle" -> duckRetentionTriangle,
     "x99_rfm_segments" -> duckRfmSegments,
+    "x100_latency_histogram" -> duckLatencyHistogram,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3963,6 +3983,7 @@ object ExtQueries {
     "x97_funnel_dedup" -> x97FunnelDedup, // oracle: scan-semantics NOT-EXISTS frames
     "x98_retention_triangle" -> x98RetentionTriangle, // oracle: integer-day matrix
     "x99_rfm_segments" -> x99RfmSegments, // oracle: ceil-rank quartile scores
+    "x100_latency_histogram" -> x100LatencyHistogram, // oracle: x69 read bucketed
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
