@@ -353,4 +353,30 @@ object Profiling {
         when(col("m2") > 0, pround4(col("m4") / (col("m2") * col("m2")))))
       .drop("mean", "m2", "m3", "m4")
   }
+
+  /** Per-key categorical `entropy` at integer floor-log₂ resolution —
+    * the x60 `length(bin(n))` recipe applied to the entropy aggregate
+    * (IEEE logs are un-oracleable; the bit-count grid is exact in any
+    * engine). With per-value counts n_i summing to N, the N-scaled
+    * entropy Σ n_i·log₂(N/n_i) becomes
+    * `ent_bits = N·bits(N) − Σ n_i·bits(n_i)` (bits = floor log₂ + 1;
+    * the +1s cancel), within one bit/row of the IEEE figure — the
+    * resolution that ranks a DGA-ish client (every domain distinct,
+    * ent_bits ≈ N·⌊log₂N⌋) far above a two-domain one (ent_bits ≈ N).
+    *
+    * Shape: two hash aggregations ((key, value) counts, then per-key
+    * sums — both partial+final, map-side combined); Σ n_i·bits(n_i)
+    * folds in the first pass so no per-key value list ever exists.
+    * All int64: N·bits(N) < 2⁶³ for any realistic N. */
+  def categoricalEntropy(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("c"))
+      .select(col(keyCol), col("c"),
+        (col("c") * length(expr("bin(c)")).cast("long")).as("cb"))
+      .groupBy(col(keyCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum("cb").as("scb"))
+      .withColumn("ent_bits",
+        col("n") * length(expr("bin(n)")).cast("long") - col("scb"))
+      .drop("scb")
 }

@@ -1143,6 +1143,47 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_users"), sum("n_anchors").as("n_anchors"))
       .orderBy("hr")
 
+  /** Deterministic synthetic DNS domain per event — the shared corpus for
+    * the blocklist/entropy reads (the IngestQueries habit: derive the
+    * corpus from id arithmetic so the oracle replays it in closed form).
+    * 4 labels: `h{event_id%97}.d{user_id%23}.{event_type}.net`. */
+  private def synthDomain =
+    concat(lit("h"), pmod(col("event_id"), lit(97)).cast("string"),
+      lit(".d"), pmod(col("user_id"), lit(23)).cast("string"),
+      lit("."), col("event_type"), lit(".net"))
+
+  /** Blocklist suffix match ([[graft.operators.Blocklist.suffixMatch]]):
+    * AdGuard-rule hit accounting — per rule, queries and distinct clients
+    * matched at any label boundary (exact domain or subdomain). The rule
+    * set mixes registrable-level rules with one exact 4-label rule so both
+    * join paths are exercised; the oracle replays the label-boundary
+    * suffix semantics as a `'%.'||rule` LIKE join (no wildcard can match
+    * inside a label on either side). */
+  def x101BlocklistMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("domain", synthDomain)
+    val rules = ((0 to 22).filter(_ % 4 == 0)
+      .flatMap(k => Seq("click", "view").map(t => s"d$k.$t.net"))
+      :+ "h7.d3.error.net").toDF("rule")
+    graft.operators.Blocklist.suffixMatch(ev, "domain", rules, "rule", maxLabels = 4)
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("rule")
+  }
+
+  /** Per-client domain entropy
+    * ([[graft.operators.Profiling.categoricalEntropy]]): the DGA /
+    * DNS-tunneling detector read — clients whose query-domain
+    * distribution is near-uniform over many distinct names score
+    * `ent_bits ≈ N·⌊log₂N⌋`, repeat-visitors score ≈ N; exact integers
+    * on the floor-log₂ grid (the x60 `length(bin(n))` recipe). */
+  def x102DomainEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.categoricalEntropy(
+        Tables.events(s, dir).withColumn("domain", synthDomain),
+        "user_id", "domain")
+      .orderBy("user_id")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2190,6 +2231,39 @@ object ExtQueries {
        |  CAST(sum(n_anchors) AS BIGINT) AS n_anchors
        |FROM ($duckConversionLatency)
        |GROUP BY 1 ORDER BY hr""".stripMargin
+
+  /** Shared SQL for the synthetic per-event DNS domain (mirror of
+    * [[synthDomain]]). */
+  private val duckSynthDomain: String =
+    "'h'||(event_id%97)||'.d'||(user_id%23)||'.'||event_type||'.net'"
+
+  /** DuckDB mirror of the blocklist match (x101): the label-boundary
+    * suffix join replayed as `domain = rule OR domain LIKE '%.'||rule`
+    * (LIKE's only wildcard is the leading `%`, so matches stay on label
+    * boundaries exactly like the suffix explode). */
+  private val duckBlocklistMatch: String =
+    s"""WITH d AS (SELECT $duckSynthDomain AS domain, user_id FROM events),
+       |r AS (SELECT 'd'||k||'.'||t||'.net' AS rule
+       |      FROM generate_series(0,22) AS g(k), (VALUES ('click'),('view')) AS t(t)
+       |      WHERE k%4=0
+       |      UNION ALL SELECT 'h7.d3.error.net')
+       |SELECT r.rule, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+       |FROM d JOIN r ON d.domain = r.rule OR d.domain LIKE '%.'||r.rule
+       |GROUP BY 1 ORDER BY rule""".stripMargin
+
+  /** DuckDB mirror of the per-client domain entropy (x102): identical
+    * two-level aggregation on the `length(bin(n))` floor-log₂ grid. */
+  private val duckDomainEntropy: String =
+    s"""WITH d AS (SELECT user_id, $duckSynthDomain AS domain FROM events),
+       |c AS (SELECT user_id, domain, count(*) AS c FROM d GROUP BY 1, 2),
+       |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       |             CAST(count(*) AS BIGINT) AS n_distinct,
+       |             CAST(sum(c*length(bin(c))) AS BIGINT) AS scb
+       |      FROM c GROUP BY 1)
+       |SELECT user_id, n, n_distinct,
+       |  CAST(n*length(bin(n)) - scb AS BIGINT) AS ent_bits
+       |FROM u ORDER BY user_id""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -3719,6 +3793,8 @@ object ExtQueries {
     "x98_retention_triangle" -> duckRetentionTriangle,
     "x99_rfm_segments" -> duckRfmSegments,
     "x100_latency_histogram" -> duckLatencyHistogram,
+    "x101_blocklist_match" -> duckBlocklistMatch,
+    "x102_domain_entropy" -> duckDomainEntropy,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -3984,6 +4060,8 @@ object ExtQueries {
     "x98_retention_triangle" -> x98RetentionTriangle, // oracle: integer-day matrix
     "x99_rfm_segments" -> x99RfmSegments, // oracle: ceil-rank quartile scores
     "x100_latency_histogram" -> x100LatencyHistogram, // oracle: x69 read bucketed
+    "x101_blocklist_match" -> x101BlocklistMatch, // oracle: boundary-safe LIKE join
+    "x102_domain_entropy" -> x102DomainEntropy, // oracle: floor-log2 bin-length grid
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
