@@ -354,6 +354,49 @@ object Profiling {
       .drop("mean", "m2", "m3", "m4")
   }
 
+  /** `contingency` cells — the shared artifact under the categorical-
+    * association family (`cramersV`/`contingency` in the reference engine
+    * family): per (a, b) cell the observed count plus row/column/grand
+    * margins, and the cell's e6-scaled χ² ingredient `t_e6 =
+    * ⌊10⁶·o²/(r·c)⌋` (via the Σo²/(r·c) identity, `χ² = N·(Σt − 1)` —
+    * no (o−e)² subtraction, so every figure stays a nonneg int64). The
+    * two-step split `(o² DIV rc)·10⁶ + ((o² % rc)·10⁶) DIV rc` keeps the
+    * scaling inside int64 for N up to ~10⁹ rows.
+    *
+    * Shape: one hash aggregation to cells, then margins as windows OVER
+    * THE CELLS frame — k_a·k_b rows (tiny by construction: association
+    * tests are for low-cardinality dims), so the unpartitioned total
+    * window is a deliberate single-partition pass over a frame that
+    * fits anywhere. */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("r", sum("o").over(Window.partitionBy("a")))
+      .withColumn("c", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn("t_e6",
+        expr("(o*o DIV (r*c))*1000000 + ((o*o % (r*c))*1000000) DIV (r*c)"))
+  }
+
+  /** `cramersV` — the one-row READ over [[contingency]] cells: χ²/N from
+    * Σt_e6 (floored cells can dip a hair under 10⁶ at independence, so
+    * the χ² figure is clamped at 0), V² by integer division with the
+    * degenerate 1-category case NULLed (ANSI would throw), and `v_e3 =
+    * ⌊√(10⁶·V²)⌋` — sqrt is correctly rounded in both engines, the one
+    * float op that replays. */
+  def cramersV(cells: DataFrame): DataFrame =
+    cells.agg(
+        max("n").as("n"), count(lit(1)).as("n_cells"),
+        countDistinct(col("a")).as("ka"), countDistinct(col("b")).as("kb"),
+        sum("t_e6").as("st"))
+      .withColumn("chi2_over_n_e6", greatest(col("st") - lit(1000000L), lit(0L)))
+      .withColumn("chi2_e6", col("n") * col("chi2_over_n_e6"))
+      .withColumn("v2_e6", expr(
+        "CASE WHEN least(ka-1, kb-1) > 0 THEN chi2_over_n_e6 DIV least(ka-1, kb-1) END"))
+      .withColumn("v_e3", floor(sqrt(col("v2_e6").cast("double"))).cast("long"))
+      .select("n", "n_cells", "chi2_over_n_e6", "chi2_e6", "v2_e6", "v_e3")
+
   /** Per-key categorical `entropy` at integer floor-log₂ resolution —
     * the x60 `length(bin(n))` recipe applied to the entropy aggregate
     * (IEEE logs are un-oracleable; the bit-count grid is exact in any

@@ -1184,6 +1184,40 @@ object ExtQueries {
         "user_id", "domain")
       .orderBy("user_id")
 
+  /** Contingency cells ([[graft.operators.Profiling.contingency]]):
+    * event-type × day-of-week association table with margins and the
+    * e6-scaled χ² ingredient per cell — all int64. */
+  def x103Contingency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.contingency(
+        Tables.events(s, dir)
+          .withColumn("dow", expr("((ts DIV 1000) DIV 86400000000) % 7")),
+        "event_type", "dow")
+      .orderBy("a", "b")
+
+  /** cramersV ([[graft.operators.Profiling.cramersV]]): the one-row
+    * association read over the x103 cells (reads compose over reads) —
+    * χ² and Cramér's V on the e6/e3 integer grids. */
+  def x104CramersV(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.cramersV(
+        graft.operators.Profiling.contingency(
+          Tables.events(s, dir)
+            .withColumn("dow", expr("((ts DIV 1000) DIV 86400000000) % 7")),
+          "event_type", "dow"))
+      .orderBy("n")
+
+  /** stochasticLinearRegression ([[graft.operators.GdTrainer.fitLinear]]):
+    * 4 batch-GD iterations fitting cents(extendedprice) from quantity,
+    * every step exact on the e6 integer grid — the trained artifact
+    * replays as 4 unrolled CTE stages. η = 1/1000 < 2/E[x²] (E[x²] ≈ 858
+    * for quantity 1..50), so the recurrence is stable. */
+  def x105SgdLinreg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GdTrainer.fitLinear(
+        Tables.lineitem(s, dir),
+        col("l_quantity").cast("long"),
+        graft.functions.cents(col("l_extendedprice")),
+        iters = 4, etaDen = 1000L)
+      .orderBy("n")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2264,6 +2298,67 @@ object ExtQueries {
        |SELECT user_id, n, n_distinct,
        |  CAST(n*length(bin(n)) - scb AS BIGINT) AS ent_bits
        |FROM u ORDER BY user_id""".stripMargin
+
+  /** Shared SQL for the x103 contingency cells (mirror of
+    * `Profiling.contingency` on event_type × day-of-week). */
+  private val duckContingencyCells: String =
+    """WITH e AS (SELECT event_type AS a, (epoch_us(ts) // 86400000000) % 7 AS b FROM events),
+      |cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+      |m AS (SELECT a, b, o,
+      |        CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |        CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |        CAST(sum(o) OVER () AS BIGINT) AS n FROM cells)
+      |SELECT a, b, o, r, c, n,
+      |  CAST((o*o // (r*c))*1000000 + ((o*o % (r*c))*1000000) // (r*c) AS BIGINT) AS t_e6
+      |FROM m""".stripMargin
+
+  /** DuckDB mirror of the contingency cells (x103). */
+  private val duckContingency: String =
+    s"$duckContingencyCells ORDER BY a, b"
+
+  /** DuckDB mirror of cramersV (x104): the same clamp-at-0 χ², guarded
+    * integer V², and floor-sqrt v_e3 over the x103 cells. */
+  private val duckCramersV: String =
+    s"""WITH cc AS ($duckContingencyCells),
+       |s AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+       |             CAST(count(DISTINCT a) AS BIGINT) AS ka,
+       |             CAST(count(DISTINCT b) AS BIGINT) AS kb,
+       |             CAST(sum(t_e6) AS BIGINT) AS st FROM cc),
+       |v AS (SELECT n, n_cells,
+       |             greatest(st - 1000000, 0) AS chi2_over_n_e6,
+       |             CAST(n*greatest(st - 1000000, 0) AS BIGINT) AS chi2_e6,
+       |             CASE WHEN least(ka-1, kb-1) > 0
+       |                  THEN greatest(st - 1000000, 0) // least(ka-1, kb-1) END AS v2_e6
+       |      FROM s)
+       |SELECT n, n_cells, chi2_over_n_e6, chi2_e6, CAST(v2_e6 AS BIGINT) AS v2_e6,
+       |  CAST(floor(sqrt(v2_e6)) AS BIGINT) AS v_e3
+       |FROM v ORDER BY n""".stripMargin
+
+  /** DuckDB mirror of the SGD linear regression (x105): the 4-iteration
+    * exact-int recurrence unrolled as CTE stages — `//` and Spark `DIV`
+    * both truncate toward zero, so every update replays bit-for-bit. */
+  private val duckSgdLinreg: String = {
+    val yc = graft.functions.centsSql("l_extendedprice")
+    def gStage(g: String, w: String) =
+      s"""$g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(max(w.w1) AS BIGINT) AS w1, CAST(max(w.w0) AS BIGINT) AS w0,
+         |  CAST(sum(((w.w1*d.x + w.w0) // 1000000 - d.y)*d.x) AS BIGINT) AS g1,
+         |  CAST(sum((w.w1*d.x + w.w0) // 1000000 - d.y) AS BIGINT) AS g0
+         |  FROM d, $w w)""".stripMargin
+    def wStage(w: String, g: String) =
+      s"""$w AS (SELECT g.w1 - (g.g1*1000) // g.n AS w1,
+         |  g.w0 - (g.g0*1000) // g.n AS w0 FROM $g g)""".stripMargin
+    s"""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x, $yc AS y FROM lineitem),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w0),
+       |${gStage("g1s", "w0")}, ${wStage("w1s", "g1s")},
+       |${gStage("g2s", "w1s")}, ${wStage("w2s", "g2s")},
+       |${gStage("g3s", "w2s")}, ${wStage("w3s", "g3s")},
+       |${gStage("g4s", "w3s")}, ${wStage("w4s", "g4s")}
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(max(w.w0) AS BIGINT) AS w0_e6, CAST(max(w.w1) AS BIGINT) AS w1_e6,
+       |  CAST(sum(abs((w.w1*d.x + w.w0) // 1000000 - d.y)) // count(*) AS BIGINT) AS mae_cents
+       |FROM d, w4s w ORDER BY n""".stripMargin
+  }
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -3795,6 +3890,9 @@ object ExtQueries {
     "x100_latency_histogram" -> duckLatencyHistogram,
     "x101_blocklist_match" -> duckBlocklistMatch,
     "x102_domain_entropy" -> duckDomainEntropy,
+    "x103_contingency" -> duckContingency,
+    "x104_cramers_v" -> duckCramersV,
+    "x105_sgd_linreg" -> duckSgdLinreg,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4062,6 +4160,9 @@ object ExtQueries {
     "x100_latency_histogram" -> x100LatencyHistogram, // oracle: x69 read bucketed
     "x101_blocklist_match" -> x101BlocklistMatch, // oracle: boundary-safe LIKE join
     "x102_domain_entropy" -> x102DomainEntropy, // oracle: floor-log2 bin-length grid
+    "x103_contingency" -> x103Contingency, // oracle: int64 chi2 cell ingredients
+    "x104_cramers_v" -> x104CramersV, // oracle: clamped chi2 + floor-sqrt V
+    "x105_sgd_linreg" -> x105SgdLinreg, // oracle: unrolled exact-int GD stages
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
