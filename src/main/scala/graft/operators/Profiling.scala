@@ -397,6 +397,41 @@ object Profiling {
       .withColumn("v_e3", floor(sqrt(col("v2_e6").cast("double"))).cast("long"))
       .select("n", "n_cells", "chi2_over_n_e6", "chi2_e6", "v2_e6", "v_e3")
 
+  /** `theilsU` — the DIRECTED member of the categorical-association
+    * family (with [[cramersV]]): U(a|b) = (H(a) − H(a|b)) / H(a), every
+    * entropy taken on [[categoricalEntropy]]'s floor-log₂ grid so the
+    * whole statistic is a ratio of int64 bit-counts:
+    * `hx = N·bits(N) − Σ_a n_a·bits(n_a)` and
+    * `hxy = Σ_ab n_ab·(bits(n_b) − bits(n_ab))` (the N-scaled
+    * conditional entropy). On the floor grid the mutual information
+    * `hx − hxy` can dip below 0 at independence (each sum floors
+    * independently), so it is clamped — exactly like cramersV's χ².
+    * Degenerate H(a) = 0 (single category) NULLs U.
+    *
+    * Shape: one hash agg to cells, two tiny aggregates (per-a totals,
+    * cell sum), one 1-row combine — association dims are
+    * low-cardinality by construction. */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("nb", sum("o").over(Window.partitionBy("b")))
+    val na = cells.groupBy("a").agg(sum("o").as("na"))
+    val hx = na.agg(sum("na").as("n"),
+        sum(col("na") * length(expr("bin(na)")).cast("long")).as("sa"))
+      .select(col("n"),
+        (col("n") * length(expr("bin(n)")).cast("long") - col("sa")).as("hx_bits"))
+    val hxy = cells.agg(
+      sum(col("o") * (length(expr("bin(nb)")).cast("long") -
+        length(expr("bin(o)")).cast("long"))).as("hxy_bits"))
+    hx.crossJoin(broadcast(hxy))
+      .withColumn("mi_bits",
+        greatest(col("hx_bits") - col("hxy_bits"), lit(0L)))
+      .withColumn("u_e6",
+        when(col("hx_bits") > 0, expr("(mi_bits*1000000) DIV hx_bits")))
+      .select("n", "hx_bits", "hxy_bits", "mi_bits", "u_e6")
+  }
+
   /** Per-key categorical `entropy` at integer floor-log₂ resolution —
     * the x60 `length(bin(n))` recipe applied to the entropy aggregate
     * (IEEE logs are un-oracleable; the bit-count grid is exact in any

@@ -183,6 +183,32 @@ object TimeSeries {
         sum(expr("c * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"))
   }
 
+  /** `exponentialTimeDecayedAvg` — the average read over the
+    * [[decayedSum]] artifact: the same exact power-of-2 day weights
+    * accumulate a numerator `Σ c·10⁶ DIV 2^age` AND a denominator
+    * `Σ 10⁶ DIV 2^age` (the decayed row count, e6-scaled), so the
+    * decayed mean is one integer division of two like-scaled int64 sums
+    * — `davg_cents = decayed_e6 DIV weight_e6`. A group whose every row
+    * is ≥ 62 days stale has weight 0: the avg is NULLed (ANSI division
+    * guard), which is also the honest answer for a fully-decayed group.
+    * Same shape as decayedSum: one 1-row max-day scalar broadcast, one
+    * aggregation. */
+  def decayedAvg(events: DataFrame, groupCol: String, tsUsCol: String,
+      valueCents: Column): DataFrame = {
+    val day = expr(s"$tsUsCol DIV 86400000000")
+    val mx = events.agg(max(day).as("mx"))
+    events.crossJoin(broadcast(mx))
+      .select(col(groupCol),
+        valueCents.as("c"),
+        expr(s"CAST(LEAST(mx - ($tsUsCol DIV 86400000000), 62L) AS INT)").as("age"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("c * 1000000L DIV shiftleft(1L, age)")).as("decayed_e6"),
+        sum(expr("1000000L DIV shiftleft(1L, age)")).as("weight_e6"))
+      .withColumn("davg_cents",
+        when(col("weight_e6") > 0, expr("decayed_e6 DIV weight_e6")))
+  }
+
   /** Merged-interval coverage — the reference engine family's
     * `intervalLengthSum`: per key, the total length of the UNION of
     * `[s, e)` intervals (overlaps and containments counted once) and the

@@ -1218,6 +1218,38 @@ object ExtQueries {
         iters = 4, etaDen = 1000L)
       .orderBy("n")
 
+  /** theilsU ([[graft.operators.Profiling.theilsU]]): the DIRECTED
+    * association read — U(event_type | day-of-week) as a ratio of
+    * floor-log₂ integer entropies, clamped at independence. */
+  def x106TheilsU(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.theilsU(
+        Tables.events(s, dir)
+          .withColumn("dow", expr("((ts DIV 1000) DIV 86400000000) % 7")),
+        "event_type", "dow")
+      .orderBy("n")
+
+  /** exponentialTimeDecayedAvg ([[graft.operators.TimeSeries.decayedAvg]]):
+    * the decayed-mean read over the x64 artifact — numerator and
+    * denominator carry the SAME exact power-of-2 day weights, so the
+    * trending average is one integer division. */
+  def x107DecayedAvg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.decayedAvg(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .withColumn("t_us", expr("ts DIV 1000")),
+        "event_type", "t_us", graft.functions.cents(col("value")))
+      .orderBy("event_type")
+
+  /** groupArrayIntersect ([[graft.operators.SetOps.groupIntersect]]):
+    * per event type, the users active on EVERY day-of-week — cross-row
+    * set intersection by the counting identity, rendered sorted for
+    * determinism. */
+  def x108GroupIntersect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetOps.groupIntersect(
+        Tables.events(s, dir)
+          .withColumn("dow", expr("((ts DIV 1000) DIV 86400000000) % 7")),
+        "event_type", "dow", "user_id")
+      .orderBy("g")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2359,6 +2391,53 @@ object ExtQueries {
        |  CAST(sum(abs((w.w1*d.x + w.w0) // 1000000 - d.y)) // count(*) AS BIGINT) AS mae_cents
        |FROM d, w4s w ORDER BY n""".stripMargin
   }
+
+  /** DuckDB mirror of theilsU (x106): the same floor-log₂ bit-count
+    * entropies, clamped MI, integer-ppm U. */
+  private val duckTheilsU: String =
+    """WITH e AS (SELECT event_type AS a, (epoch_us(ts) // 86400000000) % 7 AS b FROM events),
+      |cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+      |cb AS (SELECT a, b, o, CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS nb FROM cells),
+      |na AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY 1),
+      |hx AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+      |              CAST(sum(na)*length(bin(CAST(sum(na) AS BIGINT)))
+      |                   - sum(na*length(bin(na))) AS BIGINT) AS hx_bits FROM na),
+      |hxy AS (SELECT CAST(sum(o*(length(bin(nb)) - length(bin(o)))) AS BIGINT) AS hxy_bits FROM cb),
+      |j AS (SELECT n, hx_bits, hxy_bits,
+      |             greatest(hx_bits - hxy_bits, 0) AS mi_bits FROM hx, hxy)
+      |SELECT n, hx_bits, hxy_bits, mi_bits,
+      |  CASE WHEN hx_bits > 0 THEN (mi_bits*1000000) // hx_bits END AS u_e6
+      |FROM j ORDER BY n""".stripMargin
+
+  /** DuckDB mirror of the decayed average (x107): the x64 weights
+    * accumulated as numerator AND denominator, one integer division. */
+  private val duckDecayedAvg: String =
+    s"""WITH e AS (
+       |  SELECT event_type, ${graft.functions.centsSql("value")} AS c,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |m AS (SELECT max(day) AS mx FROM e),
+       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(c * 1000000 // (1::BIGINT << CAST(LEAST(mx - day, 62) AS INT))) AS BIGINT) AS decayed_e6,
+       |  CAST(sum(1000000 // (1::BIGINT << CAST(LEAST(mx - day, 62) AS INT))) AS BIGINT) AS weight_e6
+       |  FROM e, m GROUP BY 1)
+       |SELECT event_type, n, decayed_e6, weight_e6,
+       |  CASE WHEN weight_e6 > 0 THEN decayed_e6 // weight_e6 END AS davg_cents
+       |FROM s ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of groupArrayIntersect (x108): the counting identity
+    * (distinct units containing the item = units in the group), sorted
+    * numeric-order string rendering. */
+  private val duckGroupIntersect: String =
+    """WITH t AS (SELECT DISTINCT event_type AS g,
+      |    (epoch_us(ts) // 86400000000) % 7 AS u, user_id AS item FROM events),
+      |nu AS (SELECT g, CAST(count(DISTINCT u) AS BIGINT) AS n_units FROM t GROUP BY 1),
+      |c AS (SELECT g, item, count(*) AS n_in FROM t GROUP BY 1, 2)
+      |SELECT c.g, nu.n_units, CAST(count(*) AS BIGINT) AS n_common,
+      |  string_agg(c.item, ',' ORDER BY c.item) AS common_str
+      |FROM c JOIN nu USING (g) WHERE c.n_in = nu.n_units
+      |GROUP BY 1, 2 ORDER BY g""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -3893,6 +3972,9 @@ object ExtQueries {
     "x103_contingency" -> duckContingency,
     "x104_cramers_v" -> duckCramersV,
     "x105_sgd_linreg" -> duckSgdLinreg,
+    "x106_theils_u" -> duckTheilsU,
+    "x107_decayed_avg" -> duckDecayedAvg,
+    "x108_group_intersect" -> duckGroupIntersect,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4163,6 +4245,9 @@ object ExtQueries {
     "x103_contingency" -> x103Contingency, // oracle: int64 chi2 cell ingredients
     "x104_cramers_v" -> x104CramersV, // oracle: clamped chi2 + floor-sqrt V
     "x105_sgd_linreg" -> x105SgdLinreg, // oracle: unrolled exact-int GD stages
+    "x106_theils_u" -> x106TheilsU, // oracle: floor-log2 entropy ratio
+    "x107_decayed_avg" -> x107DecayedAvg, // oracle: like-scaled weight division
+    "x108_group_intersect" -> x108GroupIntersect, // oracle: counting identity + sorted concat
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

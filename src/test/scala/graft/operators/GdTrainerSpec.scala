@@ -58,6 +58,19 @@ class GdTrainerSpec extends SparkTestBase {
     assert(v == ((80L, 250000L, 250000L, 500L)))
   }
 
+  test("theilsU: functional dependence scores 1e6, degenerate H(a)=0 NULLs U") {
+    // a fully determined by b: H(a|b) = 0 -> U = 1.0
+    val dep = (Seq.fill(4)(("a1", "b1")) ++ Seq.fill(4)(("a2", "b2"))).toDF("u", "v")
+    val r = Profiling.theilsU(dep, "u", "v")
+      .select("n", "hx_bits", "hxy_bits", "u_e6")
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(r == ((8L, 8L, 0L, Some(1000000L))))
+
+    val degen = Seq.fill(6)(("a1", "b1")).toDF("u", "v")
+    val u = Profiling.theilsU(degen, "u", "v").select("u_e6").as[Option[Long]].head()
+    assert(u.isEmpty)
+  }
+
   test("cramersV NULLs V on a single-category dimension instead of throwing") {
     val rows = Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a1", "b2"))
     val v = Profiling.cramersV(Profiling.contingency(rows.toDF("u", "v"), "u", "v"))

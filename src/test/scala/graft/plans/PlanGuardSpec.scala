@@ -52,7 +52,9 @@ class PlanGuardSpec extends SparkTestBase {
     // the final mae read's 1-row weight-frame broadcast; the per-iteration
     // scalar crossJoins execute eagerly inside fitLinear (localCheckpoint
     // lineage cuts) and never appear in the returned plan
-    "x105_sgd_linreg" -> 1)
+    "x105_sgd_linreg" -> 1,
+    "x106_theils_u" -> 1, // 1-row hx × 1-row hxy combine (Profiling.theilsU)
+    "x107_decayed_avg" -> 1) // 1-row max-day scalar broadcast (as x64)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
