@@ -123,6 +123,32 @@ package object functions {
     s"floor(($exprSql) * $f.0 + 0.5) / $f.0"
   }
 
+  /** Dotted-quad IPv4 → numeric (the engine family's `IPv4StringToNum`):
+    * `a·2²⁴ + b·2¹⁶ + c·2⁸ + d`, all codegen'd builtins (split + casts).
+    * No validity screen — gate with `is_ipv4` first when the column is
+    * untrusted (a non-quad yields NULL through the element casts). */
+  def ipv4Num(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("long") * lit(16777216L) +
+      element_at(p, 2).cast("long") * lit(65536L) +
+      element_at(p, 3).cast("long") * lit(256L) +
+      element_at(p, 4).cast("long")
+  }
+
+  /** Numeric IPv4 → its /prefix network address rendered as
+    * `a.b.c.d/prefix` (`IPv4NumToString(IPv4CIDRToRange(...))`): mask by
+    * integer division (2³²⁻ᵖ), rebuild octets with DIV/% — exact int64,
+    * replayable in any engine. */
+  def cidrString(num: Column, prefix: Int): Column = {
+    require(prefix >= 0 && prefix <= 32, s"bad prefix $prefix")
+    val net = num - (num % lit(1L << (32 - prefix)))
+    concat(
+      (shiftright(net, 24) % lit(256L)).cast("string"), lit("."),
+      (shiftright(net, 16) % lit(256L)).cast("string"), lit("."),
+      (shiftright(net, 8) % lit(256L)).cast("string"), lit("."),
+      (net % lit(256L)).cast("string"), lit(s"/$prefix"))
+  }
+
   // -------------------------------------------------------------- hash ----
 
   /** Oracle-reproducible 64-bit hash: the first 16 hex chars of md5 as a

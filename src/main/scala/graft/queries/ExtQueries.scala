@@ -1250,6 +1250,24 @@ object ExtQueries {
         "event_type", "dow", "user_id")
       .orderBy("g")
 
+  /** Subnet rollup ([[graft.functions.ipv4Num]]/[[graft.functions.cidrString]]):
+    * clients aggregated at /24 — the reference's per-client stats rolled
+    * to network blocks (the ops question "which NETWORK hammers the
+    * resolver"), numeric mask arithmetic end to end. Synthetic client
+    * IP per event: `10.{user_id%64}.{user_id DIV 64}.{event_id%251}`. */
+  def x109SubnetRollup(s: SparkSession, dir: String): DataFrame = {
+    val ip = concat(lit("10."), pmod(col("user_id"), lit(64)).cast("string"),
+      lit("."), expr("user_id DIV 64").cast("string"),
+      lit("."), pmod(col("event_id"), lit(251)).cast("string"))
+    Tables.events(s, dir)
+      .withColumn("subnet", graft.functions.cidrString(graft.functions.ipv4Num(ip), 24))
+      .groupBy("subnet")
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct(pmod(col("event_id"), lit(251))).as("n_hosts"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("subnet")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2438,6 +2456,26 @@ object ExtQueries {
       |  string_agg(c.item, ',' ORDER BY c.item) AS common_str
       |FROM c JOIN nu USING (g) WHERE c.n_in = nu.n_units
       |GROUP BY 1, 2 ORDER BY g""".stripMargin
+
+  /** DuckDB mirror of the subnet rollup (x109): same synthetic quad,
+    * same numeric mask arithmetic (`//`/% on nonneg = Spark shiftright/%). */
+  private val duckSubnetRollup: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id % 251 AS host,
+      |    ('10' || '.' || (user_id % 64) || '.' || (user_id // 64) || '.' || (event_id % 251)) AS ip
+      |  FROM events),
+      |n AS (SELECT user_id, host,
+      |    CAST(string_split(ip, '.')[1] AS BIGINT)*16777216
+      |      + CAST(string_split(ip, '.')[2] AS BIGINT)*65536
+      |      + CAST(string_split(ip, '.')[3] AS BIGINT)*256
+      |      + CAST(string_split(ip, '.')[4] AS BIGINT) AS num FROM e),
+      |s AS (SELECT user_id, host, num - (num % 256) AS net FROM n)
+      |SELECT ((net // 16777216) % 256) || '.' || ((net // 65536) % 256) || '.'
+      |    || ((net // 256) % 256) || '.' || (net % 256) || '/24' AS subnet,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM s GROUP BY 1 ORDER BY subnet""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -3975,6 +4013,7 @@ object ExtQueries {
     "x106_theils_u" -> duckTheilsU,
     "x107_decayed_avg" -> duckDecayedAvg,
     "x108_group_intersect" -> duckGroupIntersect,
+    "x109_subnet_rollup" -> duckSubnetRollup,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4248,6 +4287,7 @@ object ExtQueries {
     "x106_theils_u" -> x106TheilsU, // oracle: floor-log2 entropy ratio
     "x107_decayed_avg" -> x107DecayedAvg, // oracle: like-scaled weight division
     "x108_group_intersect" -> x108GroupIntersect, // oracle: counting identity + sorted concat
+    "x109_subnet_rollup" -> x109SubnetRollup, // oracle: numeric mask arithmetic
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

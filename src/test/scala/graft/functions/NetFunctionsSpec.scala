@@ -54,4 +54,19 @@ class NetFunctionsSpec extends SparkTestBase {
     val got = df.select(F.bucketStartSecFromNanos("ts", 10)).as[Long].collect().toSeq
     assert(got == Seq(1704067200L, 1704067800L))
   }
+
+  test("ipv4Num + cidrString: numeric quad and network-block rendering") {
+    val df = Seq("1.2.3.4", "10.63.2.250", "255.255.255.255").toDF("ip")
+    val got = df.select(col("ip"),
+        F.ipv4Num(col("ip")).as("n"),
+        F.cidrString(F.ipv4Num(col("ip")), 24).as("s24"),
+        F.cidrString(F.ipv4Num(col("ip")), 16).as("s16"),
+        F.cidrString(F.ipv4Num(col("ip")), 32).as("s32"))
+      .as[(String, Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("1.2.3.4") == ((16909060L, "1.2.3.0/24", "1.2.0.0/16", "1.2.3.4/32")))
+    assert(got("10.63.2.250")._2 == "10.63.2.0/24")
+    assert(got("255.255.255.255") ==
+      ((4294967295L, "255.255.255.0/24", "255.255.0.0/16", "255.255.255.255/32")))
+  }
 }
