@@ -281,6 +281,14 @@ package object functions {
   def heavyHitters(item: Column, k: Int): Column =
     ncol(FreqAggExpr(nexpr(item), k).toAggregateExpression())
 
+  /** `topKWeighted` — weighted Misra-Gries over (item, long weight)
+    * pairs, same buffer/guarantees scaled to total weight W
+    * ([[graft.expressions.WeightedFreqAggExpr]]); exact when the
+    * group's vocabulary fits k counters. */
+  def heavyHittersWeighted(item: Column, weight: Column, k: Int): Column =
+    ncol(graft.expressions.WeightedFreqAggExpr(nexpr(item), nexpr(weight), k)
+      .toAggregateExpression())
+
   /** Key-wise map aggregation (ClickHouse sumMap/minMap/maxMap): each row
     * contributes (key, value); result is key-sorted (key, val) entries
     * with values folded under `op` ∈ sum|min|max —

@@ -1268,6 +1268,42 @@ object ExtQueries {
       .orderBy("subnet")
   }
 
+  /** topKWeighted ([[graft.functions.heavyHittersWeighted]]): per day,
+    * event types by TOTAL value weight from the weighted Misra-Gries
+    * buffer — exact here (vocab 5 < k = 8 counters: no eviction in any
+    * partial, absorb is plain addition), so the sketch read IS the exact
+    * weighted ranking; adversarial vocabularies are pinned in
+    * SketchAccuracySpec. */
+  def x110TopKWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+      .withColumn("c", graft.functions.cents(col("value")))
+      .filter(col("c").isNotNull)
+      .groupBy("day")
+      .agg(graft.functions.heavyHittersWeighted(col("event_type"), col("c"), 8).as("hh"))
+      .select(col("day"), explode(col("hh")).as("e"))
+      .select(col("day"), col("e.item").as("event_type"), col("e.est").as("w_cents"))
+      .orderBy(col("day"), desc("w_cents"), col("event_type"))
+
+  /** minMap/maxMap ([[graft.functions.mapAgg]] min/max modes): per day,
+    * the value extremes per event type as key-sorted map entries —
+    * zipped (both maps share the sorted key set) and exploded for the
+    * oracle. */
+  def x111MinMaxMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+      .withColumn("c", graft.functions.cents(col("value")))
+      .filter(col("c").isNotNull)
+      .groupBy("day")
+      .agg(graft.functions.mapAgg(col("event_type"), col("c"), "min").as("mn"),
+        graft.functions.mapAgg(col("event_type"), col("c"), "max").as("mx"))
+      .select(col("day"), explode(arrays_zip(col("mn"), col("mx"))).as("z"))
+      .select(col("day"), col("z.mn.key").as("event_type"),
+        col("z.mn.val").as("min_cents"), col("z.mx.val").as("max_cents"))
+      .orderBy("day", "event_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2476,6 +2512,25 @@ object ExtQueries {
       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM s GROUP BY 1 ORDER BY subnet""".stripMargin
+
+  /** DuckDB mirror of topKWeighted (x110): with the vocabulary inside
+    * the counter budget the sketch is exact — the oracle is the exact
+    * weighted ranking. */
+  private val duckTopKWeighted: String =
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type,
+       |  CAST(sum(${graft.functions.centsSql("value")}) AS BIGINT) AS w_cents
+       |FROM events WHERE value IS NOT NULL
+       |  AND ${graft.functions.centsSql("value")} IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY day, w_cents DESC, event_type""".stripMargin
+
+  /** DuckDB mirror of minMap/maxMap (x111): per-key extremes, exploded. */
+  private val duckMinMaxMap: String =
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type,
+       |  CAST(min(${graft.functions.centsSql("value")}) AS BIGINT) AS min_cents,
+       |  CAST(max(${graft.functions.centsSql("value")}) AS BIGINT) AS max_cents
+       |FROM events WHERE value IS NOT NULL
+       |  AND ${graft.functions.centsSql("value")} IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -4014,6 +4069,8 @@ object ExtQueries {
     "x107_decayed_avg" -> duckDecayedAvg,
     "x108_group_intersect" -> duckGroupIntersect,
     "x109_subnet_rollup" -> duckSubnetRollup,
+    "x110_topk_weighted" -> duckTopKWeighted,
+    "x111_minmax_map" -> duckMinMaxMap,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4288,6 +4345,8 @@ object ExtQueries {
     "x107_decayed_avg" -> x107DecayedAvg, // oracle: like-scaled weight division
     "x108_group_intersect" -> x108GroupIntersect, // oracle: counting identity + sorted concat
     "x109_subnet_rollup" -> x109SubnetRollup, // oracle: numeric mask arithmetic
+    "x110_topk_weighted" -> x110TopKWeighted, // oracle: vocab < k ⇒ sketch exact
+    "x111_minmax_map" -> x111MinMaxMap, // oracle: per-key extremes exploded
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

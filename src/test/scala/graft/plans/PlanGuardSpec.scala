@@ -31,7 +31,7 @@ class PlanGuardSpec extends SparkTestBase {
   private val allowedFallbacks = Set(
     "JsonToStructs",
     "Percentile", "ApproximatePercentile", "HyperLogLogPlusPlus",
-    "CollectList", "TopKAggExpr", "FreqAggExpr", "MapAggExpr",
+    "CollectList", "TopKAggExpr", "FreqAggExpr", "WeightedFreqAggExpr", "MapAggExpr",
     "PivotFirst", // Spark's own pivot lowering — imperative agg, values-bounded buffer
     "ArrayFilter", "ArrayTransform", "ArrayExists", "ArraySort",
     "LambdaFunction", "NamedLambdaVariable")

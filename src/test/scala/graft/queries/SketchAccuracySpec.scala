@@ -127,4 +127,29 @@ class SketchAccuracySpec extends SparkTestBase {
       assert(true_ - est <= slack, s"'$t' underestimated past the bound")
     }
   }
+
+  test("weighted heavy hitters: MG guarantees vs exact WEIGHTED counts on an adversarial vocab") {
+    import spark.implicits._
+    val k = 4 // far under the vocabulary so evictions actually fire
+    // 40 distinct light items (weight 1-3) + 3 heavy items
+    val rows = (1 to 40).map(i => (s"light$i", (i % 3 + 1).toLong)) ++
+      Seq(("heavyA", 500L), ("heavyB", 300L), ("heavyA", 250L), ("heavyC", 120L))
+    val df = rows.toDF("t", "w")
+    val totalW = rows.map(_._2).sum
+    val exact = rows.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val sk = df.repartition(8)
+      .agg(graft.functions.heavyHittersWeighted(col("t"), col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(sk.nonEmpty && sk.size <= k)
+    val slack = totalW / (k + 1)
+    exact.foreach { case (t, w) =>
+      if (w > slack) assert(sk.contains(t), s"heavy '$t' ($w > $slack) missing")
+    }
+    sk.foreach { case (t, est) =>
+      val true_ = exact.getOrElse(t, 0L)
+      assert(est <= true_, s"'$t' overestimated: $est > $true_")
+      assert(true_ - est <= slack, s"'$t' underestimated past the bound")
+    }
+  }
 }
