@@ -60,4 +60,26 @@ object Bitmaps {
       .agg(sum(bit_count(coalesce(col("bits").bitwiseAND(col("obits")), lit(0L))))
         .as("card_and"))
   }
+
+  /** Exact churn between adjacent groups — `bitmapAndnot` both ways in
+    * one pass: per g, `lost = |g \ (g+step)|` and `gained =
+    * |(g+step) \ g|`. FULL outer join on (g, word) with 0-coalesced
+    * sides, because a word can live in only one of the two days (a
+    * left join would silently drop bits that exist only in g+step).
+    * The sign bit is never set (63-bit packing), so `AND NOT` stays
+    * inside nonneg int64 on both engines. The last group compares
+    * against the empty set: everyone lost, nobody gained — reported,
+    * not hidden. */
+  def adjacentChurn(state: DataFrame, step: Long): DataFrame = {
+    val nxt = state.select((col("g") - lit(step)).as("g"),
+      col("word"), col("bits").as("nbits"))
+    state.join(nxt, Seq("g", "word"), "full_outer")
+      .select(col("g"),
+        coalesce(col("bits"), lit(0L)).as("b"),
+        coalesce(col("nbits"), lit(0L)).as("nb"))
+      .groupBy("g")
+      .agg(
+        sum(bit_count(col("b").bitwiseAND(bitwise_not(col("nb"))))).as("lost"),
+        sum(bit_count(col("nb").bitwiseAND(bitwise_not(col("b"))))).as("gained"))
+  }
 }

@@ -397,6 +397,48 @@ object Profiling {
       .withColumn("v_e3", floor(sqrt(col("v2_e6").cast("double"))).cast("long"))
       .select("n", "n_cells", "chi2_over_n_e6", "chi2_e6", "v2_e6", "v_e3")
 
+  /** `corrMatrix` — every pairwise correlation of k integer-gridded
+    * columns in ONE aggregation pass (the reference engine family's
+    * matrix combinator): the single wide row carries n, per-column
+    * Σx/Σx², and Σxy per pair — k(k+3)/2 + 1 additive int64 measures,
+    * all partial-mergeable — then explodes to one row per (i < j) pair
+    * with the [[corrMoments]] fixed-IEEE read applied verbatim. k
+    * passes of a per-pair operator would rescan the fact table
+    * k(k−1)/2 times; this scans once and shuffles one row.
+    *
+    * Caller grids columns (cents/DIV) exactly as for corrMoments; the
+    * int64 exactness boundary (n·max(x²) < 2⁶³) applies per pair. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import graft.functions.pround4
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val proj = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    val aggs =
+      cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        cols.map { case (n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val allAggs = count(lit(1)).as("n") +: aggs
+    val wide = proj.agg(allAggs.head, allAggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+        col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"),
+        col(s"sp_${a}_$b").as("sxy"))
+    }
+    val varx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vary = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    wide.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("n"),
+        col("p.sx").as("sx"), col("p.sy").as("sy"), col("p.sxy").as("sxy"),
+        col("p.sxx").as("sxx"), col("p.syy").as("syy"))
+      .withColumn("corr4", when(varx > 0 && vary > 0, pround4(
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(varx) * sqrt(vary)))))
+  }
+
   /** `theilsU` — the DIRECTED member of the categorical-association
     * family (with [[cramersV]]): U(a|b) = (H(a) − H(a|b)) / H(a), every
     * entropy taken on [[categoricalEntropy]]'s floor-log₂ grid so the

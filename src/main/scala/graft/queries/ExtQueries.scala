@@ -1304,6 +1304,33 @@ object ExtQueries {
         col("z.mn.val").as("min_cents"), col("z.mx.val").as("max_cents"))
       .orderBy("day", "event_type")
 
+  /** corrMatrix ([[graft.operators.Profiling.corrMatrix]]): all pairwise
+    * correlations of (dollars, quantity, discount-cents) in ONE scan —
+    * the wide moment row exploded to (i, j) pair reads. */
+  def x112CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.corrMatrix(
+        Tables.lineitem(s, dir)
+          .withColumn("xc", graft.functions.cents(col("l_extendedprice")))
+          .withColumn("dc", graft.functions.cents(col("l_discount"))),
+        Seq(
+          ("dollars" , expr("xc DIV 100")),
+          ("quantity", col("l_quantity").cast("long")),
+          ("disc_c"  , col("dc"))))
+      .orderBy("col_a", "col_b")
+
+  /** Bitmap churn ([[graft.operators.Bitmaps.adjacentChurn]]): per day,
+    * users LOST to and GAINED from the next day — `bitmapAndnot` both
+    * directions over the same exact bitmap state as x57, fact stream
+    * never rescanned. */
+  def x113BitmapChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"), col("user_id"))
+    graft.operators.Bitmaps.adjacentChurn(
+        graft.operators.Bitmaps.bitmapState(ev, "day", "user_id"), 1L)
+      .select(col("g").as("day"), col("lost"), col("gained"))
+      .orderBy("day")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2531,6 +2558,52 @@ object ExtQueries {
        |FROM events WHERE value IS NOT NULL
        |  AND ${graft.functions.centsSql("value")} IS NOT NULL
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** DuckDB mirror of corrMatrix (x112): one wide sum row, three pair
+    * reads applying the identical fixed-IEEE corr expression. */
+  private val duckCorrMatrix: String = {
+    def pairRead(a: String, b: String) =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  s_$a AS sx, s_$b AS sy, sp_${a}_$b AS sxy, ss_$a AS sxx, ss_$b AS syy,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+         |        AND CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+         |  THEN floor(((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+         |  END AS corr4 FROM m""".stripMargin
+    s"""WITH e AS (
+       |  SELECT ${graft.functions.centsSql("l_extendedprice")} // 100 AS dollars,
+       |    CAST(l_quantity AS BIGINT) AS quantity,
+       |    ${graft.functions.centsSql("l_discount")} AS disc_c
+       |  FROM lineitem
+       |),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dollars) AS BIGINT) AS s_dollars, CAST(sum(quantity) AS BIGINT) AS s_quantity,
+       |  CAST(sum(disc_c) AS BIGINT) AS s_disc_c,
+       |  CAST(sum(dollars*dollars) AS BIGINT) AS ss_dollars,
+       |  CAST(sum(quantity*quantity) AS BIGINT) AS ss_quantity,
+       |  CAST(sum(disc_c*disc_c) AS BIGINT) AS ss_disc_c,
+       |  CAST(sum(dollars*quantity) AS BIGINT) AS sp_dollars_quantity,
+       |  CAST(sum(dollars*disc_c) AS BIGINT) AS sp_dollars_disc_c,
+       |  CAST(sum(quantity*disc_c) AS BIGINT) AS sp_quantity_disc_c
+       |  FROM e)
+       |${pairRead("dollars", "quantity")}
+       |UNION ALL ${pairRead("dollars", "disc_c")}
+       |UNION ALL ${pairRead("quantity", "disc_c")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** DuckDB mirror of the bitmap churn (x113): the same full-outer
+    * day-vs-next-day comparison over distinct (day, user) pairs —
+    * including the phantom first row (everyone "gained" into day 0). */
+  private val duckBitmapChurn: String =
+    """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      |p AS (SELECT coalesce(a.day, b.day - 1) AS g, a.user_id AS au, b.user_id AS bu
+      |      FROM du a FULL JOIN du b ON b.day = a.day + 1 AND b.user_id = a.user_id)
+      |SELECT g AS day,
+      |  CAST(count(au) FILTER (WHERE bu IS NULL) AS BIGINT) AS lost,
+      |  CAST(count(bu) FILTER (WHERE au IS NULL) AS BIGINT) AS gained
+      |FROM p GROUP BY 1 ORDER BY day""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -4071,6 +4144,8 @@ object ExtQueries {
     "x109_subnet_rollup" -> duckSubnetRollup,
     "x110_topk_weighted" -> duckTopKWeighted,
     "x111_minmax_map" -> duckMinMaxMap,
+    "x112_corr_matrix" -> duckCorrMatrix,
+    "x113_bitmap_churn" -> duckBitmapChurn,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4347,6 +4422,8 @@ object ExtQueries {
     "x109_subnet_rollup" -> x109SubnetRollup, // oracle: numeric mask arithmetic
     "x110_topk_weighted" -> x110TopKWeighted, // oracle: vocab < k ⇒ sketch exact
     "x111_minmax_map" -> x111MinMaxMap, // oracle: per-key extremes exploded
+    "x112_corr_matrix" -> x112CorrMatrix, // oracle: one wide row, pair reads
+    "x113_bitmap_churn" -> x113BitmapChurn, // oracle: full-outer day-shift sets
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

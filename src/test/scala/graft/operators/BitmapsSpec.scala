@@ -39,4 +39,18 @@ class BitmapsSpec extends SparkTestBase {
     // day1 ∩ day2 = {11, 70}; day2 ∩ day3 = {99}; day3 ∩ day4 = ∅
     assert(r === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
   }
+
+  test("adjacentChurn: lost/gained both ways, including one-sided words and the phantom row") {
+    val days = Seq((1L, 10L), (1L, 11L), (1L, 70L), (2L, 11L), (2L, 70L),
+      (2L, 99L), (3L, 199L)).toDF("day", "uid")
+    val st = Bitmaps.bitmapState(days, "day", "uid")
+    val r = Bitmaps.adjacentChurn(st, 1L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // day0 (phantom): nothing lost, all of day1 gained
+    // day1 -> day2: lost {10}, gained {99}
+    // day2 -> day3: lost {11,70,99}, gained {199} (word 3 exists only in day3)
+    // day3 -> day4: everyone lost, nothing gained
+    assert(r === Map(
+      0L -> ((0L, 3L)), 1L -> ((1L, 1L)), 2L -> ((3L, 1L)), 3L -> ((1L, 0L))))
+  }
 }

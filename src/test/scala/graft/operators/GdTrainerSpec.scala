@@ -58,6 +58,26 @@ class GdTrainerSpec extends SparkTestBase {
     assert(v == ((80L, 250000L, 250000L, 500L)))
   }
 
+  test("corrMatrix: one-pass pair reads match the known correlations") {
+    // y = 2x (corr 1), z = -x (corr -1 with x, -1 with... z vs y also -1)
+    val df = (1L to 10L).map(x => (x, 2 * x, -x)).toDF("x", "y", "z")
+    val r = Profiling.corrMatrix(df,
+        Seq(("x", col("x")), ("y", col("y")), ("z", col("z"))))
+      .select("col_a", "col_b", "corr4")
+      .as[(String, String, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r(("x", "y")) == Some(1.0))
+    assert(r(("x", "z")) == Some(-1.0))
+    assert(r(("y", "z")) == Some(-1.0))
+  }
+
+  test("corrMatrix NULLs a pair with a zero-variance side") {
+    val df = (1L to 5L).map(x => (x, 7L)).toDF("x", "y")
+    val r = Profiling.corrMatrix(df, Seq(("x", col("x")), ("y", col("y"))))
+      .select("corr4").as[Option[Double]].head()
+    assert(r.isEmpty)
+  }
+
   test("theilsU: functional dependence scores 1e6, degenerate H(a)=0 NULLs U") {
     // a fully determined by b: H(a|b) = 0 -> U = 1.0
     val dep = (Seq.fill(4)(("a1", "b1")) ++ Seq.fill(4)(("a2", "b2"))).toDF("u", "v")
