@@ -277,4 +277,23 @@ object Funnel {
       .groupBy(coalesce(col("nxt"), lit("<end>")).as("next_type"))
       .agg(count(lit(1)).as("n_anchors"))
   }
+
+  /** Transition matrix — [[nextNodeCounts]] over EVERY anchor at once:
+    * the first-order Markov flow map `(from_type, to_type) → count`
+    * under the same total (t, id) per-user order, each user's last
+    * event flowing to the `<end>` sink so rows sum to the event count.
+    * One lead pass + one O(types²)-group aggregation — the whole
+    * "where do users go next" analysis in a single shuffle on the user
+    * key. */
+  def transitionCounts(events: DataFrame, userCol: String, tsUsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("user").orderBy("t", "id")
+    events
+      .select(col(userCol).as("user"), col(tsUsCol).as("t"),
+        col(idCol).as("id"), col(typeCol).as("et"))
+      .withColumn("nxt", lead(col("et"), 1).over(w))
+      .groupBy(col("et").as("from_type"),
+        coalesce(col("nxt"), lit("<end>")).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

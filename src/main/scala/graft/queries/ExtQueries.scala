@@ -1331,6 +1331,16 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  /** Transition matrix ([[graft.operators.Funnel.transitionCounts]]):
+    * the first-order Markov flow map over per-user event streams —
+    * every (from → to) adjacency under the total (t, id) order, last
+    * events flowing to `<end>`. */
+  def x114TransitionMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionCounts(
+        Tables.events(s, dir).withColumn("t_us", expr("ts DIV 1000")),
+        "user_id", "t_us", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2059,6 +2069,21 @@ object ExtQueries {
 
   /** DuckDB mirror of sequenceNextNode (x81): lead under the identical
     * total (t, id) order, `<end>` for terminal anchors. */
+  /** DuckDB mirror of the transition matrix (x114): the x81 lead pass
+    * without the anchor filter, grouped by both ends. */
+  private val duckTransitionMatrix: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_id AS id, event_type AS et
+      |  FROM events
+      |),
+      |l AS (SELECT u, et,
+      |        lead(et) OVER (PARTITION BY u ORDER BY t, id) AS nxt
+      |      FROM e)
+      |SELECT et AS from_type, COALESCE(nxt, '<end>') AS to_type,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM l GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   private val duckNextNode: String =
     """WITH e AS (
       |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
@@ -4146,6 +4171,7 @@ object ExtQueries {
     "x111_minmax_map" -> duckMinMaxMap,
     "x112_corr_matrix" -> duckCorrMatrix,
     "x113_bitmap_churn" -> duckBitmapChurn,
+    "x114_transition_matrix" -> duckTransitionMatrix,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4424,6 +4450,7 @@ object ExtQueries {
     "x111_minmax_map" -> x111MinMaxMap, // oracle: per-key extremes exploded
     "x112_corr_matrix" -> x112CorrMatrix, // oracle: one wide row, pair reads
     "x113_bitmap_churn" -> x113BitmapChurn, // oracle: full-outer day-shift sets
+    "x114_transition_matrix" -> x114TransitionMatrix, // oracle: total-order lead pass
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
