@@ -209,6 +209,33 @@ object TimeSeries {
         when(col("weight_e6") > 0, expr("decayed_e6 DIV weight_e6")))
   }
 
+  /** `ORDER BY … WITH FILL` + `INTERPOLATE` — the gap-filling read
+    * every dashboard needs: per key, the COMPLETE integer grid
+    * [min, max] of positions, absent points zero-filled and a carry
+    * column rolled forward (`last_value IGNORE NULLS` under an explicit
+    * ROWS frame — both engines agree on it; the RANGE default would
+    * not matter here since grid positions are unique, but explicit is
+    * the house rule). The grid is built once from the global 1-row
+    * range (scalar broadcast, the allowlisted BNLJ shape) crossed with
+    * the distinct keys — O(keys · span) rows, generated not scanned.
+    *
+    * Output: (key, pos, countCol zero-filled, `<carryCol>_filled`). */
+  def gapFill(points: DataFrame, keyCol: String, posCol: String,
+      countCol: String, carryCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rng = points.agg(min(col(posCol)).as("_mn"), max(col(posCol)).as("_mx"))
+    val grid = points.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(rng))
+      .select(col(keyCol), explode(sequence(col("_mn"), col("_mx"))).as(posCol))
+    val w = Window.partitionBy(keyCol).orderBy(posCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(points, Seq(keyCol, posCol), "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+      .withColumn(s"${carryCol}_filled",
+        last(col(carryCol), ignoreNulls = true).over(w))
+      .drop(carryCol)
+  }
+
   /** Merged-interval coverage — the reference engine family's
     * `intervalLengthSum`: per key, the total length of the UNION of
     * `[s, e)` intervals (overlaps and containments counted once) and the

@@ -1341,6 +1341,22 @@ object ExtQueries {
         "user_id", "t_us", "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** WITH FILL gap filling ([[graft.operators.TimeSeries.gapFill]]):
+    * daily counts of high-value events (cents ≥ 25000) per type over
+    * the COMPLETE day grid — absent days zero-filled, the max-cents
+    * figure carried forward. The threshold manufactures real gaps at
+    * both driver SFs. */
+  def x115GapFill(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", graft.functions.cents(col("value")))
+      .filter(col("c") >= 25000)
+      .groupBy(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"), max("c").as("mx"))
+    graft.operators.TimeSeries.gapFill(p, "event_type", "day", "cnt", "mx")
+      .orderBy("event_type", "day")
+  }
+
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -2629,6 +2645,26 @@ object ExtQueries {
       |  CAST(count(au) FILTER (WHERE bu IS NULL) AS BIGINT) AS lost,
       |  CAST(count(bu) FILTER (WHERE au IS NULL) AS BIGINT) AS gained
       |FROM p GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of the gap fill (x115): same grid from the 1-row
+    * range, same zero-fill + IGNORE NULLS carry under an explicit ROWS
+    * frame. */
+  private val duckGapFill: String =
+    s"""WITH p AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(max(${graft.functions.centsSql("value")}) AS BIGINT) AS mx
+       |  FROM events WHERE value IS NOT NULL
+       |    AND ${graft.functions.centsSql("value")} >= 25000
+       |  GROUP BY 1, 2),
+       |r AS (SELECT min(day) AS mn, max(day) AS mx FROM p),
+       |k AS (SELECT DISTINCT event_type FROM p),
+       |g AS (SELECT k.event_type, unnest(generate_series(r.mn, r.mx)) AS day FROM k, r)
+       |SELECT g.event_type, g.day, coalesce(p.cnt, 0) AS cnt,
+       |  last_value(p.mx IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_filled
+       |FROM g LEFT JOIN p USING (event_type, day)
+       |ORDER BY event_type, day""".stripMargin
 
   /** DuckDB mirror of the cohort retention (x55): first-signup cohort day
     * via integer-µs `//`, the same half-open condition windows. */
@@ -4172,6 +4208,7 @@ object ExtQueries {
     "x112_corr_matrix" -> duckCorrMatrix,
     "x113_bitmap_churn" -> duckBitmapChurn,
     "x114_transition_matrix" -> duckTransitionMatrix,
+    "x115_gap_fill" -> duckGapFill,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "x7_ann_lsh" -> duckAnnLsh,
@@ -4451,6 +4488,7 @@ object ExtQueries {
     "x112_corr_matrix" -> x112CorrMatrix, // oracle: one wide row, pair reads
     "x113_bitmap_churn" -> x113BitmapChurn, // oracle: full-outer day-shift sets
     "x114_transition_matrix" -> x114TransitionMatrix, // oracle: total-order lead pass
+    "x115_gap_fill" -> x115GapFill, // oracle: grid + IGNORE NULLS carry
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

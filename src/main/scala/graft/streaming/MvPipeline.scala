@@ -282,6 +282,17 @@ object MvPipeline {
   def readState(spark: SparkSession, stateDir: String, view: String): DataFrame =
     spark.read.parquet(s"$stateDir/$view")
 
+  /** [[readState]] that tolerates a not-yet-created table (the first
+    * micro-batch of a view that also READS its own prior state): an
+    * empty frame with the caller's schema. */
+  def readStateOrEmpty(spark: SparkSession, stateDir: String, view: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new Path(s"$stateDir/$view")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** TTL expiry for a state table — the reference engine family's
     * `TTL ... DELETE` semantics (MergeTree ages rows out at merge time;
     * here it is an explicit maintenance pass, which is also the GDPR

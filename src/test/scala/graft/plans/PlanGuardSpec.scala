@@ -54,7 +54,8 @@ class PlanGuardSpec extends SparkTestBase {
     // lineage cuts) and never appear in the returned plan
     "x105_sgd_linreg" -> 1,
     "x106_theils_u" -> 1, // 1-row hx × 1-row hxy combine (Profiling.theilsU)
-    "x107_decayed_avg" -> 1) // 1-row max-day scalar broadcast (as x64)
+    "x107_decayed_avg" -> 1, // 1-row max-day scalar broadcast (as x64)
+    "x115_gap_fill" -> 1) // 1-row grid-range scalar broadcast (TimeSeries.gapFill)
 
   test("no cartesian, no unlisted BNLJ, no unlisted CodegenFallback in any harness query") {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
