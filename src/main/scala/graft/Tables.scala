@@ -19,15 +19,32 @@ object Tables {
     * `spark.read.parquet` call re-lists the directory and re-reads the
     * parquet footer on the driver, ~90 ms of per-query build time that
     * repeats identically across the 80-query harness. Keyed on the
-    * session too, so tests with their own sessions never share plans. */
+    * session too, so tests with their own sessions never share plans.
+    *
+    * CONTRACT: a memoized path's directory must be immutable for the
+    * session — the entry pins the analyzed FILE LISTING, so a rewrite of
+    * the directory mid-session would silently serve the old files. Tools
+    * that regenerate a dataset must call [[invalidate]] on it. Entries
+    * whose session's context has stopped are purged on every access, so
+    * suites that stop their sessions don't accumulate dead plans in one
+    * long-lived JVM. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     conf(spark)
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       key => spark.read.parquet(key._2))
   }
+
+  /** Drop every memoized frame for `path` (any session) — required after
+    * rewriting a dataset directory in place; see the cache contract. */
+  def invalidate(path: String): Unit =
+    cache.keySet.removeIf(k => k._2 == path || k._2.startsWith(s"$path/"))
+
+  /** Drop all memoized frames (test/tool hygiene). */
+  def clearCache(): Unit = cache.clear()
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

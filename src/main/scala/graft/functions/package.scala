@@ -125,14 +125,18 @@ package object functions {
 
   /** Dotted-quad IPv4 → numeric (the engine family's `IPv4StringToNum`):
     * `a·2²⁴ + b·2¹⁶ + c·2⁸ + d`, all codegen'd builtins (split + casts).
-    * No validity screen — gate with `is_ipv4` first when the column is
-    * untrusted (a non-quad yields NULL through the element casts). */
+    * No validity screen, but NULL-total on malformed input even under
+    * ANSI: `try_element_at`/`try_cast` turn a short quad or non-numeric
+    * octet into NULL (which propagates through the sum) instead of the
+    * INVALID_ARRAY_INDEX / cast error plain element_at+cast would throw.
+    * Gate with `is_ipv4` when "1.2.3.4.5" must also be rejected — the
+    * arithmetic here happily sums the first four octets of a 5-quad. */
   def ipv4Num(ip: Column): Column = {
     val p = split(ip, "\\.")
-    element_at(p, 1).cast("long") * lit(16777216L) +
-      element_at(p, 2).cast("long") * lit(65536L) +
-      element_at(p, 3).cast("long") * lit(256L) +
-      element_at(p, 4).cast("long")
+    try_element_at(p, lit(1)).try_cast("long") * lit(16777216L) +
+      try_element_at(p, lit(2)).try_cast("long") * lit(65536L) +
+      try_element_at(p, lit(3)).try_cast("long") * lit(256L) +
+      try_element_at(p, lit(4)).try_cast("long")
   }
 
   /** Numeric IPv4 → its /prefix network address rendered as

@@ -18,12 +18,24 @@ import org.apache.spark.storage.StorageLevel
   * Unpersist is non-blocking: dropping blocks is cleanup, not a barrier. */
 object Caching {
 
+  /** Backstop for callers that never call [[releaseAll]]: once more than
+    * this many handles are tracked, the OLDEST is released on each new
+    * registration. Dropping a block a consumer still reads is safe —
+    * Spark recomputes it lazily — so an untracked long-lived session
+    * degrades to recomputation instead of accumulating pinned storage.
+    * Harness callers release after every query and never approach it. */
+  private val MaxTracked = 256
+
   private val handles = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle for later release. */
   def persisted(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     handles.add(df)
+    while (handles.size() > MaxTracked) {
+      val old = handles.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
     df
   }
 
@@ -33,9 +45,20 @@ object Caching {
     * (the final iteration's state): its backing RDD is only safe to
     * unpersist after the consuming query finishes, so it is released by
     * [[releaseAll]] rather than in the loop. (Superseded per-iteration
-    * checkpoints are released eagerly via [[releaseCheckpoint]].) */
+    * checkpoints are released eagerly via [[releaseCheckpoint]].)
+    *
+    * Callers of the iterative operators (pageRank, KMeansInt, GdTrainer,
+    * Dedup.clusters, Bpe) OWN a releaseAll() call after consuming the
+    * result; absent one, the [[MaxTracked]] backstop evicts the oldest
+    * checkpoint — note a checkpointed RDD canNOT be recomputed from
+    * lineage (it was cut), so an evicted ESCAPED checkpoint fails the
+    * consuming query; the cap is sized far above any sane working set. */
   def trackCheckpoint(df: DataFrame): DataFrame = {
     ckpts.add(df)
+    while (ckpts.size() > MaxTracked) {
+      val old = ckpts.poll()
+      if (old != null) releaseCheckpoint(old)
+    }
     df
   }
 

@@ -142,7 +142,9 @@ object Dedup {
     * (small) pair graph, not the corpus; `localCheckpoint` truncates the
     * growing lineage each round. Dup-cluster diameters are tiny in
     * practice, so convergence is a handful of rounds; the cap bounds
-    * pathological chains. */
+    * pathological chains. On the iterative path the final labels are a
+    * tracked `localCheckpoint` — callers own a [[Caching.releaseAll]]
+    * after consuming the result. */
   def clusters(pairs: DataFrame, maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     lastClusterIterations = 0

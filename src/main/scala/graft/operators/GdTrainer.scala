@@ -34,7 +34,8 @@ object GdTrainer {
 
   /** Returns one row: `n, w0_e6, w1_e6, mae_cents` (final weights and
     * the mean absolute residual, `Σ|resid| DIV n`). `etaDen` must
-    * divide 10⁶. */
+    * divide 10⁶. The final weights frame is a tracked `localCheckpoint`
+    * — callers own a [[Caching.releaseAll]] after consuming the result. */
   def fitLinear(df: DataFrame, x: Column, y: Column, iters: Int,
       etaDen: Long = 1000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

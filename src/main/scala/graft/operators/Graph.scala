@@ -56,7 +56,10 @@ object Graph {
     *   share    = (c · 1e6) DIV W(src)           (per-edge, precomputed)
     *   s(v)     = Σ_{u→v} (r(u) · share) DIV 1e6
     *   r'(v)    = (15·(T DIV n)) DIV 100 + (85·s(v)) DIV 100
-    */
+    *
+    * The final state is a tracked `localCheckpoint` — callers own a
+    * [[Caching.releaseAll]] after consuming the result (see
+    * [[Caching.trackCheckpoint]]). */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     // per-edge ppm share of the source's out-weight; persisted — it is
     // joined once per iteration

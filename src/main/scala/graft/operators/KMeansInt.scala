@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   * |v|·N. Inertia is reported in e6-scaled units so corpus-level sums stay
   * bounded at any N. Empty clusters keep their previous centroid (the
   * deterministic rule, applied identically in the oracle).
+  *
+  * Both trainers return a tracked `localCheckpoint` — callers own a
+  * [[Caching.releaseAll]] after consuming the result (see
+  * [[Caching.trackCheckpoint]]).
   */
 object KMeansInt {
 

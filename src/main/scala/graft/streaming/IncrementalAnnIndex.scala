@@ -28,9 +28,44 @@ import graft.operators.Similarity
   * time to get probe-side partition pruning). */
 object IncrementalAnnIndex {
 
+  /** Recover from a crash mid-compaction (rename-aside protocol, shared
+    * with [[compact]] and called by every state access so a pending
+    * `.old` never lingers into appends or reads). Commit point is the
+    * rename of the rewritten copy into `base/compacted`:
+    *  - `.old` next to a committed base (has `compacted`) is garbage;
+    *  - `.old` next to a missing/uncommitted base IS the live index. If
+    *    the crash hit between stage-out and commit, [[processBatch]]
+    *    calls during the window may have appended `batch=`/`adhoc=` dirs
+    *    into the recreated base — those are checkpointed increments, so
+    *    they are folded INTO the aside copy (a replayed id overwrites
+    *    its identical dir) before the aside is restored, never deleted. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, base: Path, aside: Path): Unit =
+    if (fs.exists(aside)) {
+      if (fs.exists(new Path(base, "compacted"))) fs.delete(aside, true)
+      else {
+        if (fs.exists(base)) {
+          fs.listStatus(base).filter(_.isDirectory).foreach { st =>
+            val dst = new Path(aside, st.getPath.getName)
+            if (fs.exists(dst)) fs.delete(dst, true)
+            require(fs.rename(st.getPath, dst), s"salvage ${st.getPath} into $aside")
+          }
+          fs.delete(base, true)
+        }
+        require(fs.rename(aside, base), s"recover $aside")
+      }
+    }
+
+  private def recovered(spark: SparkSession, stateDir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val base = new Path(s"$stateDir/ann_index")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, base, new Path(s"$stateDir/ann_index.old"))
+    (fs, base)
+  }
+
   /** Encode one micro-batch and append it to the index state. */
   def processBatch(embeddings: DataFrame, stateDir: String, batchId: Long = -1L,
       dim: Int = 64): Unit = {
+    recovered(embeddings.sparkSession, stateDir)
     val part = if (batchId >= 0) s"batch=$batchId" else s"adhoc=${java.util.UUID.randomUUID}"
     Similarity.encodeIvfPq(embeddings, dim = dim)
       .write.mode("overwrite").parquet(s"$stateDir/ann_index/$part")
@@ -38,9 +73,9 @@ object IncrementalAnnIndex {
 
   /** The accumulated encoded index. */
   def readIndex(spark: SparkSession, stateDir: String): DataFrame = {
-    val base = new Path(s"$stateDir/ann_index")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, base) = recovered(spark, stateDir)
     val parts = fs.listStatus(base).filter(_.isDirectory).map(_.getPath.toString)
+    require(parts.nonEmpty, s"empty index state at $base")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
@@ -52,15 +87,7 @@ object IncrementalAnnIndex {
     val base = new Path(s"$stateDir/ann_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = new Path(s"$stateDir/ann_index.old")
-    // Recover from a crash mid-compaction (same rename-aside protocol as
-    // [[MvPipeline.upsertMerge]]): commit point is the rename of the
-    // rewritten copy into `base/compacted`. A leftover `.old` next to a
-    // committed base is garbage; next to a missing/uncommitted base it IS
-    // the live index and is restored.
-    if (fs.exists(aside)) {
-      if (fs.exists(new Path(base, "compacted"))) fs.delete(aside, true)
-      else { fs.delete(base, true); require(fs.rename(aside, base), s"recover $aside") }
-    }
+    recover(fs, base, aside)
     val merged = readIndex(spark, stateDir).persist()
     merged.count() // materialize before replacing the dirs being read
     val tmp = new Path(s"$stateDir/ann_index.tmp")

@@ -69,4 +69,11 @@ class NetFunctionsSpec extends SparkTestBase {
     assert(got("255.255.255.255") ==
       ((4294967295L, "255.255.255.0/24", "255.255.0.0/16", "255.255.255.255/32")))
   }
+
+  test("ipv4Num: malformed input yields NULL under ANSI, never throws") {
+    val df = Seq("1.2.3", "a.b.c.d", "", "1.2.3.x", "999.1.2.three").toDF("ip")
+    val got = df.select(F.ipv4Num(col("ip")).as("n"))
+      .as[Option[Long]].collect().toSeq
+    assert(got.forall(_.isEmpty), s"expected all NULL, got $got")
+  }
 }

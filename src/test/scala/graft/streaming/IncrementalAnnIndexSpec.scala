@@ -79,5 +79,28 @@ class IncrementalAnnIndexSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSet
     graft.operators.Caching.releaseAll()
     assert(afterRecover === batch)
+
+    // crash window WITH concurrent appends: base staged aside, commit never
+    // happened, and a processBatch lands new increments into the recreated
+    // (uncommitted) base. Recovery must fold those increments into the
+    // restored copy — nothing checkpointed is ever deleted.
+    require(fs.rename(base, aside))
+    fs.mkdirs(base) // what compact() had done just before the crash
+    val chunk3 = (60L until 70L).map(i => (i, vec(i.toInt)))
+    // Written straight into the uncommitted base (a writer that raced the
+    // crash, before any recovery ran) — the worst case for salvage.
+    Similarity.encodeIvfPq(chunk3.toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$state/ann_index/batch=2")
+    IncrementalAnnIndex.compact(spark, state)
+    assert(!fs.exists(aside))
+    assert(IncrementalAnnIndex.readIndex(spark, state).count() === 70)
+    val batch3 = Similarity.ivfPqTopK(
+      (chunk1 ++ chunk2 ++ chunk3).toDF("vec_id", "embedding"), col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    val afterSalvage = IncrementalAnnIndex.search(spark, state, col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    assert(afterSalvage === batch3)
   }
 }
