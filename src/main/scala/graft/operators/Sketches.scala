@@ -87,19 +87,29 @@ object Sketches {
     * state [[graft.streaming.IncrementalKmv]] maintains, so these reads
     * also serve from continuously-maintained state.
     *
-    * Scale shape: sketches are one k-row window per group; pair work is
+    * Scale shape: sketches build on the mergeable bounded-heap `topK`
+    * aggregate (O(k) state per group, map-side partial merge — the
+    * [[kmvDistinct]] recipe, no per-group sort); pair work is
     * O(pairs × 2k) rows — `pairs` (a `(g1, g2)` frame) is caller-chosen
     * precisely so a 10⁶-group table never implies 10¹² pairs. */
   def kmvSetAlgebra(df: DataFrame, groupCol: String, valueCol: String,
       pairs: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Sketch build on the mergeable bounded-heap aggregate (the kmvDistinct
+    // recipe): O(k) state per group with map-side partial merge, instead of a
+    // row_number window that sorts every distinct hash inside each group —
+    // whose cost is the group's distinct cardinality and whose sort runs
+    // single-partition under group skew. Heap order (score desc = u asc,
+    // id asc = h asc) matches the old window's (u, h) exactly; u = −(−u) is
+    // bit-exact, so the estimator and the oracle are unchanged.
     val sk = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), md5Hash64(col(valueCol).cast("string")).as("h"))
       .distinct()
       .withColumn("u", unitInterval(col("h")))
-      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("u", "h")))
-      .filter(col("rk") <= k)
-      .drop("rk")
+      .groupBy("g")
+      .agg(topK(col("h"), -col("u"), k).as("kept"))
+      .select(col("g"), explode(col("kept")).as("kv"))
+      .select(col("g"), col("kv.id").as("h"), negate(col("kv.score")).as("u"))
       .transform(Caching.persisted)
     val a = pairs.join(sk.withColumnRenamed("g", "g1"), Seq("g1"))
       .select(col("g1"), col("g2"), col("h"), col("u"), lit("a").as("side"))
