@@ -16,7 +16,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos Long
+      // SUPPORTED legacy input: corpora written as TIMESTAMP(NANOS) read
+      // as epoch-nanos Longs; Tables.events normalizes either form
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +49,15 @@ object Bench {
         // 4x slower at position 36 of the full sweep than in isolation)
         graft.operators.Caching.releaseAll()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        // a failure's CAUSE goes to stderr immediately — the r8 ts
+        // regression cost a diagnostic cycle because the driver's errors
+        // array names queries but nothing printed why they died
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name failed: ${e.toString.linesIterator.take(3).mkString(" | ")}")
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Caching.releaseAll()
         // SPARK_GRAFT_STORAGE_AUDIT: print residual cached blocks after

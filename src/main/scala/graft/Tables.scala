@@ -1,14 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test corpus (`/root/repo/TESTDATA.md`).
   *
-  * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects by default; `spark.sql.legacy.parquet.nanosAsLong` reads it
-  * as epoch-nanosecond Longs. We keep it integral everywhere — converting to
-  * double (or dividing with `/`) would lose precision above 2^53 ns — and do
-  * all bucketing with integer `DIV` (exact, matches DuckDB `epoch_us`). */
+  * LOGICAL CONTRACT: `events.ts` is epoch-NANOSECOND Longs to every
+  * downstream site (exact integer arithmetic — converting to double or
+  * dividing with `/` would lose precision above 2^53 ns; all bucketing uses
+  * integer `DIV`, matching DuckDB `epoch_us`). The PHYSICAL parquet type is
+  * a property of whoever wrote the corpus and has already changed once
+  * (TIMESTAMP(NANOS) through round 7, timestamp[us] from round 8), so
+  * [[events]] normalizes every supported physical form to the logical
+  * contract in ONE place instead of letting 50+ query sites assume a type:
+  *   - INT64 TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong`
+  *     → arrives as LongType epoch-nanos already: passthrough.
+  *   - timestamp[us] (TIMESTAMP or TIMESTAMP_NTZ under the UTC session tz
+  *     every entrypoint pins) → `unix_micros(ts) * 1000L`: exact, since µs
+  *     data carries no sub-µs information.
+  * Anything else fails loudly at load, not as 50 per-query analysis errors.
+  * Trade-off, documented for the 100 TB case: the µs path turns `ts` into a
+  * projection, so parquet min/max range pushdown on raw `ts` is lost; none
+  * of the engine's queries range-scan events by raw `ts` (they bucket), and
+  * a lake deployment would partition events by date, which prunes by
+  * directory rather than row-group stats. */
 object Tables {
 
   private def conf(spark: SparkSession): Unit =
@@ -53,8 +69,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `ts` column arrives as LongType epoch nanoseconds (see above). */
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `ts` normalized to LongType epoch nanoseconds regardless of the
+    * corpus's physical parquet type (see object doc). The normalizing
+    * projection is built per call over the memoized base frame — a
+    * `withColumn` on an already-analyzed plan, so the ~90 ms footer-read
+    * the cache exists to save is still saved. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "events")
+    base.schema("ts").dataType match {
+      case LongType => base // legacy TIMESTAMP(NANOS) + nanosAsLong corpus
+      case TimestampType | TimestampNTZType =>
+        // NTZ → Timestamp cast is exact under the UTC session timezone the
+        // entrypoints pin; * 1000L restores the epoch-nanos Long contract.
+        base.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other in $d — expected " +
+            "epoch-nanos INT64 (legacy) or timestamp[us]; extend " +
+            "Tables.events if the corpus writer changed again")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos Long
+      // SUPPORTED legacy input: corpora written as TIMESTAMP(NANOS) read
+      // as epoch-nanos Longs; Tables.events normalizes either form
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -157,7 +157,17 @@ object Dedup {
     // union-find beats rounds of distributed jobs by orders of magnitude;
     // the iterative join path below remains for genuinely huge graphs.
     if (nEdges <= driverThreshold) {
-      val es = edgePairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // primitive-array collect: worst case at the default threshold is
+      // 2 × 8 MB of longs (plus one streamed partition of Rows in flight
+      // via toLocalIterator), not ~100 MB of Row objects — the driver
+      // path's memory is measured in MBs by construction
+      val n = nEdges.toInt
+      val ea = new Array[Long](n); val eb = new Array[Long](n)
+      val it = edgePairs.toLocalIterator()
+      var j = 0
+      while (it.hasNext) {
+        val r = it.next(); ea(j) = r.getLong(0); eb(j) = r.getLong(1); j += 1
+      }
       edgePairs.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -167,10 +177,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
+      var e = 0
+      while (e < n) {
+        val a = ea(e); val b = eb(e)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+        e += 1
       }
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       import spark.implicits._

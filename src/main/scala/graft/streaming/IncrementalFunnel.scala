@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Continuously-maintained `windowFunnel` — the streaming twin of
+  * [[graft.operators.Funnel.windowFunnel]] (reference family: ClickHouse's
+  * `windowFunnel` over the querylog stream; the batch twin re-scans events
+  * per read, which at 100 TB is the cost this view exists to delete).
+  *
+  * Why this is maintainable without retraction: the batch operator's stage
+  * frame is the GREEDY chain — per (user, anchor t1), stage k holds
+  * `Gk = min{t ∈ Ek : t > G_{k−1}, t ≤ t1 + W}` — and that recurrence is
+  * monotone under event arrival in the lattice sense:
+  *   - the anchor set only grows (a new step-1 event is a new anchor);
+  *   - each `Gk` only DECREASES: new step-k events can only shrink the min,
+  *     and a decrease of `G_{k−1}` only loosens the `t > G_{k−1}` bound, so
+  *     the stage-k candidate set only grows. An existing `Gk` therefore
+  *     stays feasible forever — deltas refine values downward and add
+  *     anchors, never retract.
+  * Hence the bilinear delta rule for the stage join (ΔF ⋈ E ∪ F ⋈ ΔE)
+  * specializes to, per batch and stage k ≥ 2:
+  *   cand = (ΔF_{k−1} ⋈ Ekⁿᵉʷ) ∪ (F_{k−1}ⁿᵉʷ ⋈ ΔEk)   (both Δ-against-state,
+  *           never state⋈state)
+  *   Gkⁿᵉʷ = min(Gkᵒˡᵈ, min cand)  per (user, t1)
+  *   ΔFk   = anchors whose Gk appeared or strictly decreased
+  * — the first term catches "a late upstream event unlocked an old step-k
+  * event", the second "a new step-k event extends an old chain". Late and
+  * OUT-OF-ORDER data is exact with no watermark: a stage-1 anchor arriving
+  * after its continuations immediately greedy-extends through retained
+  * `e` rows.
+  *
+  * State is ONE table `(kind, k, user, t1, tk)`:
+  *   - `f` rows: the stage-k greedy frames (one per live (anchor, stage));
+  *   - `e` rows (k ≥ 2): retained step-k events (`t1` null, `tk` = t) that
+  *     late upstream deltas must re-join;
+  *   - `u` rows: the user universe (level-0 read; `k`=0, times null).
+  * Folding all stages in a single [[MvPipeline.upsertMerge]] keeps the
+  * multi-stage update ATOMIC under the marker protocol — a replayed batch
+  * skips wholesale, never half-applies across stages.
+  *
+  * 100 TB shape: per batch every join is batch-delta against
+  * user-co-partitioned state, so cost is Δ-bound in rows touched (a delta
+  * anchor re-mins against only ITS user's retained step-k events); state
+  * size is one row per live (anchor, stage) + one per retained event of a
+  * step type, and the `e`-row horizon is bounded by pre-filtering the
+  * input stream if the product needs one ([[IncrementalSequence]]'s same
+  * retention contract). The read is a state scan + hash-agg — the corpus
+  * is scanned zero times.
+  */
+object IncrementalFunnel {
+
+  /** Fold one micro-batch of raw events into the greedy-frame state.
+    * Args as in [[graft.operators.Funnel.windowFunnel]]. */
+  def processBatch(df: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long,
+      stateDir: String, batchId: Long = -1L): Unit = {
+    require(steps.nonEmpty)
+    val inc = project(df, userCol, tsUsCol, typeCol, steps)
+    val path = s"$stateDir/funnel"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // seed batch 1 through the same fold against empty state so
+    // within-batch chains form from batch one
+    val first = !fs.exists(new org.apache.hadoop.fs.Path(path))
+    val increment = if (first) fold(empty(inc), inc, steps.size, windowUs) else inc
+    MvPipeline.upsertMerge(increment, path,
+      (old, i) => fold(old, i, steps.size, windowUs), batchId)
+  }
+
+  /** The state-served read of `windowFunnel` levels: `(user, level)` for
+    * every user ever seen — deepest stage with a live anchor, 0 when the
+    * user has events but no step-1. One state scan, one hash-agg. */
+  def levels(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readState(spark, stateDir, "funnel")
+      .select(col("user"),
+        when(col("kind") === "f", col("k")).otherwise(0).as("lvl"))
+      .groupBy("user").agg(max("lvl").cast("int").as("level"))
+
+  /** Raw events → state-schema rows: `u` rows for every user (level-0
+    * universe), `e` rows per step type an event matches (step 1's events
+    * are the anchors themselves, carried as `e` k=1 for the fold's ΔE₁). */
+  private def project(df: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val users = df.select(lit("u").as("kind"), lit(0).as("k"),
+      col(userCol).as("user"), lit(null).cast("long").as("t1"),
+      lit(null).cast("long").as("tk"))
+    val evs = steps.zipWithIndex.map { case (t, i) =>
+      df.filter(col(typeCol) === t)
+        .select(lit("e").as("kind"), lit(i + 1).as("k"),
+          col(userCol).as("user"), lit(null).cast("long").as("t1"),
+          col(tsUsCol).cast("long").as("tk"))
+    }
+    (users +: evs).reduce(_.unionByName(_))
+  }
+
+  private def empty(like: DataFrame): DataFrame =
+    like.sparkSession.createDataFrame(
+      like.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      like.schema)
+
+  /** The delta fold: old state + a batch's projected rows → next state,
+    * per the greedy-lattice rule in the class doc. Pure relational
+    * algebra — user-keyed joins, min-aggs, anti-joins. */
+  private def fold(old: DataFrame, inc: DataFrame, numSteps: Int,
+      windowUs: Long): DataFrame = {
+    def oldPart(kind: String, k: Int): DataFrame =
+      old.filter(col("kind") === kind && col("k") === k)
+
+    // user universe: old ∪ batch (distinct)
+    val uNew = oldPart("u", 0).select("user")
+      .unionByName(inc.filter(col("kind") === "u").select("user"))
+      .distinct()
+      .select(lit("u").as("kind"), lit(0).as("k"), col("user"),
+        lit(null).cast("long").as("t1"), lit(null).cast("long").as("tk"))
+
+    // stage 1: anchors. ΔF1 = batch step-1 events not already anchors.
+    val e1Old = oldPart("f", 1).select("user", "t1")
+    val dAnchors = inc.filter(col("kind") === "e" && col("k") === 1)
+      .select(col("user"), col("tk").as("t1")).distinct()
+      .join(e1Old, Seq("user", "t1"), "left_anti")
+    val f1New = e1Old.unionByName(dAnchors)
+      .select(col("user"), col("t1"), col("t1").as("tk"))
+
+    var prevFNew = f1New
+    var prevDF = dAnchors.select(col("user"), col("t1"), col("t1").as("tk"))
+    val stageParts = (2 to numSteps).flatMap { k =>
+      val eOld = oldPart("e", k).select(col("user"), col("tk").as("t"))
+      val dE = inc.filter(col("kind") === "e" && col("k") === k)
+        .select(col("user"), col("tk").as("t")).distinct()
+        .join(eOld, Seq("user", "t"), "left_anti")
+      val eNew = eOld.unionByName(dE)
+      val fOld = oldPart("f", k).select("user", "t1", "tk")
+
+      // candidate continuations, both Δ-against-state:
+      //   late-upstream: anchors whose G_{k-1} changed × ALL retained Ek
+      //   new-event:     ALL live stage-(k-1) anchors × batch's new Ek
+      def ext(fr: DataFrame, ev: DataFrame): DataFrame =
+        fr.select(col("user"), col("t1"), col("tk").as("tp"))
+          .join(ev, "user")
+          .filter(col("t") > col("tp") && col("t") <= col("t1") + lit(windowUs))
+          .groupBy("user", "t1").agg(min(col("t")).as("tc"))
+      val cand = ext(prevDF, eNew).unionByName(ext(prevFNew, dE))
+        .groupBy("user", "t1").agg(min(col("tc")).as("tc"))
+
+      // Gk_new = min(Gk_old, candidates); old Gk stays feasible (doc).
+      val fNew = fOld.join(cand, Seq("user", "t1"), "full")
+        .select(col("user"), col("t1"),
+          least(col("tk"), col("tc")).as("tk"))
+      val dF = fNew.join(fOld.withColumnRenamed("tk", "tko"),
+          Seq("user", "t1"), "left")
+        .filter(col("tko").isNull || col("tk") < col("tko"))
+        .select("user", "t1", "tk")
+      prevFNew = fNew
+      prevDF = dF
+
+      Seq(
+        eNew.select(lit("e").as("kind"), lit(k).as("k"), col("user"),
+          lit(null).cast("long").as("t1"), col("t").as("tk")),
+        fNew.select(lit("f").as("kind"), lit(k).as("k"), col("user"),
+          col("t1"), col("tk")))
+    }
+
+    val f1Rows = f1New.select(lit("f").as("kind"), lit(1).as("k"),
+      col("user"), col("t1"), col("tk"))
+    (Seq(uNew, f1Rows) ++ stageParts).reduce(_.unionByName(_))
+  }
+
+  /** Continuous maintenance over JSON-line files with `schema`. */
+  def start(spark: SparkSession, inputDir: String, schema: StructType,
+      stateDir: String, checkpointDir: String,
+      userCol: String, tsUsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, userCol, tsUsCol, typeCol, steps, windowUs,
+          stateDir, batchId)
+      }
+      .start()
+}
