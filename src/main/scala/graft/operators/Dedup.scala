@@ -157,18 +157,25 @@ object Dedup {
     // union-find beats rounds of distributed jobs by orders of magnitude;
     // the iterative join path below remains for genuinely huge graphs.
     if (nEdges <= driverThreshold) {
-      // primitive-array collect: worst case at the default threshold is
-      // 2 × 8 MB of longs (plus one streamed partition of Rows in flight
-      // via toLocalIterator), not ~100 MB of Row objects — the driver
-      // path's memory is measured in MBs by construction
+      // primitive-array collect: Rows become two Long arrays PER PARTITION
+      // executor-side in ONE job (toLocalIterator would run a sequential
+      // job per partition; Row collect would hold ~100 MB of Row objects
+      // at the default threshold) — the driver's worst case is 2 × 8 MB
+      // of longs by construction
+      val parts = edgePairs.rdd.mapPartitions { it =>
+        val a = Array.newBuilder[Long]; val b = Array.newBuilder[Long]
+        it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
+        Iterator.single((a.result(), b.result()))
+      }.collect()
+      edgePairs.unpersist()
       val n = nEdges.toInt
       val ea = new Array[Long](n); val eb = new Array[Long](n)
-      val it = edgePairs.toLocalIterator()
       var j = 0
-      while (it.hasNext) {
-        val r = it.next(); ea(j) = r.getLong(0); eb(j) = r.getLong(1); j += 1
+      parts.foreach { case (pa, pb) =>
+        System.arraycopy(pa, 0, ea, j, pa.length)
+        System.arraycopy(pb, 0, eb, j, pb.length)
+        j += pa.length
       }
-      edgePairs.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -49,6 +49,15 @@ import org.apache.spark.sql.types.StructType
   * input stream if the product needs one ([[IncrementalSequence]]'s same
   * retention contract). The read is a state scan + hash-agg — the corpus
   * is scanned zero times.
+  *
+  * Scope, stated so nobody extends this wrongly: only the RELAXED funnel
+  * mode is maintainable this way. The strict-dedup and strict-order
+  * modes are NON-monotone — a late-arriving duplicate (or intervening
+  * event) falling inside an already-matched gap RETRACTS a previously
+  * valid chain — so their incremental forms would need retraction
+  * deltas (Z-set weights), which the reference engine family doesn't
+  * maintain incrementally either; they stay batch reads
+  * ([[graft.operators.Funnel.windowFunnelStrictDedup]] / `StrictOrder`).
   */
 object IncrementalFunnel {
 
@@ -78,6 +87,20 @@ object IncrementalFunnel {
       .select(col("user"),
         when(col("kind") === "f", col("k")).otherwise(0).as("lvl"))
       .groupBy("user").agg(max("lvl").cast("int").as("level"))
+
+  /** State-served [[graft.operators.Funnel.conversionLatency]]: the
+    * stage-`numSteps` frames ARE the batch operator's final greedy
+    * frames, so min(tk − t1) + anchor count per user reads straight off
+    * the state — same schema `(user, latency_us, n_anchors)`, corpus
+    * scanned zero times. (Greedy minimizes completion time per anchor,
+    * so the maintained tk is the true minimum latency per anchor.) */
+  def conversionLatency(spark: SparkSession, stateDir: String,
+      numSteps: Int): DataFrame =
+    MvPipeline.readState(spark, stateDir, "funnel")
+      .filter(col("kind") === "f" && col("k") === numSteps)
+      .groupBy("user")
+      .agg(min(col("tk") - col("t1")).as("latency_us"),
+        count(lit(1)).as("n_anchors"))
 
   /** Raw events → state-schema rows: `u` rows for every user (level-0
     * universe), `e` rows per step type an event matches (step 1's events

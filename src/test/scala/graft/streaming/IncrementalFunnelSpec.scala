@@ -88,5 +88,11 @@ class IncrementalFunnelSpec extends SparkTestBase {
     val bat = Funnel.windowFunnel(evs.toDF("u", "et", "t"),
       "u", "t", "et", steps, windowUs).as[(Long, Int)].collect().toMap
     assert(inc === bat)
+    // state-served conversion latency == batch over the same stream
+    val incLat = IncrementalFunnel.conversionLatency(spark, state, steps.size)
+      .as[(Long, Long, Long)].collect().toSet
+    val batLat = Funnel.conversionLatency(evs.toDF("u", "et", "t"),
+      "u", "t", "et", steps, windowUs).as[(Long, Long, Long)].collect().toSet
+    assert(incLat === batLat)
   }
 }
