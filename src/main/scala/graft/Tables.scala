@@ -81,6 +81,11 @@ object Tables {
       case TimestampType | TimestampNTZType =>
         // NTZ → Timestamp cast is exact under the UTC session timezone the
         // entrypoints pin; * 1000L restores the epoch-nanos Long contract.
+        // Guard, not assume: under any other session tz the cast would
+        // silently SHIFT every epoch — fail loudly here instead.
+        require(s.conf.get("spark.sql.session.timeZone", "UTC") == "UTC",
+          "events.ts normalization requires spark.sql.session.timeZone=UTC " +
+            "(the NTZ cast is session-tz-sensitive); set it in the builder")
         base.withColumn(
           "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other =>
