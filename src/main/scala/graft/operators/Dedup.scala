@@ -48,7 +48,7 @@ object Dedup {
     * per branch). Empty gram sets are harmless downstream — explode()
     * drops them and Jaccard on them is null, which every threshold filter
     * rejects. */
-  private def gramSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+  private[graft] def gramSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
       .repartition(col("doc_id"))
       .select(
@@ -63,7 +63,7 @@ object Dedup {
     * hash ≈ independent hash functions), min-folded per doc by a codegen'd
     * hash aggregate. Reproducible in any engine with md5+substr — which is
     * what keeps the LSH pipeline oracle-checkable in DuckDB. */
-  private def minhashSigs(g: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSigs(g: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes * 4 <= 32, "md5 yields 32 hex chars = max 8 x 4-char hashes")
     val aggs = (0 until numHashes).map(k => min(col("m").substr(k * 4 + 1, 4)).as(s"mh$k"))
     g.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -93,7 +93,6 @@ object Dedup {
       threshold: Double = 0.8
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
-    val r = numHashes / numBands
     // persist the two fan-out points: grams feed the signature path and
     // both verification joins; banded feeds both self-join sides. Without
     // this, Catalyst re-derives each branch from its own scan (alias-broken
@@ -101,14 +100,9 @@ object Dedup {
     // the intermediates a pipeline materializes to storage.
     val g = gramSets(docs, idCol, textCol, shingleN)
       .transform(Caching.persisted)
-    val sigs = minhashSigs(g, numHashes)
-
-    val bandCols = (0 until numBands).map(b =>
-      concat((0 until r).map(i => col(s"mh${b * r + i}")): _*))
     // repartition on the join keys → both self-join branches reuse one
     // exchange; the signature pipeline runs once.
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val banded = bandRows(g, numHashes, numBands)
       .transform(Caching.persisted)
 
     val cand = banded.as("a")
@@ -122,9 +116,21 @@ object Dedup {
     verifyJaccard(cand, g, threshold)
   }
 
+  /** Banded LSH keys per doc from [[gramSets]] output: one
+    * (doc_id, band_idx, band_key) row per band — the SAME key construction
+    * for the batch pairs pipeline and the streaming near-dup state, so the
+    * two propose identical candidates. */
+  private[graft] def bandRows(g: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val r = numHashes / numBands
+    val bandCols = (0 until numBands).map(b =>
+      concat((0 until r).map(i => col(s"mh${b * r + i}")): _*))
+    minhashSigs(g, numHashes)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
   /** Join candidate pairs back to their (hashed) gram sets and keep those
     * with round(exact-Jaccard, 4) >= threshold. */
-  private def verifyJaccard(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
+  private[graft] def verifyJaccard(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
     cand
       .join(g.select(col("doc_id").as("id1"), col("gh").as("g1")), "id1")
       .join(g.select(col("doc_id").as("id2"), col("gh").as("g2")), "id2")

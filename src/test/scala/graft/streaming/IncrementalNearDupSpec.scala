@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Dedup
+
+/** The maintained near-dup clustering must equal the batch
+  * minhashLshPairs → clusters pipeline after EVERY batch — including a
+  * later bridge doc MERGING two clusters discovered in different earlier
+  * batches (the min-label lattice's only-decrease case) and singletons
+  * labeling themselves. */
+class IncrementalNearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Controllable near-dups: long shared token runs with small suffix
+  // edits keep exact Jaccard high; distinct vocabularies keep it zero.
+  private val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> s"$base alpha",
+    2L -> s"$base beta",          // near-dup of 1
+    10L -> ("x " * 30).trim,
+    11L -> ("x " * 29 + "y").trim, // near-dup of 10
+    20L -> (0 until 40).map(i => s"z$i").mkString(" "), // singleton
+    5L -> s"$base gamma delta"    // near-dup of 1 AND 2: arrives last
+  )
+
+  private def batchLabels(ds: Seq[(Long, String)],
+      threshold: Double = 0.5): Map[Long, Long] = {
+    val df = ds.toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 8, numBands = 4, threshold = threshold)
+    val comp = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    graft.operators.Caching.releaseAll()
+    ds.map { case (id, _) => id -> comp.getOrElse(id, id) }.toMap
+  }
+
+  private def served(state: String): Map[Long, Long] =
+    IncrementalNearDup.labels(spark, state).as[(Long, Long)].collect().toMap
+
+  test("incremental == batch after each batch; cross-batch merge via late bridge") {
+    val state = tmpDir("nd-state")
+    // b1: first members of two future clusters + the singleton
+    val b1 = docs.filter(d => Set(1L, 10L, 20L).contains(d._1))
+    // b2: completes both pairs in separate clusters
+    val b2 = docs.filter(d => Set(2L, 11L).contains(d._1))
+    // b3: doc 5 bridges INTO cluster {1,2} (labels must stay 1, doc 5
+    // joins); exercises old-old labels flowing to a new doc
+    val b3 = docs.filter(d => Set(5L).contains(d._1))
+
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.5, stateDir = state, batchId = id)
+
+    fold(b1, 0L)
+    assert(served(state) === batchLabels(b1))
+    assert(served(state) === Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
+
+    fold(b2, 1L)
+    assert(served(state) === batchLabels(b1 ++ b2))
+    assert(served(state) === Map(1L -> 1L, 2L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L))
+
+    fold(b3, 2L)
+    assert(served(state) === batchLabels(docs))
+    assert(served(state)(5L) === 1L)
+
+    // representatives read = min-id per component + singletons
+    val reps = IncrementalNearDup.representatives(spark, state)
+      .as[Long].collect().toSet
+    assert(reps === Set(1L, 10L, 20L))
+  }
+
+  test("bridge doc merges two ESTABLISHED clusters; old labels decrease") {
+    val state = tmpDir("nd-merge-state")
+    // token-range docs: shingle-Jaccard of range [a,b) vs [c,d) is exact
+    // arithmetic — J(A,bridge) = J(B,bridge) ≈ 0.77 ≥ 0.6 (and band
+    // collision near-certain at that J), J(A,B) ≈ 0.58 < 0.6 so exact
+    // verification REJECTS the direct A-B pair: merge only via bridge
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val clA = Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " extra"))
+    val clB = Seq(40L -> rng(10, 50), 41L -> (rng(10, 50) + " other"))
+    val bridge = Seq(35L -> rng(5, 45))
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.6, stateDir = state, batchId = id)
+    fold(clA, 0L)
+    fold(clB, 1L)
+    assert(served(state) === batchLabels(clA ++ clB, 0.6))
+    assert(served(state) === Map(30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 40L)) // two separate established clusters
+    fold(bridge, 2L)
+    assert(served(state) === batchLabels(clA ++ clB ++ bridge, 0.6))
+    // the bridge merges B INTO A: 40/41 relabel 40 → 30 (decrease only)
+    assert(served(state) === Map(30L -> 30L, 31L -> 30L, 35L -> 30L,
+      40L -> 30L, 41L -> 30L))
+  }
+}
