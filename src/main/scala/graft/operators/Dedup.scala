@@ -116,6 +116,52 @@ object Dedup {
     verifyJaccard(cand, g, threshold)
   }
 
+  /** ONE-job primitive collect of a two-Long-column frame of `n` rows:
+    * Rows become two long arrays PER PARTITION executor-side
+    * (toLocalIterator would run a sequential job per partition; Row
+    * collect would hold ~100 MB of Row objects at 10⁶ rows) — the
+    * driver's worst case is 2 × 8n bytes by construction. */
+  private[graft] def collectPairsPrimitive(df: DataFrame, n: Int): (Array[Long], Array[Long]) = {
+    val parts = df.rdd.mapPartitions { it =>
+      val a = Array.newBuilder[Long]; val b = Array.newBuilder[Long]
+      it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
+      Iterator.single((a.result(), b.result()))
+    }.collect()
+    val ea = new Array[Long](n); val eb = new Array[Long](n)
+    var j = 0
+    parts.foreach { case (pa, pb) =>
+      System.arraycopy(pa, 0, ea, j, pa.length)
+      System.arraycopy(pb, 0, eb, j, pb.length)
+      j += pa.length
+    }
+    (ea, eb)
+  }
+
+  /** Min-label union-find over primitive edge arrays: every endpoint →
+    * its component's MIN id (path-compressed; min-id kept as root). */
+  private[graft] def unionFindMinLabels(ea: Array[Long],
+      eb: Array[Long]): scala.collection.mutable.HashMap[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var e = 0
+    while (e < ea.length) {
+      val a = ea(e); val b = eb(e)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      e += 1
+    }
+    val out = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach(id => out(id) = find(id))
+    out
+  }
+
   /** Banded LSH keys per doc from [[gramSets]] output: one
     * (doc_id, band_idx, band_key) row per band — the SAME key construction
     * for the batch pairs pipeline and the streaming near-dup state, so the
@@ -163,42 +209,10 @@ object Dedup {
     // union-find beats rounds of distributed jobs by orders of magnitude;
     // the iterative join path below remains for genuinely huge graphs.
     if (nEdges <= driverThreshold) {
-      // primitive-array collect: Rows become two Long arrays PER PARTITION
-      // executor-side in ONE job (toLocalIterator would run a sequential
-      // job per partition; Row collect would hold ~100 MB of Row objects
-      // at the default threshold) — the driver's worst case is 2 × 8 MB
-      // of longs by construction
-      val parts = edgePairs.rdd.mapPartitions { it =>
-        val a = Array.newBuilder[Long]; val b = Array.newBuilder[Long]
-        it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
-        Iterator.single((a.result(), b.result()))
-      }.collect()
+      val (ea, eb) = collectPairsPrimitive(edgePairs, nEdges.toInt)
       edgePairs.unpersist()
-      val n = nEdges.toInt
-      val ea = new Array[Long](n); val eb = new Array[Long](n)
-      var j = 0
-      parts.foreach { case (pa, pb) =>
-        System.arraycopy(pa, 0, ea, j, pa.length)
-        System.arraycopy(pb, 0, eb, j, pb.length)
-        j += pa.length
-      }
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      var e = 0
-      while (e < n) {
-        val a = ea(e); val b = eb(e)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
-        e += 1
-      }
-      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val lbl = unionFindMinLabels(ea, eb)
+      val rows = lbl.keys.toSeq.sorted.map(id => (id, lbl(id)))
       import spark.implicits._
       return rows.toDF("id", "cluster")
     }

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.IncrementalNearDup
+
+/** Streaming near-dup rehearsal (dev aid, not part of the driver
+  * contract): folds the documents corpus into [[IncrementalNearDup]]
+  * state batch by batch, timing each fold, then runs the batch
+  * MinHash-LSH sweep over the SAME corpus and checks the maintained
+  * labels equal the batch clustering. Evidence for ARCHITECTURE §4's
+  * Δ-bound claim: per-batch fold cost should track BATCH size (plus the
+  * touched-component term), not accumulated corpus size — the property
+  * that makes ingest-time near-dup viable where the batch sweep is a
+  * periodic full-corpus job.
+  *
+  * {{{ sbt "runMain graft.tools.NearDupRehearsal /root/testdata/sf0.1 5" }}}
+  */
+object NearDupRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val state = java.nio.file.Files
+      .createTempDirectory("neardup-rehearsal").toString
+
+    println(s"[rehearsal] $n docs from $dir in $nBatches batches")
+    (0 until nBatches).foreach { b =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+      val bn = batch.count()
+      val t0 = System.nanoTime()
+      IncrementalNearDup.processBatch(batch, "doc_id", "text",
+        threshold = 0.5, stateDir = state, batchId = b.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] batch $b%d: $bn%d docs folded in $dt%.2f s")
+    }
+
+    val t1 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    val comp = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.Caching.releaseAll()
+    val tBatch = (System.nanoTime() - t1) / 1e9
+    println(f"[rehearsal] full batch sweep: $tBatch%.2f s")
+
+    val served = IncrementalNearDup.labels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val truth = ids.map(id => id -> comp.getOrElse(id, id)).toMap
+    val diff = truth.count { case (k, v) => served.get(k) != Some(v) }
+    println(s"[rehearsal] labels: ${served.size} served, $diff diverge from batch"
+      + (if (diff == 0) " — EXACT MATCH" else " — MISMATCH, investigate"))
+    spark.stop()
+  }
+}
