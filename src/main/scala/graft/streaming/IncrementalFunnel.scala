@@ -80,12 +80,13 @@ object IncrementalFunnel {
   }
 
   /** The state-served read of `windowFunnel` levels: `(user, level)` for
-    * every user ever seen — deepest stage with a live anchor, 0 when the
-    * user has events but no step-1. One state scan, one hash-agg. */
+    * every user ever seen — deepest stage with a live anchor (or a
+    * compacted frozen-anchor summary), 0 when the user has events but no
+    * step-1. One state scan, one hash-agg. */
   def levels(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readState(spark, stateDir, "funnel")
       .select(col("user"),
-        when(col("kind") === "f", col("k")).otherwise(0).as("lvl"))
+        when(col("kind").isin("f", "c"), col("k")).otherwise(0).as("lvl"))
       .groupBy("user").agg(max("lvl").cast("int").as("level"))
 
   /** State-served [[graft.operators.Funnel.conversionLatency]]: the
@@ -95,12 +96,64 @@ object IncrementalFunnel {
     * scanned zero times. (Greedy minimizes completion time per anchor,
     * so the maintained tk is the true minimum latency per anchor.) */
   def conversionLatency(spark: SparkSession, stateDir: String,
-      numSteps: Int): DataFrame =
-    MvPipeline.readState(spark, stateDir, "funnel")
-      .filter(col("kind") === "f" && col("k") === numSteps)
+      numSteps: Int): DataFrame = {
+    val st = MvPipeline.readState(spark, stateDir, "funnel")
+    // live stage-K frames contribute (tk−t1, 1) each; compacted `cl`
+    // rows carry (min_latency=tk, n_anchors=t1) for frozen anchors
+    st.filter(col("kind") === "f" && col("k") === numSteps)
+      .select(col("user"), (col("tk") - col("t1")).as("lat"), lit(1L).as("n"))
+      .unionByName(st.filter(col("kind") === "cl")
+        .select(col("user"), col("tk").as("lat"), col("t1").as("n")))
       .groupBy("user")
-      .agg(min(col("tk") - col("t1")).as("latency_us"),
-        count(lit(1)).as("n_anchors"))
+      .agg(min(col("lat")).as("latency_us"), sum(col("n")).as("n_anchors"))
+  }
+
+  /** Freeze-and-fold state compaction — the state bound the class doc
+    * defers to: under a lateness horizon (the caller guarantees no event
+    * with `t ≤ cutoffUs` will ever arrive again), an anchor with
+    * `t1 + windowUs ≤ cutoffUs` can NEVER change — every future event
+    * has `t > cutoffUs ≥ t1 + W`, outside its window — and newly
+    * reachable continuations always have `t > cutoffUs` (a greedy chain
+    * is strictly increasing and any new decrease is rooted at a
+    * newly-arrived event). So frozen anchors fold into two summary rows
+    * per user (`c`: max frozen level; `cl`: min latency + anchor count
+    * over frozen full chains) and their frames drop, and every retained
+    * step event with `t ≤ cutoffUs` drops with them. State becomes
+    * O(users + horizon-recent events) instead of O(all time); [[levels]]
+    * and [[conversionLatency]] reads are unchanged-exact. Runs under the
+    * same upsertMerge marker/rename protocol (crash-safe, collides with
+    * concurrent writers). CONTRACT: after compaction, idempotent replay
+    * of a batch OLDER than the horizon would re-create dropped state —
+    * the horizon promise covers replays too (same rule as Spark's own
+    * watermarked dedup). */
+  def compact(spark: SparkSession, stateDir: String, numSteps: Int,
+      windowUs: Long, cutoffUs: Long): Unit = {
+    val path = s"$stateDir/funnel"
+    val emptyInc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      MvPipeline.readState(spark, stateDir, "funnel").schema)
+    MvPipeline.upsertMerge(emptyInc, path, (old, _) => {
+      val f = old.filter(col("kind") === "f")
+      val frozen = f.filter(col("t1") + lit(windowUs) <= lit(cutoffUs))
+      val live = f.filter(col("t1") + lit(windowUs) > lit(cutoffUs))
+      val cRows = frozen.select(col("user"), col("k"))
+        .unionByName(old.filter(col("kind") === "c").select("user", "k"))
+        .groupBy("user").agg(max("k").as("k"))
+        .select(lit("c").as("kind"), col("k"), col("user"),
+          lit(null).cast("long").as("t1"), lit(null).cast("long").as("tk"))
+      val clRows = frozen.filter(col("k") === numSteps)
+        .select(col("user"), (col("tk") - col("t1")).as("lat"), lit(1L).as("n"))
+        .unionByName(old.filter(col("kind") === "cl")
+          .select(col("user"), col("tk").as("lat"), col("t1").as("n")))
+        .groupBy("user").agg(min("lat").as("lat"), sum("n").as("n"))
+        .select(lit("cl").as("kind"), lit(numSteps).as("k"), col("user"),
+          col("n").as("t1"), col("lat").as("tk"))
+      val eKept = old.filter(col("kind") === "e" && col("tk") > lit(cutoffUs))
+      val uRows = old.filter(col("kind") === "u")
+      uRows.unionByName(live).unionByName(eKept)
+        .unionByName(cRows).unionByName(clRows)
+    })
+  }
 
   /** Raw events → state-schema rows: `u` rows for every user (level-0
     * universe), `e` rows per step type an event matches (step 1's events
@@ -188,7 +241,10 @@ object IncrementalFunnel {
 
     val f1Rows = f1New.select(lit("f").as("kind"), lit(1).as("k"),
       col("user"), col("t1"), col("tk"))
-    (Seq(uNew, f1Rows) ++ stageParts).reduce(_.unionByName(_))
+    // compacted summaries ([[compact]]) are inert under the delta fold:
+    // frozen anchors can't change, so their rows pass through verbatim
+    val compacted = old.filter(col("kind").isin("c", "cl"))
+    (Seq(uNew, f1Rows, compacted) ++ stageParts).reduce(_.unionByName(_))
   }
 
   /** Continuous maintenance over JSON-line files with `schema`. */

@@ -72,6 +72,42 @@ class IncrementalFunnelSpec extends SparkTestBase {
     assert(served() === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 0, 5L -> 1))
   }
 
+  test("freeze-and-fold compaction: reads stay exact, frozen state drops") {
+    val state = tmpDir("fun-cmp-state")
+    // b1 all before t=60; with W=100, cutoff=160 freezes every b1 anchor
+    val b1 = Seq((1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "view", 0L), (2L, "click", 50L))
+    // b2 strictly after the cutoff (the horizon contract): u2 completes a
+    // NEW chain, u3 is fresh
+    val b2 = Seq((2L, "view", 200L), (2L, "click", 210L), (2L, "purchase", 220L),
+      (3L, "view", 300L), (3L, "click", 310L))
+    def fold(b: Seq[(Long, String, Long)], id: Long): Unit =
+      IncrementalFunnel.processBatch(b.toDF("u", "et", "t"),
+        "u", "t", "et", steps, windowUs, state, id)
+
+    fold(b1, 0L)
+    IncrementalFunnel.compact(spark, state, steps.size, windowUs, 160L)
+    // every b1 anchor frozen: no live frames or retained step events left
+    val st = MvPipeline.readState(spark, state, "funnel")
+    assert(st.filter("kind = 'f'").count() === 0)
+    assert(st.filter("kind = 'e'").count() === 0)
+    assert(st.filter("kind = 'c'").count() === 2) // u1 level 3, u2 level 2
+
+    fold(b2, 1L)
+    val lv = IncrementalFunnel.levels(spark, state)
+      .as[(Long, Int)].collect().toMap
+    val bat = Funnel.windowFunnel((b1 ++ b2).toDF("u", "et", "t"),
+      "u", "t", "et", steps, windowUs).as[(Long, Int)].collect().toMap
+    assert(lv === bat)
+    assert(lv === Map(1L -> 3, 2L -> 3, 3L -> 2))
+    // latency merges the compacted summary (u1) with live frames (u2)
+    val lat = IncrementalFunnel.conversionLatency(spark, state, steps.size)
+      .as[(Long, Long, Long)].collect().toSet
+    val batLat = Funnel.conversionLatency((b1 ++ b2).toDF("u", "et", "t"),
+      "u", "t", "et", steps, windowUs).as[(Long, Long, Long)].collect().toSet
+    assert(lat === batLat)
+  }
+
   test("arbitrary 3-way split of a random stream folds to batch truth") {
     val rnd = new scala.util.Random(9)
     val types = Seq("view", "click", "purchase", "other")
