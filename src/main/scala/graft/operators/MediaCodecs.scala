@@ -138,6 +138,38 @@ object MediaCodecs {
     } catch { case _: Exception => null }
   }
 
+  /** REAL nearest-neighbor resize of a 24-bit BMP — decode, sample, and
+    * re-encode in pure byte math (no codec libs): target pixel (y, x)
+    * reads source pixel (`y·h DIV th`, `x·w DIV tw`) in storage order
+    * (floor mapping; orientation-agnostic since source and target share
+    * the bottom-up layout). Returns a well-formed 24-bit BMP of
+    * `tw`×`th`; None for malformed input or non-positive targets.
+    * Upscaling replicates pixels (the mapping is total either way). */
+  def resizeBmpNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    try {
+      if (tw <= 0 || th <= 0) return None
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = math.abs(bb.getInt(22))
+      val bpp = bb.getShort(28).toInt
+      if (bpp != 24 || w <= 0 || w > Int.MaxValue / 3 - 4 || h == 0) return None
+      val rowBytes = w * 3
+      val stride = rowBytes + (4 - (rowBytes % 4)) % 4
+      if (offset.toLong + stride.toLong * h > bytes.length) return None
+      Some(encodeBmp(tw, th, k => {
+        val y = k / (tw * 3)
+        val rem = k % (tw * 3)
+        val x = rem / 3
+        val ch = rem % 3
+        val sy = (y.toLong * h / th).toInt
+        val sx = (x.toLong * w / tw).toInt
+        bytes(offset + sy * stride + sx * 3 + ch) & 0xff
+      }))
+    } catch { case _: Exception => None }
+  }
+
   // ------------------------------------------------------------- WAV ----
 
   /** Exact-integer audio facts: sample count, µs duration
@@ -208,6 +240,49 @@ object MediaCodecs {
       c += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** REAL audio frame sampling — the "decode every Nth frame and
+    * feature-extract it" pipeline over mono PCM16 WAV in pure byte math:
+    * samples split into consecutive FULL frames of `frameSamples` (a
+    * trailing partial frame is dropped — fixed-size frames are the
+    * contract of every downstream featurizer), every `everyNth`-th frame
+    * kept (0, N, 2N, …), each yielding its exact int64 energy
+    * (Σ sample²). Returns (frame_idx, energy) pairs; None for malformed
+    * input or non-mono. */
+  def wavFrameEnergies(bytes: Array[Byte], frameSamples: Int,
+      everyNth: Int): Option[Seq[(Int, Long)]] = {
+    require(frameSamples > 0 && everyNth > 0)
+    val info = decodeWav(bytes)
+    if (info.isEmpty || info.get.channels != 1) return None
+    val n = info.get.nSamples.toInt
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // re-locate the data chunk (decodeWav validated the walk already)
+    var pos = 12
+    var dataOff = -1
+    while (dataOff < 0 && pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "data") dataOff = pos + 8
+      else pos += 8 + len + (len & 1)
+    }
+    val out = Seq.newBuilder[(Int, Long)]
+    var f = 0
+    while ((f + 1) * frameSamples <= n) {
+      if (f % everyNth == 0) {
+        var e = 0L
+        var i = f * frameSamples
+        val end = i + frameSamples
+        while (i < end) {
+          val s = bb.getShort(dataOff + i * 2).toLong
+          e += s * s
+          i += 1
+        }
+        out += ((f, e))
+      }
+      f += 1
+    }
+    Some(out.result())
   }
 
   /** Decode PCM16 WAV by walking RIFF chunks (tolerates extra chunks

@@ -160,19 +160,45 @@ object Multimodal {
       .toSeq
   }
 
-  /** Partition-local resize pass over a media DataFrame: image payloads are
-    * resized to `targetW`×`targetH` (stub codec), audio passes through.
-    * Payloads stay inside the partition — no shuffle. */
+  /** Partition-local resize pass over a media DataFrame: image payloads
+    * that decode as 24-bit BMP are resized to `targetW`×`targetH` with
+    * the REAL nearest-neighbor codec ([[MediaCodecs.resizeBmpNearest]]);
+    * non-BMP image payloads fall back to the declared stub (no codec
+    * libs in this container); audio passes through. Payloads stay inside
+    * the partition — no shuffle. */
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         if (r.media_type == "image")
-          r.copy(payload = resizeStub(r.payload, r.width, r.height, targetW, targetH),
-            width = math.min(r.width, targetW), height = math.min(r.height, targetH))
+          MediaCodecs.resizeBmpNearest(r.payload, targetW, targetH) match {
+            case Some(resized) =>
+              r.copy(payload = resized, width = targetW, height = targetH)
+            case None =>
+              r.copy(payload = resizeStub(r.payload, r.width, r.height, targetW, targetH),
+                width = math.min(r.width, targetW), height = math.min(r.height, targetH))
+          }
         else r
       }
     }.toDF()
+  }
+
+  /** Partition-local audio frame sampling + feature extraction: every
+    * `everyNth`-th full `frameSamples`-sample frame of each mono PCM16
+    * WAV payload yields one (doc_id, frame_idx, energy) row via the REAL
+    * codec ([[MediaCodecs.wavFrameEnergies]]); non-audio and
+    * non-decodable rows yield nothing (per-row barrier, like the DNS
+    * parser). The fan-out is frames-per-doc, payloads never shuffle. */
+  def frameFeatures(spark: SparkSession, media: DataFrame,
+      frameSamples: Int, everyNth: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "audio") Iterator.empty
+        else MediaCodecs.wavFrameEnergies(r.payload, frameSamples, everyNth)
+          .iterator.flatten.map { case (f, e) => (r.doc_id, f, e) }
+      }
+    }.toDF("doc_id", "frame_idx", "energy")
   }
 
   /** Batch feature extraction: typed `mapPartitions` so a real decoder can

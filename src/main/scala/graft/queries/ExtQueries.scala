@@ -1475,6 +1475,43 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL resize + frame-sample round-trip — the two remaining
+    * multimodal verbs as actual byte-level codecs
+    * ([[graft.operators.MediaCodecs.resizeBmpNearest]] /
+    * `wavFrameEnergies`), oracle-replayed from the generating formulas:
+    * even ids encode a deterministic `w0`×`h0` BMP, nearest-neighbor
+    * resize to 5×3, decode back → dims + exact per-channel e6 means
+    * (the oracle recomputes each target pixel's source byte via the
+    * floor mapping `sy = y·h0 DIV 3, sx = x·w0 DIV 5`); odd ids encode
+    * PCM16 WAV, sample every 2nd full 8-sample frame → exact int64
+    * frame energies. A hash match proves resize's pixel addressing
+    * (stride, padding, channel order) and the frame walk exactly. */
+  def mm3ResizeFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodecs
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        if (id % 2 == 0) {
+          val w0 = (8 + (id % 4) * 2).toInt
+          val h0 = (4 + (id % 3)).toInt
+          val bytes = MediaCodecs.encodeBmp(w0, h0, k => ((id * 31 + k * 7) % 256).toInt)
+          val resized = MediaCodecs.resizeBmpNearest(bytes, 5, 3).get
+          val info = MediaCodecs.decodeBmp(resized).get
+          Iterator.single((id, "image", 0L, info.width.toLong, info.height.toLong,
+            info.meanE6(0), info.meanE6(1), info.meanE6(2)))
+        } else {
+          val n = (24 + id % 8).toInt
+          val samples = Array.tabulate(n)(i => (((id * 13 + i * 5) % 2001) - 1000).toShort)
+          val bytes = MediaCodecs.encodeWavPcm16(16000, samples)
+          MediaCodecs.wavFrameEnergies(bytes, 8, 2).get.iterator.map {
+            case (f, e) => (id, "audio", f.toLong, e, 8L, 0L, 0L, 0L)
+          }
+        }
+      }
+    }.toDF("doc_id", "media_type", "idx", "v1", "v2", "v3", "v4", "v5")
+      .orderBy("doc_id", "idx")
+  }
+
   /** Perceptual image near-dup ([[Dedup.imageNearDupPairs]], the
     * multimodal member of the dedup family): real 24-bit BMPs with
     * PLANTED near-identical groups ([[Multimodal.synthesizeBmpNearDups]])
@@ -3944,6 +3981,63 @@ object ExtQueries {
       |)
       |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the resize + frame-sample round-trip (mm3): like
+    * mm2, the oracle recomputes from the GENERATING formulas and never
+    * parses bytes — each resized target pixel's value comes from the
+    * source-pixel formula at the nearest-neighbor floor mapping, so any
+    * addressing slip in the Scala resize (stride, padding, channel
+    * interleave) diverges the means; frame energies re-sum the sample
+    * formula over each kept frame's exact index range. */
+  private val duckMm3Resize: String =
+    """WITH img AS (
+      |  SELECT doc_id, 8 + (doc_id % 4)*2 AS w0, 4 + (doc_id % 3) AS h0
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |tp AS (
+      |  SELECT doc_id, w0, h0,
+      |    unnest(range(0, 3)) AS y
+      |  FROM img
+      |),
+      |tpx AS (
+      |  SELECT doc_id, w0, h0, y, unnest(range(0, 5)) AS x FROM tp
+      |),
+      |tpc AS (
+      |  SELECT doc_id, w0, h0, y, x, unnest(range(0, 3)) AS c FROM tpx
+      |),
+      |pv AS (
+      |  SELECT doc_id, c,
+      |    (doc_id*31 + (((y*h0) // 3) * w0 * 3 + ((x*w0) // 5) * 3 + c) * 7) % 256 AS v
+      |  FROM tpc
+      |),
+      |ims AS (
+      |  SELECT doc_id, 'image' AS media_type, CAST(0 AS BIGINT) AS idx,
+      |    CAST(5 AS BIGINT) AS v1, CAST(3 AS BIGINT) AS v2,
+      |    CAST((sum(CASE WHEN c = 0 THEN v ELSE 0 END) * 1000000) // 15 AS BIGINT) AS v3,
+      |    CAST((sum(CASE WHEN c = 1 THEN v ELSE 0 END) * 1000000) // 15 AS BIGINT) AS v4,
+      |    CAST((sum(CASE WHEN c = 2 THEN v ELSE 0 END) * 1000000) // 15 AS BIGINT) AS v5
+      |  FROM pv GROUP BY doc_id
+      |),
+      |aud AS (
+      |  SELECT doc_id, 24 + doc_id % 8 AS n FROM documents WHERE doc_id % 2 = 1
+      |),
+      |fr AS (
+      |  SELECT doc_id, n, unnest([0, 2]) AS f FROM aud
+      |),
+      |fi AS (
+      |  SELECT doc_id, f, unnest(range(f*8, f*8 + 8)) AS i FROM fr
+      |  WHERE (f + 1) * 8 <= n
+      |),
+      |fs AS (
+      |  SELECT doc_id, f, ((doc_id*13 + i*5) % 2001) - 1000 AS s FROM fi
+      |),
+      |ams AS (
+      |  SELECT doc_id, 'audio' AS media_type, CAST(f AS BIGINT) AS idx,
+      |    CAST(sum(s*s) AS BIGINT) AS v1, CAST(8 AS BIGINT) AS v2,
+      |    CAST(0 AS BIGINT) AS v3, CAST(0 AS BIGINT) AS v4, CAST(0 AS BIGINT) AS v5
+      |  FROM fs GROUP BY doc_id, f
+      |)
+      |SELECT * FROM ims UNION ALL SELECT * FROM ams ORDER BY doc_id, idx""".stripMargin
+
   /** DuckDB mirror of the pattern search (x43): same bucket chain as
     * x30, lead() windows with the contiguity check, exact integer
     * distances, (dist2, bucket_start) rank. */
@@ -4211,6 +4305,7 @@ object ExtQueries {
     "x115_gap_fill" -> duckGapFill,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
+    "mm3_resize_frames" -> duckMm3Resize,
     "x7_ann_lsh" -> duckAnnLsh,
     "x13_shard_stats" -> duckShardStats,
     "x14_embed_clusters" ->
@@ -4498,6 +4593,7 @@ object ExtQueries {
     "ta_fingerprint"   -> taFingerprint,
     "ta_bpe_tokens"    -> taBpeTokens,
     "mm_media_features" -> mmMediaFeatures, // oracle over the declared stub decode
-    "mm2_codec_roundtrip" -> mm2CodecRoundtrip // oracle: generating formula vs real decode
+    "mm2_codec_roundtrip" -> mm2CodecRoundtrip, // oracle: generating formula vs real decode
+    "mm3_resize_frames" -> mm3ResizeFrames // oracle: formula vs real resize + frame walk
   )
 }

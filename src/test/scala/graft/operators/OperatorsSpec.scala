@@ -672,6 +672,58 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("REAL BMP nearest-neighbor resize: pixel addressing, up/downscale, malformed") {
+    // 4×4 source, pixel byte k = k; downscale to 2×2 picks source pixels
+    // (0,0),(0,2),(2,0),(2,2) — floor mapping sy=y*4/2, sx=x*4/2
+    val src = MediaCodecs.encodeBmp(4, 4, k => k)
+    val down = MediaCodecs.resizeBmpNearest(src, 2, 2).get
+    val info = MediaCodecs.decodeBmp(down).get
+    assert(info.width == 2 && info.height == 2)
+    // expected bytes: src pixel (row sy, col sx) bytes = sy*12 + sx*3 + ch
+    val expB = Seq((0, 0), (0, 2), (2, 0), (2, 2)).map { case (sy, sx) => sy * 12 + sx * 3 }
+    assert(info.meanE6(0) == expB.sum.toLong * 1000000L / 4)
+    assert(info.meanE6(1) == expB.map(_ + 1).sum.toLong * 1000000L / 4)
+    assert(info.meanE6(2) == expB.map(_ + 2).sum.toLong * 1000000L / 4)
+    // upscale replicates: 1×1 source → 3×3 target, every pixel identical
+    val one = MediaCodecs.encodeBmp(1, 1, k => 10 + k)
+    val up = MediaCodecs.decodeBmp(MediaCodecs.resizeBmpNearest(one, 3, 3).get).get
+    assert(up.width == 3 && up.height == 3)
+    assert(up.meanE6.toSeq == Seq(10000000L, 11000000L, 12000000L))
+    // source with row padding (w=6 → stride 20): addressing must use the
+    // padded stride, not rowBytes
+    val padded = MediaCodecs.encodeBmp(6, 3, _ => 200)
+    val pr = MediaCodecs.decodeBmp(MediaCodecs.resizeBmpNearest(padded, 2, 2).get).get
+    assert(pr.meanE6.toSeq == Seq(200000000L, 200000000L, 200000000L))
+    assert(MediaCodecs.resizeBmpNearest("junk".getBytes, 2, 2).isEmpty)
+    assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
+  }
+
+  test("REAL WAV frame sampling: full frames only, every Nth, exact energies") {
+    val samples = Array.tabulate(21)(i => (i * 10).toShort) // 2 full 8-frames + partial
+    val wav = MediaCodecs.encodeWavPcm16(16000, samples)
+    val all = MediaCodecs.wavFrameEnergies(wav, 8, 1).get
+    assert(all.map(_._1) == Seq(0, 1)) // partial frame 2 dropped
+    def e(r: Range) = r.map(i => (i * 10L) * (i * 10L)).sum
+    assert(all.map(_._2) == Seq(e(0 until 8), e(8 until 16)))
+    val every2 = MediaCodecs.wavFrameEnergies(wav, 8, 2).get
+    assert(every2 == Seq((0, e(0 until 8))))
+    assert(MediaCodecs.wavFrameEnergies("junk".getBytes, 8, 1).isEmpty)
+    // real resize wiring: Multimodal.resize routes decodable BMPs through
+    // the real codec — width/height update to the exact target
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRecord(1L, "image",
+      MediaCodecs.encodeBmp(4, 4, k => k), 4, 4, 0)).toDF()
+    val out = Multimodal.resize(spark, media, 2, 2).collect().head
+    assert(out.getAs[Int]("width") == 2 && out.getAs[Int]("height") == 2)
+    assert(MediaCodecs.decodeBmp(out.getAs[Array[Byte]]("payload")).get.width == 2)
+    // frameFeatures: one row per kept frame, audio only
+    val am = Seq(Multimodal.MediaRecord(2L, "audio", wav, 0, 0, 16000),
+      Multimodal.MediaRecord(3L, "image", Array[Byte](1, 2), 1, 1, 0)).toDF()
+    val ff = Multimodal.frameFeatures(spark, am, 8, 1).collect()
+    assert(ff.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((2L, 0, e(0 until 8)), (2L, 1, e(8 until 16))))
+  }
+
   test("frame sampling keeps every Nth pseudo-frame") {
     val payload = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.sampleFramesStub(payload, frameSize = 10, everyNth = 3)
