@@ -149,75 +149,12 @@ object IncrementalNearDup {
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .transform(graft.operators.Caching.persisted)
 
-    // 4. affected-subgraph relabel. Current labels incl. batch self-seeds:
+    // 4. affected-subgraph relabel ([[LabelMaintenance]]): only the
+    // components a verified new edge touches are rewritten; a
+    // no-collision batch passes labels through with zero relabel jobs
     val lAll = oldL.unionByName(
       inc.filter(col("kind") === "l").select("doc_id", "label"))
-    val nEdges = edges.count()
-    val lNew = if (nEdges == 0) {
-      // the common ingest batch: no collisions verified — labels pass
-      // through untouched, zero relabel jobs
-      lAll
-    } else {
-      // components touching a new edge (by current label of either end)
-      val touchedRoots = edges.select(col("id1").as("doc_id"))
-        .unionByName(edges.select(col("id2").as("doc_id")))
-        .join(lAll, "doc_id").select(col("label")).distinct()
-      val affected = lAll.join(touchedRoots, Seq("label"), "left_semi")
-        .transform(graft.operators.Caching.persisted)
-      val untouched = lAll.join(touchedRoots, Seq("label"), "left_anti")
-      val stars = affected.filter(col("doc_id") =!= col("label"))
-      val nStars = stars.count()
-      val relabeled =
-        if (nEdges + nStars <= driverThreshold) {
-          // the affected subgraph is collision-bounded and tiny in any
-          // realistic ingest batch: union-find it on the driver in two
-          // primitive collects instead of iterative join rounds (the
-          // same economics as Dedup.clusters' driver path)
-          val (ea1, eb1) = Dedup.collectPairsPrimitive(
-            edges.select(col("id1"), col("id2")), nEdges.toInt)
-          val (ea2, eb2) = Dedup.collectPairsPrimitive(
-            stars.select(col("doc_id"), col("label")), nStars.toInt)
-          val lbl = Dedup.unionFindMinLabels(ea1 ++ ea2, eb1 ++ eb2)
-          val spark = edges.sparkSession
-          import spark.implicits._
-          val lblDf = lbl.toSeq.toDF("doc_id", "nlabel")
-          // docs absent from the edge/star graph keep their old label
-          // (possible only for an untouched-by-path member, where old is
-          // correct by the no-edge argument)
-          affected.join(broadcast(lblDf), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("nlabel"), col("label")).as("label"))
-        } else {
-          // genuinely huge affected subgraph: min-label propagation to
-          // fixpoint over star edges (doc ↔ label) + new edges,
-          // restricted to the affected docs; undirected both ways.
-          val und = edges
-            .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-            .unionByName(stars.select(col("doc_id").as("id1"), col("label").as("id2")))
-            .unionByName(stars.select(col("label").as("id1"), col("doc_id").as("id2")))
-          var labels = affected.localCheckpoint()
-          var converged = false
-          var i = 0
-          while (!converged && i < maxIter) {
-            val neighborMin = und.join(labels.withColumnRenamed("doc_id", "nid"),
-                und("id2") === col("nid"))
-              .groupBy(und("id1").as("doc_id"))
-              .agg(min("label").as("nlabel"))
-            val next = labels.as("l")
-              .join(neighborMin.as("n"), Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-              .localCheckpoint()
-            converged = next.as("a").join(labels.as("b"), "doc_id")
-              .filter(col("a.label") =!= col("b.label")).isEmpty
-            graft.operators.Caching.releaseCheckpoint(labels)
-            labels = next
-            i += 1
-          }
-          labels
-        }
-      untouched.unionByName(relabeled)
-    }
+    val lNew = LabelMaintenance.relabel(edges, lAll, driverThreshold, maxIter)
 
     val bAll = allB.select(lit("b").as("kind"), col("doc_id"),
       col("band_idx"), col("band_key"),

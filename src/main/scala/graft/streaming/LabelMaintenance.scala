@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Shared min-label cluster maintenance for the streaming near-dup
+  * family ([[IncrementalNearDup]] text MinHash, [[IncrementalEmbedNearDup]]
+  * embedding cosine): given the batch's VERIFIED new edges and the current
+  * labels, relabel only the components a new edge touches. Labels form a
+  * monotone lattice (docs are only added, labels only decrease toward the
+  * component min), so maintenance never retracts and any batch split
+  * converges to the batch clustering.
+  *
+  * Old clusters are STARS (every member points at its representative), so
+  * the affected subgraph is (new edges ∪ affected star edges) and its
+  * diameter stays small; below `driverThreshold` total rows it union-finds
+  * on the driver in two one-job primitive collects (the
+  * [[Dedup.clusters]] driver-path economics), above it falls back to
+  * relational min-label fixpoint iteration. */
+object LabelMaintenance {
+
+  /** `edges`: verified (id1, id2) Long pairs. `lAll`: current
+    * (doc_id, label) for every doc incl. this batch's self-seeds.
+    * Returns the updated full (doc_id, label) frame. */
+  def relabel(edges: DataFrame, lAll: DataFrame, driverThreshold: Long,
+      maxIter: Int): DataFrame = {
+    val nEdges = edges.count()
+    if (nEdges == 0) return lAll // no collisions: zero relabel jobs
+    // components touching a new edge (by current label of either end)
+    val touchedRoots = edges.select(col("id1").as("doc_id"))
+      .unionByName(edges.select(col("id2").as("doc_id")))
+      .join(lAll, "doc_id").select(col("label")).distinct()
+    val affected = lAll.join(touchedRoots, Seq("label"), "left_semi")
+      .transform(graft.operators.Caching.persisted)
+    val untouched = lAll.join(touchedRoots, Seq("label"), "left_anti")
+    val stars = affected.filter(col("doc_id") =!= col("label"))
+    val nStars = stars.count()
+    val relabeled =
+      if (nEdges + nStars <= driverThreshold) {
+        val (ea1, eb1) = Dedup.collectPairsPrimitive(
+          edges.select(col("id1"), col("id2")), nEdges.toInt)
+        val (ea2, eb2) = Dedup.collectPairsPrimitive(
+          stars.select(col("doc_id"), col("label")), nStars.toInt)
+        val lbl = Dedup.unionFindMinLabels(ea1 ++ ea2, eb1 ++ eb2)
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val lblDf = lbl.toSeq.toDF("doc_id", "nlabel")
+        // docs absent from the edge/star graph keep their old label
+        affected.join(broadcast(lblDf), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+      } else {
+        // genuinely huge affected subgraph: min-label propagation to
+        // fixpoint over star edges (doc ↔ label) + new edges (undirected)
+        val und = edges
+          .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
+          .unionByName(stars.select(col("doc_id").as("id1"), col("label").as("id2")))
+          .unionByName(stars.select(col("label").as("id1"), col("doc_id").as("id2")))
+        var labels = affected.localCheckpoint()
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIter) {
+          val neighborMin = und.join(labels.withColumnRenamed("doc_id", "nid"),
+              und("id2") === col("nid"))
+            .groupBy(und("id1").as("doc_id"))
+            .agg(min("label").as("nlabel"))
+          val next = labels.as("l")
+            .join(neighborMin.as("n"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .localCheckpoint()
+          converged = next.as("a").join(labels.as("b"), "doc_id")
+            .filter(col("a.label") =!= col("b.label")).isEmpty
+          graft.operators.Caching.releaseCheckpoint(labels)
+          labels = next
+          i += 1
+        }
+        labels
+      }
+    untouched.unionByName(relabeled)
+  }
+}
