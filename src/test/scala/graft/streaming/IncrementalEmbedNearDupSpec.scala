@@ -80,5 +80,8 @@ class IncrementalEmbedNearDupSpec extends SparkTestBase {
     assert(served(state) === batchTruth(b1, 0.9))
     fold(b2, 1L)
     assert(served(state) === batchTruth(vs, 0.9))
+    // replaying the last batch id is a no-op (marker idempotence)
+    fold(b2, 1L)
+    assert(served(state) === batchTruth(vs, 0.9))
   }
 }

@@ -124,6 +124,11 @@ class IncrementalFunnelSpec extends SparkTestBase {
     val bat = Funnel.windowFunnel(evs.toDF("u", "et", "t"),
       "u", "t", "et", steps, windowUs).as[(Long, Int)].collect().toMap
     assert(inc === bat)
+    // replaying the last batch id is a no-op (marker idempotence)
+    IncrementalFunnel.processBatch(splits.last.toDF("u", "et", "t"),
+      "u", "t", "et", steps, windowUs, state, (splits.size - 1).toLong)
+    assert(IncrementalFunnel.levels(spark, state)
+      .as[(Long, Int)].collect().toMap === bat)
     // state-served conversion latency == batch over the same stream
     val incLat = IncrementalFunnel.conversionLatency(spark, state, steps.size)
       .as[(Long, Long, Long)].collect().toSet

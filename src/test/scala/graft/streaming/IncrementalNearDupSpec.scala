@@ -63,6 +63,9 @@ class IncrementalNearDupSpec extends SparkTestBase {
     fold(b3, 2L)
     assert(served(state) === batchLabels(docs))
     assert(served(state)(5L) === 1L)
+    // replaying the last batch id is a no-op (marker idempotence)
+    fold(b3, 2L)
+    assert(served(state) === batchLabels(docs))
 
     // representatives read = min-id per component + singletons
     val reps = IncrementalNearDup.representatives(spark, state)
