@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+import graft.streaming.IncrementalFunnel
+
+/** Incremental-funnel rehearsal (dev aid, not part of the driver
+  * contract): folds the events corpus into [[IncrementalFunnel]] state in
+  * time-ordered batches with the x54 parameters (signup→click→purchase,
+  * 24 h window), timing each fold and the state-served levels read, then
+  * checks the read equals batch [[Funnel.windowFunnel]] over everything
+  * folded so far — and repeats the check after a [[IncrementalFunnel
+  * .compact]] pass at the corpus midpoint. Evidence for the two r9
+  * claims: reads cost a state scan (the events corpus is scanned zero
+  * times), and compaction drops frozen state without changing any read.
+  *
+  * {{{ sbt "runMain graft.tools.FunnelRehearsal /root/testdata/sf0.1 4" }}}
+  */
+object FunnelRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val steps = Seq("signup", "click", "purchase")
+    val windowUs = 86400000000L
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id").as("u"), expr("ts DIV 1000").as("t"),
+        col("event_type").as("et"))
+      .cache()
+    val n = ev.count()
+    val Array(tMin, tMax) = ev.agg(min("t"), max("t")).collect()
+      .map(r => Array(r.getLong(0), r.getLong(1))).head
+    val span = (tMax - tMin) / nBatches + 1
+    val state = java.nio.file.Files.createTempDirectory("funnel-rehearsal").toString
+    println(s"[rehearsal] $n events over ${(tMax - tMin) / 86400000000L} days, $nBatches time-ordered batches")
+
+    def levelsServed(): Map[Long, Int] = {
+      val t0 = System.nanoTime()
+      val m = IncrementalFunnel.levels(spark, state).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      println(f"[rehearsal]   levels read from state: ${(System.nanoTime() - t0) / 1e9}%.2f s (${m.size} users)")
+      m
+    }
+    def levelsBatch(upTo: Long): Map[Long, Int] = {
+      val t0 = System.nanoTime()
+      val m = Funnel.windowFunnel(ev.filter(col("t") < lit(upTo)), "u", "t", "et",
+        steps, windowUs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      println(f"[rehearsal]   batch windowFunnel rescan: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      m
+    }
+
+    (0 until nBatches).foreach { b =>
+      val lo = tMin + b * span; val hi = tMin + (b + 1) * span
+      val batch = ev.filter(col("t") >= lit(lo) && col("t") < lit(hi))
+      val t0 = System.nanoTime()
+      IncrementalFunnel.processBatch(batch.toDF(), "u", "t", "et", steps,
+        windowUs, state, b.toLong)
+      println(f"[rehearsal] batch $b%d (${batch.count()}%d events) folded in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val served = levelsServed()
+      val truth = levelsBatch(hi)
+      println(s"[rehearsal]   == batch: ${served == truth}")
+      if (b == nBatches / 2 - 1) {
+        // compact at the midpoint: everything before the NEXT batch's low
+        // end is the horizon (time-ordered folding makes that a valid
+        // lateness promise for this rehearsal)
+        val st0 = graft.streaming.MvPipeline.readState(spark, state, "funnel").count()
+        val t1 = System.nanoTime()
+        IncrementalFunnel.compact(spark, state, steps.size, windowUs, hi - windowUs)
+        val st1 = graft.streaming.MvPipeline.readState(spark, state, "funnel").count()
+        println(f"[rehearsal]   compact(cutoff=hi-W): state rows $st0%d -> $st1%d in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        println(s"[rehearsal]   post-compact == batch: ${levelsServed() == truth}")
+      }
+    }
+    spark.stop()
+  }
+}
