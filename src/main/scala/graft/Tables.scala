@@ -82,8 +82,11 @@ object Tables {
         // NTZ → Timestamp cast is exact under the UTC session timezone the
         // entrypoints pin; * 1000L restores the epoch-nanos Long contract.
         // Guard, not assume: under any other session tz the cast would
-        // silently SHIFT every epoch — fail loudly here instead.
-        require(s.conf.get("spark.sql.session.timeZone", "UTC") == "UTC",
+        // silently SHIFT every epoch — fail loudly here instead. The
+        // no-fallback get resolves the conf's EFFECTIVE value (the JVM
+        // default timezone when unset), so an unset session tz on a
+        // non-UTC JVM fails here instead of slipping past a fallback.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
           "events.ts normalization requires spark.sql.session.timeZone=UTC " +
             "(the NTZ cast is session-tz-sensitive); set it in the builder")
         base.withColumn(

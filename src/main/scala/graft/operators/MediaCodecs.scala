@@ -140,10 +140,11 @@ object MediaCodecs {
 
   /** REAL nearest-neighbor resize of a 24-bit BMP — decode, sample, and
     * re-encode in pure byte math (no codec libs): target pixel (y, x)
-    * reads source pixel (`y·h DIV th`, `x·w DIV tw`) in storage order
-    * (floor mapping; orientation-agnostic since source and target share
-    * the bottom-up layout). Returns a well-formed 24-bit BMP of
-    * `tw`×`th`; None for malformed input or non-positive targets.
+    * reads source pixel (`y·h DIV th`, `x·w DIV tw`) (floor mapping).
+    * The output is always bottom-up; a TOP-DOWN source (negative
+    * biHeight) has its row index flipped (`sy' = h−1−sy`) so image
+    * orientation is preserved either way. Returns a well-formed 24-bit
+    * BMP of `tw`×`th`; None for malformed input or non-positive targets.
     * Upscaling replicates pixels (the mapping is total either way). */
   def resizeBmpNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     try {
@@ -152,7 +153,9 @@ object MediaCodecs {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val offset = bb.getInt(10)
       val w = bb.getInt(18)
-      val h = math.abs(bb.getInt(22))
+      val hRaw = bb.getInt(22)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
       val bpp = bb.getShort(28).toInt
       if (bpp != 24 || w <= 0 || w > Int.MaxValue / 3 - 4 || h == 0) return None
       val rowBytes = w * 3
@@ -163,7 +166,8 @@ object MediaCodecs {
         val rem = k % (tw * 3)
         val x = rem / 3
         val ch = rem % 3
-        val sy = (y.toLong * h / th).toInt
+        val sy0 = (y.toLong * h / th).toInt
+        val sy = if (topDown) h - 1 - sy0 else sy0
         val sx = (x.toLong * w / tw).toInt
         bytes(offset + sy * stride + sx * 3 + ch) & 0xff
       }))

@@ -39,11 +39,14 @@ object LabelMaintenance {
     val nStars = stars.count()
     val relabeled =
       if (nEdges + nStars <= driverThreshold) {
-        val (ea1, eb1) = Dedup.collectPairsPrimitive(
-          edges.select(col("id1"), col("id2")), nEdges.toInt)
-        val (ea2, eb2) = Dedup.collectPairsPrimitive(
-          stars.select(col("doc_id"), col("label")), nStars.toInt)
-        val lbl = Dedup.unionFindMinLabels(ea1 ++ ea2, eb1 ++ eb2)
+        // one collect job over both cached frames: new edges ∪ star edges
+        // feed the same union-find, so there is no reason to fetch them
+        // in two jobs
+        val (ea, eb) = Dedup.collectPairsPrimitive(
+          edges.select(col("id1"), col("id2")).unionByName(
+            stars.select(col("doc_id").as("id1"), col("label").as("id2"))),
+          (nEdges + nStars).toInt)
+        val lbl = Dedup.unionFindMinLabels(ea, eb)
         val spark = edges.sparkSession
         import spark.implicits._
         val lblDf = lbl.toSeq.toDF("doc_id", "nlabel")
@@ -77,8 +80,28 @@ object LabelMaintenance {
           labels = next
           i += 1
         }
+        // mirror Dedup.clusters: NEVER commit possibly-wrong labels to
+        // persistent state — a non-converged fixpoint would silently
+        // diverge from the ==batch contract forever
+        if (!converged) throw new IllegalStateException(
+          s"relabel did not converge in $maxIter iterations " +
+            s"($nEdges edges, $nStars star rows); retry with higher maxIter")
         labels
       }
     untouched.unionByName(relabeled)
+  }
+
+  /** [[relabel]] restricted to its Δ: ONLY the affected docs' (possibly
+    * lowered) labels, nothing for untouched components — what a bucketed
+    * min-merge fold upserts (labels only DECREASE down the lattice, so
+    * per-key `min(label)` is the exact merge and re-applying the same Δ
+    * is idempotent). Empty when the batch verified no edges. */
+  def relabelDelta(edges: DataFrame, lAll: DataFrame, driverThreshold: Long,
+      maxIter: Int): DataFrame = {
+    val touched = edges.select(col("id1").as("doc_id"))
+      .unionByName(edges.select(col("id2").as("doc_id")))
+      .join(lAll, "doc_id").select(col("label")).distinct()
+    val affected = lAll.join(touched, Seq("label"), "left_semi")
+    relabel(edges, affected, driverThreshold, maxIter)
   }
 }

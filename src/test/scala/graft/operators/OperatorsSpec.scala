@@ -696,6 +696,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(pr.meanE6.toSeq == Seq(200000000L, 200000000L, 200000000L))
     assert(MediaCodecs.resizeBmpNearest("junk".getBytes, 2, 2).isEmpty)
     assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
+    // TOP-DOWN source (negative biHeight): orientation must be preserved,
+    // not flipped — resizing a 4×4 top-down image to its own size must
+    // reproduce the same image as resizing its bottom-up twin. Build the
+    // twin by reversing row order and negating the height field.
+    val stride4 = 12 // w=4 → rowBytes 12, no padding
+    val flipped = src.clone()
+    val off = java.nio.ByteBuffer.wrap(src)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    for (r <- 0 until 4; b <- 0 until stride4)
+      flipped(off + r * stride4 + b) = src(off + (3 - r) * stride4 + b)
+    val hdr = java.nio.ByteBuffer.wrap(flipped).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(22, -4) // declare top-down
+    val fromTopDown = MediaCodecs.resizeBmpNearest(flipped, 4, 4).get
+    val fromBottomUp = MediaCodecs.resizeBmpNearest(src, 4, 4).get
+    assert(java.util.Arrays.equals(fromTopDown, fromBottomUp))
   }
 
   test("REAL WAV frame sampling: full frames only, every Nth, exact energies") {
