@@ -162,7 +162,8 @@ object MvPipeline {
     * old state is restored and the merge aborts (retry folds the newer
     * state). The unstamped-tmp/aside recovery semantics are unchanged. */
   def upsertMerge(increment: DataFrame, path: String,
-      mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L): Unit = {
+      mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
+      initWithMerge: Boolean = false): Unit = {
     val spark = increment.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
@@ -183,8 +184,15 @@ object MvPipeline {
       observed.map(_.linesIterator.next().trim.toLong).foreach { committed =>
         if (committed == batchId) return // replayed batch: already merged
       }
+    // initWithMerge: a view whose mergeFn NORMALIZES rows (collapses
+    // per-key duplicates — the bucketed near-dup/funnel lattice merges)
+    // must fold its first increment through the merge against empty
+    // state, or a fresh bucket would persist raw un-collapsed delta rows
     val merged =
       if (fs.exists(target)) mergeFn(spark.read.parquet(path), increment)
+      else if (initWithMerge) mergeFn(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          increment.schema), increment)
       else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
@@ -259,6 +267,80 @@ object MvPipeline {
     } finally inc.unpersist()
   }
 
+  /** [[upsertBucketed]] generalized to a whole-frame `mergeFn` per bucket
+    * (the [[upsertMerge]] form) — for bucketed state whose merge is not a
+    * per-column aggregate (kind-discriminated union tables like the
+    * streaming near-dup / funnel state). Same per-bucket marker + rename
+    * protocol; `mergeFn` must be idempotent-per-increment OR callers must
+    * guarantee the increment is identical on replay (see
+    * [[upsertBucketedStaged]]). */
+  def upsertBucketedMerge(increment: DataFrame, path: String,
+      mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
+      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
+    require(bucketKeys.nonEmpty, "bucketKeys required for upsertBucketedMerge")
+    val inc = increment
+      .withColumn("_gb", pmod(xxhash64(bucketKeys.map(col): _*), lit(numBuckets.toLong)))
+      .persist()
+    try {
+      val touched = inc.select("_gb").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, touched.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(touched.toSeq.map { b =>
+            scala.concurrent.Future(upsertMerge(inc.filter(col("_gb") === b).drop("_gb"),
+              s"$path/bucket=$b", mergeFn, batchId, initWithMerge = true))
+          }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    } finally inc.unpersist()
+  }
+
+  /** Compute-once, apply-per-bucket: the bucketed upsert for views whose
+    * per-batch delta is a function of the WHOLE pre-batch state (the
+    * streaming near-dup and funnel folds — candidates join the full band
+    * index, frames re-min against full retained events). The naive port
+    * would recompute the delta on crash-replay AGAINST PARTIALLY-APPLIED
+    * buckets: already-merged buckets show post-batch state, so the
+    * recomputed delta is SMALLER (e.g. a frame already lowered produces
+    * no Δ row), and unstamped buckets would permanently miss their
+    * updates. Fix: the delta is MATERIALIZED atomically under the batch
+    * id (`<path>/_delta_b<id>`, tmp + rename) BEFORE the bucket loop;
+    * a replay finds it and re-applies the EXACT original rows — stamped
+    * buckets skip via their marker, unstamped buckets converge. After
+    * all buckets commit, staged deltas are swept (a later replay then
+    * finds every bucket stamped and skips wholesale). Ad-hoc merges
+    * (batchId < 0) stage under a unique name — still materialized first,
+    * because the lazy delta plan reads the same state the bucket loop
+    * mutates. */
+  def upsertBucketedStaged(spark: SparkSession, path: String,
+      computeDelta: => DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
+      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+    if (!(batchId >= 0 && fs.exists(staged))) {
+      val tmp = new Path(s"$path/$stagedName.tmp")
+      computeDelta.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(staged, true)
+      require(fs.rename(tmp, staged), s"stage delta $staged")
+    }
+    val delta = spark.read.parquet(staged.toString)
+    upsertBucketedMerge(delta, path, mergeFn, batchId, numBuckets, bucketKeys)
+    // success: sweep this and any stale staged deltas (single-writer +
+    // in-order replay means an older leftover's batch already applied)
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path))
+        .filter(s => s.getPath.getName.startsWith("_delta_"))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Read bucketed state: union of the live `bucket=<n>` directories
     * (exact-name match — `.tmp`/`.old` swap leftovers are never read). */
   def readBucketedState(spark: SparkSession, path: String): DataFrame = {
@@ -269,6 +351,19 @@ object MvPipeline {
       .map(_.getPath.toString)
     require(parts.nonEmpty, s"no bucket state under $path")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** [[readBucketedState]] that tolerates a not-yet-created table (the
+    * first micro-batch of a view that reads its own prior state): an
+    * empty frame with the caller's schema. */
+  def readBucketedStateOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(base) && fs.listStatus(base)
+      .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+    if (any) readBucketedState(spark, path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** The reference's literal storage contract: append raw per-batch

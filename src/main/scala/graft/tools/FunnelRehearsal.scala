@@ -73,10 +73,10 @@ object FunnelRehearsal {
         // compact at the midpoint: everything before the NEXT batch's low
         // end is the horizon (time-ordered folding makes that a valid
         // lateness promise for this rehearsal)
-        val st0 = graft.streaming.MvPipeline.readState(spark, state, "funnel").count()
+        val st0 = graft.streaming.MvPipeline.readBucketedState(spark, s"$state/funnel").count()
         val t1 = System.nanoTime()
         IncrementalFunnel.compact(spark, state, steps.size, windowUs, hi - windowUs)
-        val st1 = graft.streaming.MvPipeline.readState(spark, state, "funnel").count()
+        val st1 = graft.streaming.MvPipeline.readBucketedState(spark, s"$state/funnel").count()
         println(f"[rehearsal]   compact(cutoff=hi-W): state rows $st0%d -> $st1%d in ${(System.nanoTime() - t1) / 1e9}%.2f s")
         println(s"[rehearsal]   post-compact == batch: ${levelsServed() == truth}")
       }

@@ -88,7 +88,7 @@ class IncrementalFunnelSpec extends SparkTestBase {
     fold(b1, 0L)
     IncrementalFunnel.compact(spark, state, steps.size, windowUs, 160L)
     // every b1 anchor frozen: no live frames or retained step events left
-    val st = MvPipeline.readState(spark, state, "funnel")
+    val st = MvPipeline.readBucketedState(spark, s"$state/funnel")
     assert(st.filter("kind = 'f'").count() === 0)
     assert(st.filter("kind = 'e'").count() === 0)
     assert(st.filter("kind = 'c'").count() === 2) // u1 level 3, u2 level 2
