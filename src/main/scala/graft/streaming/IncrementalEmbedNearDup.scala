@@ -75,12 +75,18 @@ object IncrementalEmbedNearDup {
           col("table_idx").cast("int"), col("bucket").cast("long"))
       val newV = e.select(col("vec_id"), col("blk"), col("v"), col("norm"))
 
+      // persisted per-kind projections: lineage cut against the N-bucket
+      // union scan being re-serialized per reference (see
+      // [[IncrementalNearDup]] — measured plan explosion without it)
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
       val oldB = st.filter(col("kind") === "b")
         .select("vec_id", "blk", "table_idx", "bucket")
+        .transform(graft.operators.Caching.persisted)
       val oldV = st.filter(col("kind") === "v")
         .select("vec_id", "blk", "v", "norm")
+        .transform(graft.operators.Caching.persisted)
       val oldL = st.filter(col("kind") === "l").select("vec_id", "label")
+        .transform(graft.operators.Caching.persisted)
 
       val allB = oldB.unionByName(newB)
       val cand = newB.as("a")
@@ -112,10 +118,14 @@ object IncrementalEmbedNearDup {
         col("vec_id").as("label"))
       val lAll = oldL.withColumnRenamed("vec_id", "doc_id")
         .unionByName(selfSeeds)
+      // one Δ row per doc, and ONLY rows that differ from state (changed
+      // labels + new vectors) — unchanged components don't touch buckets
       val lDelta = LabelMaintenance
         .relabelDelta(edges, lAll, driverThreshold, maxIter)
         .unionByName(selfSeeds)
-        .groupBy("doc_id").agg(min("label").as("label")) // one Δ row per doc
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .join(oldL.withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id", "label"), "left_anti")
         .withColumnRenamed("doc_id", "vec_id")
 
       packB(newB).unionByName(packV(newV)).unionByName(packL(lDelta))

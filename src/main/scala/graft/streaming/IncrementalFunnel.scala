@@ -82,9 +82,14 @@ object IncrementalFunnel {
     val inc = project(df, userCol, tsUsCol, typeCol, steps)
     val path = s"$stateDir/funnel"
     MvPipeline.upsertBucketedStaged(spark, path, {
+      // persisted: deltaFold references state 2×-per-stage; the cache cut
+      // keeps the N-bucket union scan out of every task binary (see
+      // [[IncrementalNearDup]] — measured plan explosion without it)
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, inc.schema)
+        .transform(graft.operators.Caching.persisted)
       deltaFold(st, inc, steps.size, windowUs)
     }, merge, batchId, numBuckets, Seq("user"))
+    graft.operators.Caching.releaseAll()
   }
 
   /** Per-bucket semilattice merge: `u`/`e` rows are sets (distinct

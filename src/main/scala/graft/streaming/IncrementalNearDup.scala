@@ -87,11 +87,20 @@ object IncrementalNearDup {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("band_idx").cast("int"), col("band_key"))
 
+      // persist the per-kind state projections: each is referenced several
+      // times across the candidate/verify/relabel joins, and WITHOUT the
+      // cache cut every reference re-serializes the N-bucket union scan
+      // into the task binary — the plan grows multiplicatively per
+      // reference (measured: 33 MiB task binaries and an OOM on the sf0.1
+      // rehearsal before the cut; same data volume, exploded lineage)
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
       val oldB = st.filter(col("kind") === "b")
         .select("doc_id", "band_idx", "band_key")
+        .transform(graft.operators.Caching.persisted)
       val oldG = st.filter(col("kind") === "g").select("doc_id", "gh")
+        .transform(graft.operators.Caching.persisted)
       val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
+        .transform(graft.operators.Caching.persisted)
 
       // candidates: new docs vs (state ∪ batch); normalize to id1 < id2
       val allB = oldB.unionByName(newB)
@@ -114,10 +123,14 @@ object IncrementalNearDup {
       // existing (lower) label over a re-sent self-seed
       val selfSeeds = newG.select(col("doc_id"), col("doc_id").as("label"))
       val lAll = oldL.unionByName(selfSeeds)
+      // one Δ row per doc, and ONLY rows that differ from state: an
+      // affected component whose labels didn't move (e.g. new members
+      // joined at the existing min) must not touch its members' buckets
       val lDelta = LabelMaintenance
         .relabelDelta(edges, lAll, driverThreshold, maxIter)
         .unionByName(selfSeeds)
-        .groupBy("doc_id").agg(min("label").as("label")) // one Δ row per doc
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .join(oldL, Seq("doc_id", "label"), "left_anti")
 
       packB(newB).unionByName(packG(newG)).unionByName(packL(lDelta))
     }, merge, batchId, numBuckets, Seq("doc_id"))

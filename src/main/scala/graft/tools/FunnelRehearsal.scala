@@ -59,13 +59,17 @@ object FunnelRehearsal {
       m
     }
 
+    val stateDir = new java.io.File(s"$state/funnel")
     (0 until nBatches).foreach { b =>
       val lo = tMin + b * span; val hi = tMin + (b + 1) * span
       val batch = ev.filter(col("t") >= lit(lo) && col("t") < lit(hi))
+      val before = StateBytes.snapshot(stateDir)
+      Thread.sleep(1100) // fs timestamp granularity
       val t0 = System.nanoTime()
       IncrementalFunnel.processBatch(batch.toDF(), "u", "t", "et", steps,
         windowUs, state, b.toLong)
       println(f"[rehearsal] batch $b%d (${batch.count()}%d events) folded in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      StateBytes.report(s"batch $b writes", stateDir, before)
       val served = levelsServed()
       val truth = levelsBatch(hi)
       println(s"[rehearsal]   == batch: ${served == truth}")
@@ -81,6 +85,32 @@ object FunnelRehearsal {
         println(s"[rehearsal]   post-compact == batch: ${levelsServed() == truth}")
       }
     }
+
+    // steady-state write shape: a batch touching FEW users against the
+    // full accumulated state rewrites only those users' buckets — the
+    // bucketed layout's O(Δ) claim (full-corpus batches above touch every
+    // user, so every bucket, and measure ~100% by construction)
+    // deterministic subset (ordered limit, materialized once) shifted to
+    // strictly AFTER everything folded so far — the midpoint compaction's
+    // horizon promise must hold for this batch too
+    val shift = (tMax - tMin) + windowUs
+    val tiny = ev.filter(col("u") < lit(20L))
+      .orderBy("u", "t", "et").limit(200)
+      .select(col("u"), (col("t") + lit(shift)).as("t"), col("et"))
+      .cache()
+    tiny.count()
+    val beforeTiny = StateBytes.snapshot(stateDir)
+    Thread.sleep(1100)
+    val tT0 = System.nanoTime()
+    IncrementalFunnel.processBatch(tiny.toDF(), "u", "t", "et", steps,
+      windowUs, state, nBatches.toLong)
+    println(f"[rehearsal] 20-user steady-state fold: ${(System.nanoTime() - tT0) / 1e9}%.2f s")
+    StateBytes.report("20-user batch writes", stateDir, beforeTiny)
+    val servedT = levelsServed()
+    val truthT = Funnel.windowFunnel(
+      ev.unionByName(tiny).toDF(), "u", "t", "et", steps, windowUs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    println(s"[rehearsal]   post-tiny == batch: ${servedT == truthT}")
     spark.stop()
   }
 }

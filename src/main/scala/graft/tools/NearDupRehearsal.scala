@@ -22,6 +22,7 @@ object NearDupRehearsal {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val buckets = args.drop(2).headOption.map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,15 +39,46 @@ object NearDupRehearsal {
       .createTempDirectory("neardup-rehearsal").toString
 
     println(s"[rehearsal] $n docs from $dir in $nBatches batches")
+    val stateDir = new java.io.File(s"$state/neardup")
     (0 until nBatches).foreach { b =>
       val batch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
       val bn = batch.count()
+      val before = StateBytes.snapshot(stateDir)
+      Thread.sleep(1100) // fs timestamp granularity
       val t0 = System.nanoTime()
       IncrementalNearDup.processBatch(batch, "doc_id", "text",
-        threshold = 0.5, stateDir = state, batchId = b.toLong)
+        threshold = 0.5, stateDir = state, batchId = b.toLong,
+        numBuckets = buckets)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[rehearsal] batch $b%d: $bn%d docs folded in $dt%.2f s")
+      StateBytes.report(s"batch $b writes", stateDir, before)
     }
+
+    // steady-state write shape: a TINY batch against the full accumulated
+    // state — the bucketed layout's whole point is that this rewrites
+    // only the buckets the 5 docs hash into, not O(state)
+    val tiny = docs.limit(5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val beforeTiny = StateBytes.snapshot(stateDir)
+    Thread.sleep(1100)
+    val tTiny0 = System.nanoTime()
+    IncrementalNearDup.processBatch(tiny, "doc_id", "text",
+      threshold = 0.5, stateDir = state, batchId = nBatches.toLong,
+      numBuckets = buckets)
+    println(f"[rehearsal] 5-doc steady-state fold: ${(System.nanoTime() - tTiny0) / 1e9}%.2f s")
+    StateBytes.report("5-doc batch writes", stateDir, beforeTiny)
+
+    // retention compaction: freeze the older half of the corpus — grams
+    // and bands drop, labels stay (reads exact for everything ever seen)
+    val rowsBefore = graft.streaming.MvPipeline.readBucketedState(spark, s"$state/neardup").count()
+    val bytesBefore = StateBytes.dirBytes(stateDir)
+    val tC0 = System.nanoTime()
+    val droppedRows = IncrementalNearDup.compact(spark, state, col("doc_id") < lit(n / 2))
+    val rowsAfter = graft.streaming.MvPipeline.readBucketedState(spark, s"$state/neardup").count()
+    val bytesAfter = StateBytes.dirBytes(stateDir)
+    println(f"[rehearsal] compact(older half): $rowsBefore%d -> $rowsAfter%d rows " +
+      f"($droppedRows%d dropped), ${bytesBefore / 1024}%d -> ${bytesAfter / 1024}%d KiB " +
+      f"(-${100.0 * (bytesBefore - bytesAfter) / bytesBefore}%.0f%%) in ${(System.nanoTime() - tC0) / 1e9}%.2f s")
 
     val t1 = System.nanoTime()
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)

@@ -98,4 +98,72 @@ class IncrementalNearDupSpec extends SparkTestBase {
     assert(served(state) === Map(30L -> 30L, 31L -> 30L, 35L -> 30L,
       40L -> 30L, 41L -> 30L))
   }
+
+  test("retention compaction: labels survive, grams/bands drop, horizon contract holds") {
+    import org.apache.spark.sql.functions.col
+    val state = tmpDir("nd-compact-state")
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.5, stateDir = state, batchId = id)
+    def stateRows(kind: String): Long =
+      MvPipeline.readBucketedState(spark, s"$state/neardup")
+        .filter(col("kind") === kind).count()
+
+    // b1: 1–2 a near-dup pair, 10 a singleton
+    fold(docs.filter(d => Set(1L, 2L, 10L).contains(d._1)), 0L)
+    assert(served(state) === Map(1L -> 1L, 2L -> 1L, 10L -> 10L))
+
+    // freeze doc 1 only: its g/b rows drop, every l row stays
+    val gBefore = stateRows("g")
+    val dropped = IncrementalNearDup.compact(spark, state, col("doc_id") === 1L)
+    assert(dropped > 0)
+    assert(stateRows("g") === gBefore - 1)
+    assert(served(state) === Map(1L -> 1L, 2L -> 1L, 10L -> 10L))
+
+    // a new doc pairing with the LIVE member (2) still inherits the
+    // frozen component's label through 2's surviving l row
+    fold(docs.filter(_._1 == 5L), 1L) // near-dup of 1 AND 2
+    assert(served(state)(5L) === 1L)
+
+    // freeze the whole 1/2/5 family; a future near-dup of it has no live
+    // witness left and must label itself — the DOCUMENTED horizon loss,
+    // == the batch sweep over (live ∪ new) docs plus pre-compaction edges
+    IncrementalNearDup.compact(spark, state, col("doc_id") <= 5L)
+    fold(Seq(7L -> (docs.toMap.apply(1L) + " seven")), 2L)
+    assert(served(state) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      7L -> 7L, 10L -> 10L))
+    // within the horizon: live docs still pair (11 joins 10's component)
+    fold(docs.filter(_._1 == 11L), 3L)
+    assert(served(state)(11L) === 10L)
+  }
+
+  test("start(): readStream json → state across restarts (checkpointed batch ids)") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("nd-in"); val state = tmpDir("nd-e2e-state")
+    val ckpt = tmpDir("nd-e2e-ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def lines(ds: Seq[(Long, String)]) = ds.map { case (id, t) =>
+      s"""{"doc_id":$id,"text":"${t.replace("\"", "")}"}"""
+    }.mkString("\n")
+    def run(): Unit =
+      IncrementalNearDup.start(spark, in, schema, state, ckpt,
+        "doc_id", "text", threshold = 0.5).awaitTermination()
+
+    val b1 = docs.filter(d => Set(1L, 10L, 20L).contains(d._1))
+    Files.write(Paths.get(in, "b1.jsonl"), lines(b1).getBytes)
+    run()
+    assert(served(state) === batchLabels(b1))
+
+    // restart with new files only: the checkpoint advances the batch id,
+    // earlier files are not re-read, cross-batch pairing still lands
+    val b2 = docs.filter(d => Set(2L, 11L).contains(d._1))
+    Files.write(Paths.get(in, "b2.jsonl"), lines(b2).getBytes)
+    run()
+    assert(served(state) === batchLabels(b1 ++ b2))
+    assert(served(state) === Map(1L -> 1L, 2L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L))
+  }
 }
