@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.operators.TextOps
+
+/** Continuously-maintained PERCEPTUAL near-dup clustering over 64-bit
+  * fingerprints — the image/audio member completing the streaming dedup
+  * family's batch/streaming matrix (text MinHash [[IncrementalNearDup]],
+  * embedding cosine [[IncrementalEmbedNearDup]], and now the
+  * [[graft.operators.Dedup.hammingPairs]] family: aHash64 images,
+  * audioHash64 WAVs, or any other 64-bit fingerprint).
+  *
+  * Semantics maintained: connected components over verified pairs
+  * (Hamming(simhash) ≤ maxHamming), labels = component-min doc id — the
+  * batch `Dedup.imageNearDupPairs/audioNearDupPairs → clusters` view.
+  * Candidates are blocked EXACTLY like batch: equal 16-bit chunks
+  * (complete for maxHamming ≤ 3 by pigeonhole), Δ-against-state — the
+  * batch's chunks join the maintained chunk index plus within-batch
+  * chunks; verification is exact Hamming over stored hashes; relabeling
+  * is the shared [[LabelMaintenance]] monotone min-label lattice.
+  *
+  * State is ONE table `(kind, doc_id, chunk_idx, chunk, simhash, label)`
+  * in the bucketed layout ([[MvPipeline.upsertBucketedStaged]], bucketed
+  * by `doc_id`): `c` rows = chunk block index, `h` rows = fingerprints,
+  * `l` rows = labels. Per batch the write is the staged delta (batch
+  * c/h rows + changed labels only); per-bucket merges are semilattice
+  * ops (c/h set-union, per-doc min label) — idempotent under replay.
+  * Hashing the payloads happens BEFORE the fold (one codegen'd
+  * projection; payload bytes never enter state — state is 8 bytes + 4
+  * chunk rows per doc, tiny next to the media corpus). */
+object IncrementalMediaNearDup {
+
+  private[streaming] val stateSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("doc_id", LongType),
+    StructField("chunk_idx", IntegerType), StructField("chunk", LongType),
+    StructField("simhash", LongType), StructField("label", LongType)))
+
+  /** Fold one micro-batch of `(doc_id, payload: binary BMP)` images into
+    * the `imgneardup` state (batch twin: x46's pair view → clusters). */
+  def processBatchImages(media: DataFrame, maxHamming: Int = 3,
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit =
+    processHashes(media.select(col("doc_id"),
+        graft.functions.imageAHash(col("payload")).as("simhash")),
+      "imgneardup", maxHamming, stateDir, batchId, numBuckets)
+
+  /** Fold one micro-batch of `(doc_id, payload: binary PCM16 WAV)` into
+    * the `audneardup` state (batch twin: x49's pair view → clusters). */
+  def processBatchAudio(media: DataFrame, maxHamming: Int = 3,
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit =
+    processHashes(media.select(col("doc_id"),
+        graft.functions.audioHash(col("payload")).as("simhash")),
+      "audneardup", maxHamming, stateDir, batchId, numBuckets)
+
+  /** The generic fold: `(doc_id, simhash)` rows (null hashes = malformed
+    * payloads, dropped — the batch decoders' barrier) into the named
+    * state table. Public so any 64-bit fingerprint family (e.g. text
+    * SimHash) can be maintained the same way. */
+  def processHashes(hashes: DataFrame, view: String, maxHamming: Int,
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      driverThreshold: Long = 1000000L, maxIter: Int = 20): Unit = {
+    val spark = hashes.sparkSession
+    val path = s"$stateDir/$view"
+    MvPipeline.upsertBucketedStaged(spark, path, {
+      val newH = hashes.filter(col("simhash").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+        .transform(graft.operators.Caching.persisted)
+      val chunkCols = (0 until 4).map(c =>
+        shiftright(col("simhash"), 16 * c).bitwiseAND(0xffffL))
+      val newC = newH.select(col("doc_id"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("int"),
+          col("chunk").cast("long"))
+
+      // persisted per-kind projections: lineage cut against the N-bucket
+      // union scan (see [[IncrementalNearDup]])
+      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
+      val oldC = st.filter(col("kind") === "c")
+        .select("doc_id", "chunk_idx", "chunk")
+        .transform(graft.operators.Caching.persisted)
+      val oldH = st.filter(col("kind") === "h").select("doc_id", "simhash")
+        .transform(graft.operators.Caching.persisted)
+      val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
+        .transform(graft.operators.Caching.persisted)
+
+      val allC = oldC.unionByName(newC)
+      val cand = newC.as("a")
+        .join(allC.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+        .distinct()
+
+      // exact Hamming verification over stored hashes — identical kernel
+      // to the batch pair view (bit_count of xor)
+      val allH = oldH.unionByName(newH)
+      val edges = cand
+        .join(allH.select(col("doc_id").as("id1"), col("simhash").as("h1")), "id1")
+        .join(allH.select(col("doc_id").as("id2"), col("simhash").as("h2")), "id2")
+        .filter(TextOps.hamming(col("h1"), col("h2")) <= maxHamming)
+        .select(col("id1").cast("long"), col("id2").cast("long"))
+        .transform(graft.operators.Caching.persisted)
+
+      val selfSeeds = newH.select(col("doc_id"), col("doc_id").as("label"))
+      val lAll = oldL.unionByName(selfSeeds)
+      val lDelta = LabelMaintenance
+        .relabelDelta(edges, lAll, driverThreshold, maxIter)
+        .unionByName(selfSeeds)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .join(oldL, Seq("doc_id", "label"), "left_anti")
+
+      packC(newC).unionByName(packH(newH)).unionByName(packL(lDelta))
+    }, merge, batchId, numBuckets, Seq("doc_id"))
+    graft.operators.Caching.releaseAll()
+  }
+
+  /** Per-bucket semilattice merge: c/h rows set-union, labels per-doc
+    * `min` — idempotent under delta re-application. */
+  private def merge(old: DataFrame, inc: DataFrame): DataFrame = {
+    val all = old.unionByName(inc)
+    val ch = all.filter(col("kind") =!= "l").distinct()
+    val l = all.filter(col("kind") === "l")
+      .groupBy("doc_id").agg(min("label").as("label"))
+    ch.unionByName(packL(l))
+  }
+
+  private def packC(c: DataFrame): DataFrame =
+    c.select(lit("c").as("kind"), col("doc_id"), col("chunk_idx"),
+      col("chunk"), lit(null).cast("bigint").as("simhash"),
+      lit(null).cast("bigint").as("label"))
+
+  private def packH(h: DataFrame): DataFrame =
+    h.select(lit("h").as("kind"), col("doc_id"),
+      lit(null).cast("int").as("chunk_idx"), lit(null).cast("bigint").as("chunk"),
+      col("simhash"), lit(null).cast("bigint").as("label"))
+
+  private def packL(l: DataFrame): DataFrame =
+    l.select(lit("l").as("kind"), col("doc_id"),
+      lit(null).cast("int").as("chunk_idx"), lit(null).cast("bigint").as("chunk"),
+      lit(null).cast("bigint").as("simhash"), col("label"))
+
+  /** `(doc_id, label)` for every payload seen — label = min doc id of
+    * the Hamming component (batch pairs→clusters served from state). */
+  def labels(spark: SparkSession, stateDir: String, view: String): DataFrame =
+    MvPipeline.readBucketedState(spark, s"$stateDir/$view")
+      .filter(col("kind") === "l")
+      .select(col("doc_id"), col("label"))
+
+  /** The retained set: component representatives. */
+  def representatives(spark: SparkSession, stateDir: String,
+      view: String): DataFrame =
+    labels(spark, stateDir, view).filter(col("doc_id") === col("label"))
+      .select("doc_id")
+
+  /** Retention compaction — same horizon contract as
+    * [[IncrementalNearDup.compact]]: frozen docs drop their `c`/`h`
+    * rows, keep `l`; future pairs whose only witness is frozen are
+    * missed (documented). */
+  def compact(spark: SparkSession, stateDir: String, view: String,
+      frozen: org.apache.spark.sql.Column): Long = {
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/$view")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0L
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      .map { b =>
+        MvPipeline.expireState(spark, b.getPath.toString,
+          col("kind") === "l" || !frozen)
+      }.sum
+  }
+}

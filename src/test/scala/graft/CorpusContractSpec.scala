@@ -80,6 +80,22 @@ class CorpusContractSpec extends SparkTestBase {
     assert(r._2 < 4102444800L * 1000000000L, "ts beyond year 2100 — unit bug")
   }
 
+  test("sf0.1 serves the same contracts (bench corpus, not just oracle corpus)") {
+    val big = "/root/testdata/sf0.1"
+    assert(fields(Tables.events(spark, big)) ===
+      fields(Tables.events(spark, sf)))
+    assert(fields(Tables.documents(spark, big)) ===
+      fields(Tables.documents(spark, sf)))
+    assert(fields(Tables.embeddings(spark, big)) ===
+      fields(Tables.embeddings(spark, sf)))
+    assert(fields(Tables.lineitem(spark, big)) ===
+      fields(Tables.lineitem(spark, sf)))
+    val r = Tables.events(spark, big)
+      .selectExpr("min(ts) as lo", "max(ts) as hi").as[(Long, Long)].head()
+    assert(r._1 > 1000000000L * 1000000000L, "sf0.1 ts must be NANOS")
+    assert(r._2 < 4102444800L * 1000000000L, "sf0.1 ts beyond 2100 — unit bug")
+  }
+
   test("both supported events.ts physical forms normalize identically") {
     // write the SAME instants as (a) µs timestamp and (b) epoch-nanos Long
     // parquet; Tables.events must serve identical Long nanos for both
