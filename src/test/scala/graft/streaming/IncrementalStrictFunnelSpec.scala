@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Funnel
+
+/** The retraction-bearing maintained strict-dedup funnel must equal the
+  * batch operator after EVERY batch — in particular when a LATE
+  * duplicate lands inside an already-matched gap and RETRACTS a
+  * previously-reported chain (the case no monotone delta rule can
+  * express) — and its Z-set changelog must integrate to the
+  * materialized view. */
+class IncrementalStrictFunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val steps = Seq("signup", "click", "purchase")
+  private val W = 100L
+
+  private def fold(state: String, b: Seq[(Long, Long, String)], id: Long): Unit =
+    IncrementalStrictFunnel.processBatch(b.toDF("u", "t", "et"),
+      "u", "t", "et", steps, W, state, id)
+
+  private def served(state: String): Map[Long, Int] =
+    IncrementalStrictFunnel.levels(spark, state)
+      .as[(Long, Int)].collect().toMap
+
+  private def batch(evs: Seq[(Long, Long, String)]): Map[Long, Int] = {
+    val m = Funnel.windowFunnelStrictDedup(evs.toDF("u", "t", "et"),
+      "u", "t", "et", steps, W).as[(Long, Int)].collect().toMap
+    graft.operators.Caching.releaseAll()
+    m
+  }
+
+  private def integralEqualsView(state: String): Unit = {
+    val integral = IncrementalStrictFunnel.changelog(spark, state)
+      .groupBy("user", "level")
+      .agg(org.apache.spark.sql.functions.sum("w").as("s"))
+      .filter("s <> 0")
+      .select("user", "level").as[(Long, Int)].collect().toMap
+    assert(integral === served(state), "Z-set integral must equal the view")
+  }
+
+  test("late dup retracts a reported chain; changelog carries -1/+1; fold == batch") {
+    val state = tmpDir("sf-state")
+    val b1 = Seq((1L, 0L, "signup"), (1L, 10L, "click"), (1L, 20L, "purchase"))
+    fold(state, b1, 0L)
+    assert(served(state) === batch(b1))
+    assert(served(state) === Map(1L -> 3))
+    assert(IncrementalStrictFunnel.changelog(spark, state)
+      .as[(Long, Long, Int, Long)].collect().toSet ===
+      Set((0L, 1L, 3, 1L)))
+
+    // the LATE duplicate click@15 falls strictly inside the matched gap
+    // (10, 20): the scan's chain dies at stage 2 — the level DROPS
+    val b2 = Seq((1L, 15L, "click"))
+    fold(state, b2, 1L)
+    assert(served(state) === batch(b1 ++ b2))
+    assert(served(state) === Map(1L -> 2))
+    // batch 1's delta RETRACTED (1, level 3) and asserted (1, level 2)
+    assert(IncrementalStrictFunnel.changelog(spark, state)
+      .filter("batch = 1").as[(Long, Long, Int, Long)].collect().toSet ===
+      Set((1L, 1L, 3, -1L), (1L, 1L, 2, 1L)))
+    integralEqualsView(state)
+
+    // replaying the batch id is a no-op (marker idempotence — the
+    // changelog must NOT double-retract)
+    fold(state, b2, 1L)
+    assert(served(state) === Map(1L -> 2))
+    integralEqualsView(state)
+
+    // a later clean re-completion RAISES the level again (+1 after -1)
+    val b3 = Seq((1L, 200L, "signup"), (1L, 210L, "click"), (1L, 220L, "purchase"))
+    fold(state, b3, 2L)
+    assert(served(state) === batch(b1 ++ b2 ++ b3))
+    assert(served(state) === Map(1L -> 3))
+    integralEqualsView(state)
+  }
+
+  test("arbitrary 3-way split of a random dup-heavy stream == batch truth") {
+    val rnd = new scala.util.Random(17)
+    val types = Seq("signup", "click", "purchase", "other")
+    // small time range + few users → dense dups, the non-monotone regime
+    val evs = Seq.fill(150)((rnd.nextInt(6).toLong,
+      rnd.nextLong(120).max(0), types(rnd.nextInt(types.size))))
+    val splits = Seq(evs.take(50), evs.slice(50, 100), evs.drop(100))
+    val state = tmpDir("sf-rnd-state")
+    splits.zipWithIndex.foreach { case (b, i) =>
+      fold(state, b, i.toLong)
+      assert(served(state) === batch(evs.take(50 * (i + 1))),
+        s"diverged after batch $i")
+    }
+    integralEqualsView(state)
+  }
+}
