@@ -173,6 +173,27 @@ object IncrementalEmbedNearDup {
     labels(spark, stateDir).filter(col("vec_id") === col("cluster"))
       .select("vec_id")
 
+  /** Continuous maintenance over JSON-line files with `schema`
+    * (`(vec_id, embedding, label)` rows). */
+  def start(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, threshold, numTables, bitsPerTable, dim,
+          stateDir, batchId)
+      }
+      .start()
+
   /** Retention compaction — same horizon contract as
     * [[IncrementalNearDup.compact]]: frozen vectors drop their `v`
     * (vector) and `b` (bucket-index) rows — the O(docs × dim) bulk —

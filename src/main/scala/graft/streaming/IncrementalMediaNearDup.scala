@@ -143,6 +143,34 @@ object IncrementalMediaNearDup {
       lit(null).cast("int").as("chunk_idx"), lit(null).cast("bigint").as("chunk"),
       lit(null).cast("bigint").as("simhash"), col("label"))
 
+  /** Continuous maintenance over a directory of parquet files carrying
+    * `(doc_id, payload)` rows (media payloads are binary — parquet, not
+    * JSON lines, is the transport). `hash` picks the fingerprint:
+    * [[processBatchImages]]'s aHash64 or [[processBatchAudio]]'s
+    * audioHash64 semantics via the view name. */
+  def start(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String,
+      media: String, // "image" | "audio"
+      maxHamming: Int = 3,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(media == "image" || media == "audio", s"unknown media $media")
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (media == "image")
+          processBatchImages(batch, maxHamming, stateDir, batchId)
+        else processBatchAudio(batch, maxHamming, stateDir, batchId)
+      }
+      .start()
+  }
+
   /** `(doc_id, label)` for every payload seen — label = min doc id of
     * the Hamming component (batch pairs→clusters served from state). */
   def labels(spark: SparkSession, stateDir: String, view: String): DataFrame =

@@ -75,6 +75,50 @@ class IncrementalStrictFunnelSpec extends SparkTestBase {
     integralEqualsView(state)
   }
 
+  test("strict-ORDER mode: a late INTERVENING event retracts a reported chain") {
+    val state = tmpDir("so-state")
+    def foldO(b: Seq[(Long, Long, Long, String)], id: Long): Unit =
+      IncrementalStrictFunnel.processBatchStrictOrder(
+        b.toDF("u", "t", "id", "et"), "u", "t", "id", "et", steps, W,
+        state, id)
+    def servedO: Map[Long, Int] =
+      IncrementalStrictFunnel.levels(spark, state, "strictorderfunnel")
+        .as[(Long, Int)].collect().toMap
+    def batchO(evs: Seq[(Long, Long, Long, String)]): Map[Long, Int] = {
+      val m = Funnel.windowFunnelStrictOrder(evs.toDF("u", "t", "id", "et"),
+        "u", "t", "id", "et", steps, W).as[(Long, Int)].collect().toMap
+      graft.operators.Caching.releaseAll()
+      m
+    }
+
+    // consecutive clean chain → level 3
+    val b1 = Seq((1L, 0L, 1L, "signup"), (1L, 10L, 2L, "click"),
+      (1L, 20L, 3L, "purchase"))
+    foldO(b1, 0L)
+    assert(servedO === batchO(b1))
+    assert(servedO === Map(1L -> 3))
+
+    // late event of an UNRELATED type lands between click and purchase:
+    // the consecutive-position requirement breaks — level RETRACTS to 2
+    val b2 = Seq((1L, 15L, 9L, "pageview"))
+    foldO(b2, 1L)
+    assert(servedO === batchO(b1 ++ b2))
+    assert(servedO === Map(1L -> 2))
+    assert(IncrementalStrictFunnel.changelog(spark, state, "strictorderfunnel")
+      .filter("batch = 1").as[(Long, Long, Int, Long)].collect().toSet ===
+      Set((1L, 1L, 3, -1L), (1L, 1L, 2, 1L)))
+    // re-sending the same event id is absorbed by the set dedup
+    foldO(b2, 2L)
+    assert(servedO === Map(1L -> 2))
+    val integral = IncrementalStrictFunnel
+      .changelog(spark, state, "strictorderfunnel")
+      .groupBy("user", "level")
+      .agg(org.apache.spark.sql.functions.sum("w").as("s"))
+      .filter("s <> 0").select("user", "level")
+      .as[(Long, Int)].collect().toMap
+    assert(integral === servedO)
+  }
+
   test("arbitrary 3-way split of a random dup-heavy stream == batch truth") {
     val rnd = new scala.util.Random(17)
     val types = Seq("signup", "click", "purchase", "other")
