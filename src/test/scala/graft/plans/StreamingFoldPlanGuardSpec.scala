@@ -1,0 +1,104 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.SparkTestBase
+import graft.streaming.{IncrementalFunnel, IncrementalNearDup, IncrementalStrictFunnel}
+import graft.tools.PlanSweep
+
+/** Plan regression guard for the STREAMING fold plans — the per-batch
+  * delta computations run inside `upsertBucketedStaged`, outside
+  * [[PlanGuardSpec]]'s harness-query sweep, and they carry their own
+  * plan-shape invariants proven the hard way in r10:
+  *   1. no CartesianProduct / BroadcastNestedLoopJoin anywhere in a
+  *      fold (every join is user-/doc-keyed equi or a broadcast hash);
+  *   2. the N-bucket state union MUST be consumed through a cache cut
+  *      (InMemoryTableScan) once state exists — without it each state
+  *      reference re-serializes the union scan into task binaries
+  *      (measured: 2→33 MiB binaries and a driver OOM at 8g on the
+  *      sf0.1 rehearsal before the fix).
+  * Captures every plan executed during REAL processBatch calls via a
+  * QueryExecutionListener, so the guard sees the actual staged-delta
+  * write plans, not a reconstruction. */
+class StreamingFoldPlanGuardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withCapturedPlans(body: => Unit): Seq[QueryExecution] = {
+    val captured = mutable.ArrayBuffer.empty[QueryExecution]
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = captured.synchronized { captured += qe }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      // the execution listener rides the async bus — drain before read
+      org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    captured.synchronized { captured.toSeq }
+  }
+
+  private def auditAll(plans: Seq[QueryExecution], tag: String): Unit = {
+    assert(plans.nonEmpty, s"$tag captured no executed plans")
+    plans.foreach { qe =>
+      val a = PlanSweep.audit(qe.executedPlan, explainStr = "")
+      assert(a.cartesians == 0, s"$tag fold plans a CartesianProduct:\n${qe.executedPlan}")
+      assert(a.bnlj == 0, s"$tag fold plans a BroadcastNestedLoopJoin:\n${qe.executedPlan}")
+    }
+  }
+
+  private def hasCacheCut(plans: Seq[QueryExecution]): Boolean =
+    plans.exists(qe => PlanSweep.allNodes(qe.executedPlan)
+      .exists(_.getClass.getSimpleName.startsWith("InMemoryTableScan")))
+
+  test("near-dup fold: no cartesian/BNLJ; state consumed through the cache cut") {
+    val state = tmpDir("pg-nd")
+    val b1 = Seq(1L -> "a b c d e f g", 2L -> "h i j k l m n")
+    val b2 = Seq(3L -> "a b c d e f g x")
+    IncrementalNearDup.processBatch(b1.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, stateDir = state, batchId = 0L)
+    val plans = withCapturedPlans {
+      IncrementalNearDup.processBatch(b2.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.5, stateDir = state, batchId = 1L)
+    }
+    auditAll(plans, "near-dup")
+    assert(hasCacheCut(plans),
+      "batch-1 near-dup fold read state without an InMemoryTableScan cut " +
+        "— the r10 task-binary-explosion regression")
+  }
+
+  test("funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
+    val state = tmpDir("pg-fun")
+    val steps = Seq("view", "click", "purchase")
+    val b1 = Seq((1L, "view", 0L), (1L, "click", 10L))
+    val b2 = Seq((1L, "purchase", 20L))
+    IncrementalFunnel.processBatch(b1.toDF("u", "et", "t"), "u", "t", "et",
+      steps, 100L, state, 0L)
+    val plans = withCapturedPlans {
+      IncrementalFunnel.processBatch(b2.toDF("u", "et", "t"), "u", "t", "et",
+        steps, 100L, state, 1L)
+    }
+    auditAll(plans, "funnel")
+    assert(hasCacheCut(plans), "funnel fold lost its state cache cut")
+  }
+
+  test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
+    val state = tmpDir("pg-sf")
+    val steps = Seq("view", "click", "purchase")
+    val b1 = Seq((1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"))
+    val b2 = Seq((1L, 15L, "click"))
+    IncrementalStrictFunnel.processBatch(b1.toDF("u", "t", "et"), "u", "t", "et",
+      steps, 100L, state, 0L)
+    val plans = withCapturedPlans {
+      IncrementalStrictFunnel.processBatch(b2.toDF("u", "t", "et"), "u", "t", "et",
+        steps, 100L, state, 1L)
+    }
+    auditAll(plans, "strict-funnel")
+    assert(hasCacheCut(plans), "strict-funnel fold lost its state cache cut")
+  }
+}
