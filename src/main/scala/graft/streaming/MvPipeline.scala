@@ -196,9 +196,18 @@ object MvPipeline {
       else increment
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // an AD-HOC merge (negative batch id — backfills, compaction folds)
+    // must PRESERVE the committed streaming batch id, not stamp −1 over
+    // it: erasing it would disarm replay detection for the owning
+    // stream's next restart (the expireState rule, applied uniformly).
+    // The fresh token still makes this write visible as a writer to the
+    // concurrent-writer check.
+    val stampId =
+      if (batchId >= 0) batchId.toString
+      else observed.map(_.linesIterator.next().trim).getOrElse("-1")
     val token = java.util.UUID.randomUUID.toString
     val out = fs.create(new Path(tmp, "_graft_batch"), true)
-    try out.write(s"$batchId\n$token".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$stampId\n$token".getBytes("UTF-8")) finally out.close()
     fs.delete(aside, true)
     if (fs.exists(target)) {
       require(fs.rename(target, aside), s"stage out $target")

@@ -72,6 +72,20 @@ class MvPipelineSpec extends SparkTestBase {
     assert(m2 == Map("a.com" -> 2L, "b.com" -> 4L))
   }
 
+  test("ad-hoc merge preserves the committed batch id (replay stays armed)") {
+    import spark.implicits._
+    val state = tmpDir("mv-adhoc")
+    val inc = Seq(("a.com", 1L)).toDF("QH", "count")
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = 7L)
+    // an ad-hoc backfill/compaction fold (negative id) between the
+    // stream's batches must NOT stamp -1 over the committed id — a
+    // subsequent REPLAY of batch 7 would otherwise re-merge
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = -1L)
+    MvPipeline.upsert(inc, s"$state/v", Seq("QH"), batchId = 7L) // replay: must skip
+    val m = MvPipeline.readState(spark, state, "v").as[(String, Long)].collect().toMap
+    assert(m == Map("a.com" -> 2L)) // batch 7 once + one ad-hoc merge
+  }
+
   test("concurrent writer committing mid-merge is detected and the merge aborts") {
     val path = s"${tmpDir("mv-collide")}/t"
     MvPipeline.upsert(Seq((1L, 10L)).toDF("k", "v"), path, Seq("k"), batchId = 0L)
