@@ -7,18 +7,21 @@ import graft.operators.Dedup
 
 /** Shared min-label cluster maintenance for the streaming near-dup
   * family ([[IncrementalNearDup]] text MinHash, [[IncrementalEmbedNearDup]]
-  * embedding cosine): given the batch's VERIFIED new edges and the current
-  * labels, relabel only the components a new edge touches. Labels form a
-  * monotone lattice (docs are only added, labels only decrease toward the
+  * embedding cosine, [[IncrementalMediaNearDup]] perceptual hashes):
+  * given the batch's VERIFIED new edges and the current labels, relabel
+  * only the components a new edge touches. Labels form a monotone
+  * lattice (docs are only added, labels only decrease toward the
   * component min), so maintenance never retracts and any batch split
   * converges to the batch clustering.
   *
   * Old clusters are STARS (every member points at its representative), so
   * the affected subgraph is (new edges ∪ affected star edges) and its
   * diameter stays small; below `driverThreshold` total rows it union-finds
-  * on the driver in two one-job primitive collects (the
+  * on the driver in one primitive collect job (the
   * [[Dedup.clusters]] driver-path economics), above it falls back to
-  * relational min-label fixpoint iteration. */
+  * relational min-label fixpoint iteration (which THROWS on
+  * non-convergence — wrong labels must never reach persistent state,
+  * the [[Dedup.clusters]] rule). */
 object LabelMaintenance {
 
   /** `edges`: verified (id1, id2) Long pairs. `lAll`: current
@@ -28,67 +31,12 @@ object LabelMaintenance {
       maxIter: Int): DataFrame = {
     val nEdges = edges.count()
     if (nEdges == 0) return lAll // no collisions: zero relabel jobs
-    // components touching a new edge (by current label of either end)
-    val touchedRoots = edges.select(col("id1").as("doc_id"))
-      .unionByName(edges.select(col("id2").as("doc_id")))
-      .join(lAll, "doc_id").select(col("label")).distinct()
-    val affected = lAll.join(touchedRoots, Seq("label"), "left_semi")
+    val roots = touchedRoots(edges, lAll)
+    val affected = lAll.join(roots, Seq("label"), "left_semi")
       .transform(graft.operators.Caching.persisted)
-    val untouched = lAll.join(touchedRoots, Seq("label"), "left_anti")
-    val stars = affected.filter(col("doc_id") =!= col("label"))
-    val nStars = stars.count()
-    val relabeled =
-      if (nEdges + nStars <= driverThreshold) {
-        // one collect job over both cached frames: new edges ∪ star edges
-        // feed the same union-find, so there is no reason to fetch them
-        // in two jobs
-        val (ea, eb) = Dedup.collectPairsPrimitive(
-          edges.select(col("id1"), col("id2")).unionByName(
-            stars.select(col("doc_id").as("id1"), col("label").as("id2"))),
-          (nEdges + nStars).toInt)
-        val lbl = Dedup.unionFindMinLabels(ea, eb)
-        val spark = edges.sparkSession
-        import spark.implicits._
-        val lblDf = lbl.toSeq.toDF("doc_id", "nlabel")
-        // docs absent from the edge/star graph keep their old label
-        affected.join(broadcast(lblDf), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("nlabel"), col("label")).as("label"))
-      } else {
-        // genuinely huge affected subgraph: min-label propagation to
-        // fixpoint over star edges (doc ↔ label) + new edges (undirected)
-        val und = edges
-          .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-          .unionByName(stars.select(col("doc_id").as("id1"), col("label").as("id2")))
-          .unionByName(stars.select(col("label").as("id1"), col("doc_id").as("id2")))
-        var labels = affected.localCheckpoint()
-        var converged = false
-        var i = 0
-        while (!converged && i < maxIter) {
-          val neighborMin = und.join(labels.withColumnRenamed("doc_id", "nid"),
-              und("id2") === col("nid"))
-            .groupBy(und("id1").as("doc_id"))
-            .agg(min("label").as("nlabel"))
-          val next = labels.as("l")
-            .join(neighborMin.as("n"), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-            .localCheckpoint()
-          converged = next.as("a").join(labels.as("b"), "doc_id")
-            .filter(col("a.label") =!= col("b.label")).isEmpty
-          graft.operators.Caching.releaseCheckpoint(labels)
-          labels = next
-          i += 1
-        }
-        // mirror Dedup.clusters: NEVER commit possibly-wrong labels to
-        // persistent state — a non-converged fixpoint would silently
-        // diverge from the ==batch contract forever
-        if (!converged) throw new IllegalStateException(
-          s"relabel did not converge in $maxIter iterations " +
-            s"($nEdges edges, $nStars star rows); retry with higher maxIter")
-        labels
-      }
-    untouched.unionByName(relabeled)
+    val untouched = lAll.join(roots, Seq("label"), "left_anti")
+    untouched.unionByName(
+      relabelAffected(edges, affected, nEdges, driverThreshold, maxIter))
   }
 
   /** [[relabel]] restricted to its Δ: ONLY the affected docs' (possibly
@@ -98,10 +46,74 @@ object LabelMaintenance {
     * is idempotent). Empty when the batch verified no edges. */
   def relabelDelta(edges: DataFrame, lAll: DataFrame, driverThreshold: Long,
       maxIter: Int): DataFrame = {
-    val touched = edges.select(col("id1").as("doc_id"))
+    val nEdges = edges.count()
+    if (nEdges == 0) return lAll.limit(0)
+    val affected = lAll.join(touchedRoots(edges, lAll), Seq("label"), "left_semi")
+      .transform(graft.operators.Caching.persisted)
+    relabelAffected(edges, affected, nEdges, driverThreshold, maxIter)
+  }
+
+  /** Components touching a new edge, by current label of either end. */
+  private def touchedRoots(edges: DataFrame, lAll: DataFrame): DataFrame =
+    edges.select(col("id1").as("doc_id"))
       .unionByName(edges.select(col("id2").as("doc_id")))
       .join(lAll, "doc_id").select(col("label")).distinct()
-    val affected = lAll.join(touched, Seq("label"), "left_semi")
-    relabel(edges, affected, driverThreshold, maxIter)
+
+  /** Relabel the affected subgraph only (callers computed + persisted
+    * `affected`). */
+  private def relabelAffected(edges: DataFrame, affected: DataFrame,
+      nEdges: Long, driverThreshold: Long, maxIter: Int): DataFrame = {
+    val stars = affected.filter(col("doc_id") =!= col("label"))
+    val nStars = stars.count()
+    if (nEdges + nStars <= driverThreshold) {
+      // one collect job over both cached frames: new edges ∪ star edges
+      // feed the same union-find, so there is no reason to fetch them
+      // in two jobs
+      val (ea, eb) = Dedup.collectPairsPrimitive(
+        edges.select(col("id1"), col("id2")).unionByName(
+          stars.select(col("doc_id").as("id1"), col("label").as("id2"))),
+        (nEdges + nStars).toInt)
+      val lbl = Dedup.unionFindMinLabels(ea, eb)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val lblDf = lbl.toSeq.toDF("doc_id", "nlabel")
+      // docs absent from the edge/star graph keep their old label
+      affected.join(broadcast(lblDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nlabel"), col("label")).as("label"))
+    } else {
+      // genuinely huge affected subgraph: min-label propagation to
+      // fixpoint over star edges (doc ↔ label) + new edges (undirected)
+      val und = edges
+        .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
+        .unionByName(stars.select(col("doc_id").as("id1"), col("label").as("id2")))
+        .unionByName(stars.select(col("label").as("id1"), col("doc_id").as("id2")))
+      var labels = affected.localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val neighborMin = und.join(labels.withColumnRenamed("doc_id", "nid"),
+            und("id2") === col("nid"))
+          .groupBy(und("id1").as("doc_id"))
+          .agg(min("label").as("nlabel"))
+        val next = labels.as("l")
+          .join(neighborMin.as("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint()
+        converged = next.as("a").join(labels.as("b"), "doc_id")
+          .filter(col("a.label") =!= col("b.label")).isEmpty
+        graft.operators.Caching.releaseCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      // mirror Dedup.clusters: NEVER commit possibly-wrong labels to
+      // persistent state — a non-converged fixpoint would silently
+      // diverge from the ==batch contract forever
+      if (!converged) throw new IllegalStateException(
+        s"relabel did not converge in $maxIter iterations " +
+          s"($nEdges edges, $nStars star rows); retry with higher maxIter")
+      labels
+    }
   }
 }
