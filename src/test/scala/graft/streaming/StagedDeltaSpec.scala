@@ -82,6 +82,36 @@ class StagedDeltaSpec extends SparkTestBase {
     assert(calls.get() === 2)
   }
 
+  test("crash-point sweep: replay converges from EVERY partially-applied prefix") {
+    // ids covering all 4 buckets, several per bucket
+    val ids = (1L to 200L).groupBy(bucketOf)
+    assert(ids.size === B, "need every bucket populated")
+    val delta = ids.values.flatMap(_.take(2)).toSeq.sorted.map(id => id -> (id * 10))
+    val byBucket = delta.groupBy { case (id, _) => bucketOf(id) }.toSeq.sortBy(_._1)
+
+    byBucket.indices.foreach { k =>
+      // simulate a crash after the first k buckets applied
+      val path = tmpDir(s"staged-crash-$k") + "/view"
+      val calls = new AtomicInteger(0)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = new org.apache.hadoop.fs.Path(s"$path/_delta_b3")
+      mkDelta(delta).write.parquet(staged.toString + ".tmp")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(staged.toString + ".tmp"), staged))
+      byBucket.take(k).foreach { case (b, rows) =>
+        MvPipeline.upsertMerge(mkDelta(rows), s"$path/bucket=$b",
+          mergeMin(calls)(_, _), batchId = 3L, initWithMerge = true)
+      }
+      // replay: staged delta must finish the job without recomputation
+      MvPipeline.upsertBucketedStaged(spark, path,
+        { throw new IllegalStateException(s"recomputed at crash point $k") },
+        mergeMin(calls)(_, _), batchId = 3L, numBuckets = B, bucketKeys = Seq("id"))
+      assert(readAll(path) === delta.toMap, s"diverged at crash point $k")
+      // exactly one merge per bucket total: k simulated + (n-k) on replay
+      assert(calls.get() === byBucket.size, s"double-merge at crash point $k")
+    }
+  }
+
   test("fresh buckets fold their first increment THROUGH the merge (normalization)") {
     val path = tmpDir("staged-init") + "/view"
     val calls = new AtomicInteger(0)
