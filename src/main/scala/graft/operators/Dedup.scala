@@ -454,6 +454,62 @@ object Dedup {
         min(col("doc_id")).as("min_doc"))
       .filter(col("occurrences") > 1)
 
+  /** EXACT substring-duplication spans (SURVEY.md §2.11 R144) — the
+    * character-level counterpart of [[cdcChunks]]+[[chunkDupStats]] and
+    * the batch "substring dedup" curation pass for training corpora:
+    * every k-char window of every document is fingerprinted, windows
+    * whose content occurs in MORE THAN ONE distinct document are
+    * flagged, and each document's flagged positions are merged into
+    * maximal duplicated SPANS (two windows coalesce iff their character
+    * ranges overlap or touch — position gap ≤ k). Per affected doc:
+    * flagged-window count, span count, duplicated chars, and the
+    * duplicated fraction in exact integer ppm.
+    *
+    * No reference-engine equivalent — ClickHouse has no corpus-wide
+    * substring pass (`/root/reference/README.md` holds per-row DDL
+    * only); this is the curation extension the prompt mandates.
+    *
+    * Shape/scale: window count ∝ total corpus chars; the dup-detection
+    * aggregate shuffles 16-byte md5 keys (partial+final hash agg,
+    * map-side combine — md5 rather than xxhash64 so the DuckDB oracle
+    * reproduces the key; uniform by construction, so skew-salting is
+    * unnecessary). The span merge is ONE shuffle by doc_id plus an
+    * O(doc) sorted window walk, and the final length join is
+    * doc_id-keyed against a two-column pruned scan. Nothing is
+    * all-pairs; nothing collects to the driver. */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val d = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val wins = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), (length(col("text")) - (k - 1)).cast("long"))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("text").substr(col("pos"), lit(k))).as("h"))
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = wins.join(dupH, Seq("h"), "left_semi")
+      // island break: first row per doc (null lag) or a gap wider than k
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"), count(lit(1)).as("nw"))
+    spans.groupBy("doc_id")
+      .agg(sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        // a span [a, b] of window STARTS covers chars [a, b + k - 1]
+        sum(col("b") - col("a") + k).as("dup_chars"))
+      .join(d.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .withColumn("dup_ppm", expr("dup_chars * 1000000 DIV len"))
+      .select("doc_id", "len", "n_dup_windows", "n_spans", "dup_chars", "dup_ppm")
+  }
+
   /** Representative selection — the curation step after near-dup
     * clustering: keep the best-scoring member of each duplicate cluster
     * (ties to the lowest id), one row per cluster with its size and

@@ -1422,6 +1422,15 @@ object ExtQueries {
     Dedup.chunkDupStats(Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text"))
       .orderBy("chunk_md5")
 
+  /** Exact substring-duplication spans ([[Dedup.duplicateSpanStats]],
+    * k = 40): cross-document repeated 40-char windows merged into maximal
+    * per-doc spans — the character-level train-data substring-dedup pass
+    * (R144). All-int output (window/span counts, duplicated chars, exact
+    * ppm), so the DuckDB replay hash-matches bit-for-bit. */
+  def x116DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 40)
+      .orderBy("doc_id")
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -3809,6 +3818,31 @@ object ExtQueries {
       |  count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
       |FROM ch GROUP BY md5(chunk) HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin
 
+  /** DuckDB mirror of x116: the same 40-char window md5 fingerprints
+    * (cross-doc dup rule), the same gap-≤-k island merge, the same
+    * exact-ppm normalization; `//` == Spark's `DIV`. */
+  private val duckDuplicateSpans: String =
+    """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |mx AS (SELECT max(len) AS m FROM docs),
+      |idx AS (SELECT CAST(unnest(range(1, (SELECT m FROM mx) + 1)) AS BIGINT) AS i),
+      |w AS (SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 40)) AS h
+      |      FROM docs JOIN idx ON i <= len - 39),
+      |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      |dp AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+      |br AS (SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+      |              THEN 0 ELSE 1 END AS brk FROM dp),
+      |si AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM br),
+      |sp AS (SELECT doc_id, span_id, min(pos) AS a, max(pos) AS b, count(*) AS nw
+      |       FROM si GROUP BY doc_id, span_id),
+      |st AS (SELECT doc_id, CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+      |         count(*) AS n_spans, CAST(sum(b - a + 40) AS BIGINT) AS dup_chars
+      |       FROM sp GROUP BY doc_id)
+      |SELECT st.doc_id, docs.len, n_dup_windows, n_spans, dup_chars,
+      |  dup_chars * 1000000 // docs.len AS dup_ppm
+      |FROM st JOIN docs USING (doc_id) ORDER BY st.doc_id""".stripMargin
+
   /** DuckDB mirror of the 8-gram decontamination (x23): same split CTEs as
     * x18/x19, grams via inclusive list slices (w[i:i+7] = the 8 tokens from
     * i), overlap as a distinct-gram join. */
@@ -4303,6 +4337,7 @@ object ExtQueries {
     "x113_bitmap_churn" -> duckBitmapChurn,
     "x114_transition_matrix" -> duckTransitionMatrix,
     "x115_gap_fill" -> duckGapFill,
+    "x116_duplicate_spans" -> duckDuplicateSpans,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4584,6 +4619,7 @@ object ExtQueries {
     "x113_bitmap_churn" -> x113BitmapChurn, // oracle: full-outer day-shift sets
     "x114_transition_matrix" -> x114TransitionMatrix, // oracle: total-order lead pass
     "x115_gap_fill" -> x115GapFill, // oracle: grid + IGNORE NULLS carry
+    "x116_duplicate_spans" -> x116DuplicateSpans, // oracle: window-hash + island replay
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

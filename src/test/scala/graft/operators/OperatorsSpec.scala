@@ -113,6 +113,59 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("min_doc") == 1L))
   }
 
+  test("duplicateSpanStats: cross-doc windows only, gap-<=k island merge, vs brute force") {
+    import spark.implicits._
+    val k = 10
+    val shared1 = "QWERTYUIOPASDFG" // 15 chars -> 6 windows at k=10
+    val shared2 = "ZXCVBNMLKJHGFDS"
+    // doc1: both blocks, separated by a >k unique gap -> TWO spans
+    val doc1 = s"aaa${shared1}bbbbbbbbbbbbbb${shared2}cc"
+    // doc2: shared1 only, at a different offset
+    val doc2 = s"dddddddddddd${shared1}e"
+    // doc3: shared2 twice back-to-back -> overlapping flagged windows, ONE span
+    val doc3 = s"ffff${shared2}${shared2}gg"
+    // doc4: WITHIN-doc repetition only (unique alphabet) -> never flagged
+    val doc4 = "hh" + ("ijklmnop" * 4)
+    // doc5: shorter than k -> no windows at all
+    val doc5 = "tiny"
+    val raw = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, doc5))
+
+    // brute-force reference: same rule, computed directly
+    val winsByDoc = raw.collect { case (id, t) if t.length >= k =>
+      id -> (1 to t.length - k + 1).map(p => p.toLong -> t.substring(p - 1, p - 1 + k))
+    }.toMap
+    val ownersOf = winsByDoc.toSeq
+      .flatMap { case (id, ws) => ws.map { case (_, w) => w -> id } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = winsByDoc.toSeq.flatMap { case (id, ws) =>
+      val flagged = ws.collect { case (p, w) if ownersOf(w).size > 1 => p }.sorted
+      if (flagged.isEmpty) None
+      else {
+        val spans = flagged.tail.foldLeft(List((flagged.head, flagged.head))) {
+          case ((a, b) :: rest, p) =>
+            if (p - b <= k) (a, p) :: rest else (p, p) :: (a, b) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        val len = raw.find(_._1 == id).get._2.length.toLong
+        val dupChars = spans.map { case (a, b) => b - a + k }.sum
+        Some((id, len, flagged.size.toLong, spans.size.toLong, dupChars,
+          dupChars * 1000000L / len))
+      }
+    }.sortBy(_._1)
+
+    val got = Dedup.duplicateSpanStats(raw.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the qualitative contracts the fixture plants
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(!byDoc.contains(4L), "within-doc repeats must not flag")
+    assert(!byDoc.contains(5L), "sub-k docs have no windows")
+    assert(byDoc(1L)._4 == 2L, "doc1's far-apart blocks stay two spans")
+    assert(byDoc(2L)._4 == 1L)
+    assert(byDoc(3L)._4 == 1L, "doc3's adjacent repeats merge into one span")
+  }
+
   test("representatives: best score wins, ties to lowest id, null score loses") {
     import spark.implicits._
     val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
