@@ -362,6 +362,29 @@ object MvPipeline {
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
+  /** BUCKET-PRUNED state read — the read-side O(Δ) counterpart of
+    * [[upsertBucketed]]: read ONLY the listed `bucket=<id>` directories
+    * (the buckets a batch's keys hash into — bounded by the bucket
+    * count, never by state size). Callers must restrict to joins whose
+    * probe keys hash into `ids` under the SAME (bucketKeys, numBuckets)
+    * the writer used — rows outside those buckets cannot match, so the
+    * subset read is exact. Missing buckets (never yet written) and a
+    * missing table both yield their share of the empty frame. */
+  def readBuckets(spark: SparkSession, path: String, ids: Seq[Long],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(base)) Seq.empty[String]
+      else ids.distinct.flatMap { id =>
+        val p = new Path(s"$path/bucket=$id")
+        if (fs.exists(p)) Some(p.toString) else None
+      }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   /** [[readBucketedState]] that tolerates a not-yet-created table (the
     * first micro-batch of a view that reads its own prior state): an
     * empty frame with the caller's schema. */
