@@ -49,6 +49,12 @@ object IncrementalEmbedNearDup {
     StructField("bucket", LongType), StructField("v", ArrayType(DoubleType)),
     StructField("norm", DoubleType), StructField("label", LongType)))
 
+  private[streaming] val bidxSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("blk", LongType),
+    StructField("table_idx", IntegerType), StructField("bucket", LongType)))
+
+  private val probeKeys = Seq("blk", "table_idx", "bucket")
+
   /** Fold one micro-batch of `(vec_id, embedding, label)` vectors into
     * the maintained state. LSH parameters as
     * [[Similarity.embeddingNearDupPairsLsh]]. */
@@ -59,6 +65,8 @@ object IncrementalEmbedNearDup {
       numBuckets: Int = 16): Unit = {
     val spark = embeddings.sparkSession
     val path = s"$stateDir/embneardup"
+    val bidx = s"$stateDir/embneardup_bidx"
+    backfillBidx(spark, path, bidx, numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val tables = (0 until numTables).map { t =>
         Similarity.lshBucket(col("v"),
@@ -73,17 +81,17 @@ object IncrementalEmbedNearDup {
         posexplode(array(tables: _*)).as(Seq("table_idx", "bucket")))
         .select(col("vec_id"), col("blk"),
           col("table_idx").cast("int"), col("bucket").cast("long"))
+        .transform(graft.operators.Caching.persisted)
       val newV = e.select(col("vec_id"), col("blk"), col("v"), col("norm"))
 
       // persisted per-kind projections: lineage cut against the N-bucket
       // union scan being re-serialized per reference (see
       // [[IncrementalNearDup]] — measured plan explosion without it)
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
-      val oldB = st.filter(col("kind") === "b")
-        .select("vec_id", "blk", "table_idx", "bucket")
-        .transform(graft.operators.Caching.persisted)
-      val oldV = st.filter(col("kind") === "v")
-        .select("vec_id", "blk", "v", "norm")
+      // PRUNED bucket-index read: probe only the state buckets the
+      // batch's (blk, table, bucket) triples hash into
+      val oldB = MvPipeline.readBuckets(spark, bidx,
+          MvPipeline.bucketIdsOf(newB, probeKeys, numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
       val oldL = st.filter(col("kind") === "l").select("vec_id", "label")
         .transform(graft.operators.Caching.persisted)
@@ -98,6 +106,17 @@ object IncrementalEmbedNearDup {
         .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
           greatest(col("a.vec_id"), col("b.vec_id")).as("id2"))
         .distinct()
+        .transform(graft.operators.Caching.persisted)
+
+      // PRUNED verification read (two-phase): stored vectors only from
+      // the buckets the candidate ids hash into
+      val candIds = cand.select(col("id1").as("vec_id"))
+        .unionByName(cand.select(col("id2").as("vec_id")))
+      val oldV = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(candIds, Seq("vec_id"), numBuckets), stateSchema)
+        .filter(col("kind") === "v")
+        .select("vec_id", "blk", "v", "norm")
+        .transform(graft.operators.Caching.persisted)
 
       // exact cosine verification against stored vectors — identical
       // rounding contract to the batch pipeline (pround6 before threshold)
@@ -129,8 +148,33 @@ object IncrementalEmbedNearDup {
         .withColumnRenamed("doc_id", "vec_id")
 
       packB(newB).unionByName(packV(newV)).unionByName(packL(lDelta))
-    }, merge, batchId, numBuckets, Seq("vec_id"))
+    }, merge, batchId, numBuckets, Seq("vec_id"),
+      secondaries = Seq(MvPipeline.StagedSecondary(bidx,
+        d => d.filter(col("kind") === "b")
+          .select("vec_id", "blk", "table_idx", "bucket"),
+        (old, inc) => old.unionByName(inc).distinct(),
+        probeKeys)))
     graft.operators.Caching.releaseAll()
+  }
+
+  /** One-time mirror build for a legacy state dir (see
+    * [[IncrementalNearDup.backfillBidx]]'s contract). */
+  private def backfillBidx(spark: SparkSession, path: String, bidx: String,
+      numBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasBuckets(p: String): Boolean = {
+      val b = new org.apache.hadoop.fs.Path(p)
+      fs.exists(b) && fs.listStatus(b)
+        .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+    }
+    if (hasBuckets(path) && !hasBuckets(bidx))
+      MvPipeline.upsertBucketedMerge(
+        MvPipeline.readBucketedState(spark, path)
+          .filter(col("kind") === "b")
+          .select("vec_id", "blk", "table_idx", "bucket"),
+        bidx, (old, inc) => old.unionByName(inc).distinct(),
+        -1L, numBuckets, probeKeys)
   }
 
   /** Per-bucket semilattice merge: b/v rows set-union, labels per-vec
@@ -202,14 +246,16 @@ object IncrementalEmbedNearDup {
     * witness is a frozen vector are missed (documented). */
   def compact(spark: SparkSession, stateDir: String,
       frozen: org.apache.spark.sql.Column): Long = {
-    val base = new org.apache.hadoop.fs.Path(s"$stateDir/embneardup")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return 0L
-    fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
-      .map { b =>
-        MvPipeline.expireState(spark, b.getPath.toString,
-          col("kind") === "l" || !frozen)
-      }.sum
+    def sweep(dir: String, keep: org.apache.spark.sql.Column): Long = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) return 0L
+      fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .map(b => MvPipeline.expireState(spark, b.getPath.toString, keep))
+        .sum
+    }
+    sweep(s"$stateDir/embneardup", col("kind") === "l" || !frozen) +
+      sweep(s"$stateDir/embneardup_bidx", !frozen)
   }
 }

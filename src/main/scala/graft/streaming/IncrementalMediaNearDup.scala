@@ -38,6 +38,12 @@ object IncrementalMediaNearDup {
     StructField("chunk_idx", IntegerType), StructField("chunk", LongType),
     StructField("simhash", LongType), StructField("label", LongType)))
 
+  private[streaming] val bidxSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("chunk_idx", IntegerType),
+    StructField("chunk", LongType)))
+
+  private val probeKeys = Seq("chunk_idx", "chunk")
+
   /** Fold one micro-batch of `(doc_id, payload: binary BMP)` images into
     * the `imgneardup` state (batch twin: x46's pair view → clusters). */
   def processBatchImages(media: DataFrame, maxHamming: Int = 3,
@@ -63,6 +69,8 @@ object IncrementalMediaNearDup {
       driverThreshold: Long = 1000000L, maxIter: Int = 20): Unit = {
     val spark = hashes.sparkSession
     val path = s"$stateDir/$view"
+    val bidx = s"$stateDir/${view}_bidx"
+    backfillBidx(spark, path, bidx, numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val newH = hashes.filter(col("simhash").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
@@ -73,14 +81,15 @@ object IncrementalMediaNearDup {
         posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx").cast("int"),
           col("chunk").cast("long"))
+        .transform(graft.operators.Caching.persisted)
 
       // persisted per-kind projections: lineage cut against the N-bucket
       // union scan (see [[IncrementalNearDup]])
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
-      val oldC = st.filter(col("kind") === "c")
-        .select("doc_id", "chunk_idx", "chunk")
-        .transform(graft.operators.Caching.persisted)
-      val oldH = st.filter(col("kind") === "h").select("doc_id", "simhash")
+      // PRUNED chunk-index read: probe only the state buckets the
+      // batch's (chunk_idx, chunk) pairs hash into
+      val oldC = MvPipeline.readBuckets(spark, bidx,
+          MvPipeline.bucketIdsOf(newC, probeKeys, numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
       val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
         .transform(graft.operators.Caching.persisted)
@@ -94,6 +103,16 @@ object IncrementalMediaNearDup {
         .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
         .distinct()
+        .transform(graft.operators.Caching.persisted)
+
+      // PRUNED verification read (two-phase): stored hashes only from
+      // the buckets the candidate ids hash into
+      val candIds = cand.select(col("id1").as("doc_id"))
+        .unionByName(cand.select(col("id2").as("doc_id")))
+      val oldH = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(candIds, Seq("doc_id"), numBuckets), stateSchema)
+        .filter(col("kind") === "h").select("doc_id", "simhash")
+        .transform(graft.operators.Caching.persisted)
 
       // exact Hamming verification over stored hashes — identical kernel
       // to the batch pair view (bit_count of xor)
@@ -114,8 +133,33 @@ object IncrementalMediaNearDup {
         .join(oldL, Seq("doc_id", "label"), "left_anti")
 
       packC(newC).unionByName(packH(newH)).unionByName(packL(lDelta))
-    }, merge, batchId, numBuckets, Seq("doc_id"))
+    }, merge, batchId, numBuckets, Seq("doc_id"),
+      secondaries = Seq(MvPipeline.StagedSecondary(bidx,
+        d => d.filter(col("kind") === "c")
+          .select("doc_id", "chunk_idx", "chunk"),
+        (old, inc) => old.unionByName(inc).distinct(),
+        probeKeys)))
     graft.operators.Caching.releaseAll()
+  }
+
+  /** One-time mirror build for a legacy state dir (see
+    * [[IncrementalNearDup.backfillBidx]]'s contract). */
+  private def backfillBidx(spark: SparkSession, path: String, bidx: String,
+      numBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasBuckets(p: String): Boolean = {
+      val b = new org.apache.hadoop.fs.Path(p)
+      fs.exists(b) && fs.listStatus(b)
+        .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+    }
+    if (hasBuckets(path) && !hasBuckets(bidx))
+      MvPipeline.upsertBucketedMerge(
+        MvPipeline.readBucketedState(spark, path)
+          .filter(col("kind") === "c")
+          .select("doc_id", "chunk_idx", "chunk"),
+        bidx, (old, inc) => old.unionByName(inc).distinct(),
+        -1L, numBuckets, probeKeys)
   }
 
   /** Per-bucket semilattice merge: c/h rows set-union, labels per-doc
@@ -190,14 +234,16 @@ object IncrementalMediaNearDup {
     * missed (documented). */
   def compact(spark: SparkSession, stateDir: String, view: String,
       frozen: org.apache.spark.sql.Column): Long = {
-    val base = new org.apache.hadoop.fs.Path(s"$stateDir/$view")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return 0L
-    fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
-      .map { b =>
-        MvPipeline.expireState(spark, b.getPath.toString,
-          col("kind") === "l" || !frozen)
-      }.sum
+    def sweep(dir: String, keep: org.apache.spark.sql.Column): Long = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) return 0L
+      fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .map(b => MvPipeline.expireState(spark, b.getPath.toString, keep))
+        .sum
+    }
+    sweep(s"$stateDir/$view", col("kind") === "l" || !frozen) +
+      sweep(s"$stateDir/${view}_bidx", !frozen)
   }
 }

@@ -54,19 +54,31 @@ import graft.operators.Dedup
   * collapse in the set-union, and duplicate conflicting `l` rows cannot
   * exist (per-doc min in the merge).
   *
-  * 100 TB shape: candidate generation is a shuffle on band keys of the
-  * BATCH only against the maintained band index; verification touches
-  * only colliding pairs; relabeling touches only affected components;
-  * state WRITES touch only the buckets containing batch or affected
-  * docs. Nothing scans the corpus, and per-batch cost is proportional to
-  * batch size × collision rate — the property that lets ingest-time
-  * near-dup run continuously where the batch sweep runs weekly. */
+  * 100 TB shape — O(Δ) on BOTH sides of the fold: candidate generation
+  * probes a SECOND physical copy of the band index bucketed by
+  * `band_key` (`neardup_bidx`, fed from the same staged delta via
+  * [[MvPipeline.StagedSecondary]]), so it READS only the buckets the
+  * batch's band keys hash into ([[MvPipeline.readBuckets]]) — never the
+  * whole index; verification reads only the buckets the CANDIDATE ids
+  * hash into (two-phase selective read); state WRITES touch only the
+  * buckets containing batch or affected docs. The label projection
+  * stays a full small-projection scan (16 bytes/doc; affected-set
+  * discovery is by LABEL, which no doc-id bucketing can prune —
+  * documented, not hidden). Nothing scans the corpus, and per-batch
+  * cost is proportional to batch size × collision rate — the property
+  * that lets ingest-time near-dup run continuously where the batch
+  * sweep runs weekly. A legacy state dir without the index mirror is
+  * backfilled once (idempotent set merge) on the next fold. */
 object IncrementalNearDup {
 
   private[streaming] val stateSchema = StructType(Seq(
     StructField("kind", StringType), StructField("doc_id", LongType),
     StructField("band_idx", IntegerType), StructField("band_key", StringType),
     StructField("gh", ArrayType(LongType)), StructField("label", LongType)))
+
+  private[streaming] val bidxSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band_idx", IntegerType),
+    StructField("band_key", StringType)))
 
   /** Fold one micro-batch of `(idCol, textCol)` docs into the maintained
     * near-dup state. LSH parameters as [[Dedup.minhashLshPairs]]. */
@@ -78,6 +90,8 @@ object IncrementalNearDup {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
     val path = s"$stateDir/neardup"
+    val bidx = s"$stateDir/neardup_bidx"
+    backfillBidx(spark, path, bidx, numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val g = Dedup.gramSets(docs, idCol, textCol, shingleN)
         .transform(graft.operators.Caching.persisted)
@@ -86,6 +100,7 @@ object IncrementalNearDup {
       val newB = Dedup.bandRows(g, numHashes, numBands)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("band_idx").cast("int"), col("band_key"))
+        .transform(graft.operators.Caching.persisted)
 
       // persist the per-kind state projections: each is referenced several
       // times across the candidate/verify/relabel joins, and WITHOUT the
@@ -94,10 +109,10 @@ object IncrementalNearDup {
       // reference (measured: 33 MiB task binaries and an OOM on the sf0.1
       // rehearsal before the cut; same data volume, exploded lineage)
       val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
-      val oldB = st.filter(col("kind") === "b")
-        .select("doc_id", "band_idx", "band_key")
-        .transform(graft.operators.Caching.persisted)
-      val oldG = st.filter(col("kind") === "g").select("doc_id", "gh")
+      // PRUNED band-index read: only the buckets the batch's band keys
+      // hash into can hold a colliding state row
+      val oldB = MvPipeline.readBuckets(spark, bidx,
+          MvPipeline.bucketIdsOf(newB, Seq("band_key"), numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
       val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
         .transform(graft.operators.Caching.persisted)
@@ -112,6 +127,17 @@ object IncrementalNearDup {
         .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
         .distinct()
+        .transform(graft.operators.Caching.persisted)
+
+      // PRUNED verification read (two-phase): gram rows only from the
+      // buckets the candidate ids hash into — every old candidate's
+      // bucket exists (it was written when the doc arrived)
+      val candIds = cand.select(col("id1").as("doc_id"))
+        .unionByName(cand.select(col("id2").as("doc_id")))
+      val oldG = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(candIds, Seq("doc_id"), numBuckets), stateSchema)
+        .filter(col("kind") === "g").select("doc_id", "gh")
+        .transform(graft.operators.Caching.persisted)
 
       // exact verification over gram hashes from state ∪ batch
       val edges = Dedup.verifyJaccard(cand, oldG.unionByName(newG), threshold)
@@ -133,8 +159,36 @@ object IncrementalNearDup {
         .join(oldL, Seq("doc_id", "label"), "left_anti")
 
       packB(newB).unionByName(packG(newG)).unionByName(packL(lDelta))
-    }, merge, batchId, numBuckets, Seq("doc_id"))
+    }, merge, batchId, numBuckets, Seq("doc_id"),
+      secondaries = Seq(MvPipeline.StagedSecondary(bidx,
+        d => d.filter(col("kind") === "b")
+          .select("doc_id", "band_idx", "band_key"),
+        (old, inc) => old.unionByName(inc).distinct(),
+        Seq("band_key"))))
     graft.operators.Caching.releaseAll()
+  }
+
+  /** One-time mirror build for a legacy state dir created before the
+    * probe-bucketed index existed: fold the main table's `b` rows into
+    * `neardup_bidx` (idempotent set merge — a crash mid-backfill
+    * converges on the next call). No-op when the mirror exists or the
+    * view is fresh. */
+  private def backfillBidx(spark: SparkSession, path: String, bidx: String,
+      numBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasBuckets(p: String): Boolean = {
+      val b = new org.apache.hadoop.fs.Path(p)
+      fs.exists(b) && fs.listStatus(b)
+        .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+    }
+    if (hasBuckets(path) && !hasBuckets(bidx))
+      MvPipeline.upsertBucketedMerge(
+        MvPipeline.readBucketedState(spark, path)
+          .filter(col("kind") === "b")
+          .select("doc_id", "band_idx", "band_key"),
+        bidx, (old, inc) => old.unionByName(inc).distinct(),
+        -1L, numBuckets, Seq("band_key"))
   }
 
   /** Per-bucket semilattice merge: b/g rows are a set (distinct union —
@@ -196,15 +250,17 @@ object IncrementalNearDup {
     * ([[MvPipeline.expireState]]); returns rows dropped. */
   def compact(spark: SparkSession, stateDir: String,
       frozen: org.apache.spark.sql.Column): Long = {
-    val base = new org.apache.hadoop.fs.Path(s"$stateDir/neardup")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return 0L
-    fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
-      .map { b =>
-        MvPipeline.expireState(spark, b.getPath.toString,
-          col("kind") === "l" || !frozen)
-      }.sum
+    def sweep(dir: String, keep: org.apache.spark.sql.Column): Long = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) return 0L
+      fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .map(b => MvPipeline.expireState(spark, b.getPath.toString, keep))
+        .sum
+    }
+    sweep(s"$stateDir/neardup", col("kind") === "l" || !frozen) +
+      sweep(s"$stateDir/neardup_bidx", !frozen)
   }
 
   /** Continuous maintenance over JSON-line files with `schema`. */

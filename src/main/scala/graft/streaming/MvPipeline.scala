@@ -325,10 +325,28 @@ object MvPipeline {
     * (batchId < 0) stage under a unique name — still materialized first,
     * because the lazy delta plan reads the same state the bucket loop
     * mutates. */
+  /** A SECONDARY table fed from the same staged delta — e.g. a blocking
+    * index mirrored under a probe-key bucketing so candidate-generation
+    * reads prune ([[readBuckets]]). `project` selects/reshapes the delta
+    * rows for this table; its merge must be idempotent like the main's
+    * (a crash between the main and a secondary apply replays the SAME
+    * staged rows — stamped buckets skip, the rest converge). One
+    * contract beyond the main table's: the projected rows — INCLUDING
+    * the bucket-key columns — must be a deterministic function of the
+    * batch input (the views' blocking rows are), because a replay AFTER
+    * the staged sweep recomputes the delta and relies on it routing to
+    * the same (stamped) buckets; delta rows derived from mutable state
+    * (like the label delta) belong in the main table only. */
+  final case class StagedSecondary(path: String,
+      project: DataFrame => DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame,
+      bucketKeys: Seq[String])
+
   def upsertBucketedStaged(spark: SparkSession, path: String,
       computeDelta: => DataFrame,
       mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
-      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
+      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil,
+      secondaries: Seq[StagedSecondary] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -342,8 +360,14 @@ object MvPipeline {
     }
     val delta = spark.read.parquet(staged.toString)
     upsertBucketedMerge(delta, path, mergeFn, batchId, numBuckets, bucketKeys)
+    secondaries.foreach { s =>
+      upsertBucketedMerge(s.project(delta), s.path, s.mergeFn, batchId,
+        numBuckets, s.bucketKeys)
+    }
     // success: sweep this and any stale staged deltas (single-writer +
-    // in-order replay means an older leftover's batch already applied)
+    // in-order replay means an older leftover's batch already applied).
+    // The sweep runs only after EVERY table applied — a crash before
+    // this point leaves the staged delta for the replay to re-apply.
     if (fs.exists(new Path(path)))
       fs.listStatus(new Path(path))
         .filter(s => s.getPath.getName.startsWith("_delta_"))
@@ -384,6 +408,16 @@ object MvPipeline {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
+
+  /** The bucket ids a frame's key columns hash into under the
+    * [[upsertBucketed]] layout — the probe list for [[readBuckets]].
+    * One small job; the result is bounded by `numBuckets`, never by
+    * data size. Column types must match the writer's bucketKeys
+    * exactly (xxhash64 is type-sensitive). */
+  def bucketIdsOf(df: DataFrame, keys: Seq[String], numBuckets: Int): Seq[Long] =
+    df.select(keys.map(col): _*).distinct()
+      .select(pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
 
   /** [[readBucketedState]] that tolerates a not-yet-created table (the
     * first micro-batch of a view that reads its own prior state): an

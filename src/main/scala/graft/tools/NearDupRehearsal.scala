@@ -59,6 +59,13 @@ object NearDupRehearsal {
     // only the buckets the 5 docs hash into, not O(state)
     val tiny = docs.limit(5)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    // read-side pruning evidence (r10): candidate generation probes the
+    // band_key-bucketed index mirror with ONLY the batch's band keys
+    val tinyBands = Dedup.bandRows(
+      Dedup.gramSets(tiny, "doc_id", "text", 3), 8, 4)
+    val probed = graft.streaming.MvPipeline
+      .bucketIdsOf(tinyBands, Seq("band_key"), buckets).length
+    println(s"[rehearsal] 5-doc probe: band-index READ prunes to $probed/$buckets buckets")
     val beforeTiny = StateBytes.snapshot(stateDir)
     Thread.sleep(1100)
     val tTiny0 = System.nanoTime()

@@ -73,6 +73,30 @@ class IncrementalNearDupSpec extends SparkTestBase {
     assert(reps === Set(1L, 10L, 20L))
   }
 
+  test("legacy state without the probe index is backfilled; pruned reads stay exact") {
+    val state = tmpDir("nd-bidx-state")
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.5, stateDir = state, batchId = id)
+    val b1 = docs.filter(d => Set(1L, 10L, 20L).contains(d._1))
+    fold(b1, 0L)
+    // simulate a state dir from before the probe-bucketed index mirror:
+    // delete it wholesale
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bidx = new org.apache.hadoop.fs.Path(s"$state/neardup_bidx")
+    assert(fs.exists(bidx), "secondary apply must have built the index")
+    assert(fs.delete(bidx, true))
+    // the next fold backfills the mirror and must still find the
+    // CROSS-BATCH pair (2 pairs with 1 from state via the rebuilt index)
+    val b2 = docs.filter(d => Set(2L, 11L).contains(d._1))
+    fold(b2, 1L)
+    assert(fs.exists(bidx), "fold must rebuild the missing index mirror")
+    assert(served(state) === batchLabels(b1 ++ b2))
+    assert(served(state)(2L) === 1L, "cross-batch pair must survive backfill")
+  }
+
   test("bridge doc merges two ESTABLISHED clusters; old labels decrease") {
     val state = tmpDir("nd-merge-state")
     // token-range docs: shingle-Jaccard of range [a,b) vs [c,d) is exact

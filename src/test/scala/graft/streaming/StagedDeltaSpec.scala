@@ -121,4 +121,58 @@ class StagedDeltaSpec extends SparkTestBase {
       mergeMin(calls)(_, _), batchId = 0L, numBuckets = B, bucketKeys = Seq("id"))
     assert(readAll(path) === Map(5L -> 30L))
   }
+
+  test("secondary table applies from the same staged delta; crash before it converges") {
+    val root = tmpDir("staged-sec")
+    val path = s"$root/view"
+    val sec = s"$root/view_idx"
+    val mainCalls = new AtomicInteger(0)
+    val secCalls = new AtomicInteger(0)
+    val ids = (1L to 50L).groupBy(bucketOf).values.map(_.head).take(2).toSeq
+    val (idA, idB) = (ids.head, ids(1))
+    val delta = Seq(idA -> 10L, idB -> 20L)
+
+    // crashed first attempt: delta staged, MAIN table fully applied,
+    // secondary never reached, sweep never reached
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/_delta_b9")
+    mkDelta(delta).write.parquet(staged.toString + ".tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(staged.toString + ".tmp"), staged))
+    delta.foreach { case (id, v) =>
+      MvPipeline.upsertMerge(mkDelta(Seq(id -> v)),
+        s"$path/bucket=${bucketOf(id)}", mergeMin(mainCalls)(_, _),
+        batchId = 9L, initWithMerge = true)
+    }
+
+    // replay: computeDelta must NOT run; main buckets skip via markers;
+    // the secondary applies the staged rows (bucketed by its own key)
+    MvPipeline.upsertBucketedStaged(spark, path,
+      { throw new IllegalStateException("recomputed despite staged delta") },
+      mergeMin(mainCalls)(_, _), batchId = 9L, numBuckets = B,
+      bucketKeys = Seq("id"),
+      secondaries = Seq(MvPipeline.StagedSecondary(sec,
+        d => d.select("id", "v"), mergeMin(secCalls)(_, _), Seq("v"))))
+
+    assert(readAll(path) === delta.toMap)
+    assert(readAll(sec) === delta.toMap)
+    assert(mainCalls.get() === 2, "main buckets must not re-merge on replay")
+    assert(secCalls.get() === 2)
+    assert(!fs.exists(staged), "staged delta swept only after ALL tables applied")
+
+    // full replay with nothing staged: the delta is recomputed (the
+    // secondary's CONTRACT is that its rows — including its bucket-key
+    // columns — are a deterministic function of the batch input, so the
+    // recompute routes to the same buckets), every bucket of BOTH
+    // tables is stamped, and no merge re-runs
+    MvPipeline.upsertBucketedStaged(spark, path,
+      mkDelta(delta),
+      mergeMin(mainCalls)(_, _), batchId = 9L, numBuckets = B,
+      bucketKeys = Seq("id"),
+      secondaries = Seq(MvPipeline.StagedSecondary(sec,
+        d => d.select("id", "v"), mergeMin(secCalls)(_, _), Seq("v"))))
+    assert(readAll(path) === delta.toMap)
+    assert(readAll(sec) === delta.toMap)
+    assert(mainCalls.get() === 2 && secCalls.get() === 2)
+  }
 }
