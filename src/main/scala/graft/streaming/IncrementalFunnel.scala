@@ -83,9 +83,14 @@ object IncrementalFunnel {
     val path = s"$stateDir/funnel"
     MvPipeline.upsertBucketedStaged(spark, path, {
       // persisted: deltaFold references state 2×-per-stage; the cache cut
-      // keeps the N-bucket union scan out of every task binary (see
-      // [[IncrementalNearDup]] — measured plan explosion without it)
-      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, inc.schema)
+      // keeps the bucket union scan out of every task binary (see
+      // [[IncrementalNearDup]] — measured plan explosion without it).
+      // PRUNED read (r10): every state reference in deltaFold is a
+      // per-user equi-join against batch-derived rows, so only the
+      // buckets the BATCH's users hash into can contribute — the fold
+      // reads those buckets, not all of state
+      val st = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(inc, Seq("user"), numBuckets), inc.schema)
         .transform(graft.operators.Caching.persisted)
       deltaFold(st, inc, steps.size, windowUs)
     }, merge, batchId, numBuckets, Seq("user"))

@@ -119,7 +119,12 @@ object IncrementalStrictFunnel {
   private def maintain(spark: SparkSession, inc: DataFrame, path: String,
       derive: DataFrame => DataFrame, batchId: Long, numBuckets: Int): Unit = {
     MvPipeline.upsertBucketedStaged(spark, path, {
-      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, inc.schema)
+      // PRUNED read (r10): maintenance only ever touches the BATCH's
+      // users (every state reference below is an affected() semi-join or
+      // a per-user anti-join against batch rows), so only their buckets
+      // are read — not all of state
+      val st = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(inc, Seq("user"), numBuckets), inc.schema)
         .transform(graft.operators.Caching.persisted)
       val batchUsers = inc.select("user").distinct()
         .transform(graft.operators.Caching.persisted)
