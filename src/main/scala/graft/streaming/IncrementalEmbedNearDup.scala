@@ -258,4 +258,42 @@ object IncrementalEmbedNearDup {
     sweep(s"$stateDir/embneardup", col("kind") === "l" || !frozen) +
       sweep(s"$stateDir/embneardup_bidx", !frozen)
   }
+
+  /** Deletion-EXACT forget ([[ForgetMaintenance]], R147): remove vectors
+    * so [[labels]] equals the batch x6 pairs→clusters sweep over
+    * corpus-minus-forgotten. `threshold` must match the folds'. Exact
+    * while affected components' survivors are live; throws otherwise. */
+  def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
+      threshold: Double, opId: Long = -1L, numBuckets: Int = 16,
+      driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
+    ForgetMaintenance.forget(spark, ids,
+      s"$stateDir/embneardup", s"$stateDir/embneardup_bidx", "vec_id",
+      stateSchema, payloadKind = "v", packL = packL,
+      mirrorOf = rows => rows.filter(col("kind") === "b")
+        .select("vec_id", "blk", "table_idx", "bucket"),
+      mirrorKeys = probeKeys,
+      candidates = rows => {
+        val b = rows.filter(col("kind") === "b")
+          .select("vec_id", "blk", "table_idx", "bucket")
+        b.as("a").join(b.as("b"),
+            col("a.blk") === col("b.blk") &&
+              col("a.table_idx") === col("b.table_idx") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+          .distinct()
+      },
+      verify = (cand, rows) => {
+        val v = rows.filter(col("kind") === "v").select("vec_id", "v", "norm")
+        cand
+          .join(v.select(col("vec_id").as("id1"), col("v").as("v1"),
+            col("norm").as("n1")), "id1")
+          .join(v.select(col("vec_id").as("id2"), col("v").as("v2"),
+            col("norm").as("n2")), "id2")
+          .filter(pround6(dotProduct(col("v1"), col("v2")) /
+            (col("n1") * col("n2"))) >= threshold)
+          .select(col("id1"), col("id2"))
+      },
+      opId = opId, numBuckets = numBuckets,
+      driverThreshold = driverThreshold, maxIter = maxIter)
 }

@@ -246,4 +246,39 @@ object IncrementalMediaNearDup {
     sweep(s"$stateDir/$view", col("kind") === "l" || !frozen) +
       sweep(s"$stateDir/${view}_bidx", !frozen)
   }
+
+  /** Deletion-EXACT forget ([[ForgetMaintenance]], R147): remove docs so
+    * [[labels]] equals the batch x46/x49 pairs→clusters sweep over
+    * corpus-minus-forgotten. `maxHamming` must match the folds'. Exact
+    * while affected components' survivors are live; throws otherwise. */
+  def forget(spark: SparkSession, stateDir: String, view: String,
+      ids: DataFrame, maxHamming: Int = 3, opId: Long = -1L,
+      numBuckets: Int = 16, driverThreshold: Long = 1000000L,
+      maxIter: Int = 20): Long =
+    ForgetMaintenance.forget(spark, ids,
+      s"$stateDir/$view", s"$stateDir/${view}_bidx", "doc_id",
+      stateSchema, payloadKind = "h", packL = packL,
+      mirrorOf = rows => rows.filter(col("kind") === "c")
+        .select("doc_id", "chunk_idx", "chunk"),
+      mirrorKeys = probeKeys,
+      candidates = rows => {
+        val c = rows.filter(col("kind") === "c")
+          .select("doc_id", "chunk_idx", "chunk")
+        c.as("a").join(c.as("b"),
+            col("a.chunk_idx") === col("b.chunk_idx") &&
+              col("a.chunk") === col("b.chunk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+      },
+      verify = (cand, rows) => {
+        val h = rows.filter(col("kind") === "h").select("doc_id", "simhash")
+        cand
+          .join(h.select(col("doc_id").as("id1"), col("simhash").as("h1")), "id1")
+          .join(h.select(col("doc_id").as("id2"), col("simhash").as("h2")), "id2")
+          .filter(TextOps.hamming(col("h1"), col("h2")) <= maxHamming)
+          .select(col("id1"), col("id2"))
+      },
+      opId = opId, numBuckets = numBuckets,
+      driverThreshold = driverThreshold, maxIter = maxIter)
 }

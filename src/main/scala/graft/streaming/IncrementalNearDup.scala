@@ -263,6 +263,37 @@ object IncrementalNearDup {
       sweep(s"$stateDir/neardup_bidx", !frozen)
   }
 
+  /** Deletion-EXACT forget ([[ForgetMaintenance]], R147): remove docs so
+    * that [[labels]] equals the batch x11/x25 sweep over
+    * corpus-minus-forgotten — splits and raised labels included, which
+    * the monotone fold cannot express. `threshold` must match the folds'
+    * (the views' standing cross-batch parameter contract). Exact while
+    * the affected components' survivors are live (un-compacted) — throws
+    * otherwise. Crash recovery: re-call with the same `opId`. */
+  def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
+      threshold: Double = 0.8, opId: Long = -1L, numBuckets: Int = 16,
+      driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
+    ForgetMaintenance.forget(spark, ids,
+      s"$stateDir/neardup", s"$stateDir/neardup_bidx", "doc_id",
+      stateSchema, payloadKind = "g", packL = packL,
+      mirrorOf = rows => rows.filter(col("kind") === "b")
+        .select("doc_id", "band_idx", "band_key"),
+      mirrorKeys = Seq("band_key"),
+      candidates = rows => {
+        val b = rows.filter(col("kind") === "b")
+          .select("doc_id", "band_idx", "band_key")
+        b.as("a").join(b.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+      },
+      verify = (cand, rows) => Dedup.verifyJaccard(cand,
+        rows.filter(col("kind") === "g").select("doc_id", "gh"), threshold),
+      opId = opId, numBuckets = numBuckets,
+      driverThreshold = driverThreshold, maxIter = maxIter)
+
   /** Continuous maintenance over JSON-line files with `schema`. */
   def start(spark: SparkSession, inputDir: String, schema: StructType,
       stateDir: String, checkpointDir: String,
