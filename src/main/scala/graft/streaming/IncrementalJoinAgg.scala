@@ -218,6 +218,17 @@ object IncrementalJoinAgg {
       .filter(col("kind") === "c")
       .select(col("b").as("batch"), col("g"), col("m").as("dtotal"), col("c").as("dpairs"))
 
+  /** AS-OF (time-travel) read: the aggregate exactly as it stood after
+    * `batch` committed — the changelog integral truncated at the batch.
+    * Requires streaming-mode monotone batch ids (ad-hoc folds stamp −1).
+    * No state rewritten; no history kept beyond the changelog. */
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
+    changelog(spark, stateDir)
+      .filter(col("batch") <= batch)
+      .groupBy("g")
+      .agg(sum(col("dtotal")).as("total"), sum(col("dpairs")).as("pairs"))
+      .filter(col("pairs") > 0)
+
   /** Retained facts / current dims (diagnostics + rehearsals). */
   def facts(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinagg/f", fSchema)

@@ -316,6 +316,17 @@ object IncrementalJoinAggChain {
       .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
         col("c").as("dtriples"))
 
+  /** AS-OF (time-travel) read: the aggregate exactly as it stood after
+    * `batch` committed — the changelog integral truncated at the batch.
+    * Requires streaming-mode monotone batch ids (ad-hoc folds stamp −1).
+    * No state rewritten; no history kept beyond the changelog. */
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
+    changelog(spark, stateDir)
+      .filter(col("batch") <= batch)
+      .groupBy("g")
+      .agg(sum(col("dtotal")).as("total"), sum(col("dtriples")).as("triples"))
+      .filter(col("triples") > 0)
+
   /** Diagnostics / rehearsal reads. */
   def facts(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggchain/f", fSchema)

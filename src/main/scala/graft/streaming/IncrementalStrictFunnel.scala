@@ -226,4 +226,20 @@ object IncrementalStrictFunnel {
       .filter(col("kind") === "d")
       .select(col("t").as("batch"), col("user"),
         col("k").cast("int").as("level"), col("w"))
+
+  /** AS-OF (time-travel) read: the levels view exactly as it stood
+    * after `batch` committed — the changelog integral truncated at the
+    * batch (the integral==view invariant, applied to a prefix). Requires
+    * the streaming mode's monotone batch ids; ad-hoc folds stamp −1 and
+    * are not addressable. Cost: one changelog scan + a (user, level)
+    * aggregate — no state is rewritten, no history table is kept beyond
+    * the changelog the view already maintains. */
+  def levelsAsOf(spark: SparkSession, stateDir: String, batch: Long,
+      view: String = "strictfunnel"): DataFrame =
+    changelog(spark, stateDir, view)
+      .filter(col("batch") <= batch)
+      .groupBy("user", "level")
+      .agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .select(col("user"), col("level"))
 }

@@ -190,6 +190,7 @@ class IncrementalJoinAggChainSpec extends SparkTestBase {
     val rnd = new scala.util.Random(42)
     var m = Model()
     var nextId = 0L
+    val history = scala.collection.mutable.Map[Long, Map[String, (Long, Long)]]()
     for (b <- 0L until 6L) {
       val fb = Seq.fill(rnd.nextInt(5)) {
         nextId += 1
@@ -205,9 +206,17 @@ class IncrementalJoinAggChainSpec extends SparkTestBase {
       fold(state, fb, dels, d1b, d2b, b)
       m = m.fold(fb, dels, d1b, d2b)
       assert(served(state) === m.view, s"batch $b diverged from the model")
+      history(b) = m.view
     }
     integralEqualsView(state)
     mirrorEqualsDim1(state)
+    // AS-OF reads: the truncated changelog integral reproduces the view
+    // as it stood after every past batch
+    for (b <- 0L until 6L) {
+      val asOf = IncrementalJoinAggChain.viewAsOf(spark, state, b)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(asOf === history(b), s"asOf($b) diverged from the batch-$b view")
+    }
   }
 
   test("crash between table applies: replay re-applies the staged delta and converges") {

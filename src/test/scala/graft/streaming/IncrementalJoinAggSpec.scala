@@ -70,6 +70,14 @@ class IncrementalJoinAggSpec extends SparkTestBase {
     assert(served(state) === m.view)
     assert(served(state) === Map("A" -> (151L, 3L), "B" -> (7L, 1L)))
     integralEqualsView(state)
+
+    // AS-OF reads reproduce the view at every past batch
+    def asOf(b: Long): Map[String, (Long, Long)] =
+      IncrementalJoinAgg.viewAsOf(spark, state, b)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(asOf(0L) === Map.empty)
+    assert(asOf(1L) === Map("A" -> (150L, 2L)))
+    assert(asOf(2L) === served(state))
   }
 
   test("dim upsert RETRACTS: totals move groups, emptied group leaves the view") {

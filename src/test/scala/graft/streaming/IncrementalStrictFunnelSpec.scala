@@ -73,6 +73,15 @@ class IncrementalStrictFunnelSpec extends SparkTestBase {
     assert(served(state) === batch(b1 ++ b2 ++ b3))
     assert(served(state) === Map(1L -> 3))
     integralEqualsView(state)
+
+    // AS-OF reads reproduce the view at every past batch — including
+    // the retraction batch (levels went 3 → 2 → 3 across the history)
+    def asOf(b: Long): Map[Long, Int] =
+      IncrementalStrictFunnel.levelsAsOf(spark, state, b)
+        .as[(Long, Int)].collect().toMap
+    assert(asOf(0L) === Map(1L -> 3))
+    assert(asOf(1L) === Map(1L -> 2))
+    assert(asOf(2L) === Map(1L -> 3))
   }
 
   test("strict-ORDER mode: a late INTERVENING event retracts a reported chain") {
