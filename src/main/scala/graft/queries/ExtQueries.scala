@@ -1431,6 +1431,26 @@ object ExtQueries {
     Dedup.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 40)
       .orderBy("doc_id")
 
+  /** Batch twin of the maintained CHAIN join-aggregate (R146): exact
+    * revenue-cents + joined-triple count per market segment over
+    * `lineitem ⋈ orders ⋈ customer` — the query
+    * [[graft.streaming.IncrementalJoinAggChain]] maintains, as an
+    * oracled batch read anchoring the view to the driver gate. The
+    * 100 TB side (lineitem) shuffles once on the order key; the slim
+    * customer projection broadcasts; orders⋈lineitem is the
+    * co-bucketable fact-fact edge (BucketedJoinSpec's zero-exchange
+    * layout applies at scale). */
+  def x117ChainRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), graft.functions.cents(col("l_extendedprice")).as("c"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("revenue_cents"), count(lit(1)).as("triples"))
+      .orderBy("c_mktsegment")
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4338,6 +4358,14 @@ object ExtQueries {
     "x114_transition_matrix" -> duckTransitionMatrix,
     "x115_gap_fill" -> duckGapFill,
     "x116_duplicate_spans" -> duckDuplicateSpans,
+    "x117_chain_revenue" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(sum(${graft.functions.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS triples
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4620,6 +4648,7 @@ object ExtQueries {
     "x114_transition_matrix" -> x114TransitionMatrix, // oracle: total-order lead pass
     "x115_gap_fill" -> x115GapFill, // oracle: grid + IGNORE NULLS carry
     "x116_duplicate_spans" -> x116DuplicateSpans, // oracle: window-hash + island replay
+    "x117_chain_revenue" -> x117ChainRevenue, // oracle: 3-way join + exact cents
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
