@@ -71,12 +71,46 @@ object IncrementalAnnIndex {
       .write.mode("overwrite").parquet(s"$stateDir/ann_index/$part")
   }
 
-  /** The accumulated encoded index. */
+  /** The accumulated encoded index, minus any tombstoned ids. */
   def readIndex(spark: SparkSession, stateDir: String): DataFrame = {
     val (fs, base) = recovered(spark, stateDir)
     val parts = fs.listStatus(base).filter(_.isDirectory).map(_.getPath.toString)
     require(parts.nonEmpty, s"empty index state at $base")
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val idx = parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    forgotten(spark, stateDir) match {
+      case Some(f) =>
+        idx.join(org.apache.spark.sql.functions.broadcast(f),
+          Seq("vec_id"), "left_anti")
+      case None => idx
+    }
+  }
+
+  /** Lightweight deletes — the ANN member of the R147 forget family,
+    * with MergeTree lightweight-DELETE economics: forgetting writes an
+    * O(ids) tombstone part NOW (no index parts rewritten), every read
+    * masks tombstoned ids, and the next [[compact]] purges them
+    * physically and clears the tombstones. Exactness is structural —
+    * index rows are independent, so search over corpus-minus-forgotten
+    * equals the batch search bit-for-bit the moment the tombstone
+    * lands. A replayed `batch=` dir re-inserting a forgotten id stays
+    * masked (tombstones survive until the purge actually happened); an
+    * id re-sent AFTER compaction is a new vector by the views' standing
+    * id contract. */
+  def forget(spark: SparkSession, stateDir: String, ids: DataFrame): Unit = {
+    recovered(spark, stateDir)
+    ids.select(org.apache.spark.sql.functions
+        .col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/ann_forgotten/op=${java.util.UUID.randomUUID}")
+  }
+
+  private def forgotten(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val base = new Path(s"$stateDir/ann_forgotten")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val parts = fs.listStatus(base).filter(_.isDirectory).map(_.getPath.toString)
+    if (parts.isEmpty) None
+    else Some(parts.map(spark.read.parquet(_)).reduce(_ unionByName _).distinct())
   }
 
   /** Compact the per-batch append directories into ONE table partitioned
@@ -97,6 +131,12 @@ object IncrementalAnnIndex {
     fs.mkdirs(base)
     require(fs.rename(tmp, new Path(base, "compacted")), s"commit compaction for $base")
     fs.delete(aside, true)
+    // the rewrite above read through the tombstone mask, so forgotten
+    // rows are now physically gone — clear the tombstones. A crash
+    // before this point leaves them in place (reads stay masked, the
+    // next compaction purges again); after it, the anti-join is a no-op
+    // either way: deleting them is pure space reclamation
+    fs.delete(new Path(s"$stateDir/ann_forgotten"), true)
   }
 
   /** IVF-PQ search over the maintained index — identical arithmetic to

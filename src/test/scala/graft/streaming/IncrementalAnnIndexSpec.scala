@@ -103,4 +103,44 @@ class IncrementalAnnIndexSpec extends SparkTestBase {
     graft.operators.Caching.releaseAll()
     assert(afterSalvage === batch3)
   }
+
+  test("forget: tombstone masks searches immediately; compaction purges physically") {
+    val state = tmpDir("ann-fg")
+    IncrementalAnnIndex.processBatch(chunk1.toDF("vec_id", "embedding"), state, 0L)
+    IncrementalAnnIndex.processBatch(chunk2.toDF("vec_id", "embedding"), state, 1L)
+
+    // forget id 3 (a corpus member AND one of the query vectors): search
+    // must equal the batch path over corpus-minus-forgotten at once
+    IncrementalAnnIndex.forget(spark, state, Seq(3L).toDF("vec_id"))
+    val batchMinus = Similarity.ivfPqTopK(
+      (chunk1 ++ chunk2).filterNot(_._1 == 3L).toDF("vec_id", "embedding"),
+      col("vec_id") < 5, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.operators.Caching.releaseAll()
+    def served(): Set[(Long, Long, Long, Double)] = {
+      val r = IncrementalAnnIndex.search(spark, state, col("vec_id") < 5, k = 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      graft.operators.Caching.releaseAll()
+      r
+    }
+    assert(served() === batchMinus)
+    assert(IncrementalAnnIndex.readIndex(spark, state).filter("vec_id = 3").isEmpty)
+
+    // a replayed batch re-inserting the forgotten id stays masked
+    IncrementalAnnIndex.processBatch(chunk1.toDF("vec_id", "embedding"), state, 0L)
+    assert(served() === batchMinus)
+
+    // compaction purges physically and clears the tombstones; searches
+    // unchanged, and the RAW compacted files no longer hold the id
+    IncrementalAnnIndex.compact(spark, state)
+    assert(!new java.io.File(s"$state/ann_forgotten").exists(),
+      "tombstones must clear after the purge")
+    assert(spark.read.parquet(s"$state/ann_index/compacted")
+      .filter("vec_id = 3").isEmpty, "forgotten row must be physically gone")
+    assert(served() === batchMinus)
+
+    // unknown ids are a harmless no-op
+    IncrementalAnnIndex.forget(spark, state, Seq(9999L).toDF("vec_id"))
+    assert(served() === batchMinus)
+  }
 }
