@@ -218,10 +218,32 @@ object IncrementalJoinAgg {
       .filter(col("kind") === "c")
       .select(col("b").as("batch"), col("g"), col("m").as("dtotal"), col("c").as("dpairs"))
 
+  /** Changelog compaction: fold every changelog row with batch ≤ `upTo`
+    * into ONE baseline row per group stamped `upTo` — the changelog is
+    * the only part of this state that grows with HISTORY rather than
+    * with live keys, and the integral invariant survives a prefix fold
+    * exactly. [[viewAsOf]] stays exact for every `batch ≥ upTo`;
+    * addressability BELOW the floor is what compaction spends
+    * (documented, the caller picks the floor). Idempotent; per-bucket
+    * marker protocol, crash-safe. */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/joinagg/a", old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val baseline = pre.groupBy("g")
+        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+        .filter(col("m") =!= 0 || col("c") =!= 0)
+        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
+          col("m"), col("c"))
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+
   /** AS-OF (time-travel) read: the aggregate exactly as it stood after
     * `batch` committed — the changelog integral truncated at the batch.
     * Requires streaming-mode monotone batch ids (ad-hoc folds stamp −1).
-    * No state rewritten; no history kept beyond the changelog. */
+    * No state rewritten; no history kept beyond the changelog (bound it
+    * with [[compactChangelog]]); `batch` below a compaction floor is no
+    * longer addressable. */
   def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
     changelog(spark, stateDir)
       .filter(col("batch") <= batch)

@@ -316,10 +316,27 @@ object IncrementalJoinAggChain {
       .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
         col("c").as("dtriples"))
 
+  /** Changelog compaction — the [[IncrementalJoinAgg.compactChangelog]]
+    * contract for the chain view: prefix rows fold into one baseline
+    * per group at `upTo`; as-of stays exact at and above the floor. */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/joinaggchain/a", old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val baseline = pre.groupBy("g")
+        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+        .filter(col("m") =!= 0 || col("c") =!= 0)
+        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
+          col("m"), col("c"))
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+
   /** AS-OF (time-travel) read: the aggregate exactly as it stood after
     * `batch` committed — the changelog integral truncated at the batch.
     * Requires streaming-mode monotone batch ids (ad-hoc folds stamp −1).
-    * No state rewritten; no history kept beyond the changelog. */
+    * No state rewritten; no history kept beyond the changelog (bound it
+    * with [[compactChangelog]]); `batch` below a compaction floor is no
+    * longer addressable. */
   def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
     changelog(spark, stateDir)
       .filter(col("batch") <= batch)

@@ -227,13 +227,33 @@ object IncrementalStrictFunnel {
       .select(col("t").as("batch"), col("user"),
         col("k").cast("int").as("level"), col("w"))
 
+  /** Changelog compaction — the [[IncrementalJoinAgg.compactChangelog]]
+    * contract for the funnel changelog: every `d` row with batch ≤
+    * `upTo` folds into one baseline row per (user, level) stamped
+    * `upTo` (net weight after assert/retract/re-assert cycles; zeros
+    * drop); [[levelsAsOf]] stays exact at and above the floor. */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long,
+      view: String = "strictfunnel"): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/$view", old => {
+      val pre = old.filter(col("kind") === "d" && col("t") <= upTo)
+      val baseline = pre.groupBy("user", "k")
+        .agg(sum(col("w")).as("w"))
+        .filter(col("w") =!= 0)
+        .select(lit("d").as("kind"), col("k"), col("user"),
+          lit(upTo).as("t"), lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("et"), col("w"))
+      old.filter(!(col("kind") === "d" && col("t") <= upTo))
+        .unionByName(baseline)
+    })
+
   /** AS-OF (time-travel) read: the levels view exactly as it stood
     * after `batch` committed — the changelog integral truncated at the
     * batch (the integral==view invariant, applied to a prefix). Requires
     * the streaming mode's monotone batch ids; ad-hoc folds stamp −1 and
-    * are not addressable. Cost: one changelog scan + a (user, level)
-    * aggregate — no state is rewritten, no history table is kept beyond
-    * the changelog the view already maintains. */
+    * are not addressable, and batches below a [[compactChangelog]] floor
+    * are no longer addressable. Cost: one changelog scan + a
+    * (user, level) aggregate — no state is rewritten, no history table
+    * is kept beyond the changelog the view already maintains. */
   def levelsAsOf(spark: SparkSession, stateDir: String, batch: Long,
       view: String = "strictfunnel"): DataFrame =
     changelog(spark, stateDir, view)

@@ -463,6 +463,24 @@ object MvPipeline {
     * never neither, and concurrent-writer detection still applies.
     * Returns the number of expired rows. No-op (no rewrite at all) when
     * nothing expires. */
+  /** Rewrite every bucket of a bucketed state dir through `transform`
+    * under the ad-hoc (marker-preserving) per-bucket protocol — for
+    * maintenance passes that FOLD rows (changelog compaction) rather
+    * than just drop them ([[expireState]]). A crash mid-loop re-runs
+    * converge when `transform` is idempotent. */
+  def transformBuckets(spark: SparkSession, path: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      .foreach { b =>
+        upsertMerge(spark.emptyDataFrame, b.getPath.toString,
+          (old, _) => transform(old), -1L)
+      }
+  }
+
   def expireState(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

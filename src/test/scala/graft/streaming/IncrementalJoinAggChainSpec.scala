@@ -217,6 +217,17 @@ class IncrementalJoinAggChainSpec extends SparkTestBase {
         .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
       assert(asOf === history(b), s"asOf($b) diverged from the batch-$b view")
     }
+    // changelog compaction at floor 3: as-of at/above the floor and the
+    // integral survive; history below the floor is spent (documented)
+    val rowsBefore = IncrementalJoinAggChain.changelog(spark, state).count()
+    IncrementalJoinAggChain.compactChangelog(spark, state, 3L)
+    assert(IncrementalJoinAggChain.changelog(spark, state).count() <= rowsBefore)
+    for (b <- 3L until 6L) {
+      val asOf = IncrementalJoinAggChain.viewAsOf(spark, state, b)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(asOf === history(b), s"post-compaction asOf($b) diverged")
+    }
+    integralEqualsView(state)
   }
 
   test("crash between table applies: replay re-applies the staged delta and converges") {

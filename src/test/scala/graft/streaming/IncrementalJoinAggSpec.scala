@@ -78,6 +78,21 @@ class IncrementalJoinAggSpec extends SparkTestBase {
     assert(asOf(0L) === Map.empty)
     assert(asOf(1L) === Map("A" -> (150L, 2L)))
     assert(asOf(2L) === served(state))
+
+    // changelog compaction at floor 2: the A rows from batches 1 and 2
+    // fold to one baseline; as-of at/above the floor and the integral
+    // stay exact (addressability below the floor is what's spent)
+    val rowsBefore = IncrementalJoinAgg.changelog(spark, state).count()
+    IncrementalJoinAgg.compactChangelog(spark, state, 2L)
+    assert(IncrementalJoinAgg.changelog(spark, state).count() < rowsBefore)
+    assert(asOf(2L) === served(state))
+    integralEqualsView(state)
+    // idempotent re-run; a later batch still folds exactly
+    IncrementalJoinAgg.compactChangelog(spark, state, 2L)
+    assert(asOf(2L) === served(state))
+    fold(state, Seq((20L, 9L, 5L)), Nil, 3L); m = m.fold(Seq((20L, 9L, 5L)), Nil)
+    assert(served(state) === m.view)
+    integralEqualsView(state)
   }
 
   test("dim upsert RETRACTS: totals move groups, emptied group leaves the view") {

@@ -116,4 +116,26 @@ class IncrementalMediaNearDupSpec extends SparkTestBase {
       stateDir = state, batchId = 2L)
     assert(served(state, "audneardup")(5L) === 0L)
   }
+
+  test("TEXT SimHash maintained through the generic fingerprint fold == the batch x3 pipeline") {
+    // the docstring's claim ("any 64-bit fingerprint family") with
+    // evidence: the real documents corpus, hashed by the batch x3
+    // SimHash kernel, folded in two id-split batches through
+    // processHashes — maintained clustering == simhashPairs → clusters
+    val state = tmpDir("txt-sh")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val hashes = Dedup.simhashes(docs)
+      .as[(Long, Long)].collect().toSeq
+    graft.operators.Caching.releaseAll()
+    val (even, odd) = hashes.partition(_._1 % 2 == 0)
+    IncrementalMediaNearDup.processHashes(even.toDF("doc_id", "simhash"),
+      "txtneardup", maxHamming = 3, stateDir = state, batchId = 0L)
+    assert(served(state, "txtneardup") === batchClusters(even, 3))
+    IncrementalMediaNearDup.processHashes(odd.toDF("doc_id", "simhash"),
+      "txtneardup", maxHamming = 3, stateDir = state, batchId = 1L)
+    assert(served(state, "txtneardup") === batchClusters(hashes, 3))
+    assert(served(state, "txtneardup").exists { case (id, l) => id != l },
+      "corpus fixture must contain at least one real near-dup pair")
+  }
 }

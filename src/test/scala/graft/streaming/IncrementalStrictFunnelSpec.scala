@@ -82,6 +82,22 @@ class IncrementalStrictFunnelSpec extends SparkTestBase {
     assert(asOf(0L) === Map(1L -> 3))
     assert(asOf(1L) === Map(1L -> 2))
     assert(asOf(2L) === Map(1L -> 3))
+
+    // changelog compaction at floor 1 folds the assert/retract cycle
+    // (+3, −3, +2) into the single net row; as-of ≥ floor exact
+    val before = IncrementalStrictFunnel.changelog(spark, state).count()
+    IncrementalStrictFunnel.compactChangelog(spark, state, 1L)
+    assert(IncrementalStrictFunnel.changelog(spark, state).count() < before)
+    assert(asOf(1L) === Map(1L -> 2))
+    assert(asOf(2L) === Map(1L -> 3))
+    integralEqualsView(state)
+    // idempotent; maintenance continues exactly after the fold
+    IncrementalStrictFunnel.compactChangelog(spark, state, 1L)
+    assert(asOf(2L) === Map(1L -> 3))
+    val b4 = Seq((1L, 215L, "click"))
+    fold(state, b4, 3L)
+    assert(served(state) === batch(b1 ++ b2 ++ b3 ++ b4))
+    integralEqualsView(state)
   }
 
   test("strict-ORDER mode: a late INTERVENING event retracts a reported chain") {
