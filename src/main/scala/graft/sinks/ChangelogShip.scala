@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export a Z-set changelog to an external sink — connecting the
+  * engine's maintained views to the reference's storage model: a
+  * ClickHouse SummingMergeTree folds APPENDED signed increments at
+  * merge time, so shipping the changelog (not the materialized view) is
+  * the contract that lets the external table converge to the view with
+  * append-only writes — retractions travel as −1-weighted rows, exactly
+  * what the reference engine family's summing tables consume.
+  *
+  * Delivery contract, stated honestly: the ship is AT-LEAST-ONCE with
+  * DETERMINISTIC batch blocks, which composes to exactly-once because a
+  * changelog carries at most ONE row per (batch, key) — the watermark
+  * marker advances only after the sink append returns, so a crash
+  * between the two re-ships the same rows byte-identically, and the
+  * duplicate blocks are removable downstream by (batch, key): ClickHouse
+  * dedups identical insert blocks natively (`insert_deduplication`) or
+  * via ReplacingMergeTree ORDER BY (batch, key); a warehouse without
+  * either reads through `SELECT DISTINCT` / row_number-per-(batch, key)
+  * (the spec's Derby reader does). For an idempotent sink this is plain
+  * exactly-once.
+  *
+  * Interplay with changelog COMPACTION: compact only up to batches
+  * already shipped — the baseline row is stamped at the floor, so with
+  * floor ≤ watermark it never ships (the already-shipped history it
+  * folds is already downstream). Compacting ABOVE the watermark would
+  * ship a baseline that double-counts shipped prefixes. */
+object ChangelogShip {
+
+  /** Ship every changelog row with `batchCol` above the stored watermark
+    * to `sink.table`, then advance the watermark (tmp + rename). Returns
+    * rows shipped (0 = nothing pending). Single shipper per
+    * (markerDir, table), the MvPipeline writer contract. */
+  def ship(changelog: DataFrame, batchCol: String, sink: GraftSink,
+      table: String, markerDir: String): Long = {
+    val spark = changelog.sparkSession
+    val marker = new Path(s"$markerDir/_shipped_$table")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = readWatermark(fs, marker)
+    val pending = changelog.filter(col(batchCol) > last)
+      .transform(graft.operators.Caching.persisted)
+    try {
+      val stats = pending.agg(count(lit(1)), max(col(batchCol))).collect().head
+      val n = stats.getLong(0)
+      if (n == 0) return 0L
+      sink.write(pending, table)
+      val tmp = new Path(s"$markerDir/_shipped_$table.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(stats.getLong(1).toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(marker, true)
+      require(fs.rename(tmp, marker), s"advance watermark $marker")
+      n
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** The last shipped batch id (−1 = nothing shipped yet). */
+  def watermark(spark: SparkSession, markerDir: String, table: String): Long = {
+    val marker = new Path(s"$markerDir/_shipped_$table")
+    readWatermark(marker.getFileSystem(spark.sparkContext.hadoopConfiguration), marker)
+  }
+
+  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem, marker: Path): Long =
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+}
