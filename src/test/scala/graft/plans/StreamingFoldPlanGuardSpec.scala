@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.SparkTestBase
-import graft.streaming.{IncrementalFunnel, IncrementalNearDup, IncrementalStrictFunnel}
+import graft.streaming.{IncrementalDupSpans, IncrementalFunnel, IncrementalJoinAggChain, IncrementalJoinAggN, IncrementalNearDup, IncrementalStrictFunnel}
 import graft.tools.PlanSweep
 
 /** Plan regression guard for the STREAMING fold plans — the per-batch
@@ -85,6 +85,56 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
     }
     auditAll(plans, "funnel")
     assert(hasCacheCut(plans), "funnel fold lost its state cache cut")
+  }
+
+  test("chain join-agg fold (r10): no cartesian/BNLJ in any executed plan") {
+    val state = tmpDir("pg-jac")
+    IncrementalJoinAggChain.processBatch(
+      Seq((10L, 1L, 100L)).toDF("k1", "id", "m"), "k1", "id", "m",
+      Seq.empty[(Long, Long)].toDF("k1", "id"), "k1", "id",
+      Seq((10L, 500L)).toDF("k1", "k2"), "k1", "k2",
+      Seq((500L, "A")).toDF("k2", "g"), "k2", "g", state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      IncrementalJoinAggChain.processBatch(
+        Seq((10L, 2L, 50L)).toDF("k1", "id", "m"), "k1", "id", "m",
+        Seq((10L, 1L)).toDF("k1", "id"), "k1", "id",
+        Seq((10L, 600L)).toDF("k1", "k2"), "k1", "k2",
+        Seq((600L, "B")).toDF("k2", "g"), "k2", "g", state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "chain join-agg")
+  }
+
+  test("depth-generic join-agg fold (r10): no cartesian/BNLJ at depth 3") {
+    val state = tmpDir("pg-jn")
+    def fold(fb: Seq[(Long, Long, Long)], l1: Seq[(Long, Long)],
+        l2: Seq[(Long, Long)], l3: Seq[(Long, String)], id: Long): Unit =
+      IncrementalJoinAggN.processBatch(
+        fb.toDF("k", "id", "m"), "k", "id", "m",
+        Seq.empty[(Long, Long)].toDF("k", "id"), "k", "id",
+        Seq(l1.toDF("k", "v"), l2.toDF("k", "v"), l3.toDF("k", "v")),
+        Seq(("k", "v"), ("k", "v"), ("k", "v")), state, id, numBuckets = 4)
+    fold(Seq((10L, 1L, 100L)), Seq((10L, 500L)), Seq((500L, 900L)),
+      Seq((900L, "A")), 0L)
+    val plans = withCapturedPlans {
+      fold(Seq((20L, 2L, 7L)), Seq((20L, 500L)), Seq((500L, 901L)),
+        Seq((901L, "B")), 1L)
+    }
+    auditAll(plans, "depth-generic join-agg")
+  }
+
+  test("dup-spans fold (r10): no cartesian/BNLJ incl. the retro path") {
+    val state = tmpDir("pg-ds")
+    val run = (1 to 50).map(i => s"t$i").mkString(" ")
+    IncrementalDupSpans.processBatch(
+      Seq(1L -> s"$run unique one").toDF("doc_id", "text"),
+      "doc_id", "text", 40, state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // doc 2 shares the run — triggers the retroactive recompute of doc 1
+      IncrementalDupSpans.processBatch(
+        Seq(2L -> s"other $run").toDF("doc_id", "text"),
+        "doc_id", "text", 40, state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "dup-spans")
   }
 
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
