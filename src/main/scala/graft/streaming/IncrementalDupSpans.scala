@@ -264,6 +264,42 @@ object IncrementalDupSpans {
       .sum
   }
 
+  /** Doc-local forget — the dup-spans member of the R147 family, with
+    * an honest CONSERVATIVE contract: the forgotten docs' window, meta,
+    * and stats rows are removed (their text is no longer served or
+    * retro-updatable), but the hash summaries deliberately keep
+    * counting them — `hidx` stores a saturating count and never a doc
+    * list (the design choice that keeps it O(distinct hashes)), so
+    * decrementing is impossible without corpus-sized state. The
+    * consequence is OVER-flagging relative to a fresh sweep: a doc
+    * whose only duplicate partner was forgotten stays flagged, and a
+    * future doc matching only forgotten text gets flagged — the safe
+    * direction for a dedup curation pass (never under-flags). A 1→2
+    * transition that targets a forgotten holder skips gracefully (no
+    * rows to recompute, same as the compaction horizon). Ids are
+    * collected to the driver — forget requests are operationally
+    * bounded; rebuild the view for corpus-scale removals. */
+  def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
+      numBuckets: Int = 16): Long = {
+    val f = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    val idList = f.collect().map(_.getLong(0)).toSeq
+    if (idList.isEmpty) return 0L
+    // numBuckets must match the folds' (the standing parameter contract)
+    val buckets = MvPipeline.bucketIdsOf(f, Seq("doc_id"), numBuckets)
+    def sweep(table: String): Long = {
+      val base = new Path(s"$stateDir/dupspans/$table")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) return 0L
+      fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .filter(s => buckets.contains(s.getPath.getName.stripPrefix("bucket=").toLong))
+        .map(b => MvPipeline.expireState(spark, b.getPath.toString,
+          !col("doc_id").isin(idList: _*)))
+        .sum
+    }
+    sweep("w") + sweep("s")
+  }
+
   /** Continuous maintenance over JSON-line files with `schema`. */
   def start(spark: SparkSession, inputDir: String,
       schema: StructType, stateDir: String, checkpointDir: String,

@@ -144,6 +144,40 @@ class IncrementalDupSpansSpec extends SparkTestBase {
     assert(served(state)(2L) === batchTruth(2L), "live docs unaffected")
   }
 
+  test("forget: doc-local removal with the conservative over-flag contract") {
+    val state = tmpDir("ds6")
+    val a = 1L -> (uniq(41, 50) + run1)
+    val b = 2L -> (run1 + uniq(42, 50))
+    val c = 3L -> uniq(43, 100)
+    fold(state, Seq(a, b, c), 0L)
+    assert(served(state).keySet === Set(1L, 2L))
+    val bStats = served(state)(2L)
+
+    // forget doc 1: its stats leave the view; doc 2's stats deliberately
+    // STAY (the hash summaries keep counting forgotten text — the
+    // conservative over-flag, never an under-flag)
+    val n = IncrementalDupSpans.forget(spark, state, Seq(1L).toDF("doc_id"),
+      numBuckets = 4)
+    assert(n > 0)
+    assert(served(state).keySet === Set(2L))
+    assert(served(state)(2L) === bStats)
+
+    // a future doc matching only the FORGOTTEN text still flags
+    // (conservative), and the 1→2-style transition targeting the
+    // forgotten holder skips gracefully
+    val d = 4L -> (uniq(44, 20) + run1 + uniq(45, 20))
+    fold(state, Seq(d), 1L)
+    assert(served(state).contains(4L), "new doc must flag against forgotten text")
+    assert(!served(state).contains(1L), "forgotten doc must stay gone")
+
+    // unknown ids and replays are no-ops
+    assert(IncrementalDupSpans.forget(spark, state, Seq(999L).toDF("doc_id"),
+      numBuckets = 4) === 0L)
+    val snap = served(state)
+    IncrementalDupSpans.forget(spark, state, Seq(1L).toDF("doc_id"), numBuckets = 4)
+    assert(served(state) === snap)
+  }
+
   test("start(): JSON-line stream end-to-end; retro across micro-batches") {
     import org.apache.spark.sql.types._
     val in = tmpDir("ds5in"); val state = tmpDir("ds5st"); val ckpt = tmpDir("ds5ck")
