@@ -263,6 +263,59 @@ object IncrementalNearDup {
       sweep(s"$stateDir/neardup_bidx", !frozen)
   }
 
+  /** BOOTSTRAP: initialize a FRESH state dir from one batch sweep — the
+    * operational answer to the rehearsal's measured cost gap (folding
+    * the initial corpus through micro-batches paid ~17-20 s/batch of
+    * delta machinery where the batch sweep runs in ~1-2 s; streaming
+    * maintenance wins per-batch AFTER the corpus exists, so the corpus
+    * itself should enter through the batch path). Computes the batch
+    * pairs→clusters pipeline once with the SAME kernels the folds use,
+    * writes the b/g/l rows and the probe mirror directly, and leaves a
+    * state on which [[processBatch]] continues exactly — the spec pins
+    * post-bootstrap folds against the all-batch ground truth. Refuses a
+    * non-fresh dir (a bootstrap over live state would fork the
+    * single-writer history; fold or [[forget]] instead). */
+  def bootstrap(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.8, stateDir: String, numBuckets: Int = 16,
+      maxIter: Int = 20, driverThreshold: Long = 1000000L): Unit = {
+    val spark = docs.sparkSession
+    val path = s"$stateDir/neardup"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val g = Dedup.gramSets(docs, idCol, textCol, shingleN)
+      .transform(graft.operators.Caching.persisted)
+    val gh = g.select(col("doc_id").cast("long").as("doc_id"), col("gh"))
+    val b = Dedup.bandRows(g, numHashes, numBands)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("band_idx").cast("int"), col("band_key"))
+      .transform(graft.operators.Caching.persisted)
+    // batch pairs over the same banded candidates + exact verify
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val edges = Dedup.verifyJaccard(cand, gh, threshold)
+    val cl = Dedup.clusters(edges, maxIter, driverThreshold)
+      .withColumnRenamed("id", "doc_id")
+    val l = gh.select("doc_id").distinct()
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("label"))
+    MvPipeline.upsertBucketedMerge(
+      packB(b).unionByName(packG(gh)).unionByName(packL(l)),
+      path, merge, -1L, numBuckets, Seq("doc_id"))
+    MvPipeline.upsertBucketedMerge(
+      b.select("doc_id", "band_idx", "band_key"),
+      s"$stateDir/neardup_bidx",
+      (old, inc) => old.unionByName(inc).distinct(),
+      -1L, numBuckets, Seq("band_key"))
+    graft.operators.Caching.releaseAll()
+  }
+
   /** Deletion-EXACT forget ([[ForgetMaintenance]], R147): remove docs so
     * that [[labels]] equals the batch x11/x25 sweep over
     * corpus-minus-forgotten — splits and raised labels included, which

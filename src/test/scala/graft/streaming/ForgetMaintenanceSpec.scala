@@ -124,6 +124,36 @@ class ForgetMaintenanceSpec extends SparkTestBase {
     assert(servedText(state) === Map.empty)
   }
 
+  test("bootstrap: batch-sweep initialization, exact continuation, forget composes") {
+    val state = tmpDir("fg-boot")
+    val initial = Seq(1L -> aTok, 2L -> bTok, 3L -> cTok,
+      20L -> (1 to 40).map(i => s"z$i").mkString(" "))
+    IncrementalNearDup.bootstrap(initial.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 8,
+      threshold = thr, stateDir = state)
+    assert(servedText(state) === textTruth(initial))
+    assert(servedText(state) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 20L))
+
+    // a fold CONTINUES on the bootstrapped state: candidates probe the
+    // bootstrapped mirror, verification reads bootstrapped grams
+    val late = Seq(21L -> (1 to 39).map(i => s"z$i").mkString(" "))
+    foldText(state, late, 0L)
+    assert(servedText(state) === textTruth(initial ++ late))
+    assert(servedText(state)(21L) === 20L, "new doc must pair with a bootstrapped doc")
+
+    // forget composes with bootstrapped state (the bridge split)
+    IncrementalNearDup.forget(spark, state, Seq(2L).toDF("doc_id"),
+      threshold = thr, opId = 1L)
+    assert(servedText(state) ===
+      textTruth((initial ++ late).filterNot(_._1 == 2L)))
+
+    // bootstrap refuses a live state dir
+    assertThrows[IllegalArgumentException] {
+      IncrementalNearDup.bootstrap(initial.toDF("doc_id", "text"),
+        "doc_id", "text", stateDir = state)
+    }
+  }
+
   // --- embedding: the bridged two-cluster fixture from the embed spec
   private val dim = 64
   private def vec(deg: Double, scale: Float = 1f): Array[Float] = {
