@@ -277,6 +277,71 @@ object IncrementalJoinAggN {
     a.unionByName(all.filter(col("kind") === "c").distinct())
   }
 
+  /** BOOTSTRAP: initialize a FRESH state dir from the batch tables —
+    * the corpus enters through one N-way batch join (what the engine
+    * would serve anyway) instead of per-batch delta machinery (measured
+    * on the near-dup family at ~10× the batch cost per slice; the
+    * depth-3 rehearsal's corpus-quarter folds ran 25-79 s where the
+    * batch recompute is sub-second). Writes facts, every level and its
+    * mirror, the aggregate, and ONE baseline changelog row per group
+    * stamped `baselineBatch` — the as-of floor (history before the
+    * bootstrap does not exist, exactly like a changelog compaction at
+    * that floor). Continuation folds must use batch ids ABOVE
+    * `baselineBatch`. Refuses a live state dir. */
+  def bootstrap(facts: DataFrame, factK: String, factId: String, factM: String,
+      dims: Seq[DataFrame], dimCols: Seq[(String, String)],
+      stateDir: String, baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+    val n = dims.size
+    require(n >= 1 && dimCols.size == n, "one (key, value) column pair per level")
+    val spark = facts.sparkSession
+    val path = s"$stateDir/joinaggn"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val fIn = facts.select(col(factK).cast("long").as("k"),
+        col(factId).cast("long").as("id"), col(factM).cast("long").as("m"))
+      .groupBy("id").agg(min(struct(col("k"), col("m"))).as("s"))
+      .select(col("id"), col("s.k").as("k"), col("s.m").as("m"))
+      .transform(graft.operators.Caching.persisted)
+    val dIns = dims.zipWithIndex.map { case (df, i) =>
+      val (kc, vc) = dimCols(i)
+      val base =
+        if (i == n - 1) df.select(col(kc).cast("long").as("k"),
+          lit(null).cast("long").as("vl"), col(vc).cast("string").as("vs"))
+        else df.select(col(kc).cast("long").as("k"),
+          col(vc).cast("long").as("vl"), lit(null).cast("string").as("vs"))
+      base.groupBy("k").agg(max(col("vl")).as("vl"), max(col("vs")).as("vs"))
+        .transform(graft.operators.Caching.persisted)
+    }
+    MvPipeline.upsertBucketedMerge(fIn.select("k", "id", "m"), s"$path/f",
+      (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
+    for (i <- 1 to n) {
+      MvPipeline.upsertBucketedMerge(dIns(i - 1), s"$path/d$i",
+        (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
+      if (i < n)
+        MvPipeline.upsertBucketedMerge(dIns(i - 1), s"$path/d${i}m",
+          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("vl"))
+    }
+    // the batch aggregate once, as both the materialized rows and the
+    // baseline changelog row per group
+    var cur = fIn.select(col("k"), col("m"))
+    for (i <- 0 until n)
+      cur =
+        if (i == n - 1) cur.join(dIns(i), Seq("k"))
+          .select(col("vs").as("g"), col("m"))
+        else cur.join(dIns(i), Seq("k")).select(col("vl").as("k"), col("m"))
+    val agg = cur.groupBy("g")
+      .agg(sum(col("m")).as("m"), count(lit(1)).as("c"))
+      .transform(graft.operators.Caching.persisted)
+    val aRows = agg.select(lit("a").as("kind"), col("g"),
+        lit(null).cast("long").as("b"), col("m"), col("c"))
+      .unionByName(agg.select(lit("c").as("kind"), col("g"),
+        lit(baselineBatch).as("b"), col("m"), col("c")))
+    MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
+      numBuckets, Seq("g"))
+    graft.operators.Caching.releaseAll()
+  }
+
   /** `(g, total, rows)` == the batch N-way chain join-aggregate. */
   def view(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggn/a", aSchema)

@@ -131,6 +131,50 @@ class IncrementalJoinAggNSpec extends SparkTestBase {
     assert(integral === served(state))
   }
 
+  test("bootstrap: batch-table initialization, exact continuation with retractions") {
+    val state = tmpDir("jn4")
+    var m = Model(levels = Vector(Map.empty, Map.empty, Map.empty))
+    val f0 = Seq((10L, 1L, 100L), (10L, 2L, 50L), (20L, 3L, 7L))
+    val l1 = Seq((10L, 500L), (20L, 600L))
+    val l2 = Seq((500L, 900L), (600L, 901L))
+    val l3 = Seq((900L, "A"), (901L, "B"))
+    IncrementalJoinAggN.bootstrap(
+      f0.toDF("k", "id", "m"), "k", "id", "m",
+      Seq(l1.toDF("k", "v"), l2.toDF("k", "v"), l3.toDF("k", "v")),
+      Seq(("k", "v"), ("k", "v"), ("k", "v")), state,
+      baselineBatch = 0L, numBuckets = 4)
+    m = m.fold(f0, Nil, Seq(
+      l1.map { case (k, v) => (k, Left(v): Either[Long, String]) },
+      l2.map { case (k, v) => (k, Left(v): Either[Long, String]) },
+      l3.map { case (k, v) => (k, Right(v): Either[Long, String]) }))
+    assert(served(state) === m.view)
+    assert(served(state) === Map("A" -> (150L, 2L), "B" -> (7L, 1L)))
+
+    // continuation: a middle-level re-key RETRACTS against bootstrapped
+    // state (probes the bootstrapped mirrors), plus a delete
+    foldN(state, Nil, Seq((10L, 1L)), Nil, Seq((500L, 901L)), Nil, 1L)
+    m = m.fold(Nil, Seq((10L, 1L)),
+      Seq(Nil, Seq((500L, Left(901L): Either[Long, String])), Nil))
+    assert(served(state) === m.view)
+    assert(served(state) === Map("B" -> (57L, 2L)))
+
+    // changelog integral == view across the baseline + live rows
+    val integral = IncrementalJoinAggN.changelog(spark, state)
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("dtotal").as("t"),
+        org.apache.spark.sql.functions.sum("drows").as("p"))
+      .filter("p <> 0")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(integral === served(state))
+
+    // refuses a live dir
+    assertThrows[IllegalArgumentException] {
+      IncrementalJoinAggN.bootstrap(f0.toDF("k", "id", "m"), "k", "id", "m",
+        Seq(l1.toDF("k", "v"), l2.toDF("k", "v"), l3.toDF("k", "v")),
+        Seq(("k", "v"), ("k", "v"), ("k", "v")), state, numBuckets = 4)
+    }
+  }
+
   test("depth 2 instance serves exactly what the hand-written ternary view serves") {
     val stateN = tmpDir("jn3n"); val stateC = tmpDir("jn3c")
     val rnd = new scala.util.Random(5)
