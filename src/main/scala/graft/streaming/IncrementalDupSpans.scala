@@ -188,20 +188,23 @@ object IncrementalDupSpans {
         fs.delete(staged, true)
         require(fs.rename(tmp, staged), s"stage delta $staged")
       }
-      val delta = spark.read.parquet(staged.toString)
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "w").select("doc_id", "pos", "h"),
-        s"$path/w", (old, inc) => old.unionByName(inc).distinct(),
-        batchId, numBuckets, Seq("doc_id"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "x").select("h", "doc_id"),
-        s"$path/hidx", mergeHidx, batchId, numBuckets, Seq("h"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl").isin("m", "s"))
-          .select(col("tbl").as("kind"), col("doc_id"), col("len"),
-            col("nw").as("n_dup_windows"), col("ns").as("n_spans"),
-            col("dc").as("dup_chars"), col("ppm").as("dup_ppm")),
-        s"$path/s", mergeS, batchId, numBuckets, Seq("doc_id"))
+      val delta = spark.read.parquet(staged.toString).persist()
+      // three independent marker-guarded tables — applied CONCURRENTLY
+      MvPipeline.applyConcurrently(Seq(
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "w").select("doc_id", "pos", "h"),
+          s"$path/w", (old, inc) => old.unionByName(inc).distinct(),
+          batchId, numBuckets, Seq("doc_id")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "x").select("h", "doc_id"),
+          s"$path/hidx", mergeHidx, batchId, numBuckets, Seq("h")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl").isin("m", "s"))
+            .select(col("tbl").as("kind"), col("doc_id"), col("len"),
+              col("nw").as("n_dup_windows"), col("ns").as("n_spans"),
+              col("dc").as("dup_chars"), col("ppm").as("dup_ppm")),
+          s"$path/s", mergeS, batchId, numBuckets, Seq("doc_id"))))
+      delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

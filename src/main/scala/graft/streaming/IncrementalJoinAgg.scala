@@ -157,17 +157,20 @@ object IncrementalJoinAgg {
         fs.delete(staged, true)
         require(fs.rename(tmp, staged), s"stage delta $staged")
       }
-      val delta = spark.read.parquet(staged.toString)
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "f").select("jk", "id", "m"),
-        s"$path/f", mergeF, batchId, numBuckets, Seq("jk"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "d").select("jk", "g"),
-        s"$path/d", mergeD, batchId, numBuckets, Seq("jk"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl").isin("a", "c"))
-          .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
-        s"$path/a", mergeA, batchId, numBuckets, Seq("g"))
+      val delta = spark.read.parquet(staged.toString).persist()
+      // three independent marker-guarded tables — applied CONCURRENTLY
+      MvPipeline.applyConcurrently(Seq(
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "f").select("jk", "id", "m"),
+          s"$path/f", mergeF, batchId, numBuckets, Seq("jk")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "d").select("jk", "g"),
+          s"$path/d", mergeD, batchId, numBuckets, Seq("jk")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl").isin("a", "c"))
+            .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+          s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
+      delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

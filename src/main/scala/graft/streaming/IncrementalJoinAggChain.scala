@@ -239,26 +239,30 @@ object IncrementalJoinAggChain {
         fs.delete(staged, true)
         require(fs.rename(tmp, staged), s"stage delta $staged")
       }
-      val delta = spark.read.parquet(staged.toString)
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "f").select("k1", "id", "m", "w"),
-        s"$path/f", mergeF, batchId, numBuckets, Seq("k1"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "d1").select("k1", "k2", "w"),
-        s"$path/d1", mergeSigned(Seq("k1", "k2")), batchId, numBuckets, Seq("k1"))
-      // the mirror consumes the SAME signed rows bucketed by k2: the −1
-      // row routes the removal to the OLD k2's bucket, the +1 row the
-      // insert to the new one — cross-bucket moves handled by signs
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "d1").select("k1", "k2", "w"),
-        s"$path/d1m", mergeSigned(Seq("k1", "k2")), batchId, numBuckets, Seq("k2"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "d2").select("k2", "g", "w"),
-        s"$path/d2", mergeSigned(Seq("k2", "g")), batchId, numBuckets, Seq("k2"))
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl").isin("a", "c"))
-          .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
-        s"$path/a", mergeA, batchId, numBuckets, Seq("g"))
+      val delta = spark.read.parquet(staged.toString).persist()
+      // five independent marker-guarded tables — applied CONCURRENTLY
+      // (the staged protocol never relies on table order; the mirror
+      // consumes the SAME signed rows bucketed by k2: the −1 row routes
+      // the removal to the OLD k2's bucket, the +1 row the insert to
+      // the new one — cross-bucket moves handled by signs)
+      MvPipeline.applyConcurrently(Seq(
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "f").select("k1", "id", "m", "w"),
+          s"$path/f", mergeF, batchId, numBuckets, Seq("k1")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "d1").select("k1", "k2", "w"),
+          s"$path/d1", mergeSigned(Seq("k1", "k2")), batchId, numBuckets, Seq("k1")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "d1").select("k1", "k2", "w"),
+          s"$path/d1m", mergeSigned(Seq("k1", "k2")), batchId, numBuckets, Seq("k2")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "d2").select("k2", "g", "w"),
+          s"$path/d2", mergeSigned(Seq("k2", "g")), batchId, numBuckets, Seq("k2")),
+        () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl").isin("a", "c"))
+            .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+          s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
+      delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

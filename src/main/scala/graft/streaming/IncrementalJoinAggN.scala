@@ -228,22 +228,26 @@ object IncrementalJoinAggN {
         require(fs.rename(tmp, staged), s"stage delta $staged")
       }
       val delta = spark.read.parquet(staged.toString)
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl") === "f").select("k", "id", "m", "w"),
-        s"$path/f", mergeF, batchId, numBuckets, Seq("k"))
-      for (i <- 1 to n) {
-        val rows = delta.filter(col("tbl") === s"d$i").select("k", "vl", "vs", "w")
-        MvPipeline.upsertBucketedMerge(rows, s"$path/d$i",
-          mergeSigned, batchId, numBuckets, Seq("k"))
-        // mirror (levels below the top only — the backward walk's probe)
-        if (i < n)
-          MvPipeline.upsertBucketedMerge(rows, s"$path/d${i}m",
-            mergeSigned, batchId, numBuckets, Seq("vl"))
-      }
-      MvPipeline.upsertBucketedMerge(
-        delta.filter(col("tbl").isin("a", "c"))
-          .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
-        s"$path/a", mergeA, batchId, numBuckets, Seq("g"))
+        .persist()
+      // independent marker-guarded tables — applied CONCURRENTLY (the
+      // staged protocol never relies on table order)
+      MvPipeline.applyConcurrently(
+        Seq(() => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "f").select("k", "id", "m", "w"),
+          s"$path/f", mergeF, batchId, numBuckets, Seq("k"))) ++
+        (1 to n).flatMap { i =>
+          val rows = delta.filter(col("tbl") === s"d$i").select("k", "vl", "vs", "w")
+          Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d$i",
+            mergeSigned, batchId, numBuckets, Seq("k"))) ++
+          // mirror (levels below the top only — the backward walk's probe)
+          (if (i < n) Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${i}m",
+            mergeSigned, batchId, numBuckets, Seq("vl"))) else Nil)
+        } ++
+        Seq(() => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl").isin("a", "c"))
+            .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+          s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
+      delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))
