@@ -259,6 +259,55 @@ object IncrementalEmbedNearDup {
       sweep(s"$stateDir/embneardup_bidx", !frozen)
   }
 
+  /** BOOTSTRAP: initialize a FRESH state dir from the one-shot batch
+    * sweep ([[IncrementalNearDup.bootstrap]]'s contract for the cosine
+    * member): pairs from [[Similarity.embeddingNearDupPairsLsh]] (the
+    * SAME deterministic hyperplane tables as the folds ⇒ identical
+    * candidates), components once, state rows + probe mirror written
+    * directly; folds continue exactly on top. Refuses a live dir. */
+  def bootstrap(embeddings: DataFrame, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+      stateDir: String, numBuckets: Int = 16, maxIter: Int = 20,
+      driverThreshold: Long = 1000000L): Unit = {
+    val spark = embeddings.sparkSession
+    val path = s"$stateDir/embneardup"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val tables = (0 until numTables).map { t =>
+      Similarity.lshBucket(col("v"),
+        Similarity.hyperplanes(bitsPerTable, dim, seed = 1000L + t))
+    }
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"), col("label").cast("long").as("blk"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+      .transform(graft.operators.Caching.persisted)
+    val b = e.select(col("vec_id"), col("blk"),
+        posexplode(array(tables: _*)).as(Seq("table_idx", "bucket")))
+      .select(col("vec_id"), col("blk"),
+        col("table_idx").cast("int"), col("bucket").cast("long"))
+      .transform(graft.operators.Caching.persisted)
+    val v = e.select(col("vec_id"), col("blk"), col("v"), col("norm"))
+    val pairs = Similarity.embeddingNearDupPairsLsh(embeddings, threshold,
+      numTables, bitsPerTable, dim).select("id1", "id2")
+    val cl = graft.operators.Dedup.clusters(pairs, maxIter, driverThreshold)
+      .withColumnRenamed("id", "vec_id")
+    val l = e.select("vec_id").distinct()
+      .join(cl, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster"), col("vec_id")).as("label"))
+    MvPipeline.upsertBucketedMerge(
+      packB(b).unionByName(packV(v)).unionByName(packL(l)),
+      path, merge, -1L, numBuckets, Seq("vec_id"))
+    MvPipeline.upsertBucketedMerge(
+      b.select("vec_id", "blk", "table_idx", "bucket"),
+      s"$stateDir/embneardup_bidx",
+      (old, inc) => old.unionByName(inc).distinct(),
+      -1L, numBuckets, probeKeys)
+    graft.operators.Caching.releaseAll()
+  }
+
   /** Deletion-EXACT forget ([[ForgetMaintenance]], R147): remove vectors
     * so [[labels]] equals the batch x6 pairs→clusters sweep over
     * corpus-minus-forgotten. `threshold` must match the folds'. Exact

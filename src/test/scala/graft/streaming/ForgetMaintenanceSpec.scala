@@ -192,6 +192,31 @@ class ForgetMaintenanceSpec extends SparkTestBase {
     assert(served() === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("embedding bootstrap: batch-sweep initialization, exact continuation") {
+    val state = tmpDir("fg-emb-boot")
+    val t = 0.95
+    val init = Seq((10L, vec(0), 1L), (11L, vec(3, 2f), 1L),
+      (20L, vec(30), 1L), (21L, vec(33, 0.5f), 1L))
+    IncrementalEmbedNearDup.bootstrap(
+      init.toDF("vec_id", "embedding", "label"), t, dim = dim,
+      stateDir = state, numBuckets = 4)
+    def served(): Map[Long, Long] =
+      IncrementalEmbedNearDup.labels(spark, state).as[(Long, Long)].collect().toMap
+    assert(served() === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the bridge folds ON TOP of bootstrapped state and merges both
+    // bootstrapped clusters (probes the bootstrapped mirror)
+    IncrementalEmbedNearDup.processBatch(
+      Seq((15L, vec(15), 1L)).toDF("vec_id", "embedding", "label"), t,
+      dim = dim, stateDir = state, batchId = 0L, numBuckets = 4)
+    assert(served() === Map(10L -> 10L, 11L -> 10L, 15L -> 10L,
+      20L -> 10L, 21L -> 10L))
+    assertThrows[IllegalArgumentException] {
+      IncrementalEmbedNearDup.bootstrap(
+        init.toDF("vec_id", "embedding", "label"), t, dim = dim,
+        stateDir = state, numBuckets = 4)
+    }
+  }
+
   test("media: forgetting the Hamming bridge splits; == batch over survivors") {
     val state = tmpDir("fg-med")
     // chain: 0x0 –3– 0x7 –3– 0x3f; ends at Hamming 6 > 3
