@@ -48,11 +48,22 @@ object ChangelogShip {
       val n = stats.getLong(0)
       if (n == 0) return 0L
       sink.write(pending, table)
+      // advance the watermark by rename-ASIDE (never delete-then-rename):
+      // a crash anywhere in this window leaves either the new marker or
+      // the old one recoverable from `.old` (readWatermark restores it),
+      // so the worst-case re-ship is the LAST block — never the whole
+      // changelog from batch −1
       val tmp = new Path(s"$markerDir/_shipped_$table.tmp")
       val out = fs.create(tmp, true)
       try out.write(stats.getLong(1).toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(marker, true)
-      require(fs.rename(tmp, marker), s"advance watermark $marker")
+      val aside = new Path(s"$markerDir/_shipped_$table.old")
+      fs.delete(aside, true)
+      if (fs.exists(marker)) require(fs.rename(marker, aside), s"stage out $marker")
+      if (!fs.rename(tmp, marker)) {
+        if (fs.exists(aside)) require(fs.rename(aside, marker), s"restore $aside")
+        throw new IllegalStateException(s"advance watermark $marker failed; prior restored")
+      }
+      fs.delete(aside, true)
       n
     } finally graft.operators.Caching.releaseAll()
   }
@@ -63,11 +74,18 @@ object ChangelogShip {
     readWatermark(marker.getFileSystem(spark.sparkContext.hadoopConfiguration), marker)
   }
 
-  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem, marker: Path): Long =
+  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem, marker: Path): Long = {
+    // crash recovery: a marker staged aside but never replaced means the
+    // advance died mid-swap — restore it (degrades to re-shipping only
+    // the last block, which downstream dedup folds)
+    val aside = new Path(marker.toString + ".old")
+    if (!fs.exists(marker) && fs.exists(aside))
+      require(fs.rename(aside, marker), s"recover watermark $aside")
     if (!fs.exists(marker)) -1L
     else {
       val in = fs.open(marker)
       try scala.io.Source.fromInputStream(in).mkString.trim.toLong
       finally in.close()
     }
+  }
 }

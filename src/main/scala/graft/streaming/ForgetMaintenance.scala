@@ -39,11 +39,18 @@ import graft.operators.Dedup
   * rather than guess (forgetting a FULLY-frozen component, or a frozen
   * singleton, is still fine: pure tombstones, no relabel needed).
   *
-  * Per-op cost is O(affected components), bucket-pruned on both sides:
-  * reads touch the members' id-buckets (plus the label projection's
-  * small full scan, as in the folds), writes touch the forgotten and
-  * relabeled docs' buckets and the forgotten blocking rows' mirror
-  * buckets. Crash recovery: re-call with the same `opId` — the staged
+  * Per-op cost: writes are O(affected components) — they touch the
+  * forgotten and relabeled docs' buckets and the forgotten blocking
+  * rows' mirror buckets — but the label projection at the top reads
+  * the (kind, id, label) COLUMNS of every bucket of the main state
+  * table, which is O(total state rows), not O(affected): mapping the
+  * forgotten ids to their current components needs the id→label map,
+  * and no id-bucketing prunes a probe by label. Parquet column pruning
+  * keeps this to the three slim columns (the payload columns — vectors,
+  * gram hashes — are never read), the same projection the folds pay
+  * per batch; if forgets ever dominate, the upgrade is a label-only
+  * side projection (or kind-partitioned layout) maintained like the
+  * mirrors. Crash recovery: re-call with the same `opId` — the staged
   * delta is reused byte-identically; with the default ad-hoc id, a crash
   * mid-apply needs the SAME semantics re-requested (merges are
   * idempotent, so re-running the whole forget converges too — it just

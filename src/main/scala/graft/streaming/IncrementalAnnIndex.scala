@@ -78,9 +78,12 @@ object IncrementalAnnIndex {
     require(parts.nonEmpty, s"empty index state at $base")
     val idx = parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
     forgotten(spark, stateDir) match {
-      case Some(f) =>
-        idx.join(org.apache.spark.sql.functions.broadcast(f),
-          Seq("vec_id"), "left_anti")
+      // no broadcast HINT on the tombstone side: the outstanding set is
+      // unbounded between compactions (many/large forgets could exceed
+      // the broadcast limit and fail every read until compact() runs),
+      // so let AQE pick — it broadcasts small tombstone sets anyway and
+      // degrades to a shuffled anti-join for pathological ones
+      case Some(f) => idx.join(f, Seq("vec_id"), "left_anti")
       case None => idx
     }
   }

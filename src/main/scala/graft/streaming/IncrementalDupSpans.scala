@@ -190,7 +190,7 @@ object IncrementalDupSpans {
       }
       val delta = spark.read.parquet(staged.toString).persist()
       // three independent marker-guarded tables — applied CONCURRENTLY
-      MvPipeline.applyConcurrently(Seq(
+      try MvPipeline.applyConcurrently(Seq(
         () => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "w").select("doc_id", "pos", "h"),
           s"$path/w", (old, inc) => old.unionByName(inc).distinct(),
@@ -204,7 +204,7 @@ object IncrementalDupSpans {
               col("nw").as("n_dup_windows"), col("ns").as("n_spans"),
               col("dc").as("dup_chars"), col("ppm").as("dup_ppm")),
           s"$path/s", mergeS, batchId, numBuckets, Seq("doc_id"))))
-      delta.unpersist()
+      finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))
@@ -281,11 +281,22 @@ object IncrementalDupSpans {
     * transition that targets a forgotten holder skips gracefully (no
     * rows to recompute, same as the compaction horizon). Ids are
     * collected to the driver — forget requests are operationally
-    * bounded; rebuild the view for corpus-scale removals. */
+    * bounded, and `maxIds` guards the collect (the
+    * collectPairsPrimitive rule: never an unbounded driver fetch);
+    * rebuild the view for corpus-scale removals. */
   def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
-      numBuckets: Int = 16): Long = {
+      numBuckets: Int = 16, maxIds: Long = 1000000L): Long = {
     val f = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .persist()
+    try {
+      val nIds = f.count()
+      require(nIds <= maxIds,
+        s"forget request of $nIds ids exceeds the driver-collect guard " +
+          s"($maxIds); chunk the request or rebuild the view for " +
+          "corpus-scale removals")
+    } catch { case e: Throwable => f.unpersist(); throw e }
     val idList = f.collect().map(_.getLong(0)).toSeq
+    f.unpersist()
     if (idList.isEmpty) return 0L
     // numBuckets must match the folds' (the standing parameter contract)
     val buckets = MvPipeline.bucketIdsOf(f, Seq("doc_id"), numBuckets)

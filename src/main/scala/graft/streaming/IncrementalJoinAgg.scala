@@ -159,7 +159,7 @@ object IncrementalJoinAgg {
       }
       val delta = spark.read.parquet(staged.toString).persist()
       // three independent marker-guarded tables — applied CONCURRENTLY
-      MvPipeline.applyConcurrently(Seq(
+      try MvPipeline.applyConcurrently(Seq(
         () => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "f").select("jk", "id", "m"),
           s"$path/f", mergeF, batchId, numBuckets, Seq("jk")),
@@ -170,7 +170,7 @@ object IncrementalJoinAgg {
           delta.filter(col("tbl").isin("a", "c"))
             .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
           s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
-      delta.unpersist()
+      finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

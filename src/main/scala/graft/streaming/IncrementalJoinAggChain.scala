@@ -245,7 +245,7 @@ object IncrementalJoinAggChain {
       // consumes the SAME signed rows bucketed by k2: the −1 row routes
       // the removal to the OLD k2's bucket, the +1 row the insert to
       // the new one — cross-bucket moves handled by signs)
-      MvPipeline.applyConcurrently(Seq(
+      try MvPipeline.applyConcurrently(Seq(
         () => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "f").select("k1", "id", "m", "w"),
           s"$path/f", mergeF, batchId, numBuckets, Seq("k1")),
@@ -262,7 +262,7 @@ object IncrementalJoinAggChain {
           delta.filter(col("tbl").isin("a", "c"))
             .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
           s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
-      delta.unpersist()
+      finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

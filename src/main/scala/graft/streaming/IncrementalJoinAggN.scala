@@ -231,7 +231,7 @@ object IncrementalJoinAggN {
         .persist()
       // independent marker-guarded tables — applied CONCURRENTLY (the
       // staged protocol never relies on table order)
-      MvPipeline.applyConcurrently(
+      try MvPipeline.applyConcurrently(
         Seq(() => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "f").select("k", "id", "m", "w"),
           s"$path/f", mergeF, batchId, numBuckets, Seq("k"))) ++
@@ -247,7 +247,7 @@ object IncrementalJoinAggN {
           delta.filter(col("tbl").isin("a", "c"))
             .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
           s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
-      delta.unpersist()
+      finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
           .filter(s => s.getPath.getName.startsWith("_delta_"))

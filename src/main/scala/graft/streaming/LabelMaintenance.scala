@@ -29,14 +29,15 @@ object LabelMaintenance {
     * Returns the updated full (doc_id, label) frame. */
   def relabel(edges: DataFrame, lAll: DataFrame, driverThreshold: Long,
       maxIter: Int): DataFrame = {
-    val nEdges = edges.count()
-    if (nEdges == 0) return lAll // no collisions: zero relabel jobs
     val roots = touchedRoots(edges, lAll)
     val affected = lAll.join(roots, Seq("label"), "left_semi")
       .transform(graft.operators.Caching.persisted)
+    val stars = affected.filter(col("doc_id") =!= col("label"))
+    val (nEdges, nStars) = sizes(edges, stars)
+    if (nEdges == 0) return lAll // no collisions: nothing to relabel
     val untouched = lAll.join(roots, Seq("label"), "left_anti")
     untouched.unionByName(
-      relabelAffected(edges, affected, nEdges, driverThreshold, maxIter))
+      relabelAffected(edges, affected, stars, nEdges, nStars, driverThreshold, maxIter))
   }
 
   /** [[relabel]] restricted to its Δ: ONLY the affected docs' (possibly
@@ -46,11 +47,27 @@ object LabelMaintenance {
     * is idempotent). Empty when the batch verified no edges. */
   def relabelDelta(edges: DataFrame, lAll: DataFrame, driverThreshold: Long,
       maxIter: Int): DataFrame = {
-    val nEdges = edges.count()
-    if (nEdges == 0) return lAll.limit(0)
     val affected = lAll.join(touchedRoots(edges, lAll), Seq("label"), "left_semi")
       .transform(graft.operators.Caching.persisted)
-    relabelAffected(edges, affected, nEdges, driverThreshold, maxIter)
+    val stars = affected.filter(col("doc_id") =!= col("label"))
+    val (nEdges, nStars) = sizes(edges, stars)
+    if (nEdges == 0) return lAll.limit(0)
+    relabelAffected(edges, affected, stars, nEdges, nStars, driverThreshold, maxIter)
+  }
+
+  /** Edge + star-row counts in ONE job (r9 hygiene: three separate
+    * `count()` jobs per batch collapsed): both sides feed the same
+    * threshold decision and union-find sizing, and callers persist
+    * `edges`, so the union costs one pass over cached frames. An empty
+    * edge set short-circuits the affected side via AQE's empty-relation
+    * propagation (`roots` is empty), keeping the no-collision batch at
+    * one trivial job. */
+  private def sizes(edges: DataFrame, stars: DataFrame): (Long, Long) = {
+    val r = edges.select(lit(1L).as("e"), lit(0L).as("s"))
+      .unionByName(stars.select(lit(0L).as("e"), lit(1L).as("s")))
+      .agg(coalesce(sum("e"), lit(0L)), coalesce(sum("s"), lit(0L)))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Components touching a new edge, by current label of either end. */
@@ -60,11 +77,10 @@ object LabelMaintenance {
       .join(lAll, "doc_id").select(col("label")).distinct()
 
   /** Relabel the affected subgraph only (callers computed + persisted
-    * `affected`). */
+    * `affected` and counted `edges`/`stars` via [[sizes]]). */
   private def relabelAffected(edges: DataFrame, affected: DataFrame,
-      nEdges: Long, driverThreshold: Long, maxIter: Int): DataFrame = {
-    val stars = affected.filter(col("doc_id") =!= col("label"))
-    val nStars = stars.count()
+      stars: DataFrame, nEdges: Long, nStars: Long,
+      driverThreshold: Long, maxIter: Int): DataFrame = {
     if (nEdges + nStars <= driverThreshold) {
       // one collect job over both cached frames: new edges ∪ star edges
       // feed the same union-find, so there is no reason to fetch them

@@ -463,44 +463,6 @@ object MvPipeline {
     * never neither, and concurrent-writer detection still applies.
     * Returns the number of expired rows. No-op (no rewrite at all) when
     * nothing expires. */
-  /** Run independent per-TABLE applies of one staged delta concurrently
-    * — the multi-table views (join-agg family, dup-spans) commit 3-7
-    * bucketed tables per batch, each a self-contained marker-guarded
-    * idempotent merge; the staged-delta protocol never relies on table
-    * ORDER (the sweep runs only after every apply returns, and a crash
-    * replay converges table-by-table), so serializing them only idles
-    * the cluster. Measured on the depth-3 chain rehearsal: the seven-table
-    * fold's wall-clock is dominated by these applies at toy scale. */
-  def applyConcurrently(applies: Seq[() => Unit]): Unit = {
-    if (applies.isEmpty) return
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, applies.length))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(applies.map(a => scala.concurrent.Future(a()))),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
-  }
-
-  /** Rewrite every bucket of a bucketed state dir through `transform`
-    * under the ad-hoc (marker-preserving) per-bucket protocol — for
-    * maintenance passes that FOLD rows (changelog compaction) rather
-    * than just drop them ([[expireState]]). A crash mid-loop re-runs
-    * converge when `transform` is idempotent. */
-  def transformBuckets(spark: SparkSession, path: String,
-      transform: DataFrame => DataFrame): Unit = {
-    val base = new Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return
-    fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
-      .foreach { b =>
-        upsertMerge(spark.emptyDataFrame, b.getPath.toString,
-          (old, _) => transform(old), -1L)
-      }
-  }
-
   def expireState(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -542,6 +504,58 @@ object MvPipeline {
     require(fs.rename(tmp, target), s"commit $tmp -> $target")
     fs.delete(aside, true)
     before - after
+  }
+
+  /** Run independent per-TABLE applies of one staged delta concurrently
+    * — the multi-table views (join-agg family, dup-spans) commit 3-7
+    * bucketed tables per batch, each a self-contained marker-guarded
+    * idempotent merge; the staged-delta protocol never relies on table
+    * ORDER (the sweep runs only after every apply returns, and a crash
+    * replay converges table-by-table), so serializing them only idles
+    * the cluster. Measured on the depth-3 chain rehearsal: the seven-table
+    * fold's wall-clock is dominated by these applies at toy scale.
+    *
+    * Failure semantics: every in-flight apply is AWAITED before the
+    * first failure is rethrown — a fast-fail here would let sibling
+    * applies keep writing their bucket dirs while the caller's retry (a
+    * foreachBatch replay) races them for the same directories; the
+    * concurrent-writer check would then abort the RETRY instead of the
+    * stale writer. Each apply is individually crash-safe, so waiting
+    * costs only the slowest sibling. */
+  def applyConcurrently(applies: Seq[() => Unit]): Unit = {
+    if (applies.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, applies.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      // lift each apply into Try so Future.sequence cannot fail fast:
+      // Await returns only after EVERY apply finished, then the first
+      // failure (if any) is rethrown
+      val done = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          applies.map(a => scala.concurrent.Future(scala.util.Try(a())))),
+        scala.concurrent.duration.Duration.Inf)
+      done.foreach(_.get)
+    } finally pool.shutdown()
+  }
+
+  /** Rewrite every bucket of a bucketed state dir through `transform`
+    * under the ad-hoc (marker-preserving) per-bucket protocol — for
+    * maintenance passes that FOLD rows (changelog compaction) rather
+    * than just drop them ([[expireState]]). A crash mid-loop re-runs
+    * converge when `transform` is idempotent. */
+  def transformBuckets(spark: SparkSession, path: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      .foreach { b =>
+        upsertMerge(spark.emptyDataFrame, b.getPath.toString,
+          (old, _) => transform(old), -1L)
+      }
   }
 
   /** Order-free content digest of a state table — the anti-entropy
