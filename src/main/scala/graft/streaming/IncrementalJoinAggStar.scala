@@ -1,0 +1,496 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** STAR / DAG-shaped incrementally-maintained join-aggregate
+  * (SURVEY.md §2.11 R150) — the shape [[IncrementalJoinAggN]] cannot
+  * express: a fact joined to SEVERAL independent dimension BRANCHES,
+  * each branch a chain of levels, with CROSS-BRANCH equality
+  * constraints and literal filters over the attributes the branches
+  * resolve. The in-repo witness is TPC-H Q5 (q5_region_revenue,
+  * queries/RelQueries.scala; the reference consumes exactly such
+  * multi-dimension reads over its summary tables,
+  * `/root/reference/README.md:24-189`):
+  *
+  *   SELECT n_name, sum(revenue_cents), count(*)
+  *   FROM lineitem                                      -- fact: k1 = l_orderkey, k2 = l_suppkey
+  *   JOIN orders   ON l_orderkey  = o_orderkey          -- branch 1 level 1 (link o_custkey)
+  *   JOIN customer ON o_custkey   = c_custkey           -- branch 1 level 2 (link + attr c_nationkey)
+  *   JOIN nation   ON c_nationkey = n_nationkey         -- branch 1 level 3 (link n_regionkey, attr n_name)
+  *   JOIN region   ON n_regionkey = r_regionkey         -- branch 1 level 4 (attr r_name)
+  *   JOIN supplier ON l_suppkey   = s_suppkey           -- branch 2 level 1 (attr s_nationkey)
+  *    AND s_nationkey = c_nationkey                     -- eqAttrs: (1,2) == (2,1)
+  *   WHERE r_name = 'ASIA'                              -- litAttrs: (1,4) == "ASIA"
+  *   GROUP BY n_name                                    -- groupAttrs: (1,3)
+  *
+  * Uniform level representation: every level row is `(k, vl, vs)` —
+  * `vl` links to the branch's next level (null at the leaf), `vs` is
+  * an optional STRING attribute contributed to the resolved tuple (a
+  * level may carry both, e.g. customer's nationkey as link AND as the
+  * comparand of the cross-branch equality). Constraints and grouping
+  * are declarative over `(branch, level)` attribute positions, so the
+  * filter/project is LINEAR and commutes with the Z-set sum — applying
+  * it to every delta term is exact.
+  *
+  * Maintenance is the family's telescoped multilinear Δ-rule with the
+  * inputs totally ordered F < branch 1 levels < … < branch B levels:
+  * one Δ-term per input; inputs BEFORE the changed one at PRE-state,
+  * inputs AFTER at POST-state (every pairwise overlap counted exactly
+  * once; weights multiply, all Z-set). The term for ΔD at branch b
+  * level i BACKWARD-restricts through branch b's value-bucketed level
+  * mirrors down to the facts' k_b — served by a PER-BRANCH fact mirror
+  * `fm{b}` (facts re-bucketed by each branch key; the index economics a
+  * ClickHouse projection buys: B copies of the slim fact rows in
+  * exchange for bucket-pruned entry from ANY branch) — then resolves
+  * branch b below i at pre-state via the restricted link rows, the
+  * signed Δ at i, branch b above i at post-state, branches < b entirely
+  * at PRE-state and branches > b entirely at POST-state. Every state
+  * read is bucket-pruned ([[MvPipeline.readBuckets]]); per-batch cost
+  * is O(affected subtree × total levels), never O(state).
+  *
+  * State under `stateDir/joinaggstar/` — all fed from ONE staged delta
+  * (the standard crash-safe protocol: stamped buckets skip on replay,
+  * the rest converge):
+  *   - `f/` retained facts `(id, m, k1..kB)` bucketed by k1; `fm{b}/`
+  *     (b ≥ 2) the same rows bucketed by k{b};
+  *   - `d{b}_{i}/` level rows `(k, vl, vs)` bucketed by k; `d{b}_{i}m/`
+  *     the same rows bucketed by vl for i < depth (the backward walk's
+  *     probe, signed maintenance moves rows across buckets);
+  *   - `a/` kind-discriminated aggregate + signed changelog bucketed by
+  *     g (`a` additive, `c` append-only; integral of `c` IS `a`).
+  *
+  * Contracts (the [[IncrementalJoinAggN]] ones, extended): fact ids
+  * arrive once and pin ALL their branch keys; deletes name
+  * `(id, k1..kB)` (CDC deletes carry their keys); delete-wins within a
+  * batch; within-batch dedup keeps min-(k1..kB, m) facts and
+  * max-(vl, vs) dim rows (struct comparison, nulls smallest). Group
+  * attributes should be non-null (a multi-attribute group key is a
+  * `\u0001`-joined concat, which skips nulls); equality constraints use
+  * SQL `=` semantics — a null attribute fails the constraint and the
+  * row drops, exactly as the batch join would. */
+object IncrementalJoinAggStar {
+
+  /** Declarative view shape. `branchDepths(b-1)` = levels in branch b;
+    * positions are 1-based `(branch, level)`. */
+  final case class StarSpec(
+      branchDepths: Seq[Int],
+      groupAttrs: Seq[(Int, Int)],
+      eqAttrs: Seq[((Int, Int), (Int, Int))] = Nil,
+      litAttrs: Seq[((Int, Int), String)] = Nil) {
+    require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
+      "every branch needs depth >= 1")
+    require(groupAttrs.nonEmpty, "at least one group attribute")
+    val B: Int = branchDepths.size
+    def positions: Seq[(Int, Int)] =
+      (1 to B).flatMap(b => (1 to branchDepths(b - 1)).map(i => (b, i)))
+    (groupAttrs ++ eqAttrs.flatMap(p => Seq(p._1, p._2)) ++ litAttrs.map(_._1))
+      .foreach { case (b, i) =>
+        require(b >= 1 && b <= B && i >= 1 && i <= branchDepths(b - 1),
+          s"attribute position ($b,$i) outside the branch shape") }
+  }
+
+  private val dSchema = StructType(Seq(
+    StructField("k", LongType), StructField("vl", LongType),
+    StructField("vs", StringType)))
+  private val aSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("g", StringType),
+    StructField("b", LongType), StructField("m", LongType),
+    StructField("c", LongType)))
+  private def fSchema(nB: Int): StructType = StructType(
+    Seq(StructField("id", LongType), StructField("m", LongType)) ++
+      (1 to nB).map(b => StructField(s"k$b", LongType)))
+
+  private def attrCol(p: (Int, Int)): Column = col(s"a_${p._1}_${p._2}")
+
+  /** Constraint filter + group projection — applied identically to every
+    * delta term (linear, so it commutes with the Z-set sum). */
+  private def finish(spec: StarSpec, df: DataFrame): DataFrame = {
+    var out = df
+    spec.eqAttrs.foreach { case (x, y) => out = out.filter(attrCol(x) === attrCol(y)) }
+    spec.litAttrs.foreach { case (x, v) => out = out.filter(attrCol(x) === lit(v)) }
+    val g =
+      if (spec.groupAttrs.size == 1) attrCol(spec.groupAttrs.head)
+      else concat_ws("\u0001", spec.groupAttrs.map(attrCol): _*)
+    out.select(g.as("g"), col("m"), col("w"))
+  }
+
+  /** Join `cur` to level (b, i)'s frame `fr` (`(k, vl, vs)`, plus `w`
+    * when signed): advance branch b's pointer to `vl`, emit the level's
+    * attribute, multiply weights when signed. */
+  private def joinLevel(cur: DataFrame, b: Int, i: Int, fr0: DataFrame,
+      signed: Boolean): DataFrame = {
+    val kcol = s"k$b"
+    // join by NAME (usingColumns), never by dataset refs — a term's walk
+    // frame and its earlier backward-restrict can share lineage (both
+    // derive from the same Δ frame), which dataset-qualified refs would
+    // flag as an ambiguous self-join
+    val fr = (if (signed) fr0.withColumnRenamed("w", "wz") else fr0)
+      .withColumnRenamed("k", kcol)
+      .withColumnRenamed("vl", "_vl")
+      .withColumnRenamed("vs", "_vs")
+    val joined = cur.join(fr, Seq(kcol))
+    val keep = cur.columns.filterNot(n => n == kcol || n == "w").map(col)
+    joined.select(keep ++ Seq(
+      col("_vl").as(kcol), col("_vs").as(s"a_${b}_$i"),
+      (if (signed) col("w") * col("wz") else col("w")).as("w")): _*)
+  }
+
+  /** Fold one micro-batch. `dims(b-1)(i-1)` is branch b level i's upsert
+    * frame; `dimCols(b-1)(i-1) = (keyCol, linkCol, attrCol)` with "" for
+    * an absent link (leaf) / absent attribute. The SPEC is the view's
+    * standing parameter and must not change across batches. */
+  def processBatch(spec: StarSpec,
+      facts: DataFrame, factKs: Seq[String], factId: String, factM: String,
+      factDels: DataFrame, delKs: Seq[String], delId: String,
+      dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+    val nB = spec.B
+    require(factKs.size == nB && delKs.size == nB, "one fact key per branch")
+    require(dims.size == nB && dimCols.size == nB &&
+      dims.zip(spec.branchDepths).forall { case (d, n) => d.size == n } &&
+      dimCols.zip(spec.branchDepths).forall { case (d, n) => d.size == n },
+      "one (frame, columns) pair per branch level")
+    val spark = facts.sparkSession
+    val path = s"$stateDir/joinaggstar"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+
+    def pruneRead(table: String, keys: DataFrame, keyCols: Seq[String],
+        schema: StructType): DataFrame =
+      MvPipeline.readBuckets(spark, s"$path/$table",
+        MvPipeline.bucketIdsOf(keys, keyCols, numBuckets), schema)
+
+    def computeDelta(): DataFrame = {
+      val kCols = (1 to nB).map(b => s"k$b")
+      val fIn = facts.select(Seq(col(factId).cast("long").as("id"),
+          col(factM).cast("long").as("m")) ++
+          factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
+        .groupBy("id")
+        .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
+        .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
+        .transform(graft.operators.Caching.persisted)
+      val delIn = factDels.select(col(delId).cast("long").as("id") +:
+          delKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
+        .distinct()
+        .transform(graft.operators.Caching.persisted)
+      // normalize every level to (k, vl, vs); deterministic latest-wins
+      // within the batch (max over the (vl, vs) struct, nulls smallest)
+      val dIns: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          val (kc, lc, ac) = dimCols(b - 1)(i - 1)
+          dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
+              (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+              (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+            .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
+            .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+            .transform(graft.operators.Caching.persisted)
+        }
+      }
+
+      // ΔF (signed) against the pre-state facts, pruned by k1
+      val fKeys = fIn.select("k1").unionByName(delIn.select("k1"))
+      val f0 = pruneRead("f", fKeys, Seq("k1"), fSchema(nB))
+        .transform(graft.operators.Caching.persisted)
+      val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
+        .join(delIn.select("id"), Seq("id"), "left_anti")
+      val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
+      val zf = newF.select((col("id") +: kCols.map(col)) ++
+          Seq(col("m"), lit(1L).as("w")): _*)
+        .unionByName(delF.select((col("id") +: kCols.map(col)) ++
+          Seq(col("m"), lit(-1L).as("w")): _*))
+        .transform(graft.operators.Caching.persisted)
+
+      // per level: pre-state rows for the upserted keys + the signed Z-set
+      val d0ForUpsert = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          pruneRead(s"d${b}_$i", dIns(b - 1)(i - 1).select("k"), Seq("k"), dSchema)
+            .transform(graft.operators.Caching.persisted)
+        }
+      }
+      val zds = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          val up = dIns(b - 1)(i - 1)
+            .join(d0ForUpsert(b - 1)(i - 1).select(col("k"), col("vl").as("vl_old"),
+              col("vs").as("vs_old")).withColumn("had_old", lit(true)), Seq("k"), "left")
+            .withColumn("had_old", coalesce(col("had_old"), lit(false)))
+            .filter(!col("had_old") ||
+              !(col("vl") <=> col("vl_old")) || !(col("vs") <=> col("vs_old")))
+            .transform(graft.operators.Caching.persisted)
+          up.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
+            .unionByName(up.filter(col("had_old"))
+              .select(col("k"), col("vl_old").as("vl"), col("vs_old").as("vs"),
+                lit(-1L).as("w")))
+            .transform(graft.operators.Caching.persisted)
+        }
+      }
+
+      def preFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
+        pruneRead(s"d${b}_$i", keys, Seq("k"), dSchema)
+      def postFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
+        preFrame(b, i, keys).join(dIns(b - 1)(i - 1).select("k"), Seq("k"), "left_anti")
+          .unionByName(dIns(b - 1)(i - 1))
+
+      /** Resolve branch b over `cur` from level `from` upward, pruning
+        * each level's read by the live pointer keys. */
+      def walkBranch(cur0: DataFrame, b: Int, from: Int,
+          frameFor: (Int, DataFrame) => DataFrame): DataFrame = {
+        var cur = cur0
+        for (i <- from to spec.branchDepths(b - 1)) {
+          val c = cur.filter(col(s"k$b").isNotNull)
+            .transform(graft.operators.Caching.persisted)
+          cur = joinLevel(c, b, i, frameFor(i, c.select(col(s"k$b").as("k"))),
+            signed = false)
+        }
+        cur
+      }
+
+      // T0: ΔF through every branch at POST-state
+      val t0 = (1 to nB).foldLeft(zf.drop("id")) { (cur, b) =>
+        walkBranch(cur, b, 1, (i, keys) => postFrame(b, i, keys))
+      }
+
+      // T(b,i) per level: backward restrict at pre-state within branch b,
+      // signed join at (b,i), post-state above it; branches < b at PRE,
+      // branches > b at POST (the fixed telescoping order)
+      val terms = (1 to nB).flatMap { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          // backward: which pre-state branch-b rows reach ΔD(b,i)'s keys
+          var need = zds(b - 1)(i - 1).select(col("k").as("v")).distinct()
+          val links = new Array[DataFrame](i - 1)
+          for (j <- (i - 1) to 1 by -1) {
+            val lj = pruneRead(s"d${b}_${j}m",
+              need.select(col("v").as("vl")), Seq("vl"), dSchema)
+            val restricted = lj.join(need, lj("vl") === need("v"), "left_semi")
+              .transform(graft.operators.Caching.persisted)
+            links(j - 1) = restricted
+            need = restricted.select(col("k").as("v")).distinct()
+          }
+          // pre-state facts reaching the lowest needed keys, via the
+          // branch's fact (mirror) table
+          val fTable = if (b == 1) "f" else s"fm$b"
+          val fPart =
+            if (i == 1) pruneRead(fTable,
+              zds(b - 1)(0).select(col("k").as(s"k$b")), Seq(s"k$b"), fSchema(nB))
+            else pruneRead(fTable,
+                need.select(col("v").as(s"k$b")), Seq(s"k$b"), fSchema(nB))
+              .join(need, col(s"k$b") === col("v"), "left_semi")
+          var cur = fPart.select((1 to nB).map(b2 => col(s"k$b2")) ++
+            Seq(col("m"), lit(1L).as("w")): _*)
+          // branch b at PRE-state below i (the restricted link rows)
+          for (j <- 1 until i) cur = joinLevel(cur, b, j, links(j - 1), signed = false)
+          // the signed join at (b, i) — weights multiply
+          cur = joinLevel(cur, b, i, zds(b - 1)(i - 1), signed = true)
+          // branch b at POST-state above i
+          cur = walkBranch(cur, b, i + 1, (i2, keys) => postFrame(b, i2, keys))
+          // other branches: < b entirely PRE, > b entirely POST
+          for (b2 <- 1 to nB if b2 != b)
+            cur = walkBranch(cur, b2, 1, (i2, keys) =>
+              if (b2 < b) preFrame(b2, i2, keys) else postFrame(b2, i2, keys))
+          cur
+        }
+      }
+
+      val dAgg = (t0 +: terms).map(t => finish(spec, t)).reduce(_ unionByName _)
+        .groupBy("g")
+        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
+        .filter(col("dm") =!= 0 || col("dc") =!= 0)
+
+      val nil = lit(null).cast("long")
+      val nils = lit(null).cast("string")
+      val nilKs = kCols.map(c => nil.as(c))
+      val fDelta = zf.select(Seq(lit("f").as("tbl"), col("id"), col("m")) ++
+        kCols.map(col) ++ Seq(nil.as("k"), nil.as("vl"), nils.as("vs"),
+          nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
+      val dDeltas = (1 to nB).flatMap { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          zds(b - 1)(i - 1).select(Seq(lit(s"d${b}_$i").as("tbl"), nil.as("id"),
+            nil.as("m")) ++ nilKs ++ Seq(col("k"), col("vl"), col("vs"),
+              nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
+        }
+      }
+      val aDelta = dAgg.select(Seq(lit("a").as("tbl"), nil.as("id"),
+        col("dm").as("m")) ++ nilKs ++ Seq(nil.as("k"), nil.as("vl"),
+          nils.as("vs"), col("g"), col("dc").as("c"), nil.as("b"), nil.as("w")): _*)
+      val cDelta = dAgg.select(Seq(lit("c").as("tbl"), nil.as("id"),
+        col("dm").as("m")) ++ nilKs ++ Seq(nil.as("k"), nil.as("vl"),
+          nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
+          nil.as("w")): _*)
+      (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
+    }
+
+    try {
+      if (!(batchId >= 0 && fs.exists(staged))) {
+        val tmp = new Path(s"$path/$stagedName.tmp")
+        computeDelta().write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(staged, true)
+        require(fs.rename(tmp, staged), s"stage delta $staged")
+      }
+      val delta = spark.read.parquet(staged.toString).persist()
+      val kCols = (1 to nB).map(b => s"k$b")
+      // independent marker-guarded tables — applied CONCURRENTLY (the
+      // staged protocol never relies on table order)
+      try MvPipeline.applyConcurrently(
+        (1 to nB).map { b => () => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl") === "f")
+            .select((Seq("id", "m") ++ kCols :+ "w").map(col): _*),
+          s"$path/${if (b == 1) "f" else s"fm$b"}", mergeF, batchId,
+          numBuckets, Seq(s"k$b")) } ++
+        (1 to nB).flatMap { b =>
+          (1 to spec.branchDepths(b - 1)).flatMap { i =>
+            val rows = delta.filter(col("tbl") === s"d${b}_$i")
+              .select("k", "vl", "vs", "w")
+            Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_$i",
+              mergeSigned, batchId, numBuckets, Seq("k"))) ++
+            (if (i < spec.branchDepths(b - 1))
+              Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_${i}m",
+                mergeSigned, batchId, numBuckets, Seq("vl")))
+             else Nil)
+          }
+        } ++
+        Seq(() => MvPipeline.upsertBucketedMerge(
+          delta.filter(col("tbl").isin("a", "c"))
+            .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+          s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
+      finally delta.unpersist()
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path))
+          .filter(s => s.getPath.getName.startsWith("_delta_"))
+          .foreach(s => fs.delete(s.getPath, true))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  private def mergeF(old: DataFrame, inc: DataFrame): DataFrame = {
+    val o = if (old.columns.contains("w")) old.drop("w") else old
+    val plus = inc.filter(col("w") === 1L).drop("w")
+    val minus = inc.filter(col("w") === -1L).select("id").distinct()
+    o.unionByName(plus).distinct().join(minus, Seq("id"), "left_anti")
+  }
+
+  private def mergeSigned(old: DataFrame, inc: DataFrame): DataFrame = {
+    val o = if (old.columns.contains("w")) old.drop("w") else old
+    val plus = inc.filter(col("w") === 1L).drop("w")
+    val minus = inc.filter(col("w") === -1L).drop("w")
+    val cond = Seq("k", "vl", "vs").map(c => o(c) <=> minus(c)).reduce(_ && _)
+    o.join(minus, cond, "left_anti").unionByName(plus).distinct()
+  }
+
+  private def mergeA(old: DataFrame, inc: DataFrame): DataFrame = {
+    val all = old.unionByName(inc)
+    val a = all.filter(col("kind") === "a")
+      .groupBy("g")
+      .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+      .filter(col("m") =!= 0 || col("c") =!= 0)
+      .select(lit("a").as("kind"), col("g"), lit(null).cast("long").as("b"),
+        col("m"), col("c"))
+    a.unionByName(all.filter(col("kind") === "c").distinct())
+  }
+
+  /** BOOTSTRAP a fresh state dir from the batch tables — one B-way star
+    * join (what the engine serves anyway) instead of per-batch delta
+    * machinery; writes facts + per-branch mirrors, every level + its
+    * mirror, the aggregate, and one baseline changelog row per group
+    * stamped `baselineBatch` (the as-of floor). Continuation folds must
+    * use batch ids ABOVE the baseline. Refuses a live state dir. */
+  def bootstrap(spec: StarSpec,
+      facts: DataFrame, factKs: Seq[String], factId: String, factM: String,
+      dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
+      stateDir: String, baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+    val nB = spec.B
+    require(factKs.size == nB, "one fact key per branch")
+    val spark = facts.sparkSession
+    val path = s"$stateDir/joinaggstar"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val kCols = (1 to nB).map(b => s"k$b")
+    val fIn = facts.select(Seq(col(factId).cast("long").as("id"),
+        col(factM).cast("long").as("m")) ++
+        factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
+      .groupBy("id")
+      .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
+      .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
+      .transform(graft.operators.Caching.persisted)
+    val dIns = (1 to nB).map { b =>
+      (1 to spec.branchDepths(b - 1)).map { i =>
+        val (kc, lc, ac) = dimCols(b - 1)(i - 1)
+        dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
+            (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+            (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+          .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
+          .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+          .transform(graft.operators.Caching.persisted)
+      }
+    }
+    try {
+      for (b <- 1 to nB)
+        MvPipeline.upsertBucketedMerge(fIn,
+          s"$path/${if (b == 1) "f" else s"fm$b"}",
+          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq(s"k$b"))
+      for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) {
+        MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1), s"$path/d${b}_$i",
+          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
+        if (i < spec.branchDepths(b - 1))
+          MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1), s"$path/d${b}_${i}m",
+            (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("vl"))
+      }
+      // the batch aggregate once, as rows + the baseline changelog
+      var cur = fIn.drop("id").withColumn("w", lit(1L))
+      for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1))
+        cur = joinLevel(cur.filter(col(s"k$b").isNotNull), b, i,
+          dIns(b - 1)(i - 1), signed = false)
+      val agg = finish(spec, cur).groupBy("g")
+        .agg(sum(col("m")).as("m"), sum(col("w")).as("c"))
+        .filter(col("c") > 0)
+        .transform(graft.operators.Caching.persisted)
+      val aRows = agg.select(lit("a").as("kind"), col("g"),
+          lit(null).cast("long").as("b"), col("m"), col("c"))
+        .unionByName(agg.select(lit("c").as("kind"), col("g"),
+          lit(baselineBatch).as("b"), col("m"), col("c")))
+      MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
+        numBuckets, Seq("g"))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** `(g, total, rows)` == the batch star join-aggregate. */
+  def view(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/a", aSchema)
+      .filter(col("kind") === "a" && col("c") > 0)
+      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+
+  /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
+  def changelog(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/a", aSchema)
+      .filter(col("kind") === "c")
+      .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
+        col("c").as("drows"))
+
+  /** AS-OF read: the aggregate as it stood after `batch` committed —
+    * the changelog integral truncated at the batch (the
+    * [[IncrementalJoinAggChain.viewAsOf]] contract). */
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
+    changelog(spark, stateDir)
+      .filter(col("batch") <= batch)
+      .groupBy("g")
+      .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
+      .filter(col("rows") > 0)
+
+  /** Changelog compaction: fold the prefix `<= upTo` into one baseline
+    * row per group; as-of stays exact at and above the floor. */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/joinaggstar/a", old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val baseline = pre.groupBy("g")
+        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+        .filter(col("m") =!= 0 || col("c") =!= 0)
+        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
+          col("m"), col("c"))
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+}
