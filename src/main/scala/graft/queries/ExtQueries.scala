@@ -1440,6 +1440,37 @@ object ExtQueries {
     * customer projection broadcasts; orders⋈lineitem is the
     * co-bucketable fact-fact edge (BucketedJoinSpec's zero-exchange
     * layout applies at scale). */
+  /** Batch twin of the maintained STAR join-aggregate (R150): the Q5
+    * star — lineitem joined to TWO independent branches (orders→
+    * customer→nation→region and supplier) with the cross-branch
+    * equality `s_nationkey = c_nationkey` and the region literal
+    * filter — exact revenue cents + joined-row count per nation, the
+    * view [[graft.streaming.IncrementalJoinAggStar]] maintains,
+    * anchored to the driver gate. Plan shape as q5_region_revenue:
+    * every dimension broadcasts; lineitem (the 100 TB side) shuffles
+    * exactly once, on the final group key. */
+  def x118StarRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        graft.functions.cents(col("l_extendedprice")).as("cst"))
+      .join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("cst")).as("revenue_cents"), count(lit(1)).as("n_rows"))
+      .orderBy("n_name")
+  }
+
   def x117ChainRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), graft.functions.cents(col("l_extendedprice")).as("c"))
@@ -4366,6 +4397,18 @@ object ExtQueries {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "x118_star_revenue" ->
+      s"""SELECT n_name,
+         |  CAST(sum(${graft.functions.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4649,6 +4692,7 @@ object ExtQueries {
     "x115_gap_fill" -> x115GapFill, // oracle: grid + IGNORE NULLS carry
     "x116_duplicate_spans" -> x116DuplicateSpans, // oracle: window-hash + island replay
     "x117_chain_revenue" -> x117ChainRevenue, // oracle: 3-way join + exact cents
+    "x118_star_revenue" -> x118StarRevenue, // oracle: Q5 star + cross-branch equality
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,
