@@ -168,72 +168,108 @@ object IncrementalJoinAggStar {
 
     def computeDelta(): DataFrame = {
       val kCols = (1 to nB).map(b => s"k$b")
-      val fIn = facts.select(Seq(col(factId).cast("long").as("id"),
-          col(factM).cast("long").as("m")) ++
-          factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
-        .groupBy("id")
-        .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
-        .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
-        .transform(graft.operators.Caching.persisted)
-      val delIn = factDels.select(col(delId).cast("long").as("id") +:
-          delKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
-        .distinct()
-        .transform(graft.operators.Caching.persisted)
+      val emptyD = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dSchema)
+      val emptyF = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema(nB))
+      // EMPTY-INPUT GATING — the common streaming batch touches a few
+      // inputs, not all of them: levels with no upserts get a canonical
+      // empty frame (no normalize job, no pruned read) and, below,
+      // contribute NO delta term and NO applied table — per-batch cost
+      // scales with the inputs the batch actually carries, not with the
+      // view's total shape
+      val fActive = !facts.isEmpty || !factDels.isEmpty
+      val active: Seq[Seq[Boolean]] =
+        dims.map(_.map(d => !d.isEmpty))
+
+      val fIn =
+        if (!facts.isEmpty)
+          facts.select(Seq(col(factId).cast("long").as("id"),
+              col(factM).cast("long").as("m")) ++
+              factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
+            .groupBy("id")
+            .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
+            .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
+            .transform(graft.operators.Caching.persisted)
+        else emptyF
+      val delIn =
+        if (!factDels.isEmpty)
+          factDels.select(col(delId).cast("long").as("id") +:
+              delKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
+            .distinct()
+            .transform(graft.operators.Caching.persisted)
+        else emptyF.drop("m")
       // normalize every level to (k, vl, vs); deterministic latest-wins
       // within the batch (max over the (vl, vs) struct, nulls smallest)
       val dIns: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
-          val (kc, lc, ac) = dimCols(b - 1)(i - 1)
-          dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
-              (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
-              (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
-            .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
-            .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
-            .transform(graft.operators.Caching.persisted)
+          if (!active(b - 1)(i - 1)) emptyD
+          else {
+            val (kc, lc, ac) = dimCols(b - 1)(i - 1)
+            dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
+                (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+                (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+              .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
+              .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+              .transform(graft.operators.Caching.persisted)
+          }
         }
       }
 
       // ΔF (signed) against the pre-state facts, pruned by k1
-      val fKeys = fIn.select("k1").unionByName(delIn.select("k1"))
-      val f0 = pruneRead("f", fKeys, Seq("k1"), fSchema(nB))
-        .transform(graft.operators.Caching.persisted)
-      val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
-        .join(delIn.select("id"), Seq("id"), "left_anti")
-      val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
-      val zf = newF.select((col("id") +: kCols.map(col)) ++
-          Seq(col("m"), lit(1L).as("w")): _*)
-        .unionByName(delF.select((col("id") +: kCols.map(col)) ++
-          Seq(col("m"), lit(-1L).as("w")): _*))
-        .transform(graft.operators.Caching.persisted)
+      val zf =
+        if (fActive) {
+          val fKeys = fIn.select("k1").unionByName(delIn.select("k1"))
+          val f0 = pruneRead("f", fKeys, Seq("k1"), fSchema(nB))
+            .transform(graft.operators.Caching.persisted)
+          val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
+            .join(delIn.select("id"), Seq("id"), "left_anti")
+          val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
+          newF.select((col("id") +: kCols.map(col)) ++
+              Seq(col("m"), lit(1L).as("w")): _*)
+            .unionByName(delF.select((col("id") +: kCols.map(col)) ++
+              Seq(col("m"), lit(-1L).as("w")): _*))
+            .transform(graft.operators.Caching.persisted)
+        } else emptyF.withColumn("w", lit(1L))
+          .select((col("id") +: kCols.map(col)) ++ Seq(col("m"), col("w")): _*)
 
       // per level: pre-state rows for the upserted keys + the signed Z-set
-      val d0ForUpsert = (1 to nB).map { b =>
-        (1 to spec.branchDepths(b - 1)).map { i =>
-          pruneRead(s"d${b}_$i", dIns(b - 1)(i - 1).select("k"), Seq("k"), dSchema)
-            .transform(graft.operators.Caching.persisted)
-        }
-      }
       val zds = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
-          val up = dIns(b - 1)(i - 1)
-            .join(d0ForUpsert(b - 1)(i - 1).select(col("k"), col("vl").as("vl_old"),
-              col("vs").as("vs_old")).withColumn("had_old", lit(true)), Seq("k"), "left")
-            .withColumn("had_old", coalesce(col("had_old"), lit(false)))
-            .filter(!col("had_old") ||
-              !(col("vl") <=> col("vl_old")) || !(col("vs") <=> col("vs_old")))
-            .transform(graft.operators.Caching.persisted)
-          up.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
-            .unionByName(up.filter(col("had_old"))
-              .select(col("k"), col("vl_old").as("vl"), col("vs_old").as("vs"),
-                lit(-1L).as("w")))
-            .transform(graft.operators.Caching.persisted)
+          if (!active(b - 1)(i - 1)) emptyD.withColumn("w", lit(1L))
+          else {
+            val d0 = pruneRead(s"d${b}_$i", dIns(b - 1)(i - 1).select("k"),
+                Seq("k"), dSchema)
+              .transform(graft.operators.Caching.persisted)
+            val up = dIns(b - 1)(i - 1)
+              .join(d0.select(col("k"), col("vl").as("vl_old"),
+                col("vs").as("vs_old")).withColumn("had_old", lit(true)), Seq("k"), "left")
+              .withColumn("had_old", coalesce(col("had_old"), lit(false)))
+              .filter(!col("had_old") ||
+                !(col("vl") <=> col("vl_old")) || !(col("vs") <=> col("vs_old")))
+              .transform(graft.operators.Caching.persisted)
+            up.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
+              .unionByName(up.filter(col("had_old"))
+                .select(col("k"), col("vl_old").as("vl"), col("vs_old").as("vs"),
+                  lit(-1L).as("w")))
+              .transform(graft.operators.Caching.persisted)
+          }
         }
       }
+      // a level whose upserts were all no-ops contributes nothing either
+      val termActive = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          active(b - 1)(i - 1) && !zds(b - 1)(i - 1).isEmpty
+        }
+      }
+      val zfActive = fActive && !zf.isEmpty
 
       def preFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
         pruneRead(s"d${b}_$i", keys, Seq("k"), dSchema)
       def postFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
-        preFrame(b, i, keys).join(dIns(b - 1)(i - 1).select("k"), Seq("k"), "left_anti")
+        if (!active(b - 1)(i - 1)) preFrame(b, i, keys)
+        else preFrame(b, i, keys)
+          .join(dIns(b - 1)(i - 1).select("k"), Seq("k"), "left_anti")
           .unionByName(dIns(b - 1)(i - 1))
 
       /** Resolve branch b over `cur` from level `from` upward, pruning
@@ -250,16 +286,19 @@ object IncrementalJoinAggStar {
         cur
       }
 
-      // T0: ΔF through every branch at POST-state
-      val t0 = (1 to nB).foldLeft(zf.drop("id")) { (cur, b) =>
+      // T0: ΔF through every branch at POST-state (built only when the
+      // batch carries fact changes — walk construction itself runs the
+      // eager bucket-probe jobs)
+      def t0(): DataFrame = (1 to nB).foldLeft(zf.drop("id")) { (cur, b) =>
         walkBranch(cur, b, 1, (i, keys) => postFrame(b, i, keys))
       }
 
       // T(b,i) per level: backward restrict at pre-state within branch b,
       // signed join at (b,i), post-state above it; branches < b at PRE,
-      // branches > b at POST (the fixed telescoping order)
+      // branches > b at POST (the fixed telescoping order). Inactive
+      // levels (no upserts, or all no-ops) contribute no term at all.
       val terms = (1 to nB).flatMap { b =>
-        (1 to spec.branchDepths(b - 1)).map { i =>
+        (1 to spec.branchDepths(b - 1)).filter(i => termActive(b - 1)(i - 1)).map { i =>
           // backward: which pre-state branch-b rows reach ΔD(b,i)'s keys
           var need = zds(b - 1)(i - 1).select(col("k").as("v")).distinct()
           val links = new Array[DataFrame](i - 1)
@@ -296,10 +335,16 @@ object IncrementalJoinAggStar {
         }
       }
 
-      val dAgg = (t0 +: terms).map(t => finish(spec, t)).reduce(_ unionByName _)
-        .groupBy("g")
-        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
-        .filter(col("dm") =!= 0 || col("dc") =!= 0)
+      val activeTerms = (if (zfActive) Seq(t0()) else Nil) ++ terms
+      val dAgg =
+        if (activeTerms.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("g", StringType),
+              StructField("dm", LongType), StructField("dc", LongType))))
+        else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
+          .groupBy("g")
+          .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
+          .filter(col("dm") =!= 0 || col("dc") =!= 0)
 
       val nil = lit(null).cast("long")
       val nils = lit(null).cast("string")
@@ -308,7 +353,7 @@ object IncrementalJoinAggStar {
         kCols.map(col) ++ Seq(nil.as("k"), nil.as("vl"), nils.as("vs"),
           nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
       val dDeltas = (1 to nB).flatMap { b =>
-        (1 to spec.branchDepths(b - 1)).map { i =>
+        (1 to spec.branchDepths(b - 1)).filter(i => termActive(b - 1)(i - 1)).map { i =>
           zds(b - 1)(i - 1).select(Seq(lit(s"d${b}_$i").as("tbl"), nil.as("id"),
             nil.as("m")) ++ nilKs ++ Seq(col("k"), col("vl"), col("vs"),
               nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
@@ -333,30 +378,41 @@ object IncrementalJoinAggStar {
       }
       val delta = spark.read.parquet(staged.toString).persist()
       val kCols = (1 to nB).map(b => s"k$b")
+      // apply only the tables the staged delta actually carries (the
+      // empty-input gating above omits untouched levels' rows, and the
+      // discriminator set is deterministic per staged delta, so replay
+      // applies the same table subset)
+      val present = delta.select("tbl").distinct()
+        .collect().map(_.getString(0)).toSet
       // independent marker-guarded tables — applied CONCURRENTLY (the
       // staged protocol never relies on table order)
       try MvPipeline.applyConcurrently(
-        (1 to nB).map { b => () => MvPipeline.upsertBucketedMerge(
+        (if (present("f")) (1 to nB).map { b => () => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "f")
             .select((Seq("id", "m") ++ kCols :+ "w").map(col): _*),
           s"$path/${if (b == 1) "f" else s"fm$b"}", mergeF, batchId,
-          numBuckets, Seq(s"k$b")) } ++
+          numBuckets, Seq(s"k$b")) } else Nil) ++
         (1 to nB).flatMap { b =>
           (1 to spec.branchDepths(b - 1)).flatMap { i =>
-            val rows = delta.filter(col("tbl") === s"d${b}_$i")
-              .select("k", "vl", "vs", "w")
-            Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_$i",
-              mergeSigned, batchId, numBuckets, Seq("k"))) ++
-            (if (i < spec.branchDepths(b - 1))
-              Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_${i}m",
-                mergeSigned, batchId, numBuckets, Seq("vl")))
-             else Nil)
+            if (!present(s"d${b}_$i")) Nil
+            else {
+              val rows = delta.filter(col("tbl") === s"d${b}_$i")
+                .select("k", "vl", "vs", "w")
+              Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_$i",
+                mergeSigned, batchId, numBuckets, Seq("k"))) ++
+              (if (i < spec.branchDepths(b - 1))
+                Seq(() => MvPipeline.upsertBucketedMerge(rows, s"$path/d${b}_${i}m",
+                  mergeSigned, batchId, numBuckets, Seq("vl")))
+               else Nil)
+            }
           }
         } ++
-        Seq(() => MvPipeline.upsertBucketedMerge(
-          delta.filter(col("tbl").isin("a", "c"))
-            .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
-          s"$path/a", mergeA, batchId, numBuckets, Seq("g"))))
+        (if (present("a") || present("c"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl").isin("a", "c"))
+              .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+            s"$path/a", mergeA, batchId, numBuckets, Seq("g")))
+         else Nil))
       finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))

@@ -86,7 +86,8 @@ object StateAudit {
       val diff = mat.exceptAll(integ).count() + integ.exceptAll(mat).count()
       if (diff > 0) out += s"$view: integral(changelog) != materialized aggregate ($diff rows differ)"
     }
-    Seq("joinagg", "joinaggchain", "joinaggn").foreach(v => if (has(v)) zsetIntegral(v))
+    Seq("joinagg", "joinaggchain", "joinaggn", "joinaggstar")
+      .foreach(v => if (has(v)) zsetIntegral(v))
 
     Seq("strictfunnel", "strictorderfunnel").foreach { v =>
       if (has(v)) {

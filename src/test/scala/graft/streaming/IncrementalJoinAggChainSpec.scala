@@ -233,22 +233,29 @@ class IncrementalJoinAggChainSpec extends SparkTestBase {
   test("crash between table applies: replay re-applies the staged delta and converges") {
     import org.apache.spark.sql.functions.{col, lit}
     val state = tmpDir("jac8")
-    val path = s"$state/joinaggchain"
+    val path = s"$state/joinaggstar"
     // hand-stage the delta a healthy batch 0 would have computed from
-    // empty state (one fact + its two dim rows + the aggregate), then
-    // simulate a crash that applied ONLY the f table before dying
+    // empty state (one fact + its two dim rows + the aggregate) in the
+    // STAR engine's staged layout (the chain is its depth-2 single-
+    // branch instance since R150), then simulate a crash that applied
+    // ONLY the f table before dying
     val delta = Seq(
-      ("f", Some(10L), None: Option[Long], Some(1L), None: Option[String],
-        Some(100L), None: Option[Long], None: Option[Long], Some(1L)),
-      ("d1", Some(10L), Some(500L), None, None, None, None, None, Some(1L)),
-      ("d2", None, Some(500L), None, Some("A"), None, None, None, Some(1L)),
-      ("a", None, None, None, Some("A"), Some(100L), Some(1L), None, None),
-      ("c", None, None, None, Some("A"), Some(100L), Some(1L), Some(0L), None))
-      .toDF("tbl", "k1", "k2", "id", "g", "m", "c", "b", "w")
+      ("f", Some(1L), Some(100L), Some(10L), None: Option[Long],
+        None: Option[Long], None: Option[String], None: Option[String],
+        None: Option[Long], None: Option[Long], Some(1L)),
+      ("d1_1", None, None, None, Some(10L), Some(500L), None, None,
+        None, None, Some(1L)),
+      ("d1_2", None, None, None, Some(500L), None, Some("A"), None,
+        None, None, Some(1L)),
+      ("a", None, Some(100L), None, None, None, None, Some("A"),
+        Some(1L), None, None),
+      ("c", None, Some(100L), None, None, None, None, Some("A"),
+        Some(1L), Some(0L), None))
+      .toDF("tbl", "id", "m", "k1", "k", "vl", "vs", "g", "c", "b", "w")
     delta.write.parquet(s"$path/_delta_b0")
     MvPipeline.upsertBucketedMerge(
       spark.read.parquet(s"$path/_delta_b0").filter(col("tbl") === "f")
-        .select("k1", "id", "m", "w"),
+        .select("id", "m", "k1", "w"),
       s"$path/f", (old, inc) => {
         val o = if (old.columns.contains("w")) old.drop("w") else old
         o.unionByName(inc.filter(col("w") === 1L).drop("w")).distinct()
@@ -268,6 +275,7 @@ class IncrementalJoinAggChainSpec extends SparkTestBase {
     integralEqualsView(state)
     assert(!new java.io.File(s"$path/_delta_b0").exists(),
       "staged delta must sweep after full application")
+    assert(new java.io.File(path).exists(), "star layout state dir expected")
   }
 
   test("start(): mixed CDC stream end-to-end via foreachBatch") {

@@ -39,9 +39,9 @@ class StateAuditSpec extends SparkTestBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // stale rename-aside copy
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/joinagg/f.old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/joinaggstar/f.old"))
     // missing bucket marker
-    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/joinagg/a"))
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/joinaggstar/a"))
       .map(_.getPath).filter(_.getName.startsWith("bucket=")).head
     fs.delete(new org.apache.hadoop.fs.Path(bucket, "_graft_batch"), false)
     // broken lattice: a label ABOVE its doc id, injected as an extra
@@ -56,7 +56,7 @@ class StateAuditSpec extends SparkTestBase {
         col("gh").cast("array<bigint>"), col("label").cast("bigint"))
     bad.coalesce(1).write.mode("append").parquet(ndBucket.toString)
     // broken integral: an extra changelog row with no matching aggregate
-    val aBucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/joinagg/a"))
+    val aBucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/joinaggstar/a"))
       .map(_.getPath).filter(_.getName.startsWith("bucket=")).last
     Seq(("c", "GHOST", 5L, 1L, 1L)).toDF("kind", "g", "b", "m", "c")
       .coalesce(1).write.mode("append").parquet(aBucket.toString)
