@@ -158,6 +158,164 @@ object ForgetMaintenance {
     } finally graft.operators.Caching.releaseAll()
   }
 
+  // ------------------------------------------------------------------
+  // R151: user-forget for the BEHAVIORAL view family (funnels,
+  // retention, transitions) — completing the deletion story the
+  // clusterers (forget above), the ANN index (lightweight deletes),
+  // and dup-spans (doc-local forget) started. User keys are the
+  // corpus's long ids (the views' bucketing hashes the user column,
+  // so the forget must probe with the same type).
+  // ------------------------------------------------------------------
+
+  private def longIds(ids: DataFrame, as: String): DataFrame =
+    ids.select(col(ids.columns.head).cast("long").as(as)).distinct()
+
+  /** Forget users from a Z-SET strict funnel view ("strictfunnel" or
+    * "strictorderfunnel"): drop their `e`/`u`/`v` rows NOW and emit the
+    * −1 changelog retraction for each current level, so the integral
+    * stays equal to the served view and external ships converge (the
+    * summing-sink contract). The users' historical `d` rows remain
+    * until a [[IncrementalStrictFunnel.compactChangelog]] at a floor ≥
+    * `opId` folds their net-zero weights away — the privacy completion
+    * point, exactly like the ANN index's purge-at-compaction. Serve ≡
+    * batch over events-minus-users immediately; re-running the same
+    * forget is a no-op (merge idempotent, retraction rows identical).
+    * Returns the number of users that had a served level. */
+  def forgetStrictFunnel(spark: SparkSession, ids: DataFrame,
+      stateDir: String, view: String = "strictfunnel", opId: Long = -1L,
+      numBuckets: Int = 16): Long = {
+    val path = s"$stateDir/$view"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return 0L
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "kind STRING, k INT, user BIGINT, t BIGINT, id BIGINT, et STRING, w BIGINT")
+    val stagedName =
+      if (opId >= 0) s"_forget_$opId"
+      else s"_forget_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+    try {
+      if (!(opId >= 0 && fs.exists(staged))) {
+        val users = longIds(ids, "user")
+          .transform(graft.operators.Caching.persisted)
+        val st = MvPipeline.readBuckets(spark, path,
+          MvPipeline.bucketIdsOf(users, Seq("user"), numBuckets), schema)
+        val hitV = st.filter(col("kind") === "v")
+          .join(users, Seq("user"), "left_semi")
+        val dRows = hitV.select(lit("d").as("kind"), col("k"), col("user"),
+          lit(opId).cast("long").as("t"), lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("et"), lit(-1L).as("w"))
+        val xRows = users.select(lit("x").as("kind"), lit(0).as("k"),
+          col("user"), lit(null).cast("long").as("t"),
+          lit(null).cast("long").as("id"), lit(null).cast("string").as("et"),
+          lit(null).cast("long").as("w"))
+        val tmp = new Path(s"$path/$stagedName.tmp")
+        xRows.unionByName(dRows).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(staged, true)
+        require(fs.rename(tmp, staged), s"stage forget delta $staged")
+      }
+      val delta = spark.read.parquet(staged.toString)
+        .transform(graft.operators.Caching.persisted)
+      val forgotten = delta.filter(col("kind") === "d")
+        .select("user").distinct().count()
+      MvPipeline.upsertBucketedMerge(delta, path, mergeStrictForget,
+        -1L, numBuckets, Seq("user"))
+      fs.delete(staged, true)
+      forgotten
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** Per-bucket strict-funnel forget merge: drop the tombstoned users'
+    * non-changelog rows, append the retraction `d` rows (distinct-union
+    * — idempotent, replay-identical). */
+  private def mergeStrictForget(old: DataFrame, inc: DataFrame): DataFrame = {
+    val users = inc.filter(col("kind") === "x").select("user").distinct()
+    val kept = old.filter(col("kind") === "d")
+      .unionByName(inc.filter(col("kind") === "d")).distinct()
+    old.filter(col("kind") =!= "d")
+      .join(users, Seq("user"), "left_anti")
+      .unionByName(kept)
+  }
+
+  /** Forget users from the MONOTONE funnel view
+    * ([[IncrementalFunnel]]): a pure per-user row drop — frames,
+    * retained events, conversion-latency rows, and the universe row all
+    * go; the view is per-user with no cross-user structure, so serve ≡
+    * batch over events-minus-users immediately, INCLUDING for users
+    * already frozen by freeze-and-fold compaction (their summary rows
+    * drop whole — no split to derive, so no horizon guard is needed,
+    * unlike the clusterers). Idempotent; returns users that had rows. */
+  def forgetFunnel(spark: SparkSession, ids: DataFrame,
+      stateDir: String, numBuckets: Int = 16): Long = {
+    val path = s"$stateDir/funnel"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return 0L
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "kind STRING, k INT, user BIGINT, t1 BIGINT, tk BIGINT")
+    try {
+      val users = longIds(ids, "user")
+        .transform(graft.operators.Caching.persisted)
+      val st = MvPipeline.readBuckets(spark, path,
+        MvPipeline.bucketIdsOf(users, Seq("user"), numBuckets), schema)
+      val forgotten = st.join(users, Seq("user"), "left_semi")
+        .select("user").distinct().count()
+      MvPipeline.upsertBucketedMerge(
+        users.select(lit("x").as("kind"), lit(0).as("k"), col("user"),
+          lit(null).cast("long").as("t1"), lit(null).cast("long").as("tk")),
+        path,
+        (old, inc) => old.join(inc.select("user").distinct(),
+          Seq("user"), "left_anti"),
+        -1L, numBuckets, Seq("user"))
+      forgotten
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** Forget users from [[IncrementalRetention]] state: drop their
+    * cohort and activity rows — retention counts then equal the batch
+    * recompute over events-minus-users exactly (counts are per-user
+    * presence sums). Ad-hoc marker-preserving merges; idempotent. */
+  def forgetRetention(spark: SparkSession, ids: DataFrame,
+      stateDir: String): Long = {
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val users = longIds(ids, "user_id")
+        .transform(graft.operators.Caching.persisted)
+      var forgotten = 0L
+      Seq("cohorts", "activity").foreach { t =>
+        if (fs.exists(new Path(s"$stateDir/$t"))) {
+          if (t == "cohorts")
+            forgotten = spark.read.parquet(s"$stateDir/$t")
+              .join(users, Seq("user_id"), "left_semi").count()
+          MvPipeline.upsertMerge(users, s"$stateDir/$t",
+            (old, inc) => old.join(inc, Seq("user_id"), "left_anti"), -1L)
+        }
+      }
+      forgotten
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** Forget users from [[IncrementalTransitions]] state — with the
+    * honest CONSERVATIVE contract of the dup-spans forget: the user's
+    * `last_event` row drops (no future transition will be attributed to
+    * them), but the (from_type, to_type) COUNT matrix keeps their past
+    * transitions — it is a user-anonymous aggregate with no per-user
+    * decomposition (the design choice that keeps it O(type²), never
+    * O(users)); subtracting one user exactly would need their event
+    * history. Rebuild the view for count-exact removal. */
+  def forgetTransitions(spark: SparkSession, ids: DataFrame,
+      stateDir: String): Long = {
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$stateDir/last_event"))) return 0L
+    try {
+      val users = longIds(ids, "user")
+        .transform(graft.operators.Caching.persisted)
+      val forgotten = spark.read.parquet(s"$stateDir/last_event")
+        .join(users, Seq("user"), "left_semi").count()
+      MvPipeline.upsertMerge(users, s"$stateDir/last_event",
+        (old, inc) => old.join(inc, Seq("user"), "left_anti"), -1L)
+      forgotten
+    } finally graft.operators.Caching.releaseAll()
+  }
+
   /** Per-bucket main merge: drop every row of a tombstoned id, replace
     * the `l` rows of relabeled ids. Idempotent under re-application. */
   private def mergeMain(spark: SparkSession, idCol: String,
