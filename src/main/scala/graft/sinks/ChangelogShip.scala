@@ -74,6 +74,89 @@ object ChangelogShip {
     readWatermark(marker.getFileSystem(spark.sparkContext.hadoopConfiguration), marker)
   }
 
+  /** VERSIONED ship for REPLACE-semantics views (R152): the monotone
+    * views' outputs — cluster labels, funnel levels, dup-span stats —
+    * REPLACE per key rather than sum, so a summing sink cannot consume
+    * them. This mode ships `(key…, value…, version, is_deleted)` rows
+    * that a ClickHouse `ReplacingMergeTree(version, is_deleted)` (or
+    * any latest-version-wins reader) converges on: per key the highest
+    * shipped version is the truth, `is_deleted = 1` removes the key
+    * (the forget path travels too).
+    *
+    * What ships is the DIFF of the served view against the last-shipped
+    * snapshot kept next to the watermark (`_snapshot_<table>`): changed
+    * or new rows ship with the caller's `version` stamp; keys present
+    * in the snapshot but gone from the view ship as deletion markers.
+    * The block is a deterministic function of (snapshot, view), so the
+    * delivery contract is the same at-least-once + downstream-dedup =
+    * exactly-once composition as [[ship]]: a crash between the sink
+    * append and the snapshot/watermark advance re-ships the SAME block
+    * (latest-version-wins folds the duplicates); a crash between the
+    * snapshot swap and the watermark advance re-enters with an empty
+    * diff and just advances the watermark. `version` must increase
+    * across calls (a call at or below the watermark is a no-op).
+    * Returns rows shipped. */
+  def shipVersioned(view: DataFrame, keyCols: Seq[String], sink: GraftSink,
+      table: String, markerDir: String, version: Long): Long = {
+    val spark = view.sparkSession
+    val marker = new Path(s"$markerDir/_shipped_v_$table")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = readWatermark(fs, marker)
+    if (version <= last) return 0L
+    val snap = new Path(s"$markerDir/_snapshot_$table")
+    val snapAside = new Path(snap.toString + ".old")
+    if (!fs.exists(snap) && fs.exists(snapAside))
+      require(fs.rename(snapAside, snap), s"recover snapshot $snapAside")
+    val cur = view.transform(graft.operators.Caching.persisted)
+    try {
+      val valCols = cur.columns.filterNot(keyCols.contains).toSeq
+      val prior =
+        (if (fs.exists(snap)) spark.read.parquet(snap.toString) else cur.limit(0))
+          .transform(graft.operators.Caching.persisted)
+      val upserts = cur.join(prior,
+        cur.columns.map(c => cur(c) <=> prior(c)).reduce(_ && _), "left_anti")
+      val deletes = prior.select(keyCols.map(col): _*)
+        .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val block = upserts.select(keyCols.map(col) ++ valCols.map(col) ++
+          Seq(lit(version).as("version"), lit(0L).as("is_deleted")): _*)
+        .unionByName(deletes.select(keyCols.map(col) ++
+          valCols.map(c => lit(null).cast(cur.schema(c).dataType).as(c)) ++
+          Seq(lit(version).as("version"), lit(1L).as("is_deleted")): _*))
+        .transform(graft.operators.Caching.persisted)
+      val n = block.count()
+      if (n > 0) {
+        sink.write(block, table)
+        // snapshot swap under the rename-aside protocol — a crash here
+        // re-ships the identical block on re-entry (snapshot unchanged)
+        val tmp = new Path(snap.toString + ".tmp")
+        cur.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(snapAside, true)
+        if (fs.exists(snap)) require(fs.rename(snap, snapAside), s"stage out $snap")
+        require(fs.rename(tmp, snap), s"commit snapshot $snap")
+        fs.delete(snapAside, true)
+      }
+      // advance the watermark even for an empty diff (version consumed)
+      val tmpM = new Path(marker.toString + ".tmp")
+      val out = fs.create(tmpM, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      val mAside = new Path(marker.toString + ".old")
+      fs.delete(mAside, true)
+      if (fs.exists(marker)) require(fs.rename(marker, mAside), s"stage out $marker")
+      if (!fs.rename(tmpM, marker)) {
+        if (fs.exists(mAside)) require(fs.rename(mAside, marker), s"restore $mAside")
+        throw new IllegalStateException(s"advance watermark $marker failed; prior restored")
+      }
+      fs.delete(mAside, true)
+      n
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** The last shipped REPLACE-mode version (−1 = nothing shipped). */
+  def versionWatermark(spark: SparkSession, markerDir: String, table: String): Long = {
+    val marker = new Path(s"$markerDir/_shipped_v_$table")
+    readWatermark(marker.getFileSystem(spark.sparkContext.hadoopConfiguration), marker)
+  }
+
   private def readWatermark(fs: org.apache.hadoop.fs.FileSystem, marker: Path): Long = {
     // crash recovery: a marker staged aside but never replaced means the
     // advance died mid-swap — restore it (degrades to re-shipping only

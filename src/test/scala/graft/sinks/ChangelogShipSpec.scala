@@ -83,6 +83,79 @@ class ChangelogShipSpec extends SparkTestBase {
     assert(folded(db, "agg_cl") === served(state))
   }
 
+  test("versioned REPLACE ship: a levels view converges a latest-version-wins reader, incl. forget-deletes and the crash-window duplicate") {
+    import graft.streaming.{ForgetMaintenance, IncrementalStrictFunnel}
+    val state = tmpDir("cs3")
+    val db = "changelog3"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+    val steps = Seq("signup", "click", "purchase")
+    def fold(b: Seq[(Long, Long, String)], id: Long): Unit =
+      IncrementalStrictFunnel.processBatch(b.toDF("u", "t", "et"),
+        "u", "t", "et", steps, 100L, state, id)
+    // REPLACE-per-key view ("user" is reserved in Derby — alias it)
+    def levelsView = IncrementalStrictFunnel.levels(spark, state)
+      .select(col("user").as("uid"), col("level"))
+    def shipV(v: Long): Long = ChangelogShip.shipVersioned(
+      levelsView, Seq("uid"), sink, "lvl", state, v)
+    // the downstream contract: latest version per key wins; deleted keys drop
+    def foldedV: Map[Long, Int] = readBack(db, "lvl").distinct()
+      .groupBy("uid")
+      .agg(max_by(struct(col("level"), col("is_deleted")), col("version")).as("s"))
+      .filter("s.is_deleted = 0")
+      .select(col("uid"), col("s.level"))
+      .as[(Long, Int)].collect().toMap
+    def servedV: Map[Long, Int] =
+      levelsView.as[(Long, Int)].collect().toMap
+
+    fold(Seq((1L, 0L, "signup"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "signup")), 0L)
+    assert(shipV(0L) === 2L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> 3, 2L -> 1))
+    // replay below the watermark is a no-op
+    assert(shipV(0L) === 0L)
+
+    // a RETRACTION replaces: the late dup drops user 1 to level 2 —
+    // only the changed key ships
+    fold(Seq((1L, 15L, "click")), 1L)
+    assert(shipV(1L) === 1L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> 2, 2L -> 1))
+
+    // forget travels as a deletion marker
+    ForgetMaintenance.forgetStrictFunnel(spark, Seq(2L).toDF("user"), state, opId = 2L)
+    assert(shipV(2L) === 1L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> 2))
+
+    // crash window: the sink append of version 3 lands but snapshot +
+    // watermark do not — simulate by saving the snapshot, shipping, then
+    // restoring snapshot + watermark and replaying the same version
+    fold(Seq((3L, 0L, "signup")), 3L)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$state/_snapshot_lvl")
+    val backup = new org.apache.hadoop.fs.Path(s"$state/_snap_backup")
+    org.apache.hadoop.fs.FileUtil.copy(fs, snap, fs, backup, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(shipV(3L) === 1L) // the "crashed" attempt: append happened
+    fs.delete(snap, true)
+    require(fs.rename(backup, snap))
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_shipped_v_lvl")
+    val out = fs.create(marker, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    val rawBefore = readBack(db, "lvl").count()
+    assert(shipV(3L) === 1L) // replay appends the identical block
+    assert(readBack(db, "lvl").count() > rawBefore, "duplicates must exist raw")
+    assert(foldedV === servedV, "latest-version-wins folds the duplicates")
+    assert(servedV === Map(1L -> 2, 3L -> 1))
+    assert(ChangelogShip.versionWatermark(spark, state, "lvl") === 3L)
+
+    // no view change: the next version ships nothing but is consumed
+    assert(shipV(4L) === 0L)
+    assert(ChangelogShip.versionWatermark(spark, state, "lvl") === 4L)
+  }
+
   test("parquet sink: the same contract over files") {
     val state = tmpDir("cs2"); val out = tmpDir("cs2out")
     val sink = new ParquetSink(out)
