@@ -1,0 +1,157 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IncrementalJoinAggN, IncrementalNearDup}
+
+/** STATE-scale rehearsal for the bucketed STREAMING folds (r10 VERDICT
+  * task 5; dev aid, not part of the driver contract): the r10/r11
+  * rehearsals prove ≡-batch and bucket economics at sf0.1 — this one
+  * proves the ECONOMICS HOLD AS STATE GROWS. For the near-dup fold and
+  * the chain join-agg fold, enter a 1× corpus and an N× id-shifted
+  * corpus (bootstrap — the sanctioned corpus-entry path), then fold the
+  * IDENTICAL probe batch into each and measure wall time, shuffle-write
+  * bytes, and the bucket directories actually rewritten (filesystem
+  * diff, not the analytic key count). The claim under test: per-batch
+  * cost ∝ batch, not accumulated state — wall/shuffle stay near-flat
+  * and the touched-bucket count is IDENTICAL while state grows N×.
+  *
+  * {{{ sbt "runMain graft.tools.StateScaleRehearsal /root/testdata/sf0.1 10" }}}
+  */
+object StateScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Per-bucket content signature across every `bucket=<n>` dir under
+      * `root` — the filesystem truth of what a fold rewrote. */
+    def bucketSigs(root: String): Map[String, Long] = {
+      def walk(p: Path): Seq[Path] = {
+        if (!fs.exists(p)) return Nil
+        val st = fs.listStatus(p).filter(_.isDirectory)
+        st.filter(_.getPath.getName.matches("bucket=\\d+")).map(_.getPath).toSeq ++
+          st.filterNot(_.getPath.getName.matches("bucket=\\d+"))
+            .flatMap(s => walk(s.getPath))
+      }
+      walk(new Path(root)).map { b =>
+        val sig = fs.listStatus(b).map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString("|").hashCode.toLong
+        b.toString -> sig
+      }.toMap
+    }
+
+    def measure(label: String, stateRoot: String)(fold: => Unit): Unit = {
+      val before = bucketSigs(stateRoot)
+      org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      fold
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerShim.drainListeners(spark.sparkContext)
+      val after = bucketSigs(stateRoot)
+      val changed = after.count { case (p, s) => before.get(p).forall(_ != s) }
+      println(f"STATESCALE $label%-28s fold ${sec}%7.2f s  shuffleWrite ${shuffleBytes.get / 1048576.0}%8.1f MiB  buckets rewritten $changed%d/${after.size}%d")
+      graft.operators.Caching.releaseAll()
+    }
+
+    // ---------------------------------------------------- near-dup ----
+    // identical probe batch at both scales: 200 fresh-id docs, half
+    // sampled from the corpus (guaranteed near-dup collisions), half
+    // unique synthetic texts
+    val docs = graft.Tables.documents(spark, dir)
+    val probeDocs = docs.orderBy("doc_id").limit(100)
+      .select((col("doc_id") + 900000000000L).as("doc_id"), col("text"))
+      .unionByName((1 to 100).map(i =>
+          (900000100000L + i, s"unique probe text nr $i with enough words to shingle properly and not collide"))
+        .toDF("doc_id", "text"))
+      .cache()
+    probeDocs.count()
+
+    Seq(1, copies).foreach { n =>
+      val corpus = (0 until n)
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+      val state = java.nio.file.Files.createTempDirectory(s"ssr-nd-$n").toString
+      val t0 = System.nanoTime()
+      IncrementalNearDup.bootstrap(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8,
+        stateDir = state, numBuckets = 64)
+      println(f"STATESCALE neardup ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${corpus.count()}%d docs)")
+      measure(s"neardup probe @${n}x state", state) {
+        IncrementalNearDup.processBatch(probeDocs, "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.8,
+          stateDir = state, batchId = 1000L, numBuckets = 64)
+      }
+    }
+
+    // ------------------------------------------- chain join-agg ----
+    // identical probe batch at both scales: 200 new facts under 3 new
+    // orders + 50 customer re-segments
+    val facts = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"),
+        (monotonically_increasing_id() + 1L).as("id"),
+        graft.functions.cents(col("l_extendedprice")).as("m"))
+    val d1 = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+    val d2 = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("v"))
+    val maxOrd = d1.agg(max("k")).collect().head.getLong(0)
+    val probeF = (1L to 200L).map(i =>
+      (maxOrd + 1L + (i % 3), 950000000000L + i, 100L + i)).toDF("k", "id", "m")
+    val probeD1 = (0L until 3L).map(i => (maxOrd + 1L + i, 1L + i)).toDF("k", "v")
+    val probeD2 = d2.orderBy("k").limit(50)
+      .select(col("k"), concat(lit("SEG_"), col("k")).as("v"))
+    val noDel = probeF.select("k", "id").limit(0)
+
+    Seq(1, copies).foreach { n =>
+      // every copy gets its own orders AND customers (keys shifted on
+      // both levels), so the probe's 50 base-copy re-segments affect the
+      // SAME subtree size at both scales — the probe is identical work,
+      // only the accumulated state differs
+      val f = (0 until n).map(i => facts
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"),
+            (col("id") + lit(i.toLong * 10000000000L)).as("id"), col("m")))
+        .reduce(_ unionByName _)
+      val o = (0 until n).map(i => d1
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"),
+            (col("v") + lit(i.toLong * 100000000L)).as("v")))
+        .reduce(_ unionByName _)
+      val c = (0 until n).map(i => d2
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"), col("v")))
+        .reduce(_ unionByName _)
+      val state = java.nio.file.Files.createTempDirectory(s"ssr-ja-$n").toString
+      val t0 = System.nanoTime()
+      IncrementalJoinAggN.bootstrap(f, "k", "id", "m",
+        Seq(o, c), Seq(("k", "v"), ("k", "v")), state, 0L, numBuckets = 16)
+      println(f"STATESCALE joinagg ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+      measure(s"joinagg probe @${n}x state", state) {
+        IncrementalJoinAggN.processBatch(probeF, "k", "id", "m", noDel, "k", "id",
+          Seq(probeD1, probeD2), Seq(("k", "v"), ("k", "v")),
+          state, 1000L, numBuckets = 16)
+      }
+    }
+    spark.stop()
+  }
+}
