@@ -77,13 +77,15 @@ object StateScaleRehearsal {
     }
 
     // ---------------------------------------------------- near-dup ----
-    // identical probe batch at both scales: 200 fresh-id docs, half
+    // identical probe batch at both scales: 10 fresh-id docs, half
     // sampled from the corpus (guaranteed near-dup collisions), half
-    // unique synthetic texts
+    // unique synthetic texts — SMALL so the touched-bucket fraction is
+    // the signal (a batch of B+ distinct ids trivially covers every
+    // bucket; real steady-state batches are probe-sized)
     val docs = graft.Tables.documents(spark, dir)
-    val probeDocs = docs.orderBy("doc_id").limit(100)
+    val probeDocs = docs.orderBy("doc_id").limit(5)
       .select((col("doc_id") + 900000000000L).as("doc_id"), col("text"))
-      .unionByName((1 to 100).map(i =>
+      .unionByName((1 to 5).map(i =>
           (900000100000L + i, s"unique probe text nr $i with enough words to shingle properly and not collide"))
         .toDF("doc_id", "text"))
       .cache()
@@ -108,7 +110,7 @@ object StateScaleRehearsal {
 
     // ------------------------------------------- chain join-agg ----
     // identical probe batch at both scales: 200 new facts under 3 new
-    // orders + 50 customer re-segments
+    // orders + 5 customer re-segments (small key sets — see above)
     val facts = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("k"),
         (monotonically_increasing_id() + 1L).as("id"),
@@ -121,7 +123,7 @@ object StateScaleRehearsal {
     val probeF = (1L to 200L).map(i =>
       (maxOrd + 1L + (i % 3), 950000000000L + i, 100L + i)).toDF("k", "id", "m")
     val probeD1 = (0L until 3L).map(i => (maxOrd + 1L + i, 1L + i)).toDF("k", "v")
-    val probeD2 = d2.orderBy("k").limit(50)
+    val probeD2 = d2.orderBy("k").limit(5)
       .select(col("k"), concat(lit("SEG_"), col("k")).as("v"))
     val noDel = probeF.select("k", "id").limit(0)
 
