@@ -536,6 +536,40 @@ object IncrementalJoinAggStar {
       .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
       .filter(col("rows") > 0)
 
+  /** Continuous maintenance over a MIXED CDC stream: `kindCol` ∈
+    * "fact" | "fact_del" | "d{b}_{i}" (e.g. "d1_2" = branch 1 level 2).
+    * Fact rows read `factKs`/`idCol`/`mCol`; dim rows read fixed
+    * columns `k`/`vl`/`vs` (absent columns null). Single writer per
+    * state dir (MvPipeline contract). */
+  def start(spark: SparkSession, inputDir: String,
+      schema: StructType, stateDir: String, checkpointDir: String,
+      spec: StarSpec, kindCol: String, factKs: Seq[String], idCol: String,
+      mCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spec,
+          batch.filter(col(kindCol) === "fact"), factKs, idCol, mCol,
+          batch.filter(col(kindCol) === "fact_del"), factKs, idCol,
+          (1 to spec.B).map { b =>
+            (1 to spec.branchDepths(b - 1)).map { i =>
+              batch.filter(col(kindCol) === s"d${b}_$i")
+            }
+          },
+          (1 to spec.B).map { b =>
+            (1 to spec.branchDepths(b - 1)).map(_ => ("k", "vl", "vs"))
+          },
+          stateDir, batchId)
+      }
+      .start()
+
   /** Changelog compaction: fold the prefix `<= upTo` into one baseline
     * row per group; as-of stays exact at and above the floor. */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =

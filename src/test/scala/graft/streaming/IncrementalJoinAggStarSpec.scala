@@ -228,6 +228,59 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
     assert(served(state) === Map("GERMANY" -> (107L, 2L)))
   }
 
+  test("multi-attribute group key: nation x segment from two branches") {
+    // group by (branch-1 attr, branch-2 attr) — exercises the
+    // \u0001-joined concat group path; no constraints
+    val specG2 = StarSpec(Seq(2, 1), groupAttrs = Seq((1, 2), (2, 1)))
+    val state = tmpDir("starg2")
+    val ups: Map[(Int, Int), Seq[Dim]] = Map(
+      (1, 1) -> Seq((10L, Some(500L), None), (20L, Some(501L), None)),
+      (1, 2) -> Seq((500L, None, Some("A")), (501L, None, Some("B"))),
+      (2, 1) -> Seq((70L, None, Some("X")), (71L, None, Some("Y"))))
+    val (d, dc) = dimsDf(specG2, ups)
+    IncrementalJoinAggStar.processBatch(specG2,
+      Seq((10L, 70L, 1L, 100L), (10L, 71L, 2L, 50L), (20L, 70L, 3L, 7L))
+        .toDF("k1", "k2", "id", "m"),
+      Seq("k1", "k2"), "id", "m",
+      Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"), Seq("k1", "k2"), "id",
+      d, dc, state, 0L, numBuckets = 4)
+    assert(served(state) === Map(
+      "A\u0001X" -> (100L, 1L), "A\u0001Y" -> (50L, 1L), "B\u0001X" -> (7L, 1L)))
+    // a branch-2 re-attr moves one composite group exactly
+    val (d2, dc2) = dimsDf(specG2, Map((2, 1) -> Seq((71L, None, Some("X")): Dim)))
+    IncrementalJoinAggStar.processBatch(specG2,
+      Seq.empty[(Long, Long, Long, Long)].toDF("k1", "k2", "id", "m"),
+      Seq("k1", "k2"), "id", "m",
+      Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"), Seq("k1", "k2"), "id",
+      d2, dc2, state, 1L, numBuckets = 4)
+    assert(served(state) === Map(
+      "A\u0001X" -> (150L, 2L), "B\u0001X" -> (7L, 1L)))
+  }
+
+  test("start(): mixed CDC stream end-to-end via foreachBatch") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("stars-in"); val state = tmpDir("stars-st")
+    val ckpt = tmpDir("stars-ck")
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("k1", LongType),
+      StructField("k2", LongType), StructField("id", LongType),
+      StructField("m", LongType), StructField("k", LongType),
+      StructField("vl", LongType), StructField("vs", StringType)))
+    val rows = Seq(
+      """{"kind":"fact","k1":10,"k2":70,"id":1,"m":100}""",
+      """{"kind":"fact","k1":10,"k2":70,"id":2,"m":50}""",
+      """{"kind":"d1_1","k":10,"vl":500}""",
+      """{"kind":"d1_2","k":500,"vs":"A"}""",
+      """{"kind":"d2_1","k":70,"vs":"A"}""",
+      """{"kind":"fact_del","k1":10,"k2":70,"id":2}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b0.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val q = IncrementalJoinAggStar.start(spark, in, schema, state, ckpt,
+      spec21, "kind", Seq("k1", "k2"), "id", "m")
+    q.awaitTermination()
+    assert(served(state) === Map("A" -> (100L, 1L)))
+  }
+
   test("bootstrap: batch-table initialization, exact continuation with cross-branch retractions") {
     val state = tmpDir("star4")
     var m = Model(spec21, levels = Vector(Vector(Map.empty, Map.empty), Vector(Map.empty)))
