@@ -161,9 +161,38 @@ object IncrementalJoinAggStar {
       else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
     val staged = new Path(s"$path/$stagedName")
 
+    // SMALL-TABLE fast path: bucket pruning exists to avoid reading BIG
+    // state, and its probe (bucketIdsOf) is a Spark job over the
+    // caller's key frame — which in the walk terms is a large joined
+    // intermediate. Pruning a nation/region-sized table with a job over
+    // half the fact state is backwards: when the table's on-disk bytes
+    // are under the threshold, read it whole (the joins restrict; extra
+    // rows never change results) and skip the probe job entirely.
+    // Real dimension tables at 100 TB exceed the threshold and keep the
+    // pruned path; the decision costs one metadata listing per table
+    // per fold (memoized).
+    val smallTableBytes = 16L << 20
+    val sizeMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def isSmall(table: String): Boolean = sizeMemo.getOrElseUpdate(table, {
+      val base = new Path(s"$path/$table")
+      if (!fs.exists(base)) true
+      else {
+        val buckets = fs.listStatus(base).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        var sum = 0L
+        var i = 0
+        while (i < buckets.length && sum < smallTableBytes) {
+          sum += fs.listStatus(buckets(i).getPath).map(_.getLen).sum
+          i += 1
+        }
+        sum < smallTableBytes
+      }
+    })
     def pruneRead(table: String, keys: DataFrame, keyCols: Seq[String],
         schema: StructType): DataFrame =
-      MvPipeline.readBuckets(spark, s"$path/$table",
+      if (isSmall(table))
+        MvPipeline.readBucketedStateOrEmpty(spark, s"$path/$table", schema)
+      else MvPipeline.readBuckets(spark, s"$path/$table",
         MvPipeline.bucketIdsOf(keys, keyCols, numBuckets), schema)
 
     def computeDelta(): DataFrame = {
