@@ -1471,6 +1471,35 @@ object ExtQueries {
       .orderBy("n_name")
   }
 
+  /** Batch twin of the maintained exact order-statistics view
+    * ([[graft.streaming.IncrementalExtrema]], R154): per market
+    * segment over orders — min/max/count and the exact LOW-MEDIAN of
+    * the order total in cents. The plan aggregates to the
+    * value-multiplicity relation `(seg, v) → w` FIRST (a parallel
+    * groupBy), so the rank window runs over O(distinct values) rows,
+    * never O(orders) — the same relation the incremental view
+    * maintains, and the only window shape that survives a 100× fact
+    * scale-up with a 5-value partition key. All-integer rank
+    * arithmetic (`(n+1) DIV 2`), so both engines pick the identical
+    * value from the data. */
+  def x119SegmentOrderStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), graft.functions.cents(col("o_totalprice")).as("v"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    o.groupBy("seg", "v").agg(count(lit(1)).as("w"))
+      .withColumn("cum", sum("w").over(w.orderBy("v")))
+      .withColumn("n", sum("w").over(w))
+      .groupBy("seg")
+      .agg(min("v").as("min_cents"), max("v").as("max_cents"),
+        max("n").as("n_orders"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v")))
+          .as("median_lo_cents"))
+      .orderBy("seg")
+  }
+
   def x117ChainRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), graft.functions.cents(col("l_extendedprice")).as("c"))
@@ -4409,6 +4438,20 @@ object ExtQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "x119_segment_order_stats" ->
+      s"""WITH o AS (
+         |  SELECT c_mktsegment AS seg,
+         |         ${graft.functions.centsSql("o_totalprice")} AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |vw AS (SELECT seg, v, count(*) AS w FROM o GROUP BY seg, v),
+         |c AS (SELECT seg, v, w,
+         |        sum(w) OVER (PARTITION BY seg ORDER BY v) AS cum,
+         |        sum(w) OVER (PARTITION BY seg) AS n
+         |      FROM vw)
+         |SELECT seg, min(v) AS min_cents, max(v) AS max_cents,
+         |       CAST(max(n) AS BIGINT) AS n_orders,
+         |       min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median_lo_cents
+         |FROM c GROUP BY seg ORDER BY seg""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4693,6 +4736,7 @@ object ExtQueries {
     "x116_duplicate_spans" -> x116DuplicateSpans, // oracle: window-hash + island replay
     "x117_chain_revenue" -> x117ChainRevenue, // oracle: 3-way join + exact cents
     "x118_star_revenue" -> x118StarRevenue, // oracle: Q5 star + cross-branch equality
+    "x119_segment_order_stats" -> x119SegmentOrderStats, // oracle: multiplicity-relation order stats
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

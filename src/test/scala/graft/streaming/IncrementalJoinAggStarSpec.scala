@@ -257,6 +257,62 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
       "A\u0001X" -> (150L, 2L), "B\u0001X" -> (7L, 1L)))
   }
 
+  test("DIAMOND shape: one shared dim table feeds a level on BOTH branches in the same batch") {
+    // customer→nation and supplier→nation converge on the SAME nation
+    // table: model it as two levels fed the same upserts. A nation
+    // rename is then ONE logical change arriving at TWO inputs of one
+    // batch — the pairwise-overlap rule must count the joint effect
+    // exactly once per term pair. Group by the customer-side nation
+    // name, constrained equal to the supplier-side resolution of the
+    // same table.
+    val specD = StarSpec(Seq(2, 2), groupAttrs = Seq((1, 2)),
+      eqAttrs = Seq(((1, 2), (2, 2))))
+    val state = tmpDir("stard")
+    var m = Model(specD, levels =
+      Vector(Vector(Map.empty, Map.empty), Vector(Map.empty, Map.empty)))
+    def step(fb: Seq[(Long, Long, Long, Long)],
+        ups: Map[(Int, Int), Seq[Dim]], id: Long): Unit = {
+      val (d, dc) = dimsDf(specD, ups)
+      IncrementalJoinAggStar.processBatch(specD,
+        fb.toDF("k1", "k2", "id", "m"), Seq("k1", "k2"), "id", "m",
+        Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"),
+        Seq("k1", "k2"), "id", d, dc, state, id, numBuckets = 4)
+      m = m.fold(fb.map(r => (Vector(r._1, r._2), r._3, r._4)), Nil, ups)
+      assert(served(state) === m.view, s"batch $id diverged")
+    }
+    val nations0: Seq[Dim] = Seq((100L, None, Some("A")), (200L, None, Some("B")))
+    step(Seq((1L, 9L, 1L, 10L), (2L, 8L, 2L, 5L)), Map(
+      (1, 1) -> Seq((1L, Some(100L), None), (2L, Some(200L), None)),
+      (1, 2) -> nations0,
+      (2, 1) -> Seq((9L, Some(100L), None), (8L, Some(200L), None)),
+      (2, 2) -> nations0), 0L)
+    assert(served(state) === Map("A" -> (10L, 1L), "B" -> (5L, 1L)))
+    // the diamond wave: nation 100 renames A→Z, applied to BOTH levels
+    // in one batch — both branches' resolutions move together, the
+    // equality stays satisfied, the group relabels exactly
+    val rename: Seq[Dim] = Seq((100L, None, Some("Z")))
+    step(Nil, Map((1, 2) -> rename, (2, 2) -> rename), 1L)
+    assert(served(state) === Map("Z" -> (10L, 1L), "B" -> (5L, 1L)))
+    // a HALF-fed diamond is an inconsistent world: renaming only the
+    // customer-side copy breaks the equality and the fact drops — the
+    // engine treats the two levels as distinct inputs (honest Z-set
+    // semantics; the shared-table caller must feed both)
+    val half: Seq[Dim] = Seq((200L, None, Some("B2")))
+    step(Nil, Map((1, 2) -> half), 2L)
+    assert(served(state) === Map("Z" -> (10L, 1L)))
+    // feeding the supplier-side copy reconciles the world: fact returns
+    step(Nil, Map((2, 2) -> half), 3L)
+    assert(served(state) === Map("Z" -> (10L, 1L), "B2" -> (5L, 1L)))
+    // replay of the last batch (the foreachBatch redelivery shape) is a no-op
+    val (dR, dcR) = dimsDf(specD, Map((2, 2) -> half))
+    IncrementalJoinAggStar.processBatch(specD,
+      Seq.empty[(Long, Long, Long, Long)].toDF("k1", "k2", "id", "m"),
+      Seq("k1", "k2"), "id", "m",
+      Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"),
+      Seq("k1", "k2"), "id", dR, dcR, state, 3L, numBuckets = 4)
+    assert(served(state) === Map("Z" -> (10L, 1L), "B2" -> (5L, 1L)))
+  }
+
   test("start(): mixed CDC stream end-to-end via foreachBatch") {
     import org.apache.spark.sql.types._
     val in = tmpDir("stars-in"); val state = tmpDir("stars-st")
