@@ -53,7 +53,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object IncrementalExtrema {
 
-  private val vwSchema = StructType(Seq(
+  private[streaming] val vwSchema = StructType(Seq(
     StructField("g", StringType), StructField("v", LongType),
     StructField("w", LongType)))
 
@@ -70,8 +70,9 @@ object IncrementalExtrema {
       batchId, numBuckets, bucketKeys = Seq("g"))
   }
 
-  /** Weight-add merge with zero purge — per bucket, exact. */
-  private def mergeVw(old: DataFrame, nw: DataFrame): DataFrame = {
+  /** Weight-add merge with zero purge — per bucket, exact. (Shared
+    * with [[IncrementalJoinAggStar]]'s fact-grained extrema table.) */
+  private[streaming] def mergeVw(old: DataFrame, nw: DataFrame): DataFrame = {
     val o = old.columns.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"o_$c"))
     o.join(nw, col("o_g") === col("g") && col("o_v") === col("v"), "full_outer")
       .select(coalesce(col("o_g"), col("g")).as("g"),
@@ -101,7 +102,7 @@ object IncrementalExtrema {
     extremaOf(st.join(broadcast(groups.toDF("g")), Seq("g"), "left_semi"))
   }
 
-  private def extremaOf(st: DataFrame): DataFrame =
+  private[streaming] def extremaOf(st: DataFrame): DataFrame =
     present(st).groupBy("g")
       .agg(sum("w").as("n"), min("v").as("min_v"), max("v").as("max_v"))
 
@@ -114,7 +115,7 @@ object IncrementalExtrema {
       qs: Seq[(Long, Long)]): DataFrame =
     quantilesOf(relation(spark, stateDir), qs)
 
-  private def quantilesOf(st: DataFrame, qs: Seq[(Long, Long)]): DataFrame = {
+  private[streaming] def quantilesOf(st: DataFrame, qs: Seq[(Long, Long)]): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n > 0 && n <= d },
       "quantiles must be rationals in (0, 1]")
     val cum = present(st)

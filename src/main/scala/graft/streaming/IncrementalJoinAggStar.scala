@@ -79,7 +79,8 @@ object IncrementalJoinAggStar {
       branchDepths: Seq[Int],
       groupAttrs: Seq[(Int, Int)],
       eqAttrs: Seq[((Int, Int), (Int, Int))] = Nil,
-      litAttrs: Seq[((Int, Int), String)] = Nil) {
+      litAttrs: Seq[((Int, Int), String)] = Nil,
+      trackExtrema: Boolean = false) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
@@ -365,15 +366,19 @@ object IncrementalJoinAggStar {
       }
 
       val activeTerms = (if (zfActive) Seq(t0()) else Nil) ++ terms
-      val dAgg =
+      // the FINISHED delta relation (g, m, w) — shared by the summed
+      // aggregate delta and (when tracked) the fact-grained extrema delta
+      val finished =
         if (activeTerms.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("g", StringType),
-              StructField("dm", LongType), StructField("dc", LongType))))
+              StructField("m", LongType), StructField("w", LongType))))
         else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
-          .groupBy("g")
-          .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
-          .filter(col("dm") =!= 0 || col("dc") =!= 0)
+          .transform(graft.operators.Caching.persisted)
+      val dAgg = finished
+        .groupBy("g")
+        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
+        .filter(col("dm") =!= 0 || col("dc") =!= 0)
 
       val nil = lit(null).cast("long")
       val nils = lit(null).cast("string")
@@ -395,7 +400,19 @@ object IncrementalJoinAggStar {
         col("dm").as("m")) ++ nilKs ++ Seq(nil.as("k"), nil.as("vl"),
           nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
           nil.as("w")): _*)
-      (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
+      // fact-grained extrema delta: the SAME finished relation projected
+      // to the (g, value)-multiset — Δw per (g, m), the exact Z-set
+      // delta of IncrementalExtrema's multiplicity relation (value rides
+      // the `m` column)
+      val eDelta =
+        if (!spec.trackExtrema) Nil
+        else Seq(finished.groupBy("g", "m").agg(sum("w").as("dw"))
+          .filter(col("dw") =!= 0)
+          .select(Seq(lit("e").as("tbl"), nil.as("id"), col("m")) ++ nilKs ++
+            Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+              nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
+      (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta)
+        .reduce(_ unionByName _)
     }
 
     try {
@@ -441,6 +458,13 @@ object IncrementalJoinAggStar {
             delta.filter(col("tbl").isin("a", "c"))
               .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
             s"$path/a", mergeA, batchId, numBuckets, Seq("g")))
+         else Nil) ++
+        (if (present("e"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "e")
+              .select(col("g"), col("m").as("v"), col("w")),
+            s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
+            Seq("g")))
          else Nil))
       finally delta.unpersist()
       if (fs.exists(new Path(path)))
@@ -564,6 +588,27 @@ object IncrementalJoinAggStar {
       .groupBy("g")
       .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
       .filter(col("rows") > 0)
+
+  /** Fact-grained EXTREMA over the maintained join (requires
+    * `spec.trackExtrema`): per group `(g, n, min_v, max_v)` of the
+    * resolved fact measures — exact through dim re-keys, cross-branch
+    * equality flips, and fact deletes, because the `e/` table is the
+    * value-multiplicity relation fed by the same staged delta terms as
+    * the sum (the [[IncrementalExtrema]] semantics over a multi-way
+    * join — a maintained `MIN(measure) GROUP BY dim-attrs` under
+    * retraction, which no scalar aggregate state can serve). */
+  def extremaView(spark: SparkSession, stateDir: String): DataFrame =
+    IncrementalExtrema.extremaOf(extremaRelation(spark, stateDir))
+
+  /** Exact low-quantiles of the resolved fact measures per group —
+    * [[IncrementalExtrema.quantiles]] semantics (integer rationals). */
+  def extremaQuantiles(spark: SparkSession, stateDir: String,
+      qs: Seq[(Long, Long)]): DataFrame =
+    IncrementalExtrema.quantilesOf(extremaRelation(spark, stateDir), qs)
+
+  private def extremaRelation(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/e",
+      IncrementalExtrema.vwSchema)
 
   /** Continuous maintenance over a MIXED CDC stream: `kindCol` ∈
     * "fact" | "fact_del" | "d{b}_{i}" (e.g. "d1_2" = branch 1 level 2).

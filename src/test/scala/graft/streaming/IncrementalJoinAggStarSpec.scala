@@ -57,7 +57,7 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
       }
       Some(attrs.result())
     }
-    def view: Map[String, (Long, Long)] =
+    def resolvedPairs: Seq[(String, Long)] =
       facts.values.toSeq.flatMap { case (ks, m) =>
         val branches = (1 to spec.B).map(b => resolve(ks, b))
         if (branches.exists(_.isEmpty)) None
@@ -73,8 +73,15 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
           val litOk = spec.litAttrs.forall { case (x, v) => attr(x).contains(v) }
           if (eqOk && litOk) attr(spec.groupAttrs.head).map(g => g -> m) else None
         }
-      }.groupBy(_._1)
+      }
+    def view: Map[String, (Long, Long)] =
+      resolvedPairs.groupBy(_._1)
         .map { case (g, ms) => g -> (ms.map(_._2).sum, ms.size.toLong) }
+    /** Expected fact-grained extrema: (n, min, max) per group. */
+    def extrema: Map[String, (Long, Long, Long)] =
+      resolvedPairs.groupBy(_._1).map { case (g, ms) =>
+        g -> (ms.size.toLong, ms.map(_._2).min, ms.map(_._2).max)
+      }
   }
 
   private def served(state: String): Map[String, (Long, Long)] =
@@ -255,6 +262,77 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
       d2, dc2, state, 1L, numBuckets = 4)
     assert(served(state) === Map(
       "A\u0001X" -> (150L, 2L), "B\u0001X" -> (7L, 1L)))
+  }
+
+  test("trackExtrema: maintained MIN/MAX over the join — delete-the-max, re-keys, and random interleave") {
+    val specE = spec21.copy(trackExtrema = true)
+    val state = tmpDir("stare")
+    var m = Model(specE, levels = Vector(Vector(Map.empty, Map.empty), Vector(Map.empty)))
+    def foldE(fb: Seq[(Long, Long, Long, Long)], dels: Seq[(Long, Long, Long)],
+        ups: Map[(Int, Int), Seq[Dim]], id: Long): Unit = {
+      val (d, dc) = dimsDf(specE, ups)
+      IncrementalJoinAggStar.processBatch(specE,
+        fb.toDF("k1", "k2", "id", "m"), Seq("k1", "k2"), "id", "m",
+        dels.toDF("k1", "k2", "id"), Seq("k1", "k2"), "id",
+        d, dc, state, id, numBuckets = 4)
+      m = m.fold(fb.map(r => (Vector(r._1, r._2), r._3, r._4)), dels.map(_._3), ups)
+      val got = IncrementalJoinAggStar.extremaView(spark, state)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === m.extrema, s"batch $id extrema diverged")
+      assert(served(state) === m.view, s"batch $id sum diverged")
+    }
+    // two facts in one group; both branches resolve, eq holds
+    foldE(Seq((10L, 70L, 1L, 100L), (10L, 70L, 2L, 40L)), Nil, Map(
+      (1, 1) -> Seq((10L, Some(500L), None)),
+      (1, 2) -> Seq((500L, None, Some("A"))),
+      (2, 1) -> Seq((70L, None, Some("A")))), 0L)
+    assert(IncrementalJoinAggStar.extremaView(spark, state)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      === Map("A" -> ((2L, 40L, 100L))))
+    // DELETE THE MAX: fact 1 (m=100) goes; max must fall back to 40 —
+    // the case a scalar max-state cannot serve
+    foldE(Nil, Seq((10L, 70L, 1L)), Map.empty, 1L)
+    assert(IncrementalJoinAggStar.extremaView(spark, state)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      === Map("A" -> ((1L, 40L, 40L))))
+    // a dim re-key MOVES the remaining value to group B (supplier follows)
+    foldE(Nil, Nil, Map(
+      (1, 2) -> Seq((500L, None, Some("B")): Dim),
+      (2, 1) -> Seq((70L, None, Some("B")): Dim)), 2L)
+    assert(IncrementalJoinAggStar.extremaView(spark, state)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      === Map("B" -> ((1L, 40L, 40L))))
+    // random interleave stays exact (duplicate measures included), and
+    // the exact median over the maintained relation matches the model
+    val rnd = new scala.util.Random(54)
+    var nextId = 100L
+    for (b <- 3L until 8L) {
+      val fb = Seq.fill(rnd.nextInt(4)) {
+        nextId += 1
+        (rnd.nextInt(5).toLong, 70L + rnd.nextInt(3), nextId, rnd.nextInt(8).toLong)
+      }
+      val dels = m.facts.toSeq.sortBy(_._1).take(rnd.nextInt(2))
+        .map { case (id, (ks, _)) => (ks(0), ks(1), id) }
+      val ups = Map(
+        (1, 1) -> Seq.fill(rnd.nextInt(3))(
+          (rnd.nextInt(5).toLong, Some(500L + rnd.nextInt(3)), None): Dim),
+        (1, 2) -> Seq.fill(rnd.nextInt(3))(
+          (500L + rnd.nextInt(3).toLong, None, Some(s"N${rnd.nextInt(3)}")): Dim),
+        (2, 1) -> Seq.fill(rnd.nextInt(3))(
+          (70L + rnd.nextInt(3).toLong, None, Some(s"N${rnd.nextInt(3)}")): Dim))
+      foldE(fb, dels, ups, b)
+    }
+    val medians = IncrementalJoinAggStar.extremaQuantiles(spark, state, Seq((1L, 2L)))
+      .as[(String, Long)].collect().toMap
+    val expMed = m.resolvedPairs.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> sorted((sorted.size - 1) / 2)
+    }
+    assert(medians === expMed)
   }
 
   test("DIAMOND shape: one shared dim table feeds a level on BOTH branches in the same batch") {
