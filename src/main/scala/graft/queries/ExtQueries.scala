@@ -1511,6 +1511,32 @@ object ExtQueries {
       .agg(sum(col("c")).as("revenue_cents"), count(lit(1)).as("triples"))
       .orderBy("c_mktsegment")
 
+  /** Batch twin of the LEFT-join star view
+    * ([[graft.streaming.IncrementalJoinAggStar]] with `leftBranches`,
+    * R156): revenue per nation over orders LEFT JOIN the
+    * non-negative-balance customers LEFT JOIN nation — the
+    * "fact against a PARTIAL dimension" shape (122/1500 sf0.01
+    * customers carry negative balances), so the null-padded group is
+    * genuinely populated and the chained left join dangles mid-branch
+    * exactly like the engine's completed-relation walk. NULLs are
+    * coalesced to a sentinel in BOTH engines so the oracle's sort/hash
+    * never compares bare NULL group keys. Plan shape at 100 TB: both
+    * dimensions broadcast; orders (the big side) shuffles once, on the
+    * group key. */
+  def x120LeftRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_acctbal") >= 0)
+      .select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), graft.functions.cents(col("o_totalprice")).as("v"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(coalesce(col("n_name"), lit("UNRESOLVED")).as("nation"))
+      .agg(sum(col("v")).as("revenue_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("nation")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4452,6 +4478,15 @@ object ExtQueries {
          |       CAST(max(n) AS BIGINT) AS n_orders,
          |       min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median_lo_cents
          |FROM c GROUP BY seg ORDER BY seg""".stripMargin,
+    "x120_left_revenue" ->
+      s"""SELECT coalesce(n_name, 'UNRESOLVED') AS nation,
+         |  CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_orders
+         |FROM orders
+         |LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer
+         |           WHERE c_acctbal >= 0) c ON o_custkey = c_custkey
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4737,6 +4772,7 @@ object ExtQueries {
     "x117_chain_revenue" -> x117ChainRevenue, // oracle: 3-way join + exact cents
     "x118_star_revenue" -> x118StarRevenue, // oracle: Q5 star + cross-branch equality
     "x119_segment_order_stats" -> x119SegmentOrderStats, // oracle: multiplicity-relation order stats
+    "x120_left_revenue" -> x120LeftRevenue, // oracle: chained LEFT join + null group
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

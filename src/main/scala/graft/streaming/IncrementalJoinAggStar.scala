@@ -70,7 +70,30 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * attributes should be non-null (a multi-attribute group key is a
   * `\u0001`-joined concat, which skips nulls); equality constraints use
   * SQL `=` semantics — a null attribute fails the constraint and the
-  * row drops, exactly as the batch join would. */
+  * row drops, exactly as the batch join would.
+  *
+  * LEFT-JOIN branches (R156): a branch listed in `leftBranches` joins
+  * LEFT at every level — a fact whose pointer is null or misses the
+  * level's table resolves that level's attribute (and every level
+  * above it) as NULL instead of dropping, exactly the SQL
+  * `fact LEFT JOIN d1 LEFT JOIN d2 ...` chain. Bilinearity is restored
+  * by maintaining the COMPLETED relation D-hat = D + {(k, null, null) :
+  * k not in keys(D)}: a LEFT walk step IS the inner join against D-hat
+  * restricted to the pointers present (pad nulls on miss), and the
+  * Z-set delta of a level upsert gains one VIRTUAL -(k, null, null)
+  * row per NEWLY-PRESENT key (the padded row it displaces) — re-keys
+  * change no presence and ship no virtual row. Virtual rows feed the
+  * delta TERMS only, never the stored level tables (state holds real
+  * rows; completion is a read-time fiction). Corollaries under keyed
+  * dims (at most 1 live row per key): SEMI join-aggregate == the inner
+  * engine (no fan-out to de-duplicate), ANTI join-aggregate == the
+  * left view's null-attributed group. With any left branch, a
+  * multi-attribute group key switches to a null-preserving encoding
+  * (each attr coalesced to a NUL sentinel before the concat); a
+  * single-attribute group key serves SQL-style NULL `g` rows directly.
+  * Constraint filters keep SQL `=` semantics: a null (padded)
+  * comparand fails the constraint, as `WHERE` over a left join
+  * would. */
 object IncrementalJoinAggStar {
 
   /** Declarative view shape. `branchDepths(b-1)` = levels in branch b;
@@ -80,11 +103,14 @@ object IncrementalJoinAggStar {
       groupAttrs: Seq[(Int, Int)],
       eqAttrs: Seq[((Int, Int), (Int, Int))] = Nil,
       litAttrs: Seq[((Int, Int), String)] = Nil,
-      trackExtrema: Boolean = false) {
+      trackExtrema: Boolean = false,
+      leftBranches: Set[Int] = Set.empty) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
     val B: Int = branchDepths.size
+    require(leftBranches.forall(b => b >= 1 && b <= B),
+      "leftBranches outside the branch shape")
     def positions: Seq[(Int, Int)] =
       (1 to B).flatMap(b => (1 to branchDepths(b - 1)).map(i => (b, i)))
     (groupAttrs ++ eqAttrs.flatMap(p => Seq(p._1, p._2)) ++ litAttrs.map(_._1))
@@ -114,7 +140,15 @@ object IncrementalJoinAggStar {
     spec.litAttrs.foreach { case (x, v) => out = out.filter(attrCol(x) === lit(v)) }
     val g =
       if (spec.groupAttrs.size == 1) attrCol(spec.groupAttrs.head)
-      else concat_ws("\u0001", spec.groupAttrs.map(attrCol): _*)
+      else if (spec.leftBranches.isEmpty)
+        concat_ws("\u0001", spec.groupAttrs.map(attrCol): _*)
+      else
+        // null-preserving: concat_ws SKIPS nulls, which would alias
+        // ("A", null) with (null, "A") with ("A") -- under left branches
+        // padded nulls are first-class group values, so coalesce each
+        // attr to a NUL sentinel no real attribute carries
+        concat_ws("\u0001",
+          spec.groupAttrs.map(p => coalesce(attrCol(p), lit("\u0000"))): _*)
     out.select(g.as("g"), col("m"), col("w"))
   }
 
@@ -122,7 +156,9 @@ object IncrementalJoinAggStar {
     * when signed): advance branch b's pointer to `vl`, emit the level's
     * attribute, multiply weights when signed. */
   private def joinLevel(cur: DataFrame, b: Int, i: Int, fr0: DataFrame,
-      signed: Boolean): DataFrame = {
+      signed: Boolean, left: Boolean = false): DataFrame = {
+    require(!(signed && left),
+      "signed joins run against the explicit completed Z-set, never LEFT")
     val kcol = s"k$b"
     // join by NAME (usingColumns), never by dataset refs — a term's walk
     // frame and its earlier backward-restrict can share lineage (both
@@ -132,7 +168,10 @@ object IncrementalJoinAggStar {
       .withColumnRenamed("k", kcol)
       .withColumnRenamed("vl", "_vl")
       .withColumnRenamed("vs", "_vs")
-    val joined = cur.join(fr, Seq(kcol))
+    // LEFT = the inner join against the COMPLETED relation restricted to
+    // the pointers present: unmatched (or null-pointer) rows continue
+    // with null _vl/_vs — the padded row of the D-hat fiction
+    val joined = cur.join(fr, Seq(kcol), if (left) "left" else "inner")
     val keep = cur.columns.filterNot(n => n == kcol || n == "w").map(col)
     joined.select(keep ++ Seq(
       col("_vl").as(kcol), col("_vs").as(s"a_${b}_$i"),
@@ -142,12 +181,24 @@ object IncrementalJoinAggStar {
   /** Fold one micro-batch. `dims(b-1)(i-1)` is branch b level i's upsert
     * frame; `dimCols(b-1)(i-1) = (keyCol, linkCol, attrCol)` with "" for
     * an absent link (leaf) / absent attribute. The SPEC is the view's
-    * standing parameter and must not change across batches. */
+    * standing parameter and must not change across batches.
+    *
+    * `dimDels` (R157 — full CDC on every input): per-level DELETE
+    * frames carrying the level's key column (same `keyCol` as the
+    * upsert frame; other columns ignored). Deleting a present key
+    * removes the level row — dependent facts DROP under an inner
+    * branch (they dangle) and MOVE to the null-padded group under a
+    * left one (the completed relation's virtual +(k, null, null));
+    * deleting an absent key is a no-op. DELETE-WINS within a batch: a
+    * key in both frames is deleted and its upsert discarded (a re-key
+    * is a plain upsert — never delete+insert in one batch). A deleted
+    * key may re-arrive in a later batch as a normal upsert. */
   def processBatch(spec: StarSpec,
       facts: DataFrame, factKs: Seq[String], factId: String, factM: String,
       factDels: DataFrame, delKs: Seq[String], delId: String,
       dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      dimDels: Seq[Seq[DataFrame]] = null): Unit = {
     val nB = spec.B
     require(factKs.size == nB && delKs.size == nB, "one fact key per branch")
     require(dims.size == nB && dimCols.size == nB &&
@@ -209,8 +260,32 @@ object IncrementalJoinAggStar {
       // scales with the inputs the batch actually carries, not with the
       // view's total shape
       val fActive = !facts.isEmpty || !factDels.isEmpty
-      val active: Seq[Seq[Boolean]] =
-        dims.map(_.map(d => !d.isEmpty))
+      val delsIn: Seq[Seq[DataFrame]] =
+        if (dimDels == null) dims.map(_.map(_ => emptyD))
+        else {
+          require(dimDels.size == nB &&
+            dimDels.zip(spec.branchDepths).forall { case (d, n) => d.size == n },
+            "one delete frame per branch level")
+          dimDels
+        }
+      val active: Seq[Seq[Boolean]] = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          !dims(b - 1)(i - 1).isEmpty || !delsIn(b - 1)(i - 1).isEmpty
+        }
+      }
+      // normalized delete keys per level (delete-wins: upserts of a
+      // deleted key are discarded below)
+      val dDelN: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
+        (1 to spec.branchDepths(b - 1)).map { i =>
+          val f = delsIn(b - 1)(i - 1)
+          if (f.isEmpty) emptyD.select("k")
+          else {
+            val (kc, _, _) = dimCols(b - 1)(i - 1)
+            f.select(col(kc).cast("long").as("k")).distinct()
+              .transform(graft.operators.Caching.persisted)
+          }
+        }
+      }
 
       val fIn =
         if (!facts.isEmpty)
@@ -233,7 +308,7 @@ object IncrementalJoinAggStar {
       // within the batch (max over the (vl, vs) struct, nulls smallest)
       val dIns: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
-          if (!active(b - 1)(i - 1)) emptyD
+          if (dims(b - 1)(i - 1).isEmpty) emptyD
           else {
             val (kc, lc, ac) = dimCols(b - 1)(i - 1)
             dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
@@ -241,6 +316,8 @@ object IncrementalJoinAggStar {
                 (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
               .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
               .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+              // delete-wins: a key deleted in this batch keeps no upsert
+              .join(dDelN(b - 1)(i - 1), Seq("k"), "left_anti")
               .transform(graft.operators.Caching.persisted)
           }
         }
@@ -263,13 +340,23 @@ object IncrementalJoinAggStar {
         } else emptyF.withColumn("w", lit(1L))
           .select((col("id") +: kCols.map(col)) ++ Seq(col("m"), col("w")): _*)
 
-      // per level: pre-state rows for the upserted keys + the signed Z-set
-      val zds = (1 to nB).map { b =>
+      // per level: pre-state rows for the upserted keys + the signed
+      // Z-set. zdsAll holds (real, virtual): real rows feed both the
+      // delta terms and the stored tables; virtual rows — the completed
+      // relation's -(k, null, null) per NEWLY-PRESENT key of a LEFT
+      // branch (the padded row the arrival displaces) — feed the delta
+      // TERMS only, never state (completion is a read-time fiction, so
+      // there is nothing on disk to retract). Re-keys (had_old) change
+      // no presence and ship no virtual row, and every new key also
+      // ships a real +1 row, so real-emptiness gates both.
+      val zdsAll = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
-          if (!active(b - 1)(i - 1)) emptyD.withColumn("w", lit(1L))
+          val emptyZ = emptyD.withColumn("w", lit(1L))
+          if (!active(b - 1)(i - 1)) (emptyZ, emptyZ)
           else {
-            val d0 = pruneRead(s"d${b}_$i", dIns(b - 1)(i - 1).select("k"),
-                Seq("k"), dSchema)
+            val touched = dIns(b - 1)(i - 1).select("k")
+              .unionByName(dDelN(b - 1)(i - 1)).distinct()
+            val d0 = pruneRead(s"d${b}_$i", touched, Seq("k"), dSchema)
               .transform(graft.operators.Caching.persisted)
             val up = dIns(b - 1)(i - 1)
               .join(d0.select(col("k"), col("vl").as("vl_old"),
@@ -278,14 +365,32 @@ object IncrementalJoinAggStar {
               .filter(!col("had_old") ||
                 !(col("vl") <=> col("vl_old")) || !(col("vs") <=> col("vs_old")))
               .transform(graft.operators.Caching.persisted)
-            up.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
+            // a delete of a PRESENT key retracts the stored row; absent
+            // keys no-op (nothing to retract, no presence change)
+            val delRows = d0.join(dDelN(b - 1)(i - 1), Seq("k"), "left_semi")
+              .transform(graft.operators.Caching.persisted)
+            val real = up.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
               .unionByName(up.filter(col("had_old"))
                 .select(col("k"), col("vl_old").as("vl"), col("vs_old").as("vs"),
                   lit(-1L).as("w")))
+              .unionByName(delRows.select(col("k"), col("vl"), col("vs"),
+                lit(-1L).as("w")))
               .transform(graft.operators.Caching.persisted)
+            val virt =
+              if (!spec.leftBranches(b)) emptyZ
+              else up.filter(!col("had_old"))
+                .select(col("k"), lit(null).cast("long").as("vl"),
+                  lit(null).cast("string").as("vs"), lit(-1L).as("w"))
+                // presence LOST: the padded row comes back
+                .unionByName(delRows.select(col("k"),
+                  lit(null).cast("long").as("vl"),
+                  lit(null).cast("string").as("vs"), lit(1L).as("w")))
+                .transform(graft.operators.Caching.persisted)
+            (real, virt)
           }
         }
       }
+      val zds = zdsAll.map(_.map(_._1))
       // a level whose upserts were all no-ops contributes nothing either
       val termActive = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
@@ -299,19 +404,26 @@ object IncrementalJoinAggStar {
       def postFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
         if (!active(b - 1)(i - 1)) preFrame(b, i, keys)
         else preFrame(b, i, keys)
-          .join(dIns(b - 1)(i - 1).select("k"), Seq("k"), "left_anti")
+          .join(dIns(b - 1)(i - 1).select("k")
+            .unionByName(dDelN(b - 1)(i - 1)), Seq("k"), "left_anti")
           .unionByName(dIns(b - 1)(i - 1))
 
       /** Resolve branch b over `cur` from level `from` upward, pruning
         * each level's read by the live pointer keys. */
       def walkBranch(cur0: DataFrame, b: Int, from: Int,
           frameFor: (Int, DataFrame) => DataFrame): DataFrame = {
+        val left = spec.leftBranches(b)
         var cur = cur0
         for (i <- from to spec.branchDepths(b - 1)) {
-          val c = cur.filter(col(s"k$b").isNotNull)
+          // inner branch: null-pointer rows can never resolve — drop
+          // them now; LEFT branch: they ride through with null padding
+          // (the completed relation). Bucket probes always use the
+          // non-null pointers only.
+          val c = (if (left) cur else cur.filter(col(s"k$b").isNotNull))
             .transform(graft.operators.Caching.persisted)
-          cur = joinLevel(c, b, i, frameFor(i, c.select(col(s"k$b").as("k"))),
-            signed = false)
+          val probe = c.filter(col(s"k$b").isNotNull).select(col(s"k$b").as("k"))
+          cur = joinLevel(c, b, i, frameFor(i, probe), signed = false,
+            left = left)
         }
         cur
       }
@@ -353,8 +465,16 @@ object IncrementalJoinAggStar {
             Seq(col("m"), lit(1L).as("w")): _*)
           // branch b at PRE-state below i (the restricted link rows)
           for (j <- 1 until i) cur = joinLevel(cur, b, j, links(j - 1), signed = false)
-          // the signed join at (b, i) — weights multiply
-          cur = joinLevel(cur, b, i, zds(b - 1)(i - 1), signed = true)
+          // the signed join at (b, i) — weights multiply; for a LEFT
+          // branch the Z-set is the COMPLETED relation's delta: real
+          // +new/-old rows plus the virtual -(k, null, null) per newly
+          // present key (so the join stays inner — the padding the
+          // arrival displaces is retracted explicitly)
+          val dz =
+            if (spec.leftBranches(b))
+              zds(b - 1)(i - 1).unionByName(zdsAll(b - 1)(i - 1)._2)
+            else zds(b - 1)(i - 1)
+          cur = joinLevel(cur, b, i, dz, signed = true)
           // branch b at POST-state above i
           cur = walkBranch(cur, b, i + 1, (i2, keys) => postFrame(b, i2, keys))
           // other branches: < b entirely PRE, > b entirely POST
@@ -550,9 +670,12 @@ object IncrementalJoinAggStar {
       }
       // the batch aggregate once, as rows + the baseline changelog
       var cur = fIn.drop("id").withColumn("w", lit(1L))
-      for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1))
-        cur = joinLevel(cur.filter(col(s"k$b").isNotNull), b, i,
-          dIns(b - 1)(i - 1), signed = false)
+      for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) {
+        val left = spec.leftBranches(b)
+        cur = joinLevel(
+          if (left) cur else cur.filter(col(s"k$b").isNotNull), b, i,
+          dIns(b - 1)(i - 1), signed = false, left = left)
+      }
       val agg = finish(spec, cur).groupBy("g")
         .agg(sum(col("m")).as("m"), sum(col("w")).as("c"))
         .filter(col("c") > 0)
@@ -611,10 +734,11 @@ object IncrementalJoinAggStar {
       IncrementalExtrema.vwSchema)
 
   /** Continuous maintenance over a MIXED CDC stream: `kindCol` ∈
-    * "fact" | "fact_del" | "d{b}_{i}" (e.g. "d1_2" = branch 1 level 2).
+    * "fact" | "fact_del" | "d{b}_{i}" | "d{b}_{i}_del" (e.g. "d1_2" =
+    * branch 1 level 2 upsert, "d1_2_del" = its key delete).
     * Fact rows read `factKs`/`idCol`/`mCol`; dim rows read fixed
-    * columns `k`/`vl`/`vs` (absent columns null). Single writer per
-    * state dir (MvPipeline contract). */
+    * columns `k`/`vl`/`vs` (absent columns null); dim deletes read
+    * `k`. Single writer per state dir (MvPipeline contract). */
   def start(spark: SparkSession, inputDir: String,
       schema: StructType, stateDir: String, checkpointDir: String,
       spec: StarSpec, kindCol: String, factKs: Seq[String], idCol: String,
@@ -640,7 +764,12 @@ object IncrementalJoinAggStar {
           (1 to spec.B).map { b =>
             (1 to spec.branchDepths(b - 1)).map(_ => ("k", "vl", "vs"))
           },
-          stateDir, batchId)
+          stateDir, batchId,
+          dimDels = (1 to spec.B).map { b =>
+            (1 to spec.branchDepths(b - 1)).map { i =>
+              batch.filter(col(kindCol) === s"d${b}_${i}_del")
+            }
+          })
       }
       .start()
 
