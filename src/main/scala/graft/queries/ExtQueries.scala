@@ -1537,6 +1537,26 @@ object ExtQueries {
       .orderBy("nation")
   }
 
+  /** Batch twin of the maintained exact COUNT(DISTINCT) star view
+    * ([[graft.streaming.IncrementalJoinAggStar.distinctView]], R158):
+    * distinct ordering customers + order count + exact revenue cents
+    * per nation. Spark's distinct aggregate partial-deduplicates
+    * map-side on (nation, custkey) before the final count, the same
+    * multiplicity relation the incremental view maintains — the only
+    * exact-distinct plan that survives 100× facts on a 25-value group
+    * key. Dims broadcast; orders shuffles once. */
+  def x121NationDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), graft.functions.cents(col("o_totalprice")).as("v"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"), sum(col("v")).as("revenue_cents"))
+      .orderBy("nation")
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4487,6 +4507,14 @@ object ExtQueries {
          |           WHERE c_acctbal >= 0) c ON o_custkey = c_custkey
          |LEFT JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x121_nation_distinct" ->
+      s"""SELECT n_name AS nation, count(DISTINCT o_custkey) AS n_cust,
+         |  count(*) AS n_orders,
+         |  CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4773,6 +4801,7 @@ object ExtQueries {
     "x118_star_revenue" -> x118StarRevenue, // oracle: Q5 star + cross-branch equality
     "x119_segment_order_stats" -> x119SegmentOrderStats, // oracle: multiplicity-relation order stats
     "x120_left_revenue" -> x120LeftRevenue, // oracle: chained LEFT join + null group
+    "x121_nation_distinct" -> x121NationDistinct, // oracle: exact COUNT(DISTINCT) over the join
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -74,7 +74,9 @@ object IncrementalExtrema {
     * with [[IncrementalJoinAggStar]]'s fact-grained extrema table.) */
   private[streaming] def mergeVw(old: DataFrame, nw: DataFrame): DataFrame = {
     val o = old.columns.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"o_$c"))
-    o.join(nw, col("o_g") === col("g") && col("o_v") === col("v"), "full_outer")
+    // null-safe on g: a LEFT star view's null-padded group is a real
+    // key in this relation and must merge, not duplicate
+    o.join(nw, col("o_g") <=> col("g") && col("o_v") === col("v"), "full_outer")
       .select(coalesce(col("o_g"), col("g")).as("g"),
         coalesce(col("o_v"), col("v")).as("v"),
         (coalesce(col("o_w"), lit(0L)) + coalesce(col("w"), lit(0L))).as("w"))

@@ -104,13 +104,17 @@ object IncrementalJoinAggStar {
       eqAttrs: Seq[((Int, Int), (Int, Int))] = Nil,
       litAttrs: Seq[((Int, Int), String)] = Nil,
       trackExtrema: Boolean = false,
-      leftBranches: Set[Int] = Set.empty) {
+      leftBranches: Set[Int] = Set.empty,
+      trackDistinct: Option[String] = None) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
     val B: Int = branchDepths.size
     require(leftBranches.forall(b => b >= 1 && b <= B),
       "leftBranches outside the branch shape")
+    require(trackDistinct.forall(c =>
+      c == "m" || (1 to B).exists(b => c == s"k$b")),
+      "trackDistinct names a fact column: m or k1..kB")
     def positions: Seq[(Int, Int)] =
       (1 to B).flatMap(b => (1 to branchDepths(b - 1)).map(i => (b, i)))
     (groupAttrs ++ eqAttrs.flatMap(p => Seq(p._1, p._2)) ++ litAttrs.map(_._1))
@@ -149,8 +153,15 @@ object IncrementalJoinAggStar {
         // attr to a NUL sentinel no real attribute carries
         concat_ws("\u0001",
           spec.groupAttrs.map(p => coalesce(attrCol(p), lit("\u0000"))): _*)
-    out.select(g.as("g"), col("m"), col("w"))
+    out.select(Seq(g.as("g"), col("m"), col("w")) ++
+      (if (spec.trackDistinct.isDefined) Seq(col("dk")) else Nil): _*)
   }
+
+  /** Copy the tracked-distinct fact column to `dk` BEFORE the branch
+    * walks consume the key columns (joinLevel reuses k_b as the moving
+    * pointer, so the original value is gone after level 1). */
+  private def withDk(spec: StarSpec, df: DataFrame): DataFrame =
+    spec.trackDistinct.map(c => df.withColumn("dk", col(c))).getOrElse(df)
 
   /** Join `cur` to level (b, i)'s frame `fr` (`(k, vl, vs)`, plus `w`
     * when signed): advance branch b's pointer to `vl`, emit the level's
@@ -431,7 +442,7 @@ object IncrementalJoinAggStar {
       // T0: ΔF through every branch at POST-state (built only when the
       // batch carries fact changes — walk construction itself runs the
       // eager bucket-probe jobs)
-      def t0(): DataFrame = (1 to nB).foldLeft(zf.drop("id")) { (cur, b) =>
+      def t0(): DataFrame = (1 to nB).foldLeft(withDk(spec, zf.drop("id"))) { (cur, b) =>
         walkBranch(cur, b, 1, (i, keys) => postFrame(b, i, keys))
       }
 
@@ -461,8 +472,10 @@ object IncrementalJoinAggStar {
             else pruneRead(fTable,
                 need.select(col("v").as(s"k$b")), Seq(s"k$b"), fSchema(nB))
               .join(need, col(s"k$b") === col("v"), "left_semi")
-          var cur = fPart.select((1 to nB).map(b2 => col(s"k$b2")) ++
-            Seq(col("m"), lit(1L).as("w")): _*)
+          var cur = withDk(spec, fPart).select(
+            (1 to nB).map(b2 => col(s"k$b2")) ++
+            Seq(col("m"), lit(1L).as("w")) ++
+            (if (spec.trackDistinct.isDefined) Seq(col("dk")) else Nil): _*)
           // branch b at PRE-state below i (the restricted link rows)
           for (j <- 1 until i) cur = joinLevel(cur, b, j, links(j - 1), signed = false)
           // the signed join at (b, i) — weights multiply; for a LEFT
@@ -492,7 +505,9 @@ object IncrementalJoinAggStar {
         if (activeTerms.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("g", StringType),
-              StructField("m", LongType), StructField("w", LongType))))
+              StructField("m", LongType), StructField("w", LongType)) ++
+              (if (spec.trackDistinct.isDefined)
+                Seq(StructField("dk", LongType)) else Nil)))
         else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
           .transform(graft.operators.Caching.persisted)
       val dAgg = finished
@@ -531,7 +546,17 @@ object IncrementalJoinAggStar {
           .select(Seq(lit("e").as("tbl"), nil.as("id"), col("m")) ++ nilKs ++
             Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
               nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
-      (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta)
+      // distinct-key delta: the finished relation projected to the
+      // (g, dk)-multiset — the Z-set delta of the COUNT(DISTINCT dk)
+      // multiplicity relation (dk rides the `m` column, like `e`)
+      val uDelta =
+        if (spec.trackDistinct.isEmpty) Nil
+        else Seq(finished.groupBy("g", "dk").agg(sum("w").as("dw"))
+          .filter(col("dw") =!= 0)
+          .select(Seq(lit("u").as("tbl"), nil.as("id"), col("dk").as("m")) ++
+            nilKs ++ Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+              nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
+      (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta ++ uDelta)
         .reduce(_ unionByName _)
     }
 
@@ -584,6 +609,13 @@ object IncrementalJoinAggStar {
             delta.filter(col("tbl") === "e")
               .select(col("g"), col("m").as("v"), col("w")),
             s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
+            Seq("g")))
+         else Nil) ++
+        (if (present("u"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "u")
+              .select(col("g"), col("m").as("v"), col("w")),
+            s"$path/u", IncrementalExtrema.mergeVw, batchId, numBuckets,
             Seq("g")))
          else Nil))
       finally delta.unpersist()
@@ -669,14 +701,15 @@ object IncrementalJoinAggStar {
             (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("vl"))
       }
       // the batch aggregate once, as rows + the baseline changelog
-      var cur = fIn.drop("id").withColumn("w", lit(1L))
+      var cur = withDk(spec, fIn.drop("id")).withColumn("w", lit(1L))
       for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) {
         val left = spec.leftBranches(b)
         cur = joinLevel(
           if (left) cur else cur.filter(col(s"k$b").isNotNull), b, i,
           dIns(b - 1)(i - 1), signed = false, left = left)
       }
-      val agg = finish(spec, cur).groupBy("g")
+      val fin = finish(spec, cur).transform(graft.operators.Caching.persisted)
+      val agg = fin.groupBy("g")
         .agg(sum(col("m")).as("m"), sum(col("w")).as("c"))
         .filter(col("c") > 0)
         .transform(graft.operators.Caching.persisted)
@@ -686,6 +719,18 @@ object IncrementalJoinAggStar {
           lit(baselineBatch).as("b"), col("m"), col("c")))
       MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
         numBuckets, Seq("g"))
+      // tracked side relations take the SAME finished tuples (the fold
+      // path feeds them from each batch's finished delta)
+      if (spec.trackExtrema)
+        MvPipeline.upsertBucketedMerge(
+          fin.groupBy("g", "m").agg(sum("w").as("w"))
+            .select(col("g"), col("m").as("v"), col("w")),
+          s"$path/e", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
+      if (spec.trackDistinct.isDefined)
+        MvPipeline.upsertBucketedMerge(
+          fin.groupBy("g", "dk").agg(sum("w").as("w"))
+            .select(col("g"), col("dk").as("v"), col("w")),
+          s"$path/u", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
     } finally graft.operators.Caching.releaseAll()
   }
 
@@ -732,6 +777,20 @@ object IncrementalJoinAggStar {
   private def extremaRelation(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/e",
       IncrementalExtrema.vwSchema)
+
+  /** Maintained exact `COUNT(DISTINCT <trackDistinct col>)` per group
+    * (requires `spec.trackDistinct`, R158): `(g, n_distinct)` — the
+    * number of distinct live values with positive multiplicity in the
+    * resolved join, exact through fact deletes, dim re-keys, and
+    * left-branch presence changes. The aggregate no scalar state can
+    * carry (deleting the last fact of a value must decrement), and the
+    * exact twin of the KMV/HLL sketches: state is O(distinct live
+    * (g, value)) — the honest exact-count-distinct cost. */
+  def distinctView(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/u",
+      IncrementalExtrema.vwSchema)
+      .filter(col("w") > 0)
+      .groupBy("g").agg(count(lit(1)).as("n_distinct"))
 
   /** Continuous maintenance over a MIXED CDC stream: `kindCol` ∈
     * "fact" | "fact_del" | "d{b}_{i}" | "d{b}_{i}_del" (e.g. "d1_2" =
