@@ -1557,6 +1557,24 @@ object ExtQueries {
         count(lit(1)).as("n_orders"), sum(col("v")).as("revenue_cents"))
       .orderBy("nation")
 
+  /** Batch twin of the MULTI-ROW (fan-out) star level
+    * ([[graft.streaming.IncrementalJoinAggStar]] `multiRows`, R159):
+    * each order's total attributed to every DISTINCT return flag among
+    * its lineitems — a genuine m:n bridge join (orders ⋈
+    * DISTINCT(orderkey, returnflag)), where one fact fans out to
+    * multiple resolved tuples and the aggregate counts TUPLES, exactly
+    * the SQL join semantics the engine maintains. The bridge
+    * de-duplicates BEFORE the join (set semantics = the engine's level
+    * contract), so the big side never inflates. */
+  def x122FanoutRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), graft.functions.cents(col("o_totalprice")).as("v"))
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("v")).as("revenue_cents"))
+      .orderBy("flag")
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4515,6 +4533,13 @@ object ExtQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x122_fanout_revenue" ->
+      s"""SELECT l_returnflag AS flag, count(*) AS n_pairs,
+         |  CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
+         |FROM orders
+         |JOIN (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem) li
+         |  ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4802,6 +4827,7 @@ object ExtQueries {
     "x119_segment_order_stats" -> x119SegmentOrderStats, // oracle: multiplicity-relation order stats
     "x120_left_revenue" -> x120LeftRevenue, // oracle: chained LEFT join + null group
     "x121_nation_distinct" -> x121NationDistinct, // oracle: exact COUNT(DISTINCT) over the join
+    "x122_fanout_revenue" -> x122FanoutRevenue, // oracle: m:n bridge fan-out join
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -93,7 +93,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * single-attribute group key serves SQL-style NULL `g` rows directly.
   * Constraint filters keep SQL `=` semantics: a null (padded)
   * comparand fails the constraint, as `WHERE` over a left join
-  * would. */
+  * would.
+  *
+  * MULTI-ROW levels (R159): a position in `multiRows` is a SET of
+  * rows per key — a genuine 1-to-many / m:n join where a fact joining
+  * two level rows contributes TWO resolved tuples (SQL join fan-out;
+  * the aggregate counts tuples). Input contract flips from
+  * latest-wins-per-key to set semantics: upsert rows are exact ADDS
+  * (adding a present row no-ops), `dimDels` rows name the EXACT
+  * (k, vl, vs) row to remove (removing an absent row no-ops;
+  * delete-wins at row granularity) — so overlapping / replayed CDC
+  * converges. The telescoped rule never assumed keyed levels; the
+  * walks fan out naturally and the mirrors already hold row sets, so
+  * the only changes are the Z-set construction (state-diffed adds and
+  * removes) and row-granular post-state frames. Multi levels on LEFT
+  * branches are rejected for now (presence would need per-key
+  * row-count bookkeeping). */
 object IncrementalJoinAggStar {
 
   /** Declarative view shape. `branchDepths(b-1)` = levels in branch b;
@@ -105,7 +120,8 @@ object IncrementalJoinAggStar {
       litAttrs: Seq[((Int, Int), String)] = Nil,
       trackExtrema: Boolean = false,
       leftBranches: Set[Int] = Set.empty,
-      trackDistinct: Option[String] = None) {
+      trackDistinct: Option[String] = None,
+      multiRows: Set[(Int, Int)] = Set.empty) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
@@ -115,6 +131,12 @@ object IncrementalJoinAggStar {
     require(trackDistinct.forall(c =>
       c == "m" || (1 to B).exists(b => c == s"k$b")),
       "trackDistinct names a fact column: m or k1..kB")
+    multiRows.foreach { case (b, i) =>
+      require(b >= 1 && b <= B && i >= 1 && i <= branchDepths(b - 1),
+        s"multiRows position ($b,$i) outside the branch shape")
+      require(!leftBranches(b),
+        "multi-row levels on LEFT branches are not supported yet " +
+          "(presence = row-count bookkeeping; use an inner branch)") }
     def positions: Seq[(Int, Int)] =
       (1 to B).flatMap(b => (1 to branchDepths(b - 1)).map(i => (b, i)))
     (groupAttrs ++ eqAttrs.flatMap(p => Seq(p._1, p._2)) ++ litAttrs.map(_._1))
@@ -284,16 +306,25 @@ object IncrementalJoinAggStar {
           !dims(b - 1)(i - 1).isEmpty || !delsIn(b - 1)(i - 1).isEmpty
         }
       }
-      // normalized delete keys per level (delete-wins: upserts of a
-      // deleted key are discarded below)
+      // normalized deletes per level (delete-wins: upserts of a deleted
+      // key/row are discarded below). Keyed levels delete by KEY; multi
+      // levels (set semantics) delete the EXACT (k, vl, vs) row.
       val dDelN: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
           val f = delsIn(b - 1)(i - 1)
-          if (f.isEmpty) emptyD.select("k")
+          val multi = spec.multiRows((b, i))
+          if (f.isEmpty) { if (multi) emptyD else emptyD.select("k") }
           else {
-            val (kc, _, _) = dimCols(b - 1)(i - 1)
-            f.select(col(kc).cast("long").as("k")).distinct()
-              .transform(graft.operators.Caching.persisted)
+            val (kc, lc, ac) = dimCols(b - 1)(i - 1)
+            if (multi)
+              f.select(col(kc).cast("long").as("k"),
+                  (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+                  (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+                .distinct()
+                .transform(graft.operators.Caching.persisted)
+            else
+              f.select(col(kc).cast("long").as("k")).distinct()
+                .transform(graft.operators.Caching.persisted)
           }
         }
       }
@@ -315,21 +346,32 @@ object IncrementalJoinAggStar {
             .distinct()
             .transform(graft.operators.Caching.persisted)
         else emptyF.drop("m")
-      // normalize every level to (k, vl, vs); deterministic latest-wins
-      // within the batch (max over the (vl, vs) struct, nulls smallest)
+      // normalize every level to (k, vl, vs). Keyed levels:
+      // deterministic latest-wins within the batch (max over the
+      // (vl, vs) struct, nulls smallest). Multi levels (R159, set
+      // semantics): every distinct row is an ADD — no latest-wins —
+      // and delete-wins applies at ROW granularity.
       val dIns: Seq[Seq[DataFrame]] = (1 to nB).map { b =>
         (1 to spec.branchDepths(b - 1)).map { i =>
           if (dims(b - 1)(i - 1).isEmpty) emptyD
           else {
             val (kc, lc, ac) = dimCols(b - 1)(i - 1)
-            dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
-                (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
-                (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
-              .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
-              .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
-              // delete-wins: a key deleted in this batch keeps no upsert
-              .join(dDelN(b - 1)(i - 1), Seq("k"), "left_anti")
-              .transform(graft.operators.Caching.persisted)
+            val rows = dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
+              (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+              (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+            if (spec.multiRows((b, i))) {
+              val dd = dDelN(b - 1)(i - 1)
+              val cond = Seq("k", "vl", "vs").map(c => rows(c) <=> dd(c)).reduce(_ && _)
+              rows.distinct()
+                .join(dd, cond, "left_anti")
+                .transform(graft.operators.Caching.persisted)
+            } else
+              rows
+                .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
+                .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+                // delete-wins: a key deleted in this batch keeps no upsert
+                .join(dDelN(b - 1)(i - 1), Seq("k"), "left_anti")
+                .transform(graft.operators.Caching.persisted)
           }
         }
       }
@@ -364,6 +406,28 @@ object IncrementalJoinAggStar {
         (1 to spec.branchDepths(b - 1)).map { i =>
           val emptyZ = emptyD.withColumn("w", lit(1L))
           if (!active(b - 1)(i - 1)) (emptyZ, emptyZ)
+          else if (spec.multiRows((b, i))) {
+            // SET semantics (R159): the Z-set is +rows NOT already in
+            // state and -rows PRESENT in state — an add of a present
+            // row / a remove of an absent row is a no-op, so replaying
+            // overlapping CDC converges
+            val adds0 = dIns(b - 1)(i - 1)
+            val rems0 = dDelN(b - 1)(i - 1)
+            val touched = adds0.select("k").unionByName(rems0.select("k")).distinct()
+            val d0 = pruneRead(s"d${b}_$i", touched, Seq("k"), dSchema)
+              .transform(graft.operators.Caching.persisted)
+            val o = d0.select(col("k").as("k0"), col("vl").as("vl0"),
+              col("vs").as("vs0"))
+            def rowEq(f: DataFrame) =
+              f("k") <=> col("k0") && f("vl") <=> col("vl0") && f("vs") <=> col("vs0")
+            val adds = adds0.join(o, rowEq(adds0), "left_anti")
+            val rems = rems0.join(o, rowEq(rems0), "left_semi")
+            val real = adds.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
+              .unionByName(rems.select(col("k"), col("vl"), col("vs"),
+                lit(-1L).as("w")))
+              .transform(graft.operators.Caching.persisted)
+            (real, emptyZ)
+          }
           else {
             val touched = dIns(b - 1)(i - 1).select("k")
               .unionByName(dDelN(b - 1)(i - 1)).distinct()
@@ -414,6 +478,16 @@ object IncrementalJoinAggStar {
         pruneRead(s"d${b}_$i", keys, Seq("k"), dSchema)
       def postFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
         if (!active(b - 1)(i - 1)) preFrame(b, i, keys)
+        else if (spec.multiRows((b, i))) {
+          // row-level: post = pre minus removed ROWS plus added rows
+          // (adds are disjoint from pre by the zds construction)
+          val pre = preFrame(b, i, keys)
+          val dd = dDelN(b - 1)(i - 1).select(col("k").as("k0"),
+            col("vl").as("vl0"), col("vs").as("vs0"))
+          pre.join(dd, pre("k") <=> col("k0") && pre("vl") <=> col("vl0") &&
+              pre("vs") <=> col("vs0"), "left_anti")
+            .unionByName(dIns(b - 1)(i - 1))
+        }
         else preFrame(b, i, keys)
           .join(dIns(b - 1)(i - 1).select("k")
             .unionByName(dDelN(b - 1)(i - 1)), Seq("k"), "left_anti")
@@ -680,11 +754,13 @@ object IncrementalJoinAggStar {
     val dIns = (1 to nB).map { b =>
       (1 to spec.branchDepths(b - 1)).map { i =>
         val (kc, lc, ac) = dimCols(b - 1)(i - 1)
-        dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
-            (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
-            (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
-          .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
-          .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs"))
+        val rows = dims(b - 1)(i - 1).select(col(kc).cast("long").as("k"),
+          (if (lc.nonEmpty) col(lc).cast("long") else lit(null).cast("long")).as("vl"),
+          (if (ac.nonEmpty) col(ac).cast("string") else lit(null).cast("string")).as("vs"))
+        (if (spec.multiRows((b, i))) rows.distinct()
+         else rows
+           .groupBy("k").agg(max(struct(col("vl"), col("vs"))).as("s"))
+           .select(col("k"), col("s.vl").as("vl"), col("s.vs").as("vs")))
           .transform(graft.operators.Caching.persisted)
       }
     }
