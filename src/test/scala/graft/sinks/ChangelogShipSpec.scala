@@ -169,4 +169,53 @@ class ChangelogShipSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(ext === served(state))
   }
+
+  test("versioned ship serves the star COUNT(DISTINCT) view: a distinct DECREASE replaces, a vanished group deletes") {
+    import graft.streaming.IncrementalJoinAggStar
+    import IncrementalJoinAggStar.StarSpec
+    val state = tmpDir("cs4")
+    val db = "changelog4"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+    val spec = StarSpec(Seq(1), groupAttrs = Seq((1, 1)),
+      trackDistinct = Some("k1"))
+    def fold(fb: Seq[(Long, Long, Long)], dels: Seq[(Long, Long)], ups: Seq[(Long, String)],
+        id: Long): Unit =
+      IncrementalJoinAggStar.processBatch(spec,
+        fb.toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+        dels.toDF("k1", "id"), Seq("k1"), "id",
+        Seq(Seq(ups.toDF("k", "vs")
+          .select(col("k"), lit(null).cast("long").as("vl"), col("vs")))),
+        Seq(Seq(("k", "vl", "vs"))), state, id, numBuckets = 4)
+    def dView = IncrementalJoinAggStar.distinctView(spark, state)
+    def shipV(v: Long): Long =
+      ChangelogShip.shipVersioned(dView, Seq("g"), sink, "ndist", state, v)
+    def foldedV: Map[String, Long] = readBack(db, "ndist").distinct()
+      .groupBy("g")
+      .agg(max_by(struct(col("n_distinct"), col("is_deleted")), col("version")).as("s"))
+      .filter("s.is_deleted = 0")
+      .select(col("g"), col("s.n_distinct"))
+      .as[(String, Long)].collect().toMap
+    def servedD: Map[String, Long] = dView.as[(String, Long)].collect().toMap
+
+    // customers 500, 501 in group A; 502 in B
+    fold(Seq((500L, 1L, 10L), (500L, 2L, 20L), (501L, 3L, 30L), (502L, 4L, 40L)),
+      Nil, Seq((500L, "A"), (501L, "A"), (502L, "B")), 0L)
+    assert(shipV(0L) === 2L)
+    assert(foldedV === servedD)
+    assert(servedD === Map("A" -> 2L, "B" -> 1L))
+    // the last fact of customer 501 goes: A's distinct DECREASES — the
+    // REPLACE a summing sink cannot express; only A ships
+    fold(Nil, Seq((501L, 3L)), Nil, 1L)
+    assert(shipV(1L) === 1L)
+    assert(foldedV === servedD)
+    assert(servedD === Map("A" -> 1L, "B" -> 1L))
+    // group B vanishes (its only fact deleted): a deletion marker ships
+    fold(Nil, Seq((502L, 4L)), Nil, 2L)
+    assert(shipV(2L) === 1L)
+    assert(foldedV === servedD)
+    assert(servedD === Map("A" -> 1L))
+    // no change: empty diff still consumes the version
+    assert(shipV(3L) === 0L)
+    assert(foldedV === servedD)
+  }
 }
