@@ -106,9 +106,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * converges. The telescoped rule never assumed keyed levels; the
   * walks fan out naturally and the mirrors already hold row sets, so
   * the only changes are the Z-set construction (state-diffed adds and
-  * removes) and row-granular post-state frames. Multi levels on LEFT
-  * branches are rejected for now (presence would need per-key
-  * row-count bookkeeping). */
+  * removes) and row-granular post-state frames. On a LEFT branch,
+  * presence is row-count >= 1: the virtual padded row is displaced
+  * exactly when a key's count crosses 0 upward and restored when it
+  * crosses to 0 — fan-out changes between positive counts ship no
+  * virtual rows. */
 object IncrementalJoinAggStar {
 
   /** Declarative view shape. `branchDepths(b-1)` = levels in branch b;
@@ -133,10 +135,7 @@ object IncrementalJoinAggStar {
       "trackDistinct names a fact column: m or k1..kB")
     multiRows.foreach { case (b, i) =>
       require(b >= 1 && b <= B && i >= 1 && i <= branchDepths(b - 1),
-        s"multiRows position ($b,$i) outside the branch shape")
-      require(!leftBranches(b),
-        "multi-row levels on LEFT branches are not supported yet " +
-          "(presence = row-count bookkeeping; use an inner branch)") }
+        s"multiRows position ($b,$i) outside the branch shape") }
     def positions: Seq[(Int, Int)] =
       (1 to B).flatMap(b => (1 to branchDepths(b - 1)).map(i => (b, i)))
     (groupAttrs ++ eqAttrs.flatMap(p => Seq(p._1, p._2)) ++ litAttrs.map(_._1))
@@ -421,12 +420,37 @@ object IncrementalJoinAggStar {
             def rowEq(f: DataFrame) =
               f("k") <=> col("k0") && f("vl") <=> col("vl0") && f("vs") <=> col("vs0")
             val adds = adds0.join(o, rowEq(adds0), "left_anti")
+              .transform(graft.operators.Caching.persisted)
             val rems = rems0.join(o, rowEq(rems0), "left_semi")
+              .transform(graft.operators.Caching.persisted)
             val real = adds.select(col("k"), col("vl"), col("vs"), lit(1L).as("w"))
               .unionByName(rems.select(col("k"), col("vl"), col("vs"),
                 lit(-1L).as("w")))
               .transform(graft.operators.Caching.persisted)
-            (real, emptyZ)
+            // LEFT + multi: presence = row-count >= 1. The padded row is
+            // displaced when a key's count crosses 0 -> +, restored when
+            // it crosses -> 0 (never on mere fan-out changes)
+            val virt =
+              if (!spec.leftBranches(b)) emptyZ
+              else {
+                val oldC = d0.join(touched, Seq("k"), "left_semi")
+                  .groupBy("k").agg(count(lit(1)).as("oc"))
+                val addC = adds.groupBy("k").agg(count(lit(1)).as("ac"))
+                val remC = rems.groupBy("k").agg(count(lit(1)).as("rc"))
+                val counts = touched.join(oldC, Seq("k"), "left")
+                  .join(addC, Seq("k"), "left").join(remC, Seq("k"), "left")
+                  .select(col("k"), coalesce(col("oc"), lit(0L)).as("oc"),
+                    (coalesce(col("oc"), lit(0L)) + coalesce(col("ac"), lit(0L)) -
+                      coalesce(col("rc"), lit(0L))).as("nc"))
+                counts.filter(col("oc") === 0L && col("nc") > 0L)
+                  .select(col("k"), lit(null).cast("long").as("vl"),
+                    lit(null).cast("string").as("vs"), lit(-1L).as("w"))
+                  .unionByName(counts.filter(col("oc") > 0L && col("nc") === 0L)
+                    .select(col("k"), lit(null).cast("long").as("vl"),
+                      lit(null).cast("string").as("vs"), lit(1L).as("w")))
+                  .transform(graft.operators.Caching.persisted)
+              }
+            (real, virt)
           }
           else {
             val touched = dIns(b - 1)(i - 1).select("k")
@@ -479,14 +503,20 @@ object IncrementalJoinAggStar {
       def postFrame(b: Int, i: Int, keys: DataFrame): DataFrame =
         if (!active(b - 1)(i - 1)) preFrame(b, i, keys)
         else if (spec.multiRows((b, i))) {
-          // row-level: post = pre minus removed ROWS plus added rows
-          // (adds are disjoint from pre by the zds construction)
+          // row-level: post = pre minus removed ROWS plus added rows.
+          // dIns still carries adds of ALREADY-PRESENT rows (the no-ops
+          // are diffed out only inside the Z-set construction), so the
+          // union MUST dedupe — a duplicated row here would double every
+          // walk tuple through it (the b5 double-retraction the
+          // LEFT+multi random spec caught). Rows are sets; distinct is
+          // the exact post state.
           val pre = preFrame(b, i, keys)
           val dd = dDelN(b - 1)(i - 1).select(col("k").as("k0"),
             col("vl").as("vl0"), col("vs").as("vs0"))
           pre.join(dd, pre("k") <=> col("k0") && pre("vl") <=> col("vl0") &&
               pre("vs") <=> col("vs0"), "left_anti")
             .unionByName(dIns(b - 1)(i - 1))
+            .distinct()
         }
         else preFrame(b, i, keys)
           .join(dIns(b - 1)(i - 1).select("k")

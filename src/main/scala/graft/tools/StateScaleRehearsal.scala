@@ -154,6 +154,92 @@ object StateScaleRehearsal {
           state, 1000L, numBuckets = 16)
       }
     }
+
+    // ------------------------------------------------ star join-agg ----
+    // the r11 family code path (Q5 shape: 4-level branch + supplier
+    // branch, cross-branch equality, literal filter). Identical probe at
+    // both scales: 3 new lineitems under one new order/customer/supplier
+    // chain + 5 BASE-COPY customer re-keys (each copy owns its keys, so
+    // the re-key subtree is the same size at 1x and Nx).
+    import graft.streaming.IncrementalJoinAggStar
+    val starSpec = IncrementalJoinAggStar.StarSpec(Seq(4, 1),
+      groupAttrs = Seq((1, 3)), eqAttrs = Seq(((1, 2), (2, 1))),
+      litAttrs = Seq(((1, 4), "ASIA")))
+    val sFacts = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("k2"),
+        (monotonically_increasing_id() + 1L).as("id"),
+        graft.functions.cents(col("l_extendedprice")).as("m"))
+    val sD11 = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("vl"),
+        lit(null).cast("string").as("vs"))
+    val sD12 = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_nationkey").cast("long").as("vl"),
+        col("c_nationkey").cast("string").as("vs"))
+    val sD13 = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_regionkey").cast("long").as("vl"), col("n_name").as("vs"))
+    val sD14 = graft.Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("k"),
+        lit(null).cast("long").as("vl"), col("r_name").as("vs"))
+    val sD21 = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"),
+        lit(null).cast("long").as("vl"),
+        col("s_nationkey").cast("string").as("vs"))
+    val sMaxOrd = sD11.agg(max("k")).collect().head.getLong(0)
+    val sMaxCust = sD12.agg(max("k")).collect().head.getLong(0)
+    val sMaxSupp = sD21.agg(max("k")).collect().head.getLong(0)
+    val sMaxNat = sD13.agg(max("k")).collect().head.getLong(0)
+    val sProbeF = (1L to 3L).map(i =>
+      (990000000001L, 990000000001L, 970000000000L + i, 100L * i))
+      .toDF("k1", "k2", "id", "m")
+    val sProbeO = Seq((990000000001L, 990000000001L, null.asInstanceOf[String]))
+      .toDF("k", "vl", "vs")
+    val sProbeC = Seq((990000000001L, 0L, "0")).toDF("k", "vl", "vs")
+    val sProbeS = Seq((990000000001L, null.asInstanceOf[java.lang.Long], "0"))
+      .toDF("k", "vl", "vs").select(col("k"), col("vl").cast("long"), col("vs"))
+    val sRekeyC = sD12.orderBy("k").limit(5)
+      .select(col("k"), ((col("vl") + 1L) % (sMaxNat + 1L)).as("vl"),
+        ((col("vl") + 1L) % (sMaxNat + 1L)).cast("string").as("vs"))
+      .cache()
+    sRekeyC.count()
+    val sNoF = sProbeF.limit(0); val sNoDel = sProbeF.select("k1", "k2", "id").limit(0)
+    val sNoD = sD13.limit(0)
+
+    Seq(1, copies).foreach { n =>
+      val f = (0 until n).map(i => sFacts
+          .select((col("k1") + lit(i.toLong * 100000000L)).as("k1"),
+            (col("k2") + lit(i.toLong * 100000000L)).as("k2"),
+            (col("id") + lit(i.toLong * 10000000000L)).as("id"), col("m")))
+        .reduce(_ unionByName _)
+      val o = (0 until n).map(i => sD11
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"),
+            (col("vl") + lit(i.toLong * 100000000L)).as("vl"), col("vs")))
+        .reduce(_ unionByName _)
+      val c = (0 until n).map(i => sD12
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"),
+            col("vl"), col("vs")))
+        .reduce(_ unionByName _)
+      val su = (0 until n).map(i => sD21
+          .select((col("k") + lit(i.toLong * 100000000L)).as("k"),
+            col("vl"), col("vs")))
+        .reduce(_ unionByName _)
+      val state = java.nio.file.Files.createTempDirectory(s"ssr-star-$n").toString
+      val t0 = System.nanoTime()
+      IncrementalJoinAggStar.bootstrap(starSpec,
+        f, Seq("k1", "k2"), "id", "m",
+        Seq(Seq(o, c, sD13, sD14), Seq(su)),
+        Seq(Seq.fill(4)(("k", "vl", "vs")), Seq(("k", "vl", "vs"))),
+        state, 0L, numBuckets = 16)
+      println(f"STATESCALE star ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+      measure(s"star probe @${n}x state", state) {
+        IncrementalJoinAggStar.processBatch(starSpec,
+          sProbeF, Seq("k1", "k2"), "id", "m", sNoDel, Seq("k1", "k2"), "id",
+          Seq(Seq(sProbeO, sProbeC.unionByName(sRekeyC), sNoD, sNoD), Seq(sProbeS)),
+          Seq(Seq.fill(4)(("k", "vl", "vs")), Seq(("k", "vl", "vs"))),
+          state, 1000L, numBuckets = 16)
+      }
+    }
     spark.stop()
   }
 }

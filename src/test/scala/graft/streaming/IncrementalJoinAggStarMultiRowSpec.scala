@@ -156,6 +156,79 @@ class IncrementalJoinAggStarMultiRowSpec extends SparkTestBase {
     assert(integral === served(state))
   }
 
+  test("LEFT + multi: padding displaced only when the row count crosses zero; fan-out changes ship no null traffic") {
+    val specLM = StarSpec(Seq(1), groupAttrs = Seq((1, 1)),
+      leftBranches = Set(1), multiRows = Set((1, 1)))
+    val state = tmpDir("starmr-lm")
+    // no rows yet: both facts pad into the null group
+    fold(specLM, state, Seq((10L, 1L, 100L), (20L, 2L, 7L)), Nil,
+      Map.empty, Map.empty, 0L)
+    assert(served(state) === Map((null: String) -> (107L, 2L)))
+    // FIRST row for key 10: count 0 -> 1, padding retracts, one tuple
+    fold(specLM, state, Nil, Nil,
+      Map((1, 1) -> Seq((10L, None, Some("red")): Dim)), Map.empty, 1L)
+    assert(served(state) === Map("red" -> (100L, 1L), (null: String) -> (7L, 1L)))
+    // SECOND row: fan-out grows, NO null traffic
+    fold(specLM, state, Nil, Nil,
+      Map((1, 1) -> Seq((10L, None, Some("blue")): Dim)), Map.empty, 2L)
+    assert(served(state) ===
+      Map("red" -> (100L, 1L), "blue" -> (100L, 1L), (null: String) -> (7L, 1L)))
+    // remove one of two: still present, no padding
+    fold(specLM, state, Nil, Nil, Map.empty,
+      Map((1, 1) -> Seq((10L, None, Some("red")): Dim)), 3L)
+    assert(served(state) === Map("blue" -> (100L, 1L), (null: String) -> (7L, 1L)))
+    // remove the LAST row: count 1 -> 0, padding returns
+    fold(specLM, state, Nil, Nil, Map.empty,
+      Map((1, 1) -> Seq((10L, None, Some("blue")): Dim)), 4L)
+    assert(served(state) === Map((null: String) -> (107L, 2L)))
+    // add-two-remove-one in ONE batch for a fresh key: net crossing 0->1
+    fold(specLM, state, Nil, Nil,
+      Map((1, 1) -> Seq((20L, None, Some("x")), (20L, None, Some("y")))),
+      Map((1, 1) -> Seq((20L, None, Some("y")): Dim)), 5L)
+    assert(served(state) ===
+      Map("x" -> (7L, 1L), (null: String) -> (100L, 1L)))
+  }
+
+  test("LEFT + multi random interleave == set model after every batch") {
+    val specLM = StarSpec(Seq(1), groupAttrs = Seq((1, 1)),
+      leftBranches = Set(1), multiRows = Set((1, 1)))
+    val state = tmpDir("starmr-lm-rnd")
+    val rnd = new scala.util.Random(131)
+    var facts = Map.empty[Long, (Long, Long)]
+    var rows = Set.empty[(Long, String)]
+    var nextId = 0L
+    for (b <- 0L until 7L) {
+      val fb = Seq.fill(rnd.nextInt(3)) {
+        nextId += 1
+        (rnd.nextInt(4).toLong, nextId, rnd.nextInt(50).toLong)
+      }
+      val dels = facts.toSeq.sortBy(_._1).take(rnd.nextInt(2))
+        .map { case (id, (k, _)) => (k, id) }
+      val adds = Seq.fill(rnd.nextInt(3))(
+        (rnd.nextInt(4).toLong, s"t${rnd.nextInt(3)}"))
+      val rems = Seq.fill(rnd.nextInt(3))(
+        (rnd.nextInt(4).toLong, s"t${rnd.nextInt(3)}"))
+      fold(specLM, state, fb, dels,
+        Map((1, 1) -> adds.map(r => (r._1, None, Some(r._2)): Dim)),
+        Map((1, 1) -> rems.map(r => (r._1, None, Some(r._2)): Dim)), b)
+      val delIds = dels.map(_._2).toSet
+      facts = (facts ++ fb.filterNot(r => facts.contains(r._2) || delIds(r._2))
+        .groupBy(_._2).map { case (id, rs) => id -> rs.map(r => (r._1, r._3)).min })
+        .-- (delIds)
+      val remSet = rems.toSet
+      rows = (rows ++ adds.filterNot(remSet)) -- remSet
+      val want = facts.values.toSeq
+        .flatMap { case (k, m) =>
+          val mine = rows.filter(_._1 == k)
+          if (mine.isEmpty) Seq(((null: String), m))
+          else mine.toSeq.map(r => (r._2, m))
+        }
+        .groupBy(_._1)
+        .map { case (g, ms) => g -> (ms.map(_._2).sum, ms.size.toLong) }
+      assert(served(state) === want, s"batch $b diverged from the LEFT set model")
+    }
+  }
+
   test("orders-by-lineitem fold serves the x122 fan-out twin exactly (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/orders.parquet").exists())
