@@ -383,7 +383,12 @@ object MvPipeline {
       .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
       .map(_.getPath.toString)
     require(parts.nonEmpty, s"no bucket state under $path")
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // ONE multi-path scan, not a union of per-bucket reads: a union
+    // carries one relation PER BUCKET into every consumer plan, so at
+    // high bucket counts (the 100 TB knob) Catalyst analysis time grows
+    // with B in every fold that reads state — measured 4-5x wall on the
+    // star fold at B=64 vs B=16 before this collapse
+    spark.read.parquet(parts.toIndexedSeq: _*)
   }
 
   /** BUCKET-PRUNED state read — the read-side O(Δ) counterpart of
@@ -406,7 +411,7 @@ object MvPipeline {
       }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else spark.read.parquet(parts.toIndexedSeq: _*) // one scan, not one relation per bucket
   }
 
   /** The bucket ids a frame's key columns hash into under the

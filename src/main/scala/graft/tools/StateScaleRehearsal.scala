@@ -27,6 +27,13 @@ object StateScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // optional section filter: all | neardup | joinagg | star
+    val which = args.drop(2).headOption.getOrElse("all")
+    def sectionOn(name: String): Boolean = which == "all" || which == name
+    // optional bucket-count override for the star section — the
+    // bucket-size control knob: at N x state, N x buckets keeps the
+    // per-bucket bytes (and so the probe's read cost) at the 1x level
+    val starBuckets = args.drop(3).headOption.map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,7 +98,7 @@ object StateScaleRehearsal {
       .cache()
     probeDocs.count()
 
-    Seq(1, copies).foreach { n =>
+    if (sectionOn("neardup")) Seq(1, copies).foreach { n =>
       val corpus = (0 until n)
         .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
         .reduce(_ unionByName _)
@@ -127,7 +134,7 @@ object StateScaleRehearsal {
       .select(col("k"), concat(lit("SEG_"), col("k")).as("v"))
     val noDel = probeF.select("k", "id").limit(0)
 
-    Seq(1, copies).foreach { n =>
+    if (sectionOn("joinagg")) Seq(1, copies).foreach { n =>
       // every copy gets its own orders AND customers (keys shifted on
       // both levels), so the probe's 50 base-copy re-segments affect the
       // SAME subtree size at both scales — the probe is identical work,
@@ -206,7 +213,7 @@ object StateScaleRehearsal {
     val sNoF = sProbeF.limit(0); val sNoDel = sProbeF.select("k1", "k2", "id").limit(0)
     val sNoD = sD13.limit(0)
 
-    Seq(1, copies).foreach { n =>
+    if (sectionOn("star")) Seq(1, copies).foreach { n =>
       val f = (0 until n).map(i => sFacts
           .select((col("k1") + lit(i.toLong * 100000000L)).as("k1"),
             (col("k2") + lit(i.toLong * 100000000L)).as("k2"),
@@ -230,14 +237,14 @@ object StateScaleRehearsal {
         f, Seq("k1", "k2"), "id", "m",
         Seq(Seq(o, c, sD13, sD14), Seq(su)),
         Seq(Seq.fill(4)(("k", "vl", "vs")), Seq(("k", "vl", "vs"))),
-        state, 0L, numBuckets = 16)
+        state, 0L, numBuckets = starBuckets)
       println(f"STATESCALE star ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
-      measure(s"star probe @${n}x state", state) {
+      measure(s"star probe @${n}x state B=$starBuckets", state) {
         IncrementalJoinAggStar.processBatch(starSpec,
           sProbeF, Seq("k1", "k2"), "id", "m", sNoDel, Seq("k1", "k2"), "id",
           Seq(Seq(sProbeO, sProbeC.unionByName(sRekeyC), sNoD, sNoD), Seq(sProbeS)),
           Seq(Seq.fill(4)(("k", "vl", "vs")), Seq(("k", "vl", "vs"))),
-          state, 1000L, numBuckets = 16)
+          state, 1000L, numBuckets = starBuckets)
       }
     }
     spark.stop()
