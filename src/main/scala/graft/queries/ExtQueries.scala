@@ -1575,6 +1575,34 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_pairs"), sum(col("v")).as("revenue_cents"))
       .orderBy("flag")
 
+  /** Batch twin of the AS-OF (temporal / SCD-2) join-aggregate
+    * ([[graft.streaming.IncrementalTemporalJoinAgg]], R160): each
+    * purchase resolves the user's segment AS OF the purchase time —
+    * the latest prior `view` event's props.k-derived segment — and
+    * revenue aggregates per segment; purchases before any view land in
+    * the `(none)` sentinel group (ASOF LEFT semantics; the sentinel
+    * sidesteps the Spark-asc-nulls-first vs DuckDB-nulls-last sort
+    * divergence). The plan IS the engine's bootstrap plan
+    * ([[graft.streaming.IncrementalTemporalJoinAgg.asOfAggregate]]):
+    * one shuffle by user, one event-time sort carrying the prevailing
+    * version onto each fact via `last(ignoreNulls)` — no self-join, no
+    * per-fact probe; oracled against DuckDB's native `ASOF LEFT
+    * JOIN`. */
+  def x123AsofRevenue(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"), col("user_id").as("k"))
+    val dims = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalJoinAgg.asOfAggregate(facts, dims)
+      .select(coalesce(col("g"), lit("(none)")).as("seg"),
+        col("total").as("revenue_cents"), col("rows").as("purchases"))
+      .orderBy("seg")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4540,6 +4568,21 @@ object ExtQueries {
          |JOIN (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem) li
          |  ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x123_asof_revenue" ->
+      s"""WITH d AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |f AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT coalesce(d.vs, '(none)') AS seg,
+         |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
+         |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4828,6 +4871,7 @@ object ExtQueries {
     "x120_left_revenue" -> x120LeftRevenue, // oracle: chained LEFT join + null group
     "x121_nation_distinct" -> x121NationDistinct, // oracle: exact COUNT(DISTINCT) over the join
     "x122_fanout_revenue" -> x122FanoutRevenue, // oracle: m:n bridge fan-out join
+    "x123_asof_revenue" -> x123AsofRevenue, // oracle: ASOF LEFT join-aggregate (DuckDB ASOF JOIN)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -144,10 +144,10 @@ object IncrementalJoinAggStar {
           s"attribute position ($b,$i) outside the branch shape") }
   }
 
-  private val dSchema = StructType(Seq(
+  private[streaming] val dSchema = StructType(Seq(
     StructField("k", LongType), StructField("vl", LongType),
     StructField("vs", StringType)))
-  private val aSchema = StructType(Seq(
+  private[streaming] val aSchema = StructType(Seq(
     StructField("kind", StringType), StructField("g", StringType),
     StructField("b", LongType), StructField("m", LongType),
     StructField("c", LongType)))
@@ -730,14 +730,14 @@ object IncrementalJoinAggStar {
     } finally graft.operators.Caching.releaseAll()
   }
 
-  private def mergeF(old: DataFrame, inc: DataFrame): DataFrame = {
+  private[streaming] def mergeF(old: DataFrame, inc: DataFrame): DataFrame = {
     val o = if (old.columns.contains("w")) old.drop("w") else old
     val plus = inc.filter(col("w") === 1L).drop("w")
     val minus = inc.filter(col("w") === -1L).select("id").distinct()
     o.unionByName(plus).distinct().join(minus, Seq("id"), "left_anti")
   }
 
-  private def mergeSigned(old: DataFrame, inc: DataFrame): DataFrame = {
+  private[streaming] def mergeSigned(old: DataFrame, inc: DataFrame): DataFrame = {
     val o = if (old.columns.contains("w")) old.drop("w") else old
     val plus = inc.filter(col("w") === 1L).drop("w")
     val minus = inc.filter(col("w") === -1L).drop("w")
@@ -745,7 +745,7 @@ object IncrementalJoinAggStar {
     o.join(minus, cond, "left_anti").unionByName(plus).distinct()
   }
 
-  private def mergeA(old: DataFrame, inc: DataFrame): DataFrame = {
+  private[streaming] def mergeA(old: DataFrame, inc: DataFrame): DataFrame = {
     val all = old.unionByName(inc)
     val a = all.filter(col("kind") === "a")
       .groupBy("g")

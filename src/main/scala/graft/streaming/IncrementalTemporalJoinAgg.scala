@@ -1,0 +1,446 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Incrementally-maintained AS-OF (temporal / SCD-2) join-aggregate
+  * (SURVEY.md §2.11 R160) — the join predicate the equality-keyed
+  * star family cannot express: each fact resolves the dimension
+  * VERSION valid at the fact's event time,
+  *
+  *   SELECT d.vs AS g, sum(f.m), count(*)
+  *   FROM facts f ASOF LEFT JOIN dim_versions d
+  *     ON f.k = d.k AND f.t >= d.vf
+  *   GROUP BY g
+  *
+  * — ClickHouse's `ASOF JOIN` over a slowly-changing dimension, which
+  * the reference's consumers run ad-hoc over raw history and which no
+  * summing summary can maintain: a LATE version (valid-from in the
+  * past) retro-reassigns every fact in its validity span, and a
+  * version DELETE makes those facts fall back to the PREVIOUS version
+  * (or to the unmatched null group) — both are corrections no
+  * append-only state can produce. The repo's batch member is
+  * `asof_clicks` (operators/AsOfJoin.scala); this is its maintained
+  * aggregate twin, oracled batch twin **x123_asof_revenue** (DuckDB
+  * `ASOF LEFT JOIN`).
+  *
+  * The exact device: the as-of join IS an equi+range join against the
+  * INTERVALIZED relation
+  *
+  *   I(D) = { (k, [vf, vf_next), vs) } ∪ { (k, (-inf, vf_min), NULL) }
+  *
+  * (one validity interval per version, ordered by `vf` within the
+  * key, PLUS one null-padded head interval per key — the ASOF LEFT
+  * completion, so I(D) partitions the full (k, t) line and every fact
+  * matches EXACTLY one interval). The view is bilinear in (F, I(D)),
+  * so the family's telescoped Δ-rule applies with inputs ordered
+  * F < D:
+  *
+  *   Δview = ΔF ⋈ I(D_post)  +  F_pre ⋈ ΔI
+  *
+  *   - ΔF (signed fact rows) as-of-resolves against the POST-state
+  *     versions of the batch facts' keys — a bucket-pruned read plus
+  *     one max-(vf ≤ t) aggregate per fact;
+  *   - ΔI is computed per TOUCHED key as the exact row diff
+  *     I(D_post|k) − I(D_pre|k) (sort, lead(), head pad — O(versions
+  *     of touched keys), bucket-pruned); retained facts of those keys
+  *     range-join the signed intervals — each match retracts/asserts
+  *     that fact's group contribution. A version insert splits its
+  *     predecessor's interval (the unchanged sub-interval cancels in
+  *     the diff, so only the span the new version CAPTURES ships);
+  *     a delete re-extends the predecessor over the deleted span.
+  *
+  * Per-batch cost is O(facts of touched keys × changed intervals +
+  * versions of touched keys) — the affected subtree, never O(state).
+  *
+  * State under `stateDir/temporaljoinagg/`, all fed from ONE staged
+  * kind-discriminated delta (the standard crash-safe protocol —
+  * stamped buckets skip on replay, the rest converge;
+  * [[MvPipeline.upsertBucketedMerge]]):
+  *   - `f/` retained facts `(id, t, m, k)` bucketed by k;
+  *   - `d/` version rows `(k, vl, vs)` with `vl` = valid-from,
+  *     bucketed by k (the star family's level row shape and signed
+  *     merge, [[IncrementalJoinAggStar.mergeSigned]]);
+  *   - `a/` kind-discriminated aggregate (`a` additive, `c` signed
+  *     changelog; integral of `c` IS `a` — [[changelog]] /
+  *     [[viewAsOf]] / [[compactChangelog]] are the family contract).
+  *
+  * Contracts: fact ids arrive once and pin (t, m, k); fact deletes
+  * name the id (and `k`, for pruning) of a previously-arrived fact;
+  * versions are keyed by `(k, vf)` — an upsert at an existing
+  * valid-from REPLACES that version's attribute, a delete names the
+  * exact `(k, vf)`; delete-wins within a batch on both inputs.
+  * Version attributes should be non-null: a NULL `vs` is legal but
+  * indistinguishable from the unmatched head group in the aggregate
+  * (exactly as the batch ASOF LEFT JOIN would group it). Ties:
+  * `vf <= t` — a version taking effect exactly at the fact's
+  * timestamp captures it. */
+object IncrementalTemporalJoinAgg {
+
+  private val fSchema = StructType(Seq(
+    StructField("id", LongType), StructField("t", LongType),
+    StructField("m", LongType), StructField("k", LongType)))
+
+  /** Fold one CDC micro-batch. Frames may be empty; columns:
+    * `facts(id, t, m, k)`, `factDels(id, k)`, `dimUps(k, vf, vs)`,
+    * `dimDels(k, vf)`. */
+  def processBatch(facts: DataFrame, factDels: DataFrame,
+      dimUps: DataFrame, dimDels: DataFrame,
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+    val spark = facts.sparkSession
+    val path = s"$stateDir/temporaljoinagg"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+
+    def pruneRead(table: String, keys: DataFrame, schema: StructType): DataFrame =
+      MvPipeline.readBuckets(spark, s"$path/$table",
+        MvPipeline.bucketIdsOf(keys, Seq("k"), numBuckets), schema)
+
+    def computeDelta(): DataFrame = {
+      val emptyF = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema)
+      val fActive = !facts.isEmpty || !factDels.isEmpty
+      val dActive = !dimUps.isEmpty || !dimDels.isEmpty
+
+      // ---- normalize inputs (the star family's within-batch rules) ----
+      val fIn =
+        if (facts.isEmpty) emptyF
+        else facts.select(col("id").cast("long").as("id"),
+            col("t").cast("long").as("t"), col("m").cast("long").as("m"),
+            col("k").cast("long").as("k"))
+          .groupBy("id").agg(min(struct(col("t"), col("m"), col("k"))).as("s"))
+          .select(col("id"), col("s.t").as("t"), col("s.m").as("m"),
+            col("s.k").as("k"))
+          .transform(graft.operators.Caching.persisted)
+      val delIn =
+        if (factDels.isEmpty) emptyF.select("id", "k")
+        else factDels.select(col("id").cast("long").as("id"),
+            col("k").cast("long").as("k")).distinct()
+          .transform(graft.operators.Caching.persisted)
+      val dDelN =
+        if (dimDels.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("k", LongType), StructField("vf", LongType))))
+        else dimDels.select(col("k").cast("long").as("k"),
+            col("vf").cast("long").as("vf")).distinct()
+          .transform(graft.operators.Caching.persisted)
+      // latest-wins per (k, vf) within the batch; delete-wins
+      val dIn =
+        if (dimUps.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("k", LongType), StructField("vf", LongType),
+              StructField("vs", StringType))))
+        else dimUps.select(col("k").cast("long").as("k"),
+            col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
+          .groupBy("k", "vf").agg(max("vs").as("vs"))
+          .join(dDelN, Seq("k", "vf"), "left_anti")
+          .transform(graft.operators.Caching.persisted)
+
+      // ---- dim Z-set + interval delta for the TOUCHED keys ----
+      val touchedK = dIn.select("k").unionByName(dDelN.select("k")).distinct()
+        .transform(graft.operators.Caching.persisted)
+      val d0k =
+        if (!dActive)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            IncrementalJoinAggStar.dSchema)
+        else pruneRead("d", touchedK, IncrementalJoinAggStar.dSchema)
+          .join(touchedK, Seq("k"), "left_semi")
+          .transform(graft.operators.Caching.persisted)
+      // post-state versions of the touched keys: deletes drop the exact
+      // (k, vf); upserts replace-or-add their (k, vf)
+      val d1k =
+        if (!dActive) d0k
+        else d0k
+          .join(dDelN.select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
+          .join(dIn.select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
+          .unionByName(dIn.select(col("k"), col("vf").as("vl"), col("vs")))
+          .transform(graft.operators.Caching.persisted)
+      // stored-table Z-set: exact row diff (null-safe on vs)
+      def rowDiff(a: DataFrame, b: DataFrame): DataFrame = {
+        val bb = b.select(col("k").as("k0"), col("vl").as("vl0"), col("vs").as("vs0"))
+        a.join(bb, col("k") === col("k0") && col("vl") === col("vl0") &&
+          col("vs") <=> col("vs0"), "left_anti")
+      }
+      val zd =
+        if (!dActive)
+          d0k.withColumn("w", lit(1L)).limit(0)
+        else rowDiff(d1k, d0k).withColumn("w", lit(1L))
+          .unionByName(rowDiff(d0k, d1k).withColumn("w", lit(-1L)))
+          .transform(graft.operators.Caching.persisted)
+
+      // I(D|touched): one row per version interval + the null-padded
+      // head interval per key ((-inf, vf_min) — or the whole line for a
+      // key with no versions). vf/vu NULL encode -inf/+inf.
+      def intervalsOf(vers: DataFrame): DataFrame = {
+        val w = Window.partitionBy("k").orderBy("vl")
+        val v = vers.select(col("k"), col("vl").as("vf"),
+          lead(col("vl"), 1).over(w).as("vu"), col("vs"))
+        val pads = touchedK.join(
+            vers.groupBy("k").agg(min("vl").as("vu")), Seq("k"), "left")
+          .select(col("k"), lit(null).cast("long").as("vf"), col("vu"),
+            lit(null).cast("string").as("vs"))
+        v.unionByName(pads)
+      }
+      def iDiff(a: DataFrame, b: DataFrame): DataFrame = {
+        val bb = b.select(col("k").as("k0"), col("vf").as("vf0"),
+          col("vu").as("vu0"), col("vs").as("vs0"))
+        a.join(bb, col("k") === col("k0") && col("vf") <=> col("vf0") &&
+          col("vu") <=> col("vu0") && col("vs") <=> col("vs0"), "left_anti")
+      }
+      val zi =
+        if (!dActive) intervalsOf(d0k).withColumn("w", lit(1L)).limit(0)
+        else {
+          val iPre = intervalsOf(d0k).transform(graft.operators.Caching.persisted)
+          val iPost = intervalsOf(d1k).transform(graft.operators.Caching.persisted)
+          iDiff(iPost, iPre).withColumn("w", lit(1L))
+            .unionByName(iDiff(iPre, iPost).withColumn("w", lit(-1L)))
+            .transform(graft.operators.Caching.persisted)
+        }
+
+      // ---- term 2: F_pre of the touched keys x signed intervals ----
+      val t2 =
+        if (!dActive) emptyF.select(col("m"), lit(null).cast("string").as("g"),
+          lit(1L).as("w")).limit(0)
+        else pruneRead("f", touchedK, fSchema)
+          .join(touchedK, Seq("k"), "left_semi")
+          .join(zi, Seq("k"))
+          .filter((col("vf").isNull || col("vf") <= col("t")) &&
+            (col("vu").isNull || col("t") < col("vu")))
+          .select(col("m"), col("vs").as("g"), col("w"))
+
+      // ---- ΔF (signed, star rules) + term 1 against POST-state dims ----
+      val zf =
+        if (!fActive) emptyF.withColumn("w", lit(1L)).limit(0)
+        else {
+          val fKeys = fIn.select("k").unionByName(delIn.select("k"))
+          val f0 = pruneRead("f", fKeys, fSchema)
+            .transform(graft.operators.Caching.persisted)
+          val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
+            .join(delIn.select("id"), Seq("id"), "left_anti")
+          val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
+          newF.withColumn("w", lit(1L))
+            .unionByName(delF.withColumn("w", lit(-1L)))
+            .transform(graft.operators.Caching.persisted)
+        }
+      val t1 =
+        if (!fActive) t2.limit(0)
+        else {
+          val zfK = zf.select("k").distinct()
+            .transform(graft.operators.Caching.persisted)
+          // post-state versions of the FACT keys: pre-state patched with
+          // this batch's dim Z-set (state is not yet written)
+          val dPost = pruneRead("d", zfK, IncrementalJoinAggStar.dSchema)
+            .join(zfK, Seq("k"), "left_semi")
+            .withColumn("w", lit(1L))
+            .unionByName(zd.join(zfK, Seq("k"), "left_semi"))
+            .groupBy("k", "vl", "vs").agg(sum("w").as("w"))
+            .filter(col("w") > 0)
+          zf.join(dPost.select(col("k").as("dk"), col("vl"), col("vs")),
+              col("k") === col("dk") && col("vl") <= col("t"), "left")
+            .groupBy("id", "m", "w")
+            .agg(max(struct(col("vl"), col("vs"))).as("s"))
+            .select(col("m"), col("s.vs").as("g"), col("w"))
+        }
+
+      // ---- finished delta -> aggregate + changelog rows ----
+      val finished = t1.unionByName(t2)
+        .groupBy("g")
+        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
+        .filter(col("dm") =!= 0 || col("dc") =!= 0)
+        .transform(graft.operators.Caching.persisted)
+
+      val nil = lit(null).cast("long")
+      val nils = lit(null).cast("string")
+      val fDelta =
+        if (!fActive) Nil
+        else Seq(zf.select(lit("f").as("tbl"), col("id"), col("t"), col("m"),
+          col("k"), nil.as("vl"), nils.as("vs"), nils.as("g"), nil.as("c"),
+          nil.as("b"), col("w")))
+      val dDelta =
+        if (zd.isEmpty) Nil
+        else Seq(zd.select(lit("d").as("tbl"), nil.as("id"), nil.as("t"),
+          nil.as("m"), col("k"), col("vl"), col("vs"), nils.as("g"),
+          nil.as("c"), nil.as("b"), col("w")))
+      val aDelta = finished.select(lit("a").as("tbl"), nil.as("id"),
+        nil.as("t"), col("dm").as("m"), nil.as("k"), nil.as("vl"),
+        nils.as("vs"), col("g"), col("dc").as("c"), nil.as("b"), nil.as("w"))
+      val cDelta = finished.select(lit("c").as("tbl"), nil.as("id"),
+        nil.as("t"), col("dm").as("m"), nil.as("k"), nil.as("vl"),
+        nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
+        nil.as("w"))
+      (fDelta ++ dDelta ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
+    }
+
+    try {
+      if (!(batchId >= 0 && fs.exists(staged))) {
+        val tmp = new Path(s"$path/$stagedName.tmp")
+        computeDelta().write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(staged, true)
+        require(fs.rename(tmp, staged), s"stage delta $staged")
+      }
+      val delta = spark.read.parquet(staged.toString).persist()
+      val present = delta.select("tbl").distinct()
+        .collect().map(_.getString(0)).toSet
+      try MvPipeline.applyConcurrently(
+        (if (present("f"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "f").select("id", "t", "m", "k", "w"),
+            s"$path/f", IncrementalJoinAggStar.mergeF, batchId, numBuckets,
+            Seq("k")))
+         else Nil) ++
+        (if (present("d"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "d").select("k", "vl", "vs", "w"),
+            s"$path/d", IncrementalJoinAggStar.mergeSigned, batchId,
+            numBuckets, Seq("k")))
+         else Nil) ++
+        (if (present("a") || present("c"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl").isin("a", "c"))
+              .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+            s"$path/a", IncrementalJoinAggStar.mergeA, batchId, numBuckets,
+            Seq("g")))
+         else Nil))
+      finally delta.unpersist()
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path))
+          .filter(s => s.getPath.getName.startsWith("_delta_"))
+          .foreach(s => fs.delete(s.getPath, true))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** `(g, total, rows)` == the batch ASOF LEFT join-aggregate; `g` is
+    * NULL for facts before their key's first version (and for keyless
+    * facts). [[innerView]] is the ASOF INNER projection. */
+  def view(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporaljoinagg/a",
+        IncrementalJoinAggStar.aSchema)
+      .filter(col("kind") === "a" && col("c") > 0)
+      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+
+  /** The ASOF INNER join-aggregate: [[view]] without the unmatched
+    * (null-group) row. */
+  def innerView(spark: SparkSession, stateDir: String): DataFrame =
+    view(spark, stateDir).filter(col("g").isNotNull)
+
+  /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
+  def changelog(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporaljoinagg/a",
+        IncrementalJoinAggStar.aSchema)
+      .filter(col("kind") === "c")
+      .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
+        col("c").as("drows"))
+
+  /** AS-OF read over MAINTENANCE time: the aggregate as it stood after
+    * `batch` committed (the family contract — orthogonal to the view's
+    * own event-time as-of semantics). */
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
+    changelog(spark, stateDir)
+      .filter(col("batch") <= batch)
+      .groupBy("g")
+      .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
+      .filter(col("rows") > 0)
+
+  /** Changelog compaction: fold the prefix `<= upTo` into one baseline
+    * row per group; as-of stays exact at and above the floor. */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/temporaljoinagg/a", old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val baseline = pre.groupBy("g")
+        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
+        .filter(col("m") =!= 0 || col("c") =!= 0)
+        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
+          col("m"), col("c"))
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+
+  /** BOOTSTRAP a fresh state dir from batch tables — ONE window pass
+    * (shuffle by k, sort by time, `last(vs) ignoring nulls`) instead of
+    * per-batch delta machinery; writes facts, versions, the aggregate,
+    * and one baseline changelog row per group stamped `baselineBatch`.
+    * Continuation folds must use batch ids above the baseline. */
+  def bootstrap(facts: DataFrame, dims: DataFrame, stateDir: String,
+      baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+    val spark = facts.sparkSession
+    val path = s"$stateDir/temporaljoinagg"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val fIn = facts.select(col("id").cast("long").as("id"),
+        col("t").cast("long").as("t"), col("m").cast("long").as("m"),
+        col("k").cast("long").as("k"))
+      .groupBy("id").agg(min(struct(col("t"), col("m"), col("k"))).as("s"))
+      .select(col("id"), col("s.t").as("t"), col("s.m").as("m"), col("s.k").as("k"))
+      .transform(graft.operators.Caching.persisted)
+    val dIn = dims.select(col("k").cast("long").as("k"),
+        col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
+      .groupBy("k", "vf").agg(max("vs").as("vs"))
+      .transform(graft.operators.Caching.persisted)
+    try {
+      MvPipeline.upsertBucketedMerge(fIn, s"$path/f",
+        (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
+      MvPipeline.upsertBucketedMerge(
+        dIn.select(col("k"), col("vf").as("vl"), col("vs")), s"$path/d",
+        (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
+      val agg = asOfAggregate(fIn, dIn)
+        .transform(graft.operators.Caching.persisted)
+      val aRows = agg.select(lit("a").as("kind"), col("g"),
+          lit(null).cast("long").as("b"), col("total").as("m"), col("rows").as("c"))
+        .unionByName(agg.select(lit("c").as("kind"), col("g"),
+          lit(baselineBatch).as("b"), col("total").as("m"), col("rows").as("c")))
+      MvPipeline.upsertBucketedMerge(aRows, s"$path/a",
+        IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** The BATCH as-of aggregate `(g, total, rows)` — the plan the
+    * maintained view must equal: one shuffle by key, one event-time
+    * sort, `last(vs, ignoreNulls)` carries the prevailing version onto
+    * each fact (version rows sort BEFORE a fact at the same timestamp:
+    * `vf <= t` inclusive ties). Used by [[bootstrap]] and as the spec /
+    * x123 reference plan. */
+  def asOfAggregate(facts: DataFrame, dims: DataFrame): DataFrame = {
+    val f = facts.select(col("k"), col("t").as("us"), lit(1).as("isFact"),
+      col("m"), lit(null).cast("string").as("v"))
+    val d = dims.select(col("k"), col("vf").as("us"), lit(0).as("isFact"),
+      lit(null).cast("long").as("m"), col("vs").as("v"))
+    val w = Window.partitionBy("k").orderBy("us", "isFact")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.unionByName(d)
+      .withColumn("g", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("isFact") === 1)
+      .groupBy("g")
+      .agg(sum("m").as("total"), count(lit(1)).as("rows"))
+  }
+
+  /** Continuous maintenance over a mixed CDC stream: `kind` ∈
+    * fact | fact_del | d | d_del; fixed columns per kind (absent
+    * columns null). Single writer per state dir. */
+  def start(spark: SparkSession, inputDir: String, schema: StructType,
+      stateDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(
+          batch.filter(col("kind") === "fact"),
+          batch.filter(col("kind") === "fact_del"),
+          batch.filter(col("kind") === "d"),
+          batch.filter(col("kind") === "d_del"),
+          stateDir, batchId)
+      }
+      .start()
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.SparkTestBase
-import graft.streaming.{IncrementalDupSpans, IncrementalFunnel, IncrementalJoinAggChain, IncrementalJoinAggN, IncrementalNearDup, IncrementalStrictFunnel}
+import graft.streaming.{IncrementalDupSpans, IncrementalFunnel, IncrementalJoinAggChain, IncrementalJoinAggN, IncrementalNearDup, IncrementalStrictFunnel, IncrementalTemporalJoinAgg}
 import graft.tools.PlanSweep
 
 /** Plan regression guard for the STREAMING fold plans — the per-batch
@@ -135,6 +135,26 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
         "doc_id", "text", 40, state, 1L, numBuckets = 4)
     }
     auditAll(plans, "dup-spans")
+  }
+
+  test("temporal join-agg fold (r11): no cartesian/BNLJ incl. the interval-diff path") {
+    val state = tmpDir("pg-tja")
+    IncrementalTemporalJoinAgg.processBatch(
+      Seq((1L, 150L, 100L, 10L)).toDF("id", "t", "m", "k"),
+      Seq.empty[(Long, Long)].toDF("id", "k"),
+      Seq((10L, 100L, "a")).toDF("k", "vf", "vs"),
+      Seq.empty[(Long, Long)].toDF("k", "vf"), state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // late version + version delete + fact delete: exercises both delta
+      // terms, the interval diff, and the range re-resolution join (which
+      // must stay an equi-join on k with a post-filter, never a BNLJ)
+      IncrementalTemporalJoinAgg.processBatch(
+        Seq((2L, 250L, 7L, 10L)).toDF("id", "t", "m", "k"),
+        Seq((1L, 10L)).toDF("id", "k"),
+        Seq((10L, 120L, "b")).toDF("k", "vf", "vs"),
+        Seq((10L, 100L)).toDF("k", "vf"), state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "temporal join-agg")
   }
 
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
