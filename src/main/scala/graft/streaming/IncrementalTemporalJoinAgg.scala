@@ -347,6 +347,75 @@ object IncrementalTemporalJoinAgg {
       .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
       .filter(col("rows") > 0)
 
+  /** FORGET a set of dimension keys (GDPR / user deletion): remove
+    * every fact AND every version of the named keys from the view.
+    * This needs NO new machinery — it IS one CDC batch: the keys'
+    * retained facts become fact deletes and their versions become
+    * version deletes, fed through [[processBatch]], so the −1
+    * changelog rows ship, integral == view holds through the forget,
+    * external sinks converge, and replay (same `batchId`) is a no-op
+    * under the standard staged protocol. Both state reads are
+    * bucket-pruned to the forgotten keys' buckets. Absent keys no-op. */
+  def forgetKeys(spark: SparkSession, keys: Seq[Long], stateDir: String,
+      batchId: Long, numBuckets: Int = 16): Unit = {
+    import spark.implicits._
+    val path = s"$stateDir/temporaljoinagg"
+    val kdf = keys.toDF("k")
+    def pruned(table: String, schema: StructType): DataFrame =
+      MvPipeline.readBuckets(spark, s"$path/$table",
+        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets), schema)
+        .join(broadcast(kdf), Seq("k"), "left_semi")
+    val factDels = pruned("f", fSchema).select("id", "k")
+    val dimDels = pruned("d", IncrementalJoinAggStar.dSchema)
+      .select(col("k"), col("vl").as("vf"))
+    processBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema),
+      factDels,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", LongType), StructField("vf", LongType),
+          StructField("vs", StringType)))),
+      dimDels, stateDir, batchId, numBuckets)
+  }
+
+  /** WATERMARK-EXACT state compaction — the bounded-state member of
+    * the temporal family (the [[IncrementalStrictFunnelBounded]] role):
+    * under the watermark contract that every FUTURE fact time and
+    * version valid-from is `>= horizon`,
+    *
+    *   - facts with `t < horizon` leave `f/` (their aggregate
+    *     contributions are already materialized in `a/`, and no
+    *     in-contract version arrival can re-capture them: a version at
+    *     `vf >= horizon` only changes intervals at or above `vf`);
+    *   - per key, versions with `vf < horizon` collapse to the single
+    *     LATEST one (rewritten to `vf = horizon` — it is exactly the
+    *     prevailing version at the horizon, which future facts still
+    *     need; its older siblings govern only dropped history).
+    *
+    * The view is untouched; retained state is bounded by the horizon
+    * window. The documented divergence mirrors R153: an OUT-of-contract
+    * late fact (t < horizon) resolves the collapsed floor version
+    * instead of its exact historical one, and an out-of-contract late
+    * version (vf < horizon) diffs against the compacted interval set —
+    * callers pick the horizon as their lateness bound. */
+  def compactState(spark: SparkSession, stateDir: String, horizon: Long): Unit = {
+    val path = s"$stateDir/temporaljoinagg"
+    MvPipeline.transformBuckets(spark, s"$path/f",
+      old => old.filter(col("t") >= horizon))
+    MvPipeline.transformBuckets(spark, s"$path/d", old => {
+      val w = Window.partitionBy("k").orderBy(col("vl").desc)
+      val floor = old.filter(col("vl") < horizon)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k"), lit(horizon).as("vl"), col("vs"))
+      // a floor rewritten to vf = horizon would collide with a real
+      // version AT the horizon; the real one wins (it supersedes the
+      // floor at exactly its timestamp), so such floors drop
+      val atHorizon = old.filter(col("vl") === horizon).select("k").distinct()
+      old.filter(col("vl") >= horizon)
+        .unionByName(floor.join(atHorizon, Seq("k"), "left_anti"))
+    })
+  }
+
   /** Changelog compaction: fold the prefix `<= upTo` into one baseline
     * row per group; as-of stays exact at and above the floor. */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =

@@ -205,6 +205,72 @@ class IncrementalTemporalJoinAggSpec extends SparkTestBase {
     assert(integral(state) === served(state))
   }
 
+  test("forgetKeys removes a key's facts AND versions as one CDC batch") {
+    val state = tmpDir("tja-forget")
+    fold(state, 0L,
+      dimUps = Seq((1L, 100L, "a"), (2L, 100L, "b")),
+      facts = Seq((10L, 150L, 1L, 1L), (11L, 150L, 2L, 2L),
+        (12L, 50L, 4L, 1L)))
+    assert(served(state) === Map(
+      None -> (4L, 1L), Some("a") -> (1L, 1L), Some("b") -> (2L, 1L)))
+    IncrementalTemporalJoinAgg.forgetKeys(spark, Seq(1L), state, 1L,
+      numBuckets = 4)
+    assert(served(state) === Map(Some("b") -> (2L, 1L)))
+    assert(integral(state) === served(state), "integral != view through forget")
+    // replaying the committed forget batch is a no-op; absent keys no-op
+    IncrementalTemporalJoinAgg.forgetKeys(spark, Seq(1L), state, 1L,
+      numBuckets = 4)
+    IncrementalTemporalJoinAgg.forgetKeys(spark, Seq(99L), state, 2L,
+      numBuckets = 4)
+    assert(served(state) === Map(Some("b") -> (2L, 1L)))
+    // forgotten facts and versions left no state rows
+    assert(IncrementalTemporalJoinAgg.view(spark, state).count() === 1L)
+  }
+
+  test("compactState bounds state; in-contract folds stay ≡ the uncompacted twin") {
+    val state = tmpDir("tja-comp")
+    val twin = tmpDir("tja-comp-twin")
+    def both(id: Long, facts: Seq[Fact] = Nil, dimUps: Seq[Ver] = Nil): Unit = {
+      fold(state, id, facts = facts, dimUps = dimUps)
+      fold(twin, id, facts = facts, dimUps = dimUps)
+    }
+    both(0L,
+      dimUps = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+        (2L, 150L, "x")),
+      facts = Seq((10L, 120L, 1L, 1L), (11L, 250L, 2L, 1L),
+        (12L, 400L, 4L, 1L), (13L, 500L, 8L, 2L)))
+    val before = served(state)
+    IncrementalTemporalJoinAgg.compactState(spark, state, horizon = 300L)
+    // the view is untouched; old facts left f/, old versions collapsed
+    assert(served(state) === before)
+    val fRows = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$state/temporaljoinagg/f", null)
+    assert(fRows.count() === 2L) // ids 12, 13 (t >= 300) retained
+    val dRows = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$state/temporaljoinagg/d", null)
+    // key 1: real version at vf=300 wins over the collapsed floor;
+    // key 2: floor (x) rewritten to vf=300
+    assert(dRows.count() === 2L)
+    // in-contract continuation (all times >= horizon): late version at
+    // exactly the horizon boundary, facts, a fact delete — ≡ twin
+    both(1L, dimUps = Seq((1L, 350L, "d"), (2L, 300L, "y")),
+      facts = Seq((14L, 360L, 16L, 1L), (15L, 320L, 32L, 2L)))
+    assert(served(state) === served(twin), "post-compaction fold diverged")
+    fold(state, 2L, factDels = Seq((12L, 1L)))
+    fold(twin, 2L, factDels = Seq((12L, 1L)))
+    assert(served(state) === served(twin), "post-compaction delete diverged")
+    // the DOCUMENTED divergence: an out-of-contract late fact (t <
+    // horizon) sees only the compacted history — here key 1's floor was
+    // superseded by its real at-horizon version, so t=120 resolves
+    // nothing (null group) where the twin resolves the historical "a"
+    fold(state, 3L, facts = Seq((16L, 120L, 64L, 1L)))
+    fold(twin, 3L, facts = Seq((16L, 120L, 64L, 1L)))
+    val s3 = served(state); val t3 = served(twin)
+    assert(t3(Some("a")) === (65L, 2L), "twin resolves the exact history")
+    assert(s3(None) === (64L, 1L), "compacted lands in the null group")
+    assert(s3(Some("a")) === (1L, 1L))
+  }
+
   test("events-as-CDC fold serves the x123 batch twin exactly (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
