@@ -247,6 +247,57 @@ object StateScaleRehearsal {
           state, 1000L, numBuckets = starBuckets)
       }
     }
+    // ------------------------------------------- temporal join-agg ----
+    // R160: identical probe at both scales — 10 new purchases, 3 LATE
+    // versions (each retro-reassigns the base-copy user's facts in its
+    // span), and 1 version delete, all on BASE-COPY users (per-copy
+    // keys are disjoint, so the affected subtree is the same size at
+    // 1x and Nx; only accumulated state differs).
+    import graft.streaming.IncrementalTemporalJoinAgg
+    val ev = graft.Tables.events(spark, dir)
+    val tFacts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"), col("user_id").as("k"))
+    val tDims = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+
+    if (sectionOn("temporal")) {
+      val (tMin, tMax) = tFacts.agg(min("t"), max("t")).as[(Long, Long)]
+        .collect().head
+      val users = tFacts.select("k").distinct().orderBy("k").limit(2)
+        .as[Long].collect()
+      val delVf = tDims.filter(col("k") === users(0)).agg(min("vf"))
+        .as[Long].collect().head
+      val mid = tMin + (tMax - tMin) / 2
+      val tProbeF = (1L to 10L).map(i =>
+        (980000000000L + i, tMin + i * 1000L, 100L + i, users((i % 2).toInt)))
+        .toDF("id", "t", "m", "k")
+      val tProbeUp = Seq((users(0), mid, "late1"), (users(1), mid + 7L, "late2"),
+        (users(0), tMin + 1L, "late3")).toDF("k", "vf", "vs")
+      val tProbeDel = Seq((users(0), delVf)).toDF("k", "vf")
+      val tNoF = tProbeF.limit(0); val tNoFD = tProbeF.select("id", "k").limit(0)
+      Seq(1, copies).foreach { n =>
+        val f = (0 until n).map(i => tFacts
+            .select((col("id") + lit(i.toLong * 10000000000L)).as("id"),
+              col("t"), col("m"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k")))
+          .reduce(_ unionByName _)
+        val d = (0 until n).map(i => tDims
+            .select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+              col("vf"), col("vs")))
+          .reduce(_ unionByName _)
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-tja-$n").toString
+        val t0 = System.nanoTime()
+        IncrementalTemporalJoinAgg.bootstrap(f, d, state, 0L, numBuckets = 16)
+        println(f"STATESCALE temporal ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+        measure(s"temporal probe @${n}x state", state) {
+          IncrementalTemporalJoinAgg.processBatch(tProbeF, tNoFD,
+            tProbeUp, tProbeDel, state, 1000L, numBuckets = 16)
+        }
+      }
+    }
     spark.stop()
   }
 }
