@@ -846,6 +846,21 @@ object IncrementalJoinAggStar {
       .filter(col("kind") === "a" && col("c") > 0)
       .select(col("g"), col("m").as("total"), col("c").as("rows"))
 
+  /** [[view]] restricted to `groups` — the bucket-pruned point read:
+    * only the `a/` buckets the named groups hash into are opened (same
+    * (bucketKeys, numBuckets) the writer used). Named groups are
+    * non-null; the LEFT views' null group needs the full [[view]]. */
+  def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
+      numBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val gdf = groups.toDF("g")
+    val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
+    MvPipeline.readBuckets(spark, s"$stateDir/joinaggstar/a", ids, aSchema)
+      .filter(col("kind") === "a" && col("c") > 0)
+      .join(broadcast(gdf), Seq("g"), "left_semi")
+      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+  }
+
   /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
   def changelog(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/a", aSchema)

@@ -329,6 +329,22 @@ object IncrementalTemporalJoinAgg {
   def innerView(spark: SparkSession, stateDir: String): DataFrame =
     view(spark, stateDir).filter(col("g").isNotNull)
 
+  /** [[view]] restricted to `groups` — the bucket-pruned point read:
+    * only the `a/` buckets the named groups hash into are opened.
+    * Named groups are non-null; the null (unmatched) group needs the
+    * full [[view]]. */
+  def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
+      numBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val gdf = groups.toDF("g")
+    val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
+    MvPipeline.readBuckets(spark, s"$stateDir/temporaljoinagg/a", ids,
+        IncrementalJoinAggStar.aSchema)
+      .filter(col("kind") === "a" && col("c") > 0)
+      .join(broadcast(gdf), Seq("g"), "left_semi")
+      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+  }
+
   /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
   def changelog(spark: SparkSession, stateDir: String): DataFrame =
     MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporaljoinagg/a",

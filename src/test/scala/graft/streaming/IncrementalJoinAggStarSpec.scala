@@ -142,6 +142,10 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
     // supplier 70 follows to B: facts 1-2 return, now grouped under B
     step(Nil, Nil, Map((2, 1) -> Seq((70L, None, Some("B")))), 5L)
     assert(served(state) === Map("B" -> (157L, 3L)))
+    // bucket-pruned point read: named groups only, absent names empty
+    assert(IncrementalJoinAggStar.viewFor(spark, state, Seq("B", "ZZZ"),
+        numBuckets = 4)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("B", 157L, 3L)))
     // fact delete + replay no-op
     step(Nil, Seq((10L, 70L, 1L)), Map.empty, 6L)
     assert(served(state) === Map("B" -> (57L, 2L)))

@@ -67,6 +67,10 @@ class IncrementalTemporalJoinAggSpec extends SparkTestBase {
       (14L, 999L, 17L, 2L)))// key with no versions -> null group
     assert(served(state) === Map(
       None -> (22L, 2L), Some("a") -> (18L, 2L), Some("b") -> (13L, 1L)))
+    // bucket-pruned point read: named groups only, absent names empty
+    assert(IncrementalTemporalJoinAgg.viewFor(spark, state, Seq("a", "zz"),
+        numBuckets = 4)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("a", 18L, 2L)))
   }
 
   test("LATE version retro-reassigns exactly the facts in its span") {
