@@ -1500,6 +1500,28 @@ object ExtQueries {
       .orderBy("seg")
   }
 
+  /** Batch twin of the MULTI-MEASURE star view
+    * ([[graft.streaming.IncrementalJoinAggStar]] with `numMeasures > 1`,
+    * R161): TWO independently-summed measures (revenue cents AND
+    * quantity) per market segment under ONE maintained join — the
+    * reference's several-summed-columns SummingMergeTree shape
+    * (stats2's blocked+visited). Same plan as x117: the customer
+    * dimension broadcasts; lineitem (the 100 TB side) shuffles once,
+    * on the group key — a second measure costs zero extra exchanges. */
+  def x124SegmentMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        graft.functions.cents(col("l_extendedprice")).as("cst"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("cst")).as("revenue_cents"), sum(col("qty")).as("qty_sum"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+
   def x117ChainRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), graft.functions.cents(col("l_extendedprice")).as("c"))
@@ -4583,6 +4605,15 @@ object ExtQueries {
          |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
          |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x124_segment_measures" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(sum(${graft.functions.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
@@ -4872,6 +4903,7 @@ object ExtQueries {
     "x121_nation_distinct" -> x121NationDistinct, // oracle: exact COUNT(DISTINCT) over the join
     "x122_fanout_revenue" -> x122FanoutRevenue, // oracle: m:n bridge fan-out join
     "x123_asof_revenue" -> x123AsofRevenue, // oracle: ASOF LEFT join-aggregate (DuckDB ASOF JOIN)
+    "x124_segment_measures" -> x124SegmentMeasures, // oracle: multi-measure star (R161)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -123,10 +123,18 @@ object IncrementalJoinAggStar {
       trackExtrema: Boolean = false,
       leftBranches: Set[Int] = Set.empty,
       trackDistinct: Option[String] = None,
-      multiRows: Set[(Int, Int)] = Set.empty) {
+      multiRows: Set[(Int, Int)] = Set.empty,
+      numMeasures: Int = 1) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
+    require(numMeasures >= 1, "numMeasures >= 1")
+    /** Internal measure column names: `m` plus `m2..mM` (R161 —
+      * multi-measure views, the reference's several-summed-columns
+      * SummingMergeTree shape, e.g. stats2's blocked+visited). Every
+      * measure sums independently under the SAME Z-set weights; the
+      * tracked extrema relation follows the FIRST measure. */
+    def mCols: Seq[String] = "m" +: (2 to numMeasures).map(i => s"m$i")
     val B: Int = branchDepths.size
     require(leftBranches.forall(b => b >= 1 && b <= B),
       "leftBranches outside the branch shape")
@@ -151,8 +159,17 @@ object IncrementalJoinAggStar {
     StructField("kind", StringType), StructField("g", StringType),
     StructField("b", LongType), StructField("m", LongType),
     StructField("c", LongType)))
-  private def fSchema(nB: Int): StructType = StructType(
-    Seq(StructField("id", LongType), StructField("m", LongType)) ++
+  /** [[aSchema]] with the extra measure columns — the EMPTY-state
+    * fallback for multi-measure views (a dims-only first batch writes
+    * no `a/` files, so the reader must still resolve `m2..mM`). */
+  private def aSchemaN(nM: Int): StructType = StructType(
+    Seq(StructField("kind", StringType), StructField("g", StringType),
+      StructField("b", LongType), StructField("m", LongType)) ++
+      (2 to nM).map(i => StructField(s"m$i", LongType)) :+
+      StructField("c", LongType))
+  private def fSchema(nB: Int, nM: Int = 1): StructType = StructType(
+    Seq(StructField("id", LongType)) ++
+      ("m" +: (2 to nM).map(i => s"m$i")).map(c => StructField(c, LongType)) ++
       (1 to nB).map(b => StructField(s"k$b", LongType)))
 
   private def attrCol(p: (Int, Int)): Column = col(s"a_${p._1}_${p._2}")
@@ -174,7 +191,7 @@ object IncrementalJoinAggStar {
         // attr to a NUL sentinel no real attribute carries
         concat_ws("\u0001",
           spec.groupAttrs.map(p => coalesce(attrCol(p), lit("\u0000"))): _*)
-    out.select(Seq(g.as("g"), col("m"), col("w")) ++
+    out.select(Seq(g.as("g")) ++ spec.mCols.map(col) ++ Seq(col("w")) ++
       (if (spec.trackDistinct.isDefined) Seq(col("dk")) else Nil): _*)
   }
 
@@ -230,8 +247,14 @@ object IncrementalJoinAggStar {
       factDels: DataFrame, delKs: Seq[String], delId: String,
       dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
-      dimDels: Seq[Seq[DataFrame]] = null): Unit = {
+      dimDels: Seq[Seq[DataFrame]] = null,
+      factMs: Seq[String] = null): Unit = {
     val nB = spec.B
+    // R161 multi-measure: `factMs` names every measure source column
+    // (defaults to the single `factM`)
+    val mSrcs = if (factMs != null) factMs else Seq(factM)
+    require(mSrcs.size == spec.numMeasures,
+      s"factMs must name ${spec.numMeasures} measure columns")
     require(factKs.size == nB && delKs.size == nB, "one fact key per branch")
     require(dims.size == nB && dimCols.size == nB &&
       dims.zip(spec.branchDepths).forall { case (d, n) => d.size == n } &&
@@ -284,7 +307,7 @@ object IncrementalJoinAggStar {
       val emptyD = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dSchema)
       val emptyF = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema(nB))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema(nB, spec.numMeasures))
       // EMPTY-INPUT GATING — the common streaming batch touches a few
       // inputs, not all of them: levels with no upserts get a canonical
       // empty frame (no normalize job, no pruned read) and, below,
@@ -330,12 +353,12 @@ object IncrementalJoinAggStar {
 
       val fIn =
         if (!facts.isEmpty)
-          facts.select(Seq(col(factId).cast("long").as("id"),
-              col(factM).cast("long").as("m")) ++
+          facts.select(Seq(col(factId).cast("long").as("id")) ++
+              mSrcs.zip(spec.mCols).map { case (src, c) => col(src).cast("long").as(c) } ++
               factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
             .groupBy("id")
-            .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
-            .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
+            .agg(min(struct((kCols ++ spec.mCols).map(col): _*)).as("s"))
+            .select(col("id") +: (kCols ++ spec.mCols).map(c => col(s"s.$c").as(c)): _*)
             .transform(graft.operators.Caching.persisted)
         else emptyF
       val delIn =
@@ -379,18 +402,19 @@ object IncrementalJoinAggStar {
       val zf =
         if (fActive) {
           val fKeys = fIn.select("k1").unionByName(delIn.select("k1"))
-          val f0 = pruneRead("f", fKeys, Seq("k1"), fSchema(nB))
+          val f0 = pruneRead("f", fKeys, Seq("k1"), fSchema(nB, spec.numMeasures))
             .transform(graft.operators.Caching.persisted)
           val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
             .join(delIn.select("id"), Seq("id"), "left_anti")
           val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
           newF.select((col("id") +: kCols.map(col)) ++
-              Seq(col("m"), lit(1L).as("w")): _*)
+              spec.mCols.map(col) ++ Seq(lit(1L).as("w")): _*)
             .unionByName(delF.select((col("id") +: kCols.map(col)) ++
-              Seq(col("m"), lit(-1L).as("w")): _*))
+              spec.mCols.map(col) ++ Seq(lit(-1L).as("w")): _*))
             .transform(graft.operators.Caching.persisted)
         } else emptyF.withColumn("w", lit(1L))
-          .select((col("id") +: kCols.map(col)) ++ Seq(col("m"), col("w")): _*)
+          .select((col("id") +: kCols.map(col)) ++ spec.mCols.map(col) ++
+            Seq(col("w")): _*)
 
       // per level: pre-state rows for the upserted keys + the signed
       // Z-set. zdsAll holds (real, virtual): real rows feed both the
@@ -572,13 +596,13 @@ object IncrementalJoinAggStar {
           val fTable = if (b == 1) "f" else s"fm$b"
           val fPart =
             if (i == 1) pruneRead(fTable,
-              zds(b - 1)(0).select(col("k").as(s"k$b")), Seq(s"k$b"), fSchema(nB))
+              zds(b - 1)(0).select(col("k").as(s"k$b")), Seq(s"k$b"), fSchema(nB, spec.numMeasures))
             else pruneRead(fTable,
-                need.select(col("v").as(s"k$b")), Seq(s"k$b"), fSchema(nB))
+                need.select(col("v").as(s"k$b")), Seq(s"k$b"), fSchema(nB, spec.numMeasures))
               .join(need, col(s"k$b") === col("v"), "left_semi")
           var cur = withDk(spec, fPart).select(
             (1 to nB).map(b2 => col(s"k$b2")) ++
-            Seq(col("m"), lit(1L).as("w")) ++
+            spec.mCols.map(col) ++ Seq(lit(1L).as("w")) ++
             (if (spec.trackDistinct.isDefined) Seq(col("dk")) else Nil): _*)
           // branch b at PRE-state below i (the restricted link rows)
           for (j <- 1 until i) cur = joinLevel(cur, b, j, links(j - 1), signed = false)
@@ -608,35 +632,43 @@ object IncrementalJoinAggStar {
       val finished =
         if (activeTerms.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("g", StringType),
-              StructField("m", LongType), StructField("w", LongType)) ++
+            StructType(Seq(StructField("g", StringType)) ++
+              spec.mCols.map(c => StructField(c, LongType)) ++
+              Seq(StructField("w", LongType)) ++
               (if (spec.trackDistinct.isDefined)
                 Seq(StructField("dk", LongType)) else Nil)))
         else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
           .transform(graft.operators.Caching.persisted)
+      val mAggs = spec.mCols.map(c => sum(col(c) * col("w")).as(s"d$c"))
       val dAgg = finished
         .groupBy("g")
-        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
-        .filter(col("dm") =!= 0 || col("dc") =!= 0)
+        .agg(mAggs.head, (mAggs.tail :+ sum(col("w")).as("dc")): _*)
+        .filter((spec.mCols.map(c => col(s"d$c") =!= 0) :+
+          (col("dc") =!= 0)).reduce(_ || _))
 
       val nil = lit(null).cast("long")
       val nils = lit(null).cast("string")
       val nilKs = kCols.map(c => nil.as(c))
+      val extraM = spec.mCols.drop(1)
       val fDelta = zf.select(Seq(lit("f").as("tbl"), col("id"), col("m")) ++
+        extraM.map(col) ++
         kCols.map(col) ++ Seq(nil.as("k"), nil.as("vl"), nils.as("vs"),
           nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
       val dDeltas = (1 to nB).flatMap { b =>
         (1 to spec.branchDepths(b - 1)).filter(i => termActive(b - 1)(i - 1)).map { i =>
           zds(b - 1)(i - 1).select(Seq(lit(s"d${b}_$i").as("tbl"), nil.as("id"),
-            nil.as("m")) ++ nilKs ++ Seq(col("k"), col("vl"), col("vs"),
+            nil.as("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
+            Seq(col("k"), col("vl"), col("vs"),
               nils.as("g"), nil.as("c"), nil.as("b"), col("w")): _*)
         }
       }
-      val aDelta = dAgg.select(Seq(lit("a").as("tbl"), nil.as("id"),
-        col("dm").as("m")) ++ nilKs ++ Seq(nil.as("k"), nil.as("vl"),
+      val aDelta = dAgg.select(Seq(lit("a").as("tbl"), nil.as("id")) ++
+        spec.mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
+        Seq(nil.as("k"), nil.as("vl"),
           nils.as("vs"), col("g"), col("dc").as("c"), nil.as("b"), nil.as("w")): _*)
-      val cDelta = dAgg.select(Seq(lit("c").as("tbl"), nil.as("id"),
-        col("dm").as("m")) ++ nilKs ++ Seq(nil.as("k"), nil.as("vl"),
+      val cDelta = dAgg.select(Seq(lit("c").as("tbl"), nil.as("id")) ++
+        spec.mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
+        Seq(nil.as("k"), nil.as("vl"),
           nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
           nil.as("w")): _*)
       // fact-grained extrema delta: the SAME finished relation projected
@@ -647,7 +679,8 @@ object IncrementalJoinAggStar {
         if (!spec.trackExtrema) Nil
         else Seq(finished.groupBy("g", "m").agg(sum("w").as("dw"))
           .filter(col("dw") =!= 0)
-          .select(Seq(lit("e").as("tbl"), nil.as("id"), col("m")) ++ nilKs ++
+          .select(Seq(lit("e").as("tbl"), nil.as("id"), col("m")) ++
+            extraM.map(c => nil.as(c)) ++ nilKs ++
             Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
               nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
       // distinct-key delta: the finished relation projected to the
@@ -658,6 +691,7 @@ object IncrementalJoinAggStar {
         else Seq(finished.groupBy("g", "dk").agg(sum("w").as("dw"))
           .filter(col("dw") =!= 0)
           .select(Seq(lit("u").as("tbl"), nil.as("id"), col("dk").as("m")) ++
+            extraM.map(c => nil.as(c)) ++
             nilKs ++ Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
               nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
       (Seq(fDelta) ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta ++ uDelta)
@@ -684,7 +718,7 @@ object IncrementalJoinAggStar {
       try MvPipeline.applyConcurrently(
         (if (present("f")) (1 to nB).map { b => () => MvPipeline.upsertBucketedMerge(
           delta.filter(col("tbl") === "f")
-            .select((Seq("id", "m") ++ kCols :+ "w").map(col): _*),
+            .select(((Seq("id") ++ spec.mCols) ++ kCols :+ "w").map(col): _*),
           s"$path/${if (b == 1) "f" else s"fm$b"}", mergeF, batchId,
           numBuckets, Seq(s"k$b")) } else Nil) ++
         (1 to nB).flatMap { b =>
@@ -705,7 +739,8 @@ object IncrementalJoinAggStar {
         (if (present("a") || present("c"))
           Seq(() => MvPipeline.upsertBucketedMerge(
             delta.filter(col("tbl").isin("a", "c"))
-              .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+              .select(Seq(col("tbl").as("kind"), col("g"), col("b"), col("m")) ++
+                spec.mCols.drop(1).map(col) ++ Seq(col("c")): _*),
             s"$path/a", mergeA, batchId, numBuckets, Seq("g")))
          else Nil) ++
         (if (present("e"))
@@ -747,12 +782,16 @@ object IncrementalJoinAggStar {
 
   private[streaming] def mergeA(old: DataFrame, inc: DataFrame): DataFrame = {
     val all = old.unionByName(inc)
+    // measure columns are data-driven (R161 multi-measure views carry
+    // m2..mM beside m); each sums independently under the same groups
+    val ms = all.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+    val aggs = ms.map(c => sum(col(c)).as(c))
     val a = all.filter(col("kind") === "a")
       .groupBy("g")
-      .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
-      .filter(col("m") =!= 0 || col("c") =!= 0)
-      .select(lit("a").as("kind"), col("g"), lit(null).cast("long").as("b"),
-        col("m"), col("c"))
+      .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
+      .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
+      .select(Seq(lit("a").as("kind"), col("g"),
+        lit(null).cast("long").as("b")) ++ ms.map(col) ++ Seq(col("c")): _*)
     a.unionByName(all.filter(col("kind") === "c").distinct())
   }
 
@@ -765,8 +804,12 @@ object IncrementalJoinAggStar {
   def bootstrap(spec: StarSpec,
       facts: DataFrame, factKs: Seq[String], factId: String, factM: String,
       dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
-      stateDir: String, baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+      stateDir: String, baselineBatch: Long = 0L, numBuckets: Int = 16,
+      factMs: Seq[String] = null): Unit = {
     val nB = spec.B
+    val mSrcs = if (factMs != null) factMs else Seq(factM)
+    require(mSrcs.size == spec.numMeasures,
+      s"factMs must name ${spec.numMeasures} measure columns")
     require(factKs.size == nB, "one fact key per branch")
     val spark = facts.sparkSession
     val path = s"$stateDir/joinaggstar"
@@ -774,12 +817,12 @@ object IncrementalJoinAggStar {
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")
     val kCols = (1 to nB).map(b => s"k$b")
-    val fIn = facts.select(Seq(col(factId).cast("long").as("id"),
-        col(factM).cast("long").as("m")) ++
+    val fIn = facts.select(Seq(col(factId).cast("long").as("id")) ++
+        mSrcs.zip(spec.mCols).map { case (src, c) => col(src).cast("long").as(c) } ++
         factKs.zipWithIndex.map { case (c, b) => col(c).cast("long").as(s"k${b + 1}") }: _*)
       .groupBy("id")
-      .agg(min(struct(kCols.map(col) :+ col("m"): _*)).as("s"))
-      .select(col("id") +: (kCols :+ "m").map(c => col(s"s.$c").as(c)): _*)
+      .agg(min(struct((kCols ++ spec.mCols).map(col): _*)).as("s"))
+      .select(col("id") +: (kCols ++ spec.mCols).map(c => col(s"s.$c").as(c)): _*)
       .transform(graft.operators.Caching.persisted)
     val dIns = (1 to nB).map { b =>
       (1 to spec.branchDepths(b - 1)).map { i =>
@@ -815,14 +858,17 @@ object IncrementalJoinAggStar {
           dIns(b - 1)(i - 1), signed = false, left = left)
       }
       val fin = finish(spec, cur).transform(graft.operators.Caching.persisted)
+      val bAggs = spec.mCols.map(c => sum(col(c)).as(c))
       val agg = fin.groupBy("g")
-        .agg(sum(col("m")).as("m"), sum(col("w")).as("c"))
+        .agg(bAggs.head, (bAggs.tail :+ sum(col("w")).as("c")): _*)
         .filter(col("c") > 0)
         .transform(graft.operators.Caching.persisted)
-      val aRows = agg.select(lit("a").as("kind"), col("g"),
-          lit(null).cast("long").as("b"), col("m"), col("c"))
-        .unionByName(agg.select(lit("c").as("kind"), col("g"),
-          lit(baselineBatch).as("b"), col("m"), col("c")))
+      val aRows = agg.select(Seq(lit("a").as("kind"), col("g"),
+          lit(null).cast("long").as("b")) ++ spec.mCols.map(col) ++
+          Seq(col("c")): _*)
+        .unionByName(agg.select(Seq(lit("c").as("kind"), col("g"),
+          lit(baselineBatch).as("b")) ++ spec.mCols.map(col) ++
+          Seq(col("c")): _*))
       MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
         numBuckets, Seq("g"))
       // tracked side relations take the SAME finished tuples (the fold
@@ -840,43 +886,69 @@ object IncrementalJoinAggStar {
     } finally graft.operators.Caching.releaseAll()
   }
 
-  /** `(g, total, rows)` == the batch star join-aggregate. */
-  def view(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/a", aSchema)
-      .filter(col("kind") === "a" && col("c") > 0)
-      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+  /** `(g, total, rows)` == the batch star join-aggregate.
+    * `numMeasures` only shapes the empty-state fallback schema; once
+    * `a/` files exist the measures come from the files themselves. */
+  def view(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/joinaggstar/a", aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
+      .select(Seq(col("g"), col("m").as("total")) ++
+        extraTotals(st) ++ Seq(col("c").as("rows")): _*)
+  }
+
+  /** Renamed extra measure columns (`m2 -> total2`, ...) when the view
+    * was maintained with `numMeasures > 1`. */
+  private def extraTotals(st: DataFrame) =
+    st.columns.filter(_.matches("m\\d+")).toSeq.sortBy(_.drop(1).toInt)
+      .map(c => col(c).as(s"total${c.drop(1)}"))
 
   /** [[view]] restricted to `groups` — the bucket-pruned point read:
     * only the `a/` buckets the named groups hash into are opened (same
     * (bucketKeys, numBuckets) the writer used). Named groups are
     * non-null; the LEFT views' null group needs the full [[view]]. */
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
-      numBuckets: Int = 16): DataFrame = {
+      numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
     import spark.implicits._
     val gdf = groups.toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
-    MvPipeline.readBuckets(spark, s"$stateDir/joinaggstar/a", ids, aSchema)
-      .filter(col("kind") === "a" && col("c") > 0)
+    val st = MvPipeline.readBuckets(spark, s"$stateDir/joinaggstar/a", ids,
+      aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
       .join(broadcast(gdf), Seq("g"), "left_semi")
-      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+      .select(Seq(col("g"), col("m").as("total")) ++
+        extraTotals(st) ++ Seq(col("c").as("rows")): _*)
   }
 
   /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
-  def changelog(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/joinaggstar/a", aSchema)
-      .filter(col("kind") === "c")
-      .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
-        col("c").as("drows"))
+  def changelog(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/joinaggstar/a", aSchemaN(numMeasures))
+    val extra = st.columns.filter(_.matches("m\\d+")).toSeq
+      .sortBy(_.drop(1).toInt)
+      .map(c => col(c).as(s"dtotal${c.drop(1)}"))
+    st.filter(col("kind") === "c")
+      .select(Seq(col("b").as("batch"), col("g"), col("m").as("dtotal")) ++
+        extra ++ Seq(col("c").as("drows")): _*)
+  }
 
   /** AS-OF read: the aggregate as it stood after `batch` committed —
     * the changelog integral truncated at the batch (the
     * [[IncrementalJoinAggChain.viewAsOf]] contract). */
-  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
-    changelog(spark, stateDir)
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long,
+      numMeasures: Int = 1): DataFrame = {
+    val cl = changelog(spark, stateDir, numMeasures)
       .filter(col("batch") <= batch)
-      .groupBy("g")
-      .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
+    val extra = cl.columns.filter(_.matches("dtotal\\d+")).toSeq
+      .sortBy(_.drop(6).toInt)
+      .map(c => sum(col(c)).as(s"total${c.drop(6)}"))
+    cl.groupBy("g")
+      .agg(sum(col("dtotal")).as("total"),
+        extra :+ sum(col("drows")).as("rows"): _*)
       .filter(col("rows") > 0)
+  }
 
   /** Fact-grained EXTREMA over the maintained join (requires
     * `spec.trackExtrema`): per group `(g, n, min_v, max_v)` of the
@@ -924,7 +996,8 @@ object IncrementalJoinAggStar {
       spec: StarSpec, kindCol: String, factKs: Seq[String], idCol: String,
       mCol: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      factMs: Seq[String] = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -949,7 +1022,8 @@ object IncrementalJoinAggStar {
             (1 to spec.branchDepths(b - 1)).map { i =>
               batch.filter(col(kindCol) === s"d${b}_${i}_del")
             }
-          })
+          },
+          factMs = factMs)
       }
       .start()
 
@@ -958,11 +1032,13 @@ object IncrementalJoinAggStar {
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/joinaggstar/a", old => {
       val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+      val aggs = ms.map(c => sum(col(c)).as(c))
       val baseline = pre.groupBy("g")
-        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
-        .filter(col("m") =!= 0 || col("c") =!= 0)
-        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
-          col("m"), col("c"))
+        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
+        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
+        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
+          ms.map(col) ++ Seq(col("c")): _*)
       old.filter(!(col("kind") === "c" && col("b") <= upTo))
         .unionByName(baseline)
     })
