@@ -1625,6 +1625,32 @@ object ExtQueries {
       .orderBy("seg")
   }
 
+  /** Batch twin of the MULTI-MEASURE temporal view
+    * ([[graft.streaming.IncrementalTemporalJoinAgg]] with
+    * `numMeasures > 1`, R161's contract on the as-of family): TWO
+    * independently-summed measures (revenue cents AND the purchase's
+    * `props.$.k` int) per as-of-resolved segment — x123's join with a
+    * second summed column, zero extra exchanges (the same one-window
+    * plan). */
+  def x125AsofMeasures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        get_json_object(col("props"), "$.k").cast("long").as("m2"),
+        col("user_id").as("k"))
+    val dims = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalJoinAgg
+      .asOfAggregate(facts, dims, numMeasures = 2)
+      .select(coalesce(col("g"), lit("(none)")).as("seg"),
+        col("total").as("revenue_cents"), col("total2").as("k_sum"),
+        col("rows").as("purchases"))
+      .orderBy("seg")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4605,6 +4631,23 @@ object ExtQueries {
          |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
          |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x125_asof_measures" ->
+      s"""WITH d AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |f AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS m2
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT coalesce(d.vs, '(none)') AS seg,
+         |  CAST(sum(f.m) AS BIGINT) AS revenue_cents,
+         |  CAST(sum(f.m2) AS BIGINT) AS k_sum, count(*) AS purchases
+         |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x124_segment_measures" ->
       s"""SELECT c_mktsegment,
          |  CAST(sum(${graft.functions.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
@@ -4904,6 +4947,7 @@ object ExtQueries {
     "x122_fanout_revenue" -> x122FanoutRevenue, // oracle: m:n bridge fan-out join
     "x123_asof_revenue" -> x123AsofRevenue, // oracle: ASOF LEFT join-aggregate (DuckDB ASOF JOIN)
     "x124_segment_measures" -> x124SegmentMeasures, // oracle: multi-measure star (R161)
+    "x125_asof_measures" -> x125AsofMeasures, // oracle: multi-measure ASOF join-aggregate
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -161,8 +161,9 @@ object IncrementalJoinAggStar {
     StructField("c", LongType)))
   /** [[aSchema]] with the extra measure columns — the EMPTY-state
     * fallback for multi-measure views (a dims-only first batch writes
-    * no `a/` files, so the reader must still resolve `m2..mM`). */
-  private def aSchemaN(nM: Int): StructType = StructType(
+    * no `a/` files, so the reader must still resolve `m2..mM`).
+    * Shared with the temporal family (same `a/` layout). */
+  private[streaming] def aSchemaN(nM: Int): StructType = StructType(
     Seq(StructField("kind", StringType), StructField("g", StringType),
       StructField("b", LongType), StructField("m", LongType)) ++
       (2 to nM).map(i => StructField(s"m$i", LongType)) :+
@@ -899,8 +900,9 @@ object IncrementalJoinAggStar {
   }
 
   /** Renamed extra measure columns (`m2 -> total2`, ...) when the view
-    * was maintained with `numMeasures > 1`. */
-  private def extraTotals(st: DataFrame) =
+    * was maintained with `numMeasures > 1`. Shared with the temporal
+    * family's readers (same `a/` layout). */
+  private[streaming] def extraTotals(st: DataFrame) =
     st.columns.filter(_.matches("m\\d+")).toSeq.sortBy(_.drop(1).toInt)
       .map(c => col(c).as(s"total${c.drop(1)}"))
 

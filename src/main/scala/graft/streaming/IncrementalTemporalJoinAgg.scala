@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -77,19 +77,37 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * indistinguishable from the unmatched head group in the aggregate
   * (exactly as the batch ASOF LEFT JOIN would group it). Ties:
   * `vf <= t` — a version taking effect exactly at the fact's
-  * timestamp captures it. */
+  * timestamp captures it.
+  *
+  * MULTI-MEASURE (R161, shared contract with the star family): with
+  * `numMeasures = M` the facts carry `m, m2..mM` and every measure
+  * sums independently under the SAME Z-set weights — the delta rule
+  * is linear in the measure vector, so one maintained as-of join
+  * serves M summed columns (batch twin **x125_asof_measures**) with
+  * zero extra exchanges. Readers take `numMeasures` only for the
+  * empty-state fallback schema. */
 object IncrementalTemporalJoinAgg {
 
-  private val fSchema = StructType(Seq(
-    StructField("id", LongType), StructField("t", LongType),
-    StructField("m", LongType), StructField("k", LongType)))
+  /** Internal measure column names for an M-measure view (R161's
+    * multi-measure contract, shared with the star family). */
+  private def mColsOf(nM: Int): Seq[String] = "m" +: (2 to nM).map(i => s"m$i")
+  private def fSchemaN(nM: Int): StructType = StructType(
+    Seq(StructField("id", LongType), StructField("t", LongType)) ++
+      mColsOf(nM).map(c => StructField(c, LongType)) :+
+      StructField("k", LongType))
+  private val fSchema = fSchemaN(1)
 
   /** Fold one CDC micro-batch. Frames may be empty; columns:
-    * `facts(id, t, m, k)`, `factDels(id, k)`, `dimUps(k, vf, vs)`,
-    * `dimDels(k, vf)`. */
+    * `facts(id, t, m[, m2..mM], k)`, `factDels(id, k)`,
+    * `dimUps(k, vf, vs)`, `dimDels(k, vf)`. `numMeasures > 1` sums
+    * several measures independently under the SAME Z-set weights
+    * (the R161 multi-measure contract — one maintained as-of join
+    * serves M summed columns for the cost of one). */
   def processBatch(facts: DataFrame, factDels: DataFrame,
       dimUps: DataFrame, dimDels: DataFrame,
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      numMeasures: Int = 1): Unit = {
+    val mCols = mColsOf(numMeasures)
     val spark = facts.sparkSession
     val path = s"$stateDir/temporaljoinagg"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -104,19 +122,22 @@ object IncrementalTemporalJoinAgg {
 
     def computeDelta(): DataFrame = {
       val emptyF = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fSchemaN(numMeasures))
       val fActive = !facts.isEmpty || !factDels.isEmpty
       val dActive = !dimUps.isEmpty || !dimDels.isEmpty
 
       // ---- normalize inputs (the star family's within-batch rules) ----
       val fIn =
         if (facts.isEmpty) emptyF
-        else facts.select(col("id").cast("long").as("id"),
-            col("t").cast("long").as("t"), col("m").cast("long").as("m"),
-            col("k").cast("long").as("k"))
-          .groupBy("id").agg(min(struct(col("t"), col("m"), col("k"))).as("s"))
-          .select(col("id"), col("s.t").as("t"), col("s.m").as("m"),
-            col("s.k").as("k"))
+        else facts.select(Seq(col("id").cast("long").as("id"),
+              col("t").cast("long").as("t")) ++
+              mCols.map(c => col(c).cast("long").as(c)) :+
+              col("k").cast("long").as("k"): _*)
+          .groupBy("id")
+          .agg(min(struct(col("t") +: mCols.map(col) :+ col("k"): _*)).as("s"))
+          .select(col("id") +: ("t" +: mCols :+ "k").map(c =>
+            col(s"s.$c").as(c)): _*)
           .transform(graft.operators.Caching.persisted)
       val delIn =
         if (factDels.isEmpty) emptyF.select("id", "k")
@@ -205,21 +226,21 @@ object IncrementalTemporalJoinAgg {
 
       // ---- term 2: F_pre of the touched keys x signed intervals ----
       val t2 =
-        if (!dActive) emptyF.select(col("m"), lit(null).cast("string").as("g"),
-          lit(1L).as("w")).limit(0)
-        else pruneRead("f", touchedK, fSchema)
+        if (!dActive) emptyF.select(mCols.map(col) ++
+          Seq(lit(null).cast("string").as("g"), lit(1L).as("w")): _*).limit(0)
+        else pruneRead("f", touchedK, fSchemaN(numMeasures))
           .join(touchedK, Seq("k"), "left_semi")
           .join(zi, Seq("k"))
           .filter((col("vf").isNull || col("vf") <= col("t")) &&
             (col("vu").isNull || col("t") < col("vu")))
-          .select(col("m"), col("vs").as("g"), col("w"))
+          .select(mCols.map(col) ++ Seq(col("vs").as("g"), col("w")): _*)
 
       // ---- ΔF (signed, star rules) + term 1 against POST-state dims ----
       val zf =
         if (!fActive) emptyF.withColumn("w", lit(1L)).limit(0)
         else {
           val fKeys = fIn.select("k").unionByName(delIn.select("k"))
-          val f0 = pruneRead("f", fKeys, fSchema)
+          val f0 = pruneRead("f", fKeys, fSchemaN(numMeasures))
             .transform(graft.operators.Caching.persisted)
           val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
             .join(delIn.select("id"), Seq("id"), "left_anti")
@@ -243,37 +264,45 @@ object IncrementalTemporalJoinAgg {
             .filter(col("w") > 0)
           zf.join(dPost.select(col("k").as("dk"), col("vl"), col("vs")),
               col("k") === col("dk") && col("vl") <= col("t"), "left")
-            .groupBy("id", "m", "w")
+            .groupBy("id", mCols :+ "w": _*)
             .agg(max(struct(col("vl"), col("vs"))).as("s"))
-            .select(col("m"), col("s.vs").as("g"), col("w"))
+            .select(mCols.map(col) ++ Seq(col("s.vs").as("g"), col("w")): _*)
         }
 
       // ---- finished delta -> aggregate + changelog rows ----
+      val mAggs = mCols.map(c => sum(col(c) * col("w")).as(s"d$c"))
       val finished = t1.unionByName(t2)
         .groupBy("g")
-        .agg(sum(col("m") * col("w")).as("dm"), sum(col("w")).as("dc"))
-        .filter(col("dm") =!= 0 || col("dc") =!= 0)
+        .agg(mAggs.head, (mAggs.tail :+ sum(col("w")).as("dc")): _*)
+        .filter((mCols.map(c => col(s"d$c") =!= 0) :+
+          (col("dc") =!= 0)).reduce(_ || _))
         .transform(graft.operators.Caching.persisted)
 
       val nil = lit(null).cast("long")
       val nils = lit(null).cast("string")
+      val extraM = mCols.drop(1)
       val fDelta =
         if (!fActive) Nil
-        else Seq(zf.select(lit("f").as("tbl"), col("id"), col("t"), col("m"),
-          col("k"), nil.as("vl"), nils.as("vs"), nils.as("g"), nil.as("c"),
-          nil.as("b"), col("w")))
+        else Seq(zf.select(Seq(lit("f").as("tbl"), col("id"), col("t"),
+          col("m")) ++ extraM.map(col) ++
+          Seq(col("k"), nil.as("vl"), nils.as("vs"), nils.as("g"), nil.as("c"),
+            nil.as("b"), col("w")): _*))
       val dDelta =
         if (zd.isEmpty) Nil
-        else Seq(zd.select(lit("d").as("tbl"), nil.as("id"), nil.as("t"),
-          nil.as("m"), col("k"), col("vl"), col("vs"), nils.as("g"),
-          nil.as("c"), nil.as("b"), col("w")))
-      val aDelta = finished.select(lit("a").as("tbl"), nil.as("id"),
-        nil.as("t"), col("dm").as("m"), nil.as("k"), nil.as("vl"),
-        nils.as("vs"), col("g"), col("dc").as("c"), nil.as("b"), nil.as("w"))
-      val cDelta = finished.select(lit("c").as("tbl"), nil.as("id"),
-        nil.as("t"), col("dm").as("m"), nil.as("k"), nil.as("vl"),
-        nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
-        nil.as("w"))
+        else Seq(zd.select(Seq(lit("d").as("tbl"), nil.as("id"), nil.as("t"),
+          nil.as("m")) ++ extraM.map(c => nil.as(c)) ++
+          Seq(col("k"), col("vl"), col("vs"), nils.as("g"),
+            nil.as("c"), nil.as("b"), col("w")): _*))
+      val aDelta = finished.select(Seq(lit("a").as("tbl"), nil.as("id"),
+        nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++
+        Seq(nil.as("k"), nil.as("vl"),
+          nils.as("vs"), col("g"), col("dc").as("c"), nil.as("b"),
+          nil.as("w")): _*)
+      val cDelta = finished.select(Seq(lit("c").as("tbl"), nil.as("id"),
+        nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++
+        Seq(nil.as("k"), nil.as("vl"),
+          nils.as("vs"), col("g"), col("dc").as("c"), lit(batchId).as("b"),
+          nil.as("w")): _*)
       (fDelta ++ dDelta ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
     }
 
@@ -290,7 +319,8 @@ object IncrementalTemporalJoinAgg {
       try MvPipeline.applyConcurrently(
         (if (present("f"))
           Seq(() => MvPipeline.upsertBucketedMerge(
-            delta.filter(col("tbl") === "f").select("id", "t", "m", "k", "w"),
+            delta.filter(col("tbl") === "f")
+              .select(("id" +: "t" +: mCols) ++ Seq("k", "w") map col: _*),
             s"$path/f", IncrementalJoinAggStar.mergeF, batchId, numBuckets,
             Seq("k")))
          else Nil) ++
@@ -303,7 +333,8 @@ object IncrementalTemporalJoinAgg {
         (if (present("a") || present("c"))
           Seq(() => MvPipeline.upsertBucketedMerge(
             delta.filter(col("tbl").isin("a", "c"))
-              .select(col("tbl").as("kind"), col("g"), col("b"), col("m"), col("c")),
+              .select(Seq(col("tbl").as("kind"), col("g"), col("b"),
+                col("m")) ++ mCols.drop(1).map(col) ++ Seq(col("c")): _*),
             s"$path/a", IncrementalJoinAggStar.mergeA, batchId, numBuckets,
             Seq("g")))
          else Nil))
@@ -318,50 +349,70 @@ object IncrementalTemporalJoinAgg {
   /** `(g, total, rows)` == the batch ASOF LEFT join-aggregate; `g` is
     * NULL for facts before their key's first version (and for keyless
     * facts). [[innerView]] is the ASOF INNER projection. */
-  def view(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporaljoinagg/a",
-        IncrementalJoinAggStar.aSchema)
-      .filter(col("kind") === "a" && col("c") > 0)
-      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+  def view(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/temporaljoinagg/a",
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
+      .select(Seq(col("g"), col("m").as("total")) ++
+        IncrementalJoinAggStar.extraTotals(st) ++
+        Seq(col("c").as("rows")): _*)
+  }
 
   /** The ASOF INNER join-aggregate: [[view]] without the unmatched
     * (null-group) row. */
-  def innerView(spark: SparkSession, stateDir: String): DataFrame =
-    view(spark, stateDir).filter(col("g").isNotNull)
+  def innerView(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 1): DataFrame =
+    view(spark, stateDir, numMeasures).filter(col("g").isNotNull)
 
   /** [[view]] restricted to `groups` — the bucket-pruned point read:
     * only the `a/` buckets the named groups hash into are opened.
     * Named groups are non-null; the null (unmatched) group needs the
     * full [[view]]. */
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
-      numBuckets: Int = 16): DataFrame = {
+      numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
     import spark.implicits._
     val gdf = groups.toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
-    MvPipeline.readBuckets(spark, s"$stateDir/temporaljoinagg/a", ids,
-        IncrementalJoinAggStar.aSchema)
-      .filter(col("kind") === "a" && col("c") > 0)
+    val st = MvPipeline.readBuckets(spark, s"$stateDir/temporaljoinagg/a", ids,
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
       .join(broadcast(gdf), Seq("g"), "left_semi")
-      .select(col("g"), col("m").as("total"), col("c").as("rows"))
+      .select(Seq(col("g"), col("m").as("total")) ++
+        IncrementalJoinAggStar.extraTotals(st) ++
+        Seq(col("c").as("rows")): _*)
   }
 
   /** Z-set changelog `(batch, g, dtotal, drows)`; integral == view. */
-  def changelog(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporaljoinagg/a",
-        IncrementalJoinAggStar.aSchema)
-      .filter(col("kind") === "c")
-      .select(col("b").as("batch"), col("g"), col("m").as("dtotal"),
-        col("c").as("drows"))
+  def changelog(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/temporaljoinagg/a",
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    val extra = st.columns.filter(_.matches("m\\d+")).toSeq
+      .sortBy(_.drop(1).toInt)
+      .map(c => col(c).as(s"dtotal${c.drop(1)}"))
+    st.filter(col("kind") === "c")
+      .select(Seq(col("b").as("batch"), col("g"), col("m").as("dtotal")) ++
+        extra ++ Seq(col("c").as("drows")): _*)
+  }
 
   /** AS-OF read over MAINTENANCE time: the aggregate as it stood after
     * `batch` committed (the family contract — orthogonal to the view's
     * own event-time as-of semantics). */
-  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
-    changelog(spark, stateDir)
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long,
+      numMeasures: Int = 1): DataFrame = {
+    val cl = changelog(spark, stateDir, numMeasures)
       .filter(col("batch") <= batch)
-      .groupBy("g")
-      .agg(sum(col("dtotal")).as("total"), sum(col("drows")).as("rows"))
+    val extra = cl.columns.filter(_.matches("dtotal\\d+")).toSeq
+      .sortBy(_.drop(6).toInt)
+      .map(c => sum(col(c)).as(s"total${c.drop(6)}"))
+    cl.groupBy("g")
+      .agg(sum(col("dtotal")).as("total"),
+        extra :+ sum(col("drows")).as("rows"): _*)
       .filter(col("rows") > 0)
+  }
 
   /** FORGET a set of dimension keys (GDPR / user deletion): remove
     * every fact AND every version of the named keys from the view.
@@ -373,7 +424,7 @@ object IncrementalTemporalJoinAgg {
     * under the standard staged protocol. Both state reads are
     * bucket-pruned to the forgotten keys' buckets. Absent keys no-op. */
   def forgetKeys(spark: SparkSession, keys: Seq[Long], stateDir: String,
-      batchId: Long, numBuckets: Int = 16): Unit = {
+      batchId: Long, numBuckets: Int = 16, numMeasures: Int = 1): Unit = {
     import spark.implicits._
     val path = s"$stateDir/temporaljoinagg"
     val kdf = keys.toDF("k")
@@ -381,16 +432,17 @@ object IncrementalTemporalJoinAgg {
       MvPipeline.readBuckets(spark, s"$path/$table",
         MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets), schema)
         .join(broadcast(kdf), Seq("k"), "left_semi")
-    val factDels = pruned("f", fSchema).select("id", "k")
+    val factDels = pruned("f", fSchemaN(numMeasures)).select("id", "k")
     val dimDels = pruned("d", IncrementalJoinAggStar.dSchema)
       .select(col("k"), col("vl").as("vf"))
     processBatch(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fSchemaN(numMeasures)),
       factDels,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("k", LongType), StructField("vf", LongType),
           StructField("vs", StringType)))),
-      dimDels, stateDir, batchId, numBuckets)
+      dimDels, stateDir, batchId, numBuckets, numMeasures)
   }
 
   /** WATERMARK-EXACT state compaction — the bounded-state member of
@@ -437,11 +489,13 @@ object IncrementalTemporalJoinAgg {
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/temporaljoinagg/a", old => {
       val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+      val aggs = ms.map(c => sum(col(c)).as(c))
       val baseline = pre.groupBy("g")
-        .agg(sum(col("m")).as("m"), sum(col("c")).as("c"))
-        .filter(col("m") =!= 0 || col("c") =!= 0)
-        .select(lit("c").as("kind"), col("g"), lit(upTo).as("b"),
-          col("m"), col("c"))
+        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
+        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
+        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
+          ms.map(col) ++ Seq(col("c")): _*)
       old.filter(!(col("kind") === "c" && col("b") <= upTo))
         .unionByName(baseline)
     })
@@ -452,17 +506,21 @@ object IncrementalTemporalJoinAgg {
     * and one baseline changelog row per group stamped `baselineBatch`.
     * Continuation folds must use batch ids above the baseline. */
   def bootstrap(facts: DataFrame, dims: DataFrame, stateDir: String,
-      baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+      baselineBatch: Long = 0L, numBuckets: Int = 16,
+      numMeasures: Int = 1): Unit = {
     val spark = facts.sparkSession
+    val mCols = mColsOf(numMeasures)
     val path = s"$stateDir/temporaljoinagg"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")
-    val fIn = facts.select(col("id").cast("long").as("id"),
-        col("t").cast("long").as("t"), col("m").cast("long").as("m"),
-        col("k").cast("long").as("k"))
-      .groupBy("id").agg(min(struct(col("t"), col("m"), col("k"))).as("s"))
-      .select(col("id"), col("s.t").as("t"), col("s.m").as("m"), col("s.k").as("k"))
+    val fIn = facts.select(Seq(col("id").cast("long").as("id"),
+        col("t").cast("long").as("t")) ++
+        mCols.map(c => col(c).cast("long").as(c)) :+
+        col("k").cast("long").as("k"): _*)
+      .groupBy("id")
+      .agg(min(struct(col("t") +: mCols.map(col) :+ col("k"): _*)).as("s"))
+      .select(col("id") +: ("t" +: mCols :+ "k").map(c => col(s"s.$c").as(c)): _*)
       .transform(graft.operators.Caching.persisted)
     val dIn = dims.select(col("k").cast("long").as("k"),
         col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
@@ -474,12 +532,15 @@ object IncrementalTemporalJoinAgg {
       MvPipeline.upsertBucketedMerge(
         dIn.select(col("k"), col("vf").as("vl"), col("vs")), s"$path/d",
         (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
-      val agg = asOfAggregate(fIn, dIn)
+      val agg = asOfAggregate(fIn, dIn, numMeasures)
         .transform(graft.operators.Caching.persisted)
-      val aRows = agg.select(lit("a").as("kind"), col("g"),
-          lit(null).cast("long").as("b"), col("total").as("m"), col("rows").as("c"))
-        .unionByName(agg.select(lit("c").as("kind"), col("g"),
-          lit(baselineBatch).as("b"), col("total").as("m"), col("rows").as("c")))
+      val tCols = "total" +: (2 to numMeasures).map(i => s"total$i")
+      def aggRows(kind: String, b: Column) = agg.select(
+        Seq(lit(kind).as("kind"), col("g"), b.as("b")) ++
+          tCols.zip(mCols).map { case (t, m) => col(t).as(m) } ++
+          Seq(col("rows").as("c")): _*)
+      val aRows = aggRows("a", lit(null).cast("long"))
+        .unionByName(aggRows("c", lit(baselineBatch)))
       MvPipeline.upsertBucketedMerge(aRows, s"$path/a",
         IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
     } finally graft.operators.Caching.releaseAll()
@@ -491,18 +552,24 @@ object IncrementalTemporalJoinAgg {
     * each fact (version rows sort BEFORE a fact at the same timestamp:
     * `vf <= t` inclusive ties). Used by [[bootstrap]] and as the spec /
     * x123 reference plan. */
-  def asOfAggregate(facts: DataFrame, dims: DataFrame): DataFrame = {
-    val f = facts.select(col("k"), col("t").as("us"), lit(1).as("isFact"),
-      col("m"), lit(null).cast("string").as("v"))
-    val d = dims.select(col("k"), col("vf").as("us"), lit(0).as("isFact"),
-      lit(null).cast("long").as("m"), col("vs").as("v"))
+  def asOfAggregate(facts: DataFrame, dims: DataFrame,
+      numMeasures: Int = 1): DataFrame = {
+    val mCols = mColsOf(numMeasures)
+    val f = facts.select(Seq(col("k"), col("t").as("us"),
+      lit(1).as("isFact")) ++ mCols.map(col) :+
+      lit(null).cast("string").as("v"): _*)
+    val d = dims.select(Seq(col("k"), col("vf").as("us"),
+      lit(0).as("isFact")) ++ mCols.map(c => lit(null).cast("long").as(c)) :+
+      col("vs").as("v"): _*)
     val w = Window.partitionBy("k").orderBy("us", "isFact")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tAggs = mCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c)).as(if (i == 0) "total" else s"total${i + 1}") }
     f.unionByName(d)
       .withColumn("g", last(col("v"), ignoreNulls = true).over(w))
       .filter(col("isFact") === 1)
       .groupBy("g")
-      .agg(sum("m").as("total"), count(lit(1)).as("rows"))
+      .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
   }
 
   /** Continuous maintenance over a mixed CDC stream: `kind` ∈
@@ -511,7 +578,8 @@ object IncrementalTemporalJoinAgg {
   def start(spark: SparkSession, inputDir: String, schema: StructType,
       stateDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      numMeasures: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -525,7 +593,7 @@ object IncrementalTemporalJoinAgg {
           batch.filter(col("kind") === "fact_del"),
           batch.filter(col("kind") === "d"),
           batch.filter(col("kind") === "d_del"),
-          stateDir, batchId)
+          stateDir, batchId, numMeasures = numMeasures)
       }
       .start()
 }

@@ -124,6 +124,32 @@ class IncrementalJoinAggStarMultiMeasureSpec extends SparkTestBase {
     }
   }
 
+  test("power-sum measures serve exact moments over the maintained join") {
+    // the IncrementalMoments device lifted onto a JOIN: m = x, m2 = x²
+    // are both additive int64 power sums, so avg/variance per join-
+    // resolved group are read-time rationals over ONE maintained view —
+    // and a dim re-key moves a key's whole power-sum block exactly
+    val state = tmpDir("mm-star-moments")
+    val xs = Seq((10L, 1L, 3L), (10L, 2L, 5L), (20L, 3L, 8L), (20L, 4L, 10L))
+    fold(state, xs.map { case (k, id, x) => (k, id, x, x * x) },
+      dels = Nil, l1 = Seq((10L, 500L), (20L, 501L)),
+      l2 = Seq((500L, "A"), (501L, "B")), id = 0L)
+    def moments(state: String): Map[String, (Double, Double)] =
+      served(state).map { case (g, (s1, s2, n)) =>
+        val mean = s1.toDouble / n
+        g -> (mean, s2.toDouble / n - mean * mean)
+      }
+    assert(moments(state) === Map(
+      "A" -> ((4.0, 1.0)),       // {3,5}: mean 4, var 1
+      "B" -> ((9.0, 1.0))))      // {8,10}: mean 9, var 1
+    // re-key order 20 -> customer 500 (A): the whole power-sum block moves
+    fold(state, Nil, Nil, Seq((20L, 500L)), Nil, 1L)
+    val all = Seq(3L, 5L, 8L, 10L)
+    val mean = all.sum.toDouble / all.size
+    val varA = all.map(x => x * x).sum.toDouble / all.size - mean * mean
+    assert(moments(state) === Map("A" -> ((mean, varA))))
+  }
+
   test("lineitem-as-CDC fold serves the x124 batch twin exactly (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())
