@@ -1651,6 +1651,36 @@ object ExtQueries {
       .orderBy("seg")
   }
 
+  /** Batch twin of the MULTI-BRANCH temporal view
+    * ([[graft.streaming.IncrementalTemporalStar]], R162): each purchase
+    * resolves TWO independent SCD-2 dimensions as of purchase time —
+    * the user's segment (from view events) AND the user's tier (from
+    * click events) — the chained ASOF LEFT JOIN no single-dimension
+    * engine expresses. Oracled against DuckDB's native chained
+    * `ASOF LEFT JOIN`. Plan: one shuffle + one event-time sort per
+    * branch (the R160 window device, B times), then one aggregate. */
+  def x126AsofStar(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        col("user_id").as("k1"), col("user_id").as("k2"))
+    val seg = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    val tier = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("t"), (get_json_object(col("props"), "$.k").cast("int") % 3)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalStar
+      .asOfAggregateStar(facts, Seq(seg, tier))
+      .select(coalesce(col("g1"), lit("(none)")).as("seg"),
+        coalesce(col("g2"), lit("(none)")).as("tier"),
+        col("total").as("revenue_cents"), col("rows").as("purchases"))
+      .orderBy("seg", "tier")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4631,6 +4661,31 @@ object ExtQueries {
          |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
          |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x126_asof_star" ->
+      s"""WITH d1 AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |d2 AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    't' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 3 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'click'
+         |),
+         |f AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |r1 AS (
+         |  SELECT f.k, f.t, f.m, d1.vs AS seg
+         |  FROM f ASOF LEFT JOIN d1 ON f.k = d1.k AND f.t >= d1.vf
+         |)
+         |SELECT coalesce(r1.seg, '(none)') AS seg,
+         |  coalesce(d2.vs, '(none)') AS tier,
+         |  CAST(sum(r1.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
+         |FROM r1 ASOF LEFT JOIN d2 ON r1.k = d2.k AND r1.t >= d2.vf
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x125_asof_measures" ->
       s"""WITH d AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -4948,6 +5003,7 @@ object ExtQueries {
     "x123_asof_revenue" -> x123AsofRevenue, // oracle: ASOF LEFT join-aggregate (DuckDB ASOF JOIN)
     "x124_segment_measures" -> x124SegmentMeasures, // oracle: multi-measure star (R161)
     "x125_asof_measures" -> x125AsofMeasures, // oracle: multi-measure ASOF join-aggregate
+    "x126_asof_star" -> x126AsofStar, // oracle: chained (multi-branch) ASOF join-aggregate
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

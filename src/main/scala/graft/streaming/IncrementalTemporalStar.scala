@@ -1,0 +1,592 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Incrementally-maintained MULTI-BRANCH temporal (as-of) join-aggregate
+  * (SURVEY.md §2.11 R162) — the "temporal star": each fact resolves
+  * SEVERAL independent SCD-2 dimensions at its event time,
+  *
+  *   SELECT g1, .., gB, sum(f.m), count(*)
+  *   FROM facts f
+  *     ASOF LEFT JOIN d1 ON f.k1 = d1.k AND f.t >= d1.vf
+  *     ...
+  *     ASOF LEFT JOIN dB ON f.kB = dB.k AND f.t >= dB.vf
+  *   GROUP BY g1, .., gB
+  *
+  * — the shape a real consumer query takes when a purchase must carry
+  * both the user's segment AND the catalog's price tier as of purchase
+  * time. Neither existing engine expresses it: the equality-keyed star
+  * ([[IncrementalJoinAggStar]]) has no range predicate, and the
+  * single-dimension temporal engine ([[IncrementalTemporalJoinAgg]],
+  * R160) has exactly one version branch.
+  *
+  * The device is R160's, telescoped across branches: each branch's
+  * as-of join is the equi+range join against its INTERVALIZED relation
+  * I(D_b) (one validity interval per version + the null head pad, so
+  * I(D_b) partitions the (k, t) line), making the view MULTILINEAR in
+  * (F, I(D_1), .., I(D_B)). With inputs ordered F < D_1 < .. < D_B:
+  *
+  *   Δview = ΔF ⋈ I(D_1 post) ⋈ .. ⋈ I(D_B post)
+  *         + Σ_b  F_pre ⋈ I(D_1 pre) .. I(D_{b-1} pre)
+  *                      ⋈ ΔI_b ⋈ I(D_{b+1} post) .. I(D_B post)
+  *
+  * where ΔI_b is the per-touched-key exact interval-row diff (R160's
+  * sort + lead + head pad). Because every I(D_j) partitions the line,
+  * "⋈ I(D_j at s)" is an as-of RESOLUTION — at most one match per
+  * fact — implemented as a bucket-pruned read of `d{j}/` for the
+  * restricted facts' keys (patched with this batch's version Z-set for
+  * post-state) plus one max-(vf ≤ t) aggregate. Per-batch cost is
+  * O(facts of touched keys × branches + versions of touched keys),
+  * never O(state).
+  *
+  * State under `stateDir/temporalstar/` (ONE staged kind-discriminated
+  * delta, the family's crash-safe protocol):
+  *   - `f/` facts `(id, t, m[, m2..], k1..kB)` bucketed by k1, plus
+  *     per-branch mirrors `fm{b}` bucketed by k_b (b >= 2) — the
+  *     ClickHouse-projection trade the equality star established:
+  *     B slim fact copies buy bucket-pruned entry from any branch;
+  *   - `d{b}/` per-branch version rows `(k, vl, vs)` bucketed by k
+  *     ([[IncrementalJoinAggStar.mergeSigned]]);
+  *   - `a/` additive aggregate + signed changelog keyed by the ENCODED
+  *     group (branch attributes joined with \u0001, NULL as \u0000 —
+  *     the equality star's multi-attr encoding; readers split it back
+  *     into per-branch columns). Version attributes must not contain
+  *     the two control characters (the family contract).
+  *
+  * Contracts are R160's per branch: fact ids arrive once and pin
+  * (t, measures, keys); fact deletes name (id, k1..kB); versions are
+  * keyed by (k, vf) with replace-on-upsert, delete names the exact
+  * (k, vf); delete-wins within batch; ties `vf <= t` inclusive.
+  * Multi-measure per R161: `numMeasures = M` sums `m, m2..mM`
+  * independently under the same Z-set weights.
+  *
+  * A 1-branch instance is exactly the R160 view (spec-pinned); the
+  * batch twin is **x126_asof_star** (DuckDB chained ASOF LEFT JOIN). */
+object IncrementalTemporalStar {
+
+  private val SEP = "\u0001"
+  private val NUL = "\u0000"
+
+  private def mColsOf(nM: Int): Seq[String] = "m" +: (2 to nM).map(i => s"m$i")
+  private def kColsOf(nB: Int): Seq[String] = (1 to nB).map(b => s"k$b")
+  private def fSchemaN(nB: Int, nM: Int): StructType = StructType(
+    Seq(StructField("id", LongType), StructField("t", LongType)) ++
+      mColsOf(nM).map(c => StructField(c, LongType)) ++
+      kColsOf(nB).map(c => StructField(c, LongType)))
+  private def delSchema(nB: Int): StructType = StructType(
+    StructField("id", LongType) +:
+      kColsOf(nB).map(c => StructField(c, LongType)))
+  private val dUpSchema = StructType(Seq(StructField("k", LongType),
+    StructField("vf", LongType), StructField("vs", StringType)))
+  private val dDelSchema = StructType(Seq(StructField("k", LongType),
+    StructField("vf", LongType)))
+
+  /** Encode per-branch resolved attributes into the stored group key. */
+  private def encodeG(gCols: Seq[Column]): Column =
+    concat_ws(SEP, gCols.map(c => coalesce(c, lit(NUL))): _*)
+
+  /** Split a stored group key back into nullable per-branch columns. */
+  private def decodeG(nB: Int): Seq[Column] =
+    (1 to nB).map { b =>
+      val e = element_at(split(col("g"), SEP, -1), b)
+      when(e === NUL, lit(null).cast("string")).otherwise(e).as(s"g$b")
+    }
+
+  /** Fold one CDC micro-batch. `facts(id, t, m[, m2..], k1..kB)`,
+    * `factDels(id, k1..kB)`, per-branch `dimUps(b)(k, vf, vs)` and
+    * `dimDels(b)(k, vf)`; frames may be empty. */
+  def processBatch(facts: DataFrame, factDels: DataFrame,
+      dimUps: Seq[DataFrame], dimDels: Seq[DataFrame],
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      numMeasures: Int = 1): Unit = {
+    val nB = dimUps.size
+    require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
+    val mCols = mColsOf(numMeasures)
+    val kCols = kColsOf(nB)
+    val spark = facts.sparkSession
+    val path = s"$stateDir/temporalstar"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+
+    def factTable(b: Int): String = if (b == 1) "f" else s"fm$b"
+    def pruneRead(table: String, keys: DataFrame, keyCol: String,
+        schema: StructType): DataFrame =
+      MvPipeline.readBuckets(spark, s"$path/$table",
+        MvPipeline.bucketIdsOf(keys.toDF(keyCol), Seq(keyCol), numBuckets),
+        schema)
+
+    def computeDelta(): DataFrame = {
+      val emptyF = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fSchemaN(nB, numMeasures))
+      val fActive = !facts.isEmpty || !factDels.isEmpty
+      val dActive = (0 until nB).map(i => !dimUps(i).isEmpty || !dimDels(i).isEmpty)
+
+      // ---- normalize inputs (the family's within-batch rules) ----
+      val fIn =
+        if (facts.isEmpty) emptyF
+        else facts.select(Seq(col("id").cast("long").as("id"),
+              col("t").cast("long").as("t")) ++
+              mCols.map(c => col(c).cast("long").as(c)) ++
+              kCols.map(c => col(c).cast("long").as(c)): _*)
+          .groupBy("id")
+          .agg(min(struct(("t" +: mCols) ++ kCols map col: _*)).as("s"))
+          .select(col("id") +: (("t" +: mCols) ++ kCols).map(c =>
+            col(s"s.$c").as(c)): _*)
+          .transform(graft.operators.Caching.persisted)
+      val delIn =
+        if (factDels.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            delSchema(nB))
+        else factDels.select(col("id").cast("long").as("id") +:
+            kCols.map(c => col(c).cast("long").as(c)): _*).distinct()
+          .transform(graft.operators.Caching.persisted)
+
+      // ---- per-branch version Z-set + interval Z-set (R160 verbatim) ----
+      val dDelN = (0 until nB).map { i =>
+        if (dimDels(i).isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            dDelSchema)
+        else dimDels(i).select(col("k").cast("long").as("k"),
+            col("vf").cast("long").as("vf")).distinct()
+          .transform(graft.operators.Caching.persisted)
+      }
+      val dIn = (0 until nB).map { i =>
+        if (dimUps(i).isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            dUpSchema)
+        else dimUps(i).select(col("k").cast("long").as("k"),
+            col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
+          .groupBy("k", "vf").agg(max("vs").as("vs"))
+          .join(dDelN(i), Seq("k", "vf"), "left_anti")
+          .transform(graft.operators.Caching.persisted)
+      }
+      val touchedK = (0 until nB).map { i =>
+        dIn(i).select("k").unionByName(dDelN(i).select("k")).distinct()
+          .transform(graft.operators.Caching.persisted)
+      }
+      val d0k = (0 until nB).map { i =>
+        if (!dActive(i))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            IncrementalJoinAggStar.dSchema)
+        else pruneRead(s"d${i + 1}", touchedK(i), "k",
+            IncrementalJoinAggStar.dSchema)
+          .join(touchedK(i), Seq("k"), "left_semi")
+          .transform(graft.operators.Caching.persisted)
+      }
+      val d1k = (0 until nB).map { i =>
+        if (!dActive(i)) d0k(i)
+        else d0k(i)
+          .join(dDelN(i).select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
+          .join(dIn(i).select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
+          .unionByName(dIn(i).select(col("k"), col("vf").as("vl"), col("vs")))
+          .transform(graft.operators.Caching.persisted)
+      }
+      def rowDiff(a: DataFrame, b: DataFrame): DataFrame = {
+        val bb = b.select(col("k").as("k0"), col("vl").as("vl0"), col("vs").as("vs0"))
+        a.join(bb, col("k") === col("k0") && col("vl") === col("vl0") &&
+          col("vs") <=> col("vs0"), "left_anti")
+      }
+      val zd = (0 until nB).map { i =>
+        if (!dActive(i)) d0k(i).withColumn("w", lit(1L)).limit(0)
+        else rowDiff(d1k(i), d0k(i)).withColumn("w", lit(1L))
+          .unionByName(rowDiff(d0k(i), d1k(i)).withColumn("w", lit(-1L)))
+          .transform(graft.operators.Caching.persisted)
+      }
+      def intervalsOf(vers: DataFrame, touched: DataFrame): DataFrame = {
+        val w = Window.partitionBy("k").orderBy("vl")
+        val v = vers.select(col("k"), col("vl").as("vf"),
+          lead(col("vl"), 1).over(w).as("vu"), col("vs"))
+        val pads = touched.join(
+            vers.groupBy("k").agg(min("vl").as("vu")), Seq("k"), "left")
+          .select(col("k"), lit(null).cast("long").as("vf"), col("vu"),
+            lit(null).cast("string").as("vs"))
+        v.unionByName(pads)
+      }
+      def iDiff(a: DataFrame, b: DataFrame): DataFrame = {
+        val bb = b.select(col("k").as("k0"), col("vf").as("vf0"),
+          col("vu").as("vu0"), col("vs").as("vs0"))
+        a.join(bb, col("k") === col("k0") && col("vf") <=> col("vf0") &&
+          col("vu") <=> col("vu0") && col("vs") <=> col("vs0"), "left_anti")
+      }
+      val zi = (0 until nB).map { i =>
+        if (!dActive(i))
+          intervalsOf(d0k(i), touchedK(i)).withColumn("w", lit(1L)).limit(0)
+        else {
+          val iPre = intervalsOf(d0k(i), touchedK(i))
+            .transform(graft.operators.Caching.persisted)
+          val iPost = intervalsOf(d1k(i), touchedK(i))
+            .transform(graft.operators.Caching.persisted)
+          iDiff(iPost, iPre).withColumn("w", lit(1L))
+            .unionByName(iDiff(iPre, iPost).withColumn("w", lit(-1L)))
+            .transform(graft.operators.Caching.persisted)
+        }
+      }
+
+      // ---- as-of RESOLUTION of branch j over a term frame ----
+      // `fr` carries (id, t, mCols, k1..kB, w [, g_i...]); at most one
+      // version matches (I(D_j) partitions the line), found as the
+      // max-(vl <= t) row of the (optionally Z-set-patched) pre-state.
+      def resolve(fr: DataFrame, j: Int, post: Boolean): DataFrame = {
+        val keep = fr.columns.toSeq
+        val keys = fr.select(col(s"k$j").as("k")).distinct()
+        val base = pruneRead(s"d$j", keys, "k", IncrementalJoinAggStar.dSchema)
+          .join(keys, Seq("k"), "left_semi")
+        val eff =
+          if (post && dActive(j - 1))
+            base.withColumn("w", lit(1L))
+              .unionByName(zd(j - 1).join(keys, Seq("k"), "left_semi"))
+              .groupBy("k", "vl", "vs").agg(sum("w").as("w"))
+              .filter(col("w") > 0)
+              .select("k", "vl", "vs")
+          else base
+        fr.join(eff.select(col("k").as("_dk"), col("vl").as("_vl"),
+              col("vs").as("_vs")),
+            col(s"k$j") === col("_dk") && col("_vl") <= col("t"), "left")
+          .groupBy(keep.head, keep.tail: _*)
+          .agg(max(struct(col("_vl"), col("_vs"))).as("_s"))
+          .select(keep.map(col) :+ col("_s._vs").as(s"g$j"): _*)
+      }
+
+      // ---- ΔF term: signed fact rows resolved at POST on every branch ----
+      val zf =
+        if (!fActive) emptyF.withColumn("w", lit(1L)).limit(0)
+        else {
+          val fKeys = fIn.select("k1").unionByName(delIn.select("k1"))
+          val f0 = pruneRead("f", fKeys, "k1", fSchemaN(nB, numMeasures))
+            .transform(graft.operators.Caching.persisted)
+          val newF = fIn.join(f0.select("id"), Seq("id"), "left_anti")
+            .join(delIn.select("id"), Seq("id"), "left_anti")
+          val delF = f0.join(delIn.select("id"), Seq("id"), "left_semi")
+          newF.withColumn("w", lit(1L))
+            .unionByName(delF.withColumn("w", lit(-1L)))
+            .transform(graft.operators.Caching.persisted)
+        }
+      val t0 =
+        if (!fActive) Nil
+        else {
+          var cur = zf
+          for (j <- 1 to nB) cur = resolve(cur, j, post = true)
+          Seq(cur)
+        }
+
+      // ---- branch terms: F_pre(touched k_b) x ΔI_b, others j<b PRE,
+      //      j>b POST ----
+      val tbs = (1 to nB).flatMap { b =>
+        if (!dActive(b - 1)) Nil
+        else {
+          val fPre = pruneRead(factTable(b), touchedK(b - 1), s"k$b",
+              fSchemaN(nB, numMeasures))
+            .join(touchedK(b - 1).select(col("k").as(s"k$b")), Seq(s"k$b"),
+              "left_semi")
+          var cur = fPre.join(zi(b - 1).select(col("k").as("_ik"),
+                col("vf"), col("vu"), col("vs").as(s"g$b"), col("w")),
+              col(s"k$b") === col("_ik") &&
+                (col("vf").isNull || col("vf") <= col("t")) &&
+                (col("vu").isNull || col("t") < col("vu")))
+            .select((Seq("id", "t") ++ mCols ++ kCols).map(col) ++
+              Seq(col("w"), col(s"g$b")): _*)
+          for (j <- 1 until b) cur = resolve(cur, j, post = false)
+          for (j <- b + 1 to nB) cur = resolve(cur, j, post = true)
+          Seq(cur)
+        }
+      }
+
+      // ---- finished delta -> aggregate + changelog rows ----
+      val gOrder = (1 to nB).map(j => col(s"g$j"))
+      val terms = (t0 ++ tbs).map(t =>
+        t.select(Seq(encodeG(gOrder).as("g"), col("w")) ++ mCols.map(col): _*))
+      val finishedIn =
+        if (terms.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("g", StringType),
+              StructField("w", LongType)) ++
+              mCols.map(c => StructField(c, LongType))))
+        else terms.reduce(_ unionByName _)
+      val mAggs = mCols.map(c => sum(col(c) * col("w")).as(s"d$c"))
+      val finished = finishedIn
+        .groupBy("g")
+        .agg(mAggs.head, (mAggs.tail :+ sum(col("w")).as("dc")): _*)
+        .filter((mCols.map(c => col(s"d$c") =!= 0) :+
+          (col("dc") =!= 0)).reduce(_ || _))
+        .transform(graft.operators.Caching.persisted)
+
+      val nil = lit(null).cast("long")
+      val nils = lit(null).cast("string")
+      val nilKs = kCols.map(c => nil.as(c))
+      val extraM = mCols.drop(1)
+      val fDelta =
+        if (!fActive) Nil
+        else Seq(zf.select(Seq(lit("f").as("tbl"), col("id"), col("t"),
+          col("m")) ++ extraM.map(col) ++ kCols.map(col) ++
+          Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), nils.as("g"),
+            nil.as("c"), nil.as("b"), col("w")): _*))
+      val dDeltas = (1 to nB).flatMap { b =>
+        if (zd(b - 1).isEmpty) Nil
+        else Seq(zd(b - 1).select(Seq(lit(s"d$b").as("tbl"), nil.as("id"),
+          nil.as("t"), nil.as("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
+          Seq(col("k"), col("vl"), col("vs"), nils.as("g"),
+            nil.as("c"), nil.as("b"), col("w")): _*))
+      }
+      val aDelta = finished.select(Seq(lit("a").as("tbl"), nil.as("id"),
+        nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
+        Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+          col("dc").as("c"), nil.as("b"), nil.as("w")): _*)
+      val cDelta = finished.select(Seq(lit("c").as("tbl"), nil.as("id"),
+        nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
+        Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+          col("dc").as("c"), lit(batchId).as("b"), nil.as("w")): _*)
+      (fDelta ++ dDeltas ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
+    }
+
+    try {
+      if (!(batchId >= 0 && fs.exists(staged))) {
+        val tmp = new Path(s"$path/$stagedName.tmp")
+        computeDelta().write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(staged, true)
+        require(fs.rename(tmp, staged), s"stage delta $staged")
+      }
+      val delta = spark.read.parquet(staged.toString).persist()
+      val present = delta.select("tbl").distinct()
+        .collect().map(_.getString(0)).toSet
+      try MvPipeline.applyConcurrently(
+        (if (present("f")) (1 to nB).map { b => () =>
+          MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "f")
+              .select((Seq("id", "t") ++ mCols ++ kCols :+ "w").map(col): _*),
+            s"$path/${factTable(b)}", IncrementalJoinAggStar.mergeF, batchId,
+            numBuckets, Seq(s"k$b"))
+        } else Nil) ++
+        (1 to nB).flatMap { b =>
+          if (present(s"d$b"))
+            Seq(() => MvPipeline.upsertBucketedMerge(
+              delta.filter(col("tbl") === s"d$b").select("k", "vl", "vs", "w"),
+              s"$path/d$b", IncrementalJoinAggStar.mergeSigned, batchId,
+              numBuckets, Seq("k")))
+          else Nil
+        } ++
+        (if (present("a") || present("c"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl").isin("a", "c"))
+              .select(Seq(col("tbl").as("kind"), col("g"), col("b"),
+                col("m")) ++ mCols.drop(1).map(col) ++ Seq(col("c")): _*),
+            s"$path/a", IncrementalJoinAggStar.mergeA, batchId, numBuckets,
+            Seq("g")))
+         else Nil))
+      finally delta.unpersist()
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path))
+          .filter(s => s.getPath.getName.startsWith("_delta_"))
+          .foreach(s => fs.delete(s.getPath, true))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** `(g1, .., gB, total[, total2..], rows)` == the batch chained ASOF
+    * LEFT join-aggregate; `g_b` is NULL for facts before branch b's
+    * first version. */
+  def view(spark: SparkSession, stateDir: String, numBranches: Int,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/temporalstar/a",
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
+      .select(decodeG(numBranches) ++ Seq(col("m").as("total")) ++
+        IncrementalJoinAggStar.extraTotals(st) ++
+        Seq(col("c").as("rows")): _*)
+  }
+
+  /** Z-set changelog; integral == view (per measure). */
+  def changelog(spark: SparkSession, stateDir: String, numBranches: Int,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/temporalstar/a",
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    val extra = st.columns.filter(_.matches("m\\d+")).toSeq
+      .sortBy(_.drop(1).toInt)
+      .map(c => col(c).as(s"dtotal${c.drop(1)}"))
+    st.filter(col("kind") === "c")
+      .select(Seq(col("b").as("batch")) ++ decodeG(numBranches) ++
+        Seq(col("m").as("dtotal")) ++ extra ++ Seq(col("c").as("drows")): _*)
+  }
+
+  /** AS-OF read over MAINTENANCE time (the family contract). */
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long,
+      numBranches: Int, numMeasures: Int = 1): DataFrame = {
+    val cl = changelog(spark, stateDir, numBranches, numMeasures)
+      .filter(col("batch") <= batch)
+    val gs = (1 to numBranches).map(b => s"g$b")
+    val extra = cl.columns.filter(_.matches("dtotal\\d+")).toSeq
+      .sortBy(_.drop(6).toInt)
+      .map(c => sum(col(c)).as(s"total${c.drop(6)}"))
+    cl.groupBy(gs.head, gs.tail: _*)
+      .agg(sum(col("dtotal")).as("total"),
+        extra :+ sum(col("drows")).as("rows"): _*)
+      .filter(col("rows") > 0)
+  }
+
+  /** FORGET every fact and version of `keys` on `branch` (GDPR —
+    * R160's one-CDC-batch device; no new machinery). Facts matching
+    * the keys on that branch leave the view entirely; the OTHER
+    * branches' versions for unrelated keys are untouched. */
+  def forgetKeys(spark: SparkSession, branch: Int, keys: Seq[Long],
+      stateDir: String, batchId: Long, numBranches: Int,
+      numBuckets: Int = 16, numMeasures: Int = 1): Unit = {
+    import spark.implicits._
+    val path = s"$stateDir/temporalstar"
+    val kdf = keys.toDF("k")
+    val kc = s"k$branch"
+    def prunedF: DataFrame =
+      MvPipeline.readBuckets(spark,
+          s"$path/${if (branch == 1) "f" else s"fm$branch"}",
+          MvPipeline.bucketIdsOf(kdf.toDF(kc), Seq(kc), numBuckets),
+          fSchemaN(numBranches, numMeasures))
+        .join(broadcast(kdf.select(col("k").as(kc))), Seq(kc), "left_semi")
+    val factDels = prunedF.select("id" +: kColsOf(numBranches) map col: _*)
+    val dimDels = MvPipeline.readBuckets(spark, s"$path/d$branch",
+        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+        IncrementalJoinAggStar.dSchema)
+      .join(broadcast(kdf), Seq("k"), "left_semi")
+      .select(col("k"), col("vl").as("vf"))
+    val noUp = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dUpSchema)
+    val noDel = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dDelSchema)
+    processBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fSchemaN(numBranches, numMeasures)),
+      factDels,
+      (1 to numBranches).map(b => noUp),
+      (1 to numBranches).map(b => if (b == branch) dimDels else noDel),
+      stateDir, batchId, numBuckets, numMeasures)
+  }
+
+  /** Changelog compaction (family contract, data-driven measures). */
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
+    MvPipeline.transformBuckets(spark, s"$stateDir/temporalstar/a", old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+      val aggs = ms.map(c => sum(col(c)).as(c))
+      val baseline = pre.groupBy("g")
+        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
+        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
+        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
+          ms.map(col) ++ Seq(col("c")): _*)
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+
+  /** BOOTSTRAP from batch tables — B window passes (one per branch,
+    * each the R160 one-shuffle resolution), which is also the batch
+    * twin's plan ([[asOfAggregateStar]]). */
+  def bootstrap(facts: DataFrame, dims: Seq[DataFrame], stateDir: String,
+      baselineBatch: Long = 0L, numBuckets: Int = 16,
+      numMeasures: Int = 1): Unit = {
+    val nB = dims.size
+    val spark = facts.sparkSession
+    val mCols = mColsOf(numMeasures)
+    val kCols = kColsOf(nB)
+    val path = s"$stateDir/temporalstar"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path)),
+      s"bootstrap requires a fresh state dir, found $path")
+    val fIn = facts.select(Seq(col("id").cast("long").as("id"),
+        col("t").cast("long").as("t")) ++
+        mCols.map(c => col(c).cast("long").as(c)) ++
+        kCols.map(c => col(c).cast("long").as(c)): _*)
+      .groupBy("id")
+      .agg(min(struct(("t" +: mCols) ++ kCols map col: _*)).as("s"))
+      .select(col("id") +: (("t" +: mCols) ++ kCols).map(c =>
+        col(s"s.$c").as(c)): _*)
+      .transform(graft.operators.Caching.persisted)
+    val dIns = dims.map(d => d.select(col("k").cast("long").as("k"),
+        col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
+      .groupBy("k", "vf").agg(max("vs").as("vs"))
+      .transform(graft.operators.Caching.persisted))
+    try {
+      (1 to nB).foreach { b =>
+        MvPipeline.upsertBucketedMerge(fIn,
+          s"$path/${if (b == 1) "f" else s"fm$b"}",
+          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
+          Seq(s"k$b"))
+        MvPipeline.upsertBucketedMerge(
+          dIns(b - 1).select(col("k"), col("vf").as("vl"), col("vs")),
+          s"$path/d$b", (old, inc) => old.unionByName(inc).distinct(), -1L,
+          numBuckets, Seq("k"))
+      }
+      val agg = asOfAggregateStar(fIn, dIns, numMeasures)
+        .transform(graft.operators.Caching.persisted)
+      val gEnc = encodeG((1 to nB).map(b => col(s"g$b")))
+      val tCols = "total" +: (2 to numMeasures).map(i => s"total$i")
+      def aggRows(kind: String, b: Column) = agg.select(
+        Seq(lit(kind).as("kind"), gEnc.as("g"), b.as("b")) ++
+          tCols.zip(mCols).map { case (t, m) => col(t).as(m) } ++
+          Seq(col("rows").as("c")): _*)
+      MvPipeline.upsertBucketedMerge(
+        aggRows("a", lit(null).cast("long"))
+          .unionByName(aggRows("c", lit(baselineBatch))),
+        s"$path/a", IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** The BATCH chained-ASOF aggregate `(g1..gB, total[..], rows)` —
+    * the plan the maintained view must equal: per branch ONE shuffle
+    * by that branch's key + ONE event-time sort carrying the
+    * prevailing version onto each fact (R160's window device), then
+    * one aggregate over the resolved attributes. Used by [[bootstrap]]
+    * and as the x126 reference plan. */
+  def asOfAggregateStar(facts: DataFrame, dims: Seq[DataFrame],
+      numMeasures: Int = 1): DataFrame = {
+    val nB = dims.size
+    val mCols = mColsOf(numMeasures)
+    val resolved = (1 to nB).map { b =>
+      val f = facts.select(col(s"k$b").as("k"), col("t").as("us"),
+        lit(1).as("isFact"), col("id"), lit(null).cast("string").as("v"))
+      val d = dims(b - 1).select(col("k"), col("vf").as("us"),
+        lit(0).as("isFact"), lit(null).cast("long").as("id"),
+        col("vs").as("v"))
+      val w = Window.partitionBy("k").orderBy("us", "isFact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.unionByName(d)
+        .withColumn(s"g$b", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("isFact") === 1)
+        .select(col("id"), col(s"g$b"))
+    }
+    val gs = (1 to nB).map(b => s"g$b")
+    val tAggs = mCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c)).as(if (i == 0) "total" else s"total${i + 1}") }
+    resolved.foldLeft(facts)((acc, r) => acc.join(r, Seq("id")))
+      .groupBy(gs.head, gs.tail: _*)
+      .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
+  }
+
+  /** Continuous maintenance over a mixed CDC stream: `kind` ∈
+    * fact | fact_del | d{b} | d{b}_del. Single writer per state dir. */
+  def start(spark: SparkSession, inputDir: String, schema: StructType,
+      stateDir: String, checkpointDir: String, numBranches: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      numMeasures: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(
+          batch.filter(col("kind") === "fact"),
+          batch.filter(col("kind") === "fact_del"),
+          (1 to numBranches).map(b => batch.filter(col("kind") === s"d$b")),
+          (1 to numBranches).map(b => batch.filter(col("kind") === s"d${b}_del")),
+          stateDir, batchId, numMeasures = numMeasures)
+      }
+      .start()
+}

@@ -1,0 +1,266 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** The maintained MULTI-BRANCH temporal (as-of) join-aggregate must
+  * equal the batch chained-ASOF recompute over the integrated inputs
+  * after EVERY batch — with each branch's corrections (late-version
+  * retro-reassignment, version-delete fallback) moving ONLY that
+  * branch's group coordinate, and cross-branch same-batch arrivals
+  * honoring the telescoped pre/post input order. */
+class IncrementalTemporalStarSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private type Fact = (Long, Long, Long, Long, Long)  // id, t, m, k1, k2
+  private type Ver = (Long, Long, String)             // k, vf, vs
+
+  /** Reference model: chained batch ASOF LEFT aggregate in plain Scala. */
+  private def model(facts: Iterable[Fact],
+      v1: Iterable[Ver], v2: Iterable[Ver])
+      : Map[(Option[String], Option[String]), (Long, Long)] = {
+    def res(vers: Iterable[Ver], k: Long, t: Long): Option[String] =
+      vers.filter(v => v._1 == k && v._2 <= t) match {
+        case vs if vs.isEmpty => None
+        case vs               => Some(vs.maxBy(_._2)._3)
+      }
+    facts.groupBy { case (_, t, _, k1, k2) => (res(v1, k1, t), res(v2, k2, t)) }
+      .map { case (g, fs) => g -> (fs.map(_._3).sum, fs.size.toLong) }
+  }
+
+  private def served(state: String)
+      : Map[(Option[String], Option[String]), (Long, Long)] =
+    IncrementalTemporalStar.view(spark, state, numBranches = 2)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  private def integral(state: String)
+      : Map[(Option[String], Option[String]), (Long, Long)] =
+    IncrementalTemporalStar.changelog(spark, state, numBranches = 2)
+      .groupBy("g1", "g2")
+      .agg(org.apache.spark.sql.functions.sum("dtotal").as("t"),
+        org.apache.spark.sql.functions.sum("drows").as("c"))
+      .filter(col("c") > 0)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  private val noF = Seq.empty[Fact].toDF("id", "t", "m", "k1", "k2")
+  private val noFD = Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2")
+  private val noD = Seq.empty[Ver].toDF("k", "vf", "vs")
+  private val noDD = Seq.empty[(Long, Long)].toDF("k", "vf")
+
+  private def fold(state: String, id: Long,
+      facts: Seq[Fact] = Nil, factDels: Seq[(Long, Long, Long)] = Nil,
+      d1Ups: Seq[Ver] = Nil, d1Dels: Seq[(Long, Long)] = Nil,
+      d2Ups: Seq[Ver] = Nil, d2Dels: Seq[(Long, Long)] = Nil): Unit =
+    IncrementalTemporalStar.processBatch(
+      if (facts.isEmpty) noF else facts.toDF("id", "t", "m", "k1", "k2"),
+      if (factDels.isEmpty) noFD else factDels.toDF("id", "k1", "k2"),
+      Seq(if (d1Ups.isEmpty) noD else d1Ups.toDF("k", "vf", "vs"),
+        if (d2Ups.isEmpty) noD else d2Ups.toDF("k", "vf", "vs")),
+      Seq(if (d1Dels.isEmpty) noDD else d1Dels.toDF("k", "vf"),
+        if (d2Dels.isEmpty) noDD else d2Dels.toDF("k", "vf")),
+      state, id, numBuckets = 4)
+
+  test("each branch resolves independently; per-branch null groups") {
+    val state = tmpDir("tstar")
+    fold(state, 0L, d1Ups = Seq((1L, 100L, "a")), d2Ups = Seq((1L, 200L, "x")))
+    fold(state, 1L, facts = Seq(
+      (10L, 50L, 1L, 1L, 1L),   // before both -> (null, null)
+      (11L, 150L, 2L, 1L, 1L),  // after d1 only -> (a, null)
+      (12L, 250L, 4L, 1L, 1L),  // after both -> (a, x)
+      (13L, 250L, 8L, 2L, 1L))) // k1=2 has no versions -> (null, x)
+    assert(served(state) === Map(
+      (None, None) -> ((1L, 1L)), (Some("a"), None) -> ((2L, 1L)),
+      (Some("a"), Some("x")) -> ((4L, 1L)), (None, Some("x")) -> ((8L, 1L))))
+  }
+
+  test("a late version on one branch moves ONLY that coordinate") {
+    val state = tmpDir("tstar-late")
+    fold(state, 0L, d1Ups = Seq((1L, 100L, "a")), d2Ups = Seq((1L, 100L, "x")))
+    fold(state, 1L, facts = Seq(
+      (10L, 120L, 1L, 1L, 1L), (11L, 170L, 2L, 1L, 1L),
+      (12L, 300L, 4L, 1L, 1L)))
+    assert(served(state) === Map((Some("a"), Some("x")) -> ((7L, 3L))))
+    // LATE tier version at 150 captures facts 11, 12 on branch 2 only
+    fold(state, 2L, d2Ups = Seq((1L, 150L, "y")))
+    assert(served(state) === Map(
+      (Some("a"), Some("x")) -> ((1L, 1L)),
+      (Some("a"), Some("y")) -> ((6L, 2L))))
+    // delete it: both fall back to x; branch 1 never moved
+    fold(state, 3L, d2Dels = Seq((1L, 150L)))
+    assert(served(state) === Map((Some("a"), Some("x")) -> ((7L, 3L))))
+    assert(integral(state) === served(state), "integral != view")
+  }
+
+  test("both branches and facts in the SAME batch honor pre/post order") {
+    val state = tmpDir("tstar-same")
+    fold(state, 0L, facts = Seq((10L, 100L, 1L, 1L, 1L)))
+    assert(served(state) === Map((None, None) -> ((1L, 1L))))
+    // one batch: a new fact + first versions on BOTH branches, capturing
+    // the retained fact too (cross-term: d1's term sees d2 at POST)
+    fold(state, 1L, facts = Seq((11L, 200L, 2L, 1L, 1L)),
+      d1Ups = Seq((1L, 50L, "a")), d2Ups = Seq((1L, 150L, "x")))
+    assert(served(state) === Map(
+      (Some("a"), None) -> ((1L, 1L)),
+      (Some("a"), Some("x")) -> ((2L, 1L))))
+  }
+
+  test("random 6-input CDC interleave ≡ model after every batch") {
+    val rnd = new scala.util.Random(7)
+    val state = tmpDir("tstar-rand")
+    var liveF = Map.empty[Long, Fact]
+    var v1 = Map.empty[(Long, Long), String]
+    var v2 = Map.empty[(Long, Long), String]
+    var nextId = 0L
+    for (b <- 0 until 10) {
+      val fs = (0 until rnd.nextInt(4)).map { _ =>
+        nextId += 1
+        (nextId, rnd.nextInt(1000).toLong, 1L + rnd.nextInt(5),
+          1L + rnd.nextInt(3), 1L + rnd.nextInt(3))
+      }
+      val fd = liveF.values.toSeq.sortBy(_._1)
+        .filter(_ => rnd.nextDouble() < 0.2).map(f => (f._1, f._4, f._5))
+      def ups(tag: String) = (0 until rnd.nextInt(3)).map(_ =>
+        (1L + rnd.nextInt(3), rnd.nextInt(10).toLong * 100,
+          s"$tag${rnd.nextInt(3)}"))
+      def dels(live: Map[(Long, Long), String]) = live.keys.toSeq.sorted
+        .filter(_ => rnd.nextDouble() < 0.15)
+      val (u1, u2) = (ups("a"), ups("x"))
+      val (x1, x2) = (dels(v1), dels(v2))
+      fold(state, b.toLong, fs, fd, u1, x1, u2, x2)
+      liveF = (liveF ++ fs.map(f => f._1 -> f)) -- fd.map(_._1)
+      v1 = (v1 ++ u1.groupBy(v => (v._1, v._2))
+        .map { case (kv, r) => kv -> r.map(_._3).max }) -- x1
+      v2 = (v2 ++ u2.groupBy(v => (v._1, v._2))
+        .map { case (kv, r) => kv -> r.map(_._3).max }) -- x2
+      val want = model(liveF.values,
+        v1.map { case ((k, vf), vs) => (k, vf, vs) },
+        v2.map { case ((k, vf), vs) => (k, vf, vs) })
+      assert(served(state) === want, s"batch $b diverged")
+      assert(integral(state) === want, s"batch $b integral diverged")
+    }
+    // replay the last batch: a strict no-op
+    val before = served(state)
+    fold(state, 9L)
+    assert(served(state) === before, "replay changed the view")
+  }
+
+  test("a 1-branch instance serves exactly the R160 single-dim view") {
+    val s1 = tmpDir("tstar-one")
+    val s2 = tmpDir("tstar-ref")
+    val facts = Seq((10L, 120L, 1L, 1L), (11L, 170L, 2L, 1L),
+      (12L, 300L, 4L, 2L))
+    val vers = Seq((1L, 100L, "a"), (1L, 150L, "b"), (2L, 250L, "c"))
+    // star instance, B = 1
+    IncrementalTemporalStar.processBatch(
+      facts.map { case (id, t, m, k) => (id, t, m, k) }
+        .toDF("id", "t", "m", "k1"),
+      Seq.empty[(Long, Long)].toDF("id", "k1"),
+      Seq(vers.toDF("k", "vf", "vs")), Seq(noDD), s1, 0L, numBuckets = 4)
+    // reference: the single-dimension temporal engine on the same inputs
+    IncrementalTemporalJoinAgg.processBatch(
+      facts.toDF("id", "t", "m", "k"),
+      Seq.empty[(Long, Long)].toDF("id", "k"),
+      vers.toDF("k", "vf", "vs"), noDD, s2, 0L, numBuckets = 4)
+    val got = IncrementalTemporalStar.view(spark, s1, numBranches = 1)
+      .as[(Option[String], Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = IncrementalTemporalJoinAgg.view(spark, s2)
+      .as[(Option[String], Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === ref)
+  }
+
+  test("events-as-CDC fold serves the x126 batch twin exactly (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.functions.{concat, expr, get_json_object, lit}
+    val state = tmpDir("tstar-x126")
+    val ev = graft.Tables.events(spark, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        col("user_id").as("k1"), col("user_id").as("k2"))
+    val seg = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    val tier = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("t"), (get_json_object(col("props"), "$.k").cast("int") % 3)
+          .cast("string")).as("vs"))
+    // facts in 3 slices; seg versions land with slice 1, tier with slice 2
+    // (each retro-reassigns the earlier slices' facts on its own branch)
+    val fSlices = Seq(facts.filter("id % 3 = 0"), facts.filter("id % 3 = 1"),
+      facts.filter("id % 3 = 2"))
+    fSlices.zipWithIndex.foreach { case (sl, i) =>
+      IncrementalTemporalStar.processBatch(sl, noFD,
+        Seq(if (i == 1) seg else noD, if (i == 2) tier else noD),
+        Seq(noDD, noDD), state, i.toLong, numBuckets = 4)
+    }
+    val twin = graft.queries.ExtQueries.x126AsofStar(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = served(state).map { case ((g1, g2), v) =>
+      (g1.getOrElse("(none)"), g2.getOrElse("(none)")) -> v }
+    assert(got === twin)
+  }
+
+  test("bootstrap; continuation, as-of, compaction, forget on one branch") {
+    val state = tmpDir("tstar-bs")
+    IncrementalTemporalStar.bootstrap(
+      Seq((10L, 120L, 2L, 1L, 1L), (11L, 170L, 3L, 1L, 2L),
+        (12L, 400L, 5L, 2L, 2L)).toDF("id", "t", "m", "k1", "k2"),
+      Seq(Seq((1L, 100L, "a"), (2L, 300L, "b")).toDF("k", "vf", "vs"),
+        Seq((2L, 150L, "x")).toDF("k", "vf", "vs")),
+      state, baselineBatch = 0L, numBuckets = 4)
+    assert(served(state) === Map(
+      (Some("a"), None) -> ((2L, 1L)), (Some("a"), Some("x")) -> ((3L, 1L)),
+      (Some("b"), Some("x")) -> ((5L, 1L))))
+    // continuation: new fact + fact delete
+    fold(state, 1L, facts = Seq((13L, 500L, 7L, 2L, 1L)),
+      factDels = Seq((10L, 1L, 1L)))
+    assert(served(state) === Map(
+      (Some("a"), Some("x")) -> ((3L, 1L)), (Some("b"), None) -> ((7L, 1L)),
+      (Some("b"), Some("x")) -> ((5L, 1L))))
+    // maintenance-time as-of reconstructs the bootstrap baseline
+    val asOf0 = IncrementalTemporalStar.viewAsOf(spark, state, 0L,
+        numBranches = 2)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(asOf0 === Map(
+      (Some("a"), None) -> ((2L, 1L)), (Some("a"), Some("x")) -> ((3L, 1L)),
+      (Some("b"), Some("x")) -> ((5L, 1L))))
+    IncrementalTemporalStar.compactChangelog(spark, state, 0L)
+    assert(integral(state) === served(state), "compacted integral != view")
+    // forget k=2 on branch 1: its facts leave; branch-2 versions stay
+    IncrementalTemporalStar.forgetKeys(spark, branch = 1, Seq(2L), state,
+      batchId = 2L, numBranches = 2, numBuckets = 4)
+    assert(served(state) === Map((Some("a"), Some("x")) -> ((3L, 1L))))
+    assert(integral(state) === served(state), "integral != view after forget")
+  }
+
+  test("multi-measure temporal star: both measures move together") {
+    val state = tmpDir("tstar-mm")
+    IncrementalTemporalStar.processBatch(
+      Seq((10L, 120L, 1L, 10L, 1L, 1L), (11L, 170L, 2L, 20L, 1L, 1L))
+        .toDF("id", "t", "m", "m2", "k1", "k2"),
+      noFD, Seq(Seq((1L, 100L, "a")).toDF("k", "vf", "vs"), noD),
+      Seq(noDD, noDD), state, 0L, numBuckets = 4, numMeasures = 2)
+    // late branch-2 version captures fact 11: both measures move
+    IncrementalTemporalStar.processBatch(
+      Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("id", "t", "m", "m2", "k1", "k2"),
+      noFD, Seq(noD, Seq((1L, 150L, "x")).toDF("k", "vf", "vs")),
+      Seq(noDD, noDD), state, 1L, numBuckets = 4, numMeasures = 2)
+    val got = IncrementalTemporalStar.view(spark, state, numBranches = 2,
+        numMeasures = 2)
+      .select("g1", "g2", "total", "total2", "rows")
+      .as[(Option[String], Option[String], Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got === Map(
+      (Some("a"), None) -> ((1L, 10L, 1L)),
+      (Some("a"), Some("x")) -> ((2L, 20L, 1L))))
+  }
+}
