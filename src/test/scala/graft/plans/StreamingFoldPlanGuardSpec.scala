@@ -157,6 +157,33 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
     auditAll(plans, "temporal join-agg")
   }
 
+  test("temporal STAR fold (r11): no cartesian/BNLJ with both branches + facts live") {
+    val state = tmpDir("pg-tstar")
+    graft.streaming.IncrementalTemporalStar.processBatch(
+      Seq((1L, 150L, 100L, 10L, 10L)).toDF("id", "t", "m", "k1", "k2"),
+      Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2"),
+      Seq(Seq((10L, 100L, "a")).toDF("k", "vf", "vs"),
+        Seq.empty[(Long, Long, String)].toDF("k", "vf", "vs")),
+      Seq(Seq.empty[(Long, Long)].toDF("k", "vf"),
+        Seq.empty[(Long, Long)].toDF("k", "vf")),
+      state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // both branches touched + a new fact + a fact delete in one batch:
+      // exercises every delta term, the per-branch interval diffs, and
+      // the as-of resolutions (equi-join on k with a post-filter + one
+      // max aggregate — never a BNLJ/cartesian)
+      graft.streaming.IncrementalTemporalStar.processBatch(
+        Seq((2L, 250L, 7L, 10L, 10L)).toDF("id", "t", "m", "k1", "k2"),
+        Seq((1L, 10L, 10L)).toDF("id", "k1", "k2"),
+        Seq(Seq((10L, 120L, "b")).toDF("k", "vf", "vs"),
+          Seq((10L, 50L, "x")).toDF("k", "vf", "vs")),
+        Seq(Seq((10L, 100L)).toDF("k", "vf"),
+          Seq.empty[(Long, Long)].toDF("k", "vf")),
+        state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "temporal star")
+  }
+
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
     val state = tmpDir("pg-sf")
     val steps = Seq("view", "click", "purchase")

@@ -241,6 +241,51 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(integral(state) === served(state), "integral != view after forget")
   }
 
+  test("an equality dim is the degenerate vf=0 temporal branch (≡ R150 star)") {
+    // an upsert-keyed equality dimension IS an SCD-2 dim whose every
+    // version sits at vf=0 (fact times are >= 0): upsert = replace at
+    // (k, 0), delete = delete (k, 0); the equality star's INNER join
+    // corresponds to the temporal LEFT view's non-null groups, its
+    // dropped dangling facts to the null head group
+    val sT = tmpDir("tstar-eq")
+    val sE = tmpDir("tstar-eq-ref")
+    val eqSpec = IncrementalJoinAggStar.StarSpec(Seq(1), groupAttrs = Seq((1, 1)))
+    def foldBoth(id: Long, fs: Seq[(Long, Long, Long)],
+        fd: Seq[(Long, Long)], ups: Seq[(Long, String)],
+        dels: Seq[Long]): Unit = {
+      IncrementalTemporalStar.processBatch(
+        fs.map { case (k, fid, m) => (fid, 1L, m, k) }
+          .toDF("id", "t", "m", "k1"),
+        fd.map { case (k, fid) => (fid, k) }.toDF("id", "k1"),
+        Seq(ups.map { case (k, vs) => (k, 0L, vs) }.toDF("k", "vf", "vs")),
+        Seq(dels.map(k => (k, 0L)).toDF("k", "vf")),
+        sT, id, numBuckets = 4)
+      IncrementalJoinAggStar.processBatch(eqSpec,
+        fs.toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+        fd.toDF("k1", "id"), Seq("k1"), "id",
+        Seq(Seq(ups.map { case (k, vs) =>
+          (k, Option.empty[Long], Some(vs)) }.toDF("k", "vl", "vs"))),
+        Seq(Seq(("k", "vl", "vs"))), sE, id, numBuckets = 4,
+        dimDels = Seq(Seq(dels.map(k =>
+          (k, Option.empty[Long], Option.empty[String])).toDF("k", "vl", "vs"))))
+    }
+    // interleave: facts before dims, dim replace, dim delete, fact delete
+    foldBoth(0L, fs = Seq((10L, 1L, 3L), (20L, 2L, 5L)), Nil, Nil, Nil)
+    foldBoth(1L, Nil, Nil, ups = Seq((10L, "A"), (20L, "B")), Nil)
+    foldBoth(2L, fs = Seq((10L, 3L, 7L)), Nil, ups = Seq((20L, "C")), Nil)
+    foldBoth(3L, Nil, fd = Seq((10L, 1L)), Nil, dels = Seq(20L))
+    val got = IncrementalTemporalStar.view(spark, sT, numBranches = 1)
+      .as[(Option[String], Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = IncrementalJoinAggStar.view(spark, sE)
+      .as[(String, Long, Long)].collect()
+      .map(r => Option(r._1) -> (r._2, r._3)).toMap
+    // non-null groups identical; the temporal null group holds exactly
+    // the facts the equality star dropped (customer 20's fact 2, m=5)
+    assert(got.filter(_._1.isDefined) === ref)
+    assert(got(None) === ((5L, 1L)))
+  }
+
   test("multi-measure temporal star: both measures move together") {
     val state = tmpDir("tstar-mm")
     IncrementalTemporalStar.processBatch(
