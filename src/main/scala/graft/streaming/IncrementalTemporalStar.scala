@@ -467,6 +467,37 @@ object IncrementalTemporalStar {
       stateDir, batchId, numBuckets, numMeasures)
   }
 
+  /** WATERMARK-EXACT state compaction — R160's bounded-state contract
+    * applied per branch: under the watermark contract that every
+    * FUTURE fact time and version valid-from (on EVERY branch) is
+    * `>= horizon`, facts with `t < horizon` leave `f/` AND every
+    * mirror (their contributions are materialized; no in-contract
+    * version arrival on any branch can re-capture them), and each
+    * branch's pre-horizon versions collapse per key to the single
+    * prevailing one rewritten to `vf = horizon` (a real at-horizon
+    * version supersedes the floor). View untouched; retained state
+    * bounded by the horizon window on every table. Out-of-contract
+    * late arrivals diverge exactly as R160 documents, per branch. */
+  def compactState(spark: SparkSession, stateDir: String, horizon: Long,
+      numBranches: Int): Unit = {
+    val path = s"$stateDir/temporalstar"
+    (1 to numBranches).foreach { b =>
+      MvPipeline.transformBuckets(spark,
+        s"$path/${if (b == 1) "f" else s"fm$b"}",
+        old => old.filter(col("t") >= horizon))
+      MvPipeline.transformBuckets(spark, s"$path/d$b", old => {
+        val w = Window.partitionBy("k").orderBy(col("vl").desc)
+        val floor = old.filter(col("vl") < horizon)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("k"), lit(horizon).as("vl"), col("vs"))
+        val atHorizon = old.filter(col("vl") === horizon).select("k").distinct()
+        old.filter(col("vl") >= horizon)
+          .unionByName(floor.join(atHorizon, Seq("k"), "left_anti"))
+      })
+    }
+  }
+
   /** Changelog compaction (family contract, data-driven measures). */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/temporalstar/a", old => {

@@ -241,6 +241,38 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(integral(state) === served(state), "integral != view after forget")
   }
 
+  test("compactState bounds every table; in-contract folds stay exact") {
+    val state = tmpDir("tstar-cs")
+    val twin = tmpDir("tstar-cs-twin")
+    def foldBoth(id: Long, fs: Seq[Fact] = Nil,
+        d1: Seq[Ver] = Nil, d2: Seq[Ver] = Nil): Unit =
+      Seq(state, twin).foreach { s =>
+        IncrementalTemporalStar.processBatch(
+          if (fs.isEmpty) noF else fs.toDF("id", "t", "m", "k1", "k2"),
+          noFD, Seq(if (d1.isEmpty) noD else d1.toDF("k", "vf", "vs"),
+            if (d2.isEmpty) noD else d2.toDF("k", "vf", "vs")),
+          Seq(noDD, noDD), s, id, numBuckets = 4)
+      }
+    foldBoth(0L, d1 = Seq((1L, 100L, "a"), (1L, 300L, "b")),
+      d2 = Seq((1L, 50L, "x")))
+    foldBoth(1L, fs = Seq((10L, 120L, 1L, 1L, 1L), (11L, 350L, 2L, 1L, 1L)))
+    // compact at 300: fact 10 leaves f/ and fm2; d1's 100-version
+    // collapses to the floor (superseded by the REAL 300-version, so it
+    // drops); d2's 50-version floors to 300
+    IncrementalTemporalStar.compactState(spark, state, 300L, numBranches = 2)
+    assert(served(state) === served(twin), "compaction changed the view")
+    def rows(tbl: String): Long =
+      MvPipeline.readBucketedStateOrEmpty(spark, s"$state/temporalstar/$tbl",
+        IncrementalJoinAggStar.dSchema).count()
+    assert(rows("d1") === 1L, "d1 should hold only the at-horizon version")
+    assert(rows("d2") === 1L, "d2 should hold only the floored version")
+    // in-contract continuation (t, vf >= horizon) ≡ the uncompacted twin
+    foldBoth(2L, fs = Seq((12L, 400L, 4L, 1L, 1L)),
+      d2 = Seq((1L, 380L, "y")))
+    foldBoth(3L, fs = Seq((13L, 390L, 8L, 1L, 1L)))
+    assert(served(state) === served(twin), "in-contract fold diverged")
+  }
+
   test("an equality dim is the degenerate vf=0 temporal branch (≡ R150 star)") {
     // an upsert-keyed equality dimension IS an SCD-2 dim whose every
     // version sits at vf=0 (fact times are >= 0): upsert = replace at
