@@ -298,6 +298,57 @@ object StateScaleRehearsal {
         }
       }
     }
+
+    // ------------------------------------------- temporal STAR ----
+    // R162: the 2-branch as-of view (seg from views, tier from clicks),
+    // identical probe at both scales — 10 new purchases + a LATE version
+    // and a version delete on EACH branch, all on base-copy users.
+    if (sectionOn("temporalstar")) {
+      import graft.streaming.IncrementalTemporalStar
+      val tDims2 = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+          concat(lit("t"), (get_json_object(col("props"), "$.k").cast("int") % 3)
+            .cast("string")).as("vs"))
+      val (tMin, tMax) = tFacts.agg(min("t"), max("t")).as[(Long, Long)]
+        .collect().head
+      val users = tFacts.select("k").distinct().orderBy("k").limit(2)
+        .as[Long].collect()
+      val del1 = tDims.filter(col("k") === users(0)).agg(min("vf"))
+        .as[Long].collect().head
+      val del2 = tDims2.filter(col("k") === users(1)).agg(min("vf"))
+        .as[Long].collect().head
+      val mid = tMin + (tMax - tMin) / 2
+      val pF = (1L to 10L).map(i =>
+        (985000000000L + i, tMin + i * 1000L, 100L + i,
+          users((i % 2).toInt), users(((i + 1) % 2).toInt)))
+        .toDF("id", "t", "m", "k1", "k2")
+      val pU1 = Seq((users(0), mid, "late1")).toDF("k", "vf", "vs")
+      val pU2 = Seq((users(1), mid + 7L, "late2")).toDF("k", "vf", "vs")
+      val pD1 = Seq((users(0), del1)).toDF("k", "vf")
+      val pD2 = Seq((users(1), del2)).toDF("k", "vf")
+      val noFD2 = pF.select("id", "k1", "k2").limit(0)
+      Seq(1, copies).foreach { n =>
+        val f = (0 until n).map(i => tFacts
+            .select((col("id") + lit(i.toLong * 10000000000L)).as("id"),
+              col("t"), col("m"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k1"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k2")))
+          .reduce(_ unionByName _)
+        def shifted(d: DataFrame) = (0 until n).map(i => d
+            .select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+              col("vf"), col("vs")))
+          .reduce(_ unionByName _)
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-tstar-$n").toString
+        val t0 = System.nanoTime()
+        IncrementalTemporalStar.bootstrap(f,
+          Seq(shifted(tDims), shifted(tDims2)), state, 0L, numBuckets = 16)
+        println(f"STATESCALE temporalstar ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+        measure(s"temporalstar probe @${n}x state", state) {
+          IncrementalTemporalStar.processBatch(pF, noFD2,
+            Seq(pU1, pU2), Seq(pD1, pD2), state, 1000L, numBuckets = 16)
+        }
+      }
+    }
     spark.stop()
   }
 }

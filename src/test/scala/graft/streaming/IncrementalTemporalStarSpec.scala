@@ -318,6 +318,51 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(got(None) === ((5L, 1L)))
   }
 
+  test("the rollup lattice folds the temporal star's changelog (R155 composition)") {
+    // the star lattice's contract is "any U+0001-encoded Z-set
+    // changelog"; the temporal star's stored group IS that encoding, so
+    // grouping-set projections (by-seg, by-tier, grand total) maintain
+    // from its changelog alone — facts never re-read, retro-reassignment
+    // retractions propagate through the lattice for free
+    val state = tmpDir("tstar-lattice")
+    val rollup = tmpDir("tstar-lattice-r")
+    val sets = Seq(Seq(0), Seq(1), Seq.empty[Int])
+    def encodedChangelog(batch: Long) =
+      MvPipeline.readBucketedStateOrEmpty(spark, s"$state/temporalstar/a",
+          IncrementalJoinAggStar.aSchemaN(1))
+        .filter(col("kind") === "c" && col("b") === batch)
+        .select(col("g"), col("m"), col("c"))
+    def foldAndRoll(id: Long, fs: Seq[Fact] = Nil,
+        d1: Seq[Ver] = Nil, d2: Seq[Ver] = Nil): Unit = {
+      fold(state, id, facts = fs, d1Ups = d1, d2Ups = d2)
+      RollupMaintenance.processBatch(encodedChangelog(id), rollup, sets, id,
+        numBuckets = 4)
+    }
+    foldAndRoll(0L, d1 = Seq((1L, 100L, "a")), d2 = Seq((1L, 50L, "x")))
+    foldAndRoll(1L, fs = Seq((10L, 120L, 1L, 1L, 1L), (11L, 300L, 2L, 1L, 1L),
+      (12L, 80L, 4L, 2L, 1L)))
+    // late seg version: a retraction wave through the lattice
+    foldAndRoll(2L, d1 = Seq((1L, 200L, "b")))
+    def latticeView(set: Seq[Int]): Map[Seq[Option[String]], (Long, Long)] =
+      RollupMaintenance.view(spark, rollup, set)
+        .as[(String, Long, Long)].collect()
+        .map { r =>
+          val parts =
+            if (set.isEmpty) Seq.empty[Option[String]]
+            else r._1.split("\u0001", -1).toSeq
+              .map(p => if (p == "\u0000") None else Some(p))
+          parts -> (r._2, r._3)
+        }.toMap
+    val base = served(state)
+    def proj(f: ((Option[String], Option[String])) => Seq[Option[String]]) =
+      base.groupBy { case (g, _) => f(g) }
+        .map { case (g, rows) =>
+          g -> (rows.values.map(_._1).sum, rows.values.map(_._2).sum) }
+    assert(latticeView(Seq(0)) === proj { case (g1, _) => Seq(g1) })
+    assert(latticeView(Seq(1)) === proj { case (_, g2) => Seq(g2) })
+    assert(latticeView(Seq.empty) === proj(_ => Seq.empty))
+  }
+
   test("multi-measure temporal star: both measures move together") {
     val state = tmpDir("tstar-mm")
     IncrementalTemporalStar.processBatch(
