@@ -402,6 +402,27 @@ object IncrementalTemporalStar {
         Seq(col("c").as("rows")): _*)
   }
 
+  /** [[view]] restricted to the named attribute tuples — the
+    * bucket-pruned point read (family contract): only the `a/` buckets
+    * the encoded groups hash into are opened. A `None` coordinate
+    * names the branch's null (pre-first-version) group explicitly. */
+  def viewFor(spark: SparkSession, stateDir: String,
+      groups: Seq[Seq[Option[String]]], numBranches: Int,
+      numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(groups.forall(_.size == numBranches),
+      "each group names every branch coordinate")
+    val gdf = groups.map(g => g.map(_.getOrElse(NUL)).mkString(SEP)).toDF("g")
+    val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
+    val st = MvPipeline.readBuckets(spark, s"$stateDir/temporalstar/a", ids,
+      IncrementalJoinAggStar.aSchemaN(numMeasures))
+    st.filter(col("kind") === "a" && col("c") > 0)
+      .join(broadcast(gdf), Seq("g"), "left_semi")
+      .select(decodeG(numBranches) ++ Seq(col("m").as("total")) ++
+        IncrementalJoinAggStar.extraTotals(st) ++
+        Seq(col("c").as("rows")): _*)
+  }
+
   /** Z-set changelog; integral == view (per measure). */
   def changelog(spark: SparkSession, stateDir: String, numBranches: Int,
       numMeasures: Int = 1): DataFrame = {

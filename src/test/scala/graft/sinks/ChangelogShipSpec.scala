@@ -83,6 +83,51 @@ class ChangelogShipSpec extends SparkTestBase {
     assert(folded(db, "agg_cl") === served(state))
   }
 
+  test("temporal-star changelog ships: external table converges across a retro-reassignment") {
+    import graft.streaming.IncrementalTemporalStar
+    val state = tmpDir("cs-tstar")
+    val db = "changelogts"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+    val noFD = Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2")
+    val noD = Seq.empty[(Long, Long, String)].toDF("k", "vf", "vs")
+    val noDD = Seq.empty[(Long, Long)].toDF("k", "vf")
+    def fold(id: Long, fs: Seq[(Long, Long, Long, Long, Long)],
+        d1: Seq[(Long, Long, String)], d2: Seq[(Long, Long, String)]): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (fs.isEmpty)
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("id", "t", "m", "k1", "k2")
+        else fs.toDF("id", "t", "m", "k1", "k2"),
+        noFD, Seq(if (d1.isEmpty) noD else d1.toDF("k", "vf", "vs"),
+          if (d2.isEmpty) noD else d2.toDF("k", "vf", "vs")),
+        Seq(noDD, noDD), state, id, numBuckets = 4)
+    def shipNow(): Long = ChangelogShip.ship(
+      IncrementalTemporalStar.changelog(spark, state, numBranches = 2),
+      "batch", sink, "tstar_cl", state)
+    def folded(): Map[(Option[String], Option[String]), (Long, Long)] =
+      readBack(db, "tstar_cl").distinct()
+        .groupBy("g1", "g2").agg(sum("dtotal").as("t"), sum("drows").as("c"))
+        .filter(col("c") > 0)
+        .as[(Option[String], Option[String], Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def served(): Map[(Option[String], Option[String]), (Long, Long)] =
+      IncrementalTemporalStar.view(spark, state, numBranches = 2)
+        .as[(Option[String], Option[String], Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    fold(0L, fs = Seq((10L, 120L, 1L, 1L, 1L), (11L, 300L, 2L, 1L, 1L)),
+      d1 = Seq((1L, 100L, "a")), d2 = Nil)
+    assert(shipNow() > 0)
+    assert(folded() === served())
+    // a LATE tier version retro-reassigns fact 11: the −1/+1 rows travel
+    fold(1L, Nil, Nil, d2 = Seq((1L, 200L, "x")))
+    assert(shipNow() > 0)
+    assert(folded() === served())
+    assert(served() === Map(
+      (Some("a"), None) -> ((1L, 1L)),
+      (Some("a"), Some("x")) -> ((2L, 1L))))
+    assert(shipNow() === 0L, "watermark should make the re-ship a no-op")
+  }
+
   test("versioned REPLACE ship: a levels view converges a latest-version-wins reader, incl. forget-deletes and the crash-window duplicate") {
     import graft.streaming.{ForgetMaintenance, IncrementalStrictFunnel}
     val state = tmpDir("cs3")

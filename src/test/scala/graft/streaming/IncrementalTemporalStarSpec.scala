@@ -73,6 +73,16 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(served(state) === Map(
       (None, None) -> ((1L, 1L)), (Some("a"), None) -> ((2L, 1L)),
       (Some("a"), Some("x")) -> ((4L, 1L)), (None, Some("x")) -> ((8L, 1L))))
+    // bucket-pruned point read: named tuples only, incl. an explicit
+    // null coordinate; absent names empty
+    val point = IncrementalTemporalStar.viewFor(spark, state,
+        Seq(Seq(Some("a"), Some("x")), Seq(None, Some("x")),
+          Seq(Some("zz"), Some("zz"))),
+        numBranches = 2, numBuckets = 4)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(point === Map(
+      (Some("a"), Some("x")) -> ((4L, 1L)), (None, Some("x")) -> ((8L, 1L))))
   }
 
   test("a late version on one branch moves ONLY that coordinate") {
