@@ -102,7 +102,7 @@ object IncrementalTemporalStar {
   def processBatch(facts: DataFrame, factDels: DataFrame,
       dimUps: Seq[DataFrame], dimDels: Seq[DataFrame],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
-      numMeasures: Int = 1): Unit = {
+      numMeasures: Int = 1, trackExtrema: Boolean = false): Unit = {
     val nB = dimUps.size
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
     val mCols = mColsOf(numMeasures)
@@ -303,13 +303,17 @@ object IncrementalTemporalStar {
       val gOrder = (1 to nB).map(j => col(s"g$j"))
       val terms = (t0 ++ tbs).map(t =>
         t.select(Seq(encodeG(gOrder).as("g"), col("w")) ++ mCols.map(col): _*))
-      val finishedIn =
-        if (terms.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("g", StringType),
-              StructField("w", LongType)) ++
-              mCols.map(c => StructField(c, LongType))))
-        else terms.reduce(_ unionByName _)
+      val finishedIn = {
+        val u =
+          if (terms.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("g", StringType),
+                StructField("w", LongType)) ++
+                mCols.map(c => StructField(c, LongType))))
+          else terms.reduce(_ unionByName _)
+        // consumed twice when extrema ride along (dAgg + the e-delta)
+        if (trackExtrema) u.transform(graft.operators.Caching.persisted) else u
+      }
       val mAggs = mCols.map(c => sum(col(c) * col("w")).as(s"d$c"))
       val finished = finishedIn
         .groupBy("g")
@@ -335,6 +339,19 @@ object IncrementalTemporalStar {
           Seq(col("k"), col("vl"), col("vs"), nils.as("g"),
             nil.as("c"), nil.as("b"), col("w")): _*))
       }
+      // fact-grained extrema delta (R154's device on the as-of family):
+      // the per-tuple term union projected to the (g, value)-multiset —
+      // Δw per (g, m), the exact Z-set delta of IncrementalExtrema's
+      // multiplicity relation, so min/max/order statistics stay exact
+      // under retro-reassignments and version deletes
+      val eDelta =
+        if (!trackExtrema) Nil
+        else Seq(finishedIn.groupBy("g", "m").agg(sum("w").as("dw"))
+          .filter(col("dw") =!= 0)
+          .select(Seq(lit("e").as("tbl"), nil.as("id"), nil.as("t"),
+            col("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
+            Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+              nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
       val aDelta = finished.select(Seq(lit("a").as("tbl"), nil.as("id"),
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
@@ -343,7 +360,8 @@ object IncrementalTemporalStar {
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
           col("dc").as("c"), lit(batchId).as("b"), nil.as("w")): _*)
-      (fDelta ++ dDeltas ++ Seq(aDelta, cDelta)).reduce(_ unionByName _)
+      (fDelta ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta)
+        .reduce(_ unionByName _)
     }
 
     try {
@@ -378,6 +396,13 @@ object IncrementalTemporalStar {
               .select(Seq(col("tbl").as("kind"), col("g"), col("b"),
                 col("m")) ++ mCols.drop(1).map(col) ++ Seq(col("c")): _*),
             s"$path/a", IncrementalJoinAggStar.mergeA, batchId, numBuckets,
+            Seq("g")))
+         else Nil) ++
+        (if (present("e"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "e")
+              .select(col("g"), col("m").as("v"), col("w")),
+            s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
             Seq("g")))
          else Nil))
       finally delta.unpersist()
@@ -488,6 +513,29 @@ object IncrementalTemporalStar {
       stateDir, batchId, numBuckets, numMeasures)
   }
 
+  /** Fact-grained EXTREMA over the maintained as-of join (requires
+    * `trackExtrema`): per attribute tuple `(g1.., n, min_v, max_v)` of
+    * the resolved fact measures — exact under retro-reassignments and
+    * version deletes (the R154 contract on the as-of family). */
+  def extremaView(spark: SparkSession, stateDir: String,
+      numBranches: Int): DataFrame =
+    IncrementalExtrema.extremaOf(extremaRelation(spark, stateDir))
+      .select(decodeG(numBranches) ++
+        Seq(col("n"), col("min_v"), col("max_v")): _*)
+
+  /** Exact low-quantiles of the resolved fact measures per attribute
+    * tuple ([[IncrementalExtrema.quantiles]] integer-rational ranks). */
+  def extremaQuantiles(spark: SparkSession, stateDir: String,
+      numBranches: Int, qs: Seq[(Long, Long)]): DataFrame = {
+    val q = IncrementalExtrema.quantilesOf(extremaRelation(spark, stateDir), qs)
+    q.select(decodeG(numBranches) ++
+      q.columns.filterNot(_ == "g").map(col): _*)
+  }
+
+  private def extremaRelation(spark: SparkSession, stateDir: String): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporalstar/e",
+      IncrementalExtrema.vwSchema)
+
   /** WATERMARK-EXACT state compaction — R160's bounded-state contract
     * applied per branch: under the watermark contract that every
     * FUTURE fact time and version valid-from (on EVERY branch) is
@@ -539,7 +587,7 @@ object IncrementalTemporalStar {
     * twin's plan ([[asOfAggregateStar]]). */
   def bootstrap(facts: DataFrame, dims: Seq[DataFrame], stateDir: String,
       baselineBatch: Long = 0L, numBuckets: Int = 16,
-      numMeasures: Int = 1): Unit = {
+      numMeasures: Int = 1, trackExtrema: Boolean = false): Unit = {
     val nB = dims.size
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
@@ -584,6 +632,14 @@ object IncrementalTemporalStar {
         aggRows("a", lit(null).cast("long"))
           .unionByName(aggRows("c", lit(baselineBatch))),
         s"$path/a", IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
+      if (trackExtrema)
+        MvPipeline.upsertBucketedMerge(
+          resolvedFacts(fIn, dIns.map(d =>
+              d.select(col("k"), col("vf"), col("vs"))))
+            .groupBy(encodeG((1 to nB).map(b => col(s"g$b"))).as("g"),
+              col("m").as("v"))
+            .agg(count(lit(1)).as("w")),
+          s"$path/e", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
     } finally graft.operators.Caching.releaseAll()
   }
 
@@ -597,6 +653,18 @@ object IncrementalTemporalStar {
       numMeasures: Int = 1): DataFrame = {
     val nB = dims.size
     val mCols = mColsOf(numMeasures)
+    val gs = (1 to nB).map(b => s"g$b")
+    val tAggs = mCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c)).as(if (i == 0) "total" else s"total${i + 1}") }
+    resolvedFacts(facts, dims)
+      .groupBy(gs.head, gs.tail: _*)
+      .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
+  }
+
+  /** Each fact with its B as-of-resolved attributes `g1..gB` appended
+    * (one window pass per branch — the batch resolution plan). */
+  private def resolvedFacts(facts: DataFrame, dims: Seq[DataFrame]): DataFrame = {
+    val nB = dims.size
     val resolved = (1 to nB).map { b =>
       val f = facts.select(col(s"k$b").as("k"), col("t").as("us"),
         lit(1).as("isFact"), col("id"), lit(null).cast("string").as("v"))
@@ -610,12 +678,7 @@ object IncrementalTemporalStar {
         .filter(col("isFact") === 1)
         .select(col("id"), col(s"g$b"))
     }
-    val gs = (1 to nB).map(b => s"g$b")
-    val tAggs = mCols.zipWithIndex.map { case (c, i) =>
-      sum(col(c)).as(if (i == 0) "total" else s"total${i + 1}") }
     resolved.foldLeft(facts)((acc, r) => acc.join(r, Seq("id")))
-      .groupBy(gs.head, gs.tail: _*)
-      .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
   }
 
   /** Continuous maintenance over a mixed CDC stream: `kind` ∈

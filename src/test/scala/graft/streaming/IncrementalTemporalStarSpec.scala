@@ -328,6 +328,58 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(got(None) === ((5L, 1L)))
   }
 
+  test("tracked extrema: min/max/median stay exact under retro-reassignment") {
+    val state = tmpDir("tstar-ext")
+    def foldE(id: Long, fs: Seq[Fact] = Nil,
+        fd: Seq[(Long, Long, Long)] = Nil,
+        d1: Seq[Ver] = Nil, d1d: Seq[(Long, Long)] = Nil): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (fs.isEmpty) noF else fs.toDF("id", "t", "m", "k1", "k2"),
+        if (fd.isEmpty) noFD else fd.toDF("id", "k1", "k2"),
+        Seq(if (d1.isEmpty) noD else d1.toDF("k", "vf", "vs"), noD),
+        Seq(if (d1d.isEmpty) noDD else d1d.toDF("k", "vf"), noDD),
+        state, id, numBuckets = 4, trackExtrema = true)
+    def extrema(): Map[(Option[String], Option[String]), (Long, Long, Long)] =
+      IncrementalTemporalStar.extremaView(spark, state, numBranches = 2)
+        .as[(Option[String], Option[String], Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    foldE(0L, d1 = Seq((1L, 100L, "a")))
+    foldE(1L, fs = Seq((10L, 120L, 5L, 1L, 1L), (11L, 170L, 9L, 1L, 1L),
+      (12L, 300L, 3L, 1L, 1L)))
+    assert(extrema() === Map((Some("a"), None) -> ((3L, 3L, 9L))))
+    // LATE version at 150 moves facts 11 (max=9) and 12 (min=3) to b:
+    // a's extrema must FALL BACK to the one remaining value
+    foldE(2L, d1 = Seq((1L, 150L, "b")))
+    assert(extrema() === Map(
+      (Some("a"), None) -> ((1L, 5L, 5L)),
+      (Some("b"), None) -> ((2L, 3L, 9L))))
+    // delete b's max fact: runner-up takes over
+    foldE(3L, fd = Seq((11L, 1L, 1L)))
+    assert(extrema() === Map(
+      (Some("a"), None) -> ((1L, 5L, 5L)),
+      (Some("b"), None) -> ((1L, 3L, 3L))))
+    // version delete folds b back into a; quantiles over the merged set
+    foldE(4L, d1d = Seq((1L, 150L)))
+    assert(extrema() === Map((Some("a"), None) -> ((2L, 3L, 5L))))
+    val med = IncrementalTemporalStar.extremaQuantiles(spark, state,
+        numBranches = 2, qs = Seq((1L, 2L)))
+      .as[(Option[String], Option[String], Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(med === Map((Some("a"), None) -> 3L))
+    // bootstrap materializes e/ too (the family's r11 bootstrap rule)
+    val bs = tmpDir("tstar-ext-bs")
+    IncrementalTemporalStar.bootstrap(
+      Seq((10L, 120L, 5L, 1L, 1L), (11L, 170L, 9L, 1L, 1L))
+        .toDF("id", "t", "m", "k1", "k2"),
+      Seq(Seq((1L, 100L, "a")).toDF("k", "vf", "vs"),
+        Seq.empty[Ver].toDF("k", "vf", "vs")),
+      bs, baselineBatch = 0L, numBuckets = 4, trackExtrema = true)
+    val bsExt = IncrementalTemporalStar.extremaView(spark, bs, numBranches = 2)
+      .as[(Option[String], Option[String], Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(bsExt === Map((Some("a"), None) -> ((2L, 5L, 9L))))
+  }
+
   test("the rollup lattice folds the temporal star's changelog (R155 composition)") {
     // the star lattice's contract is "any U+0001-encoded Z-set
     // changelog"; the temporal star's stored group IS that encoding, so
