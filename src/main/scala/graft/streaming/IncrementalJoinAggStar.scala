@@ -1031,6 +1031,33 @@ object IncrementalJoinAggStar {
 
   /** Changelog compaction: fold the prefix `<= upTo` into one baseline
     * row per group; as-of stays exact at and above the floor. */
+  /** RESHARD the whole star state dir to `newBuckets` — the write-side
+    * bucket-size knob ([[MvPipeline.reshardBucketed]] per table: facts
+    * + per-branch mirrors by their branch key, level tables by k, value
+    * mirrors by vl, aggregate/extrema/distinct by g). Offline op
+    * between committed batches into a FRESH `dstDir`; resume folding
+    * with `numBuckets = newBuckets` and batch ids above the last. */
+  def reshard(spark: SparkSession, spec: StarSpec, srcDir: String,
+      dstDir: String, newBuckets: Int): Unit = {
+    val src = s"$srcDir/joinaggstar"
+    val dst = s"$dstDir/joinaggstar"
+    (1 to spec.B).foreach { b =>
+      MvPipeline.reshardBucketed(spark,
+        s"$src/${if (b == 1) "f" else s"fm$b"}",
+        s"$dst/${if (b == 1) "f" else s"fm$b"}", newBuckets, Seq(s"k$b"))
+      (1 to spec.branchDepths(b - 1)).foreach { i =>
+        MvPipeline.reshardBucketed(spark, s"$src/d${b}_$i", s"$dst/d${b}_$i",
+          newBuckets, Seq("k"))
+        if (i < spec.branchDepths(b - 1))
+          MvPipeline.reshardBucketed(spark, s"$src/d${b}_${i}m",
+            s"$dst/d${b}_${i}m", newBuckets, Seq("vl"))
+      }
+    }
+    Seq("a", "e", "u").foreach(t =>
+      MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
+        Seq("g")))
+  }
+
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/joinaggstar/a", old => {
       val pre = old.filter(col("kind") === "c" && col("b") <= upTo)

@@ -567,6 +567,26 @@ object IncrementalTemporalStar {
     }
   }
 
+  /** RESHARD the whole state dir to `newBuckets` — the write-side
+    * bucket-size knob ([[MvPipeline.reshardBucketed]] per table, fact
+    * mirrors re-keyed by their own branch key). Offline op between
+    * committed batches into a FRESH `dstDir`; resume folding with
+    * `numBuckets = newBuckets` and batch ids above the last committed. */
+  def reshard(spark: SparkSession, srcDir: String, dstDir: String,
+      numBranches: Int, newBuckets: Int): Unit = {
+    val src = s"$srcDir/temporalstar"
+    val dst = s"$dstDir/temporalstar"
+    (1 to numBranches).foreach { b =>
+      MvPipeline.reshardBucketed(spark,
+        s"$src/${if (b == 1) "f" else s"fm$b"}",
+        s"$dst/${if (b == 1) "f" else s"fm$b"}", newBuckets, Seq(s"k$b"))
+      MvPipeline.reshardBucketed(spark, s"$src/d$b", s"$dst/d$b",
+        newBuckets, Seq("k"))
+    }
+    MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets, Seq("g"))
+    MvPipeline.reshardBucketed(spark, s"$src/e", s"$dst/e", newBuckets, Seq("g"))
+  }
+
   /** Changelog compaction (family contract, data-driven measures). */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/temporalstar/a", old => {

@@ -374,6 +374,33 @@ object MvPipeline {
         .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** RESHARD a bucketed table into a FRESH destination at a new bucket
+    * count — the WRITE-side half of the bucket-size control knob (the
+    * read side is already free: state reads are one multi-path scan
+    * over whatever bucket dirs exist, and pruned reads recompute the
+    * hash at the caller's bucket count). At 100 TB this is the
+    * operational answer to bucket growth: when per-bucket bytes exceed
+    * the executor-memory budget, reshard to 2× buckets and resume
+    * folding with the new `numBuckets` — per-batch cost per bucket
+    * halves, the touched-bucket FRACTION is unchanged. An OFFLINE
+    * maintenance op between committed batches: the destination must
+    * not exist (the bootstrap rule, crash-safe by construction — a
+    * partial destination is deleted and the reshard re-run; the source
+    * is never touched). Per-bucket replay stamps do NOT carry over:
+    * resume with batch ids strictly above the last committed one. */
+  def reshardBucketed(spark: SparkSession, srcPath: String, dstPath: String,
+      newBuckets: Int, bucketKeys: Seq[String]): Unit = {
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(dstPath)),
+      s"reshard requires a fresh destination, found $dstPath")
+    val any = fs.exists(src) && fs.listStatus(src)
+      .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+    if (!any) return // absent table: nothing to reshard
+    upsertBucketedMerge(readBucketedState(spark, srcPath), dstPath,
+      (old, inc) => old.unionByName(inc), -1L, newBuckets, bucketKeys)
+  }
+
   /** Read bucketed state: union of the live `bucket=<n>` directories
     * (exact-name match — `.tmp`/`.old` swap leftovers are never read). */
   def readBucketedState(spark: SparkSession, path: String): DataFrame = {

@@ -193,6 +193,33 @@ class IncrementalJoinAggStarMultiMeasureSpec extends SparkTestBase {
     assert(served(state) === twin)
   }
 
+  test("reshard to 2x buckets carries every table and measure; folds continue") {
+    val s4 = tmpDir("mm-star-rs4")
+    val s8 = tmpDir("mm-star-rs8")
+    def foldAt(s: String, id: Long, buckets: Int, fb: Seq[Fact],
+        l1: Seq[(Long, Long)], l2: Seq[(Long, String)]): Unit =
+      IncrementalJoinAggStar.processBatch(spec,
+        fb.toDF("k1", "id", "m", "mv"), Seq("k1"), "id", null,
+        fb.map(f => (f._1, f._2)).toDF("k1", "id").limit(0), Seq("k1"), "id",
+        Seq(Seq(
+          l1.map { case (k, v) => (k, Some(v), None: Option[String]) }
+            .toDF("k", "vl", "vs"),
+          l2.map { case (k, v) => (k, None: Option[Long], Some(v)) }
+            .toDF("k", "vl", "vs"))),
+        Seq(Seq(("k", "vl", "vs"), ("k", "vl", "vs"))),
+        s, id, numBuckets = buckets, factMs = Seq("m", "mv"))
+    foldAt(s4, 0L, 4, Seq((10L, 1L, 1L, 7L), (20L, 2L, 2L, 11L)),
+      Seq((10L, 500L), (20L, 501L)), Seq((500L, "A"), (501L, "B")))
+    IncrementalJoinAggStar.reshard(spark, spec, s4, s8, newBuckets = 8)
+    assert(served(s8) === served(s4), "reshard changed the view")
+    // continuation on both stores: a re-key (the value-mirror-dependent
+    // path) and a new fact
+    for ((s, b) <- Seq((s4, 4), (s8, 8)))
+      foldAt(s, 1L, b, Seq((20L, 3L, 4L, 13L)), Seq((10L, 501L)), Nil)
+    assert(served(s8) === served(s4), "post-reshard fold diverged")
+    assert(served(s8) === Map("B" -> ((7L, 31L, 3L))))
+  }
+
   test("bootstrap with two measures, then continue") {
     val state = tmpDir("mm-star-bs")
     IncrementalJoinAggStar.bootstrap(spec,

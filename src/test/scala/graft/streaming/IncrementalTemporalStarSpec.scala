@@ -251,6 +251,37 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(integral(state) === served(state), "integral != view after forget")
   }
 
+  test("reshard to 2x buckets: folds continue exactly; point reads prune at the new count") {
+    val state = tmpDir("tstar-rs")        // B=4 throughout (the twin)
+    val state8 = tmpDir("tstar-rs8")      // resharded to B=8 mid-stream
+    def foldAt(s: String, id: Long, buckets: Int, fs: Seq[Fact] = Nil,
+        d1: Seq[Ver] = Nil, d2: Seq[Ver] = Nil): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (fs.isEmpty) noF else fs.toDF("id", "t", "m", "k1", "k2"),
+        noFD, Seq(if (d1.isEmpty) noD else d1.toDF("k", "vf", "vs"),
+          if (d2.isEmpty) noD else d2.toDF("k", "vf", "vs")),
+        Seq(noDD, noDD), s, id, numBuckets = buckets)
+    foldAt(state, 0L, 4, d1 = Seq((1L, 100L, "a")), d2 = Seq((1L, 50L, "x")))
+    foldAt(state, 1L, 4, fs = Seq((10L, 120L, 1L, 1L, 1L),
+      (11L, 300L, 2L, 1L, 1L)))
+    // reshard 4 -> 8 into the fresh dir, then drive BOTH stores with the
+    // same continuation — incl. a late version (the state-dependent path)
+    IncrementalTemporalStar.reshard(spark, state, state8, numBranches = 2,
+      newBuckets = 8)
+    assert(served(state8) === served(state), "reshard changed the view")
+    for ((s, b) <- Seq((state, 4), (state8, 8))) {
+      foldAt(s, 2L, b, fs = Seq((12L, 400L, 4L, 1L, 1L)),
+        d1 = Seq((1L, 200L, "b")))
+    }
+    assert(served(state8) === served(state), "post-reshard fold diverged")
+    // point read at the NEW bucket count
+    val point = IncrementalTemporalStar.viewFor(spark, state8,
+        Seq(Seq(Some("b"), Some("x"))), numBranches = 2, numBuckets = 8)
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(point === served(state).filter(_._1 == (Some("b"), Some("x"))))
+  }
+
   test("compactState bounds every table; in-contract folds stay exact") {
     val state = tmpDir("tstar-cs")
     val twin = tmpDir("tstar-cs-twin")
