@@ -102,7 +102,8 @@ object IncrementalTemporalStar {
   def processBatch(facts: DataFrame, factDels: DataFrame,
       dimUps: Seq[DataFrame], dimDels: Seq[DataFrame],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
-      numMeasures: Int = 1, trackExtrema: Boolean = false): Unit = {
+      numMeasures: Int = 1, trackExtrema: Boolean = false,
+      trackEnriched: Boolean = false): Unit = {
     val nB = dimUps.size
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
     val mCols = mColsOf(numMeasures)
@@ -301,6 +302,25 @@ object IncrementalTemporalStar {
 
       // ---- finished delta -> aggregate + changelog rows ----
       val gOrder = (1 to nB).map(j => col(s"g$j"))
+      // ENRICHED-fact delta (trackEnriched): per touched fact, the term
+      // rows' signed (id, tuple) Z-set integrates to the fact's POST
+      // resolution — the net +1 tuple (term b's +row resolves j<b at
+      // PRE, but when several branches move one fact in a batch, the
+      // intermediate tuples cancel in the sum, leaving exactly old −1 /
+      // final +1). Net>0 rows REPLACE the fact's enriched row; ids with
+      // no surviving tuple (fact deletes) drop it.
+      val rDelta =
+        if (!trackEnriched) Nil
+        else {
+          val perFact = (t0 ++ tbs).map(t =>
+            t.select(Seq(col("id"), encodeG(gOrder).as("g"), col("w")) ++
+              mCols.map(col): _*))
+          if (perFact.isEmpty) Nil
+          else Seq(perFact.reduce(_ unionByName _)
+            .groupBy(Seq("id", "g") ++ mCols map (c => col(c)): _*)
+            .agg(sum("w").as("w"))
+            .filter(col("w") =!= 0))
+        }
       val terms = (t0 ++ tbs).map(t =>
         t.select(Seq(encodeG(gOrder).as("g"), col("w")) ++ mCols.map(col): _*))
       val finishedIn = {
@@ -360,7 +380,11 @@ object IncrementalTemporalStar {
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
           col("dc").as("c"), lit(batchId).as("b"), nil.as("w")): _*)
-      (fDelta ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta)
+      val rRows = rDelta.map(r => r.select(Seq(lit("r").as("tbl"), col("id"),
+        nil.as("t"), col("m")) ++ extraM.map(col) ++ nilKs ++
+        Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+          nil.as("c"), nil.as("b"), col("w")): _*))
+      (fDelta ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta ++ rRows)
         .reduce(_ unionByName _)
     }
 
@@ -404,6 +428,13 @@ object IncrementalTemporalStar {
               .select(col("g"), col("m").as("v"), col("w")),
             s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
             Seq("g")))
+         else Nil) ++
+        (if (present("r"))
+          Seq(() => MvPipeline.upsertBucketedMerge(
+            delta.filter(col("tbl") === "r")
+              .select(Seq(col("id"), col("g"), col("m")) ++
+                mCols.drop(1).map(col) ++ Seq(col("w")): _*),
+            s"$path/r", mergeR, batchId, numBuckets, Seq("id")))
          else Nil))
       finally delta.unpersist()
       if (fs.exists(new Path(path)))
@@ -513,6 +544,35 @@ object IncrementalTemporalStar {
       stateDir, batchId, numBuckets, numMeasures)
   }
 
+  /** REPLACE-per-fact merge for the enriched table: ids present in the
+    * delta are replaced by their net-positive tuple (none survives a
+    * fact delete — the id drops). */
+  private[streaming] def mergeR(old: DataFrame, inc: DataFrame): DataFrame = {
+    val o = if (old.columns.contains("w")) old.drop("w") else old
+    o.join(inc.select("id").distinct(), Seq("id"), "left_anti")
+      .unionByName(inc.filter(col("w") > 0).drop("w"))
+  }
+
+  /** The maintained ENRICHED FACT TABLE (requires `trackEnriched`) —
+    * each live fact with its B as-of-resolved attributes DENORMALIZED
+    * onto it, kept correct as versions arrive late, replace, and
+    * delete: the reference's log2-style materialization that
+    * ClickHouse cannot update in place (consumers re-join instead).
+    * REPLACE-per-id semantics — feeds [[graft.sinks.ChangelogShip
+    * .shipVersioned]] with `keyCols = Seq("id")` for an external
+    * ReplacingMergeTree-style enriched table. */
+  def enrichedView(spark: SparkSession, stateDir: String, numBranches: Int,
+      numMeasures: Int = 1): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/temporalstar/r",
+      StructType(Seq(StructField("id", LongType),
+        StructField("g", StringType)) ++
+        mColsOf(numMeasures).map(c => StructField(c, LongType))))
+    st.select(Seq(col("id")) ++ decodeG(numBranches) ++
+      Seq(col("m")) ++ st.columns.filter(_.matches("m\\d+")).toSeq
+        .sortBy(_.drop(1).toInt).map(col): _*)
+  }
+
   /** Fact-grained EXTREMA over the maintained as-of join (requires
     * `trackExtrema`): per attribute tuple `(g1.., n, min_v, max_v)` of
     * the resolved fact measures — exact under retro-reassignments and
@@ -585,6 +645,7 @@ object IncrementalTemporalStar {
     }
     MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets, Seq("g"))
     MvPipeline.reshardBucketed(spark, s"$src/e", s"$dst/e", newBuckets, Seq("g"))
+    MvPipeline.reshardBucketed(spark, s"$src/r", s"$dst/r", newBuckets, Seq("id"))
   }
 
   /** Changelog compaction (family contract, data-driven measures). */
@@ -607,7 +668,8 @@ object IncrementalTemporalStar {
     * twin's plan ([[asOfAggregateStar]]). */
   def bootstrap(facts: DataFrame, dims: Seq[DataFrame], stateDir: String,
       baselineBatch: Long = 0L, numBuckets: Int = 16,
-      numMeasures: Int = 1, trackExtrema: Boolean = false): Unit = {
+      numMeasures: Int = 1, trackExtrema: Boolean = false,
+      trackEnriched: Boolean = false): Unit = {
     val nB = dims.size
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
@@ -652,14 +714,22 @@ object IncrementalTemporalStar {
         aggRows("a", lit(null).cast("long"))
           .unionByName(aggRows("c", lit(baselineBatch))),
         s"$path/a", IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
+      lazy val resolved = resolvedFacts(fIn, dIns.map(d =>
+          d.select(col("k"), col("vf"), col("vs"))))
+        .transform(graft.operators.Caching.persisted)
       if (trackExtrema)
         MvPipeline.upsertBucketedMerge(
-          resolvedFacts(fIn, dIns.map(d =>
-              d.select(col("k"), col("vf"), col("vs"))))
+          resolved
             .groupBy(encodeG((1 to nB).map(b => col(s"g$b"))).as("g"),
               col("m").as("v"))
             .agg(count(lit(1)).as("w")),
           s"$path/e", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
+      if (trackEnriched)
+        MvPipeline.upsertBucketedMerge(
+          resolved.select(Seq(col("id"),
+            encodeG((1 to nB).map(b => col(s"g$b"))).as("g")) ++
+            mCols.map(col) :+ lit(1L).as("w"): _*),
+          s"$path/r", mergeR, -1L, numBuckets, Seq("id"))
     } finally graft.operators.Caching.releaseAll()
   }
 

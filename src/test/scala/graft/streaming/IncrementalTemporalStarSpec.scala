@@ -411,6 +411,61 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(bsExt === Map((Some("a"), None) -> ((2L, 5L, 9L))))
   }
 
+  test("enriched fact table: denormalized rows stay correct as versions move") {
+    val state = tmpDir("tstar-enr")
+    def foldE(id: Long, fs: Seq[Fact] = Nil,
+        fd: Seq[(Long, Long, Long)] = Nil,
+        d1: Seq[Ver] = Nil, d2: Seq[Ver] = Nil): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (fs.isEmpty) noF else fs.toDF("id", "t", "m", "k1", "k2"),
+        if (fd.isEmpty) noFD else fd.toDF("id", "k1", "k2"),
+        Seq(if (d1.isEmpty) noD else d1.toDF("k", "vf", "vs"),
+          if (d2.isEmpty) noD else d2.toDF("k", "vf", "vs")),
+        Seq(noDD, noDD), state, id, numBuckets = 4, trackEnriched = true)
+    def enriched(): Map[Long, (Option[String], Option[String], Long)] =
+      IncrementalTemporalStar.enrichedView(spark, state, numBranches = 2)
+        .as[(Long, Option[String], Option[String], Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    foldE(0L, fs = Seq((10L, 120L, 1L, 1L, 1L), (11L, 300L, 2L, 1L, 1L)),
+      d1 = Seq((1L, 100L, "a")))
+    assert(enriched() === Map(
+      10L -> ((Some("a"), None, 1L)), 11L -> ((Some("a"), None, 2L))))
+    // BOTH branches move in ONE batch: fact 11 crosses both boundaries —
+    // the intermediate tuples must cancel, leaving exactly the final row
+    foldE(1L, d1 = Seq((1L, 200L, "b")), d2 = Seq((1L, 250L, "x")))
+    assert(enriched() === Map(
+      10L -> ((Some("a"), None, 1L)), 11L -> ((Some("b"), Some("x"), 2L))))
+    // fact delete drops its enriched row; untouched rows stay
+    foldE(2L, fd = Seq((10L, 1L, 1L)))
+    assert(enriched() === Map(11L -> ((Some("b"), Some("x"), 2L))))
+    // a version delete re-resolves the survivor backward
+    IncrementalTemporalStar.processBatch(noF, noFD,
+      Seq(noD, noD), Seq(Seq((1L, 200L)).toDF("k", "vf"), noDD),
+      state, 3L, numBuckets = 4, trackEnriched = true)
+    assert(enriched() === Map(11L -> ((Some("a"), Some("x"), 2L))))
+    // the REPLACE view ships versioned: external table converges incl.
+    // the delete and the re-resolution
+    val db = "enrtstar"
+    val sink = new graft.sinks.JdbcClickHouseSink(
+      s"jdbc:derby:memory:$db;create=true", "app", "")
+    val n = graft.sinks.ChangelogShip.shipVersioned(
+      IncrementalTemporalStar.enrichedView(spark, state, numBranches = 2),
+      Seq("id"), sink, "enr_facts", state, version = 4L)
+    assert(n > 0)
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val ext = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:memory:$db;create=true")
+      .option("dbtable", "enr_facts").load()
+      .groupBy("id")
+      .agg(max_by(struct(col("g1"), col("g2"), col("m"), col("is_deleted")),
+        col("version")).as("s"))
+      .filter("s.is_deleted = 0")
+      .select(col("id"), col("s.g1"), col("s.g2"), col("s.m"))
+      .as[(Long, Option[String], Option[String], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(ext === enriched())
+  }
+
   test("the rollup lattice folds the temporal star's changelog (R155 composition)") {
     // the star lattice's contract is "any U+0001-encoded Z-set
     // changelog"; the temporal star's stored group IS that encoding, so
