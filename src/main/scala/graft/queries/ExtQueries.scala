@@ -1681,6 +1681,35 @@ object ExtQueries {
       .orderBy("seg", "tier")
   }
 
+  /** Batch twin of the maintained ENRICHED FACT TABLE
+    * ([[graft.streaming.IncrementalTemporalStar]] `trackEnriched`):
+    * every purchase row with BOTH of its as-of-resolved attributes
+    * denormalized onto it — the per-fact (not aggregated) projection
+    * of x126, the reference's log2-style materialization. Oracled
+    * per-row against DuckDB's chained ASOF LEFT JOIN. */
+  def x127EnrichedFacts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        col("user_id").as("k1"), col("user_id").as("k2"))
+    val seg = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    val tier = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("t"), (get_json_object(col("props"), "$.k").cast("int") % 3)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalStar
+      .enrichedBatch(facts, Seq(seg, tier))
+      .select(col("id"),
+        coalesce(col("g1"), lit("(none)")).as("seg"),
+        coalesce(col("g2"), lit("(none)")).as("tier"),
+        col("m").as("value_cents"))
+      .orderBy("id")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4661,6 +4690,30 @@ object ExtQueries {
          |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
          |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x127_enriched_facts" ->
+      s"""WITH d1 AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |d2 AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    't' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 3 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'click'
+         |),
+         |f AS (
+         |  SELECT event_id AS id, user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |r1 AS (
+         |  SELECT f.id, f.k, f.t, f.m, d1.vs AS seg
+         |  FROM f ASOF LEFT JOIN d1 ON f.k = d1.k AND f.t >= d1.vf
+         |)
+         |SELECT r1.id, coalesce(r1.seg, '(none)') AS seg,
+         |  coalesce(d2.vs, '(none)') AS tier, r1.m AS value_cents
+         |FROM r1 ASOF LEFT JOIN d2 ON r1.k = d2.k AND r1.t >= d2.vf
+         |ORDER BY id""".stripMargin,
     "x126_asof_star" ->
       s"""WITH d1 AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -5004,6 +5057,7 @@ object ExtQueries {
     "x124_segment_measures" -> x124SegmentMeasures, // oracle: multi-measure star (R161)
     "x125_asof_measures" -> x125AsofMeasures, // oracle: multi-measure ASOF join-aggregate
     "x126_asof_star" -> x126AsofStar, // oracle: chained (multi-branch) ASOF join-aggregate
+    "x127_enriched_facts" -> x127EnrichedFacts, // oracle: per-fact denormalized as-of resolution
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -751,6 +751,12 @@ object IncrementalTemporalStar {
       .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
   }
 
+  /** The BATCH enriched-fact relation — each fact with its B
+    * as-of-resolved attributes `g1..gB` appended (the x127 reference
+    * plan, and the bootstrap source for `trackEnriched`). */
+  def enrichedBatch(facts: DataFrame, dims: Seq[DataFrame]): DataFrame =
+    resolvedFacts(facts, dims)
+
   /** Each fact with its B as-of-resolved attributes `g1..gB` appended
     * (one window pass per branch — the batch resolution plan). */
   private def resolvedFacts(facts: DataFrame, dims: Seq[DataFrame]): DataFrame = {

@@ -207,7 +207,8 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     fSlices.zipWithIndex.foreach { case (sl, i) =>
       IncrementalTemporalStar.processBatch(sl, noFD,
         Seq(if (i == 1) seg else noD, if (i == 2) tier else noD),
-        Seq(noDD, noDD), state, i.toLong, numBuckets = 4)
+        Seq(noDD, noDD), state, i.toLong, numBuckets = 4,
+        trackEnriched = true)
     }
     val twin = graft.queries.ExtQueries.x126AsofStar(spark, dir)
       .as[(String, String, Long, Long)].collect()
@@ -215,6 +216,17 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     val got = served(state).map { case ((g1, g2), v) =>
       (g1.getOrElse("(none)"), g2.getOrElse("(none)")) -> v }
     assert(got === twin)
+    // the maintained enriched table equals the per-fact x127 twin — the
+    // live delta path built it through two branch-wide retro waves
+    val enrTwin = graft.queries.ExtQueries.x127EnrichedFacts(spark, dir)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val enrGot = IncrementalTemporalStar.enrichedView(spark, state,
+        numBranches = 2)
+      .as[(Long, Option[String], Option[String], Long)].collect()
+      .map(r => r._1 -> (r._2.getOrElse("(none)"),
+        r._3.getOrElse("(none)"), r._4)).toMap
+    assert(enrGot === enrTwin)
   }
 
   test("bootstrap; continuation, as-of, compaction, forget on one branch") {
