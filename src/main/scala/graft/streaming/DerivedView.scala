@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Maintained DERIVED keyed view — view-OVER-view maintenance
+  * (SURVEY.md §2.11 R164): a REPLACE-per-key table whose rows are an
+  * arbitrary per-key function of one or more MAINTAINED base views
+  * (e.g. conversion rate = purchases-per-segment ÷ views-per-segment,
+  * two independently-maintained aggregates), recomputed each batch for
+  * ONLY the keys the base changelogs touched. This is the second-order
+  * composition step the linear lattice (R155) cannot express: the
+  * lattice folds ONE changelog under a projection; a derived view may
+  * join several views and apply any per-key function, because
+  * REPLACE-per-key semantics only need the POST-state base rows of the
+  * touched keys — never the deltas themselves.
+  *
+  * Contract: the caller names the batch's TOUCHED KEYS (the union of
+  * the base views' changelog keys for this batch — each family engine
+  * exposes its changelog) and supplies the CURRENT derived rows for
+  * those keys (computed from bucket-pruned base reads, e.g.
+  * `viewFor(touched)`). Keys present in `touched` but absent from
+  * `derivedRows` DROP their row (the base aggregate vanished). Rows
+  * must be a deterministic function of the bases' POST-batch state —
+  * true by construction, since bases commit before derived folds (the
+  * cascade order), so a crash-replay recomputes identical rows.
+  * State: one bucketed `derived/` table keyed by `g` under the
+  * standard staged protocol (stamped buckets skip on replay).
+  *
+  * Cost per batch: O(touched keys), never O(state) — the derived rows
+  * are the caller's bucket-pruned reads, and the REPLACE merge
+  * rewrites only the touched keys' buckets. */
+object DerivedView {
+
+  /** Fold one batch: REPLACE the `touched` keys' rows with
+    * `derivedRows` (both keyed by a `g` column; `derivedRows` may
+    * carry any further value columns, fixed across batches). */
+  def processBatch(spark: SparkSession, touched: DataFrame,
+      derivedRows: DataFrame, stateDir: String, batchId: Long = -1L,
+      numBuckets: Int = 16): Unit = {
+    val path = s"$stateDir/derived"
+    MvPipeline.upsertBucketedStaged(spark, path,
+      computeDelta = derivedRows.withColumn("_present", lit(1L))
+        .unionByName(touched.select(col("g")).distinct()
+          .join(derivedRows.select("g"), Seq("g"), "left_anti")
+          .select(Seq(col("g")) ++
+            derivedRows.columns.filterNot(_ == "g").toSeq.map(c =>
+              lit(null).cast(derivedRows.schema(c).dataType).as(c)) :+
+            lit(0L).as("_present"): _*)),
+      mergeFn = mergeReplace, batchId = batchId, numBuckets = numBuckets,
+      bucketKeys = Seq("g"))
+  }
+
+  /** REPLACE merge: every key in the delta is rewritten; `_present = 0`
+    * markers (vanished keys) drop the row. */
+  private def mergeReplace(old: DataFrame, inc: DataFrame): DataFrame = {
+    val o = if (old.columns.contains("_present")) old.drop("_present") else old
+    o.join(inc.select("g").distinct(), Seq("g"), "left_anti")
+      .unionByName(inc.filter(col("_present") === 1L).drop("_present"))
+  }
+
+  /** Serve the derived view (empty until the first fold). */
+  def view(spark: SparkSession, stateDir: String,
+      schema: StructType): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/derived", schema)
+
+  /** Bucket-pruned point read (the family contract). */
+  def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
+      schema: StructType, numBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val gdf = groups.toDF("g")
+    val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
+    MvPipeline.readBuckets(spark, s"$stateDir/derived", ids, schema)
+      .join(broadcast(gdf), Seq("g"), "left_semi")
+  }
+}
