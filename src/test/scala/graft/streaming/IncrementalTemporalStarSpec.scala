@@ -523,6 +523,50 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     assert(latticeView(Seq.empty) === proj(_ => Seq.empty))
   }
 
+  test("start(): mixed 2-branch CDC stream end-to-end (AvailableNow)") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("tstar-in"); val state = tmpDir("tstar-st")
+    val ckpt = tmpDir("tstar-ck")
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("id", LongType),
+      StructField("t", LongType), StructField("m", LongType),
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("k", LongType), StructField("vf", LongType),
+      StructField("vs", StringType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b0.json"),
+      ("""{"kind":"fact","id":1,"t":120,"m":100,"k1":10,"k2":10}""" + "\n" +
+       """{"kind":"d1","k":10,"vf":100,"vs":"a"}""" + "\n").getBytes("UTF-8"))
+    val q = IncrementalTemporalStar.start(spark, in, schema, state, ckpt,
+      numBranches = 2)
+    q.awaitTermination()
+    assert(served(state) === Map((Some("a"), None) -> ((100L, 1L))))
+    // second file: a LATE branch-2 version captures the retained fact,
+    // plus a branch-1 version delete pushing it back to the null group
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      ("""{"kind":"d2","k":10,"vf":110,"vs":"x"}""" + "\n" +
+       """{"kind":"d1_del","k":10,"vf":100}""" + "\n").getBytes("UTF-8"))
+    val q2 = IncrementalTemporalStar.start(spark, in, schema, state, ckpt,
+      numBranches = 2)
+    q2.awaitTermination()
+    assert(served(state) === Map((None, Some("x")) -> ((100L, 1L))))
+    assert(integral(state) === served(state))
+  }
+
+  test("forget on branch 2 walks the fact MIRROR table") {
+    val state = tmpDir("tstar-fg2")
+    fold(state, 0L, facts = Seq((10L, 120L, 1L, 1L, 7L), (11L, 130L, 2L, 2L, 8L)),
+      d1Ups = Seq((1L, 100L, "a"), (2L, 100L, "b")),
+      d2Ups = Seq((7L, 50L, "x"), (8L, 50L, "y")))
+    assert(served(state) === Map(
+      (Some("a"), Some("x")) -> ((1L, 1L)), (Some("b"), Some("y")) -> ((2L, 1L))))
+    // forget k2=7: its fact leaves (found via fm2), d2's versions for 7
+    // leave; branch-1 state for OTHER keys untouched
+    IncrementalTemporalStar.forgetKeys(spark, branch = 2, Seq(7L), state,
+      batchId = 1L, numBranches = 2, numBuckets = 4)
+    assert(served(state) === Map((Some("b"), Some("y")) -> ((2L, 1L))))
+    assert(integral(state) === served(state), "integral != view after forget")
+  }
+
   test("multi-measure temporal star: both measures move together") {
     val state = tmpDir("tstar-mm")
     IncrementalTemporalStar.processBatch(
