@@ -1059,16 +1059,5 @@ object IncrementalJoinAggStar {
   }
 
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
-    MvPipeline.transformBuckets(spark, s"$stateDir/joinaggstar/a", old => {
-      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
-      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
-      val aggs = ms.map(c => sum(col(c)).as(c))
-      val baseline = pre.groupBy("g")
-        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
-        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
-        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
-          ms.map(col) ++ Seq(col("c")): _*)
-      old.filter(!(col("kind") === "c" && col("b") <= upTo))
-        .unionByName(baseline)
-    })
+    MvPipeline.compactChangelogA(spark, s"$stateDir/joinaggstar/a", upTo)
 }

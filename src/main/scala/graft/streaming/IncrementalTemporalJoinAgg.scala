@@ -95,7 +95,6 @@ object IncrementalTemporalJoinAgg {
     Seq(StructField("id", LongType), StructField("t", LongType)) ++
       mColsOf(nM).map(c => StructField(c, LongType)) :+
       StructField("k", LongType))
-  private val fSchema = fSchemaN(1)
 
   /** Fold one CDC micro-batch. Frames may be empty; columns:
     * `facts(id, t, m[, m2..mM], k)`, `factDels(id, k)`,
@@ -455,9 +454,13 @@ object IncrementalTemporalJoinAgg {
     *     in-contract version arrival can re-capture them: a version at
     *     `vf >= horizon` only changes intervals at or above `vf`);
     *   - per key, versions with `vf < horizon` collapse to the single
-    *     LATEST one (rewritten to `vf = horizon` — it is exactly the
-    *     prevailing version at the horizon, which future facts still
-    *     need; its older siblings govern only dropped history).
+    *     LATEST one, rewritten to `vf = horizon − 1` — it is exactly
+    *     the prevailing version at the horizon, which future facts
+    *     still need; its older siblings govern only dropped history.
+    *     One tick BELOW the horizon so it can never collide with (or be
+    *     shadowed by) a real at-horizon version, and so an in-contract
+    *     DELETE of an at-horizon version falls back to it exactly as
+    *     the uncompacted history would fall back to the same attribute.
     *
     * The view is untouched; retained state is bounded by the horizon
     * window. The documented divergence mirrors R153: an OUT-of-contract
@@ -474,31 +477,15 @@ object IncrementalTemporalJoinAgg {
       val floor = old.filter(col("vl") < horizon)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("k"), lit(horizon).as("vl"), col("vs"))
-      // a floor rewritten to vf = horizon would collide with a real
-      // version AT the horizon; the real one wins (it supersedes the
-      // floor at exactly its timestamp), so such floors drop
-      val atHorizon = old.filter(col("vl") === horizon).select("k").distinct()
-      old.filter(col("vl") >= horizon)
-        .unionByName(floor.join(atHorizon, Seq("k"), "left_anti"))
+        .select(col("k"), lit(horizon - 1).as("vl"), col("vs"))
+      old.filter(col("vl") >= horizon).unionByName(floor)
     })
   }
 
   /** Changelog compaction: fold the prefix `<= upTo` into one baseline
     * row per group; as-of stays exact at and above the floor. */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
-    MvPipeline.transformBuckets(spark, s"$stateDir/temporaljoinagg/a", old => {
-      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
-      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
-      val aggs = ms.map(c => sum(col(c)).as(c))
-      val baseline = pre.groupBy("g")
-        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
-        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
-        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
-          ms.map(col) ++ Seq(col("c")): _*)
-      old.filter(!(col("kind") === "c" && col("b") <= upTo))
-        .unionByName(baseline)
-    })
+    MvPipeline.compactChangelogA(spark, s"$stateDir/temporaljoinagg/a", upTo)
 
   /** BOOTSTRAP a fresh state dir from batch tables — ONE window pass
     * (shuffle by k, sort by time, `last(vs) ignoring nulls`) instead of
@@ -579,7 +566,7 @@ object IncrementalTemporalJoinAgg {
       stateDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      numMeasures: Int = 1)
+      numMeasures: Int = 1, numBuckets: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -593,7 +580,8 @@ object IncrementalTemporalJoinAgg {
           batch.filter(col("kind") === "fact_del"),
           batch.filter(col("kind") === "d"),
           batch.filter(col("kind") === "d_del"),
-          stateDir, batchId, numMeasures = numMeasures)
+          stateDir, batchId, numBuckets = numBuckets,
+          numMeasures = numMeasures)
       }
       .start()
 }

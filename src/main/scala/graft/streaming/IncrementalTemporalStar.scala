@@ -302,6 +302,12 @@ object IncrementalTemporalStar {
 
       // ---- finished delta -> aggregate + changelog rows ----
       val gOrder = (1 to nB).map(j => col(s"g$j"))
+      // each term is a chain of up to B resolves (pruned read + join +
+      // aggregate); with enriched tracking every term is consumed twice
+      // (per-fact delta AND the aggregate), so cut the recompute here
+      val rawTerms = (t0 ++ tbs).map(t =>
+        if (trackEnriched) t.transform(graft.operators.Caching.persisted)
+        else t)
       // ENRICHED-fact delta (trackEnriched): per touched fact, the term
       // rows' signed (id, tuple) Z-set integrates to the fact's POST
       // resolution — the net +1 tuple (term b's +row resolves j<b at
@@ -312,7 +318,7 @@ object IncrementalTemporalStar {
       val rDelta =
         if (!trackEnriched) Nil
         else {
-          val perFact = (t0 ++ tbs).map(t =>
+          val perFact = rawTerms.map(t =>
             t.select(Seq(col("id"), encodeG(gOrder).as("g"), col("w")) ++
               mCols.map(col): _*))
           if (perFact.isEmpty) Nil
@@ -321,7 +327,7 @@ object IncrementalTemporalStar {
             .agg(sum("w").as("w"))
             .filter(col("w") =!= 0))
         }
-      val terms = (t0 ++ tbs).map(t =>
+      val terms = rawTerms.map(t =>
         t.select(Seq(encodeG(gOrder).as("g"), col("w")) ++ mCols.map(col): _*))
       val finishedIn = {
         val u =
@@ -514,7 +520,8 @@ object IncrementalTemporalStar {
     * branches' versions for unrelated keys are untouched. */
   def forgetKeys(spark: SparkSession, branch: Int, keys: Seq[Long],
       stateDir: String, batchId: Long, numBranches: Int,
-      numBuckets: Int = 16, numMeasures: Int = 1): Unit = {
+      numBuckets: Int = 16, numMeasures: Int = 1,
+      trackExtrema: Boolean = false, trackEnriched: Boolean = false): Unit = {
     import spark.implicits._
     val path = s"$stateDir/temporalstar"
     val kdf = keys.toDF("k")
@@ -541,7 +548,11 @@ object IncrementalTemporalStar {
       factDels,
       (1 to numBranches).map(b => noUp),
       (1 to numBranches).map(b => if (b == branch) dimDels else noDel),
-      stateDir, batchId, numBuckets, numMeasures)
+      stateDir, batchId, numBuckets, numMeasures,
+      // a store maintained with extrema/enriched tracking MUST forget
+      // through the same flags, or the forgotten facts stay live in
+      // e/ and r/ (the side tables only retract via their deltas)
+      trackExtrema = trackExtrema, trackEnriched = trackEnriched)
   }
 
   /** REPLACE-per-fact merge for the enriched table: ids present in the
@@ -603,8 +614,10 @@ object IncrementalTemporalStar {
     * mirror (their contributions are materialized; no in-contract
     * version arrival on any branch can re-capture them), and each
     * branch's pre-horizon versions collapse per key to the single
-    * prevailing one rewritten to `vf = horizon` (a real at-horizon
-    * version supersedes the floor). View untouched; retained state
+    * prevailing one rewritten to `vf = horizon − 1` (one tick below
+    * the bound, so a real at-horizon version never collides with it
+    * and an in-contract delete of that version falls back to the
+    * floor exactly — R160's rule). View untouched; retained state
     * bounded by the horizon window on every table. Out-of-contract
     * late arrivals diverge exactly as R160 documents, per branch. */
   def compactState(spark: SparkSession, stateDir: String, horizon: Long,
@@ -616,13 +629,14 @@ object IncrementalTemporalStar {
         old => old.filter(col("t") >= horizon))
       MvPipeline.transformBuckets(spark, s"$path/d$b", old => {
         val w = Window.partitionBy("k").orderBy(col("vl").desc)
+        // floor one tick BELOW the horizon (R160's rule): never collides
+        // with a real at-horizon version, and an in-contract delete of
+        // that version falls back to the floor exactly
         val floor = old.filter(col("vl") < horizon)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select(col("k"), lit(horizon).as("vl"), col("vs"))
-        val atHorizon = old.filter(col("vl") === horizon).select("k").distinct()
-        old.filter(col("vl") >= horizon)
-          .unionByName(floor.join(atHorizon, Seq("k"), "left_anti"))
+          .select(col("k"), lit(horizon - 1).as("vl"), col("vs"))
+        old.filter(col("vl") >= horizon).unionByName(floor)
       })
     }
   }
@@ -650,18 +664,7 @@ object IncrementalTemporalStar {
 
   /** Changelog compaction (family contract, data-driven measures). */
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
-    MvPipeline.transformBuckets(spark, s"$stateDir/temporalstar/a", old => {
-      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
-      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
-      val aggs = ms.map(c => sum(col(c)).as(c))
-      val baseline = pre.groupBy("g")
-        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
-        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
-        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
-          ms.map(col) ++ Seq(col("c")): _*)
-      old.filter(!(col("kind") === "c" && col("b") <= upTo))
-        .unionByName(baseline)
-    })
+    MvPipeline.compactChangelogA(spark, s"$stateDir/temporalstar/a", upTo)
 
   /** BOOTSTRAP from batch tables — B window passes (one per branch,
     * each the R160 one-shuffle resolution), which is also the batch
@@ -783,7 +786,8 @@ object IncrementalTemporalStar {
       stateDir: String, checkpointDir: String, numBranches: Int,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      numMeasures: Int = 1)
+      numMeasures: Int = 1, numBuckets: Int = 16,
+      trackExtrema: Boolean = false, trackEnriched: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -797,7 +801,9 @@ object IncrementalTemporalStar {
           batch.filter(col("kind") === "fact_del"),
           (1 to numBranches).map(b => batch.filter(col("kind") === s"d$b")),
           (1 to numBranches).map(b => batch.filter(col("kind") === s"d${b}_del")),
-          stateDir, batchId, numMeasures = numMeasures)
+          stateDir, batchId, numBuckets = numBuckets,
+          numMeasures = numMeasures, trackExtrema = trackExtrema,
+          trackEnriched = trackEnriched)
       }
       .start()
 }

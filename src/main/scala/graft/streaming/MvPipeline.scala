@@ -374,6 +374,26 @@ object MvPipeline {
         .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Changelog-prefix compaction for the family's kind-discriminated
+    * `a/` tables (shared by the star and temporal engines): fold the
+    * `kind = 'c', b <= upTo` rows into ONE baseline row per group
+    * stamped `upTo`; measure columns are data-driven (`m, m2..mM` —
+    * the R161 multi-measure layout). As-of reads stay exact at and
+    * above the floor. */
+  def compactChangelogA(spark: SparkSession, aPath: String, upTo: Long): Unit =
+    transformBuckets(spark, aPath, old => {
+      val pre = old.filter(col("kind") === "c" && col("b") <= upTo)
+      val ms = old.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+      val aggs = ms.map(c => sum(col(c)).as(c))
+      val baseline = pre.groupBy("g")
+        .agg(aggs.head, (aggs.tail :+ sum(col("c")).as("c")): _*)
+        .filter((ms.map(c => col(c) =!= 0) :+ (col("c") =!= 0)).reduce(_ || _))
+        .select(Seq(lit("c").as("kind"), col("g"), lit(upTo).as("b")) ++
+          ms.map(col) ++ Seq(col("c")): _*)
+      old.filter(!(col("kind") === "c" && col("b") <= upTo))
+        .unionByName(baseline)
+    })
+
   /** RESHARD a bucketed table into a FRESH destination at a new bucket
     * count — the WRITE-side half of the bucket-size control knob (the
     * read side is already free: state reads are one multi-path scan

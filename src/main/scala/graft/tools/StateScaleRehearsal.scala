@@ -311,8 +311,14 @@ object StateScaleRehearsal {
             .cast("string")).as("vs"))
       val (tMin, tMax) = tFacts.agg(min("t"), max("t")).as[(Long, Long)]
         .collect().head
-      val users = tFacts.select("k").distinct().orderBy("k").limit(2)
+      // pick probe users that carry versions on BOTH branches (a fact
+      // key with no view/click events would make min(vf) NULL)
+      val users = tFacts.select("k")
+        .join(tDims.select("k"), Seq("k"), "left_semi")
+        .join(tDims2.select("k"), Seq("k"), "left_semi")
+        .distinct().orderBy("k").limit(2)
         .as[Long].collect()
+      require(users.length == 2, "need 2 users with versions on both branches")
       val del1 = tDims.filter(col("k") === users(0)).agg(min("vf"))
         .as[Long].collect().head
       val del2 = tDims2.filter(col("k") === users(1)).agg(min("vf"))

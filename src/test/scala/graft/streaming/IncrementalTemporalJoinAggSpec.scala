@@ -252,9 +252,9 @@ class IncrementalTemporalJoinAggSpec extends SparkTestBase {
     assert(fRows.count() === 2L) // ids 12, 13 (t >= 300) retained
     val dRows = MvPipeline.readBucketedStateOrEmpty(spark,
       s"$state/temporaljoinagg/d", null)
-    // key 1: real version at vf=300 wins over the collapsed floor;
-    // key 2: floor (x) rewritten to vf=300
-    assert(dRows.count() === 2L)
+    // key 1: real version at vf=300 retained PLUS the floor ("b")
+    // rewritten one tick below the horizon; key 2: floor (x) at 299
+    assert(dRows.count() === 3L)
     // in-contract continuation (all times >= horizon): late version at
     // exactly the horizon boundary, facts, a fact delete — ≡ twin
     both(1L, dimUps = Seq((1L, 350L, "d"), (2L, 300L, "y")),
@@ -263,16 +263,28 @@ class IncrementalTemporalJoinAggSpec extends SparkTestBase {
     fold(state, 2L, factDels = Seq((12L, 1L)))
     fold(twin, 2L, factDels = Seq((12L, 1L)))
     assert(served(state) === served(twin), "post-compaction delete diverged")
+    // IN-CONTRACT delete of the at-horizon version, with a fact at
+    // t=310 landing in the reopened span: the floor at horizon−1 is
+    // the exact fallback (the uncompacted history falls back to the
+    // same prevailing attribute "b")
+    fold(state, 3L, facts = Seq((17L, 310L, 128L, 1L)),
+      dimDels = Seq((1L, 300L)))
+    fold(twin, 3L, facts = Seq((17L, 310L, 128L, 1L)),
+      dimDels = Seq((1L, 300L)))
+    assert(served(state) === served(twin),
+      "at-horizon version delete must fall back to the floor exactly")
+    assert(served(state)(Some("b")) === (130L, 2L),
+      "the reopened span resolves the floor's attribute")
     // the DOCUMENTED divergence: an out-of-contract late fact (t <
-    // horizon) sees only the compacted history — here key 1's floor was
-    // superseded by its real at-horizon version, so t=120 resolves
-    // nothing (null group) where the twin resolves the historical "a"
-    fold(state, 3L, facts = Seq((16L, 120L, 64L, 1L)))
-    fold(twin, 3L, facts = Seq((16L, 120L, 64L, 1L)))
-    val s3 = served(state); val t3 = served(twin)
-    assert(t3(Some("a")) === (65L, 2L), "twin resolves the exact history")
-    assert(s3(None) === (64L, 1L), "compacted lands in the null group")
-    assert(s3(Some("a")) === (1L, 1L))
+    // horizon) sees only the compacted history — t=120 resolves
+    // nothing before the 299 floor (null group) where the twin
+    // resolves the historical "a"
+    fold(state, 4L, facts = Seq((16L, 120L, 64L, 1L)))
+    fold(twin, 4L, facts = Seq((16L, 120L, 64L, 1L)))
+    val s4 = served(state); val t4 = served(twin)
+    assert(t4(Some("a")) === (65L, 2L), "twin resolves the exact history")
+    assert(s4(None) === (64L, 1L), "compacted lands in the null group")
+    assert(s4(Some("a")) === (1L, 1L))
   }
 
   test("events-as-CDC fold serves the x123 batch twin exactly (sf0.001)") {

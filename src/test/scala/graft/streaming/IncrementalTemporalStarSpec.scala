@@ -310,14 +310,15 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
       d2 = Seq((1L, 50L, "x")))
     foldBoth(1L, fs = Seq((10L, 120L, 1L, 1L, 1L), (11L, 350L, 2L, 1L, 1L)))
     // compact at 300: fact 10 leaves f/ and fm2; d1's 100-version
-    // collapses to the floor (superseded by the REAL 300-version, so it
-    // drops); d2's 50-version floors to 300
+    // floors to 299 BESIDE the real 300-version (one tick below — an
+    // in-contract delete of the 300 falls back to it exactly); d2's
+    // 50-version floors to 299
     IncrementalTemporalStar.compactState(spark, state, 300L, numBranches = 2)
     assert(served(state) === served(twin), "compaction changed the view")
     def rows(tbl: String): Long =
       MvPipeline.readBucketedStateOrEmpty(spark, s"$state/temporalstar/$tbl",
         IncrementalJoinAggStar.dSchema).count()
-    assert(rows("d1") === 1L, "d1 should hold only the at-horizon version")
+    assert(rows("d1") === 2L, "d1 holds the at-horizon version + the floor")
     assert(rows("d2") === 1L, "d2 should hold only the floored version")
     // in-contract continuation (t, vf >= horizon) ≡ the uncompacted twin
     foldBoth(2L, fs = Seq((12L, 400L, 4L, 1L, 1L)),
