@@ -64,9 +64,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Multi-measure per R161: `numMeasures = M` sums `m, m2..mM`
   * independently under the same Z-set weights.
   *
-  * A 1-branch instance is exactly the R160 view (spec-pinned); the
-  * batch twin is **x126_asof_star** (DuckDB chained ASOF LEFT JOIN). */
+  * A 1-branch instance is exactly the R160 view — and since the r11
+  * consolidation [[IncrementalTemporalJoinAgg]] IS that instance (a
+  * thin delegate over this engine with `root = "temporaljoinagg"`,
+  * exactly as the equality-keyed binary/chain/N engines are instances
+  * of [[IncrementalJoinAggStar]]); the batch twin is **x126_asof_star**
+  * (DuckDB chained ASOF LEFT JOIN). Every public entry takes a `root`
+  * (the table-directory name under `stateDir`) so delegates keep their
+  * own state namespace. */
 object IncrementalTemporalStar {
+
+  /** Default table-directory name under `stateDir`. */
+  private[streaming] val Root = "temporalstar"
 
   private val SEP = "\u0001"
   private val NUL = "\u0000"
@@ -103,13 +112,13 @@ object IncrementalTemporalStar {
       dimUps: Seq[DataFrame], dimDels: Seq[DataFrame],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
-      trackEnriched: Boolean = false): Unit = {
+      trackEnriched: Boolean = false, root: String = Root): Unit = {
     val nB = dimUps.size
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
     val spark = facts.sparkSession
-    val path = s"$stateDir/temporalstar"
+    val path = s"$stateDir/$root"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -454,9 +463,9 @@ object IncrementalTemporalStar {
     * LEFT join-aggregate; `g_b` is NULL for facts before branch b's
     * first version. */
   def view(spark: SparkSession, stateDir: String, numBranches: Int,
-      numMeasures: Int = 1): DataFrame = {
+      numMeasures: Int = 1, root: String = Root): DataFrame = {
     val st = MvPipeline.readBucketedStateOrEmpty(spark,
-      s"$stateDir/temporalstar/a",
+      s"$stateDir/$root/a",
       IncrementalJoinAggStar.aSchemaN(numMeasures))
     st.filter(col("kind") === "a" && col("c") > 0)
       .select(decodeG(numBranches) ++ Seq(col("m").as("total")) ++
@@ -470,13 +479,14 @@ object IncrementalTemporalStar {
     * names the branch's null (pre-first-version) group explicitly. */
   def viewFor(spark: SparkSession, stateDir: String,
       groups: Seq[Seq[Option[String]]], numBranches: Int,
-      numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
+      numBuckets: Int = 16, numMeasures: Int = 1,
+      root: String = Root): DataFrame = {
     import spark.implicits._
     require(groups.forall(_.size == numBranches),
       "each group names every branch coordinate")
     val gdf = groups.map(g => g.map(_.getOrElse(NUL)).mkString(SEP)).toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
-    val st = MvPipeline.readBuckets(spark, s"$stateDir/temporalstar/a", ids,
+    val st = MvPipeline.readBuckets(spark, s"$stateDir/$root/a", ids,
       IncrementalJoinAggStar.aSchemaN(numMeasures))
     st.filter(col("kind") === "a" && col("c") > 0)
       .join(broadcast(gdf), Seq("g"), "left_semi")
@@ -487,9 +497,9 @@ object IncrementalTemporalStar {
 
   /** Z-set changelog; integral == view (per measure). */
   def changelog(spark: SparkSession, stateDir: String, numBranches: Int,
-      numMeasures: Int = 1): DataFrame = {
+      numMeasures: Int = 1, root: String = Root): DataFrame = {
     val st = MvPipeline.readBucketedStateOrEmpty(spark,
-      s"$stateDir/temporalstar/a",
+      s"$stateDir/$root/a",
       IncrementalJoinAggStar.aSchemaN(numMeasures))
     val extra = st.columns.filter(_.matches("m\\d+")).toSeq
       .sortBy(_.drop(1).toInt)
@@ -501,8 +511,9 @@ object IncrementalTemporalStar {
 
   /** AS-OF read over MAINTENANCE time (the family contract). */
   def viewAsOf(spark: SparkSession, stateDir: String, batch: Long,
-      numBranches: Int, numMeasures: Int = 1): DataFrame = {
-    val cl = changelog(spark, stateDir, numBranches, numMeasures)
+      numBranches: Int, numMeasures: Int = 1,
+      root: String = Root): DataFrame = {
+    val cl = changelog(spark, stateDir, numBranches, numMeasures, root)
       .filter(col("batch") <= batch)
     val gs = (1 to numBranches).map(b => s"g$b")
     val extra = cl.columns.filter(_.matches("dtotal\\d+")).toSeq
@@ -521,9 +532,10 @@ object IncrementalTemporalStar {
   def forgetKeys(spark: SparkSession, branch: Int, keys: Seq[Long],
       stateDir: String, batchId: Long, numBranches: Int,
       numBuckets: Int = 16, numMeasures: Int = 1,
-      trackExtrema: Boolean = false, trackEnriched: Boolean = false): Unit = {
+      trackExtrema: Boolean = false, trackEnriched: Boolean = false,
+      root: String = Root): Unit = {
     import spark.implicits._
-    val path = s"$stateDir/temporalstar"
+    val path = s"$stateDir/$root"
     val kdf = keys.toDF("k")
     val kc = s"k$branch"
     def prunedF: DataFrame =
@@ -552,7 +564,8 @@ object IncrementalTemporalStar {
       // a store maintained with extrema/enriched tracking MUST forget
       // through the same flags, or the forgotten facts stay live in
       // e/ and r/ (the side tables only retract via their deltas)
-      trackExtrema = trackExtrema, trackEnriched = trackEnriched)
+      trackExtrema = trackExtrema, trackEnriched = trackEnriched,
+      root = root)
   }
 
   /** REPLACE-per-fact merge for the enriched table: ids present in the
@@ -573,9 +586,9 @@ object IncrementalTemporalStar {
     * .shipVersioned]] with `keyCols = Seq("id")` for an external
     * ReplacingMergeTree-style enriched table. */
   def enrichedView(spark: SparkSession, stateDir: String, numBranches: Int,
-      numMeasures: Int = 1): DataFrame = {
+      numMeasures: Int = 1, root: String = Root): DataFrame = {
     val st = MvPipeline.readBucketedStateOrEmpty(spark,
-      s"$stateDir/temporalstar/r",
+      s"$stateDir/$root/r",
       StructType(Seq(StructField("id", LongType),
         StructField("g", StringType)) ++
         mColsOf(numMeasures).map(c => StructField(c, LongType))))
@@ -589,22 +602,25 @@ object IncrementalTemporalStar {
     * the resolved fact measures — exact under retro-reassignments and
     * version deletes (the R154 contract on the as-of family). */
   def extremaView(spark: SparkSession, stateDir: String,
-      numBranches: Int): DataFrame =
-    IncrementalExtrema.extremaOf(extremaRelation(spark, stateDir))
+      numBranches: Int, root: String = Root): DataFrame =
+    IncrementalExtrema.extremaOf(extremaRelation(spark, stateDir, root))
       .select(decodeG(numBranches) ++
         Seq(col("n"), col("min_v"), col("max_v")): _*)
 
   /** Exact low-quantiles of the resolved fact measures per attribute
     * tuple ([[IncrementalExtrema.quantiles]] integer-rational ranks). */
   def extremaQuantiles(spark: SparkSession, stateDir: String,
-      numBranches: Int, qs: Seq[(Long, Long)]): DataFrame = {
-    val q = IncrementalExtrema.quantilesOf(extremaRelation(spark, stateDir), qs)
+      numBranches: Int, qs: Seq[(Long, Long)],
+      root: String = Root): DataFrame = {
+    val q = IncrementalExtrema.quantilesOf(
+      extremaRelation(spark, stateDir, root), qs)
     q.select(decodeG(numBranches) ++
       q.columns.filterNot(_ == "g").map(col): _*)
   }
 
-  private def extremaRelation(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/temporalstar/e",
+  private def extremaRelation(spark: SparkSession, stateDir: String,
+      root: String = Root): DataFrame =
+    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/$root/e",
       IncrementalExtrema.vwSchema)
 
   /** WATERMARK-EXACT state compaction — R160's bounded-state contract
@@ -621,8 +637,8 @@ object IncrementalTemporalStar {
     * bounded by the horizon window on every table. Out-of-contract
     * late arrivals diverge exactly as R160 documents, per branch. */
   def compactState(spark: SparkSession, stateDir: String, horizon: Long,
-      numBranches: Int): Unit = {
-    val path = s"$stateDir/temporalstar"
+      numBranches: Int, root: String = Root): Unit = {
+    val path = s"$stateDir/$root"
     (1 to numBranches).foreach { b =>
       MvPipeline.transformBuckets(spark,
         s"$path/${if (b == 1) "f" else s"fm$b"}",
@@ -647,9 +663,9 @@ object IncrementalTemporalStar {
     * committed batches into a FRESH `dstDir`; resume folding with
     * `numBuckets = newBuckets` and batch ids above the last committed. */
   def reshard(spark: SparkSession, srcDir: String, dstDir: String,
-      numBranches: Int, newBuckets: Int): Unit = {
-    val src = s"$srcDir/temporalstar"
-    val dst = s"$dstDir/temporalstar"
+      numBranches: Int, newBuckets: Int, root: String = Root): Unit = {
+    val src = s"$srcDir/$root"
+    val dst = s"$dstDir/$root"
     (1 to numBranches).foreach { b =>
       MvPipeline.reshardBucketed(spark,
         s"$src/${if (b == 1) "f" else s"fm$b"}",
@@ -663,8 +679,9 @@ object IncrementalTemporalStar {
   }
 
   /** Changelog compaction (family contract, data-driven measures). */
-  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
-    MvPipeline.compactChangelogA(spark, s"$stateDir/temporalstar/a", upTo)
+  def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long,
+      root: String = Root): Unit =
+    MvPipeline.compactChangelogA(spark, s"$stateDir/$root/a", upTo)
 
   /** BOOTSTRAP from batch tables — B window passes (one per branch,
     * each the R160 one-shuffle resolution), which is also the batch
@@ -672,12 +689,12 @@ object IncrementalTemporalStar {
   def bootstrap(facts: DataFrame, dims: Seq[DataFrame], stateDir: String,
       baselineBatch: Long = 0L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
-      trackEnriched: Boolean = false): Unit = {
+      trackEnriched: Boolean = false, root: String = Root): Unit = {
     val nB = dims.size
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
-    val path = s"$stateDir/temporalstar"
+    val path = s"$stateDir/$root"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")

@@ -251,7 +251,7 @@ class IncrementalTemporalJoinAggSpec extends SparkTestBase {
       s"$state/temporaljoinagg/f", null)
     assert(fRows.count() === 2L) // ids 12, 13 (t >= 300) retained
     val dRows = MvPipeline.readBucketedStateOrEmpty(spark,
-      s"$state/temporaljoinagg/d", null)
+      s"$state/temporaljoinagg/d1", null)
     // key 1: real version at vf=300 retained PLUS the floor ("b")
     // rewritten one tick below the horizon; key 2: floor (x) at 299
     assert(dRows.count() === 3L)
