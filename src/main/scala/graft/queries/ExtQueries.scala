@@ -1710,6 +1710,52 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** Batch twin of the INTERVAL (overlap, M:N) join-aggregate
+    * ([[graft.streaming.IncrementalIntervalJoinAgg]], R165): each
+    * purchase opens a 10-minute attribution window labeled by its
+    * value band, every click inside a window counts toward that band —
+    * a click covered by TWO concurrent windows counts twice (interval
+    * semantics, unlike the as-of family's at-most-one match). Plan:
+    * one equi-keyed join with a range residual + one aggregate; exact
+    * integer µs and cents throughout. */
+  def x128AttributedClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"), col("user_id").as("k"))
+    val ints = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iid"), col("user_id").as("k"),
+        expr("ts DIV 1000").as("s"),
+        expr("ts DIV 1000 + 600000000").as("e"),
+        concat(lit("b"), (graft.functions.cents(col("value")) % 5)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalIntervalJoinAgg.intervalAggregate(facts, ints)
+      .select(col("g").as("band"), col("total").as("click_cents"),
+        col("rows").as("matches"))
+      .orderBy("band")
+  }
+
+  /** Batch twin of the incrementally-maintained SESSIONIZATION
+    * ([[graft.streaming.IncrementalSessions]], R166): per-user session
+    * statistics over the maintained session-row set — count, largest
+    * session, longest span, total events. Same 30-minute strict-gap
+    * semantics as `sessionize_events`; the maintained view's
+    * per-session rows roll up to exactly this. */
+  def x129UserSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        col("user_id").as("k"))
+    graft.streaming.IncrementalSessions
+      .sessionize(ev, 30L * 60L * 1000000L)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_events"),
+        max(col("en") - col("st")).as("longest_us"),
+        sum(col("n")).as("total_events"))
+      .select(col("k").as("user_id"), col("n_sessions"), col("max_events"),
+        col("longest_us"), col("total_events"))
+      .orderBy("user_id")
+  }
+
   /** TF-IDF top-3 keywords per doc ([[TextAnalysis.tfidfTopK]]): the
     * keyword-extraction pass; log-free rational idf so the score is exact
     * int64 arithmetic + one IEEE division on both engines. */
@@ -4690,6 +4736,38 @@ object ExtQueries {
          |  CAST(sum(f.m) AS BIGINT) AS revenue_cents, count(*) AS purchases
          |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x129_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b
+        |),
+        |g AS (
+        |  SELECT user_id, session_idx, min(us) AS st, max(us) AS en, count(*) AS n
+        |  FROM x GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, count(*) AS n_sessions, CAST(max(n) AS BIGINT) AS max_events,
+        |  max(en - st) AS longest_us, CAST(sum(n) AS BIGINT) AS total_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x128_attributed_clicks" ->
+      s"""SELECT 'b' || CAST(${graft.functions.centsSql("p.value")} % 5 AS VARCHAR) AS band,
+         |  CAST(sum(${graft.functions.centsSql("c.value")}) AS BIGINT) AS click_cents,
+         |  count(*) AS matches
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id
+         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP)) + 600000000
+         |GROUP BY 1 ORDER BY band""".stripMargin,
     "x127_enriched_facts" ->
       s"""WITH d1 AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -5058,6 +5136,8 @@ object ExtQueries {
     "x125_asof_measures" -> x125AsofMeasures, // oracle: multi-measure ASOF join-aggregate
     "x126_asof_star" -> x126AsofStar, // oracle: chained (multi-branch) ASOF join-aggregate
     "x127_enriched_facts" -> x127EnrichedFacts, // oracle: per-fact denormalized as-of resolution
+    "x128_attributed_clicks" -> x128AttributedClicks, // oracle: M:N interval-overlap join-aggregate
+    "x129_user_sessions" -> x129UserSessions, // oracle: per-user rollup of the session-row set
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

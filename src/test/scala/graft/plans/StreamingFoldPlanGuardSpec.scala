@@ -184,6 +184,44 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
     auditAll(plans, "temporal star")
   }
 
+  test("interval join-agg fold (r11): no cartesian/BNLJ on either range join") {
+    val state = tmpDir("pg-ija")
+    graft.streaming.IncrementalIntervalJoinAgg.processBatch(
+      Seq((1L, 150L, 100L, 10L)).toDF("id", "t", "m", "k"),
+      Seq.empty[(Long, Long)].toDF("id", "k"),
+      Seq((5L, 10L, 100L, 300L, "a")).toDF("iid", "k", "s", "e", "vs"),
+      Seq.empty[(Long, Long)].toDF("iid", "k"), state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // new fact + fact delete + window replace + window delete in one
+      // batch: both delta terms run their range joins, which must stay
+      // equi-keyed on k with the [s,e) residual — never a BNLJ
+      graft.streaming.IncrementalIntervalJoinAgg.processBatch(
+        Seq((2L, 250L, 7L, 10L)).toDF("id", "t", "m", "k"),
+        Seq((1L, 10L)).toDF("id", "k"),
+        Seq((5L, 10L, 100L, 400L, "b"), (6L, 10L, 200L, 500L, "c"))
+          .toDF("iid", "k", "s", "e", "vs"),
+        Seq((7L, 10L)).toDF("iid", "k"), state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "interval join-agg")
+  }
+
+  test("sessions fold (r11): no cartesian/BNLJ in the re-derive path") {
+    val state = tmpDir("pg-ses")
+    graft.streaming.IncrementalSessions.processBatch(
+      Seq((1L, 0L, 10L), (2L, 250L, 10L)).toDF("id", "t", "k"),
+      Seq.empty[(Long, Long)].toDF("id", "k"),
+      gap = 100L, stateDir = state, batchId = 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // bridge event (cross-batch session merge) + event delete:
+      // exercises the touched-user re-derivation and both row diffs
+      graft.streaming.IncrementalSessions.processBatch(
+        Seq((3L, 100L, 10L), (4L, 180L, 10L)).toDF("id", "t", "k"),
+        Seq((2L, 10L)).toDF("id", "k"),
+        gap = 100L, stateDir = state, batchId = 1L, numBuckets = 4)
+    }
+    auditAll(plans, "sessions")
+  }
+
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
     val state = tmpDir("pg-sf")
     val steps = Seq("view", "click", "purchase")
