@@ -355,6 +355,102 @@ object StateScaleRehearsal {
         }
       }
     }
+    // ------------------------------------------- interval join-agg ----
+    // R165: clicks against 10-minute purchase windows (x128's shape),
+    // identical probe at both scales — 10 new clicks on base-copy
+    // users, one window replace, one window delete, two new windows.
+    if (sectionOn("interval")) {
+      import graft.streaming.IncrementalIntervalJoinAgg
+      val iFacts = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+          graft.functions.cents(col("value")).as("m"), col("user_id").as("k"))
+      val iInts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("iid"), col("user_id").as("k"),
+          expr("ts DIV 1000").as("s"),
+          expr("ts DIV 1000 + 600000000").as("e"),
+          concat(lit("b"), (graft.functions.cents(col("value")) % 5)
+            .cast("string")).as("vs"))
+      // probe users that carry BOTH clicks and windows
+      val users = iFacts.select("k")
+        .join(iInts.select("k"), Seq("k"), "left_semi")
+        .distinct().orderBy("k").limit(2).as[Long].collect()
+      require(users.length == 2, "need 2 users with clicks and windows")
+      val rep = iInts.filter(col("k") === users(0))
+        .orderBy("iid").limit(1)
+        .as[(Long, Long, Long, Long, String)].collect().head
+      val del = iInts.filter(col("k") === users(1))
+        .orderBy("iid").limit(1)
+        .select("iid", "k").as[(Long, Long)].collect().head
+      val pF = (1L to 10L).map(i =>
+        (987000000000L + i, rep._3 + i * 1000L, 100L + i,
+          users((i % 2).toInt)))
+        .toDF("id", "t", "m", "k")
+      val pUp = Seq(
+        (rep._1, rep._2, rep._3, rep._4 + 300000000L, "rep"),
+        (987100000001L, users(0), rep._3, rep._3 + 600000000L, "new1"),
+        (987100000002L, users(1), rep._3, rep._3 + 600000000L, "new2"))
+        .toDF("iid", "k", "s", "e", "vs")
+      val pDel = Seq(del).toDF("iid", "k")
+      val noFD = pF.select("id", "k").limit(0)
+      Seq(1, copies).foreach { n =>
+        val f = (0 until n).map(i => iFacts
+            .select((col("id") + lit(i.toLong * 10000000000L)).as("id"),
+              col("t"), col("m"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k")))
+          .reduce(_ unionByName _)
+        val iv = (0 until n).map(i => iInts
+            .select((col("iid") + lit(i.toLong * 10000000000L)).as("iid"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k"),
+              col("s"), col("e"), col("vs")))
+          .reduce(_ unionByName _)
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-ija-$n").toString
+        val t0 = System.nanoTime()
+        IncrementalIntervalJoinAgg.bootstrap(f, iv, state, 0L, numBuckets = 16)
+        println(f"STATESCALE interval ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+        measure(s"interval probe @${n}x state", state) {
+          IncrementalIntervalJoinAgg.processBatch(pF, noFD, pUp, pDel,
+            state, 1000L, numBuckets = 16)
+        }
+      }
+    }
+
+    // ------------------------------------------------- sessions ----
+    // R166: identical probe at both scales — 10 new events on 2
+    // base-copy users (some bridging existing sessions — real merges)
+    // and 2 deletes of their earliest retained events (real splits).
+    if (sectionOn("sessions")) {
+      import graft.streaming.IncrementalSessions
+      val gapUs = 30L * 60L * 1000000L
+      val sEv = ev.select(col("event_id").as("id"),
+        expr("ts DIV 1000").as("t"), col("user_id").as("k"))
+      val users = sEv.select("k").distinct().orderBy("k").limit(2)
+        .as[Long].collect()
+      val anchor = sEv.filter(col("k") === users(0)).agg(min("t"))
+        .as[Long].collect().head
+      val dels = users.toSeq.map { u =>
+        sEv.filter(col("k") === u).orderBy("t", "id")
+          .select("id", "k").as[(Long, Long)].collect().head
+      }
+      val pE = (1L to 10L).map(i =>
+        (989000000000L + i, anchor + i * (gapUs / 2), users((i % 2).toInt)))
+        .toDF("id", "t", "k")
+      val pD = dels.toDF("id", "k")
+      Seq(1, copies).foreach { n =>
+        val e = (0 until n).map(i => sEv
+            .select((col("id") + lit(i.toLong * 10000000000L)).as("id"),
+              col("t"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k")))
+          .reduce(_ unionByName _)
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-ses-$n").toString
+        val t0 = System.nanoTime()
+        IncrementalSessions.bootstrap(e, gapUs, state, 0L, numBuckets = 16)
+        println(f"STATESCALE sessions ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${e.count()}%d events)")
+        measure(s"sessions probe @${n}x state", state) {
+          IncrementalSessions.processBatch(pE, pD, gapUs, state, 1000L,
+            numBuckets = 16)
+        }
+      }
+    }
     spark.stop()
   }
 }

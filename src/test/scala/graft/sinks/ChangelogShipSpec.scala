@@ -201,6 +201,40 @@ class ChangelogShipSpec extends SparkTestBase {
     assert(ChangelogShip.versionWatermark(spark, state, "lvl") === 4L)
   }
 
+  test("sessions changelog ships: external summing table converges across a merge") {
+    import graft.streaming.IncrementalSessions
+    val state = tmpDir("cs-ses")
+    val db = "changelog_ses"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+    def fold(events: Seq[(Long, Long, Long)], id: Long): Unit =
+      IncrementalSessions.processBatch(events.toDF("id", "t", "k"),
+        Seq.empty[(Long, Long)].toDF("id", "k"), gap = 100L,
+        stateDir = state, batchId = id, numBuckets = 4)
+    def shipNow(): Long = ChangelogShip.ship(
+      IncrementalSessions.changelog(spark, state), "batch", sink,
+      "ses_cl", state)
+    def foldedExt: Set[(Long, Long, Long, Long)] =
+      readBack(db, "ses_cl").distinct()
+        .groupBy("k", "session_start", "session_end", "n_events")
+        .agg(sum("w").as("w")).filter(col("w") > 0)
+        .select("k", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def servedSes: Set[(Long, Long, Long, Long)] =
+      IncrementalSessions.view(spark, state)
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+    fold(Seq((1L, 0L, 1L), (2L, 250L, 1L)), 0L)
+    assert(shipNow() > 0)
+    assert(foldedExt === servedSes)
+    // a bridge MERGES the two sessions: the −1/−1/+1 rows travel and
+    // the external summing fold converges to the single merged row
+    fold(Seq((3L, 100L, 1L), (4L, 180L, 1L)), 1L)
+    assert(shipNow() > 0)
+    assert(foldedExt === servedSes)
+    assert(servedSes === Set((1L, 0L, 250L, 4L)))
+    assert(shipNow() === 0L, "nothing pending after the watermark")
+  }
+
   test("parquet sink: the same contract over files") {
     val state = tmpDir("cs2"); val out = tmpDir("cs2out")
     val sink = new ParquetSink(out)

@@ -187,6 +187,34 @@ class IncrementalIntervalJoinAggSpec extends SparkTestBase {
     assert(got9 === history(9))
   }
 
+  test("multi-measure (R161): both sums move together through replace and delete") {
+    val state = tmpDir("ija-mm")
+    def foldMM(id: Long, facts: Seq[(Long, Long, Long, Long, Long)] = Nil,
+        factDels: Seq[(Long, Long)] = Nil, intUps: Seq[Ival] = Nil,
+        intDels: Seq[(Long, Long)] = Nil): Unit =
+      IncrementalIntervalJoinAgg.processBatch(
+        if (facts.isEmpty) Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("id", "t", "m", "m2", "k")
+        else facts.toDF("id", "t", "m", "m2", "k"),
+        if (factDels.isEmpty) noFD else factDels.toDF("id", "k"),
+        if (intUps.isEmpty) noI else intUps.toDF("iid", "k", "s", "e", "vs"),
+        if (intDels.isEmpty) noID else intDels.toDF("iid", "k"),
+        state, id, numBuckets = 4, numMeasures = 2)
+    def servedMM: Map[String, (Long, Long, Long)] =
+      IncrementalIntervalJoinAgg.view(spark, state, numMeasures = 2)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    foldMM(0L, intUps = Seq((1L, 1L, 0L, 100L, "a"), (2L, 1L, 50L, 150L, "b")),
+      facts = Seq((10L, 75L, 3L, 30L, 1L), (11L, 120L, 5L, 50L, 1L)))
+    assert(servedMM === Map("a" -> (3L, 30L, 1L), "b" -> (8L, 80L, 2L)))
+    // replace window b narrower: fact 11 leaves BOTH measures at once
+    foldMM(1L, intUps = Seq((2L, 1L, 50L, 100L, "b")))
+    assert(servedMM === Map("a" -> (3L, 30L, 1L), "b" -> (3L, 30L, 1L)))
+    // fact delete retracts from every covering window, both measures
+    foldMM(2L, factDels = Seq((10L, 1L)))
+    assert(servedMM === Map.empty)
+  }
+
   test("replaying a committed batch id is a no-op") {
     val state = tmpDir("ija-replay")
     fold(state, 0L, intUps = Seq((1L, 1L, 0L, 100L, "a")),

@@ -230,6 +230,64 @@ class IncrementalSessionsSpec extends SparkTestBase {
     assert(got === twin)
   }
 
+  test("derived per-user stats (R164 over R166) track merges, splits, forgets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val state = tmpDir("ses-dv")
+    val derived = tmpDir("ses-dv-d")
+    val dvSchema = StructType(Seq(StructField("g", StringType),
+      StructField("n_sessions", LongType), StructField("max_events", LongType),
+      StructField("total_events", LongType)))
+    // the cascade: sessions commit, then the derived view folds the
+    // changelog-touched users' POST-state rollup
+    def cascade(id: Long, events: Seq[Ev] = Nil,
+        dels: Seq[(Long, Long)] = Nil): Unit = {
+      fold(state, id, events = events, dels = dels)
+      val touched = IncrementalSessions.changelog(spark, state)
+        .filter(col("batch") === id)
+        .select(col("k").cast("string").as("g")).distinct()
+      val users = touched.as[String].collect().map(_.toLong).toSeq
+      val rows = IncrementalSessions.viewFor(spark, state, users,
+          numBuckets = 4)
+        .groupBy(col("k").cast("string").as("g"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_events"),
+          sum("n_events").as("total_events"))
+      DerivedView.processBatch(spark, touched, rows, derived, id,
+        numBuckets = 4)
+    }
+    def servedDv: Map[String, (Long, Long, Long)] =
+      DerivedView.view(spark, derived, dvSchema)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def want: Map[String, (Long, Long, Long)] =
+      served(state).groupBy(_._1).map { case (k, ss) =>
+        k.toString -> (ss.size.toLong, ss.map(_._4).max, ss.map(_._4).sum)
+      }
+    cascade(0L, events = Seq((1L, 0L, 1L), (2L, 250L, 1L), (3L, 0L, 2L)))
+    assert(servedDv === want)
+    cascade(1L, events = Seq((4L, 100L, 1L), (5L, 180L, 1L))) // merge
+    assert(servedDv === want)
+    assert(servedDv("1") === (1L, 4L, 4L), "merged into one 4-event session")
+    cascade(2L, dels = Seq((4L, 1L)))                          // split
+    assert(servedDv === want)
+    // forget through the cascade: the user's derived row drops
+    IncrementalSessions.forgetUsers(spark, Seq(2L), state, 3L, gap,
+      numBuckets = 4)
+    val touched3 = IncrementalSessions.changelog(spark, state)
+      .filter(col("batch") === 3L)
+      .select(col("k").cast("string").as("g")).distinct()
+    DerivedView.processBatch(spark, touched3,
+      IncrementalSessions.viewFor(spark, state, Seq(2L), numBuckets = 4)
+        .groupBy(col("k").cast("string").as("g"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_events"),
+          sum("n_events").as("total_events")),
+      derived, 3L, numBuckets = 4)
+    assert(servedDv === want)
+    assert(!servedDv.contains("2"), "forgotten user's derived row dropped")
+  }
+
   test("bootstrap from a batch table, then continue with deltas") {
     val state = tmpDir("ses-bs")
     IncrementalSessions.bootstrap(
