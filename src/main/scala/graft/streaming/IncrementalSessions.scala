@@ -51,35 +51,52 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * by (t, id). */
 object IncrementalSessions {
 
-  private val eSchema = StructType(Seq(StructField("id", LongType),
-    StructField("t", LongType), StructField("k", LongType)))
-  private val vSchema = StructType(Seq(StructField("k", LongType),
-    StructField("st", LongType), StructField("en", LongType),
-    StructField("n", LongType)))
-  private val cSchema = StructType(Seq(StructField("b", LongType),
-    StructField("k", LongType), StructField("st", LongType),
-    StructField("en", LongType), StructField("n", LongType),
-    StructField("w", LongType)))
+  /** Per-event measure column names — R161's multi-measure contract on
+    * the sessions view: `numMeasures = 0` (the default) is the
+    * count-only x129 surface; `M >= 1` carries `m, m2..mM` on events
+    * and serves each measure's per-session SUM as `sm, sm2..smM`. */
+  private def mColsOf(nM: Int): Seq[String] =
+    if (nM <= 0) Nil else "m" +: (2 to nM).map(i => s"m$i")
+  private def smColsOf(nM: Int): Seq[String] = mColsOf(nM).map("s" + _)
+  private def eSchemaN(nM: Int) = StructType(
+    Seq(StructField("id", LongType), StructField("t", LongType)) ++
+      mColsOf(nM).map(c => StructField(c, LongType)) :+
+      StructField("k", LongType))
+  private def vSchemaN(nM: Int) = StructType(
+    Seq(StructField("k", LongType), StructField("st", LongType),
+      StructField("en", LongType), StructField("n", LongType)) ++
+      smColsOf(nM).map(c => StructField(c, LongType)))
+  private def cSchemaN(nM: Int) = StructType(
+    StructField("b", LongType) +: vSchemaN(nM).fields.toSeq :+
+      StructField("w", LongType))
+  private val eSchema = eSchemaN(0)
+  private val vSchema = vSchemaN(0)
 
-  /** Sessionize `(id, t, k)` events — the batch plan (one shuffle by
-    * k, one per-user sort), shared by the fold's per-touched-user
-    * re-derivation, [[bootstrap]], and the spec model. */
-  def sessionize(events: DataFrame, gap: Long): DataFrame = {
+  /** Sessionize `(id, t[, m..], k)` events — the batch plan (one
+    * shuffle by k, one per-user sort), shared by the fold's
+    * per-touched-user re-derivation, [[bootstrap]], and the spec
+    * model. */
+  def sessionize(events: DataFrame, gap: Long,
+      numMeasures: Int = 0): DataFrame = {
     val w = Window.partitionBy("k").orderBy("t", "id")
+    val aggs = Seq(min("t").as("st"), max("t").as("en"),
+      count(lit(1)).as("n")) ++
+      mColsOf(numMeasures).map(c => sum(col(c)).as(s"s$c"))
     events
       .withColumn("brk",
         when(col("t") - lag("t", 1).over(w) > gap, 1L).otherwise(0L))
       .withColumn("sx", sum("brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("k", "sx")
-      .agg(min("t").as("st"), max("t").as("en"), count(lit(1)).as("n"))
-      .select("k", "st", "en", "n")
+      .agg(aggs.head, aggs.tail: _*)
+      .select("k" +: "st" +: "en" +: "n" +: smColsOf(numMeasures) map col: _*)
   }
 
   /** Fold one CDC micro-batch. Frames may be empty; columns:
-    * `events(id, t, k)`, `eventDels(id, k)`. */
+    * `events(id, t[, m..mM], k)`, `eventDels(id, k)`. */
   def processBatch(events: DataFrame, eventDels: DataFrame, gap: Long,
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      numMeasures: Int = 0): Unit = {
     val spark = events.sparkSession
     val path = s"$stateDir/sessions"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,16 +109,22 @@ object IncrementalSessions {
       MvPipeline.readBuckets(spark, s"$path/$table",
         MvPipeline.bucketIdsOf(keys, Seq("k"), numBuckets), schema)
 
+    val mCols = mColsOf(numMeasures)
+    val smCols = smColsOf(numMeasures)
     def computeDelta(): DataFrame = {
       val emptyE = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        eSchemaN(numMeasures))
       val eIn =
         if (events.isEmpty) emptyE
-        else events.select(col("id").cast("long").as("id"),
-            col("t").cast("long").as("t"), col("k").cast("long").as("k"))
+        else events.select(Seq(col("id").cast("long").as("id"),
+              col("t").cast("long").as("t")) ++
+              mCols.map(c => col(c).cast("long").as(c)) :+
+              col("k").cast("long").as("k"): _*)
           .groupBy("id")
-          .agg(min(struct(col("t"), col("k"))).as("x"))
-          .select(col("id"), col("x.t").as("t"), col("x.k").as("k"))
+          .agg(min(struct(("t" +: mCols :+ "k").map(col): _*)).as("x"))
+          .select(col("id") +: ("t" +: mCols :+ "k").map(c =>
+            col(s"x.$c").as(c)): _*)
           .transform(graft.operators.Caching.persisted)
       val delIn =
         if (eventDels.isEmpty) emptyE.select("id", "k")
@@ -111,7 +134,7 @@ object IncrementalSessions {
 
       val touched = eIn.select("k").unionByName(delIn.select("k")).distinct()
         .transform(graft.operators.Caching.persisted)
-      val e0 = pruneRead("e", touched, eSchema)
+      val e0 = pruneRead("e", touched, eSchemaN(numMeasures))
         .join(touched, Seq("k"), "left_semi")
         .transform(graft.operators.Caching.persisted)
       // signed event rows (the family's arrive-once / delete-by-id rules)
@@ -125,16 +148,16 @@ object IncrementalSessions {
       // post-state events of the touched users -> exact re-sessionize
       val e1 = e0.join(delIn.select("id"), Seq("id"), "left_anti")
         .unionByName(newE)
-      val vNew = sessionize(e1, gap)
+      val vNew = sessionize(e1, gap, numMeasures)
         .transform(graft.operators.Caching.persisted)
-      val v0 = pruneRead("v", touched, vSchema)
+      val v0 = pruneRead("v", touched, vSchemaN(numMeasures))
         .join(touched, Seq("k"), "left_semi")
         .transform(graft.operators.Caching.persisted)
+      val vCols = Seq("k", "st", "en", "n") ++ smCols
       def rowDiff(a: DataFrame, b: DataFrame): DataFrame = {
-        val bb = b.select(col("k").as("k0"), col("st").as("st0"),
-          col("en").as("en0"), col("n").as("n0"))
-        a.join(bb, col("k") === col("k0") && col("st") === col("st0") &&
-          col("en") === col("en0") && col("n") === col("n0"), "left_anti")
+        val bb = b.select(vCols.map(c => col(c).as(s"${c}0")): _*)
+        a.join(bb, vCols.map(c => col(c) === col(s"${c}0")).reduce(_ && _),
+          "left_anti")
       }
       val zv = rowDiff(vNew, v0).withColumn("w", lit(1L))
         .unionByName(rowDiff(v0, vNew).withColumn("w", lit(-1L)))
@@ -143,25 +166,30 @@ object IncrementalSessions {
       val nil = lit(null).cast("long")
       val eDelta =
         if (ze.isEmpty) Nil
-        else Seq(ze.select(lit("e").as("tbl"), col("id"), col("t"),
-          col("k"), nil.as("st"), nil.as("en"), nil.as("n"),
-          nil.as("b"), col("w")))
+        else Seq(ze.select(Seq(lit("e").as("tbl"), col("id"), col("t")) ++
+          mCols.map(col) ++
+          Seq(col("k"), nil.as("st"), nil.as("en"), nil.as("n")) ++
+          smCols.map(c => nil.as(c)) ++
+          Seq(nil.as("b"), col("w")): _*))
       val vDelta =
         if (zv.isEmpty) Nil
         else Seq(
-          zv.select(lit("v").as("tbl"), nil.as("id"), nil.as("t"),
-            col("k"), col("st"), col("en"), col("n"), nil.as("b"), col("w")),
-          zv.select(lit("c").as("tbl"), nil.as("id"), nil.as("t"),
-            col("k"), col("st"), col("en"), col("n"),
-            lit(batchId).as("b"), col("w")))
+          zv.select(Seq(lit("v").as("tbl"), nil.as("id"), nil.as("t")) ++
+            mCols.map(c => nil.as(c)) ++
+            vCols.map(col) ++ Seq(nil.as("b"), col("w")): _*),
+          zv.select(Seq(lit("c").as("tbl"), nil.as("id"), nil.as("t")) ++
+            mCols.map(c => nil.as(c)) ++
+            vCols.map(col) ++ Seq(lit(batchId).as("b"), col("w")): _*))
       val all = eDelta ++ vDelta
       if (all.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("tbl", org.apache.spark.sql.types.StringType),
-            StructField("id", LongType), StructField("t", LongType),
-            StructField("k", LongType), StructField("st", LongType),
-            StructField("en", LongType), StructField("n", LongType),
-            StructField("b", LongType), StructField("w", LongType))))
+            StructField("id", LongType), StructField("t", LongType)) ++
+            mCols.map(c => StructField(c, LongType)) ++
+            Seq(StructField("k", LongType), StructField("st", LongType),
+              StructField("en", LongType), StructField("n", LongType)) ++
+            smCols.map(c => StructField(c, LongType)) ++
+            Seq(StructField("b", LongType), StructField("w", LongType))))
       else all.reduce(_ unionByName _)
     }
 
@@ -178,19 +206,22 @@ object IncrementalSessions {
       try MvPipeline.applyConcurrently(
         (if (present("e"))
           Seq(() => MvPipeline.upsertBucketedMerge(
-            delta.filter(col("tbl") === "e").select("id", "t", "k", "w"),
+            delta.filter(col("tbl") === "e")
+              .select(("id" +: "t" +: mCols) ++ Seq("k", "w") map col: _*),
             s"$path/e", IncrementalJoinAggStar.mergeF, batchId, numBuckets,
             Seq("k")))
          else Nil) ++
         (if (present("v"))
           Seq(() => MvPipeline.upsertBucketedMerge(
-            delta.filter(col("tbl") === "v").select("k", "st", "en", "n", "w"),
+            delta.filter(col("tbl") === "v")
+              .select((Seq("k", "st", "en", "n") ++ smCols :+ "w").map(col): _*),
             s"$path/v", mergeV, batchId, numBuckets, Seq("k")))
          else Nil) ++
         (if (present("c"))
           Seq(() => MvPipeline.upsertBucketedMerge(
             delta.filter(col("tbl") === "c")
-              .select("b", "k", "st", "en", "n", "w"),
+              .select((Seq("b", "k", "st", "en", "n") ++ smCols :+ "w")
+                .map(col): _*),
             s"$path/c", (old, inc) => old.unionByName(inc).distinct(),
             batchId, numBuckets, Seq("k")))
          else Nil))
@@ -207,59 +238,74 @@ object IncrementalSessions {
     val o = if (old.columns.contains("w")) old.drop("w") else old
     val plus = inc.filter(col("w") === 1L).drop("w")
     val minus = inc.filter(col("w") === -1L).drop("w")
-    val cond = Seq("k", "st", "en", "n").map(c => o(c) <=> minus(c))
-      .reduce(_ && _)
+    // value columns are data-driven (smN measure sums may ride along)
+    val cond = o.columns.map(c => o(c) <=> minus(c)).reduce(_ && _)
     o.join(minus, cond, "left_anti").unionByName(plus).distinct()
   }
 
-  /** `(k, session_start, session_end, n_events)` == the batch
+  private def smOut(st: DataFrame): Seq[org.apache.spark.sql.Column] =
+    st.columns.filter(_.matches("sm\\d*")).toSeq
+      .sortBy(c => if (c == "sm") 1 else c.drop(2).toInt)
+      .map(col)
+
+  /** `(k, session_start, session_end, n_events[, sm..])` == the batch
     * sessionize over the integrated events — live rows (`v/`) plus the
     * frozen floor (`vf/`, [[compactState]]). The distinct() is the
     * compaction crash rule: a crash between the freeze append and the
     * live-row rewrite leaves a row in BOTH tables; distinct masks the
     * window and the re-run converges (sessions of one user have unique
     * starts, so full-row distinct never merges real rows). */
-  def view(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/sessions/v",
-        vSchema)
+  def view(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 0): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+        s"$stateDir/sessions/v", vSchemaN(numMeasures))
       .unionByName(MvPipeline.readBucketedStateOrEmpty(spark,
-        s"$stateDir/sessions/vf", vSchema))
+        s"$stateDir/sessions/vf", vSchemaN(numMeasures)))
       .distinct()
-      .select(col("k"), col("st").as("session_start"),
-        col("en").as("session_end"), col("n").as("n_events"))
+    st.select(Seq(col("k"), col("st").as("session_start"),
+      col("en").as("session_end"), col("n").as("n_events")) ++
+      smOut(st): _*)
+  }
 
   /** [[view]] restricted to `users` — the bucket-pruned point read. */
   def viewFor(spark: SparkSession, stateDir: String, users: Seq[Long],
-      numBuckets: Int = 16): DataFrame = {
+      numBuckets: Int = 16, numMeasures: Int = 0): DataFrame = {
     import spark.implicits._
     val kdf = users.toDF("k")
     def pruned(table: String): DataFrame =
       MvPipeline.readBuckets(spark, s"$stateDir/sessions/$table",
-        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets), vSchema)
-    pruned("v").unionByName(pruned("vf")).distinct()
+        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+        vSchemaN(numMeasures))
+    val st = pruned("v").unionByName(pruned("vf")).distinct()
       .join(broadcast(kdf), Seq("k"), "left_semi")
-      .select(col("k"), col("st").as("session_start"),
-        col("en").as("session_end"), col("n").as("n_events"))
+    st.select(Seq(col("k"), col("st").as("session_start"),
+      col("en").as("session_end"), col("n").as("n_events")) ++
+      smOut(st): _*)
   }
 
-  /** Z-set changelog `(batch, k, session_start, session_end, n_events,
-    * w)`; integral == view (a summing sink converges on the (row, w)
-    * pairs exactly as for the aggregate views). */
-  def changelog(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedStateOrEmpty(spark, s"$stateDir/sessions/c",
-        cSchema)
-      .select(col("b").as("batch"), col("k"),
-        col("st").as("session_start"), col("en").as("session_end"),
-        col("n").as("n_events"), col("w"))
+  /** Z-set changelog `(batch, k, session_start, session_end, n_events
+    * [, sm..], w)`; integral == view (a summing sink converges on the
+    * (row, w) pairs exactly as for the aggregate views). */
+  def changelog(spark: SparkSession, stateDir: String,
+      numMeasures: Int = 0): DataFrame = {
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/sessions/c", cSchemaN(numMeasures))
+    st.select(Seq(col("b").as("batch"), col("k"),
+      col("st").as("session_start"), col("en").as("session_end"),
+      col("n").as("n_events")) ++ smOut(st) :+ col("w"): _*)
+  }
 
   /** AS-OF read over MAINTENANCE time (the family contract). */
-  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long): DataFrame =
-    changelog(spark, stateDir)
+  def viewAsOf(spark: SparkSession, stateDir: String, batch: Long,
+      numMeasures: Int = 0): DataFrame = {
+    val cl = changelog(spark, stateDir, numMeasures)
       .filter(col("batch") <= batch)
-      .groupBy("k", "session_start", "session_end", "n_events")
+    val keys = cl.columns.filterNot(c => c == "batch" || c == "w").toSeq
+    cl.groupBy(keys.map(col): _*)
       .agg(sum("w").as("w"))
       .filter(col("w") > 0)
       .drop("w")
+  }
 
   /** Changelog compaction: fold the prefix `<= upTo` into baseline
     * rows stamped `upTo` (net-zero rows vanish); as-of stays exact at
@@ -267,11 +313,11 @@ object IncrementalSessions {
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.transformBuckets(spark, s"$stateDir/sessions/c", old => {
       val pre = old.filter(col("b") <= upTo)
-      val baseline = pre.groupBy("k", "st", "en", "n")
+      val keys = old.columns.filterNot(c => c == "b" || c == "w").toSeq
+      val baseline = pre.groupBy(keys.map(col): _*)
         .agg(sum("w").as("w"))
         .filter(col("w") =!= 0)
-        .select(lit(upTo).as("b"), col("k"), col("st"), col("en"),
-          col("n"), col("w"))
+        .select(lit(upTo).as("b") +: keys.map(col) :+ col("w"): _*)
       old.filter(col("b") > upTo).unionByName(baseline)
     })
 
@@ -285,23 +331,26 @@ object IncrementalSessions {
     * purge frozen history with a dedicated maintenance pass before
     * forgetting, or forget before freezing). */
   def forgetUsers(spark: SparkSession, users: Seq[Long], stateDir: String,
-      batchId: Long, gap: Long, numBuckets: Int = 16): Unit = {
+      batchId: Long, gap: Long, numBuckets: Int = 16,
+      numMeasures: Int = 0): Unit = {
     import spark.implicits._
     val kdf = users.toDF("k")
     val frozen = MvPipeline.readBuckets(spark, s"$stateDir/sessions/vf",
-        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets), vSchema)
+        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+        vSchemaN(numMeasures))
       .join(broadcast(kdf), Seq("k"), "left_semi")
     require(frozen.isEmpty,
       "forgetUsers: named users hold FROZEN session rows (beyond the " +
         "compaction horizon); the live CDC path cannot retract them")
     val dels = MvPipeline.readBuckets(spark, s"$stateDir/sessions/e",
-        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets), eSchema)
+        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+        eSchemaN(numMeasures))
       .join(broadcast(kdf), Seq("k"), "left_semi")
       .select("id", "k")
     processBatch(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        eSchema),
-      dels, gap, stateDir, batchId, numBuckets)
+        eSchemaN(numMeasures)),
+      dels, gap, stateDir, batchId, numBuckets, numMeasures)
   }
 
   /** WATERMARK-EXACT state compaction — the bounded-state member of
@@ -330,11 +379,11 @@ object IncrementalSessions {
     * freeze-append is idempotent (distinct merge), the view's distinct
     * masks the append→rewrite window, and a re-run converges. */
   def compactState(spark: SparkSession, stateDir: String, horizon: Long,
-      gap: Long, numBuckets: Int = 16): Unit = {
+      gap: Long, numBuckets: Int = 16, numMeasures: Int = 0): Unit = {
     val path = s"$stateDir/sessions"
     // 1. APPEND the frozen rows to vf/ (idempotent distinct merge)
     val frozen = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/v",
-        vSchema)
+        vSchemaN(numMeasures))
       .filter(col("en") + gap < horizon)
     if (!frozen.isEmpty)
       MvPipeline.upsertBucketedMerge(frozen, s"$path/vf",
@@ -346,6 +395,7 @@ object IncrementalSessions {
     // 3. drop the frozen sessions' events (per-bucket window is exact:
     //    e/ is bucketed by k, so a user's whole history is co-located)
     MvPipeline.transformBuckets(spark, s"$path/e", old => {
+      val keep = old.columns.toSeq
       val w = Window.partitionBy("k").orderBy("t", "id")
       old
         .withColumn("brk",
@@ -354,36 +404,43 @@ object IncrementalSessions {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("sen", max("t").over(Window.partitionBy("k", "sx")))
         .filter(!(col("sen") + gap < horizon))
-        .select("id", "t", "k")
+        .select(keep.map(col): _*)
     })
   }
 
   /** BOOTSTRAP a fresh state dir from a batch event table — the batch
     * sessionize plan once, instead of per-batch delta machinery. */
   def bootstrap(events: DataFrame, gap: Long, stateDir: String,
-      baselineBatch: Long = 0L, numBuckets: Int = 16): Unit = {
+      baselineBatch: Long = 0L, numBuckets: Int = 16,
+      numMeasures: Int = 0): Unit = {
     val spark = events.sparkSession
+    val mCols = mColsOf(numMeasures)
     val path = s"$stateDir/sessions"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")
-    val eIn = events.select(col("id").cast("long").as("id"),
-        col("t").cast("long").as("t"), col("k").cast("long").as("k"))
+    val eIn = events.select(Seq(col("id").cast("long").as("id"),
+        col("t").cast("long").as("t")) ++
+        mCols.map(c => col(c).cast("long").as(c)) :+
+        col("k").cast("long").as("k"): _*)
       .groupBy("id")
-      .agg(min(struct(col("t"), col("k"))).as("x"))
-      .select(col("id"), col("x.t").as("t"), col("x.k").as("k"))
+      .agg(min(struct(("t" +: mCols :+ "k").map(col): _*)).as("x"))
+      .select(col("id") +: ("t" +: mCols :+ "k").map(c =>
+        col(s"x.$c").as(c)): _*)
       .transform(graft.operators.Caching.persisted)
     try {
       MvPipeline.upsertBucketedMerge(eIn, s"$path/e",
         (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
         Seq("k"))
-      val v = sessionize(eIn, gap).transform(graft.operators.Caching.persisted)
+      val v = sessionize(eIn, gap, numMeasures)
+        .transform(graft.operators.Caching.persisted)
       MvPipeline.upsertBucketedMerge(v, s"$path/v",
         (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
         Seq("k"))
       MvPipeline.upsertBucketedMerge(
-        v.select(lit(baselineBatch).as("b"), col("k"), col("st"),
-          col("en"), col("n"), lit(1L).as("w")),
+        v.select(lit(baselineBatch).as("b") +:
+          (Seq("k", "st", "en", "n") ++ smColsOf(numMeasures)).map(col) :+
+          lit(1L).as("w"): _*),
         s"$path/c", (old, inc) => old.unionByName(inc).distinct(), -1L,
         numBuckets, Seq("k"))
     } finally graft.operators.Caching.releaseAll()
@@ -396,7 +453,7 @@ object IncrementalSessions {
       gap: Long, stateDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      numBuckets: Int = 16)
+      numBuckets: Int = 16, numMeasures: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -408,7 +465,8 @@ object IncrementalSessions {
         processBatch(
           batch.filter(col("kind") === "e"),
           batch.filter(col("kind") === "e_del"),
-          gap, stateDir, batchId, numBuckets = numBuckets)
+          gap, stateDir, batchId, numBuckets = numBuckets,
+          numMeasures = numMeasures)
       }
       .start()
 }

@@ -230,6 +230,37 @@ class IncrementalSessionsSpec extends SparkTestBase {
     assert(got === twin)
   }
 
+  test("multi-measure (R161): per-session sums ride the merge/split exactly") {
+    val state = tmpDir("ses-mm")
+    def foldMM(id: Long, events: Seq[(Long, Long, Long, Long)] = Nil,
+        dels: Seq[(Long, Long)] = Nil): Unit =
+      IncrementalSessions.processBatch(
+        if (events.isEmpty) Seq.empty[(Long, Long, Long, Long)]
+          .toDF("id", "t", "m", "k")
+        else events.toDF("id", "t", "m", "k"),
+        if (dels.isEmpty) noD else dels.toDF("id", "k"),
+        gap, state, id, numBuckets = 4, numMeasures = 1)
+    def servedMM: Set[(Long, Long, Long, Long, Long)] =
+      IncrementalSessions.view(spark, state, numMeasures = 1)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    foldMM(0L, events = Seq((1L, 0L, 7L, 1L), (2L, 250L, 11L, 1L)))
+    assert(servedMM === Set((1L, 0L, 0L, 1L, 7L), (1L, 250L, 250L, 1L, 11L)))
+    // bridge MERGES the sessions: the merged row carries the TOTAL sum
+    foldMM(1L, events = Seq((3L, 100L, 13L, 1L), (4L, 180L, 17L, 1L)))
+    assert(servedMM === Set((1L, 0L, 250L, 4L, 48L)))
+    // deleting the bridge SPLITS it back; each side keeps its own sum
+    foldMM(2L, dels = Seq((3L, 1L), (4L, 1L)))
+    assert(servedMM === Set((1L, 0L, 0L, 1L, 7L), (1L, 250L, 250L, 1L, 11L)))
+    // changelog integral carries the measure too
+    val integ = IncrementalSessions.changelog(spark, state, numMeasures = 1)
+      .groupBy("k", "session_start", "session_end", "n_events", "sm")
+      .agg(org.apache.spark.sql.functions.sum("w").as("w"))
+      .filter(col("w") > 0)
+      .select("k", "session_start", "session_end", "n_events", "sm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(integ === servedMM)
+  }
+
   test("derived per-user stats (R164 over R166) track merges, splits, forgets") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -261,7 +292,7 @@ class IncrementalSessionsSpec extends SparkTestBase {
         .as[(String, Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     def want: Map[String, (Long, Long, Long)] =
-      served(state).groupBy(_._1).map { case (k, ss) =>
+      served(state).toSeq.groupBy(_._1).map { case (k, ss) =>
         k.toString -> (ss.size.toLong, ss.map(_._4).max, ss.map(_._4).sum)
       }
     cascade(0L, events = Seq((1L, 0L, 1L), (2L, 250L, 1L), (3L, 0L, 2L)))
