@@ -431,6 +431,19 @@ object IncrementalIntervalJoinAgg {
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =
     MvPipeline.compactChangelogA(spark, s"$stateDir/intervaljoinagg/a", upTo)
 
+  /** RESHARD the state dir to `newBuckets` (R163's write-side knob):
+    * offline op between committed batches into a FRESH `dstDir`; resume
+    * folding with `numBuckets = newBuckets` and batch ids above the
+    * last committed. */
+  def reshard(spark: SparkSession, srcDir: String, dstDir: String,
+      newBuckets: Int): Unit = {
+    val src = s"$srcDir/intervaljoinagg"
+    val dst = s"$dstDir/intervaljoinagg"
+    MvPipeline.reshardBucketed(spark, s"$src/f", s"$dst/f", newBuckets, Seq("k"))
+    MvPipeline.reshardBucketed(spark, s"$src/i", s"$dst/i", newBuckets, Seq("k"))
+    MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets, Seq("g"))
+  }
+
   /** BOOTSTRAP a fresh state dir from batch tables — one range join
     * (the batch twin's plan, [[intervalAggregate]]) instead of
     * per-batch delta machinery. */

@@ -408,6 +408,19 @@ object IncrementalSessions {
     })
   }
 
+  /** RESHARD the state dir to `newBuckets` (R163's write-side knob):
+    * offline op between committed batches into a FRESH `dstDir`; resume
+    * folding with `numBuckets = newBuckets` and batch ids above the
+    * last committed. */
+  def reshard(spark: SparkSession, srcDir: String, dstDir: String,
+      newBuckets: Int): Unit = {
+    val src = s"$srcDir/sessions"
+    val dst = s"$dstDir/sessions"
+    Seq("e", "v", "vf", "c").foreach(t =>
+      MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
+        Seq("k")))
+  }
+
   /** BOOTSTRAP a fresh state dir from a batch event table — the batch
     * sessionize plan once, instead of per-batch delta machinery. */
   def bootstrap(events: DataFrame, gap: Long, stateDir: String,

@@ -235,6 +235,49 @@ class ChangelogShipSpec extends SparkTestBase {
     assert(shipNow() === 0L, "nothing pending after the watermark")
   }
 
+  test("versioned ship serves a sessions rollup: a merge REPLACES, a forget DELETES") {
+    import graft.streaming.IncrementalSessions
+    val state = tmpDir("cs-ses-v")
+    val db = "changelog_ses_v"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+    def fold(events: Seq[(Long, Long, Long)], id: Long): Unit =
+      IncrementalSessions.processBatch(events.toDF("id", "t", "k"),
+        Seq.empty[(Long, Long)].toDF("id", "k"), gap = 100L,
+        stateDir = state, batchId = id, numBuckets = 4)
+    // REPLACE-per-user rollup over the maintained session rows
+    def rollup = IncrementalSessions.view(spark, state)
+      .groupBy(col("k").as("uid"))
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("total_events"))
+    def shipV(v: Long): Long = ChangelogShip.shipVersioned(
+      rollup, Seq("uid"), sink, "ses_roll", state, v)
+    def foldedV: Map[Long, (Long, Long)] = readBack(db, "ses_roll").distinct()
+      .groupBy("uid")
+      .agg(max_by(struct(col("n_sessions"), col("total_events"),
+        col("is_deleted")), col("version")).as("s"))
+      .filter("s.is_deleted = 0")
+      .select(col("uid"), col("s.n_sessions"), col("s.total_events"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def servedV: Map[Long, (Long, Long)] =
+      rollup.as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    fold(Seq((1L, 0L, 1L), (2L, 250L, 1L), (3L, 0L, 2L)), 0L)
+    assert(shipV(0L) === 2L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> (2L, 2L), 2L -> (1L, 1L)))
+    // a cross-batch MERGE replaces user 1's rollup row (2 sessions -> 1)
+    fold(Seq((4L, 100L, 1L), (5L, 180L, 1L)), 1L)
+    assert(shipV(1L) === 1L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> (1L, 4L), 2L -> (1L, 1L)))
+    // a forget travels as a deletion marker
+    IncrementalSessions.forgetUsers(spark, Seq(2L), state, 2L, gap = 100L,
+      numBuckets = 4)
+    assert(shipV(2L) === 1L)
+    assert(foldedV === servedV)
+    assert(servedV === Map(1L -> (1L, 4L)))
+  }
+
   test("parquet sink: the same contract over files") {
     val state = tmpDir("cs2"); val out = tmpDir("cs2out")
     val sink = new ParquetSink(out)

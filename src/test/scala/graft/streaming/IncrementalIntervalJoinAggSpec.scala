@@ -325,6 +325,25 @@ class IncrementalIntervalJoinAggSpec extends SparkTestBase {
       Map("a" -> (5L, 2L), "b" -> (2L, 1L)))
   }
 
+  test("reshard to a new bucket count; folding continues exactly (R163)") {
+    val state = tmpDir("ija-rs")
+    val state8 = tmpDir("ija-rs8")
+    fold(state, 0L, intUps = Seq((1L, 1L, 0L, 100L, "a"), (2L, 1L, 50L, 150L, "b")),
+      facts = Seq((10L, 75L, 1L, 1L), (11L, 120L, 2L, 1L)))
+    IncrementalIntervalJoinAgg.reshard(spark, state, state8, newBuckets = 8)
+    assert(served(state8) === served(state), "reshard changed the view")
+    // continue at the NEW count through a window replace + fact delete
+    IncrementalIntervalJoinAgg.processBatch(noF,
+      Seq((11L, 1L)).toDF("id", "k"),
+      Seq((1L, 1L, 0L, 130L, "z")).toDF("iid", "k", "s", "e", "vs"),
+      noID, state8, 1L, numBuckets = 8)
+    assert(served(state8) === Map("z" -> (1L, 1L), "b" -> (1L, 1L)))
+    // point reads prune at the new count
+    assert(IncrementalIntervalJoinAgg.viewFor(spark, state8, Seq("z"),
+        numBuckets = 8)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("z", 1L, 1L)))
+  }
+
   test("start(): mixed CDC stream end-to-end (AvailableNow)") {
     import org.apache.spark.sql.types._
     val in = tmpDir("ija-in")

@@ -335,6 +335,22 @@ class IncrementalSessionsSpec extends SparkTestBase {
       (1L, 0L, 80L, 2L), (1L, 300L, 300L, 1L), (2L, 0L, 0L, 1L)))
   }
 
+  test("reshard to a new bucket count; folding continues exactly (R163)") {
+    val state = tmpDir("ses-rs")
+    val state8 = tmpDir("ses-rs8")
+    fold(state, 0L, events = Seq((1L, 0L, 1L), (2L, 250L, 1L), (3L, 0L, 2L)))
+    IncrementalSessions.reshard(spark, state, state8, newBuckets = 8)
+    assert(served(state8) === served(state), "reshard changed the view")
+    // continue at the NEW count through a cross-batch merge
+    IncrementalSessions.processBatch(
+      Seq((4L, 100L, 1L), (5L, 180L, 1L)).toDF("id", "t", "k"),
+      noD, gap, state8, 1L, numBuckets = 8)
+    assert(served(state8) === Set((1L, 0L, 250L, 4L), (2L, 0L, 0L, 1L)))
+    assert(IncrementalSessions.viewFor(spark, state8, Seq(1L), numBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet ===
+      Set((1L, 0L, 250L, 4L)))
+  }
+
   test("start(): CDC stream end-to-end (AvailableNow)") {
     import org.apache.spark.sql.types._
     val in = tmpDir("ses-in")
