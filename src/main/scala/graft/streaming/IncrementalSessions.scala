@@ -408,6 +408,64 @@ object IncrementalSessions {
     })
   }
 
+  /** PURGE the FROZEN history of `users` (the other half of the GDPR
+    * story — [[forgetUsers]] covers the live horizon and throws on
+    * frozen rows): the named users' `vf/` floor rows are removed and
+    * matching −1 changelog rows ship, so the view drops them, the
+    * integral stays == view, and external sinks converge. One staged
+    * delta under the standard marker protocol — replay (same
+    * `batchId`) is a no-op, a crash before any apply re-runs, a crash
+    * between the two applies converges on re-run (each table skips its
+    * stamped buckets). Run this BEFORE [[forgetUsers]] for a user with
+    * both frozen and live history. */
+  def purgeFrozen(spark: SparkSession, users: Seq[Long], stateDir: String,
+      batchId: Long, numBuckets: Int = 16, numMeasures: Int = 0): Unit = {
+    import spark.implicits._
+    val path = s"$stateDir/sessions"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+    val smCols = smColsOf(numMeasures)
+    if (!(batchId >= 0 && fs.exists(staged))) {
+      val kdf = users.toDF("k")
+      val rows = MvPipeline.readBuckets(spark, s"$path/vf",
+          MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+          vSchemaN(numMeasures))
+        .join(broadcast(kdf), Seq("k"), "left_semi")
+      val delta = rows.select(Seq(lit("vf").as("tbl")) ++
+          (Seq("k", "st", "en", "n") ++ smCols).map(col) ++
+          Seq(lit(null).cast("long").as("b"), lit(-1L).as("w")): _*)
+        .unionByName(rows.select(Seq(lit("c").as("tbl")) ++
+          (Seq("k", "st", "en", "n") ++ smCols).map(col) ++
+          Seq(lit(batchId).as("b"), lit(-1L).as("w")): _*))
+      val tmp = new Path(s"$path/$stagedName.tmp")
+      delta.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(staged, true)
+      require(fs.rename(tmp, staged), s"stage delta $staged")
+    }
+    val delta = spark.read.parquet(staged.toString).persist()
+    // the staged file must SURVIVE a failed apply (a retry re-reads it;
+    // recomputing from the partially-applied vf/ would lose the c rows)
+    try MvPipeline.applyConcurrently(Seq(
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "vf")
+          .select((Seq("k", "st", "en", "n") ++ smCols :+ "w").map(col): _*),
+        s"$path/vf", mergeV, batchId, numBuckets, Seq("k")),
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "c")
+          .select((Seq("b", "k", "st", "en", "n") ++ smCols :+ "w")
+            .map(col): _*),
+        s"$path/c", (old, inc) => old.unionByName(inc).distinct(),
+        batchId, numBuckets, Seq("k"))))
+    finally delta.unpersist()
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path))
+        .filter(x => x.getPath.getName.startsWith("_delta_"))
+        .foreach(x => fs.delete(x.getPath, true))
+  }
+
   /** RESHARD the state dir to `newBuckets` (R163's write-side knob):
     * offline op between committed batches into a FRESH `dstDir`; resume
     * folding with `numBuckets = newBuckets` and batch ids above the

@@ -186,11 +186,23 @@ class IncrementalSessionsSpec extends SparkTestBase {
     IncrementalSessions.forgetUsers(spark, Seq(3L), twin, 2L, gap,
       numBuckets = 4)
     assert(served(state) === served(twin), "live forget diverged")
-    // forget of a FROZEN user throws (the frozen-guard rule)
+    // forget of a FROZEN user throws (the frozen-guard rule)...
     intercept[IllegalArgumentException] {
       IncrementalSessions.forgetUsers(spark, Seq(2L), state, 3L, gap,
         numBuckets = 4)
     }
+    // ...until purgeFrozen removes the floor rows and ships −1 changelog
+    // rows; then the live forget passes and the user is fully gone
+    val before2 = served(state)
+    IncrementalSessions.purgeFrozen(spark, Seq(2L), state, 3L, numBuckets = 4)
+    assert(served(state) === before2.filterNot(_._1 == 2L))
+    assert(integral(state) === served(state), "integral through the purge")
+    // replay of the purge batch is a no-op
+    IncrementalSessions.purgeFrozen(spark, Seq(2L), state, 3L, numBuckets = 4)
+    assert(served(state) === before2.filterNot(_._1 == 2L))
+    IncrementalSessions.forgetUsers(spark, Seq(2L), state, 5L, gap,
+      numBuckets = 4)
+    assert(!served(state).exists(_._1 == 2L))
     // the DOCUMENTED divergence: an out-of-contract late event (t <
     // horizon) re-sessionizes only the retained events beside the
     // frozen floor, where the twin merges the full history
