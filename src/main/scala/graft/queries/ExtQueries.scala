@@ -1735,6 +1735,43 @@ object ExtQueries {
       .orderBy("band")
   }
 
+  /** Batch twin of the MIXED-SHAPE star (R167,
+    * [[graft.streaming.IncrementalTemporalStar]] with
+    * `intervalBranches`): each click resolves the user's segment AS OF
+    * click time (temporal branch, ≤1 match, LEFT) AND fans out into
+    * every 10-minute purchase attribution window covering it (interval
+    * branch, ≥0 matches, INNER) — "revenue by as-of segment attributed
+    * within campaign windows", the composition neither pure engine
+    * expresses. A click inside two concurrent windows counts toward
+    * both bands; clicks covered by no window contribute nothing.
+    * Oracled against DuckDB's native ASOF LEFT JOIN + range join in
+    * one query. Plan: one shuffle + one event-time sort for the
+    * temporal branch, one equi-keyed range-residual join for the
+    * window branch, one aggregate. */
+  def x130MixedAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        col("user_id").as("k1"), col("user_id").as("k2"))
+    val seg = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    val wins = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iid"), col("user_id").as("k"),
+        expr("ts DIV 1000").as("s"),
+        expr("ts DIV 1000 + 600000000").as("e"),
+        concat(lit("b"), (graft.functions.cents(col("value")) % 5)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalStar
+      .asOfAggregateStar(facts, Seq(seg, wins), intervalBranches = Set(2))
+      .select(coalesce(col("g1"), lit("(none)")).as("seg"),
+        col("g2").as("band"),
+        col("total").as("click_cents"), col("rows").as("matches"))
+      .orderBy("seg", "band")
+  }
+
   /** Batch twin of the incrementally-maintained SESSIONIZATION
     * ([[graft.streaming.IncrementalSessions]], R166): per-user session
     * statistics over the maintained session-row set — count, largest
@@ -4768,6 +4805,31 @@ object ExtQueries {
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP)) + 600000000
          |GROUP BY 1 ORDER BY band""".stripMargin,
+    "x130_mixed_attribution" ->
+      s"""WITH d AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |w AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e,
+         |    'b' || CAST(${graft.functions.centsSql("value")} % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |f AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'click'
+         |),
+         |r AS (
+         |  SELECT f.k, f.t, f.m, d.vs AS seg
+         |  FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
+         |)
+         |SELECT coalesce(r.seg, '(none)') AS seg, w.vs AS band,
+         |  CAST(sum(r.m) AS BIGINT) AS click_cents, count(*) AS matches
+         |FROM r JOIN w ON r.k = w.k AND w.s <= r.t AND r.t < w.e
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x127_enriched_facts" ->
       s"""WITH d1 AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -5138,6 +5200,7 @@ object ExtQueries {
     "x127_enriched_facts" -> x127EnrichedFacts, // oracle: per-fact denormalized as-of resolution
     "x128_attributed_clicks" -> x128AttributedClicks, // oracle: M:N interval-overlap join-aggregate
     "x129_user_sessions" -> x129UserSessions, // oracle: per-user rollup of the session-row set
+    "x130_mixed_attribution" -> x130MixedAttribution, // oracle: ASOF LEFT + range join in one query (R167)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -71,7 +71,31 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * of [[IncrementalJoinAggStar]]); the batch twin is **x126_asof_star**
   * (DuckDB chained ASOF LEFT JOIN). Every public entry takes a `root`
   * (the table-directory name under `stateDir`) so delegates keep their
-  * own state namespace. */
+  * own state namespace.
+  *
+  * MIXED-SHAPE branches (SURVEY.md §2.11 R167): `intervalBranches`
+  * names the branches whose dimension is an explicit OVERLAP-WINDOW
+  * relation ([[IncrementalIntervalJoinAgg]]'s rows `(iid, k, s, e,
+  * vs)`) instead of an SCD-2 version history — "revenue by as-of
+  * segment, attributed within campaign windows" is ONE maintained view
+  * with a temporal branch and an interval branch. The Δ-rule is the
+  * SAME telescoped multilinear sum: an interval branch's relation is
+  * already explicit signed rows (no intervalization device), its ΔR_b
+  * is the exact row diff of the touched iids, and its per-branch
+  * resolve is a FAN-OUT inner join (each covering window emits its own
+  * tuple; facts covered by no window contribute nothing — the interval
+  * engine's INNER contract) instead of the as-of max-(vf ≤ t)
+  * collapse. Fan-out makes tuple multiplicity real: every interval
+  * resolve carries the matched window's `iid` as a `_tag` column so a
+  * later as-of resolve's group-collapse can never merge two
+  * same-attribute tuples. `trackEnriched` is scoped OUT under fan-out
+  * (REPLACE-per-id is meaningless when one fact maps to many tuples —
+  * enforced, documented); `trackExtrema` stays exact (the e/ relation
+  * is the tuple multiset, which fan-out legitimately multiplies).
+  * Batch twin: **x130_mixed_attribution** (DuckDB ASOF LEFT JOIN +
+  * range join in one query). Reference anchor: the ad-hoc consumer
+  * joins over summary tables (/root/reference/README.md:24-189) mix
+  * exactly these dimension shapes. */
 object IncrementalTemporalStar {
 
   /** Default table-directory name under `stateDir`. */
@@ -93,6 +117,8 @@ object IncrementalTemporalStar {
     StructField("vf", LongType), StructField("vs", StringType)))
   private val dDelSchema = StructType(Seq(StructField("k", LongType),
     StructField("vf", LongType)))
+  private val iDelSchema = StructType(Seq(StructField("iid", LongType),
+    StructField("k", LongType)))
 
   /** Encode per-branch resolved attributes into the stored group key. */
   private def encodeG(gCols: Seq[Column]): Column =
@@ -106,15 +132,28 @@ object IncrementalTemporalStar {
     }
 
   /** Fold one CDC micro-batch. `facts(id, t, m[, m2..], k1..kB)`,
-    * `factDels(id, k1..kB)`, per-branch `dimUps(b)(k, vf, vs)` and
-    * `dimDels(b)(k, vf)`; frames may be empty. */
+    * `factDels(id, k1..kB)`; per TEMPORAL branch `dimUps(b)(k, vf,
+    * vs)` / `dimDels(b)(k, vf)`; per INTERVAL branch (R167, `b ∈
+    * intervalBranches`) `dimUps(b)(iid, k, s, e, vs)` / `dimDels(b)
+    * (iid, k)` under the interval engine's contracts (iid pins k;
+    * upsert = −old +new; delete-wins); frames may be empty. */
   def processBatch(facts: DataFrame, factDels: DataFrame,
       dimUps: Seq[DataFrame], dimDels: Seq[DataFrame],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
-      trackEnriched: Boolean = false, root: String = Root): Unit = {
+      trackEnriched: Boolean = false, root: String = Root,
+      intervalBranches: Set[Int] = Set.empty): Unit = {
     val nB = dimUps.size
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
+    require(intervalBranches.forall(b => b >= 1 && b <= nB),
+      "interval branch ids must be in 1..B")
+    // REPLACE-per-id has no meaning when one fact maps to many tuples:
+    // the enriched table is scoped OUT under interval fan-out (consumers
+    // keep the aggregate/extrema views; a per-(fact, window) enriched
+    // relation would need a composite REPLACE key — a different contract)
+    require(!(trackEnriched && intervalBranches.nonEmpty),
+      "trackEnriched is not supported with interval (fan-out) branches")
+    def isInt(b: Int): Boolean = intervalBranches.contains(b)
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
     val spark = facts.sparkSession
@@ -159,9 +198,17 @@ object IncrementalTemporalStar {
             kCols.map(c => col(c).cast("long").as(c)): _*).distinct()
           .transform(graft.operators.Caching.persisted)
 
-      // ---- per-branch version Z-set + interval Z-set (R160 verbatim) ----
+      // ---- per-branch version Z-set + interval Z-set (R160 verbatim;
+      //      R167 interval branches carry explicit window rows instead) ----
       val dDelN = (0 until nB).map { i =>
-        if (dimDels(i).isEmpty)
+        if (isInt(i + 1)) {
+          if (dimDels(i).isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              iDelSchema)
+          else dimDels(i).select(col("iid").cast("long").as("iid"),
+              col("k").cast("long").as("k")).distinct()
+            .transform(graft.operators.Caching.persisted)
+        } else if (dimDels(i).isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             dDelSchema)
         else dimDels(i).select(col("k").cast("long").as("k"),
@@ -169,7 +216,22 @@ object IncrementalTemporalStar {
           .transform(graft.operators.Caching.persisted)
       }
       val dIn = (0 until nB).map { i =>
-        if (dimUps(i).isEmpty)
+        if (isInt(i + 1)) {
+          // latest-wins per iid (deterministic min-struct), delete-wins —
+          // the interval engine's within-batch rules verbatim
+          if (dimUps(i).isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              IncrementalIntervalJoinAgg.iSchema)
+          else dimUps(i).select(col("iid").cast("long").as("iid"),
+              col("k").cast("long").as("k"), col("s").cast("long").as("s"),
+              col("e").cast("long").as("e"), col("vs").cast("string").as("vs"))
+            .groupBy("iid")
+            .agg(min(struct(col("k"), col("s"), col("e"), col("vs"))).as("x"))
+            .select(col("iid"), col("x.k").as("k"), col("x.s").as("s"),
+              col("x.e").as("e"), col("x.vs").as("vs"))
+            .join(dDelN(i).select("iid"), Seq("iid"), "left_anti")
+            .transform(graft.operators.Caching.persisted)
+        } else if (dimUps(i).isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             dUpSchema)
         else dimUps(i).select(col("k").cast("long").as("k"),
@@ -178,12 +240,31 @@ object IncrementalTemporalStar {
           .join(dDelN(i), Seq("k", "vf"), "left_anti")
           .transform(graft.operators.Caching.persisted)
       }
+      // interval branches: the touched (iid, k) pairs — iid scopes the
+      // pre-state row read, k scopes the branch-term fact read
+      val touchedI = (0 until nB).map { i =>
+        if (!isInt(i + 1)) null
+        else dIn(i).select("iid", "k").unionByName(dDelN(i).select("iid", "k"))
+          .distinct()
+          .transform(graft.operators.Caching.persisted)
+      }
       val touchedK = (0 until nB).map { i =>
-        dIn(i).select("k").unionByName(dDelN(i).select("k")).distinct()
+        if (isInt(i + 1))
+          touchedI(i).select("k").distinct()
+            .transform(graft.operators.Caching.persisted)
+        else dIn(i).select("k").unionByName(dDelN(i).select("k")).distinct()
           .transform(graft.operators.Caching.persisted)
       }
       val d0k = (0 until nB).map { i =>
-        if (!dActive(i))
+        if (isInt(i + 1)) {
+          if (!dActive(i))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              IncrementalIntervalJoinAgg.iSchema)
+          else pruneRead(s"d${i + 1}", touchedK(i), "k",
+              IncrementalIntervalJoinAgg.iSchema)
+            .join(touchedI(i).select("iid"), Seq("iid"), "left_semi")
+            .transform(graft.operators.Caching.persisted)
+        } else if (!dActive(i))
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             IncrementalJoinAggStar.dSchema)
         else pruneRead(s"d${i + 1}", touchedK(i), "k",
@@ -192,7 +273,8 @@ object IncrementalTemporalStar {
           .transform(graft.operators.Caching.persisted)
       }
       val d1k = (0 until nB).map { i =>
-        if (!dActive(i)) d0k(i)
+        if (isInt(i + 1)) null // no intervalization device on explicit rows
+        else if (!dActive(i)) d0k(i)
         else d0k(i)
           .join(dDelN(i).select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
           .join(dIn(i).select(col("k"), col("vf").as("vl")), Seq("k", "vl"), "left_anti")
@@ -204,8 +286,23 @@ object IncrementalTemporalStar {
         a.join(bb, col("k") === col("k0") && col("vl") === col("vl0") &&
           col("vs") <=> col("vs0"), "left_anti")
       }
+      def rowDiffI(a: DataFrame, b: DataFrame): DataFrame = {
+        val bb = b.select(col("iid").as("iid0"), col("k").as("k0"),
+          col("s").as("s0"), col("e").as("e0"), col("vs").as("vs0"))
+        a.join(bb, col("iid") === col("iid0") && col("k") === col("k0") &&
+          col("s") === col("s0") && col("e") === col("e0") &&
+          col("vs") <=> col("vs0"), "left_anti")
+      }
+      // state-merge Z-set: temporal (k, vl, vs, w) version rows;
+      // interval (iid, k, s, e, vs, w) window rows — for interval
+      // branches this IS the join delta too (explicit rows, bilinear)
       val zd = (0 until nB).map { i =>
-        if (!dActive(i)) d0k(i).withColumn("w", lit(1L)).limit(0)
+        if (isInt(i + 1)) {
+          if (!dActive(i)) d0k(i).withColumn("w", lit(1L)).limit(0)
+          else rowDiffI(dIn(i), d0k(i)).withColumn("w", lit(1L))
+            .unionByName(rowDiffI(d0k(i), dIn(i)).withColumn("w", lit(-1L)))
+            .transform(graft.operators.Caching.persisted)
+        } else if (!dActive(i)) d0k(i).withColumn("w", lit(1L)).limit(0)
         else rowDiff(d1k(i), d0k(i)).withColumn("w", lit(1L))
           .unionByName(rowDiff(d0k(i), d1k(i)).withColumn("w", lit(-1L)))
           .transform(graft.operators.Caching.persisted)
@@ -227,7 +324,8 @@ object IncrementalTemporalStar {
           col("vu") <=> col("vu0") && col("vs") <=> col("vs0"), "left_anti")
       }
       val zi = (0 until nB).map { i =>
-        if (!dActive(i))
+        if (isInt(i + 1)) null // interval branches: zd IS the join delta
+        else if (!dActive(i))
           intervalsOf(d0k(i), touchedK(i)).withColumn("w", lit(1L)).limit(0)
         else {
           val iPre = intervalsOf(d0k(i), touchedK(i))
@@ -241,9 +339,13 @@ object IncrementalTemporalStar {
       }
 
       // ---- as-of RESOLUTION of branch j over a term frame ----
-      // `fr` carries (id, t, mCols, k1..kB, w [, g_i...]); at most one
-      // version matches (I(D_j) partitions the line), found as the
-      // max-(vl <= t) row of the (optionally Z-set-patched) pre-state.
+      // `fr` carries (id, t, mCols, k1..kB, w [, g_i, _tag_i...]); at
+      // most one version matches (I(D_j) partitions the line), found as
+      // the max-(vl <= t) row of the (optionally Z-set-patched)
+      // pre-state. The group-collapse is safe under upstream interval
+      // fan-out because every interval resolve tags its tuples with the
+      // matched iid (in `keep` here), so no two distinct tuples share a
+      // group.
       def resolve(fr: DataFrame, j: Int, post: Boolean): DataFrame = {
         val keep = fr.columns.toSeq
         val keys = fr.select(col(s"k$j").as("k")).distinct()
@@ -265,6 +367,35 @@ object IncrementalTemporalStar {
           .select(keep.map(col) :+ col("_s._vs").as(s"g$j"): _*)
       }
 
+      // ---- interval RESOLUTION of branch j (R167): fan-out INNER join
+      //      against the covering windows — every match emits its own
+      //      tuple carrying the window attribute AND its iid as the
+      //      multiplicity tag; facts covered by no window drop (the
+      //      interval engine's INNER contract) ----
+      def resolveI(fr: DataFrame, j: Int, post: Boolean): DataFrame = {
+        val keep = fr.columns.toSeq
+        val keys = fr.select(col(s"k$j").as("k")).distinct()
+        val base = pruneRead(s"d$j", keys, "k",
+            IncrementalIntervalJoinAgg.iSchema)
+          .join(keys, Seq("k"), "left_semi")
+        val eff =
+          if (post && dActive(j - 1))
+            base.withColumn("w", lit(1L))
+              .unionByName(zd(j - 1).join(keys, Seq("k"), "left_semi"))
+              .groupBy("iid", "k", "s", "e", "vs").agg(sum("w").as("w"))
+              .filter(col("w") > 0)
+              .select("iid", "k", "s", "e", "vs")
+          else base
+        fr.join(eff.select(col("k").as("_dk"), col("s").as("_s"),
+              col("e").as("_e"), col("vs").as("_vs"), col("iid").as("_tid")),
+            col(s"k$j") === col("_dk") && col("_s") <= col("t") &&
+              col("t") < col("_e"))
+          .select(keep.map(col) ++
+            Seq(col("_vs").as(s"g$j"), col("_tid").as(s"_tag$j")): _*)
+      }
+      def resolveAny(fr: DataFrame, j: Int, post: Boolean): DataFrame =
+        if (isInt(j)) resolveI(fr, j, post) else resolve(fr, j, post)
+
       // ---- ΔF term: signed fact rows resolved at POST on every branch ----
       val zf =
         if (!fActive) emptyF.withColumn("w", lit(1L)).limit(0)
@@ -283,12 +414,15 @@ object IncrementalTemporalStar {
         if (!fActive) Nil
         else {
           var cur = zf
-          for (j <- 1 to nB) cur = resolve(cur, j, post = true)
+          for (j <- 1 to nB) cur = resolveAny(cur, j, post = true)
           Seq(cur)
         }
 
       // ---- branch terms: F_pre(touched k_b) x ΔI_b, others j<b PRE,
-      //      j>b POST ----
+      //      j>b POST. For an interval branch ΔI_b is its signed
+      //      explicit-row diff (zd); the join predicate is identical
+      //      (s/e are non-null, so the null-tolerant bounds reduce to
+      //      s <= t < e) and the iid rides along as the tag ----
       val tbs = (1 to nB).flatMap { b =>
         if (!dActive(b - 1)) Nil
         else {
@@ -296,15 +430,21 @@ object IncrementalTemporalStar {
               fSchemaN(nB, numMeasures))
             .join(touchedK(b - 1).select(col("k").as(s"k$b")), Seq(s"k$b"),
               "left_semi")
-          var cur = fPre.join(zi(b - 1).select(col("k").as("_ik"),
-                col("vf"), col("vu"), col("vs").as(s"g$b"), col("w")),
+          val ziSel =
+            if (isInt(b)) zd(b - 1).select(col("k").as("_ik"),
+              col("s").as("vf"), col("e").as("vu"), col("vs").as(s"g$b"),
+              col("w"), col("iid").as(s"_tag$b"))
+            else zi(b - 1).select(col("k").as("_ik"),
+              col("vf"), col("vu"), col("vs").as(s"g$b"), col("w"))
+          val tagCols = if (isInt(b)) Seq(col(s"_tag$b")) else Nil
+          var cur = fPre.join(ziSel,
               col(s"k$b") === col("_ik") &&
                 (col("vf").isNull || col("vf") <= col("t")) &&
                 (col("vu").isNull || col("t") < col("vu")))
             .select((Seq("id", "t") ++ mCols ++ kCols).map(col) ++
-              Seq(col("w"), col(s"g$b")): _*)
-          for (j <- 1 until b) cur = resolve(cur, j, post = false)
-          for (j <- b + 1 to nB) cur = resolve(cur, j, post = true)
+              Seq(col("w"), col(s"g$b")) ++ tagCols: _*)
+          for (j <- 1 until b) cur = resolveAny(cur, j, post = false)
+          for (j <- b + 1 to nB) cur = resolveAny(cur, j, post = true)
           Seq(cur)
         }
       }
@@ -360,19 +500,26 @@ object IncrementalTemporalStar {
       val nil = lit(null).cast("long")
       val nils = lit(null).cast("string")
       val nilKs = kCols.map(c => nil.as(c))
+      val nilI = Seq(nil.as("iid"), nil.as("s"), nil.as("e"))
       val extraM = mCols.drop(1)
       val fDelta =
         if (!fActive) Nil
         else Seq(zf.select(Seq(lit("f").as("tbl"), col("id"), col("t"),
           col("m")) ++ extraM.map(col) ++ kCols.map(col) ++
           Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), nils.as("g"),
-            nil.as("c"), nil.as("b"), col("w")): _*))
+            nil.as("c"), nil.as("b"), col("w")) ++ nilI: _*))
       val dDeltas = (1 to nB).flatMap { b =>
         if (zd(b - 1).isEmpty) Nil
+        else if (isInt(b))
+          Seq(zd(b - 1).select(Seq(lit(s"d$b").as("tbl"), nil.as("id"),
+            nil.as("t"), nil.as("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
+            Seq(col("k"), nil.as("vl"), col("vs"), nils.as("g"),
+              nil.as("c"), nil.as("b"), col("w"),
+              col("iid"), col("s"), col("e")): _*))
         else Seq(zd(b - 1).select(Seq(lit(s"d$b").as("tbl"), nil.as("id"),
           nil.as("t"), nil.as("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
           Seq(col("k"), col("vl"), col("vs"), nils.as("g"),
-            nil.as("c"), nil.as("b"), col("w")): _*))
+            nil.as("c"), nil.as("b"), col("w")) ++ nilI: _*))
       }
       // fact-grained extrema delta (R154's device on the as-of family):
       // the per-tuple term union projected to the (g, value)-multiset —
@@ -386,19 +533,19 @@ object IncrementalTemporalStar {
           .select(Seq(lit("e").as("tbl"), nil.as("id"), nil.as("t"),
             col("m")) ++ extraM.map(c => nil.as(c)) ++ nilKs ++
             Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
-              nil.as("c"), nil.as("b"), col("dw").as("w")): _*))
+              nil.as("c"), nil.as("b"), col("dw").as("w")) ++ nilI: _*))
       val aDelta = finished.select(Seq(lit("a").as("tbl"), nil.as("id"),
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
-          col("dc").as("c"), nil.as("b"), nil.as("w")): _*)
+          col("dc").as("c"), nil.as("b"), nil.as("w")) ++ nilI: _*)
       val cDelta = finished.select(Seq(lit("c").as("tbl"), nil.as("id"),
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
-          col("dc").as("c"), lit(batchId).as("b"), nil.as("w")): _*)
+          col("dc").as("c"), lit(batchId).as("b"), nil.as("w")) ++ nilI: _*)
       val rRows = rDelta.map(r => r.select(Seq(lit("r").as("tbl"), col("id"),
         nil.as("t"), col("m")) ++ extraM.map(col) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
-          nil.as("c"), nil.as("b"), col("w")): _*))
+          nil.as("c"), nil.as("b"), col("w")) ++ nilI: _*))
       (fDelta ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta ++ rRows)
         .reduce(_ unionByName _)
     }
@@ -422,12 +569,18 @@ object IncrementalTemporalStar {
             numBuckets, Seq(s"k$b"))
         } else Nil) ++
         (1 to nB).flatMap { b =>
-          if (present(s"d$b"))
+          if (!present(s"d$b")) Nil
+          else if (isInt(b))
+            Seq(() => MvPipeline.upsertBucketedMerge(
+              delta.filter(col("tbl") === s"d$b")
+                .select("iid", "k", "s", "e", "vs", "w"),
+              s"$path/d$b", IncrementalIntervalJoinAgg.mergeI, batchId,
+              numBuckets, Seq("k")))
+          else
             Seq(() => MvPipeline.upsertBucketedMerge(
               delta.filter(col("tbl") === s"d$b").select("k", "vl", "vs", "w"),
               s"$path/d$b", IncrementalJoinAggStar.mergeSigned, batchId,
               numBuckets, Seq("k")))
-          else Nil
         } ++
         (if (present("a") || present("c"))
           Seq(() => MvPipeline.upsertBucketedMerge(
@@ -533,7 +686,7 @@ object IncrementalTemporalStar {
       stateDir: String, batchId: Long, numBranches: Int,
       numBuckets: Int = 16, numMeasures: Int = 1,
       trackExtrema: Boolean = false, trackEnriched: Boolean = false,
-      root: String = Root): Unit = {
+      root: String = Root, intervalBranches: Set[Int] = Set.empty): Unit = {
     import spark.implicits._
     val path = s"$stateDir/$root"
     val kdf = keys.toDF("k")
@@ -545,27 +698,44 @@ object IncrementalTemporalStar {
           fSchemaN(numBranches, numMeasures))
         .join(broadcast(kdf.select(col("k").as(kc))), Seq(kc), "left_semi")
     val factDels = prunedF.select("id" +: kColsOf(numBranches) map col: _*)
-    val dimDels = MvPipeline.readBuckets(spark, s"$path/d$branch",
-        MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
-        IncrementalJoinAggStar.dSchema)
-      .join(broadcast(kdf), Seq("k"), "left_semi")
-      .select(col("k"), col("vl").as("vf"))
+    // an interval branch forgets its WINDOW rows (iid, k); a temporal
+    // branch its version rows (k, vf) — same one-CDC-batch device
+    val dimDels =
+      if (intervalBranches.contains(branch))
+        MvPipeline.readBuckets(spark, s"$path/d$branch",
+            MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+            IncrementalIntervalJoinAgg.iSchema)
+          .join(broadcast(kdf), Seq("k"), "left_semi")
+          .select(col("iid"), col("k"))
+      else MvPipeline.readBuckets(spark, s"$path/d$branch",
+          MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets),
+          IncrementalJoinAggStar.dSchema)
+        .join(broadcast(kdf), Seq("k"), "left_semi")
+        .select(col("k"), col("vl").as("vf"))
     val noUp = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dUpSchema)
+    val noUpI = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      IncrementalIntervalJoinAgg.iSchema)
     val noDel = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dDelSchema)
+    val noDelI = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], iDelSchema)
     processBatch(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fSchemaN(numBranches, numMeasures)),
       factDels,
-      (1 to numBranches).map(b => noUp),
-      (1 to numBranches).map(b => if (b == branch) dimDels else noDel),
+      (1 to numBranches).map(b =>
+        if (intervalBranches.contains(b)) noUpI else noUp),
+      (1 to numBranches).map(b =>
+        if (b == branch) dimDels
+        else if (intervalBranches.contains(b)) noDelI else noDel),
       stateDir, batchId, numBuckets, numMeasures,
       // a store maintained with extrema/enriched tracking MUST forget
       // through the same flags, or the forgotten facts stay live in
       // e/ and r/ (the side tables only retract via their deltas)
       trackExtrema = trackExtrema, trackEnriched = trackEnriched,
-      root = root)
+      root = root, intervalBranches = intervalBranches)
   }
 
   /** REPLACE-per-fact merge for the enriched table: ids present in the
@@ -637,24 +807,74 @@ object IncrementalTemporalStar {
     * bounded by the horizon window on every table. Out-of-contract
     * late arrivals diverge exactly as R160 documents, per branch. */
   def compactState(spark: SparkSession, stateDir: String, horizon: Long,
-      numBranches: Int, root: String = Root): Unit = {
+      numBranches: Int, root: String = Root,
+      intervalBranches: Set[Int] = Set.empty): Unit = {
     val path = s"$stateDir/$root"
-    (1 to numBranches).foreach { b =>
-      MvPipeline.transformBuckets(spark,
-        s"$path/${if (b == 1) "f" else s"fm$b"}",
-        old => old.filter(col("t") >= horizon))
-      MvPipeline.transformBuckets(spark, s"$path/d$b", old => {
-        val w = Window.partitionBy("k").orderBy(col("vl").desc)
-        // floor one tick BELOW the horizon (R160's rule): never collides
-        // with a real at-horizon version, and an in-contract delete of
-        // that version falls back to the floor exactly
-        val floor = old.filter(col("vl") < horizon)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("k"), lit(horizon - 1).as("vl"), col("vs"))
-        old.filter(col("vl") >= horizon).unionByName(floor)
-      })
+    def fTable(b: Int) = s"$path/${if (b == 1) "f" else s"fm$b"}"
+    // 1. interval branches first (R165's rule, window-side): windows
+    //    CLOSED at the horizon leave (a future fact needs t < e <=
+    //    horizon <= t — impossible); still-open windows are retained
+    //    whole, including their pre-horizon span
+    intervalBranches.toSeq.sorted.foreach { b =>
+      MvPipeline.transformBuckets(spark, s"$path/d$b",
+        old => old.filter(col("e") > horizon))
     }
+    // 2. pre-horizon facts covered by a retained open window on SOME
+    //    interval branch are PINNED: deleting/replacing that window
+    //    must retract their matches exactly (R165's fact rule, lifted
+    //    to the star — every fact table keeps the same row set)
+    val pinned: Option[DataFrame] =
+      if (intervalBranches.isEmpty) None
+      else Some(intervalBranches.toSeq.sorted.map { b =>
+        val open = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/d$b",
+            IncrementalIntervalJoinAgg.iSchema)
+          .select(col("k").as("_ok"), col("s").as("_os"), col("e").as("_oe"))
+        // fallback schema only matters for an empty dir; id/t/k_b exist
+        // at every numMeasures
+        MvPipeline.readBucketedStateOrEmpty(spark, fTable(b),
+            fSchemaN(numBranches, 1))
+          .select(col("id"), col("t"), col(s"k$b"))
+          .filter(col("t") < horizon)
+          .join(open, col(s"k$b") === col("_ok") &&
+            col("_os") <= col("t") && col("t") < col("_oe"), "left_semi")
+          .select("id", "t")
+      }.reduce(_ unionByName _).distinct()
+        .transform(graft.operators.Caching.persisted))
+    try {
+      // 3. a pinned pre-horizon fact must still resolve EXACTLY on the
+      //    temporal branches when its window retracts, so the temporal
+      //    floor moves down to the oldest pinned fact: versions with
+      //    vl >= hEff keep exactly; below, the per-key prevailing one
+      //    is rewritten to hEff − 1 (covers every retained fact — all
+      //    have t >= hEff — with the same prevailing attribute)
+      val hEff: Long =
+        pinned.map { p =>
+          val r = p.agg(min("t")).collect()(0) // 1-row stat (allowed)
+          if (r.isNullAt(0)) horizon else math.min(horizon, r.getLong(0))
+        }.getOrElse(horizon)
+      (1 to numBranches).foreach { b =>
+        MvPipeline.transformBuckets(spark, fTable(b), old =>
+          pinned match {
+            case None => old.filter(col("t") >= horizon)
+            case Some(p) => old.filter(col("t") >= horizon)
+              .unionByName(old.filter(col("t") < horizon)
+                .join(p.select("id"), Seq("id"), "left_semi"))
+          })
+        if (!intervalBranches.contains(b))
+          MvPipeline.transformBuckets(spark, s"$path/d$b", old => {
+            val w = Window.partitionBy("k").orderBy(col("vl").desc)
+            // floor one tick BELOW the horizon (R160's rule): never
+            // collides with a real at-horizon version, and an
+            // in-contract delete of that version falls back to the
+            // floor exactly
+            val floor = old.filter(col("vl") < hEff)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select(col("k"), lit(hEff - 1).as("vl"), col("vs"))
+            old.filter(col("vl") >= hEff).unionByName(floor)
+          })
+      }
+    } finally graft.operators.Caching.releaseAll()
   }
 
   /** RESHARD the whole state dir to `newBuckets` — the write-side
@@ -689,8 +909,11 @@ object IncrementalTemporalStar {
   def bootstrap(facts: DataFrame, dims: Seq[DataFrame], stateDir: String,
       baselineBatch: Long = 0L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
-      trackEnriched: Boolean = false, root: String = Root): Unit = {
+      trackEnriched: Boolean = false, root: String = Root,
+      intervalBranches: Set[Int] = Set.empty): Unit = {
     val nB = dims.size
+    require(!(trackEnriched && intervalBranches.nonEmpty),
+      "trackEnriched is not supported with interval (fan-out) branches")
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
@@ -707,10 +930,21 @@ object IncrementalTemporalStar {
       .select(col("id") +: (("t" +: mCols) ++ kCols).map(c =>
         col(s"s.$c").as(c)): _*)
       .transform(graft.operators.Caching.persisted)
-    val dIns = dims.map(d => d.select(col("k").cast("long").as("k"),
-        col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
-      .groupBy("k", "vf").agg(max("vs").as("vs"))
-      .transform(graft.operators.Caching.persisted))
+    val dIns = dims.zipWithIndex.map { case (d, i) =>
+      if (intervalBranches.contains(i + 1))
+        d.select(col("iid").cast("long").as("iid"),
+            col("k").cast("long").as("k"), col("s").cast("long").as("s"),
+            col("e").cast("long").as("e"), col("vs").cast("string").as("vs"))
+          .groupBy("iid")
+          .agg(min(struct(col("k"), col("s"), col("e"), col("vs"))).as("x"))
+          .select(col("iid"), col("x.k").as("k"), col("x.s").as("s"),
+            col("x.e").as("e"), col("x.vs").as("vs"))
+          .transform(graft.operators.Caching.persisted)
+      else d.select(col("k").cast("long").as("k"),
+          col("vf").cast("long").as("vf"), col("vs").cast("string").as("vs"))
+        .groupBy("k", "vf").agg(max("vs").as("vs"))
+        .transform(graft.operators.Caching.persisted)
+    }
     try {
       (1 to nB).foreach { b =>
         MvPipeline.upsertBucketedMerge(fIn,
@@ -718,11 +952,12 @@ object IncrementalTemporalStar {
           (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
           Seq(s"k$b"))
         MvPipeline.upsertBucketedMerge(
-          dIns(b - 1).select(col("k"), col("vf").as("vl"), col("vs")),
+          if (intervalBranches.contains(b)) dIns(b - 1)
+          else dIns(b - 1).select(col("k"), col("vf").as("vl"), col("vs")),
           s"$path/d$b", (old, inc) => old.unionByName(inc).distinct(), -1L,
           numBuckets, Seq("k"))
       }
-      val agg = asOfAggregateStar(fIn, dIns, numMeasures)
+      val agg = asOfAggregateStar(fIn, dIns, numMeasures, intervalBranches)
         .transform(graft.operators.Caching.persisted)
       val gEnc = encodeG((1 to nB).map(b => col(s"g$b")))
       val tCols = "total" +: (2 to numMeasures).map(i => s"total$i")
@@ -734,8 +969,11 @@ object IncrementalTemporalStar {
         aggRows("a", lit(null).cast("long"))
           .unionByName(aggRows("c", lit(baselineBatch))),
         s"$path/a", IncrementalJoinAggStar.mergeA, -1L, numBuckets, Seq("g"))
-      lazy val resolved = resolvedFacts(fIn, dIns.map(d =>
-          d.select(col("k"), col("vf"), col("vs"))))
+      lazy val resolved = resolvedFacts(fIn, dIns.zipWithIndex.map {
+          case (d, i) =>
+            if (intervalBranches.contains(i + 1)) d
+            else d.select(col("k"), col("vf"), col("vs"))
+        }, intervalBranches)
         .transform(graft.operators.Caching.persisted)
       if (trackExtrema)
         MvPipeline.upsertBucketedMerge(
@@ -760,13 +998,14 @@ object IncrementalTemporalStar {
     * one aggregate over the resolved attributes. Used by [[bootstrap]]
     * and as the x126 reference plan. */
   def asOfAggregateStar(facts: DataFrame, dims: Seq[DataFrame],
-      numMeasures: Int = 1): DataFrame = {
+      numMeasures: Int = 1,
+      intervalBranches: Set[Int] = Set.empty): DataFrame = {
     val nB = dims.size
     val mCols = mColsOf(numMeasures)
     val gs = (1 to nB).map(b => s"g$b")
     val tAggs = mCols.zipWithIndex.map { case (c, i) =>
       sum(col(c)).as(if (i == 0) "total" else s"total${i + 1}") }
-    resolvedFacts(facts, dims)
+    resolvedFacts(facts, dims, intervalBranches)
       .groupBy(gs.head, gs.tail: _*)
       .agg(tAggs.head, (tAggs.tail :+ count(lit(1)).as("rows")): _*)
   }
@@ -775,24 +1014,38 @@ object IncrementalTemporalStar {
     * as-of-resolved attributes `g1..gB` appended (the x127 reference
     * plan, and the bootstrap source for `trackEnriched`). */
   def enrichedBatch(facts: DataFrame, dims: Seq[DataFrame]): DataFrame =
-    resolvedFacts(facts, dims)
+    resolvedFacts(facts, dims, Set.empty)
 
-  /** Each fact with its B as-of-resolved attributes `g1..gB` appended
-    * (one window pass per branch — the batch resolution plan). */
-  private def resolvedFacts(facts: DataFrame, dims: Seq[DataFrame]): DataFrame = {
+  /** Each fact with its B resolved attributes `g1..gB` appended. A
+    * temporal branch is one window pass (≤1 row per fact, null before
+    * the first version); an interval branch (R167) is an equi-keyed
+    * range join — ≥0 rows per fact, so the per-branch frames multiply
+    * through the id-join into the tuple fan-out, and uncovered facts
+    * drop (INNER). */
+  private def resolvedFacts(facts: DataFrame, dims: Seq[DataFrame],
+      intervalBranches: Set[Int]): DataFrame = {
     val nB = dims.size
     val resolved = (1 to nB).map { b =>
-      val f = facts.select(col(s"k$b").as("k"), col("t").as("us"),
-        lit(1).as("isFact"), col("id"), lit(null).cast("string").as("v"))
-      val d = dims(b - 1).select(col("k"), col("vf").as("us"),
-        lit(0).as("isFact"), lit(null).cast("long").as("id"),
-        col("vs").as("v"))
-      val w = Window.partitionBy("k").orderBy("us", "isFact")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      f.unionByName(d)
-        .withColumn(s"g$b", last(col("v"), ignoreNulls = true).over(w))
-        .filter(col("isFact") === 1)
-        .select(col("id"), col(s"g$b"))
+      if (intervalBranches.contains(b))
+        facts.select(col("id"), col(s"k$b").as("_fk"), col("t"))
+          .join(dims(b - 1).select(col("k").as("_wk"), col("s"), col("e"),
+            col("vs")),
+            col("_fk") === col("_wk") && col("s") <= col("t") &&
+              col("t") < col("e"))
+          .select(col("id"), col("vs").as(s"g$b"))
+      else {
+        val f = facts.select(col(s"k$b").as("k"), col("t").as("us"),
+          lit(1).as("isFact"), col("id"), lit(null).cast("string").as("v"))
+        val d = dims(b - 1).select(col("k"), col("vf").as("us"),
+          lit(0).as("isFact"), lit(null).cast("long").as("id"),
+          col("vs").as("v"))
+        val w = Window.partitionBy("k").orderBy("us", "isFact")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.unionByName(d)
+          .withColumn(s"g$b", last(col("v"), ignoreNulls = true).over(w))
+          .filter(col("isFact") === 1)
+          .select(col("id"), col(s"g$b"))
+      }
     }
     resolved.foldLeft(facts)((acc, r) => acc.join(r, Seq("id")))
   }
@@ -804,7 +1057,8 @@ object IncrementalTemporalStar {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       numMeasures: Int = 1, numBuckets: Int = 16,
-      trackExtrema: Boolean = false, trackEnriched: Boolean = false)
+      trackExtrema: Boolean = false, trackEnriched: Boolean = false,
+      intervalBranches: Set[Int] = Set.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -820,7 +1074,8 @@ object IncrementalTemporalStar {
           (1 to numBranches).map(b => batch.filter(col("kind") === s"d${b}_del")),
           stateDir, batchId, numBuckets = numBuckets,
           numMeasures = numMeasures, trackExtrema = trackExtrema,
-          trackEnriched = trackEnriched)
+          trackEnriched = trackEnriched,
+          intervalBranches = intervalBranches)
       }
       .start()
 }

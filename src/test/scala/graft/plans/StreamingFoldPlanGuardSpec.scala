@@ -222,6 +222,118 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
     auditAll(plans, "sessions")
   }
 
+  test("equality star fold (r12): cross-branch equality flip plans no cartesian/BNLJ") {
+    import graft.streaming.IncrementalJoinAggStar
+    import graft.streaming.IncrementalJoinAggStar.StarSpec
+    val spec = StarSpec(Seq(2, 1), groupAttrs = Seq((1, 2)),
+      eqAttrs = Seq(((1, 2), (2, 1))))
+    val state = tmpDir("pg-stareq")
+    def dims(ups: Map[(Int, Int), Seq[(Long, Option[Long], Option[String])]]) = (
+      (1 to 2).map(b => (1 to spec.branchDepths(b - 1)).map(i =>
+        ups.getOrElse((b, i),
+          Seq.empty[(Long, Option[Long], Option[String])]).toDF("k", "vl", "vs"))),
+      (1 to 2).map(b => (1 to spec.branchDepths(b - 1)).map(_ => ("k", "vl", "vs"))))
+    val (d0, dc) = dims(Map(
+      (1, 1) -> Seq((10L, Some(500L), None)),
+      (1, 2) -> Seq((500L, None, Some("A"))),
+      (2, 1) -> Seq((70L, None, Some("A")))))
+    IncrementalJoinAggStar.processBatch(spec,
+      Seq((10L, 70L, 1L, 100L)).toDF("k1", "k2", "id", "m"),
+      Seq("k1", "k2"), "id", "m",
+      Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"),
+      Seq("k1", "k2"), "id", d0, dc, state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // flip the OTHER side of the cross-branch equality: the eq-flip
+      // delta term walks both branches from the flipped key — every
+      // join in it must stay keyed
+      val (d1, _) = dims(Map((2, 1) -> Seq((70L, None, Some("B")))))
+      IncrementalJoinAggStar.processBatch(spec,
+        Seq.empty[(Long, Long, Long, Long)].toDF("k1", "k2", "id", "m"),
+        Seq("k1", "k2"), "id", "m",
+        Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "id"),
+        Seq("k1", "k2"), "id", d1, dc, state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "equality star eq-flip")
+  }
+
+  test("equality star fold (r12): LEFT branch arrival (virtual-row term) plans no cartesian/BNLJ") {
+    import graft.streaming.IncrementalJoinAggStar
+    import graft.streaming.IncrementalJoinAggStar.StarSpec
+    val spec = StarSpec(Seq(1), groupAttrs = Seq((1, 1)),
+      leftBranches = Set(1))
+    val state = tmpDir("pg-starl")
+    // facts first: they serve from the NULL group via the virtual row
+    IncrementalJoinAggStar.processBatch(spec,
+      Seq((10L, 1L, 5L), (11L, 2L, 3L)).toDF("k1", "id", "m"),
+      Seq("k1"), "id", "m",
+      Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+      Seq(Seq(Seq.empty[(Long, Long, String)].toDF("k", "vl", "vs"))),
+      Seq(Seq(("k", "vl", "vs"))), state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // the dim ARRIVAL displaces the virtual padded row for k1=10 —
+      // the completed-relation delta term must stay keyed throughout
+      IncrementalJoinAggStar.processBatch(spec,
+        Seq.empty[(Long, Long, Long)].toDF("k1", "id", "m"),
+        Seq("k1"), "id", "m",
+        Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+        Seq(Seq(Seq((10L, 0L, "X")).toDF("k", "vl", "vs"))),
+        Seq(Seq(("k", "vl", "vs"))), state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "equality star LEFT arrival")
+  }
+
+  test("equality star fold (r12): multiRows fan-out batch plans no cartesian/BNLJ") {
+    import graft.streaming.IncrementalJoinAggStar
+    import graft.streaming.IncrementalJoinAggStar.StarSpec
+    val spec = StarSpec(Seq(1), groupAttrs = Seq((1, 1)),
+      multiRows = Set((1, 1)))
+    val state = tmpDir("pg-starmr")
+    IncrementalJoinAggStar.processBatch(spec,
+      Seq((10L, 1L, 5L)).toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+      Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+      Seq(Seq(Seq((10L, 0L, "T1")).toDF("k", "vl", "vs"))),
+      Seq(Seq(("k", "vl", "vs"))), state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // a SECOND row for the same key: the fan-out delta multiplies the
+      // retained fact through the added row — still keyed joins only
+      IncrementalJoinAggStar.processBatch(spec,
+        Seq((10L, 2L, 7L)).toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+        Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+        Seq(Seq(Seq((10L, 0L, "T2")).toDF("k", "vl", "vs"))),
+        Seq(Seq(("k", "vl", "vs"))), state, 1L, numBuckets = 4)
+    }
+    auditAll(plans, "equality star multiRows fan-out")
+  }
+
+  test("mixed star fold (r12): temporal + interval branches live in one batch — no cartesian/BNLJ") {
+    val state = tmpDir("pg-mstar")
+    graft.streaming.IncrementalTemporalStar.processBatch(
+      Seq((1L, 150L, 100L, 10L, 10L)).toDF("id", "t", "m", "k1", "k2"),
+      Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2"),
+      Seq(Seq((10L, 100L, "a")).toDF("k", "vf", "vs"),
+        Seq((5L, 10L, 100L, 300L, "p")).toDF("iid", "k", "s", "e", "vs")),
+      Seq(Seq.empty[(Long, Long)].toDF("k", "vf"),
+        Seq.empty[(Long, Long)].toDF("iid", "k")),
+      state, 0L, numBuckets = 4, intervalBranches = Set(2))
+    val plans = withCapturedPlans {
+      // new fact + fact delete + late version + window replace + window
+      // delete in ONE batch: every delta term runs, including the
+      // fan-out interval resolve inside the temporal branch's term and
+      // the as-of resolve inside the window branch's term — all joins
+      // must stay equi-keyed on k with range/max residuals
+      graft.streaming.IncrementalTemporalStar.processBatch(
+        Seq((2L, 250L, 7L, 10L, 10L)).toDF("id", "t", "m", "k1", "k2"),
+        Seq((1L, 10L, 10L)).toDF("id", "k1", "k2"),
+        Seq(Seq((10L, 120L, "b")).toDF("k", "vf", "vs"),
+          Seq((5L, 10L, 100L, 400L, "q"), (6L, 10L, 200L, 500L, "r"))
+            .toDF("iid", "k", "s", "e", "vs")),
+        Seq(Seq.empty[(Long, Long)].toDF("k", "vf"),
+          Seq((7L, 10L)).toDF("iid", "k")),
+        state, 1L, numBuckets = 4, intervalBranches = Set(2))
+    }
+    auditAll(plans, "mixed star")
+  }
+
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
     val state = tmpDir("pg-sf")
     val steps = Seq("view", "click", "purchase")
