@@ -89,6 +89,7 @@ object IncrementalIntervalJoinAgg {
     val mCols = mColsOf(numMeasures)
     val spark = facts.sparkSession
     val path = s"$stateDir/intervaljoinagg"
+    MvPipeline.assertAboveResumeFloor(spark, path, batchId)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -442,6 +443,10 @@ object IncrementalIntervalJoinAgg {
     MvPipeline.reshardBucketed(spark, s"$src/f", s"$dst/f", newBuckets, Seq("k"))
     MvPipeline.reshardBucketed(spark, s"$src/i", s"$dst/i", newBuckets, Seq("k"))
     MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets, Seq("g"))
+    // replay safety: the destination carries no per-bucket stamps, so it
+    // refuses batch ids at or below the last one committed here
+    MvPipeline.writeResumeFloor(spark, dst,
+      MvPipeline.maxBatchIn(spark, s"$src/a"))
   }
 
   /** BOOTSTRAP a fresh state dir from batch tables — one range join

@@ -263,6 +263,7 @@ object IncrementalJoinAggStar {
       "one (frame, columns) pair per branch level")
     val spark = facts.sparkSession
     val path = s"$stateDir/joinaggstar"
+    MvPipeline.assertAboveResumeFloor(spark, path, batchId)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -1056,6 +1057,10 @@ object IncrementalJoinAggStar {
     Seq("a", "e", "u").foreach(t =>
       MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
         Seq("g")))
+    // replay safety: the destination carries no per-bucket stamps, so it
+    // refuses batch ids at or below the last one committed here
+    MvPipeline.writeResumeFloor(spark, dst,
+      MvPipeline.maxBatchIn(spark, s"$src/a"))
   }
 
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =

@@ -99,6 +99,7 @@ object IncrementalSessions {
       numMeasures: Int = 0): Unit = {
     val spark = events.sparkSession
     val path = s"$stateDir/sessions"
+    MvPipeline.assertAboveResumeFloor(spark, path, batchId)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -477,6 +478,10 @@ object IncrementalSessions {
     Seq("e", "v", "vf", "c").foreach(t =>
       MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
         Seq("k")))
+    // replay safety: the destination carries no per-bucket stamps, so it
+    // refuses batch ids at or below the last one committed here
+    MvPipeline.writeResumeFloor(spark, dst,
+      MvPipeline.maxBatchIn(spark, s"$src/c"))
   }
 
   /** BOOTSTRAP a fresh state dir from a batch event table — the batch

@@ -158,6 +158,7 @@ object IncrementalTemporalStar {
     val kCols = kColsOf(nB)
     val spark = facts.sparkSession
     val path = s"$stateDir/$root"
+    MvPipeline.assertAboveResumeFloor(spark, path, batchId)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -896,6 +897,10 @@ object IncrementalTemporalStar {
     MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets, Seq("g"))
     MvPipeline.reshardBucketed(spark, s"$src/e", s"$dst/e", newBuckets, Seq("g"))
     MvPipeline.reshardBucketed(spark, s"$src/r", s"$dst/r", newBuckets, Seq("id"))
+    // replay safety: the destination carries no per-bucket stamps, so it
+    // refuses batch ids at or below the last one committed here
+    MvPipeline.writeResumeFloor(spark, dst,
+      MvPipeline.maxBatchIn(spark, s"$src/a"))
   }
 
   /** Changelog compaction (family contract, data-driven measures). */

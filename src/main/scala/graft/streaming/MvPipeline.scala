@@ -406,8 +406,11 @@ object MvPipeline {
     * maintenance op between committed batches: the destination must
     * not exist (the bootstrap rule, crash-safe by construction — a
     * partial destination is deleted and the reshard re-run; the source
-    * is never touched). Per-bucket replay stamps do NOT carry over:
-    * resume with batch ids strictly above the last committed one. */
+    * is never touched). Per-bucket replay stamps do NOT carry over;
+    * the ENGINE reshard wrappers therefore stamp the destination with
+    * a [[writeResumeFloor]] marker and their `processBatch` refuses
+    * batch ids at or below it — callers of this per-table primitive
+    * outside those wrappers still own the resume discipline. */
   def reshardBucketed(spark: SparkSession, srcPath: String, dstPath: String,
       newBuckets: Int, bucketKeys: Seq[String]): Unit = {
     val src = new Path(srcPath)
@@ -419,6 +422,65 @@ object MvPipeline {
     if (!any) return // absent table: nothing to reshard
     upsertBucketedMerge(readBucketedState(spark, srcPath), dstPath,
       (old, inc) => old.unionByName(inc), -1L, newBuckets, bucketKeys)
+  }
+
+  /** RESHARD RESUME FLOOR (R163 hardening, r12). Resharding wipes the
+    * per-bucket replay stamps, so a foreachBatch restart replaying the
+    * pre-reshard batch id against the new store would re-apply it with
+    * no marker to stop it. The engine reshard wrappers stamp the
+    * destination root with the last batch id committed into the source
+    * (read from the signed changelog via [[maxBatchIn]]), and every
+    * engine `processBatch` REFUSES batch ids at or below the floor
+    * ([[assertAboveResumeFloor]]) — the bucket-count knob is then safe
+    * under the same crash model as everything else instead of trusting
+    * the caller's "resume above" discipline. The marker is an empty
+    * file whose NAME carries the floor (atomic create; a re-run of the
+    * reshard recreates the same name, idempotent). */
+  def writeResumeFloor(spark: SparkSession, rootDir: String, floor: Long): Unit = {
+    if (floor < 0) return // nothing ever committed: no floor needed
+    val p = new Path(s"$rootDir/_resume_floor_b$floor")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(rootDir))
+    fs.create(p, true).close()
+  }
+
+  /** The highest resume floor stamped on `rootDir`, or -1 if none. */
+  def resumeFloor(spark: SparkSession, rootDir: String): Long = {
+    val base = new Path(rootDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) -1L
+    else fs.listStatus(base).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_resume_floor_b") =>
+        n.stripPrefix("_resume_floor_b").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Refuse a batch id at or below the reshard resume floor (see
+    * [[writeResumeFloor]]). Ad-hoc batches (id < 0) pass. */
+  def assertAboveResumeFloor(spark: SparkSession, rootDir: String,
+      batchId: Long): Unit = {
+    if (batchId < 0) return
+    val f = resumeFloor(spark, rootDir)
+    require(f < 0 || batchId > f,
+      s"batch $batchId is at or below the reshard resume floor $f of " +
+        s"$rootDir — a resharded store carries no replay markers; resume " +
+        "with batch ids strictly above the floor")
+  }
+
+  /** Max committed batch id recorded in a changelog-bearing state table
+    * (the `b` column of the star/temporal/interval `a/` tables and the
+    * sessions `c/` table); -1 for an absent or batchless table. */
+  def maxBatchIn(spark: SparkSession, path: String): Long = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return -1L
+    val parts = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) return -1L
+    val r = spark.read.parquet(parts.toIndexedSeq: _*)
+      .agg(max(col("b"))).collect()(0) // 1-row stat (allowed)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** Read bucketed state: union of the live `bucket=<n>` directories

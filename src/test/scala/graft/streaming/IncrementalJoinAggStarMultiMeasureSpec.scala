@@ -212,6 +212,12 @@ class IncrementalJoinAggStarMultiMeasureSpec extends SparkTestBase {
       Seq((10L, 500L), (20L, 501L)), Seq((500L, "A"), (501L, "B")))
     IncrementalJoinAggStar.reshard(spark, spec, s4, s8, newBuckets = 8)
     assert(served(s8) === served(s4), "reshard changed the view")
+    // r12 resume floor: the pre-reshard batch id is refused on the new
+    // store (markers gone — replay must fail loudly, not re-apply)
+    val refused = intercept[IllegalArgumentException] {
+      foldAt(s8, 0L, 8, Seq((30L, 9L, 9L, 9L)), Nil, Nil)
+    }
+    assert(refused.getMessage.contains("resume floor"))
     // continuation on both stores: a re-key (the value-mirror-dependent
     // path) and a new fact
     for ((s, b) <- Seq((s4, 4), (s8, 8)))

@@ -281,6 +281,15 @@ class IncrementalTemporalStarSpec extends SparkTestBase {
     IncrementalTemporalStar.reshard(spark, state, state8, numBranches = 2,
       newBuckets = 8)
     assert(served(state8) === served(state), "reshard changed the view")
+    // r12 resume floor: replaying the PRE-reshard batch id against the
+    // new store is refused (no per-bucket stamps survive a reshard) —
+    // the restart-replays-last-committed hazard fails loudly instead of
+    // re-applying
+    val refused = intercept[IllegalArgumentException] {
+      foldAt(state8, 1L, 8, fs = Seq((99L, 999L, 9L, 1L, 1L)))
+    }
+    assert(refused.getMessage.contains("resume floor"))
+    assert(served(state8) === served(state), "refused replay mutated state")
     for ((s, b) <- Seq((state, 4), (state8, 8))) {
       foldAt(s, 2L, b, fs = Seq((12L, 400L, 4L, 1L, 1L)),
         d1 = Seq((1L, 200L, "b")))
