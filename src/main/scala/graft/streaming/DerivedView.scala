@@ -74,4 +74,68 @@ object DerivedView {
     MvPipeline.readBuckets(spark, s"$stateDir/derived", ids, schema)
       .join(broadcast(gdf), Seq("g"), "left_semi")
   }
+
+  // ------------------------------------------------------------------
+  // REPLACE-per-key bases (r12): the monotone views — cluster labels,
+  // funnel levels, dup-span stats, extrema — have no Z-set changelog,
+  // so view-over-view composition used to stop at the changelog-bearing
+  // family. The versioned ship (ChangelogShip.shipVersioned) already
+  // computes exactly the needed touched-row set as a snapshot diff;
+  // the same device, kept beside the DERIVED state instead of a sink
+  // watermark, turns any REPLACE view into a derived-view trigger.
+  // ------------------------------------------------------------------
+
+  /** The CHANGED rows of a REPLACE-per-key base since the last
+    * [[commitReplaceBase]]: rows that appeared or changed carry
+    * `_side = "new"`, prior rows that changed or vanished carry
+    * `_side = "old"` — so the caller sees BOTH coordinates of a moved
+    * key (a doc that switched cluster touches its old AND new label).
+    * Unchanged rows appear on neither side. Deterministic function of
+    * (snapshot, view): bases commit before derived folds, and the
+    * snapshot only advances in [[commitReplaceBase]] AFTER the derived
+    * fold commits, so a crash replay recomputes the identical diff
+    * (same protocol as the ship's re-shipped block). */
+  def replaceBaseDiff(view: DataFrame, markerDir: String,
+      table: String): DataFrame = {
+    val spark = view.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(markerDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = readSnapshot(spark, fs, markerDir, table)
+      .getOrElse(view.limit(0))
+    val changedNew = view.join(prior,
+      view.columns.map(c => view(c) <=> prior(c)).reduce(_ && _), "left_anti")
+    val changedOld = prior.join(view,
+      prior.columns.map(c => prior(c) <=> view(c)).reduce(_ && _), "left_anti")
+    changedNew.withColumn("_side", lit("new"))
+      .unionByName(changedOld.withColumn("_side", lit("old")))
+  }
+
+  /** Commit the base snapshot AFTER the derived fold for this batch
+    * committed — the rename-aside swap (ChangelogShip's protocol): a
+    * crash anywhere re-enters with the OLD snapshot, the diff
+    * recomputes identically, and the derived fold's stamped buckets
+    * skip. */
+  def commitReplaceBase(view: DataFrame, markerDir: String,
+      table: String): Unit = {
+    val spark = view.sparkSession
+    val snap = new org.apache.hadoop.fs.Path(s"$markerDir/_snapshot_$table")
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(snap.toString + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(snap.toString + ".tmp")
+    view.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(aside, true)
+    if (fs.exists(snap)) require(fs.rename(snap, aside), s"stage out $snap")
+    require(fs.rename(tmp, snap), s"commit snapshot $snap")
+    fs.delete(aside, true)
+  }
+
+  private def readSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, markerDir: String,
+      table: String): Option[DataFrame] = {
+    val snap = new org.apache.hadoop.fs.Path(s"$markerDir/_snapshot_$table")
+    val aside = new org.apache.hadoop.fs.Path(snap.toString + ".old")
+    if (!fs.exists(snap) && fs.exists(aside))
+      require(fs.rename(aside, snap), s"recover snapshot $aside")
+    if (fs.exists(snap)) Some(spark.read.parquet(snap.toString)) else None
+  }
 }

@@ -90,4 +90,64 @@ class DerivedViewSpec extends SparkTestBase {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(p === served().filter(_._1 == "s1"))
   }
+
+  test("derived view over a REPLACE-per-key base (near-dup labels): merge, forget, replay") {
+    // r12: the monotone REPLACE views have no changelog — the snapshot
+    // diff (the versioned ship's device) is the trigger instead. A
+    // cluster-SIZE view maintained over the near-dup id→label base must
+    // track a cross-cluster merge (old label drops via the diff's old
+    // side) and a forget (labels raise to the next survivor).
+    val nd = tmpDir("dv-nd"); val sD = tmpDir("dv-nd-d")
+    val mk = tmpDir("dv-nd-mk")
+    val sizeSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_members", LongType)))
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.6, stateDir = nd, batchId = id)
+    def roll(id: Long, commit: Boolean = true): Unit = {
+      val base = IncrementalNearDup.labels(spark, nd)
+      val diff = DerivedView.replaceBaseDiff(base, mk, "labels")
+      // BOTH sides of every moved doc: a merged-away label is touched
+      // through its docs' OLD rows and found memberless -> row drops
+      val touched = diff.select(col("label").as("g")).distinct()
+      val rows = base
+        .join(touched.select(col("g").as("label")), Seq("label"), "left_semi")
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("g"), col("n_members"))
+      DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      if (commit) DerivedView.commitReplaceBase(base, mk, "labels")
+    }
+    def served(): Map[Long, Long] =
+      DerivedView.view(spark, sD, sizeSchema).as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      IncrementalNearDup.labels(spark, nd)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+
+    fold(Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " extra")), 0L)
+    roll(0L)
+    assert(served() === expected() && served() === Map(30L -> 2L))
+    fold(Seq(40L -> rng(10, 50), 41L -> (rng(10, 50) + " other")), 1L)
+    roll(1L)
+    assert(served() === expected() && served() === Map(30L -> 2L, 40L -> 2L))
+    // the bridge merges B INTO A: label 40 vanishes, label 30 grows —
+    // and the derived fold first runs WITHOUT its snapshot commit (the
+    // crash window), then replays: the diff recomputes identically and
+    // the stamped buckets skip
+    fold(Seq(35L -> rng(5, 45)), 2L)
+    roll(2L, commit = false)
+    assert(served() === expected() && served() === Map(30L -> 5L))
+    roll(2L) // crash-replay of the SAME derived batch, then commit
+    assert(served() === Map(30L -> 5L))
+    roll(3L) // committed base, empty diff: a strict no-op
+    assert(served() === Map(30L -> 5L))
+    // forget the representative: the component re-derives under the
+    // next survivor; label 30 drops, label 31 carries the 4 remaining
+    IncrementalNearDup.forget(spark, nd, Seq(30L).toDF("doc_id"),
+      threshold = 0.6, opId = 100L)
+    roll(4L)
+    assert(served() === expected() && served() === Map(31L -> 4L))
+  }
 }
