@@ -41,16 +41,13 @@ import graft.operators.Dedup
   *
   * Per-op cost: writes are O(affected components) — they touch the
   * forgotten and relabeled docs' buckets and the forgotten blocking
-  * rows' mirror buckets — but the label projection at the top reads
-  * the (kind, id, label) COLUMNS of every bucket of the main state
-  * table, which is O(total state rows), not O(affected): mapping the
-  * forgotten ids to their current components needs the id→label map,
-  * and no id-bucketing prunes a probe by label. Parquet column pruning
-  * keeps this to the three slim columns (the payload columns — vectors,
-  * gram hashes — are never read), the same projection the folds pay
-  * per batch; if forgets ever dominate, the upgrade is a label-only
-  * side projection (or kind-partitioned layout) maintained like the
-  * mirrors. Crash recovery: re-call with the same `opId` — the staged
+  * rows' mirror buckets. Label reads come from the slim
+  * [[LabelMirror]] side table (r12 — the upgrade this contract used to
+  * name): the forgotten ids' CURRENT labels are a bucket-PRUNED id-key
+  * probe, and the affected-set discovery (members by label, which no
+  * id-bucketing can prune) scans only the 2-column one-row-per-doc
+  * mirror — the payload-dominated main table is never opened beyond
+  * the affected members' buckets. Crash recovery: re-call with the same `opId` — the staged
   * delta is reused byte-identically; with the default ad-hoc id, a crash
   * mid-apply needs the SAME semantics re-requested (merges are
   * idempotent, so re-running the whole forget converges too — it just
@@ -67,7 +64,7 @@ object ForgetMaintenance {
     * mirror table's shape. Returns the number of docs actually forgotten
     * (unknown ids are ignored). */
   def forget(spark: SparkSession, ids: DataFrame,
-      path: String, bidxPath: String, idCol: String,
+      path: String, bidxPath: String, lblPath: String, idCol: String,
       stateSchema: org.apache.spark.sql.types.StructType,
       payloadKind: String,
       packL: DataFrame => DataFrame,
@@ -78,6 +75,7 @@ object ForgetMaintenance {
       opId: Long = -1L, numBuckets: Int = 16,
       driverThreshold: Long = 1000000L, maxIter: Int = 20): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LabelMirror.backfill(spark, path, lblPath, stateSchema, idCol, numBuckets)
     val stagedName =
       if (opId >= 0) s"_forget_$opId"
       else s"_forget_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -87,10 +85,14 @@ object ForgetMaintenance {
       if (!(opId >= 0 && fs.exists(staged))) {
         val fIds = ids.select(col(ids.columns.head).cast("long").as(idCol))
           .distinct().transform(graft.operators.Caching.persisted)
-        val lAll = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
-          .filter(col("kind") === "l").select(idCol, "label")
+        val lAll = LabelMirror.readAll(spark, lblPath, path, stateSchema, idCol)
           .transform(graft.operators.Caching.persisted)
-        val hit = lAll.join(fIds, Seq(idCol), "left_semi")
+        // id-keyed mirror probe: only the buckets the forgotten ids
+        // hash into can hold their current labels
+        val hit = MvPipeline.readBuckets(spark, lblPath,
+            MvPipeline.bucketIdsOf(fIds, Seq(idCol), numBuckets),
+            LabelMirror.schema(idCol))
+          .join(fIds, Seq(idCol), "left_semi")
           .transform(graft.operators.Caching.persisted)
         // affected components by CURRENT label; members incl. forgotten
         val roots = hit.select("label").distinct()
@@ -153,6 +155,8 @@ object ForgetMaintenance {
       // mirror: remove the forgotten docs' blocking rows
       MvPipeline.upsertBucketedMerge(m, bidxPath,
         removeRows, -1L, numBuckets, mirrorKeys)
+      // label mirror: tombstones drop, relabeled ids REPLACE (idempotent)
+      LabelMirror.applyForget(incMain, lblPath, idCol, numBuckets)
       fs.delete(staged, true)
       forgotten
     } finally graft.operators.Caching.releaseAll()

@@ -66,7 +66,9 @@ object IncrementalEmbedNearDup {
     val spark = embeddings.sparkSession
     val path = s"$stateDir/embneardup"
     val bidx = s"$stateDir/embneardup_bidx"
+    val lbl = s"$stateDir/embneardup_lbl"
     backfillBidx(spark, path, bidx, numBuckets)
+    LabelMirror.backfill(spark, path, lbl, stateSchema, "vec_id", numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val tables = (0 until numTables).map { t =>
         Similarity.lshBucket(col("v"),
@@ -87,13 +89,13 @@ object IncrementalEmbedNearDup {
       // persisted per-kind projections: lineage cut against the N-bucket
       // union scan being re-serialized per reference (see
       // [[IncrementalNearDup]] — measured plan explosion without it)
-      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
       // PRUNED bucket-index read: probe only the state buckets the
       // batch's (blk, table, bucket) triples hash into
       val oldB = MvPipeline.readBuckets(spark, bidx,
           MvPipeline.bucketIdsOf(newB, probeKeys, numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
-      val oldL = st.filter(col("kind") === "l").select("vec_id", "label")
+      // labels from the slim (vec_id, label) mirror (r12, [[LabelMirror]])
+      val oldL = LabelMirror.readAll(spark, lbl, path, stateSchema, "vec_id")
         .transform(graft.operators.Caching.persisted)
 
       val allB = oldB.unionByName(newB)
@@ -153,7 +155,8 @@ object IncrementalEmbedNearDup {
         d => d.filter(col("kind") === "b")
           .select("vec_id", "blk", "table_idx", "bucket"),
         (old, inc) => old.unionByName(inc).distinct(),
-        probeKeys)))
+        probeKeys),
+        LabelMirror.secondary(lbl, "vec_id")))
     graft.operators.Caching.releaseAll()
   }
 
@@ -208,8 +211,8 @@ object IncrementalEmbedNearDup {
   /** `(vec_id, cluster)` for every vector seen — cluster = min vec_id of
     * the near-dup component (the batch pairs→clusters read from state). */
   def labels(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedState(spark, s"$stateDir/embneardup")
-      .filter(col("kind") === "l")
+    LabelMirror.readAll(spark, s"$stateDir/embneardup_lbl",
+      s"$stateDir/embneardup", stateSchema, "vec_id")
       .select(col("vec_id"), col("label").as("cluster"))
 
   /** The retained set: component representatives. */
@@ -305,6 +308,7 @@ object IncrementalEmbedNearDup {
       s"$stateDir/embneardup_bidx",
       (old, inc) => old.unionByName(inc).distinct(),
       -1L, numBuckets, probeKeys)
+    LabelMirror.write(l, s"$stateDir/embneardup_lbl", "vec_id", numBuckets)
     graft.operators.Caching.releaseAll()
   }
 
@@ -316,7 +320,8 @@ object IncrementalEmbedNearDup {
       threshold: Double, opId: Long = -1L, numBuckets: Int = 16,
       driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
     ForgetMaintenance.forget(spark, ids,
-      s"$stateDir/embneardup", s"$stateDir/embneardup_bidx", "vec_id",
+      s"$stateDir/embneardup", s"$stateDir/embneardup_bidx",
+      s"$stateDir/embneardup_lbl", "vec_id",
       stateSchema, payloadKind = "v", packL = packL,
       mirrorOf = rows => rows.filter(col("kind") === "b")
         .select("vec_id", "blk", "table_idx", "bucket"),

@@ -70,7 +70,9 @@ object IncrementalMediaNearDup {
     val spark = hashes.sparkSession
     val path = s"$stateDir/$view"
     val bidx = s"$stateDir/${view}_bidx"
+    val lbl = s"$stateDir/${view}_lbl"
     backfillBidx(spark, path, bidx, numBuckets)
+    LabelMirror.backfill(spark, path, lbl, stateSchema, "doc_id", numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val newH = hashes.filter(col("simhash").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
@@ -85,13 +87,13 @@ object IncrementalMediaNearDup {
 
       // persisted per-kind projections: lineage cut against the N-bucket
       // union scan (see [[IncrementalNearDup]])
-      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
       // PRUNED chunk-index read: probe only the state buckets the
       // batch's (chunk_idx, chunk) pairs hash into
       val oldC = MvPipeline.readBuckets(spark, bidx,
           MvPipeline.bucketIdsOf(newC, probeKeys, numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
-      val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
+      // labels from the slim (doc_id, label) mirror (r12, [[LabelMirror]])
+      val oldL = LabelMirror.readAll(spark, lbl, path, stateSchema, "doc_id")
         .transform(graft.operators.Caching.persisted)
 
       val allC = oldC.unionByName(newC)
@@ -138,7 +140,8 @@ object IncrementalMediaNearDup {
         d => d.filter(col("kind") === "c")
           .select("doc_id", "chunk_idx", "chunk"),
         (old, inc) => old.unionByName(inc).distinct(),
-        probeKeys)))
+        probeKeys),
+        LabelMirror.secondary(lbl, "doc_id")))
     graft.operators.Caching.releaseAll()
   }
 
@@ -218,9 +221,8 @@ object IncrementalMediaNearDup {
   /** `(doc_id, label)` for every payload seen — label = min doc id of
     * the Hamming component (batch pairs→clusters served from state). */
   def labels(spark: SparkSession, stateDir: String, view: String): DataFrame =
-    MvPipeline.readBucketedState(spark, s"$stateDir/$view")
-      .filter(col("kind") === "l")
-      .select(col("doc_id"), col("label"))
+    LabelMirror.readAll(spark, s"$stateDir/${view}_lbl",
+      s"$stateDir/$view", stateSchema, "doc_id")
 
   /** The retained set: component representatives. */
   def representatives(spark: SparkSession, stateDir: String,
@@ -256,7 +258,8 @@ object IncrementalMediaNearDup {
       numBuckets: Int = 16, driverThreshold: Long = 1000000L,
       maxIter: Int = 20): Long =
     ForgetMaintenance.forget(spark, ids,
-      s"$stateDir/$view", s"$stateDir/${view}_bidx", "doc_id",
+      s"$stateDir/$view", s"$stateDir/${view}_bidx",
+      s"$stateDir/${view}_lbl", "doc_id",
       stateSchema, payloadKind = "h", packL = packL,
       mirrorOf = rows => rows.filter(col("kind") === "c")
         .select("doc_id", "chunk_idx", "chunk"),

@@ -91,7 +91,9 @@ object IncrementalNearDup {
     val spark = docs.sparkSession
     val path = s"$stateDir/neardup"
     val bidx = s"$stateDir/neardup_bidx"
+    val lbl = s"$stateDir/neardup_lbl"
     backfillBidx(spark, path, bidx, numBuckets)
+    LabelMirror.backfill(spark, path, lbl, stateSchema, "doc_id", numBuckets)
     MvPipeline.upsertBucketedStaged(spark, path, {
       val g = Dedup.gramSets(docs, idCol, textCol, shingleN)
         .transform(graft.operators.Caching.persisted)
@@ -108,13 +110,14 @@ object IncrementalNearDup {
       // into the task binary — the plan grows multiplicatively per
       // reference (measured: 33 MiB task binaries and an OOM on the sf0.1
       // rehearsal before the cut; same data volume, exploded lineage)
-      val st = MvPipeline.readBucketedStateOrEmpty(spark, path, stateSchema)
       // PRUNED band-index read: only the buckets the batch's band keys
       // hash into can hold a colliding state row
       val oldB = MvPipeline.readBuckets(spark, bidx,
           MvPipeline.bucketIdsOf(newB, Seq("band_key"), numBuckets), bidxSchema)
         .transform(graft.operators.Caching.persisted)
-      val oldL = st.filter(col("kind") === "l").select("doc_id", "label")
+      // labels from the slim (doc_id, label) mirror — the fold never
+      // opens a payload bucket it didn't prune to (r12, [[LabelMirror]])
+      val oldL = LabelMirror.readAll(spark, lbl, path, stateSchema, "doc_id")
         .transform(graft.operators.Caching.persisted)
 
       // candidates: new docs vs (state ∪ batch); normalize to id1 < id2
@@ -164,7 +167,8 @@ object IncrementalNearDup {
         d => d.filter(col("kind") === "b")
           .select("doc_id", "band_idx", "band_key"),
         (old, inc) => old.unionByName(inc).distinct(),
-        Seq("band_key"))))
+        Seq("band_key")),
+        LabelMirror.secondary(lbl, "doc_id")))
     graft.operators.Caching.releaseAll()
   }
 
@@ -218,11 +222,11 @@ object IncrementalNearDup {
       lit(null).cast("array<bigint>").as("gh"), col("label"))
 
   /** `(doc_id, label)` for every doc seen — label = min doc id of the
-    * near-dup component (the batch x11/x25 read served from state). */
+    * near-dup component (the batch x11/x25 read served from state),
+    * from the slim mirror (legacy dirs fall back to the main table). */
   def labels(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedState(spark, s"$stateDir/neardup")
-      .filter(col("kind") === "l")
-      .select(col("doc_id"), col("label"))
+    LabelMirror.readAll(spark, s"$stateDir/neardup_lbl",
+      s"$stateDir/neardup", stateSchema, "doc_id")
 
   /** The retained set: docs that are their own component's representative
     * (what a dedup pass keeps). */
@@ -313,6 +317,7 @@ object IncrementalNearDup {
       s"$stateDir/neardup_bidx",
       (old, inc) => old.unionByName(inc).distinct(),
       -1L, numBuckets, Seq("band_key"))
+    LabelMirror.write(l, s"$stateDir/neardup_lbl", "doc_id", numBuckets)
     graft.operators.Caching.releaseAll()
   }
 
@@ -327,7 +332,8 @@ object IncrementalNearDup {
       threshold: Double = 0.8, opId: Long = -1L, numBuckets: Int = 16,
       driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
     ForgetMaintenance.forget(spark, ids,
-      s"$stateDir/neardup", s"$stateDir/neardup_bidx", "doc_id",
+      s"$stateDir/neardup", s"$stateDir/neardup_bidx",
+      s"$stateDir/neardup_lbl", "doc_id",
       stateSchema, payloadKind = "g", packL = packL,
       mirrorOf = rows => rows.filter(col("kind") === "b")
         .select("doc_id", "band_idx", "band_key"),

@@ -1,9 +1,98 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.Dedup
+
+/** Slim `(id, label)` SIDE PROJECTION of a clusterer's labels (r12) —
+  * the upgrade the forget contract named (ForgetMaintenance's per-op
+  * id→label map used to project the label COLUMNS of every bucket of
+  * the payload-dominated main state table, and the folds paid the same
+  * projection per batch). The mirror is its own bucketed table
+  * (`{view}_lbl`, bucketed by the id so id-keyed probes prune), fed
+  * from the SAME staged delta as the band/chunk mirrors
+  * ([[MvPipeline.StagedSecondary]]) — one row and 16 bytes per doc,
+  * read without touching a payload bucket.
+  *
+  * Replay admissibility — why a STATE-DERIVED projection is safe here
+  * despite the StagedSecondary determinism contract: the mirror's merge
+  * is the SAME per-id `min` semilattice the main table folds its `l`
+  * rows with, so a replay-after-sweep recomputed delta (whose label
+  * rows and bucket routing may differ from the original's) can only
+  * re-assert current-or-higher labels, which the min-merge absorbs —
+  * harmlessness comes from the lattice, not from stamped-bucket
+  * routing. Forget REPLACES labels (they can raise) under the same
+  * single-writer between-batches discipline as the main table. */
+object LabelMirror {
+
+  def schema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType), StructField("label", LongType)))
+
+  /** The staged secondary feeding the mirror from the main delta's `l`
+    * rows (per-id min merge — see the replay note above). */
+  def secondary(lblPath: String, idCol: String): MvPipeline.StagedSecondary =
+    MvPipeline.StagedSecondary(lblPath,
+      d => d.filter(col("kind") === "l").select(idCol, "label"),
+      mergeMin(idCol), Seq(idCol))
+
+  def mergeMin(idCol: String)(old: DataFrame, inc: DataFrame): DataFrame =
+    old.unionByName(inc).groupBy(idCol).agg(min("label").as("label"))
+
+  /** Every `(id, label)` row, from the mirror alone — the full-label
+    * read the folds' relabel and the forget's affected-set discovery
+    * need (O(docs) rows but 2 slim columns; the payload table's buckets
+    * are never opened). Falls back to the MAIN table's projection for a
+    * legacy dir whose mirror was never built (read-only paths must not
+    * write; the folds/forgets backfill on their next write). */
+  def readAll(spark: SparkSession, lblPath: String, mainPath: String,
+      mainSchema: StructType, idCol: String): DataFrame =
+    if (hasBuckets(spark, lblPath))
+      MvPipeline.readBucketedStateOrEmpty(spark, lblPath, schema(idCol))
+    else
+      MvPipeline.readBucketedStateOrEmpty(spark, mainPath, mainSchema)
+        .filter(col("kind") === "l").select(idCol, "label")
+
+  /** One-time mirror build for a legacy state dir (the backfillBidx
+    * contract: idempotent min-merge, a crash mid-backfill converges on
+    * the next call; no-op when the mirror exists or the view is fresh). */
+  def backfill(spark: SparkSession, mainPath: String, lblPath: String,
+      mainSchema: StructType, idCol: String, numBuckets: Int): Unit =
+    if (hasBuckets(spark, mainPath) && !hasBuckets(spark, lblPath))
+      MvPipeline.upsertBucketedMerge(
+        MvPipeline.readBucketedState(spark, mainPath)
+          .filter(col("kind") === "l").select(idCol, "label"),
+        lblPath, mergeMin(idCol), -1L, numBuckets, Seq(idCol))
+
+  /** Direct write for bootstrap (fresh dir; same min merge). */
+  def write(l: DataFrame, lblPath: String, idCol: String,
+      numBuckets: Int): Unit =
+    MvPipeline.upsertBucketedMerge(l.select(idCol, "label"), lblPath,
+      mergeMin(idCol), -1L, numBuckets, Seq(idCol))
+
+  /** Apply a forget delta `(tbl, id, label)` — `x` rows tombstone, `l`
+    * rows REPLACE (forget labels can raise, so min is wrong here;
+    * idempotent under re-application like the main table's forget
+    * merge). */
+  def applyForget(inc: DataFrame, lblPath: String, idCol: String,
+      numBuckets: Int): Unit =
+    MvPipeline.upsertBucketedMerge(inc, lblPath, { (old, inc) =>
+      val o =
+        if (old.columns.contains("tbl")) old.limit(0).select(idCol, "label")
+        else old
+      val lNew = inc.filter(col("tbl") === "l").select(idCol, "label")
+      val gone = inc.select(idCol).distinct() // x ∪ l ids both re-resolve
+      o.join(gone, Seq(idCol), "left_anti").unionByName(lNew)
+    }, -1L, numBuckets, Seq(idCol))
+
+  private def hasBuckets(spark: SparkSession, p: String): Boolean = {
+    val b = new org.apache.hadoop.fs.Path(p)
+    val fs = b.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(b) && fs.listStatus(b)
+      .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+  }
+}
 
 /** Shared min-label cluster maintenance for the streaming near-dup
   * family ([[IncrementalNearDup]] text MinHash, [[IncrementalEmbedNearDup]]
@@ -112,13 +201,16 @@ object LabelMaintenance {
             und("id2") === col("nid"))
           .groupBy(und("id1").as("doc_id"))
           .agg(min("label").as("nlabel"))
+        // the changed-flag rides the checkpointed rows, so the
+        // convergence check is a scan of cached blocks — not the
+        // former per-iteration self-join job (r12 hygiene)
         val next = labels.as("l")
           .join(neighborMin.as("n"), Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (coalesce(col("nlabel"), col("label")) < col("label")).as("chg"))
           .localCheckpoint()
-        converged = next.as("a").join(labels.as("b"), "doc_id")
-          .filter(col("a.label") =!= col("b.label")).isEmpty
+        converged = next.filter(col("chg")).isEmpty
         graft.operators.Caching.releaseCheckpoint(labels)
         labels = next
         i += 1
@@ -129,7 +221,7 @@ object LabelMaintenance {
       if (!converged) throw new IllegalStateException(
         s"relabel did not converge in $maxIter iterations " +
           s"($nEdges edges, $nStars star rows); retry with higher maxIter")
-      labels
+      labels.drop("chg")
     }
   }
 }

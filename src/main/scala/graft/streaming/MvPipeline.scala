@@ -335,8 +335,12 @@ object MvPipeline {
     * the bucket-key columns — must be a deterministic function of the
     * batch input (the views' blocking rows are), because a replay AFTER
     * the staged sweep recomputes the delta and relies on it routing to
-    * the same (stamped) buckets; delta rows derived from mutable state
-    * (like the label delta) belong in the main table only. */
+    * the same (stamped) buckets. A STATE-derived projection (like the
+    * label delta) is admissible under one alternative discharge: the
+    * secondary's merge is the same semilattice the main table folds
+    * those rows with, so a replay-recomputed delta is absorbed by the
+    * merge on ANY bucket regardless of routing (the [[LabelMirror]]
+    * per-id min — harmlessness from the lattice, not from stamps). */
   final case class StagedSecondary(path: String,
       project: DataFrame => DataFrame,
       mergeFn: (DataFrame, DataFrame) => DataFrame,

@@ -237,4 +237,37 @@ class ForgetMaintenanceSpec extends SparkTestBase {
     assert(served() === hs.filterNot(_._1 == 2L)
       .map { case (id, _) => id -> comp.getOrElse(id, id) }.toMap)
   }
+
+  test("label mirror: slim side table ≡ main-table l rows through fold, backfill, and forget") {
+    val state = tmpDir("fg-lbl")
+    import org.apache.spark.sql.functions.col
+    def mainL(): Map[Long, Long] =
+      MvPipeline.readBucketedState(spark, s"$state/neardup")
+        .filter(col("kind") === "l").select("doc_id", "label")
+        .as[(Long, Long)].collect().toMap
+    def mirrorL(): Map[Long, Long] =
+      MvPipeline.readBucketedState(spark, s"$state/neardup_lbl")
+        .select("doc_id", "label").as[(Long, Long)].collect().toMap
+
+    foldText(state, Seq(1L -> aTok, 3L -> cTok), 0L)
+    assert(mirrorL() === mainL() && mirrorL() === Map(1L -> 1L, 3L -> 3L))
+
+    // legacy dir: drop the mirror entirely — the next fold backfills it
+    // from the main table before folding (idempotent min-merge), and the
+    // bridge batch then merges the chain in BOTH tables
+    val lblPath = new org.apache.hadoop.fs.Path(s"$state/neardup_lbl")
+    val fs = lblPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lblPath, true)
+    foldText(state, Seq(2L -> bTok), 1L)
+    val all = Seq(1L -> aTok, 2L -> bTok, 3L -> cTok)
+    assert(servedText(state) === textTruth(all))
+    assert(mirrorL() === mainL())
+
+    // forget the min-id representative: survivors’ labels RAISE — the
+    // REPLACE path of the mirror’s forget apply, not the min-merge
+    IncrementalNearDup.forget(spark, state, Seq(1L).toDF("doc_id"),
+      threshold = thr, opId = 7L)
+    assert(servedText(state) === textTruth(all.filterNot(_._1 == 1L)))
+    assert(mirrorL() === mainL() && !mirrorL().contains(1L))
+  }
 }
