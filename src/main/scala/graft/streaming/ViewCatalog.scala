@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** VIEW-CATALOG runner (r12) — the operability layer a deployment of
+  * this engine actually runs: ONE CDC source bound to N maintained
+  * views plus their derived / lattice / snapshot-commit / ship stages
+  * under ONE batch-id domain, with the cascade discipline the family
+  * contracts state but previously left to each caller (bases commit
+  * before derived folds read their changelogs; REPLACE-base snapshots
+  * advance only after the derived folds that consumed their diff;
+  * external ships run last).
+  *
+  * Crash model — nothing new, by construction: every stage the catalog
+  * runs is one of the family's existing idempotent units (staged-delta
+  * folds whose stamped buckets skip on replay; watermark-guarded ships
+  * that re-ship at most the last block; snapshot commits that
+  * re-enter with an identical diff). The catalog adds only a COMPLETION
+  * FLOOR per catalog dir (`_catalog_done_b<id>`, the resume-floor
+  * device): a batch at or below the floor skips wholesale, a crash
+  * anywhere mid-cascade leaves the floor unmoved so the foreachBatch
+  * replay re-runs EVERY stage of that batch in order — applied stages
+  * no-op, unapplied stages converge. Stages therefore MUST be the
+  * family's batch-stamped operations (ad-hoc ids, which carry no
+  * replay markers, are refused).
+  *
+  * 100 TB shape: the catalog itself moves no data — per batch it runs
+  * each stage's own O(Δ) fold exactly once, and the floor check is one
+  * directory listing. Stage order within a tier is the declaration
+  * order (independent views may not see each other's state mid-batch;
+  * a derived stage reading TWO bases lists both in `bases` first). */
+object ViewCatalog {
+
+  /** One stage: `run(cdcBatch, batchId)` must be idempotent under
+    * replay of the same id (the staged/stamp/watermark contracts). */
+  final case class Stage(name: String)(val run: (DataFrame, Long) => Unit)
+
+  /** A catalog in cascade order. `bases` consume the CDC batch;
+    * `derived` read the bases' POST-batch state/changelogs (derived
+    * views, rollup lattices); `commits` advance REPLACE-base snapshots
+    * consumed by `derived` diffs ([[DerivedView.commitReplaceBase]] —
+    * after the consumers, per its contract); `ships` deliver
+    * externally (watermark-guarded, always last: a ship must never see
+    * a view its own batch has not finished writing). */
+  final case class Catalog(bases: Seq[Stage], derived: Seq[Stage] = Nil,
+      commits: Seq[Stage] = Nil, ships: Seq[Stage] = Nil) {
+    def stages: Seq[Stage] = bases ++ derived ++ commits ++ ships
+    require(stages.map(_.name).distinct.size == stages.size,
+      "catalog stage names must be unique")
+  }
+
+  /** Run one CDC batch through the catalog. Returns false when the
+    * batch is at or below the completion floor (fully-applied replay —
+    * skipped wholesale), true when the cascade ran and the floor
+    * advanced. */
+  def runBatch(spark: SparkSession, catalog: Catalog, catalogDir: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    require(batchId >= 0,
+      "catalog batches need replay-stamped ids (ad-hoc ids carry no markers)")
+    if (batchId <= completedFloor(spark, catalogDir)) return false
+    catalog.stages.foreach(_.run(batch, batchId))
+    val p = new Path(s"$catalogDir/_catalog_done_b$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(catalogDir))
+    fs.create(p, true).close()
+    // keep one floor marker (the device is the name, not the content)
+    fs.listStatus(new Path(catalogDir)).map(_.getPath)
+      .filter(q => q.getName.startsWith("_catalog_done_b") &&
+        q.getName.stripPrefix("_catalog_done_b").toLong < batchId)
+      .foreach(q => fs.delete(q, false))
+    true
+  }
+
+  /** The last FULLY-completed batch id (-1 = none): the highest
+    * `_catalog_done_b<id>` marker in the catalog dir. */
+  def completedFloor(spark: SparkSession, catalogDir: String): Long = {
+    val base = new Path(catalogDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) -1L
+    else fs.listStatus(base).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_catalog_done_b") =>
+        n.stripPrefix("_catalog_done_b").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Continuous operation: one JSON-lines CDC stream driving the whole
+    * catalog (the engines' `start()` shape, lifted to N views). */
+  def start(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, catalog: Catalog,
+      catalogDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatch(spark, catalog, catalogDir, batch, batchId); ()
+      }
+      .start()
+}

@@ -75,6 +75,45 @@ object NearDupRehearsal {
     println(f"[rehearsal] 5-doc steady-state fold: ${(System.nanoTime() - tTiny0) / 1e9}%.2f s")
     StateBytes.report("5-doc batch writes", stateDir, beforeTiny)
 
+    // label-read economics (r12, the LabelMirror upgrade): the folds'
+    // and forget's full-label read now scans the slim (doc_id, label)
+    // mirror instead of projecting the label columns out of every
+    // payload bucket — measure both against the same state
+    def timeCount(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = df.count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nMirror, tMirror) = timeCount(
+      graft.streaming.MvPipeline.readBucketedState(spark, s"$state/neardup_lbl"))
+    val (nMain, tMain) = timeCount(
+      graft.streaming.MvPipeline.readBucketedState(spark, s"$state/neardup")
+        .filter(col("kind") === "l").select("doc_id", "label"))
+    println(f"[rehearsal] label read: mirror $nMirror%d rows in $tMirror%.2f s " +
+      f"vs main-table projection $nMain%d rows in $tMain%.2f s")
+
+    // forget cost: 5 real corpus docs — the id→label probe prunes to
+    // the buckets the ids hash into; writes touch only affected
+    // components. The final exactness check below runs against the
+    // batch sweep over corpus-MINUS-forgotten (deletion-exactness at
+    // this SF, not just in the unit fixtures).
+    val forgottenIds = docs.select("doc_id")
+      .filter(pmod(col("doc_id"), lit(37L)) === 3).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val fIds = spark.createDataFrame(
+      spark.sparkContext.parallelize(forgottenIds.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+    val fProbe = graft.streaming.MvPipeline
+      .bucketIdsOf(fIds, Seq("doc_id"), buckets).length
+    val tF0 = System.nanoTime()
+    val nForgot = IncrementalNearDup.forget(spark, state, fIds,
+      threshold = 0.5, opId = 1000L, numBuckets = buckets)
+    println(f"[rehearsal] forget(5 docs): $nForgot%d forgotten in " +
+      f"${(System.nanoTime() - tF0) / 1e9}%.2f s; id→label probe read " +
+      f"$fProbe%d/$buckets%d buckets")
+
     // retention compaction: freeze the older half of the corpus — grams
     // and bands drop, labels stay (reads exact for everything ever seen)
     val rowsBefore = graft.streaming.MvPipeline.readBucketedState(spark, s"$state/neardup").count()
@@ -88,16 +127,17 @@ object NearDupRehearsal {
       f"(-${100.0 * (bytesBefore - bytesAfter) / bytesBefore}%.0f%%) in ${(System.nanoTime() - tC0) / 1e9}%.2f s")
 
     val t1 = System.nanoTime()
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    val survivors = docs.filter(!col("doc_id").isin(forgottenIds: _*))
+    val pairs = Dedup.minhashLshPairs(survivors, "doc_id", "text", threshold = 0.5)
     val comp = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.operators.Caching.releaseAll()
     val tBatch = (System.nanoTime() - t1) / 1e9
-    println(f"[rehearsal] full batch sweep: $tBatch%.2f s")
+    println(f"[rehearsal] full batch sweep (minus forgotten): $tBatch%.2f s")
 
     val served = IncrementalNearDup.labels(spark, state).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0))
     val truth = ids.map(id => id -> comp.getOrElse(id, id)).toMap
     val diff = truth.count { case (k, v) => served.get(k) != Some(v) }
     println(s"[rehearsal] labels: ${served.size} served, $diff diverge from batch"

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkTestBase
+import graft.sinks.{ChangelogShip, JdbcClickHouseSink}
+
+/** Catalog orchestration (r12): one CDC source bound to two base views
+  * (join-agg revenue, sessions), a derived view and a rollup lattice
+  * over the first base's changelog, and an external ship — run under
+  * ONE batch-id domain by [[ViewCatalog]]. After every batch each view
+  * must equal its independent fold (same slices, no catalog) — checked
+  * by content AND by [[MvPipeline.stateDigest]] — and a crash between
+  * stages must leave the completion floor unmoved so the replay re-runs
+  * the cascade and converges; a fully-applied batch must skip
+  * wholesale. */
+class ViewCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gap = 100L
+  private val dSchema = StructType(Seq(StructField("g", StringType),
+    StructField("total", LongType), StructField("pairs", LongType)))
+
+  // CDC rows: (tbl, jk, id, m, g, t) — facts/dims feed the revenue
+  // view, ev/evdel feed sessions; one frame, stages slice it
+  private type Cdc = (String, Long, Long, Long, String, Long)
+  private def cdc(rows: Seq[Cdc]) =
+    rows.toDF("tbl", "jk", "id", "m", "g", "t")
+
+  private def foldRevenue(state: String)(b: org.apache.spark.sql.DataFrame,
+      id: Long): Unit =
+    IncrementalJoinAgg.processBatch(
+      b.filter(col("tbl") === "fact").select("jk", "id", "m"),
+      "jk", "id", "m",
+      b.filter(col("tbl") === "dim").select("jk", "g"),
+      "jk", "g", state, id, numBuckets = 4)
+
+  private def foldSessions(state: String)(b: org.apache.spark.sql.DataFrame,
+      id: Long): Unit =
+    IncrementalSessions.processBatch(
+      b.filter(col("tbl") === "ev").select(col("id"), col("t"),
+        col("jk").as("k")),
+      b.filter(col("tbl") === "evdel").select(col("id"), col("jk").as("k")),
+      gap = gap, stateDir = state, batchId = id, numBuckets = 4)
+
+  private def foldDerived(base: String, state: String)(id: Long): Unit = {
+    val touched = IncrementalJoinAgg.changelog(spark, base)
+      .filter(col("batch") === id).select("g").distinct()
+    val rows = IncrementalJoinAgg.view(spark, base)
+      .join(touched, Seq("g"), "left_semi")
+    DerivedView.processBatch(spark, touched, rows, state, id, numBuckets = 4)
+  }
+
+  private def foldRollup(base: String, state: String)(id: Long): Unit =
+    RollupMaintenance.processBatch(
+      IncrementalJoinAgg.changelog(spark, base).filter(col("batch") === id)
+        .select(col("g"), col("dtotal").as("m"), col("dpairs").as("c")),
+      state, Seq(Seq(0), Seq()), id, numBuckets = 4)
+
+  private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+  private def folded(db: String, table: String): Map[String, (Long, Long)] =
+    spark.read.format("jdbc").option("url", derbyUrl(db))
+      .option("dbtable", table).load().distinct()
+      .groupBy("g").agg(sum("dtotal").as("t"), sum("dpairs").as("p"))
+      .filter(col("p") > 0)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def viewA(state: String): Map[String, (Long, Long)] =
+    IncrementalJoinAgg.view(spark, state)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+  private def viewS(state: String): Set[(Long, Long, Long, Long)] =
+    IncrementalSessions.view(spark, state)
+      .as[(Long, Long, Long, Long)].collect().toSet
+  private def viewD(state: String): Map[String, (Long, Long)] =
+    DerivedView.view(spark, state, dSchema)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+  private def viewR(state: String, set: Seq[Int]): Map[String, (Long, Long)] =
+    RollupMaintenance.view(spark, state, set)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def digest(df: org.apache.spark.sql.DataFrame): Long =
+    MvPipeline.stateDigest(df).as[Long].collect().head
+
+  test("catalog: cascade ≡ independent folds; crash mid-cascade converges; floor skips replays") {
+    val sA = tmpDir("vc-a"); val sB = tmpDir("vc-b")
+    val sD = tmpDir("vc-d"); val sR = tmpDir("vc-r")
+    val cat = tmpDir("vc-cat")
+    val db = "vcat1"
+    val sink = new JdbcClickHouseSink(derbyUrl(db), "app", "")
+
+    val catalog = ViewCatalog.Catalog(
+      bases = Seq(
+        ViewCatalog.Stage("revenue")(foldRevenue(sA)),
+        ViewCatalog.Stage("sessions")(foldSessions(sB))),
+      derived = Seq(
+        ViewCatalog.Stage("avg")((_, id) => foldDerived(sA, sD)(id)),
+        ViewCatalog.Stage("rollup")((_, id) => foldRollup(sA, sR)(id))),
+      ships = Seq(ViewCatalog.Stage("ship")((_, _) =>
+        ChangelogShip.ship(IncrementalJoinAgg.changelog(spark, sA),
+          "batch", sink, "cat_cl", sA))))
+
+    // independent twin: the SAME slices folded directly, no catalog
+    val tA = tmpDir("vc-ta"); val tB = tmpDir("vc-tb")
+    val tD = tmpDir("vc-td"); val tR = tmpDir("vc-tr")
+    def twin(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      foldRevenue(tA)(b, id); foldSessions(tB)(b, id)
+      foldDerived(tA, tD)(id); foldRollup(tA, tR)(id)
+    }
+    def assertConverged(): Unit = {
+      assert(viewA(sA) === viewA(tA))
+      assert(viewS(sB) === viewS(tB))
+      assert(viewD(sD) === viewD(tD))
+      assert(viewD(sD) === viewA(sA), "derived ≡ per-key recompute of base")
+      assert(viewR(sR, Seq(0)) === viewR(tR, Seq(0)))
+      assert(viewR(sR, Seq(0)) === viewA(sA), "depth-1 rollup ≡ base view")
+      assert(folded(db, "cat_cl") === viewA(sA), "shipped table ≡ view")
+      // order-free digests agree table-wise (the anti-entropy check)
+      assert(digest(IncrementalJoinAgg.view(spark, sA)) ===
+        digest(IncrementalJoinAgg.view(spark, tA)))
+      assert(digest(IncrementalSessions.view(spark, sB)) ===
+        digest(IncrementalSessions.view(spark, tB)))
+      assert(digest(DerivedView.view(spark, sD, dSchema)) ===
+        digest(DerivedView.view(spark, tD, dSchema)))
+    }
+
+    // batch 0: both bases fill; user 7 gets two gap-separated sessions
+    val b0 = cdc(Seq(("fact", 10L, 1L, 100L, "", 0L),
+      ("fact", 20L, 2L, 30L, "", 0L),
+      ("dim", 10L, 0L, 0L, "s1", 0L), ("dim", 20L, 0L, 0L, "s2", 0L),
+      ("ev", 7L, 1L, 0L, "", 0L), ("ev", 7L, 2L, 0L, "", 250L)))
+    assert(ViewCatalog.runBatch(spark, catalog, cat, b0, 0L))
+    twin(b0, 0L)
+    assertConverged()
+    assert(viewA(sA) === Map("s1" -> (100L, 1L), "s2" -> (30L, 1L)))
+    assert(viewS(sB).size === 2)
+
+    // batch 1: dim re-key s2→s1 (retraction travels the whole cascade)
+    val b1 = cdc(Seq(("dim", 20L, 0L, 0L, "s1", 0L)))
+    assert(ViewCatalog.runBatch(spark, catalog, cat, b1, 1L))
+    twin(b1, 1L)
+    assertConverged()
+    assert(viewA(sA) === Map("s1" -> (130L, 2L)))
+    assert(viewR(sR, Seq()) === Map("" -> (130L, 2L)))
+
+    // batch 2 CRASHES between stages: bases + derived applied, rollup
+    // and ship not — the floor must not advance
+    val bomb = catalog.copy(derived = catalog.derived.take(1) :+
+      ViewCatalog.Stage("bomb")((_, _) =>
+        throw new RuntimeException("injected crash")))
+    val b2 = cdc(Seq(("fact", 10L, 3L, 50L, "", 0L),
+      ("ev", 7L, 3L, 0L, "", 100L), ("ev", 7L, 4L, 0L, "", 180L)))
+    intercept[RuntimeException] {
+      ViewCatalog.runBatch(spark, bomb, cat, b2, 2L)
+    }
+    assert(ViewCatalog.completedFloor(spark, cat) === 1L,
+      "crash mid-cascade must leave the floor unmoved")
+    assert(viewA(sA)("s1") === ((180L, 3L)), "stages before the crash applied")
+
+    // replay of batch 2 through the FULL catalog: applied stages skip
+    // via their own stamps/watermarks, the rest converge (the merged
+    // user-7 session — the cross-batch −1/−1/+1 — lands exactly once)
+    assert(ViewCatalog.runBatch(spark, catalog, cat, b2, 2L))
+    twin(b2, 2L)
+    assertConverged()
+    assert(viewS(sB) === Set((7L, 0L, 250L, 4L)), "sessions merged")
+
+    // fully-applied replay skips wholesale; nothing moves
+    val dA = digest(IncrementalJoinAgg.view(spark, sA))
+    assert(!ViewCatalog.runBatch(spark, catalog, cat, b2, 2L))
+    assert(digest(IncrementalJoinAgg.view(spark, sA)) === dA)
+
+    // the operational audit is clean catalog-wide
+    val violations = Seq(sA, sB, sD, sR).flatMap(d =>
+      graft.tools.StateAudit.audit(spark, d))
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
