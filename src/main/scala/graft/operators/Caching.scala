@@ -62,6 +62,24 @@ object Caching {
     df
   }
 
+  /** Run `body` and release ONLY the handles it registered — the
+    * chunk-scoped release the star's mega-wave fold needs: each chunk's
+    * walk intermediates drop before the next chunk materializes (the
+    * working-set bound IS the point of chunking), while frames cached
+    * BEFORE the scope stay for the remaining chunks. Safe by the same
+    * rule as [[releaseAll]]: a dropped block recomputes lazily. */
+  def scoped[T](body: => T): T = {
+    val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+    handles.forEach(h => before.put(h, java.lang.Boolean.TRUE))
+    val r = body
+    val it = handles.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (!before.containsKey(h)) { h.unpersist(blocking = false); it.remove() }
+    }
+    r
+  }
+
   /** Unpersist every tracked handle (idempotent; safe while queries on
     * other data are running — Spark recomputes dropped blocks lazily). */
   def releaseAll(): Unit = {

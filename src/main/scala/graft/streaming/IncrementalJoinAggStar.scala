@@ -249,7 +249,8 @@ object IncrementalJoinAggStar {
       dims: Seq[Seq[DataFrame]], dimCols: Seq[Seq[(String, String, String)]],
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       dimDels: Seq[Seq[DataFrame]] = null,
-      factMs: Seq[String] = null): Unit = {
+      factMs: Seq[String] = null,
+      factChunks: Int = 1): Unit = {
     val nB = spec.B
     // R161 multi-measure: `factMs` names every measure source column
     // (defaults to the single `factM`)
@@ -580,7 +581,10 @@ object IncrementalJoinAggStar {
       // signed join at (b,i), post-state above it; branches < b at PRE,
       // branches > b at POST (the fixed telescoping order). Inactive
       // levels (no upserts, or all no-ops) contribute no term at all.
-      val terms = (1 to nB).flatMap { b =>
+      // `chunkOf` restricts each term's PRE-STATE fact side (the
+      // mega-wave chunking device below); identity = the whole subtree.
+      def termsFor(chunkOf: DataFrame => DataFrame): Seq[DataFrame] =
+        (1 to nB).flatMap { b =>
         (1 to spec.branchDepths(b - 1)).filter(i => termActive(b - 1)(i - 1)).map { i =>
           // backward: which pre-state branch-b rows reach ΔD(b,i)'s keys
           var need = zds(b - 1)(i - 1).select(col("k").as("v")).distinct()
@@ -596,12 +600,12 @@ object IncrementalJoinAggStar {
           // pre-state facts reaching the lowest needed keys, via the
           // branch's fact (mirror) table
           val fTable = if (b == 1) "f" else s"fm$b"
-          val fPart =
+          val fPart = chunkOf(
             if (i == 1) pruneRead(fTable,
               zds(b - 1)(0).select(col("k").as(s"k$b")), Seq(s"k$b"), fSchema(nB, spec.numMeasures))
             else pruneRead(fTable,
                 need.select(col("v").as(s"k$b")), Seq(s"k$b"), fSchema(nB, spec.numMeasures))
-              .join(need, col(s"k$b") === col("v"), "left_semi")
+              .join(need, col(s"k$b") === col("v"), "left_semi"))
           var cur = withDk(spec, fPart).select(
             (1 to nB).map(b2 => col(s"k$b2")) ++
             spec.mCols.map(col) ++ Seq(lit(1L).as("w")) ++
@@ -628,19 +632,67 @@ object IncrementalJoinAggStar {
         }
       }
 
-      val activeTerms = (if (zfActive) Seq(t0()) else Nil) ++ terms
+      val finishedSchema = StructType(Seq(StructField("g", StringType)) ++
+        spec.mCols.map(c => StructField(c, LongType)) ++
+        Seq(StructField("w", LongType)) ++
+        (if (spec.trackDistinct.isDefined)
+          Seq(StructField("dk", LongType)) else Nil))
+      val emptyFinished = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], finishedSchema)
       // the FINISHED delta relation (g, m, w) — shared by the summed
-      // aggregate delta and (when tracked) the fact-grained extrema delta
+      // aggregate delta and (when tracked) the fact-grained extrema delta.
+      // MEGA-WAVE chunking (r12 stretch): a dim flip admitting a large
+      // slice of the corpus makes the delta terms' fact side O(affected
+      // subtree) — honest work, but materializing it as ONE job is a
+      // memory/shuffle cliff at 100×. With `factChunks = C > 1` the
+      // PRE-STATE fact side of every term is partitioned by
+      // xxhash64(id) % C (facts partition disjointly; the terms are
+      // LINEAR in the fact relation, so per-chunk terms sum to the full
+      // delta), each chunk's finished relation is pre-aggregated to the
+      // (g, measures[, dk]) multiplicity rows and materialized as its
+      // own bounded job under `<staged>.parts/`, and the one staged
+      // delta is then assembled from the parts — so the apply, replay,
+      // changelog (ONE `c` row per (g, batch)), and external-ship
+      // contracts are byte-identical to the unchunked fold. Peak
+      // shuffle per job is the chunk's subtree, not the wave's. T0
+      // (the batch's OWN facts) rides chunk 0 — it is batch-bounded
+      // already. Crash mid-parts recomputes them (the staged-delta
+      // rename stays the atomic commit point).
       val finished =
-        if (activeTerms.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("g", StringType)) ++
-              spec.mCols.map(c => StructField(c, LongType)) ++
-              Seq(StructField("w", LongType)) ++
-              (if (spec.trackDistinct.isDefined)
-                Seq(StructField("dk", LongType)) else Nil)))
-        else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
-          .transform(graft.operators.Caching.persisted)
+        if (factChunks <= 1) {
+          val activeTerms = (if (zfActive) Seq(t0()) else Nil) ++ termsFor(identity)
+          if (activeTerms.isEmpty) emptyFinished
+          else activeTerms.map(t => finish(spec, t)).reduce(_ unionByName _)
+            .transform(graft.operators.Caching.persisted)
+        } else {
+          val partsDir = new Path(s"$path/$stagedName.parts")
+          fs.delete(partsDir, true)
+          val grpCols = Seq("g") ++ spec.mCols ++
+            (if (spec.trackDistinct.isDefined) Seq("dk") else Nil)
+          var wrote = false
+          (0 until factChunks).foreach { c =>
+            // chunk-scoped cache release: the walk intermediates of
+            // chunk c drop before chunk c+1 materializes — otherwise
+            // the per-chunk caches would accumulate back to the
+            // unchunked working set; shared pre-chunk frames stay
+            graft.operators.Caching.scoped {
+              val chunkTerms = termsFor(f =>
+                f.filter(pmod(xxhash64(col("id")), lit(factChunks.toLong)) === c))
+              val activeC = (if (zfActive && c == 0) Seq(t0()) else Nil) ++ chunkTerms
+              if (activeC.nonEmpty) {
+                activeC.map(t => finish(spec, t)).reduce(_ unionByName _)
+                  .groupBy(grpCols.map(col): _*).agg(sum("w").as("w"))
+                  .filter(col("w") =!= 0)
+                  .select(finishedSchema.fieldNames.map(col): _*)
+                  .write.parquet(s"$partsDir/part=$c")
+                wrote = true
+              }
+            }
+          }
+          if (!wrote) emptyFinished
+          else spark.read.schema(finishedSchema).parquet(partsDir.toString)
+            .transform(graft.operators.Caching.persisted)
+        }
       val mAggs = spec.mCols.map(c => sum(col(c) * col("w")).as(s"d$c"))
       val dAgg = finished
         .groupBy("g")

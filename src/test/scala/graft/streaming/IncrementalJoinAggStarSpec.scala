@@ -156,6 +156,76 @@ class IncrementalJoinAggStarSpec extends SparkTestBase {
     assert(served(state) === Map.empty)
   }
 
+  test("mega-wave chunking: factChunks > 1 ≡ the unchunked fold, incl. extrema/distinct/changelog") {
+    // a depth-2 branch so the wave is a literal flip 2 joins from the
+    // facts: every fact under the flipped attr re-routes — the
+    // affected-subtree shape the chunked materialization bounds. The
+    // fold with factChunks = 3 partitions each term's PRE-STATE fact
+    // side by xxhash64(id) % 3 and assembles ONE staged delta from the
+    // pre-aggregated parts, so every state table — view, changelog
+    // (exactly one c row per (g, batch): the external-ship dedup
+    // contract), extrema and distinct multiplicities — must be
+    // row-identical to the unchunked store after every batch.
+    val specW = StarSpec(Seq(2), groupAttrs = Seq((1, 2)),
+      trackExtrema = true, trackDistinct = Some("k1"))
+    val s1 = tmpDir("star-w1"); val s3 = tmpDir("star-w3")
+    def fold(state: String, chunks: Int)(
+        fb: Seq[(Long, Long, Long)], dels: Seq[(Long, Long)],
+        ups: Map[(Int, Int), Seq[Dim]], id: Long): Unit = {
+      val (d, dc) = dimsDf(specW, ups)
+      IncrementalJoinAggStar.processBatch(specW,
+        fb.toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+        dels.toDF("k1", "id"), Seq("k1"), "id",
+        d, dc, state, id, numBuckets = 4, factChunks = chunks)
+    }
+    def rows(state: String): (Map[String, (Long, Long)],
+        Set[(Long, String, Long, Long)], Seq[(String, Long)],
+        Seq[(String, Long)]) = (
+      served(state),
+      IncrementalJoinAggStar.changelog(spark, state)
+        .as[(Long, String, Long, Long)].collect().toSet,
+      IncrementalJoinAggStar.extremaView(spark, state)
+        .select("g", "max_v").as[(String, Long)].collect().toSeq.sorted,
+      IncrementalJoinAggStar.distinctView(spark, state)
+        .as[(String, Long)].collect().toSeq.sorted)
+    def step(fb: Seq[(Long, Long, Long)], dels: Seq[(Long, Long)],
+        ups: Map[(Int, Int), Seq[Dim]], id: Long): Unit = {
+      fold(s1, 1)(fb, dels, ups, id)
+      fold(s3, 3)(fb, dels, ups, id)
+      val (v1, c1, e1, u1) = rows(s1)
+      val (v3, c3, e3, u3) = rows(s3)
+      assert(v3 === v1, s"batch $id: view diverged")
+      assert(c3 === c1, s"batch $id: changelog diverged")
+      assert(e3 === e1, s"batch $id: extrema diverged")
+      assert(u3 === u1, s"batch $id: distinct diverged")
+    }
+
+    // 30 facts across 6 orders -> 2 customers -> 1 shared region attr
+    val facts = (1 to 30).map(i =>
+      ((i % 6).toLong + 10L, i.toLong, (i * 7).toLong))
+    step(facts, Nil, Map(
+      (1, 1) -> (0 to 5).map(o => (o + 10L, Some(500L + o % 2), None)),
+      (1, 2) -> Seq((500L, None, Some("R1")), (501L, None, Some("R2")))), 0L)
+    // the WAVE: flip the level-2 attr both customers point at variants
+    // of — every fact in R1 re-routes (the region-rename shape)
+    step(Nil, Nil, Map((1, 2) -> Seq((500L, None, Some("R9")))), 1L)
+    // mixed batch THROUGH the chunked path: new facts + deletes + a
+    // level-1 re-key in one fold
+    step(Seq((15L, 100L, 999L)), Seq((10L, 6L)),
+      Map((1, 1) -> Seq((11L, Some(501L), None))), 2L)
+    // replay the wave batch on the CHUNKED store: strict no-op
+    val before = rows(s3)
+    fold(s3, 3)(Nil, Nil, Map((1, 2) -> Seq((500L, None, Some("R9")))), 1L)
+    assert(rows(s3) === before, "chunked replay changed state")
+    // and the parts dir is swept with the staged delta
+    val fs = new org.apache.hadoop.fs.Path(s3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$s3/joinaggstar"))
+      .map(_.getPath.getName).filter(_.startsWith("_delta_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("random interleave == model after every batch; changelog integral == view") {
     val state = tmpDir("star2")
     val rnd = new scala.util.Random(17)
