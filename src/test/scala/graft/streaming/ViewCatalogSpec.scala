@@ -175,4 +175,73 @@ class ViewCatalogSpec extends SparkTestBase {
       graft.tools.StateAudit.audit(spark, d))
     assert(violations.isEmpty, violations.mkString("\n"))
   }
+
+  test("catalog with a REPLACE-base tier: snapshot commits ride AFTER their derived consumers") {
+    // R168 inside R170: a near-dup clustering is the base (REPLACE
+    // labels, no changelog); a cluster-size derived view folds off the
+    // snapshot diff, and the snapshot COMMIT is a `commits`-tier stage
+    // — so a crash between the derived fold and the commit replays the
+    // identical diff and the stamped buckets skip (the cascade order
+    // the runner exists to enforce)
+    val nd = tmpDir("vcr-nd"); val sD = tmpDir("vcr-d")
+    val mk = tmpDir("vcr-mk"); val cat = tmpDir("vcr-cat")
+    val sizeSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_members", LongType)))
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    def base() = IncrementalNearDup.labels(spark, nd)
+
+    val catalog = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("neardup")((b, id) =>
+        IncrementalNearDup.processBatch(b, "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.6,
+          stateDir = nd, batchId = id, numBuckets = 4))),
+      derived = Seq(ViewCatalog.Stage("sizes")((_, id) => {
+        val diff = DerivedView.replaceBaseDiff(base(), mk, "labels")
+        val touched = diff.select(col("label").as("g")).distinct()
+        val rows = base()
+          .join(touched.select(col("g").as("label")), Seq("label"), "left_semi")
+          .groupBy("label").agg(count(lit(1)).as("n_members"))
+          .select(col("label").as("g"), col("n_members"))
+        DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      })),
+      commits = Seq(ViewCatalog.Stage("snap")((_, _) =>
+        DerivedView.commitReplaceBase(base(), mk, "labels"))))
+
+    def servedSizes(): Map[Long, Long] =
+      DerivedView.view(spark, sD, sizeSchema).as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      base().groupBy("label").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+
+    val b0 = Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " extra"),
+      40L -> rng(10, 50), 41L -> (rng(10, 50) + " other"))
+      .toDF("doc_id", "text")
+    assert(ViewCatalog.runBatch(spark, catalog, cat, b0, 0L))
+    assert(servedSizes() === expected() &&
+      servedSizes() === Map(30L -> 2L, 40L -> 2L))
+
+    // crash between the derived fold and the snapshot commit, on the
+    // batch whose bridge MERGES cluster 40 into 30 — the diff's OLD
+    // side is what finds label 40 memberless and drops its row, and
+    // the uncommitted snapshot is what makes the replayed diff
+    // identical
+    val bomb = catalog.copy(commits =
+      ViewCatalog.Stage("bomb")((_, _) => throw new RuntimeException("boom"))
+        +: catalog.commits)
+    val b1 = Seq(35L -> rng(5, 45)).toDF("doc_id", "text")
+    intercept[RuntimeException] { ViewCatalog.runBatch(spark, bomb, cat, b1, 1L) }
+    assert(ViewCatalog.completedFloor(spark, cat) === 0L)
+    assert(servedSizes() === expected() && servedSizes() === Map(30L -> 5L),
+      "derived fold before the crash applied the merge")
+    // replay through the full catalog: the base fold skips (stamped),
+    // the diff recomputes IDENTICALLY against the uncommitted snapshot,
+    // the derived fold's stamped buckets skip, and the commit lands
+    assert(ViewCatalog.runBatch(spark, catalog, cat, b1, 1L))
+    assert(servedSizes() === Map(30L -> 5L))
+    // the committed snapshot makes the next batch's diff empty: a
+    // no-op batch leaves everything in place
+    assert(ViewCatalog.runBatch(spark, catalog, cat,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 2L))
+    assert(servedSizes() === Map(30L -> 5L))
+  }
 }
