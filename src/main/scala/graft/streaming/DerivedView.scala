@@ -94,7 +94,15 @@ object DerivedView {
     * (snapshot, view): bases commit before derived folds, and the
     * snapshot only advances in [[commitReplaceBase]] AFTER the derived
     * fold commits, so a crash replay recomputes the identical diff
-    * (same protocol as the ship's re-shipped block). */
+    * (same protocol as the ship's re-shipped block).
+    *
+    * Cost, stated honestly: the diff is O(base served view) per batch —
+    * two null-safe anti-joins between view and snapshot. That is the
+    * price of a base with NO changelog (the monotone REPLACE views);
+    * a base that can name its own touched keys should hand them to
+    * [[processBatch]] directly (the R164 changelog trigger) and skip
+    * this device. The derived recompute and writes stay O(changed
+    * keys) either way. */
   def replaceBaseDiff(view: DataFrame, markerDir: String,
       table: String): DataFrame = {
     val spark = view.sparkSession

@@ -54,13 +54,30 @@ object ViewCatalog {
   /** Run one CDC batch through the catalog. Returns false when the
     * batch is at or below the completion floor (fully-applied replay —
     * skipped wholesale), true when the cascade ran and the floor
-    * advanced. */
+    * advanced.
+    *
+    * `concurrentTiers = true` runs the stages WITHIN each tier as
+    * concurrent jobs (tiers stay sequential — the cascade order is the
+    * point of the catalog). Sound because stages within a tier are
+    * mutually independent by the catalog contract (each owns its state
+    * dirs and reads only prior tiers' state), and the crash model is
+    * unchanged: the pool awaits EVERY stage before rethrowing the
+    * first failure ([[MvPipeline.applyConcurrently]]), any failure
+    * leaves the floor unmoved, and the full-cascade replay converges
+    * exactly as in the serial case (applied stages skip via their own
+    * stamps/watermarks). Wall-clock ∝ the tier's slowest stage instead
+    * of its sum — the local[32] scheduler is idle under serial stages. */
   def runBatch(spark: SparkSession, catalog: Catalog, catalogDir: String,
-      batch: DataFrame, batchId: Long): Boolean = {
+      batch: DataFrame, batchId: Long,
+      concurrentTiers: Boolean = false): Boolean = {
     require(batchId >= 0,
       "catalog batches need replay-stamped ids (ad-hoc ids carry no markers)")
     if (batchId <= completedFloor(spark, catalogDir)) return false
-    catalog.stages.foreach(_.run(batch, batchId))
+    if (concurrentTiers)
+      Seq(catalog.bases, catalog.derived, catalog.commits, catalog.ships)
+        .foreach(tier => MvPipeline.applyConcurrently(
+          tier.map(s => () => s.run(batch, batchId))))
+    else catalog.stages.foreach(_.run(batch, batchId))
     val p = new Path(s"$catalogDir/_catalog_done_b$batchId")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(catalogDir))

@@ -355,6 +355,77 @@ object StateScaleRehearsal {
         }
       }
     }
+    // ------------------------------------------- MIXED star (r12) ----
+    // R167: branch 1 = as-of (views -> segment), branch 2 = interval
+    // (purchase windows, fan-out) on ONE maintained view. Identical
+    // probe at both scales — 10 new clicks + a LATE version on the
+    // as-of branch + a window replace AND delete on the interval
+    // branch, all on base-copy users.
+    if (sectionOn("mixedstar")) {
+      import graft.streaming.IncrementalTemporalStar
+      val mFacts = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+          graft.functions.cents(col("value")).as("m"),
+          col("user_id").as("k1"), col("user_id").as("k2"))
+      val mInts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("iid"), col("user_id").as("k"),
+          expr("ts DIV 1000").as("s"),
+          expr("ts DIV 1000 + 600000000").as("e"),
+          concat(lit("b"), (graft.functions.cents(col("value")) % 5)
+            .cast("string")).as("vs"))
+      val users = mFacts.select(col("k1").as("k"))
+        .join(tDims.select("k"), Seq("k"), "left_semi")
+        .join(mInts.select("k"), Seq("k"), "left_semi")
+        .distinct().orderBy("k").limit(2).as[Long].collect()
+      require(users.length == 2, "need 2 users with clicks, views, and windows")
+      val (tMin2, tMax2) = mFacts.agg(min("t"), max("t")).as[(Long, Long)]
+        .collect().head
+      val mid2 = tMin2 + (tMax2 - tMin2) / 2
+      val rep = mInts.filter(col("k") === users(0)).orderBy("iid").limit(1)
+        .as[(Long, Long, Long, Long, String)].collect().head
+      val del = mInts.filter(col("k") === users(1)).orderBy("iid").limit(1)
+        .select("iid", "k").as[(Long, Long)].collect().head
+      val pF = (1L to 10L).map(i =>
+        (986000000000L + i, rep._3 + i * 1000L, 100L + i,
+          users((i % 2).toInt), users((i % 2).toInt)))
+        .toDF("id", "t", "m", "k1", "k2")
+      val pU1 = Seq((users(0), mid2, "late1")).toDF("k", "vf", "vs")
+      val pU2 = Seq(
+        (rep._1, rep._2, rep._3, rep._4 + 300000000L, "rep"),
+        (986100000001L, users(1), rep._3, rep._3 + 600000000L, "new"))
+        .toDF("iid", "k", "s", "e", "vs")
+      val pD1 = Seq.empty[(Long, Long)].toDF("k", "vf")
+      val pD2 = Seq(del).toDF("iid", "k")
+      val noFD2 = pF.select("id", "k1", "k2").limit(0)
+      Seq(1, copies).foreach { n =>
+        val f = (0 until n).map(i => mFacts
+            .select((col("id") + lit(i.toLong * 10000000000L)).as("id"),
+              col("t"), col("m"),
+              (col("k1") + lit(i.toLong * 1000000000L)).as("k1"),
+              (col("k2") + lit(i.toLong * 1000000000L)).as("k2")))
+          .reduce(_ unionByName _)
+        val d1s = (0 until n).map(i => tDims
+            .select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+              col("vf"), col("vs")))
+          .reduce(_ unionByName _)
+        val d2s = (0 until n).map(i => mInts
+            .select((col("iid") + lit(i.toLong * 10000000000L)).as("iid"),
+              (col("k") + lit(i.toLong * 1000000000L)).as("k"),
+              col("s"), col("e"), col("vs")))
+          .reduce(_ unionByName _)
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-mstar-$n").toString
+        val t0 = System.nanoTime()
+        IncrementalTemporalStar.bootstrap(f, Seq(d1s, d2s), state, 0L,
+          numBuckets = 16, intervalBranches = Set(2))
+        println(f"STATESCALE mixedstar ${n}x bootstrap ${(System.nanoTime() - t0) / 1e9}%7.2f s (${f.count()}%d facts)")
+        measure(s"mixedstar probe @${n}x state", state) {
+          IncrementalTemporalStar.processBatch(pF, noFD2,
+            Seq(pU1, pU2), Seq(pD1, pD2), state, 1000L, numBuckets = 16,
+            intervalBranches = Set(2))
+        }
+      }
+    }
+
     // ------------------------------------------- interval join-agg ----
     // R165: clicks against 10-minute purchase windows (x128's shape),
     // identical probe at both scales — 10 new clicks on base-copy

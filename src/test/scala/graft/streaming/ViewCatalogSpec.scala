@@ -244,4 +244,59 @@ class ViewCatalogSpec extends SparkTestBase {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), 2L))
     assert(servedSizes() === Map(30L -> 5L))
   }
+
+  test("concurrentTiers: intra-tier fan-out ≡ serial cascade; crash still holds the floor") {
+    val sA = tmpDir("vcc-a"); val sB = tmpDir("vcc-b")
+    val sD = tmpDir("vcc-d"); val sR = tmpDir("vcc-r")
+    val cat = tmpDir("vcc-cat")
+    // serial twin dirs
+    val tA = tmpDir("vcc-ta"); val tB = tmpDir("vcc-tb")
+    val tD = tmpDir("vcc-td"); val tR = tmpDir("vcc-tr")
+    def catalogOf(a: String, b: String, d: String, r: String) =
+      ViewCatalog.Catalog(
+        bases = Seq(ViewCatalog.Stage("revenue")(foldRevenue(a)),
+          ViewCatalog.Stage("sessions")(foldSessions(b))),
+        derived = Seq(ViewCatalog.Stage("avg")((_, id) => foldDerived(a, d)(id)),
+          ViewCatalog.Stage("rollup")((_, id) => foldRollup(a, r)(id))))
+    val conc = catalogOf(sA, sB, sD, sR)
+    val twin = catalogOf(tA, tB, tD, tR)
+    val catT = tmpDir("vcc-catT")
+
+    val b0 = cdc(Seq(("fact", 10L, 1L, 100L, "", 0L),
+      ("fact", 20L, 2L, 30L, "", 0L),
+      ("dim", 10L, 0L, 0L, "s1", 0L), ("dim", 20L, 0L, 0L, "s2", 0L),
+      ("ev", 7L, 1L, 0L, "", 0L), ("ev", 7L, 2L, 0L, "", 250L)))
+    val b1 = cdc(Seq(("dim", 20L, 0L, 0L, "s1", 0L),
+      ("ev", 7L, 3L, 0L, "", 100L)))
+    Seq(b0 -> 0L, b1 -> 1L).foreach { case (b, id) =>
+      assert(ViewCatalog.runBatch(spark, conc, cat, b, id,
+        concurrentTiers = true))
+      assert(ViewCatalog.runBatch(spark, twin, catT, b, id))
+      assert(digest(IncrementalJoinAgg.view(spark, sA)) ===
+        digest(IncrementalJoinAgg.view(spark, tA)))
+      assert(digest(IncrementalSessions.view(spark, sB)) ===
+        digest(IncrementalSessions.view(spark, tB)))
+      assert(digest(DerivedView.view(spark, sD, dSchema)) ===
+        digest(DerivedView.view(spark, tD, dSchema)))
+      assert(viewR(sR, Seq(0)) === viewR(tR, Seq(0)))
+    }
+
+    // crash INSIDE a concurrent tier: the pool awaits every stage, the
+    // first failure rethrows, the floor stays — and the replay (still
+    // concurrent) converges
+    val bomb = conc.copy(derived = conc.derived :+
+      ViewCatalog.Stage("bomb")((_, _) =>
+        throw new RuntimeException("concurrent crash")))
+    val b2 = cdc(Seq(("fact", 10L, 3L, 50L, "", 0L)))
+    intercept[RuntimeException] {
+      ViewCatalog.runBatch(spark, bomb, cat, b2, 2L, concurrentTiers = true)
+    }
+    assert(ViewCatalog.completedFloor(spark, cat) === 1L)
+    assert(ViewCatalog.runBatch(spark, conc, cat, b2, 2L,
+      concurrentTiers = true))
+    assert(ViewCatalog.runBatch(spark, twin, catT, b2, 2L))
+    assert(digest(IncrementalJoinAgg.view(spark, sA)) ===
+      digest(IncrementalJoinAgg.view(spark, tA)))
+    assert(viewD(sD) === viewD(tD) && viewR(sR, Seq()) === viewR(tR, Seq()))
+  }
 }
