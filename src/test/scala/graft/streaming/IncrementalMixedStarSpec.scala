@@ -322,4 +322,45 @@ class IncrementalMixedStarSpec extends SparkTestBase {
       Seq(noDD, noWD),
       state, 0L, numBuckets = 4, intervalBranches = Set(2),
       trackExtrema = true, trackEnriched = trackEnriched)
+
+  test("reshard carries the interval branch: folds continue at the new count; pre-reshard id refused") {
+    val state = tmpDir("mstar-rs4"); val state8 = tmpDir("mstar-rs8")
+    var fs = Seq.empty[(Long, Long, Long, Long, Long)]
+    var v1 = Seq.empty[(Long, Long, String)]
+    var w2 = Seq.empty[(Long, Long, Long, Long, String)]
+    fold(state, 0L, facts = Seq((10L, 50L, 1L, 1L, 1L), (11L, 250L, 2L, 1L, 1L)),
+      d1Ups = Seq((1L, 100L, "a")),
+      w2Ups = Seq((1L, 1L, 0L, 300L, "p"), (2L, 1L, 200L, 400L, "q")))
+    fs = Seq((10L, 50L, 1L, 1L, 1L), (11L, 250L, 2L, 1L, 1L))
+    v1 = Seq((1L, 100L, "a")); w2 = Seq((1L, 1L, 0L, 300L, "p"), (2L, 1L, 200L, 400L, "q"))
+    assert(served(state) === model(fs, v1, w2))
+
+    IncrementalTemporalStar.reshard(spark, state, state8, numBranches = 2,
+      newBuckets = 8)
+    assert(served(state8) === served(state), "reshard changed the view")
+    // the destination refuses the pre-reshard batch id (resume floor)
+    assertThrows[IllegalArgumentException] {
+      IncrementalTemporalStar.processBatch(noF, noFD, Seq(noD, noW),
+        Seq(noDD, noWD), state8, 0L, numBuckets = 8,
+        intervalBranches = Set(2))
+    }
+    // continue BOTH stores through STATE-DEPENDENT paths: a window
+    // DELETE must retract its matches from the RESHARDED interval rows,
+    // and a late version re-resolves retained facts from the resharded
+    // version table
+    def step(id: Long, d1U: Seq[(Long, Long, String)],
+        w2D: Seq[(Long, Long)]): Unit = {
+      fold(state, id, d1Ups = d1U, w2Dels = w2D)
+      IncrementalTemporalStar.processBatch(noF, noFD,
+        Seq(if (d1U.isEmpty) noD else d1U.toDF("k", "vf", "vs"), noW),
+        Seq(noDD, if (w2D.isEmpty) noWD else w2D.toDF("iid", "k")),
+        state8, id, numBuckets = 8, intervalBranches = Set(2))
+      v1 = v1 ++ d1U
+      w2 = w2.filterNot(w => w2D.contains((w._1, w._2)))
+      assert(served(state) === model(fs, v1, w2), s"batch $id (B=4)")
+      assert(served(state8) === served(state), s"batch $id diverged at B=8")
+    }
+    step(1L, d1U = Seq((1L, 200L, "b")), w2D = Nil)  // late version
+    step(2L, d1U = Nil, w2D = Seq((2L, 1L)))          // window delete
+  }
 }
