@@ -87,14 +87,20 @@ object CatalogRehearsal {
           .select(col("g"), col("dtotal").as("m"), col("dpairs").as("c")),
         state, Seq(Seq(0), Seq()), id, numBuckets = 16)
 
-    val catalog = ViewCatalog.Catalog(
-      bases = Seq(ViewCatalog.Stage("revenue")(foldRevenue(sA)),
-        ViewCatalog.Stage("sessions")(foldSessions(sB))),
-      derived = Seq(ViewCatalog.Stage("derived")((_, id) => foldDerived(sA, sD)(id)),
-        ViewCatalog.Stage("rollup")((_, id) => foldRollup(sA, sR)(id))),
+    def catalogFor(a: String, b: String, d: String, r: String,
+        table: String): ViewCatalog.Catalog = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("revenue")(foldRevenue(a)),
+        ViewCatalog.Stage("sessions")(foldSessions(b))),
+      derived = Seq(ViewCatalog.Stage("derived")((_, id) => foldDerived(a, d)(id)),
+        ViewCatalog.Stage("rollup")((_, id) => foldRollup(a, r)(id))),
       ships = Seq(ViewCatalog.Stage("ship")((_, _) =>
-        ChangelogShip.ship(IncrementalJoinAgg.changelog(spark, sA),
-          "batch", sink, "cat_cl", sA))))
+        ChangelogShip.ship(IncrementalJoinAgg.changelog(spark, a),
+          "batch", sink, table, a))))
+    val catalog = catalogFor(sA, sB, sD, sR, "cat_cl")
+    // concurrent-tier twin: same stages into its own dirs
+    val cA = s"$root/c_rev"; val cB = s"$root/c_ses"
+    val cD = s"$root/c_der"; val cR = s"$root/c_roll"; val cCat = s"$root/c_cat"
+    val catalogC = catalogFor(cA, cB, cD, cR, "cat_cl_c")
     // crash variant: dies AFTER derived, BEFORE rollup/ship
     val crashing = catalog.copy(derived = catalog.derived.take(1) :+
       ViewCatalog.Stage("bomb")((_, _) =>
@@ -144,11 +150,24 @@ object CatalogRehearsal {
       val ran = ViewCatalog.runBatch(spark, catalog, cat, b, i.toLong)
       require(ran, s"batch $i unexpectedly skipped")
       val dt = (System.nanoTime() - t0) / 1e9
+      // concurrent-tier twin: the SAME batch with intra-tier fan-out
+      val tC0 = System.nanoTime()
+      require(ViewCatalog.runBatch(spark, catalogC, cCat, b, i.toLong,
+        concurrentTiers = true), s"concurrent batch $i skipped")
+      val dtC = (System.nanoTime() - tC0) / 1e9
       // twin: same slices, direct calls
       foldRevenue(tA)(b, i.toLong); foldSessions(tB)(b, i.toLong)
       foldDerived(tA, tD)(i.toLong); foldRollup(tA, tR)(i.toLong)
-      println(f"[catalog] batch $i%d: ${b.count()}%d events through 5 stages in $dt%.1f s")
+      println(f"[catalog] batch $i%d: ${b.count()}%d events through 5 stages " +
+        f"in $dt%.1f s serial, $dtC%.1f s concurrentTiers")
       assertConverged(s"batch $i")
+      require(digest(IncrementalJoinAgg.view(spark, cA)) ==
+        digest(IncrementalJoinAgg.view(spark, sA)) &&
+        digest(IncrementalSessions.view(spark, cB)) ==
+        digest(IncrementalSessions.view(spark, sB)) &&
+        digest(DerivedView.view(spark, cD, dSchema)) ==
+        digest(DerivedView.view(spark, sD, dSchema)),
+        s"batch $i: concurrentTiers store diverged from serial")
       graft.operators.Caching.releaseAll()
     }
 
