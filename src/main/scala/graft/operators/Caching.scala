@@ -67,7 +67,12 @@ object Caching {
     * walk intermediates drop before the next chunk materializes (the
     * working-set bound IS the point of chunking), while frames cached
     * BEFORE the scope stay for the remaining chunks. Safe by the same
-    * rule as [[releaseAll]]: a dropped block recomputes lazily. */
+    * rule as [[releaseAll]]: a dropped block recomputes lazily.
+    * Concurrency note: the scope is identified by registration TIME, so
+    * a concurrent thread's handles registered during the scope are
+    * released with it — a recompute-only (performance) hazard, never a
+    * correctness one, but keep scoped work on one thread (the star's
+    * chunk loop is). */
   def scoped[T](body: => T): T = {
     val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
     handles.forEach(h => before.put(h, java.lang.Boolean.TRUE))

@@ -334,6 +334,39 @@ class StreamingFoldPlanGuardSpec extends SparkTestBase {
     auditAll(plans, "mixed star")
   }
 
+  test("equality star CHUNKED fold (r12): factChunks parts plan no cartesian/BNLJ") {
+    import graft.streaming.IncrementalJoinAggStar
+    import graft.streaming.IncrementalJoinAggStar.StarSpec
+    val spec = StarSpec(Seq(2), groupAttrs = Seq((1, 2)))
+    val state = tmpDir("pg-starck")
+    def dims(l1: Seq[(Long, Option[Long], Option[String])],
+        l2: Seq[(Long, Option[Long], Option[String])]) = (
+      Seq(Seq(l1.toDF("k", "vl", "vs"), l2.toDF("k", "vl", "vs"))),
+      Seq(Seq(("k", "vl", "vs"), ("k", "vl", "vs"))))
+    val (d0, dc) = dims(
+      (0 to 5).map(o => (o + 10L, Some(500L + o % 2), Option.empty[String])),
+      Seq((500L, None, Some("R1")), (501L, None, Some("R2"))))
+    IncrementalJoinAggStar.processBatch(spec,
+      (1 to 12).map(i => ((i % 6).toLong + 10L, i.toLong, 7L * i))
+        .toDF("k1", "id", "m"),
+      Seq("k1"), "id", "m",
+      Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+      d0, dc, state, 0L, numBuckets = 4)
+    val plans = withCapturedPlans {
+      // the wave (a level-2 literal flip fanning over every fact) folded
+      // with factChunks = 3: every per-chunk part job AND the final
+      // staged-delta assembly must stay keyed — no cartesian/BNLJ in any
+      // captured plan
+      val (d1, _) = dims(Nil, Seq((500L, None, Some("R9"))))
+      IncrementalJoinAggStar.processBatch(spec,
+        Seq.empty[(Long, Long, Long)].toDF("k1", "id", "m"),
+        Seq("k1"), "id", "m",
+        Seq.empty[(Long, Long)].toDF("k1", "id"), Seq("k1"), "id",
+        d1, dc, state, 1L, numBuckets = 4, factChunks = 3)
+    }
+    auditAll(plans, "equality star chunked wave")
+  }
+
   test("strict-funnel fold: no cartesian/BNLJ; state consumed through the cache cut") {
     val state = tmpDir("pg-sf")
     val steps = Seq("view", "click", "purchase")
