@@ -299,4 +299,44 @@ class ViewCatalogSpec extends SparkTestBase {
       digest(IncrementalJoinAgg.view(spark, tA)))
     assert(viewD(sD) === viewD(tD) && viewR(sR, Seq()) === viewR(tR, Seq()))
   }
+
+  test("start(): one JSON-lines CDC stream drives the whole catalog across restarts") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.IntegerType
+    val in = tmpDir("vcs-in"); val cat = tmpDir("vcs-cat")
+    val sA = tmpDir("vcs-a"); val sB = tmpDir("vcs-b")
+    val sD = tmpDir("vcs-d"); val ckpt = tmpDir("vcs-ckpt")
+    val schema = StructType(Seq(StructField("tbl", StringType),
+      StructField("jk", LongType), StructField("id", LongType),
+      StructField("m", LongType), StructField("g", StringType),
+      StructField("t", LongType)))
+    val catalog = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("revenue")(foldRevenue(sA)),
+        ViewCatalog.Stage("sessions")(foldSessions(sB))),
+      derived = Seq(ViewCatalog.Stage("avg")((_, id) => foldDerived(sA, sD)(id))))
+    def lines(rows: Seq[Cdc]) = rows.map { case (tbl, jk, id, m, g, t) =>
+      s"""{"tbl":"$tbl","jk":$jk,"id":$id,"m":$m,"g":"$g","t":$t}"""
+    }.mkString("\n")
+    def run(): Unit =
+      ViewCatalog.start(spark, in, schema, catalog, cat, ckpt)
+        .awaitTermination()
+
+    Files.write(Paths.get(in, "b0.jsonl"), lines(Seq(
+      ("fact", 10L, 1L, 100L, "", 0L), ("dim", 10L, 0L, 0L, "s1", 0L),
+      ("ev", 7L, 1L, 0L, "", 0L))).getBytes)
+    run()
+    assert(viewA(sA) === Map("s1" -> (100L, 1L)))
+    assert(viewD(sD) === viewA(sA))
+    assert(ViewCatalog.completedFloor(spark, cat) === 0L)
+
+    // restart with a new file only: the checkpoint advances the batch
+    // id past the floor, the whole cascade folds the increment
+    Files.write(Paths.get(in, "b1.jsonl"), lines(Seq(
+      ("fact", 10L, 2L, 30L, "", 0L), ("ev", 7L, 2L, 0L, "", 50L))).getBytes)
+    run()
+    assert(viewA(sA) === Map("s1" -> (130L, 2L)))
+    assert(viewD(sD) === viewA(sA))
+    assert(viewS(sB) === Set((7L, 0L, 50L, 2L)))
+    assert(ViewCatalog.completedFloor(spark, cat) === 1L)
+  }
 }
