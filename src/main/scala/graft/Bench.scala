@@ -106,10 +106,22 @@ object Bench {
           pb.environment.put("SPARK_GRAFT_ONLY", slowest.mkString(","))
           pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
           pb.environment.put("SPARK_GRAFT_CPUS", cpus)
-          pb.redirectErrorStream(false)
+          // file-redirect BOTH child streams: a pipe left undrained
+          // (the child Spark JVM's stderr easily exceeds the OS pipe
+          // buffer) would block the child in write(2) and the parent in
+          // read — the whole bench would hang after the timed sweep.
+          // Bounded wait, so a wedged child can never wedge the bench.
+          val outF = java.io.File.createTempFile("bench-retime", ".out")
+          pb.redirectOutput(outF)
+          pb.redirectError(ProcessBuilder.Redirect.to(
+            java.io.File.createTempFile("bench-retime", ".err")))
           val p = pb.start()
-          val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-          p.waitFor()
+          if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+            p.destroyForcibly()
+            throw new IllegalStateException("isolated retime timed out")
+          }
+          val src = scala.io.Source.fromFile(outF)
+          val out = try src.mkString finally src.close()
           // pull per-query seconds out of the child's total line
           val rx = """"(x?[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
           val childQ = rx.findAllMatchIn(out)

@@ -172,12 +172,16 @@ object IncrementalEmbedNearDup {
         .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
     }
     if (hasBuckets(path) && !hasBuckets(bidx))
-      MvPipeline.upsertBucketedMerge(
-        MvPipeline.readBucketedState(spark, path)
-          .filter(col("kind") === "b")
-          .select("vec_id", "blk", "table_idx", "bucket"),
-        bidx, (old, inc) => old.unionByName(inc).distinct(),
-        -1L, numBuckets, probeKeys)
+      // atomic (buildFresh): a crashed partial mirror must not pass the
+      // existence guard — pruned candidate reads would silently miss
+      MvPipeline.buildFresh(spark, bidx) { tmp =>
+        MvPipeline.upsertBucketedMerge(
+          MvPipeline.readBucketedState(spark, path)
+            .filter(col("kind") === "b")
+            .select("vec_id", "blk", "table_idx", "bucket"),
+          tmp, (old, inc) => old.unionByName(inc).distinct(),
+          -1L, numBuckets, probeKeys)
+      }
   }
 
   /** Per-bucket semilattice merge: b/v rows set-union, labels per-vec

@@ -157,12 +157,16 @@ object IncrementalMediaNearDup {
         .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
     }
     if (hasBuckets(path) && !hasBuckets(bidx))
-      MvPipeline.upsertBucketedMerge(
-        MvPipeline.readBucketedState(spark, path)
-          .filter(col("kind") === "c")
-          .select("doc_id", "chunk_idx", "chunk"),
-        bidx, (old, inc) => old.unionByName(inc).distinct(),
-        -1L, numBuckets, probeKeys)
+      // atomic (buildFresh): a crashed partial mirror must not pass the
+      // existence guard — pruned candidate reads would silently miss
+      MvPipeline.buildFresh(spark, bidx) { tmp =>
+        MvPipeline.upsertBucketedMerge(
+          MvPipeline.readBucketedState(spark, path)
+            .filter(col("kind") === "c")
+            .select("doc_id", "chunk_idx", "chunk"),
+          tmp, (old, inc) => old.unionByName(inc).distinct(),
+          -1L, numBuckets, probeKeys)
+      }
   }
 
   /** Per-bucket semilattice merge: c/h rows set-union, labels per-doc

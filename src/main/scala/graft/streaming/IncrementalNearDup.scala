@@ -187,12 +187,16 @@ object IncrementalNearDup {
         .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
     }
     if (hasBuckets(path) && !hasBuckets(bidx))
-      MvPipeline.upsertBucketedMerge(
-        MvPipeline.readBucketedState(spark, path)
-          .filter(col("kind") === "b")
-          .select("doc_id", "band_idx", "band_key"),
-        bidx, (old, inc) => old.unionByName(inc).distinct(),
-        -1L, numBuckets, Seq("band_key"))
+      // atomic (buildFresh): a crashed partial mirror must not pass the
+      // existence guard — pruned candidate reads would silently miss
+      MvPipeline.buildFresh(spark, bidx) { tmp =>
+        MvPipeline.upsertBucketedMerge(
+          MvPipeline.readBucketedState(spark, path)
+            .filter(col("kind") === "b")
+            .select("doc_id", "band_idx", "band_key"),
+          tmp, (old, inc) => old.unionByName(inc).distinct(),
+          -1L, numBuckets, Seq("band_key"))
+      }
   }
 
   /** Per-bucket semilattice merge: b/g rows are a set (distinct union —

@@ -812,23 +812,19 @@ object IncrementalTemporalStar {
       intervalBranches: Set[Int] = Set.empty): Unit = {
     val path = s"$stateDir/$root"
     def fTable(b: Int) = s"$path/${if (b == 1) "f" else s"fm$b"}"
-    // 1. interval branches first (R165's rule, window-side): windows
-    //    CLOSED at the horizon leave (a future fact needs t < e <=
-    //    horizon <= t — impossible); still-open windows are retained
-    //    whole, including their pre-horizon span
-    intervalBranches.toSeq.sorted.foreach { b =>
-      MvPipeline.transformBuckets(spark, s"$path/d$b",
-        old => old.filter(col("e") > horizon))
-    }
-    // 2. pre-horizon facts covered by a retained open window on SOME
-    //    interval branch are PINNED: deleting/replacing that window
-    //    must retract their matches exactly (R165's fact rule, lifted
-    //    to the star — every fact table keeps the same row set)
+    // 1. the PIN set first, from the still-OPEN (e > horizon) windows
+    //    of every interval branch: a pre-horizon fact one of them
+    //    covers can still have its matches retracted in-contract
+    //    (deleting/replacing that open window), so it must stay
+    //    resolvable on EVERY branch (R165's fact rule, lifted to the
+    //    star). Computed and FORCED before any table is transformed —
+    //    the frames' lineage reads the pre-sweep dirs.
     val pinned: Option[DataFrame] =
       if (intervalBranches.isEmpty) None
       else Some(intervalBranches.toSeq.sorted.map { b =>
         val open = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/d$b",
             IncrementalIntervalJoinAgg.iSchema)
+          .filter(col("e") > horizon)
           .select(col("k").as("_ok"), col("s").as("_os"), col("e").as("_oe"))
         // fallback schema only matters for an empty dir; id/t/k_b exist
         // at every numMeasures
@@ -842,6 +838,38 @@ object IncrementalTemporalStar {
       }.reduce(_ unionByName _).distinct()
         .transform(graft.operators.Caching.persisted))
     try {
+      // 2. window sweep per interval branch: CLOSED windows (e <=
+      //    horizon) leave UNLESS they cover a pinned fact on this
+      //    branch — a later in-contract retraction (an open window
+      //    deleted on a SIBLING interval branch, or a temporal
+      //    version moved) re-resolves the pinned facts on every
+      //    branch, and an interval resolve that silently misses a
+      //    dropped closed cover would never generate the tuples it
+      //    must retract (the two-interval-branch divergence the r12
+      //    review caught). A retained closed window pins nothing
+      //    itself (pinning needs an OPEN window), so it leaves at the
+      //    first compaction after its pinning sibling closes.
+      intervalBranches.toSeq.sorted.foreach { b =>
+        val pf = pinned.map { p =>
+          val f = MvPipeline.readBucketedStateOrEmpty(spark, fTable(b),
+              fSchemaN(numBranches, 1))
+            .join(p.select("id"), Seq("id"), "left_semi")
+            .select(col(s"k$b").as("_pk"), col("t").as("_pt"))
+            .distinct()
+            .transform(graft.operators.Caching.persisted)
+          f.count() // force before the dir is rewritten underneath
+          f
+        }
+        MvPipeline.transformBuckets(spark, s"$path/d$b", old =>
+          pf match {
+            case None => old.filter(col("e") > horizon)
+            case Some(p) => old.filter(col("e") > horizon)
+              .unionByName(old.filter(col("e") <= horizon)
+                .join(p, old("k") === col("_pk") &&
+                  old("s") <= col("_pt") && col("_pt") < old("e"),
+                  "left_semi"))
+          })
+      }
       // 3. a pinned pre-horizon fact must still resolve EXACTLY on the
       //    temporal branches when its window retracts, so the temporal
       //    floor moves down to the oldest pinned fact: versions with

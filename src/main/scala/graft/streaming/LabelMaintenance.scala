@@ -54,16 +54,21 @@ object LabelMirror {
       MvPipeline.readBucketedStateOrEmpty(spark, mainPath, mainSchema)
         .filter(col("kind") === "l").select(idCol, "label")
 
-  /** One-time mirror build for a legacy state dir (the backfillBidx
-    * contract: idempotent min-merge, a crash mid-backfill converges on
-    * the next call; no-op when the mirror exists or the view is fresh). */
+  /** One-time mirror build for a legacy state dir; no-op when the
+    * mirror exists or the view is fresh. ATOMIC via
+    * [[MvPipeline.buildFresh]]: the build lands under a side name and
+    * renames into place, so a crash mid-backfill leaves NO mirror and
+    * the next call rebuilds — a partial mirror passing the existence
+    * guard would silently serve a subset of every label read. */
   def backfill(spark: SparkSession, mainPath: String, lblPath: String,
       mainSchema: StructType, idCol: String, numBuckets: Int): Unit =
     if (hasBuckets(spark, mainPath) && !hasBuckets(spark, lblPath))
-      MvPipeline.upsertBucketedMerge(
-        MvPipeline.readBucketedState(spark, mainPath)
-          .filter(col("kind") === "l").select(idCol, "label"),
-        lblPath, mergeMin(idCol), -1L, numBuckets, Seq(idCol))
+      MvPipeline.buildFresh(spark, lblPath) { tmp =>
+        MvPipeline.upsertBucketedMerge(
+          MvPipeline.readBucketedState(spark, mainPath)
+            .filter(col("kind") === "l").select(idCol, "label"),
+          tmp, mergeMin(idCol), -1L, numBuckets, Seq(idCol))
+      }
 
   /** Direct write for bootstrap (fresh dir; same min merge). */
   def write(l: DataFrame, lblPath: String, idCol: String,

@@ -442,21 +442,57 @@ object MvPipeline {
     * reshard recreates the same name, idempotent). */
   def writeResumeFloor(spark: SparkSession, rootDir: String, floor: Long): Unit = {
     if (floor < 0) return // nothing ever committed: no floor needed
-    val p = new Path(s"$rootDir/_resume_floor_b$floor")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(rootDir))
-    fs.create(p, true).close()
+    writeFloorMarker(spark, rootDir, "_resume_floor_b", floor)
   }
 
   /** The highest resume floor stamped on `rootDir`, or -1 if none. */
-  def resumeFloor(spark: SparkSession, rootDir: String): Long = {
-    val base = new Path(rootDir)
+  def resumeFloor(spark: SparkSession, rootDir: String): Long =
+    floorMarker(spark, rootDir, "_resume_floor_b")
+
+  /** FLOOR-MARKER device, shared by the reshard resume floor and the
+    * catalog completion floor: an empty file whose NAME carries a
+    * monotone id (`<prefix><id>`) — atomic create, idempotent
+    * re-create, highest wins (a crash between creating the new marker
+    * and pruning old ones leaves several; the max is still right). */
+  def writeFloorMarker(spark: SparkSession, dir: String, prefix: String,
+      id: Long, pruneOlder: Boolean = false): Unit = {
+    val p = new Path(s"$dir/$prefix$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    fs.create(p, true).close()
+    if (pruneOlder)
+      fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(q => q.getName.startsWith(prefix) &&
+          q.getName.stripPrefix(prefix).toLong < id)
+        .foreach(q => fs.delete(q, false))
+  }
+
+  /** The highest `<prefix><id>` marker in `dir`, or -1 if none. */
+  def floorMarker(spark: SparkSession, dir: String, prefix: String): Long = {
+    val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) -1L
     else fs.listStatus(base).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_resume_floor_b") =>
-        n.stripPrefix("_resume_floor_b").toLong }
+      .collect { case n if n.startsWith(prefix) =>
+        n.stripPrefix(prefix).toLong }
       .foldLeft(-1L)(math.max)
+  }
+
+  /** Build a bucketed table ATOMICALLY: construct under `<dst>.bf`,
+    * then rename into place. The one-time backfills guard on "the
+    * mirror exists" — without this, a crash mid-build leaves a PARTIAL
+    * mirror that passes the existence check forever and every read
+    * silently trusts it (the r12 review catch). A crash anywhere here
+    * leaves no `dst`, so the caller's absent⇒rebuild guard stays
+    * truthful; the stale `.bf` is deleted on the next attempt. */
+  def buildFresh(spark: SparkSession, dstPath: String)
+      (build: String => Unit): Unit = {
+    val dst = new Path(dstPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dstPath + ".bf")
+    fs.delete(tmp, true)
+    build(tmp.toString)
+    require(fs.rename(tmp, dst), s"commit backfill $tmp -> $dst")
   }
 
   /** Refuse a batch id at or below the reshard resume floor (see

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -78,29 +77,17 @@ object ViewCatalog {
         .foreach(tier => MvPipeline.applyConcurrently(
           tier.map(s => () => s.run(batch, batchId))))
     else catalog.stages.foreach(_.run(batch, batchId))
-    val p = new Path(s"$catalogDir/_catalog_done_b$batchId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(catalogDir))
-    fs.create(p, true).close()
-    // keep one floor marker (the device is the name, not the content)
-    fs.listStatus(new Path(catalogDir)).map(_.getPath)
-      .filter(q => q.getName.startsWith("_catalog_done_b") &&
-        q.getName.stripPrefix("_catalog_done_b").toLong < batchId)
-      .foreach(q => fs.delete(q, false))
+    // the shared floor-marker device (the reshard resume floor's), with
+    // older markers pruned — one file names the floor
+    MvPipeline.writeFloorMarker(spark, catalogDir, "_catalog_done_b",
+      batchId, pruneOlder = true)
     true
   }
 
   /** The last FULLY-completed batch id (-1 = none): the highest
     * `_catalog_done_b<id>` marker in the catalog dir. */
-  def completedFloor(spark: SparkSession, catalogDir: String): Long = {
-    val base = new Path(catalogDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) -1L
-    else fs.listStatus(base).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_catalog_done_b") =>
-        n.stripPrefix("_catalog_done_b").toLong }
-      .foldLeft(-1L)(math.max)
-  }
+  def completedFloor(spark: SparkSession, catalogDir: String): Long =
+    MvPipeline.floorMarker(spark, catalogDir, "_catalog_done_b")
 
   /** Continuous operation: one JSON-lines CDC stream driving the whole
     * catalog (the engines' `start()` shape, lifted to N views). */

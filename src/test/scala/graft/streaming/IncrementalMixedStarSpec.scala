@@ -363,4 +363,53 @@ class IncrementalMixedStarSpec extends SparkTestBase {
     step(1L, d1U = Seq((1L, 200L, "b")), w2D = Nil)  // late version
     step(2L, d1U = Nil, w2D = Seq((2L, 1L)))          // window delete
   }
+
+  test("TWO interval branches: compaction retains a pinned fact's CLOSED sibling cover, so open-window deletes retract exactly") {
+    // the r12 review scenario: fact f(t=50) covered on branch 1 by an
+    // OPEN window (pins f through the horizon-100 compaction) and on
+    // branch 2 by a CLOSED one (e=60 <= horizon). Dropping the closed
+    // cover would make the post-compaction delete of the OPEN window
+    // under-retract: the branch-1 term re-resolves f on branch 2, finds
+    // no cover, and the (p, q) tuple it must retract is never generated.
+    def fold2i(state: String, id: Long,
+        facts: Seq[(Long, Long, Long, Long, Long)] = Nil,
+        w1Ups: Seq[(Long, Long, Long, Long, String)] = Nil,
+        w1Dels: Seq[(Long, Long)] = Nil,
+        w2Ups: Seq[(Long, Long, Long, Long, String)] = Nil,
+        w2Dels: Seq[(Long, Long)] = Nil): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (facts.isEmpty) noF else facts.toDF("id", "t", "m", "k1", "k2"),
+        noFD,
+        Seq(if (w1Ups.isEmpty) noW else w1Ups.toDF("iid", "k", "s", "e", "vs"),
+          if (w2Ups.isEmpty) noW else w2Ups.toDF("iid", "k", "s", "e", "vs")),
+        Seq(if (w1Dels.isEmpty) noWD else w1Dels.toDF("iid", "k"),
+          if (w2Dels.isEmpty) noWD else w2Dels.toDF("iid", "k")),
+        state, id, numBuckets = 4, intervalBranches = Set(1, 2))
+    def served2(state: String): Map[(String, String), (Long, Long)] =
+      IncrementalTemporalStar.view(spark, state, numBranches = 2)
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    val compacted = tmpDir("mstar-2i-c"); val twin = tmpDir("mstar-2i-t")
+    def both(id: Long)(f: (String, Long) => Unit): Unit = {
+      f(compacted, id); f(twin, id)
+    }
+    both(0L)((st, id) => fold2i(st, id,
+      facts = Seq((10L, 50L, 7L, 1L, 1L), (11L, 150L, 3L, 1L, 1L)),
+      w1Ups = Seq((1L, 1L, 40L, 200L, "p")),
+      w2Ups = Seq((2L, 1L, 45L, 60L, "q"), (3L, 1L, 120L, 400L, "r"))))
+    // f10 -> (p, q); f11 -> (p, r)
+    assert(served2(compacted) === Map(("p", "q") -> (7L, 1L),
+      ("p", "r") -> (3L, 1L)))
+    IncrementalTemporalStar.compactState(spark, compacted, horizon = 100L,
+      numBranches = 2, intervalBranches = Set(1, 2))
+    assert(served2(compacted) === served2(twin), "compaction changed the view")
+    // in-contract delete of the OPEN branch-1 window: BOTH facts lose
+    // their only branch-1 cover -> the view empties; the compacted
+    // store must retract f10's (p, q) via the RETAINED closed cover q
+    both(1L)((st, id) => fold2i(st, id, w1Dels = Seq((1L, 1L))))
+    assert(served2(twin) === Map.empty)
+    assert(served2(compacted) === served2(twin),
+      "compacted store under-retracted: the closed sibling cover was dropped")
+  }
 }
