@@ -38,11 +38,20 @@ object Bench {
     // undercount). Cache-warm contamination across sf dirs is impossible:
     // plans differ by path.
     val warmDir = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_WARM_TARGET: run each query once UNTIMED at the target
+    // SF before timing — set by the parent for the isolated-retime child
+    // so its numbers are warm-comparable with the in-sequence ones (the
+    // r12 protocol emitted cold-JVM "isolated" readings 5-9x the
+    // in-sequence class, which read as regressions; ARCHITECTURE §3).
+    // Unset in driver runs, so the timed sweep's contract is unchanged.
+    val warmTarget = sys.env.contains("SPARK_GRAFT_WARM_TARGET")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
         if (warmDir != sfDir)
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        if (warmTarget)
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         // drop warm-run operator persists before timing, and timed-run
         // persists after: accumulated cached blocks from EARLIER queries
         // otherwise steal storage/execution memory from later ones (x4 ran
@@ -88,13 +97,20 @@ object Bench {
     // three rounds of hand-run isolated-retime protocols (ARCHITECTURE §3).
     // Re-time the slowest queries in a FRESH JVM (same flags/classpath,
     // SPARK_GRAFT_ONLY pins the query set, which also guards recursion)
-    // so every bench run carries its own contention evidence.
+    // so every bench run carries its own contention evidence. The parent
+    // session is STOPPED first — the child must not share the host with
+    // the bench's own idle-but-resident local[N] heap and threads — and
+    // the child warms each query once untimed at the target SF
+    // (SPARK_GRAFT_WARM_TARGET) so its numbers read in the same units as
+    // the in-sequence ones instead of carrying full cold-JVM scan/JIT
+    // startup (the r12 x116 15.77 s artifact).
     val retimes: Seq[(String, Double)] =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_RETIME")) Nil
       else {
         val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(4).map(_._1)
         if (slowest.isEmpty) Nil
         else try {
+          spark.stop()
           val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
             .getInputArguments.toArray.map(_.toString)
             .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
@@ -106,15 +122,19 @@ object Bench {
           pb.environment.put("SPARK_GRAFT_ONLY", slowest.mkString(","))
           pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
           pb.environment.put("SPARK_GRAFT_CPUS", cpus)
+          pb.environment.put("SPARK_GRAFT_WARM_TARGET", "1")
           // file-redirect BOTH child streams: a pipe left undrained
           // (the child Spark JVM's stderr easily exceeds the OS pipe
           // buffer) would block the child in write(2) and the parent in
           // read — the whole bench would hang after the timed sweep.
           // Bounded wait, so a wedged child can never wedge the bench.
+          // deleteOnExit covers every exit path; the happy path deletes
+          // eagerly below.
           val outF = java.io.File.createTempFile("bench-retime", ".out")
+          val errF = java.io.File.createTempFile("bench-retime", ".err")
+          outF.deleteOnExit(); errF.deleteOnExit()
           pb.redirectOutput(outF)
-          pb.redirectError(ProcessBuilder.Redirect.to(
-            java.io.File.createTempFile("bench-retime", ".err")))
+          pb.redirectError(errF)
           val p = pb.start()
           if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
             p.destroyForcibly()
@@ -126,6 +146,7 @@ object Bench {
           val rx = """"(x?[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
           val childQ = rx.findAllMatchIn(out)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          outF.delete(); errF.delete()
           slowest.flatMap(n => childQ.get(n).map(n -> _))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] isolated retime failed: $e"); Nil }
@@ -134,6 +155,8 @@ object Bench {
       if (retimes.isEmpty) ""
       else retimes.map { case (n, v) =>
         val seq = results.toMap.getOrElse(n, -1.0)
+        // "isolated" is WARM-comparable from r13 on: the child pre-ran
+        // the query untimed at the target SF (see SPARK_GRAFT_WARM_TARGET)
         f""""$n":{"in_sequence":$seq%.3f,"isolated":$v%.3f}"""
       }.mkString(""","isolated_retimes":{""", ",", "}")
     // the driver contract is EXACTLY ONE {"metric":...} line — the

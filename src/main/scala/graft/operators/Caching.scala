@@ -26,20 +26,60 @@ object Caching {
     * Harness callers release after every query and never approach it. */
   private val MaxTracked = 256
 
-  private val handles = new ConcurrentLinkedQueue[DataFrame]()
+  private val globalHandles = new ConcurrentLinkedQueue[DataFrame]()
+  private val globalCkpts = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** THREAD-ISOLATED registries ([[isolated]]): a thread inside an
+    * isolation scope registers into (and releases from) its OWN pair of
+    * queues instead of the process-global ones — so concurrent catalog
+    * stages ([[graft.streaming.ViewCatalog]] `concurrentTiers`) whose
+    * engine folds end with [[releaseAll]] cannot unpersist a SIBLING
+    * stage's mid-flight persisted frames or drain its tracked
+    * localCheckpoints (which, lineage-cut, can never be recomputed). */
+  private val isolation = new ThreadLocal[
+    (ConcurrentLinkedQueue[DataFrame], ConcurrentLinkedQueue[DataFrame])]()
+
+  private def handles: ConcurrentLinkedQueue[DataFrame] =
+    Option(isolation.get).map(_._1).getOrElse(globalHandles)
+  private def ckpts: ConcurrentLinkedQueue[DataFrame] =
+    Option(isolation.get).map(_._2).getOrElse(globalCkpts)
+
+  /** Run `body` with this thread's Caching registries ISOLATED: every
+    * handle it registers lands in a private registry, [[releaseAll]] /
+    * [[scoped]] inside the body touch only that registry, and scope
+    * exit releases whatever the body left tracked. Other threads (and
+    * this thread outside the scope) keep the global registries — their
+    * releaseAll can no longer free this scope's frames and vice versa.
+    * Scope is per-THREAD: work the body fans out to other threads
+    * registers globally (the engines register only from the calling
+    * thread; their internal pools run marker-guarded upserts, which
+    * never register). */
+  def isolated[T](body: => T): T = {
+    val prev = isolation.get
+    val mine = (new ConcurrentLinkedQueue[DataFrame](),
+      new ConcurrentLinkedQueue[DataFrame]())
+    isolation.set(mine)
+    try body
+    finally {
+      if (prev == null) isolation.remove() else isolation.set(prev)
+      var df = mine._1.poll()
+      while (df != null) { df.unpersist(blocking = false); df = mine._1.poll() }
+      var ck = mine._2.poll()
+      while (ck != null) { releaseCheckpoint(ck); ck = mine._2.poll() }
+    }
+  }
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle for later release. */
   def persisted(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    handles.add(df)
-    while (handles.size() > MaxTracked) {
-      val old = handles.poll()
+    val hs = handles
+    hs.add(df)
+    while (hs.size() > MaxTracked) {
+      val old = hs.poll()
       if (old != null) old.unpersist(blocking = false)
     }
     df
   }
-
-  private val ckpts = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Track a `localCheckpoint()`ed DataFrame that ESCAPES its operator
     * (the final iteration's state): its backing RDD is only safe to
@@ -54,9 +94,10 @@ object Caching {
     * lineage (it was cut), so an evicted ESCAPED checkpoint fails the
     * consuming query; the cap is sized far above any sane working set. */
   def trackCheckpoint(df: DataFrame): DataFrame = {
-    ckpts.add(df)
-    while (ckpts.size() > MaxTracked) {
-      val old = ckpts.poll()
+    val cs = ckpts
+    cs.add(df)
+    while (cs.size() > MaxTracked) {
+      val old = cs.poll()
       if (old != null) releaseCheckpoint(old)
     }
     df
@@ -74,10 +115,11 @@ object Caching {
     * correctness one, but keep scoped work on one thread (the star's
     * chunk loop is). */
   def scoped[T](body: => T): T = {
+    val hs = handles
     val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
-    handles.forEach(h => before.put(h, java.lang.Boolean.TRUE))
+    hs.forEach(h => before.put(h, java.lang.Boolean.TRUE))
     val r = body
-    val it = handles.iterator()
+    val it = hs.iterator()
     while (it.hasNext) {
       val h = it.next()
       if (!before.containsKey(h)) { h.unpersist(blocking = false); it.remove() }
@@ -86,21 +128,26 @@ object Caching {
   }
 
   /** Unpersist every tracked handle (idempotent; safe while queries on
-    * other data are running — Spark recomputes dropped blocks lazily). */
+    * other data are running — Spark recomputes dropped blocks lazily).
+    * Inside an [[isolated]] scope this drains only the scope's own
+    * registry — a concurrent sibling's frames are untouchable. */
   def releaseAll(): Unit = {
-    var df = handles.poll()
+    val hs = handles
+    var df = hs.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = handles.poll()
+      df = hs.poll()
     }
-    var ck = ckpts.poll()
+    val cs = ckpts
+    var ck = cs.poll()
     while (ck != null) {
       releaseCheckpoint(ck)
-      ck = ckpts.poll()
+      ck = cs.poll()
     }
   }
 
-  /** Number of currently tracked handles (test introspection). */
+  /** Number of currently tracked handles in this thread's active
+    * registry (test introspection). */
   def trackedCount: Int = handles.size()
 
   /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame.

@@ -446,7 +446,8 @@ object IncrementalIntervalJoinAgg {
     // replay safety: the destination carries no per-bucket stamps, so it
     // refuses batch ids at or below the last one committed here
     MvPipeline.writeResumeFloor(spark, dst,
-      MvPipeline.maxBatchIn(spark, s"$src/a"))
+      math.max(MvPipeline.maxBatchIn(spark, s"$src/a"),
+        MvPipeline.maxStampUnder(spark, src)))
   }
 
   /** BOOTSTRAP a fresh state dir from batch tables — one range join

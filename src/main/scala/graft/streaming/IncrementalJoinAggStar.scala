@@ -1112,7 +1112,8 @@ object IncrementalJoinAggStar {
     // replay safety: the destination carries no per-bucket stamps, so it
     // refuses batch ids at or below the last one committed here
     MvPipeline.writeResumeFloor(spark, dst,
-      MvPipeline.maxBatchIn(spark, s"$src/a"))
+      math.max(MvPipeline.maxBatchIn(spark, s"$src/a"),
+        MvPipeline.maxStampUnder(spark, src)))
   }
 
   def compactChangelog(spark: SparkSession, stateDir: String, upTo: Long): Unit =

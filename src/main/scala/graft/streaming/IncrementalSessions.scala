@@ -481,7 +481,8 @@ object IncrementalSessions {
     // replay safety: the destination carries no per-bucket stamps, so it
     // refuses batch ids at or below the last one committed here
     MvPipeline.writeResumeFloor(spark, dst,
-      MvPipeline.maxBatchIn(spark, s"$src/c"))
+      math.max(MvPipeline.maxBatchIn(spark, s"$src/c"),
+        MvPipeline.maxStampUnder(spark, src)))
   }
 
   /** BOOTSTRAP a fresh state dir from a batch event table — the batch

@@ -928,7 +928,8 @@ object IncrementalTemporalStar {
     // replay safety: the destination carries no per-bucket stamps, so it
     // refuses batch ids at or below the last one committed here
     MvPipeline.writeResumeFloor(spark, dst,
-      MvPipeline.maxBatchIn(spark, s"$src/a"))
+      math.max(MvPipeline.maxBatchIn(spark, s"$src/a"),
+        MvPipeline.maxStampUnder(spark, src)))
   }
 
   /** Changelog compaction (family contract, data-driven measures). */

@@ -433,13 +433,19 @@ object MvPipeline {
     * pre-reshard batch id against the new store would re-apply it with
     * no marker to stop it. The engine reshard wrappers stamp the
     * destination root with the last batch id committed into the source
-    * (read from the signed changelog via [[maxBatchIn]]), and every
+    * (the signed changelog via [[maxBatchIn]], falling back to the
+    * per-bucket replay stamps via [[maxStampUnder]] when the changelog
+    * prefix was compacted away), and every
     * engine `processBatch` REFUSES batch ids at or below the floor
     * ([[assertAboveResumeFloor]]) — the bucket-count knob is then safe
     * under the same crash model as everything else instead of trusting
     * the caller's "resume above" discipline. The marker is an empty
     * file whose NAME carries the floor (atomic create; a re-run of the
-    * reshard recreates the same name, idempotent). */
+    * reshard recreates the same name, idempotent). Callers derive the
+    * floor as max([[maxBatchIn]], [[maxStampUnder]]) so a fully
+    * compacted changelog (no `b`-bearing rows left) still yields the
+    * committed floor from the per-bucket replay stamps; floor < 0 then
+    * genuinely means nothing was ever committed — no floor needed. */
   def writeResumeFloor(spark: SparkSession, rootDir: String, floor: Long): Unit = {
     if (floor < 0) return // nothing ever committed: no floor needed
     writeFloorMarker(spark, rootDir, "_resume_floor_b", floor)
@@ -453,7 +459,10 @@ object MvPipeline {
     * catalog completion floor: an empty file whose NAME carries a
     * monotone id (`<prefix><id>`) — atomic create, idempotent
     * re-create, highest wins (a crash between creating the new marker
-    * and pruning old ones leaves several; the max is still right). */
+    * and pruning old ones leaves several; the max is still right).
+    * Only names whose suffix is a pure decimal parse as markers: a
+    * foreign file sharing the prefix (a copy-tool's `..._b5.bak`) is
+    * ignored, never a NumberFormatException on every later batch. */
   def writeFloorMarker(spark: SparkSession, dir: String, prefix: String,
       id: Long, pruneOlder: Boolean = false): Unit = {
     val p = new Path(s"$dir/$prefix$id")
@@ -463,6 +472,7 @@ object MvPipeline {
     if (pruneOlder)
       fs.listStatus(new Path(dir)).map(_.getPath)
         .filter(q => q.getName.startsWith(prefix) &&
+          q.getName.stripPrefix(prefix).matches("\\d+") &&
           q.getName.stripPrefix(prefix).toLong < id)
         .foreach(q => fs.delete(q, false))
   }
@@ -473,7 +483,8 @@ object MvPipeline {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) -1L
     else fs.listStatus(base).map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) =>
+      .collect { case n if n.startsWith(prefix) &&
+          n.stripPrefix(prefix).matches("\\d+") =>
         n.stripPrefix(prefix).toLong }
       .foldLeft(-1L)(math.max)
   }
@@ -521,6 +532,45 @@ object MvPipeline {
     val r = spark.read.parquet(parts.toIndexedSeq: _*)
       .agg(max(col("b"))).collect()(0) // 1-row stat (allowed)
     if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  /** Max committed STREAMING batch id across the per-bucket
+    * `_graft_batch` replay stamps of every bucketed table under
+    * `rootDir` — the fallback floor source for [[writeResumeFloor]]
+    * when the changelog yields none ([[maxBatchIn]] = -1): a store
+    * whose changelog prefix was fully compacted away (a view netting
+    * to zero drops its only `b`-bearing rows) still carries its bucket
+    * stamps, which compaction preserves (ad-hoc merges re-stamp the
+    * committed id, the [[upsertMerge]] rule). O(#buckets) small-file
+    * reads — an offline-maintenance cost, never per-batch. -1 when
+    * nothing was ever committed by a non-negative batch. */
+  def maxStampUnder(spark: SparkSession, rootDir: String): Long = {
+    val base = new Path(rootDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return -1L
+    def stampOf(bucket: Path): Long = {
+      val m = new Path(bucket, "_graft_batch")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        val first =
+          try {
+            val it = scala.io.Source.fromInputStream(in).getLines()
+            if (it.hasNext) it.next().trim else ""
+          } finally in.close()
+        if (first.matches("-?\\d+")) first.toLong else -1L
+      }
+    }
+    fs.listStatus(base)
+      .filter(_.isDirectory)
+      .flatMap { t =>
+        if (t.getPath.getName.matches("bucket=\\d+")) Seq(t.getPath)
+        else fs.listStatus(t.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+          .map(_.getPath).toSeq
+      }
+      .map(stampOf)
+      .foldLeft(-1L)(math.max)
   }
 
   /** Read bucketed state: union of the live `bucket=<n>` directories

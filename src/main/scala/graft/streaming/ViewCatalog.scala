@@ -33,8 +33,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object ViewCatalog {
 
   /** One stage: `run(cdcBatch, batchId)` must be idempotent under
-    * replay of the same id (the staged/stamp/watermark contracts). */
-  final case class Stage(name: String)(val run: (DataFrame, Long) => Unit)
+    * replay of the same id (the staged/stamp/watermark contracts).
+    * `stateDirs` DECLARES the state directories this stage writes —
+    * the intra-tier independence contract made checkable:
+    * [[runBatch]] with `concurrentTiers = true` REFUSES a tier whose
+    * declared dirs overlap (same dir or one nested in the other),
+    * converting the "stages within a tier are mutually independent"
+    * contract from caller-asserted prose into a checked precondition.
+    * An empty declaration opts the stage out of the check (documented
+    * caller-owned — e.g. ship stages writing only external sinks). */
+  final case class Stage(name: String, stateDirs: Seq[String] = Nil)(
+      val run: (DataFrame, Long) => Unit)
 
   /** A catalog in cascade order. `bases` consume the CDC batch;
     * `derived` read the bases' POST-batch state/changelogs (derived
@@ -59,29 +68,64 @@ object ViewCatalog {
     * concurrent jobs (tiers stay sequential — the cascade order is the
     * point of the catalog). Sound because stages within a tier are
     * mutually independent by the catalog contract (each owns its state
-    * dirs and reads only prior tiers' state), and the crash model is
+    * dirs and reads only prior tiers' state) — CHECKED, not just
+    * asserted, for stages that declare their dirs ([[Stage.stateDirs]]:
+    * a tier with overlapping declarations is refused before any stage
+    * runs) — and the crash model is
     * unchanged: the pool awaits EVERY stage before rethrowing the
     * first failure ([[MvPipeline.applyConcurrently]]), any failure
     * leaves the floor unmoved, and the full-cascade replay converges
     * exactly as in the serial case (applied stages skip via their own
-    * stamps/watermarks). Wall-clock ∝ the tier's slowest stage instead
+    * stamps/watermarks). Each concurrent stage additionally runs under
+    * a thread-isolated Caching registry
+    * ([[graft.operators.Caching.isolated]]) so a stage's end-of-fold
+    * releaseAll can never unpersist a SIBLING's mid-flight frames or
+    * drain its lineage-cut localCheckpoints. Wall-clock ∝ the tier's
+    * slowest stage instead
     * of its sum — the local[32] scheduler is idle under serial stages. */
   def runBatch(spark: SparkSession, catalog: Catalog, catalogDir: String,
       batch: DataFrame, batchId: Long,
       concurrentTiers: Boolean = false): Boolean = {
     require(batchId >= 0,
       "catalog batches need replay-stamped ids (ad-hoc ids carry no markers)")
+    val tiers = Seq(catalog.bases, catalog.derived, catalog.commits,
+      catalog.ships)
+    if (concurrentTiers) tiers.foreach(assertTierIndependent)
     if (batchId <= completedFloor(spark, catalogDir)) return false
     if (concurrentTiers)
-      Seq(catalog.bases, catalog.derived, catalog.commits, catalog.ships)
-        .foreach(tier => MvPipeline.applyConcurrently(
-          tier.map(s => () => s.run(batch, batchId))))
+      tiers.foreach(tier => MvPipeline.applyConcurrently(
+        tier.map(s => () =>
+          graft.operators.Caching.isolated(s.run(batch, batchId)))))
     else catalog.stages.foreach(_.run(batch, batchId))
     // the shared floor-marker device (the reshard resume floor's), with
     // older markers pruned — one file names the floor
     MvPipeline.writeFloorMarker(spark, catalogDir, "_catalog_done_b",
       batchId, pruneOlder = true)
     true
+  }
+
+  /** Refuse a tier whose declared state dirs overlap — two concurrent
+    * stages writing one dir would race the marker-guarded swap (the
+    * concurrent-writer check would abort one mid-batch). Overlap =
+    * same normalized path or one nested under the other (a stage
+    * owning `<dir>/star` conflicts with one owning `<dir>/star/a`).
+    * Undeclared stages (empty `stateDirs`) are skipped: the check
+    * covers exactly what is declared. */
+  private[streaming] def assertTierIndependent(tier: Seq[Stage]): Unit = {
+    def norm(p: String): String = p.replaceAll("/+$", "")
+    def overlap(a: String, b: String): Boolean =
+      a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+    val declared = tier.flatMap(s => s.stateDirs.map(d => (s.name, norm(d))))
+    for {
+      i <- declared.indices
+      j <- (i + 1) until declared.size
+      if declared(i)._1 != declared(j)._1 // same stage may list related dirs
+      if overlap(declared(i)._2, declared(j)._2)
+    } throw new IllegalArgumentException(
+      s"concurrentTiers refused: stages '${declared(i)._1}' and " +
+        s"'${declared(j)._1}' declare overlapping state dirs " +
+        s"(${declared(i)._2} vs ${declared(j)._2}) in one tier — " +
+        "move one to a later tier or give them disjoint state")
   }
 
   /** The last FULLY-completed batch id (-1 = none): the highest

@@ -511,6 +511,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(graft.operators.Caching.trackedCount == 0)
   }
 
+  test("Caching.isolated: a scope's releaseAll cannot free a sibling's handles; exit releases leftovers") {
+    import graft.operators.Caching
+    Caching.releaseAll()
+    // the "sibling": a frame registered on the global registry (what a
+    // concurrent catalog stage's mid-flight persist looks like from
+    // another stage's thread)
+    val global = spark.range(10).toDF("a")
+    Caching.persisted(global)
+    global.count()
+    assert(Caching.trackedCount == 1)
+    @volatile var inside = -1
+    @volatile var afterRelease = -1
+    val t = new Thread(() => Caching.isolated {
+      val own = spark.range(5).toDF("b")
+      Caching.persisted(own)
+      own.count()
+      inside = Caching.trackedCount       // own registry: just `own`
+      Caching.releaseAll()                // drains OWN registry only
+      afterRelease = Caching.trackedCount
+    })
+    t.start(); t.join()
+    assert(inside == 1 && afterRelease == 0)
+    assert(Caching.trackedCount == 1, "sibling's releaseAll crossed scopes")
+    assert(global.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the global frame must still be persisted")
+    // scope exit releases whatever the body left tracked
+    val leaked = Caching.isolated {
+      val d = spark.range(7).toDF("c")
+      Caching.persisted(d)
+      d.count()
+      d
+    }
+    assert(leaked.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "isolated-scope exit must release leftover handles")
+    Caching.releaseAll()
+    assert(Caching.trackedCount == 0)
+  }
+
   test("LSH top-k returns only same-bucket neighbors with correct ranks") {
     val res = Similarity.lshTopK(emb, col("vec_id") < 2, k = 3, numBits = 4, dim = 4)
       .as[(Long, Long, Long, Double)].collect()

@@ -172,4 +172,52 @@ class MvPipelineSpec extends SparkTestBase {
     assert(digest(a) !== digest(changed))
     assert(digest(a.limit(0)) === 0L) // empty table digests to 0
   }
+
+  test("floor markers ignore foreign files sharing the prefix (no NumberFormatException)") {
+    val d = tmpDir("floor-marker")
+    MvPipeline.writeFloorMarker(spark, d, "_resume_floor_b", 5L)
+    // a copy-tool artifact with a non-numeric suffix must be ignored by
+    // read AND prune, never a NumberFormatException on every later batch
+    assert(new java.io.File(d, "_resume_floor_b5.bak").createNewFile())
+    assert(MvPipeline.resumeFloor(spark, d) === 5L)
+    MvPipeline.writeFloorMarker(spark, d, "_resume_floor_b", 7L,
+      pruneOlder = true)
+    assert(MvPipeline.resumeFloor(spark, d) === 7L)
+    assert(new java.io.File(d, "_resume_floor_b5.bak").exists,
+      "pruneOlder must not touch non-conforming names")
+    assert(!new java.io.File(d, "_resume_floor_b5").exists,
+      "the real older marker is pruned")
+    MvPipeline.assertAboveResumeFloor(spark, d, 8L) // above: passes
+    intercept[IllegalArgumentException] {
+      MvPipeline.assertAboveResumeFloor(spark, d, 7L)
+    }
+  }
+
+  test("maxStampUnder recovers the committed floor when the changelog was fully compacted away") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("stamp-floor")
+    // batch 4 inserts group g1; batch 5 nets it to zero; compacting the
+    // full prefix then drops the all-zero baseline — no b-bearing rows
+    // remain, so the changelog-derived floor (maxBatchIn) is -1, but the
+    // per-bucket replay stamps still carry 5 (the writeResumeFloor
+    // fallback path, ADVICE r12)
+    val up = Seq(("c", "g1", 4L, 5L, 1L)).toDF("kind", "g", "b", "m", "c")
+    MvPipeline.upsertBucketedMerge(up, s"$root/a",
+      (o, i) => o.unionByName(i), 4L, 4, Seq("g"))
+    val dn = Seq(("c", "g1", 5L, -5L, -1L)).toDF("kind", "g", "b", "m", "c")
+    MvPipeline.upsertBucketedMerge(dn, s"$root/a",
+      (o, i) => o.unionByName(i), 5L, 4, Seq("g"))
+    MvPipeline.compactChangelogA(spark, s"$root/a", 5L)
+    assert(MvPipeline.maxBatchIn(spark, s"$root/a") === -1L,
+      "compaction dropped every b-bearing row")
+    assert(MvPipeline.maxStampUnder(spark, root) === 5L,
+      "bucket stamps survive compaction")
+    MvPipeline.writeResumeFloor(spark, root,
+      math.max(MvPipeline.maxBatchIn(spark, s"$root/a"),
+        MvPipeline.maxStampUnder(spark, root)))
+    assert(MvPipeline.resumeFloor(spark, root) === 5L)
+    intercept[IllegalArgumentException] {
+      MvPipeline.assertAboveResumeFloor(spark, root, 5L)
+    }
+  }
 }

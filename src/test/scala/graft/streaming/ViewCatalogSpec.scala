@@ -300,6 +300,51 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(viewD(sD) === viewD(tD) && viewR(sR, Seq()) === viewR(tR, Seq()))
   }
 
+  test("concurrentTiers: overlapping declared state dirs refused; disjoint declared tier runs") {
+    val sA = tmpDir("vci-a"); val sB = tmpDir("vci-b")
+    val cat = tmpDir("vci-cat")
+    val b0 = cdc(Seq(("fact", 10L, 1L, 100L, "", 0L),
+      ("dim", 10L, 0L, 0L, "s1", 0L), ("ev", 7L, 1L, 0L, "", 0L)))
+    // disjoint declarations: runs
+    val ok = ViewCatalog.Catalog(bases = Seq(
+      ViewCatalog.Stage("revenue", Seq(sA))(foldRevenue(sA)),
+      ViewCatalog.Stage("sessions", Seq(sB))(foldSessions(sB))))
+    assert(ViewCatalog.runBatch(spark, ok, cat, b0, 0L,
+      concurrentTiers = true))
+    assert(viewA(sA) === Map("s1" -> (100L, 1L)))
+    // same dir twice in one tier: refused BEFORE any stage runs
+    val same = ViewCatalog.Catalog(bases = Seq(
+      ViewCatalog.Stage("one", Seq(sA))(foldRevenue(sA)),
+      ViewCatalog.Stage("two", Seq(sA))((_, _) => fail("must not run"))))
+    val e1 = intercept[IllegalArgumentException] {
+      ViewCatalog.runBatch(spark, same, tmpDir("vci-c2"), b0, 0L,
+        concurrentTiers = true)
+    }
+    assert(e1.getMessage.contains("overlapping state dirs"))
+    // nesting counts as overlap (one stage's root contains the other's
+    // table dir); trailing slashes normalize
+    val nested = ViewCatalog.Catalog(bases = Seq(
+      ViewCatalog.Stage("root", Seq(sA + "/"))((_, _) => fail("must not run")),
+      ViewCatalog.Stage("leaf", Seq(sA + "/joinagg"))((_, _) =>
+        fail("must not run"))))
+    intercept[IllegalArgumentException] {
+      ViewCatalog.runBatch(spark, nested, tmpDir("vci-c3"), b0, 0L,
+        concurrentTiers = true)
+    }
+    // one stage may list several related dirs for itself
+    val selfMulti = ViewCatalog.Catalog(bases = Seq(
+      ViewCatalog.Stage("revenue", Seq(sA, sA + "/joinagg"))(foldRevenue(sA))))
+    assert(ViewCatalog.runBatch(spark, selfMulti, tmpDir("vci-c4"),
+      cdc(Seq(("fact", 10L, 2L, 30L, "", 0L))), 0L, concurrentTiers = true))
+    // serial mode is unchecked (cascade order serializes the writes):
+    // two stages declaring one dir run fine back to back
+    val serialShared = ViewCatalog.Catalog(bases = Seq(
+      ViewCatalog.Stage("one", Seq(sA))((_, _) => ()),
+      ViewCatalog.Stage("two", Seq(sA))((_, _) => ())))
+    assert(ViewCatalog.runBatch(spark, serialShared, tmpDir("vci-c5"),
+      cdc(Seq(("fact", 10L, 9L, 1L, "", 0L))), 0L))
+  }
+
   test("start(): one JSON-lines CDC stream drives the whole catalog across restarts") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.IntegerType
