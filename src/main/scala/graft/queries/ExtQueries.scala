@@ -1772,6 +1772,114 @@ object ExtQueries {
       .orderBy("seg", "band")
   }
 
+  /** Batch twin of the SET-VALUED enriched facts under fan-out (R175,
+    * [[graft.streaming.IncrementalTemporalStar.enrichedFanoutView]]):
+    * the x130 mixed-attribution query UN-AGGREGATED — one row per
+    * (click, covering window): the click id, its as-of segment, the
+    * window's band AND id, and the click value. The composite
+    * (click_id, window_id) key is exactly what the maintained relation
+    * REPLACEs on. Oracled against the same DuckDB ASOF LEFT + range
+    * join, un-aggregated. */
+  def x133MixedEnriched(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+        graft.functions.cents(col("value")).as("m"),
+        col("user_id").as("k1"), col("user_id").as("k2"))
+    val seg = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+        concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .cast("string")).as("vs"))
+    val wins = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iid"), col("user_id").as("k"),
+        expr("ts DIV 1000").as("s"),
+        expr("ts DIV 1000 + 600000000").as("e"),
+        concat(lit("b"), (graft.functions.cents(col("value")) % 5)
+          .cast("string")).as("vs"))
+    graft.streaming.IncrementalTemporalStar
+      .enrichedFanoutBatch(facts, Seq(seg, wins), intervalBranches = Set(2))
+      .select(col("id").as("click_id"),
+        coalesce(col("g1"), lit("(none)")).as("seg"),
+        col("g2").as("band"), col("_tag2").as("window_id"),
+        col("m").as("value_cents"))
+      .orderBy("click_id", "window_id")
+  }
+
+  // -------------------------------------------- SQL catalog (R172) ----
+
+  /** Shared maintained state behind the SQL-catalog queries (x131/
+    * x132): the orders×customer revenue view and the per-segment
+    * order-value extrema relation, folded ONCE per sf dir per process
+    * into temp state and registered as Spark SQL temp views + the
+    * bucket-pruned point-read table function
+    * ([[graft.streaming.SqlCatalog]]). Registration re-binds on every
+    * call (plan construction only) so the names always point at THIS
+    * dir's state — the driver and bench interleave sf dirs. */
+  private val sqlCatalogState = scala.collection.mutable.Map[String, String]()
+  private def sqlCatalogViews(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlCatalogState.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqlcat").toString
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      // one maintained join-aggregate fold (the engine pays its staged
+      // crash-safe protocol — the honest cost of "maintained", timed in
+      // the bench under this query's name) + one keyed summary upsert
+      // BOOTSTRAP (not per-batch delta machinery) builds the fresh
+      // state — the engine's own backfill path: one star join + state
+      // writes; continuation folds would use batch ids above 0. A
+      // deterministic order subset bounds the one-time cost the first
+      // SQL-catalog query pays (the oracle mirrors the filter); the
+      // fold-cost-at-scale evidence lives in the rehearsals, not here
+      graft.streaming.IncrementalJoinAggStar.bootstrap(
+        graft.streaming.IncrementalJoinAggStar.StarSpec(Seq(1),
+          groupAttrs = Seq((1, 1))),
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_custkey").as("jk"), col("o_orderkey").as("id"),
+            graft.functions.cents(col("o_totalprice")).as("m")),
+        Seq("jk"), "id", "m",
+        Seq(Seq(cust.select(col("c_custkey").as("jk"),
+          col("c_mktsegment").as("g")))),
+        Seq(Seq(("jk", "", "g"))),
+        st, baselineBatch = 0L, numBuckets = 2)
+      graft.streaming.MvPipeline.upsert(
+        cust.groupBy(col("c_mktsegment").as("g"))
+          .agg(count(lit(1)).as("n_customers")),
+        s"$st/mv_segment_customers", Seq("g"), 0L)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.joinAgg("x131_rev", state),
+      graft.streaming.SqlCatalog.summary("x131_seg", state,
+        "mv_segment_customers"),
+      graft.streaming.SqlCatalog.aggPointRead("x131_rev_for",
+        s"$state/joinaggstar/a", numBuckets = 2)))
+  }
+
+  /** The SQL-queryable catalog surface (R172): revenue-by-segment and
+    * order-value extrema are MAINTAINED views served as registered
+    * Spark SQL temp views, and the query is an AD-HOC `spark.sql` JOIN
+    * of the two — the reference's literal consumer UX (users SQL-join
+    * summary tables, `/root/reference/README.md:24-189`). The oracle
+    * recomputes both views from the base tables in one DuckDB query. */
+  def x131SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalogViews(s, dir)
+    s.sql("""SELECT r.g AS segment, r.total AS revenue_cents,
+        r.pairs AS orders, c.n_customers
+      FROM x131_rev r JOIN x131_seg c ON r.g = c.g
+      ORDER BY segment""")
+  }
+
+  /** The SQL-native bucket-pruned POINT READ (R172): a SQL table
+    * function call with a literal segment — the body's routing hash
+    * constant-folds into a partition filter, so ONE `a/` bucket is
+    * opened (SqlCatalogSpec pins the PartitionFilters evidence; here
+    * the driver pins the ANSWER against a plain filtered recompute). */
+  def x132SqlPointread(s: SparkSession, dir: String): DataFrame = {
+    sqlCatalogViews(s, dir)
+    s.sql("""SELECT g AS segment, total AS revenue_cents, rows AS orders
+      FROM x131_rev_for('BUILDING') ORDER BY segment""")
+  }
+
   /** Batch twin of the incrementally-maintained SESSIONIZATION
     * ([[graft.streaming.IncrementalSessions]], R166): per-user session
     * statistics over the maintained session-row set — count, largest
@@ -4805,6 +4913,57 @@ object ExtQueries {
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP)) + 600000000
          |GROUP BY 1 ORDER BY band""".stripMargin,
+    "x133_mixed_enriched" ->
+      s"""WITH d AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |w AS (
+         |  SELECT event_id AS iid, user_id AS k,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e,
+         |    'b' || CAST(${graft.functions.centsSql("value")} % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |f AS (
+         |  SELECT event_id AS id, user_id AS k,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'click'
+         |),
+         |r AS (
+         |  SELECT f.id, f.k, f.t, f.m, d.vs AS seg
+         |  FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.vf
+         |)
+         |SELECT r.id AS click_id, coalesce(r.seg, '(none)') AS seg,
+         |  w.vs AS band, w.iid AS window_id, r.m AS value_cents
+         |FROM r JOIN w ON r.k = w.k AND r.t >= w.s AND r.t < w.e
+         |ORDER BY click_id, window_id""".stripMargin,
+    "x131_sql_catalog" ->
+      s"""WITH r AS (
+         |  SELECT c_mktsegment AS g,
+         |    CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS total,
+         |    count(*) AS pairs
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderkey % 10 = 0
+         |  GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT c_mktsegment AS g, count(*) AS n_customers
+         |  FROM customer GROUP BY 1
+         |)
+         |SELECT r.g AS segment, r.total AS revenue_cents, r.pairs AS orders,
+         |  c.n_customers
+         |FROM r JOIN c ON r.g = c.g
+         |ORDER BY segment""".stripMargin,
+    "x132_sql_pointread" ->
+      s"""SELECT c_mktsegment AS segment,
+         |  CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderkey % 10 = 0
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
     "x130_mixed_attribution" ->
       s"""WITH d AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -5201,6 +5360,9 @@ object ExtQueries {
     "x128_attributed_clicks" -> x128AttributedClicks, // oracle: M:N interval-overlap join-aggregate
     "x129_user_sessions" -> x129UserSessions, // oracle: per-user rollup of the session-row set
     "x130_mixed_attribution" -> x130MixedAttribution, // oracle: ASOF LEFT + range join in one query (R167)
+    "x131_sql_catalog" -> x131SqlCatalog, // oracle: ad-hoc SQL join of two registered maintained views (R172)
+    "x132_sql_pointread" -> x132SqlPointread, // oracle: bucket-pruned SQL TVF point read (R172)
+    "x133_mixed_enriched" -> x133MixedEnriched, // oracle: per-(click, window) un-aggregated mixed join (R175)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

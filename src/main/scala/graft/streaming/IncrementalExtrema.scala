@@ -60,15 +60,49 @@ object IncrementalExtrema {
   /** Fold one signed micro-batch `(g, v, w)` into the multiplicity
     * relation at `stateDir/extrema/`. Within-batch rows for the same
     * (g,v) pre-aggregate; zero-weight results still flow to the merge
-    * (they may cancel existing state rows). */
+    * (they may cancel existing state rows).
+    *
+    * SKEW-SAFE LAYOUT (`subBuckets = S > 1`, R173): plain `g`-keyed
+    * bucketing concentrates a giant group's ENTIRE value multiset in
+    * ONE bucket — that bucket's rewrite and any point read of the
+    * group is O(group's distinct values) regardless of B, and reshard
+    * cannot help (same key). With S > 1 rows route by
+    * `(g, xxhash64(v) % S)`, splitting every group across up to S
+    * buckets: the per-bucket bound under a dominant group drops ~S×
+    * (expectation-level — two of the S sub-keys may hash-collide in
+    * one physical bucket, chance ≈ S²/2B, leaving that bucket a small
+    * multiple of |group|/S; NEVER |group| again), folds touching it
+    * rewrite S smaller buckets concurrently, and
+    * point reads MERGE-AT-READ over the group's ≤S buckets
+    * ([[viewFor]] probes them all — still bounded, never O(state)).
+    * The sub-bucket coordinate is derived from `v`, never stored. S is
+    * a store-layout constant like `numBuckets`: fold and read with the
+    * SAME (B, S) for the store's lifetime (reshard to change). */
   def processBatch(delta: DataFrame, stateDir: String, batchId: Long = -1L,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, subBuckets: Int = 1): Unit = {
+    require(subBuckets >= 1, "subBuckets >= 1")
     val inc = delta.select(col("g").cast(StringType).as("g"),
         col("v").cast(LongType).as("v"), col("w").cast(LongType).as("w"))
       .groupBy("g", "v").agg(sum("w").as("w"))
-    MvPipeline.upsertBucketedMerge(inc, s"$stateDir/extrema", mergeVw,
-      batchId, numBuckets, bucketKeys = Seq("g"))
+    if (subBuckets == 1)
+      MvPipeline.upsertBucketedMerge(inc, s"$stateDir/extrema", mergeVw,
+        batchId, numBuckets, bucketKeys = Seq("g"))
+    else
+      MvPipeline.upsertBucketedMerge(
+        inc.withColumn("sb", subBucketOf(col("v"), subBuckets)),
+        s"$stateDir/extrema", mergeVwSb, batchId, numBuckets,
+        bucketKeys = Seq("g", "sb"))
   }
+
+  /** The derived sub-bucket coordinate: `xxhash64(v) % S`. */
+  private[streaming] def subBucketOf(v: org.apache.spark.sql.Column,
+      s: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(v), lit(s.toLong))
+
+  /** [[mergeVw]] for sub-bucketed increments: the routing column rides
+    * the increment but is never stored (recomputable from v). */
+  private[streaming] def mergeVwSb(old: DataFrame, nw: DataFrame): DataFrame =
+    mergeVw(old, nw.drop("sb"))
 
   /** Weight-add merge with zero purge — per bucket, exact. (Shared
     * with [[IncrementalJoinAggStar]]'s fact-grained extrema table.) */
@@ -95,11 +129,20 @@ object IncrementalExtrema {
 
   /** [[view]] restricted to `groups` — the bucket-pruned point read:
     * only the buckets the named groups hash into are opened (same
-    * (bucketKeys, numBuckets) the writer used). */
+    * (bucketKeys, numBuckets, subBuckets) the writer used). Under a
+    * sub-bucketed layout the group's rows span ≤ subBuckets buckets;
+    * the read probes them all and the aggregate merges — bounded by
+    * S·|groups| bucket opens, never by state. */
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
-      numBuckets: Int = 16): DataFrame = {
+      numBuckets: Int = 16, subBuckets: Int = 1): DataFrame = {
     import spark.implicits._
-    val ids = MvPipeline.bucketIdsOf(groups.toDF("g"), Seq("g"), numBuckets)
+    val ids =
+      if (subBuckets == 1)
+        MvPipeline.bucketIdsOf(groups.toDF("g"), Seq("g"), numBuckets)
+      else MvPipeline.bucketIdsOf(
+        groups.flatMap(g => (0 until subBuckets).map(sb => (g, sb.toLong)))
+          .toDF("g", "sb"),
+        Seq("g", "sb"), numBuckets)
     val st = MvPipeline.readBuckets(spark, s"$stateDir/extrema", ids, vwSchema)
     extremaOf(st.join(broadcast(groups.toDF("g")), Seq("g"), "left_semi"))
   }

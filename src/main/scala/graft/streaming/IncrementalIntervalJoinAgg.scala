@@ -411,21 +411,100 @@ object IncrementalIntervalJoinAgg {
     * always-open window pins its facts). Out-of-contract late arrivals
     * diverge silently (they miss matches against compacted rows); an
     * upsert naming a compacted-away iid behaves as a fresh insert.
-    * Callers pick the horizon as their lateness bound. */
-  def compactState(spark: SparkSession, stateDir: String, horizon: Long): Unit = {
+    * Callers pick the horizon as their lateness bound.
+    *
+    * OPS GUARD (r13): the always-open-window bound is SURFACED instead
+    * of silent — the returned [[PinReport]] names how many pre-horizon
+    * facts stay pinned, the oldest pinned fact time (age = horizon −
+    * oldest), and a sample of the pinning window ids, so "a forgotten
+    * open window is quietly retaining a year of facts" is visible at
+    * every compaction. `maxWindowSpanUs` DECLARES the caller's
+    * window-span contract (every window satisfies e − s ≤ span): a
+    * pinned fact with `t < horizon − span` can then only be covered by
+    * an out-of-contract window, so its pin is PROVABLY EXPIRED and the
+    * fact drops (counted in the report, with the violating windows
+    * sampled) — the declared contract turns the unbounded pin into a
+    * hard `span` bound. Retraction of an out-of-contract window after
+    * its pins dropped diverges, exactly like any other contract
+    * violation of this compaction. */
+  def compactState(spark: SparkSession, stateDir: String, horizon: Long,
+      maxWindowSpanUs: Option[Long] = None): PinReport = {
     val path = s"$stateDir/intervaljoinagg"
     MvPipeline.transformBuckets(spark, s"$path/i",
       old => old.filter(col("e") > horizon))
     // the retained (open) windows — read AFTER i/'s rewrite committed
-    val open = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/i", iSchema)
-      .select(col("k").as("ok"), col("s").as("os"), col("e").as("oe"))
+    val openFull = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/i", iSchema)
       .transform(graft.operators.Caching.persisted)
-    try MvPipeline.transformBuckets(spark, s"$path/f", old =>
-      old.filter(col("t") >= horizon)
-        .unionByName(old.filter(col("t") < horizon)
+    val open = openFull
+      .select(col("iid").as("oid"), col("k").as("ok"), col("s").as("os"),
+        col("e").as("oe"))
+    val expiredFloor = maxWindowSpanUs.map(span => horizon - span)
+    try {
+      // provably-expired pins counted BEFORE the rewrite drops them
+      val dropped = expiredFloor.map { fl =>
+        MvPipeline.readBucketedStateOrEmpty(spark, s"$path/f", fSchemaN(1))
+          .select("id", "t", "k").filter(col("t") < fl)
           .join(open, col("k") === col("ok") && col("os") <= col("t") &&
-            col("t") < col("oe"), "left_semi")))
-    finally graft.operators.Caching.releaseAll()
+            col("t") < col("oe"), "left_semi")
+          .count()
+      }.getOrElse(0L)
+      MvPipeline.transformBuckets(spark, s"$path/f", old => {
+        val covered = old.filter(col("t") < horizon)
+          .join(open.drop("oid"), col("k") === col("ok") &&
+            col("os") <= col("t") && col("t") < col("oe"), "left_semi")
+        old.filter(col("t") >= horizon)
+          .unionByName(expiredFloor.fold(covered)(fl =>
+            covered.filter(col("t") >= fl)))
+      })
+      pinReport(spark, openFull, open,
+        MvPipeline.readBucketedStateOrEmpty(spark, s"$path/f", fSchemaN(1))
+          .select("id", "t", "k").filter(col("t") < horizon),
+        horizon, maxWindowSpanUs, dropped)
+    } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** What the always-open-window bound currently costs — returned by
+    * [[compactState]] (this engine's and the mixed star's). Ages are
+    * in the caller's time unit: `horizon − oldestPinnedT`. */
+  final case class PinReport(
+      pinnedFacts: Long,
+      oldestPinnedT: Option[Long],
+      pinningWindowCount: Long,
+      pinningWindowSample: Seq[Long],
+      droppedExpiredPins: Long,
+      outOfContractWindowCount: Long,
+      outOfContractWindowSample: Seq[Long]) {
+    def oldestPinnedAge(horizon: Long): Option[Long] =
+      oldestPinnedT.map(horizon - _)
+  }
+
+  /** Build a [[PinReport]] from the post-rewrite pinned facts and the
+    * open-window relation (shared with the mixed star's compaction).
+    * `openFull` carries (iid, k, s, e, ..); `open` its (oid, ok, os,
+    * oe) projection; `pinned` the retained pre-horizon (id, t, k). */
+  private[streaming] def pinReport(spark: SparkSession, openFull: DataFrame,
+      open: DataFrame, pinned: DataFrame, horizon: Long,
+      maxWindowSpanUs: Option[Long], dropped: Long): PinReport = {
+    val p = pinned.transform(graft.operators.Caching.persisted)
+    val stats = p.agg(count(lit(1)).as("n"), min(col("t")).as("t0"))
+      .collect()(0) // 1-row stat (allowed)
+    val pins = p.join(open, col("k") === col("ok") && col("os") <= col("t") &&
+        col("t") < col("oe"))
+      .select(col("oid")).distinct()
+      .transform(graft.operators.Caching.persisted)
+    val pinCount = pins.count()
+    val pinSample = pins.orderBy("oid").limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    val (oocCount, oocSample) = maxWindowSpanUs.map { span =>
+      val ooc = openFull.filter(col("e") - col("s") > span)
+        .select(col("iid")).distinct()
+        .transform(graft.operators.Caching.persisted)
+      (ooc.count(), ooc.orderBy("iid").limit(20)
+        .collect().map(_.getLong(0)).toSeq)
+    }.getOrElse((0L, Seq.empty[Long]))
+    PinReport(stats.getLong(0),
+      if (stats.isNullAt(1)) None else Some(stats.getLong(1)),
+      pinCount, pinSample, dropped, oocCount, oocSample)
   }
 
   /** Changelog compaction (family contract). */

@@ -124,11 +124,24 @@ object IncrementalJoinAggStar {
       leftBranches: Set[Int] = Set.empty,
       trackDistinct: Option[String] = None,
       multiRows: Set[(Int, Int)] = Set.empty,
-      numMeasures: Int = 1) {
+      numMeasures: Int = 1,
+      valueSubBuckets: Int = 1) {
     require(branchDepths.nonEmpty && branchDepths.forall(_ >= 1),
       "every branch needs depth >= 1")
     require(groupAttrs.nonEmpty, "at least one group attribute")
     require(numMeasures >= 1, "numMeasures >= 1")
+    // R173: `valueSubBuckets = S > 1` sub-buckets the VALUE-MULTIPLICITY
+    // side relations (`e/` extrema, `u/` distinct) by (g, xxhash64(v)%S)
+    // so ONE dominant group (a LEFT view's null group, a giant segment)
+    // cannot concentrate its whole value multiset in one bucket — the
+    // per-bucket bound under skew drops ~S× (expectation-level: two of
+    // the S sub-keys may collide in one physical bucket, ≈S²/2B
+    // chance, leaving a small multiple of |group|/S — never |group|),
+    // at the cost of ≤S bucket
+    // opens on a point read (merge-at-read; the aggregate/changelog
+    // tables are immune — 1 row per group — and stay plain g-keyed). A
+    // store-layout constant like numBuckets: fixed for the store's life.
+    require(valueSubBuckets >= 1, "valueSubBuckets >= 1")
     /** Internal measure column names: `m` plus `m2..mM` (R161 —
       * multi-measure views, the reference's several-summed-columns
       * SummingMergeTree shape, e.g. stats2's blocked+visited). Every
@@ -798,18 +811,16 @@ object IncrementalJoinAggStar {
             s"$path/a", mergeA, batchId, numBuckets, Seq("g")))
          else Nil) ++
         (if (present("e"))
-          Seq(() => MvPipeline.upsertBucketedMerge(
+          Seq(() => vwApply(
             delta.filter(col("tbl") === "e")
               .select(col("g"), col("m").as("v"), col("w")),
-            s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
-            Seq("g")))
+            s"$path/e", batchId, numBuckets, spec.valueSubBuckets))
          else Nil) ++
         (if (present("u"))
-          Seq(() => MvPipeline.upsertBucketedMerge(
+          Seq(() => vwApply(
             delta.filter(col("tbl") === "u")
               .select(col("g"), col("m").as("v"), col("w")),
-            s"$path/u", IncrementalExtrema.mergeVw, batchId, numBuckets,
-            Seq("g")))
+            s"$path/u", batchId, numBuckets, spec.valueSubBuckets))
          else Nil))
       finally delta.unpersist()
       if (fs.exists(new Path(path)))
@@ -892,17 +903,31 @@ object IncrementalJoinAggStar {
       }
     }
     try {
-      for (b <- 1 to nB)
-        MvPipeline.upsertBucketedMerge(fIn,
-          s"$path/${if (b == 1) "f" else s"fm$b"}",
-          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq(s"k$b"))
-      for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) {
-        MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1), s"$path/d${b}_$i",
-          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("k"))
-        if (i < spec.branchDepths(b - 1))
-          MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1), s"$path/d${b}_${i}m",
-            (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets, Seq("vl"))
-      }
+      // fact mirrors + level tables are independent dirs fed from the
+      // already-persisted inputs — one concurrent wave, not a serial
+      // loop (the processBatch apply-fan-out argument; measured ~2x on
+      // the bootstrap wall at small scale, where per-table job latency
+      // dominates)
+      MvPipeline.applyConcurrently(
+        (1 to nB).map { b => () =>
+          MvPipeline.upsertBucketedMerge(fIn,
+            s"$path/${if (b == 1) "f" else s"fm$b"}",
+            (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
+            Seq(s"k$b"))
+        } ++
+        (for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) yield {
+          Seq({ () =>
+            MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1), s"$path/d${b}_$i",
+              (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
+              Seq("k"))
+          }: () => Unit) ++
+          (if (i < spec.branchDepths(b - 1)) Seq({ () =>
+            MvPipeline.upsertBucketedMerge(dIns(b - 1)(i - 1),
+              s"$path/d${b}_${i}m",
+              (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
+              Seq("vl"))
+          }: () => Unit) else Nil)
+        }).flatten)
       // the batch aggregate once, as rows + the baseline changelog
       var cur = withDk(spec, fIn.drop("id")).withColumn("w", lit(1L))
       for (b <- 1 to nB; i <- 1 to spec.branchDepths(b - 1)) {
@@ -923,22 +948,43 @@ object IncrementalJoinAggStar {
         .unionByName(agg.select(Seq(lit("c").as("kind"), col("g"),
           lit(baselineBatch).as("b")) ++ spec.mCols.map(col) ++
           Seq(col("c")): _*))
-      MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
-        numBuckets, Seq("g"))
-      // tracked side relations take the SAME finished tuples (the fold
-      // path feeds them from each batch's finished delta)
-      if (spec.trackExtrema)
-        MvPipeline.upsertBucketedMerge(
-          fin.groupBy("g", "m").agg(sum("w").as("w"))
-            .select(col("g"), col("m").as("v"), col("w")),
-          s"$path/e", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
-      if (spec.trackDistinct.isDefined)
-        MvPipeline.upsertBucketedMerge(
-          fin.groupBy("g", "dk").agg(sum("w").as("w"))
-            .select(col("g"), col("dk").as("v"), col("w")),
-          s"$path/u", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
+      // the aggregate and the tracked side relations read the SAME
+      // persisted finished tuples into independent dirs — second wave
+      MvPipeline.applyConcurrently(
+        Seq({ () =>
+          MvPipeline.upsertBucketedMerge(aRows, s"$path/a", mergeA, -1L,
+            numBuckets, Seq("g"))
+        }: () => Unit) ++
+        (if (spec.trackExtrema) Seq({ () =>
+          vwApply(
+            fin.groupBy("g", "m").agg(sum("w").as("w"))
+              .select(col("g"), col("m").as("v"), col("w")),
+            s"$path/e", -1L, numBuckets, spec.valueSubBuckets)
+        }: () => Unit) else Nil) ++
+        (if (spec.trackDistinct.isDefined) Seq({ () =>
+          vwApply(
+            fin.groupBy("g", "dk").agg(sum("w").as("w"))
+              .select(col("g"), col("dk").as("v"), col("w")),
+            s"$path/u", -1L, numBuckets, spec.valueSubBuckets)
+        }: () => Unit) else Nil))
     } finally graft.operators.Caching.releaseAll()
   }
+
+  /** Write a value-multiplicity delta `(g, v, w)` under the spec's
+    * layout: plain `g`-keyed buckets, or `(g, xxhash64(v) % S)` when
+    * `valueSubBuckets = S > 1` (R173 — the skew-safe layout; the
+    * sub-bucket coordinate is derived, never stored). */
+  private def vwApply(rows: DataFrame, path: String, batchId: Long,
+      numBuckets: Int, subBuckets: Int): Unit =
+    if (subBuckets == 1)
+      MvPipeline.upsertBucketedMerge(rows, path, IncrementalExtrema.mergeVw,
+        batchId, numBuckets, Seq("g"))
+    else
+      MvPipeline.upsertBucketedMerge(
+        rows.withColumn("sb",
+          IncrementalExtrema.subBucketOf(col("v"), subBuckets)),
+        path, IncrementalExtrema.mergeVwSb, batchId, numBuckets,
+        Seq("g", "sb"))
 
   /** `(g, total, rows)` == the batch star join-aggregate.
     * `numMeasures` only shapes the empty-state fallback schema; once
@@ -1106,9 +1152,34 @@ object IncrementalJoinAggStar {
             s"$dst/d${b}_${i}m", newBuckets, Seq("vl"))
       }
     }
-    Seq("a", "e", "u").foreach(t =>
-      MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
-        Seq("g")))
+    MvPipeline.reshardBucketed(spark, s"$src/a", s"$dst/a", newBuckets,
+      Seq("g"))
+    // the value-multiplicity tables re-route by the spec's layout: the
+    // sub-bucket coordinate is derived from v at reshard time exactly
+    // as at write time
+    Seq("e", "u").foreach { t =>
+      if (spec.valueSubBuckets == 1)
+        MvPipeline.reshardBucketed(spark, s"$src/$t", s"$dst/$t", newBuckets,
+          Seq("g"))
+      else {
+        val srcT = new Path(s"$src/$t")
+        val fs = srcT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(new Path(s"$dst/$t")),
+          s"reshard requires a fresh destination, found $dst/$t")
+        val any = fs.exists(srcT) && fs.listStatus(srcT)
+          .exists(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        if (any)
+          MvPipeline.upsertBucketedMerge(
+            MvPipeline.readBucketedState(spark, s"$src/$t")
+              .withColumn("sb", IncrementalExtrema.subBucketOf(col("v"),
+                spec.valueSubBuckets)),
+            s"$dst/$t",
+            // drop sb on BOTH sides: the init-merge's empty frame
+            // carries the increment's schema (incl. sb)
+            (old, inc) => old.drop("sb").unionByName(inc.drop("sb")), -1L,
+            newBuckets, Seq("g", "sb"))
+      }
+    }
     // replay safety: the destination carries no per-bucket stamps, so it
     // refuses batch ids at or below the last one committed here
     MvPipeline.writeResumeFloor(spark, dst,

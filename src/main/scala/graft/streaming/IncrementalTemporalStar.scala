@@ -88,12 +88,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * collapse. Fan-out makes tuple multiplicity real: every interval
   * resolve carries the matched window's `iid` as a `_tag` column so a
   * later as-of resolve's group-collapse can never merge two
-  * same-attribute tuples. `trackEnriched` is scoped OUT under fan-out
-  * (REPLACE-per-id is meaningless when one fact maps to many tuples —
-  * enforced, documented); `trackExtrema` stays exact (the e/ relation
+  * same-attribute tuples. `trackEnriched` under fan-out (R175) keeps
+  * a SET-VALUED enriched relation — one row per live (fact ×
+  * covering-window combination), keyed by the composite (id, window
+  * tags) and maintained as a Z-weight relation ([[mergeRSet]], served
+  * by [[enrichedFanoutView]]) — where the pure as-of mode keeps
+  * REPLACE-per-id; `trackExtrema` stays exact (the e/ relation
   * is the tuple multiset, which fan-out legitimately multiplies).
-  * Batch twin: **x130_mixed_attribution** (DuckDB ASOF LEFT JOIN +
-  * range join in one query). Reference anchor: the ad-hoc consumer
+  * Batch twins: **x130_mixed_attribution** (DuckDB ASOF LEFT JOIN +
+  * range join in one query) and **x133_mixed_enriched** (the same
+  * query un-aggregated, per (click, window) row). Reference anchor: the ad-hoc consumer
   * joins over summary tables (/root/reference/README.md:24-189) mix
   * exactly these dimension shapes. */
 object IncrementalTemporalStar {
@@ -147,12 +151,15 @@ object IncrementalTemporalStar {
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
     require(intervalBranches.forall(b => b >= 1 && b <= nB),
       "interval branch ids must be in 1..B")
-    // REPLACE-per-id has no meaning when one fact maps to many tuples:
-    // the enriched table is scoped OUT under interval fan-out (consumers
-    // keep the aggregate/extrema views; a per-(fact, window) enriched
-    // relation would need a composite REPLACE key — a different contract)
-    require(!(trackEnriched && intervalBranches.nonEmpty),
-      "trackEnriched is not supported with interval (fan-out) branches")
+    // ENRICHED under fan-out (R175): REPLACE-per-id has no meaning when
+    // one fact maps to many tuples, so with interval branches the r/
+    // table switches to the SET-VALUED layout — one row per live
+    // (fact × covering-window combination), keyed (id, g, tg) where tg
+    // encodes the matched window iids (the `_tag` vector), maintained
+    // as a Z-weight relation ([[mergeRSet]]): the per-term signed tuple
+    // rows integrate to multiplicity 1 exactly for live combinations,
+    // so a window delete retracts just its rows, a retro version flip
+    // moves every covering row's g, and a fact delete drops the id.
     def isInt(b: Int): Boolean = intervalBranches.contains(b)
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
@@ -468,12 +475,19 @@ object IncrementalTemporalStar {
       val rDelta =
         if (!trackEnriched) Nil
         else {
+          // fan-out mode: the tuple key extends with the encoded window
+          // tag vector (one iid per interval branch, branch order) — the
+          // composite (id, g, tg) a set-valued enriched relation needs
+          val intBs = intervalBranches.toSeq.sorted
+          val tg: Column =
+            if (intBs.isEmpty) lit(null).cast("string")
+            else encodeG(intBs.map(b => col(s"_tag$b").cast("string")))
           val perFact = rawTerms.map(t =>
-            t.select(Seq(col("id"), encodeG(gOrder).as("g"), col("w")) ++
-              mCols.map(col): _*))
+            t.select(Seq(col("id"), encodeG(gOrder).as("g"), tg.as("tg"),
+              col("w")) ++ mCols.map(col): _*))
           if (perFact.isEmpty) Nil
           else Seq(perFact.reduce(_ unionByName _)
-            .groupBy(Seq("id", "g") ++ mCols map (c => col(c)): _*)
+            .groupBy(Seq("id", "g", "tg") ++ mCols map (c => col(c)): _*)
             .agg(sum("w").as("w"))
             .filter(col("w") =!= 0))
         }
@@ -543,9 +557,12 @@ object IncrementalTemporalStar {
         nil.as("t")) ++ mCols.map(c => col(s"d$c").as(c)) ++ nilKs ++
         Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
           col("dc").as("c"), lit(batchId).as("b"), nil.as("w")) ++ nilI: _*)
+      // r rows ride the encoded window-tag vector in the `vs` slot (the
+      // union table's kind-discriminated column reuse — `u` rows carry
+      // dk in `m` the same way); null for the pure as-of mode
       val rRows = rDelta.map(r => r.select(Seq(lit("r").as("tbl"), col("id"),
         nil.as("t"), col("m")) ++ extraM.map(col) ++ nilKs ++
-        Seq(nil.as("k"), nil.as("vl"), nils.as("vs"), col("g"),
+        Seq(nil.as("k"), nil.as("vl"), col("tg").as("vs"), col("g"),
           nil.as("c"), nil.as("b"), col("w")) ++ nilI: _*))
       (fDelta ++ dDeltas ++ Seq(aDelta, cDelta) ++ eDelta ++ rRows)
         .reduce(_ unionByName _)
@@ -598,13 +615,20 @@ object IncrementalTemporalStar {
             s"$path/e", IncrementalExtrema.mergeVw, batchId, numBuckets,
             Seq("g")))
          else Nil) ++
-        (if (present("r"))
-          Seq(() => MvPipeline.upsertBucketedMerge(
-            delta.filter(col("tbl") === "r")
-              .select(Seq(col("id"), col("g"), col("m")) ++
-                mCols.drop(1).map(col) ++ Seq(col("w")): _*),
-            s"$path/r", mergeR, batchId, numBuckets, Seq("id")))
-         else Nil))
+        (if (present("r")) {
+          if (intervalBranches.isEmpty)
+            Seq(() => MvPipeline.upsertBucketedMerge(
+              delta.filter(col("tbl") === "r")
+                .select(Seq(col("id"), col("g"), col("m")) ++
+                  mCols.drop(1).map(col) ++ Seq(col("w")): _*),
+              s"$path/r", mergeR, batchId, numBuckets, Seq("id")))
+          else // fan-out: set-valued layout keyed (id, g, tg) — R175
+            Seq(() => MvPipeline.upsertBucketedMerge(
+              delta.filter(col("tbl") === "r")
+                .select(Seq(col("id"), col("g"), col("vs").as("tg"),
+                  col("m")) ++ mCols.drop(1).map(col) ++ Seq(col("w")): _*),
+              s"$path/r", mergeRSet, batchId, numBuckets, Seq("id")))
+        } else Nil))
       finally delta.unpersist()
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path))
@@ -748,6 +772,25 @@ object IncrementalTemporalStar {
       .unionByName(inc.filter(col("w") > 0).drop("w"))
   }
 
+  /** SET-VALUED enriched merge (R175, fan-out mode): Z-weight addition
+    * keyed (id, g, tg) with zero purge — the delta is a PARTIAL diff
+    * (a deleted window retracts only its own rows; the fact's other
+    * window rows never appear), so per-key replacement would be wrong;
+    * the weight integral is. Live combinations integrate to w = 1. */
+  private[streaming] def mergeRSet(old: DataFrame, inc: DataFrame): DataFrame = {
+    val ms = inc.columns.filter(c => c == "m" || c.matches("m\\d+")).toSeq
+    val o = old.columns.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"o_$c"))
+    o.join(inc, col("o_id") === col("id") && col("o_g") <=> col("g") &&
+        col("o_tg") <=> col("tg"), "full_outer")
+      .select(Seq(coalesce(col("o_id"), col("id")).as("id"),
+        coalesce(col("o_g"), col("g")).as("g"),
+        coalesce(col("o_tg"), col("tg")).as("tg")) ++
+        ms.map(c => coalesce(col(s"o_$c"), col(c)).as(c)) ++
+        Seq((coalesce(col("o_w"), lit(0L)) +
+          coalesce(col("w"), lit(0L))).as("w")): _*)
+      .filter(col("w") =!= 0)
+  }
+
   /** The maintained ENRICHED FACT TABLE (requires `trackEnriched`) —
     * each live fact with its B as-of-resolved attributes DENORMALIZED
     * onto it, kept correct as versions arrive late, replace, and
@@ -766,6 +809,45 @@ object IncrementalTemporalStar {
     st.select(Seq(col("id")) ++ decodeG(numBranches) ++
       Seq(col("m")) ++ st.columns.filter(_.matches("m\\d+")).toSeq
         .sortBy(_.drop(1).toInt).map(col): _*)
+  }
+
+  /** The maintained SET-VALUED enriched relation under interval
+    * FAN-OUT (R175; requires `trackEnriched` with `intervalBranches`):
+    * one row per live (fact × covering-window combination) — the fact
+    * id, its B resolved attributes, and one `win<b>` column per
+    * interval branch naming the matched window, kept exact as versions
+    * move, windows replace/delete, and facts delete. REPLACE-per-key
+    * composable on (id, win<b>..) — the composite key the fan-out
+    * demands where the as-of-only relation uses the id alone. */
+  def enrichedFanoutView(spark: SparkSession, stateDir: String,
+      numBranches: Int, intervalBranches: Set[Int],
+      numMeasures: Int = 1, root: String = Root): DataFrame = {
+    require(intervalBranches.nonEmpty,
+      "use enrichedView for the pure as-of (no fan-out) relation")
+    val st = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$stateDir/$root/r",
+      StructType(Seq(StructField("id", LongType),
+        StructField("g", StringType), StructField("tg", StringType)) ++
+        mColsOf(numMeasures).map(c => StructField(c, LongType)) :+
+        StructField("w", LongType)))
+    val intBs = intervalBranches.toSeq.sorted
+    val winCols = intBs.zipWithIndex.map { case (b, i) =>
+      element_at(split(col("tg"), SEP, -1), i + 1).cast("long").as(s"win$b")
+    }
+    st.filter(col("w") > 0)
+      .select(Seq(col("id")) ++ decodeG(numBranches) ++ winCols ++
+        Seq(col("m")) ++ st.columns.filter(_.matches("m\\d+")).toSeq
+          .sortBy(_.drop(1).toInt).map(col): _*)
+  }
+
+  /** The BATCH twin of [[enrichedFanoutView]] — each fact joined to
+    * every covering window of every interval branch (tags ride as
+    * `_tag<b>`) with the as-of branches resolved; the x133 reference
+    * plan and the bootstrap source for fan-out `trackEnriched`. */
+  def enrichedFanoutBatch(facts: DataFrame, dims: Seq[DataFrame],
+      intervalBranches: Set[Int]): DataFrame = {
+    require(intervalBranches.nonEmpty, "use enrichedBatch without fan-out")
+    resolvedFacts(facts, dims, intervalBranches)
   }
 
   /** Fact-grained EXTREMA over the maintained as-of join (requires
@@ -809,9 +891,16 @@ object IncrementalTemporalStar {
     * late arrivals diverge exactly as R160 documents, per branch. */
   def compactState(spark: SparkSession, stateDir: String, horizon: Long,
       numBranches: Int, root: String = Root,
-      intervalBranches: Set[Int] = Set.empty): Unit = {
+      intervalBranches: Set[Int] = Set.empty,
+      maxWindowSpanUs: Option[Long] = None)
+      : IncrementalIntervalJoinAgg.PinReport = {
     val path = s"$stateDir/$root"
     def fTable(b: Int) = s"$path/${if (b == 1) "f" else s"fm$b"}"
+    // the declared window-span contract (r13 ops guard, the interval
+    // engine's rule): a pinned fact older than horizon − span can only
+    // be covered by an OUT-OF-CONTRACT window — its pin is provably
+    // expired and the fact drops (reported, with violators sampled)
+    val expiredFloor = maxWindowSpanUs.map(span => horizon - span)
     // 1. the PIN set first, from the still-OPEN (e > horizon) windows
     //    of every interval branch: a pre-horizon fact one of them
     //    covers can still have its matches retracted in-contract
@@ -819,7 +908,7 @@ object IncrementalTemporalStar {
     //    resolvable on EVERY branch (R165's fact rule, lifted to the
     //    star). Computed and FORCED before any table is transformed —
     //    the frames' lineage reads the pre-sweep dirs.
-    val pinned: Option[DataFrame] =
+    val pinned0: Option[DataFrame] =
       if (intervalBranches.isEmpty) None
       else Some(intervalBranches.toSeq.sorted.map { b =>
         val open = MvPipeline.readBucketedStateOrEmpty(spark, s"$path/d$b",
@@ -837,6 +926,15 @@ object IncrementalTemporalStar {
           .select("id", "t")
       }.reduce(_ unionByName _).distinct()
         .transform(graft.operators.Caching.persisted))
+    val droppedExpired: Long = (pinned0, expiredFloor) match {
+      case (Some(p), Some(fl)) => p.filter(col("t") < fl).count()
+      case _ => 0L
+    }
+    val pinned: Option[DataFrame] = (pinned0, expiredFloor) match {
+      case (Some(p), Some(fl)) => Some(p.filter(col("t") >= fl)
+        .transform(graft.operators.Caching.persisted))
+      case _ => pinned0
+    }
     try {
       // 2. window sweep per interval branch: CLOSED windows (e <=
       //    horizon) leave UNLESS they cover a pinned fact on this
@@ -903,6 +1001,52 @@ object IncrementalTemporalStar {
             old.filter(col("vl") >= hEff).unionByName(floor)
           })
       }
+      // ---- ops-guard report (r13): pins, oldest pinned time, pinning
+      //      window sample, contract outcome — the interval engine's
+      //      PinReport shape, from the POST-sweep state (retained
+      //      pre-horizon facts ARE the pin set) ----
+      val fFinal = MvPipeline.readBucketedStateOrEmpty(spark, fTable(1),
+          fSchemaN(numBranches, 1))
+        .filter(col("t") < horizon)
+        .select(Seq(col("id"), col("t")) ++
+          intervalBranches.toSeq.sorted.map(b => col(s"k$b")): _*)
+        .transform(graft.operators.Caching.persisted)
+      val stats = fFinal.agg(count(lit(1)).as("n"), min(col("t")).as("t0"))
+        .collect()(0) // 1-row stat (allowed)
+      val openB = intervalBranches.toSeq.sorted.map { b =>
+        b -> MvPipeline.readBucketedStateOrEmpty(spark, s"$path/d$b",
+            IncrementalIntervalJoinAgg.iSchema)
+          .filter(col("e") > horizon)
+          .transform(graft.operators.Caching.persisted)
+      }
+      val pinWins =
+        if (openB.isEmpty) None
+        else Some(openB.map { case (b, o) =>
+          fFinal.select(col("t"), col(s"k$b").as("k"))
+            .join(o.select(col("iid").as("oid"), col("k").as("ok"),
+              col("s").as("os"), col("e").as("oe")),
+              col("k") === col("ok") && col("os") <= col("t") &&
+                col("t") < col("oe"))
+            .select("oid")
+        }.reduce(_ unionByName _).distinct()
+          .transform(graft.operators.Caching.persisted))
+      val pinCount = pinWins.map(_.count()).getOrElse(0L)
+      val pinSample = pinWins.map(_.orderBy("oid").limit(20)
+        .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty[Long])
+      val (oocCount, oocSample) = maxWindowSpanUs.map { span =>
+        if (openB.isEmpty) (0L, Seq.empty[Long])
+        else {
+          val ooc = openB.map(_._2).map(o =>
+              o.filter(col("e") - col("s") > span).select("iid"))
+            .reduce(_ unionByName _).distinct()
+            .transform(graft.operators.Caching.persisted)
+          (ooc.count(), ooc.orderBy("iid").limit(20)
+            .collect().map(_.getLong(0)).toSeq)
+        }
+      }.getOrElse((0L, Seq.empty[Long]))
+      IncrementalIntervalJoinAgg.PinReport(stats.getLong(0),
+        if (stats.isNullAt(1)) None else Some(stats.getLong(1)),
+        pinCount, pinSample, droppedExpired, oocCount, oocSample)
     } finally graft.operators.Caching.releaseAll()
   }
 
@@ -946,8 +1090,6 @@ object IncrementalTemporalStar {
       trackEnriched: Boolean = false, root: String = Root,
       intervalBranches: Set[Int] = Set.empty): Unit = {
     val nB = dims.size
-    require(!(trackEnriched && intervalBranches.nonEmpty),
-      "trackEnriched is not supported with interval (fan-out) branches")
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
@@ -980,17 +1122,22 @@ object IncrementalTemporalStar {
         .transform(graft.operators.Caching.persisted)
     }
     try {
-      (1 to nB).foreach { b =>
-        MvPipeline.upsertBucketedMerge(fIn,
-          s"$path/${if (b == 1) "f" else s"fm$b"}",
-          (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
-          Seq(s"k$b"))
-        MvPipeline.upsertBucketedMerge(
-          if (intervalBranches.contains(b)) dIns(b - 1)
-          else dIns(b - 1).select(col("k"), col("vf").as("vl"), col("vs")),
-          s"$path/d$b", (old, inc) => old.unionByName(inc).distinct(), -1L,
-          numBuckets, Seq("k"))
-      }
+      // independent dirs from persisted inputs: one concurrent wave
+      // (the equality star's bootstrap fan-out, same argument)
+      MvPipeline.applyConcurrently((1 to nB).flatMap { b =>
+        Seq({ () =>
+          MvPipeline.upsertBucketedMerge(fIn,
+            s"$path/${if (b == 1) "f" else s"fm$b"}",
+            (old, inc) => old.unionByName(inc).distinct(), -1L, numBuckets,
+            Seq(s"k$b"))
+        }: () => Unit, { () =>
+          MvPipeline.upsertBucketedMerge(
+            if (intervalBranches.contains(b)) dIns(b - 1)
+            else dIns(b - 1).select(col("k"), col("vf").as("vl"), col("vs")),
+            s"$path/d$b", (old, inc) => old.unionByName(inc).distinct(), -1L,
+            numBuckets, Seq("k"))
+        }: () => Unit)
+      })
       val agg = asOfAggregateStar(fIn, dIns, numMeasures, intervalBranches)
         .transform(graft.operators.Caching.persisted)
       val gEnc = encodeG((1 to nB).map(b => col(s"g$b")))
@@ -1016,12 +1163,22 @@ object IncrementalTemporalStar {
               col("m").as("v"))
             .agg(count(lit(1)).as("w")),
           s"$path/e", IncrementalExtrema.mergeVw, -1L, numBuckets, Seq("g"))
-      if (trackEnriched)
-        MvPipeline.upsertBucketedMerge(
-          resolved.select(Seq(col("id"),
-            encodeG((1 to nB).map(b => col(s"g$b"))).as("g")) ++
-            mCols.map(col) :+ lit(1L).as("w"): _*),
-          s"$path/r", mergeR, -1L, numBuckets, Seq("id"))
+      if (trackEnriched) {
+        if (intervalBranches.isEmpty)
+          MvPipeline.upsertBucketedMerge(
+            resolved.select(Seq(col("id"),
+              encodeG((1 to nB).map(b => col(s"g$b"))).as("g")) ++
+              mCols.map(col) :+ lit(1L).as("w"): _*),
+            s"$path/r", mergeR, -1L, numBuckets, Seq("id"))
+        else // fan-out: set-valued layout, one row per (fact, windows)
+          MvPipeline.upsertBucketedMerge(
+            resolved.select(Seq(col("id"),
+              encodeG((1 to nB).map(b => col(s"g$b"))).as("g"),
+              encodeG(intervalBranches.toSeq.sorted.map(b =>
+                col(s"_tag$b").cast("string"))).as("tg")) ++
+              mCols.map(col) :+ lit(1L).as("w"): _*),
+            s"$path/r", mergeRSet, -1L, numBuckets, Seq("id"))
+      }
     } finally graft.operators.Caching.releaseAll()
   }
 
@@ -1063,10 +1220,10 @@ object IncrementalTemporalStar {
       if (intervalBranches.contains(b))
         facts.select(col("id"), col(s"k$b").as("_fk"), col("t"))
           .join(dims(b - 1).select(col("k").as("_wk"), col("s"), col("e"),
-            col("vs")),
+            col("vs"), col("iid")),
             col("_fk") === col("_wk") && col("s") <= col("t") &&
               col("t") < col("e"))
-          .select(col("id"), col("vs").as(s"g$b"))
+          .select(col("id"), col("vs").as(s"g$b"), col("iid").as(s"_tag$b"))
       else {
         val f = facts.select(col(s"k$b").as("k"), col("t").as("us"),
           lit(1).as("isFact"), col("id"), lit(null).cast("string").as("v"))

@@ -1,0 +1,290 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SQL-QUERYABLE CATALOG over the maintained views (SURVEY.md §2.11
+  * R172) — the reference's actual read UX: its users consume summary
+  * tables with plain SQL, including the ad-hoc consumer joins the MVs
+  * exist to serve (`/root/reference/README.md:24-189`). This registers
+  * every maintained-view family as a named Spark SQL temp view with the
+  * family's read contract BAKED IN — sum-collapse over the `a/` rows
+  * (`kind = 'a' AND c > 0`), REPLACE-latest-wins, null-sentinel group
+  * decoding, frozen-floor unions — so anything that speaks SQL can
+  * consume the state tables and join them ad hoc, without knowing the
+  * engines' Scala serving entries (`viewFor`, `extremaQuantiles`, ...).
+  *
+  * Two registration shapes:
+  *
+  *   - [[ofFrame]] views: the engine's serving DataFrame bound to a
+  *     name. The listing underneath is resolved AT REGISTRATION — a
+  *     fold that creates NEW bucket directories is invisible until the
+  *     next [[register]] call, which is why [[ViewCatalog.runBatch]]
+  *     re-registers its catalog's `sql` views after every committed
+  *     batch (registration is plan construction only — no data moves).
+  *   - POINT-READ table functions ([[aggPointRead]],
+  *     [[temporalStarPointRead]], [[extremaPointRead]],
+  *     [[sessionsPointRead]]): the raw bucketed state is registered
+  *     with `bucket` as a PARTITION column and a SQL table function
+  *     `<fn>(key)` bakes the writer's routing hash into the body
+  *     (`bucket = pmod(xxhash64(key), B)`). Called with a literal, the
+  *     predicate constant-folds at planning time and Catalyst PARTITION
+  *     PRUNING opens exactly one bucket directory — the SQL-native twin
+  *     of the Scala `viewFor` bucket-pruned point reads, checked by
+  *     SqlCatalogSpec against `PartitionFilters` in the executed plan.
+  *
+  * 100 TB shape: a registered view adds NO execution machinery — the
+  * plan is the same serving plan the Scala entries build, so pruned
+  * reads stay pruned and the aggregate contracts stay one hash-agg.
+  * The point-read TVFs read 1/B of the table by partition pruning, the
+  * same economics as the Scala path, but driven from the SQL planner.
+  *
+  * Not expressible as SQL views (documented scope): the per-QUERY
+  * top-k retrieval entries (BM25/phrase — query-dependent idf over a
+  * variable term set) keep their Scala entry points
+  * ([[IncrementalIndex.searchBm25Bucketed]]); their posting STATE is
+  * registrable via [[indexState]] for ad-hoc SQL over the postings. */
+object SqlCatalog {
+
+  /** One named registration: `register(spark)` (re)binds the name in
+    * the session catalog (temp view or SQL table function). */
+  final case class SqlView(name: String)(val register: SparkSession => Unit)
+
+  /** A plain temp view over a serving frame (re-register after folds —
+    * the frame's file listing resolves at registration). */
+  def ofFrame(name: String)(frame: SparkSession => DataFrame): SqlView = {
+    requireSqlName(name)
+    SqlView(name)(s => frame(s).createOrReplaceTempView(name))
+  }
+
+  /** (Re)bind every view. Names must be unique per call. */
+  def register(spark: SparkSession, views: Seq[SqlView]): Unit = {
+    require(views.map(_.name).distinct.size == views.size,
+      "SQL view names must be unique")
+    views.foreach(_.register(spark))
+  }
+
+  private def requireSqlName(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"'$name' is not a plain SQL identifier")
+
+  // ------------------------------------------------------- frames ----
+
+  /** Binary join-aggregate `(g, total, pairs)` (R145 serving shape). */
+  def joinAgg(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalJoinAgg.view(s, stateDir))
+
+  /** Equality star `(g, total[, total2..], rows)` — sum-collapse over
+    * live groups baked in. */
+  def star(name: String, stateDir: String, numMeasures: Int = 1): SqlView =
+    ofFrame(name)(s => IncrementalJoinAggStar.view(s, stateDir, numMeasures))
+
+  /** Star fact-grained extrema `(g, n, min_v, max_v)`. */
+  def starExtrema(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalJoinAggStar.extremaView(s, stateDir))
+
+  /** Star exact low-quantiles (integer-rational ranks, R154). */
+  def starQuantiles(name: String, stateDir: String,
+      qs: Seq[(Long, Long)]): SqlView =
+    ofFrame(name)(s => IncrementalJoinAggStar.extremaQuantiles(s, stateDir, qs))
+
+  /** Star maintained exact COUNT(DISTINCT) `(g, n_distinct)` (R158). */
+  def starDistinct(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalJoinAggStar.distinctView(s, stateDir))
+
+  /** Star signed changelog `(batch, g, dtotal[, ..], drows)` — the
+    * integral IS the view; useful for SQL-side as-of reads. */
+  def starChangelog(name: String, stateDir: String,
+      numMeasures: Int = 1): SqlView =
+    ofFrame(name)(s => IncrementalJoinAggStar.changelog(s, stateDir, numMeasures))
+
+  /** Temporal star `(g1..gB, total[, ..], rows)` — null-sentinel group
+    * decoding baked in (the stored `g` splits into per-branch nullable
+    * columns). */
+  def temporalStar(name: String, stateDir: String, numBranches: Int,
+      numMeasures: Int = 1,
+      root: String = IncrementalTemporalStar.Root): SqlView =
+    ofFrame(name)(s =>
+      IncrementalTemporalStar.view(s, stateDir, numBranches, numMeasures, root))
+
+  /** Temporal star's maintained ENRICHED fact table (REPLACE-per-id). */
+  def temporalEnriched(name: String, stateDir: String, numBranches: Int,
+      numMeasures: Int = 1,
+      root: String = IncrementalTemporalStar.Root): SqlView =
+    ofFrame(name)(s => IncrementalTemporalStar.enrichedView(
+      s, stateDir, numBranches, numMeasures, root))
+
+  /** Interval (M:N overlap) join-aggregate `(g, total[, ..], rows)`. */
+  def interval(name: String, stateDir: String,
+      numMeasures: Int = 1): SqlView =
+    ofFrame(name)(s => IncrementalIntervalJoinAgg.view(s, stateDir, numMeasures))
+
+  /** Maintained sessions `(k, session_start, session_end, n_events
+    * [, sm..])` — live rows ∪ frozen floor, the compaction crash rule
+    * (distinct) baked in. */
+  def sessions(name: String, stateDir: String,
+      numMeasures: Int = 0): SqlView =
+    ofFrame(name)(s => IncrementalSessions.view(s, stateDir, numMeasures))
+
+  /** Standalone extrema relation served as `(g, n, min_v, max_v)`. */
+  def extrema(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalExtrema.view(s, stateDir))
+
+  /** Standalone exact low-quantiles `(g, q_<n>_<d>..)`. */
+  def extremaQuantiles(name: String, stateDir: String,
+      qs: Seq[(Long, Long)]): SqlView =
+    ofFrame(name)(s => IncrementalExtrema.quantiles(s, stateDir, qs))
+
+  /** Funnel levels `(user, level)` — deepest live stage per user. */
+  def funnelLevels(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalFunnel.levels(s, stateDir))
+
+  /** One rollup-lattice member `(g, total, rows)`. */
+  def rollup(name: String, rollupDir: String, set: Seq[Int]): SqlView =
+    ofFrame(name)(s => RollupMaintenance.view(s, rollupDir, set))
+
+  /** A derived view's REPLACE-per-key rows. */
+  def derived(name: String, stateDir: String, schema: StructType): SqlView =
+    ofFrame(name)(s => DerivedView.view(s, stateDir, schema))
+
+  /** One of the 8 reference MV summaries under an [[MvPipeline]] state
+    * dir (the reference's literal tables, e.g. "mv_blocked_domains"). */
+  def summary(name: String, stateDir: String, view: String): SqlView =
+    ofFrame(name)(s => MvPipeline.readState(s, stateDir, view))
+
+  /** Near-dup cluster labels `(doc_id, label)` (text clustering). */
+  def nearDupLabels(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalNearDup.labels(s, stateDir))
+
+  /** The inverted-index posting state, for ad-hoc SQL over postings
+    * (the per-query BM25/phrase TOP-K entries stay Scala — their
+    * query-dependent idf over a variable term set is not a view). */
+  def indexState(name: String, stateDir: String): SqlView =
+    ofFrame(name)(s => IncrementalIndex.readState(s, stateDir))
+
+  // -------------------------------------- SQL-native point reads ----
+
+  /** Register `<fn>_state` (raw bucketed table, `bucket` partition
+    * column) and the table function `<fn>(grp)` with the writer's
+    * routing hash in the body — a call with a literal group constant-
+    * folds to ONE partition filter. Covers every `a/`-layout aggregate
+    * (equality star / binary / interval / temporal-star-encoded-g):
+    * `<fn>('g') -> (g, total[, total2..], rows)`. */
+  def aggPointRead(fn: String, aPath: String, numBuckets: Int = 16,
+      numMeasures: Int = 1): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", aPath,
+        IncrementalJoinAggStar.aSchemaN(numMeasures))
+      val extras = (2 to numMeasures)
+        .map(i => s", m$i AS total$i").mkString
+      val extraTypes = (2 to numMeasures)
+        .map(i => s", total$i BIGINT").mkString
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
+        RETURNS TABLE (g STRING, total BIGINT$extraTypes, rows BIGINT)
+        RETURN SELECT g, m AS total$extras, c AS rows FROM ${fn}_state
+        WHERE bucket = pmod(xxhash64(grp), ${numBuckets}L)
+          AND kind = 'a' AND c > 0 AND g = grp""")
+    }
+  }
+
+  /** Temporal-star point read: `<fn>(g1, .., gB)` with the branch
+    * coordinates as parameters — the body ENCODES them into the stored
+    * group key (SEP-joined, NULL as the sentinel: passing NULL for a
+    * branch names its pre-first-version group exactly, the Scala
+    * `viewFor(Option)` contract) and prunes to the one bucket. */
+  def temporalStarPointRead(fn: String, stateDir: String, numBranches: Int,
+      numBuckets: Int = 16, numMeasures: Int = 1,
+      root: String = IncrementalTemporalStar.Root): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", s"$stateDir/$root/a",
+        IncrementalJoinAggStar.aSchemaN(numMeasures))
+      val params = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
+      val outCols = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
+      // the family's group encoding (SEP = \u0001, NULL sentinel =
+      // \u0000) spelled with chr() — foldable, so the routing hash
+      // still constant-folds into a partition filter
+      val enc = (1 to numBranches)
+        .map(b => s"coalesce(g$b, chr(0))").mkString("concat_ws(chr(1), ", ", ", ")")
+      val outSel = (1 to numBranches).map(b => s"g$b").mkString(", ")
+      val extras = (2 to numMeasures).map(i => s", m$i AS total$i").mkString
+      val extraTypes = (2 to numMeasures).map(i => s", total$i BIGINT").mkString
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn($params)
+        RETURNS TABLE ($outCols, total BIGINT$extraTypes, rows BIGINT)
+        RETURN SELECT $outSel, m AS total$extras, c AS rows FROM ${fn}_state
+        WHERE bucket = pmod(xxhash64($enc), ${numBuckets}L)
+          AND kind = 'a' AND c > 0 AND g = $enc""")
+    }
+  }
+
+  /** Extrema point read: `<fn>('g') -> (g, n, min_v, max_v)` — the
+    * per-group aggregate over present values, one bucket opened. */
+  def extremaPointRead(fn: String, extremaPath: String,
+      numBuckets: Int = 16): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", extremaPath,
+        IncrementalExtrema.vwSchema)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
+        RETURNS TABLE (g STRING, n BIGINT, min_v BIGINT, max_v BIGINT)
+        RETURN SELECT g, sum(w) AS n, min(v) AS min_v, max(v) AS max_v
+        FROM ${fn}_state
+        WHERE bucket = pmod(xxhash64(grp), ${numBuckets}L)
+          AND g = grp AND w > 0
+        GROUP BY g""")
+    }
+  }
+
+  /** Sessions point read: `<fn>(user) -> (k, session_start,
+    * session_end, n_events)` — live ∪ frozen with the compaction
+    * crash-rule distinct, both tables pruned to the user's bucket. */
+  def sessionsPointRead(fn: String, stateDir: String,
+      numBuckets: Int = 16): SqlView = {
+    requireSqlName(fn)
+    val vSchema = StructType.fromDDL(
+      "k BIGINT, st BIGINT, en BIGINT, n BIGINT")
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state_v", s"$stateDir/sessions/v", vSchema)
+      registerStateTable(s, s"${fn}_state_vf", s"$stateDir/sessions/vf", vSchema)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(usr BIGINT)
+        RETURNS TABLE (k BIGINT, session_start BIGINT, session_end BIGINT,
+          n_events BIGINT)
+        RETURN SELECT DISTINCT k, st AS session_start, en AS session_end,
+          n AS n_events
+        FROM (SELECT k, st, en, n, bucket FROM ${fn}_state_v
+              UNION ALL SELECT k, st, en, n, bucket FROM ${fn}_state_vf)
+        WHERE bucket = pmod(xxhash64(usr), ${numBuckets}L) AND k = usr""")
+    }
+  }
+
+  /** Register a raw bucketed state table with `bucket` as a partition
+    * column (`basePath` read). REFUSES a dir carrying swap leftovers
+    * (`bucket=N.tmp` / `bucket=N.old`) — partition discovery would
+    * parse them as bogus partition values and read stale data; run the
+    * owning stream's recovery (any merge) first. A missing/empty table
+    * registers as an empty view with the caller's schema so point
+    * reads on a not-yet-folded view answer empty, not error. */
+  private[streaming] def registerStateTable(spark: SparkSession,
+      viewName: String, path: String, schema: StructType): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.exists(base) && {
+      val entries = fs.listStatus(base).map(_.getPath.getName)
+      val foreign = entries.filterNot(n =>
+        n.matches("bucket=\\d+") || n.startsWith("_") || n.startsWith("."))
+      require(foreign.isEmpty,
+        s"cannot register $path as a SQL state table: non-bucket " +
+          s"entries ${foreign.mkString(", ")} (crash leftovers? run a " +
+          "merge on the owning view to recover, then re-register)")
+      entries.exists(_.matches("bucket=\\d+"))
+    }
+    val df =
+      if (live) spark.read.option("basePath", path).parquet(path)
+      else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("bucket", org.apache.spark.sql.functions.lit(0))
+    df.createOrReplaceTempView(viewName)
+  }
+}

@@ -51,13 +51,23 @@ object ViewCatalog {
     * consumed by `derived` diffs ([[DerivedView.commitReplaceBase]] —
     * after the consumers, per its contract); `ships` deliver
     * externally (watermark-guarded, always last: a ship must never see
-    * a view its own batch has not finished writing). */
+    * a view its own batch has not finished writing). `sql` (R172) names
+    * the [[SqlCatalog]] registrations of this catalog's read surface —
+    * [[runBatch]] re-binds them after every batch (committed OR
+    * skipped-as-replayed) so `spark.sql` consumers always see the
+    * current state listing. */
   final case class Catalog(bases: Seq[Stage], derived: Seq[Stage] = Nil,
-      commits: Seq[Stage] = Nil, ships: Seq[Stage] = Nil) {
+      commits: Seq[Stage] = Nil, ships: Seq[Stage] = Nil,
+      sql: Seq[SqlCatalog.SqlView] = Nil) {
     def stages: Seq[Stage] = bases ++ derived ++ commits ++ ships
     require(stages.map(_.name).distinct.size == stages.size,
       "catalog stage names must be unique")
   }
+
+  /** (Re)bind the catalog's SQL read surface — callable on its own for
+    * a read-only session (no batch required). */
+  def registerSql(spark: SparkSession, catalog: Catalog): Unit =
+    SqlCatalog.register(spark, catalog.sql)
 
   /** Run one CDC batch through the catalog. Returns false when the
     * batch is at or below the completion floor (fully-applied replay —
@@ -91,7 +101,10 @@ object ViewCatalog {
     val tiers = Seq(catalog.bases, catalog.derived, catalog.commits,
       catalog.ships)
     if (concurrentTiers) tiers.foreach(assertTierIndependent)
-    if (batchId <= completedFloor(spark, catalogDir)) return false
+    if (batchId <= completedFloor(spark, catalogDir)) {
+      registerSql(spark, catalog) // replayed batch: views still (re)bind
+      return false
+    }
     if (concurrentTiers)
       tiers.foreach(tier => MvPipeline.applyConcurrently(
         tier.map(s => () =>
@@ -101,6 +114,9 @@ object ViewCatalog {
     // older markers pruned — one file names the floor
     MvPipeline.writeFloorMarker(spark, catalogDir, "_catalog_done_b",
       batchId, pruneOlder = true)
+    // the SQL read surface re-binds LAST: registered frames list the
+    // post-batch state dirs
+    registerSql(spark, catalog)
     true
   }
 
@@ -149,4 +165,49 @@ object ViewCatalog {
         runBatch(spark, catalog, catalogDir, batch, batchId); ()
       }
       .start()
+
+  /** One CDC source of a multi-source catalog: its own directory and
+    * schema, tagged into the union under `_src = name`. */
+  final case class Source(name: String, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType)
+
+  /** MULTI-SOURCE operation (R174): N CDC streams at DIFFERENT
+    * cadences — a fast fact feed beside a slow dim feed — coordinated
+    * into ONE catalog batch-id domain. The Spark-native device: the N
+    * file sources UNION into one streaming query, so ONE checkpoint
+    * carries per-source offsets, every micro-batch takes whatever each
+    * source has available (a slow feed never stalls fact folds — its
+    * slice is simply empty that batch), and the batch id the cascade
+    * and the completion floor see is the one query's id. Rows carry
+    * `_src = <source name>`; stages slice by it (a stage fed by two
+    * sources reads both slices of the SAME batch — the joined domain).
+    * Schemas may differ: the union is by name with missing columns
+    * null-padded, so each source keeps its natural shape.
+    *
+    * Crash model unchanged: a crash mid-cascade leaves the floor
+    * unmoved and the checkpoint replays the SAME composite batch —
+    * same rows from every source (per-source offsets are committed
+    * together), so the replay converges exactly as single-source. */
+  def startMulti(spark: SparkSession, sources: Seq[Source],
+      catalog: Catalog, catalogDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.map(_.name).distinct.size == sources.size,
+      "source names must be unique")
+    require(sources.forall(!_.schema.fieldNames.contains("_src")),
+      "_src is the reserved source tag")
+    import org.apache.spark.sql.functions.lit
+    val unioned = sources.map { src =>
+        spark.readStream.schema(src.schema).json(src.inputDir)
+          .withColumn("_src", lit(src.name))
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatch(spark, catalog, catalogDir, batch, batchId); ()
+      }
+      .start()
+  }
 }

@@ -522,6 +522,53 @@ object StateScaleRehearsal {
         }
       }
     }
+    // ---- SKEWED value-multiplicity layout (R173): a planted 10^6-value
+    //      dominant group (the LEFT-null-group / giant-segment shape)
+    //      folded under the plain g-keyed layout vs valueSubBuckets=8.
+    //      Claims under test: (a) the plain layout concentrates the
+    //      whole group in ONE bucket whose rewrite is O(group) every
+    //      touching batch; (b) sub-bucketing drops the per-bucket bound
+    //      ~S x and the touching batch rewrites S smaller buckets
+    //      CONCURRENTLY; (c) point reads/quantiles unchanged-exact. ----
+    if (sectionOn("skew")) {
+      import graft.streaming.IncrementalExtrema
+      val giantN = 1000000
+      val giant = spark.range(giantN.toLong)
+        .select(lit("giant").as("g"), col("id").as("v"), lit(1L).as("w"))
+      val rest = spark.range(1000L)
+        .select(concat(lit("s"), (col("id") % 20).cast("string")).as("g"),
+          col("id").as("v"), lit(1L).as("w"))
+      val probe = spark.range(500L) // touches the giant group: 250 dels + 250 adds
+        .select(lit("giant").as("g"),
+          when(col("id") < 250, col("id")).otherwise(col("id") + giantN).as("v"),
+          when(col("id") < 250, lit(-1L)).otherwise(lit(1L)).as("w"))
+      def giantBuckets(state: String): Seq[Long] = {
+        val base = new java.io.File(s"$state/extrema")
+        base.listFiles().filter(_.getName.matches("bucket=\\d+")).toSeq
+          .map(d => spark.read.parquet(d.toString)
+            .filter(col("g") === "giant").count()).filter(_ > 0)
+      }
+      Seq(1, 8).foreach { s =>
+        val state = java.nio.file.Files.createTempDirectory(s"ssr-skew-$s").toString
+        val t0 = System.nanoTime()
+        IncrementalExtrema.processBatch(giant.unionByName(rest), state, 0L,
+          numBuckets = 16, subBuckets = s)
+        println(f"STATESCALE skew S=$s%d seed-fold ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        val pb = giantBuckets(state)
+        println(s"STATESCALE skew S=$s giant per-bucket rows: " +
+          s"n=${pb.size} max=${pb.max} (sum=${pb.sum})")
+        measure(s"skew probe fold S=$s (touches the giant group)", state) {
+          IncrementalExtrema.processBatch(probe, state, 1L,
+            numBuckets = 16, subBuckets = s)
+        }
+        val t1 = System.nanoTime()
+        val pt = IncrementalExtrema.viewFor(spark, state,
+            Seq("giant", "s3"), numBuckets = 16, subBuckets = s)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        println(f"STATESCALE skew S=$s%d point-read ${(System.nanoTime() - t1) / 1e9}%7.2f s -> $pt")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 /** Exact order statistics (min/max/count/quantiles/top-N) maintained
@@ -162,5 +164,64 @@ class IncrementalExtremaSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(pruned === Map("g3" -> full("g3"), "g7" -> full("g7")))
+  }
+
+  test("R173 sub-buckets: a planted giant group's per-bucket rows drop ~S×; reads unchanged-exact") {
+    val plain = tmpDir("extrema-plain"); val sub = tmpDir("extrema-sub")
+    val B = 16; val S = 8
+    // one dominant group (20k distinct values) beside small ones — the
+    // LEFT-null-group / dominant-segment shape
+    val giant = (0 until 20000).map(i => ("giant", i.toLong, 1L))
+    val small = (0 until 30).map(i => (s"s${i % 3}", i.toLong, 1L))
+    def foldInto(state: String, s: Int, batch: Seq[(String, Long, Long)],
+        id: Long): Unit =
+      IncrementalExtrema.processBatch(batch.toDF("g", "v", "w"), state, id,
+        numBuckets = B, subBuckets = s)
+    foldInto(plain, 1, giant ++ small, 0L)
+    foldInto(sub, S, giant ++ small, 0L)
+    // a second signed batch: delete the giant's max + add new values —
+    // the fold re-routes by the same derived coordinate
+    val b1 = Seq(("giant", 19999L, -1L), ("giant", 50000L, 1L),
+      ("s0", 999L, 1L))
+    foldInto(plain, 1, b1, 1L)
+    foldInto(sub, S, b1, 1L)
+    // per-bucket bound: the giant group concentrates in ONE bucket under
+    // the plain layout; sub-bucketing spreads it over S buckets
+    def giantPerBucket(state: String): Seq[Long] = {
+      val base = new java.io.File(s"$state/extrema")
+      base.listFiles().filter(_.getName.matches("bucket=\\d+")).toSeq
+        .map(d => spark.read.parquet(d.toString)
+          .filter(col("g") === "giant").count())
+        .filter(_ > 0)
+    }
+    val plainCounts = giantPerBucket(plain)
+    val subCounts = giantPerBucket(sub)
+    assert(plainCounts.size === 1 && plainCounts.head === 20000L,
+      s"plain layout concentrates the group: $plainCounts")
+    // expectation-level spread: up to S buckets, minus hash collisions
+    // of the S sub-keys in the B space (documented contract)
+    assert(subCounts.size >= S / 2,
+      s"sub layout spreads over ~S buckets: $subCounts")
+    assert(subCounts.max <= plainCounts.head / 3,
+      s"per-bucket bound must drop: max ${subCounts.max} vs ${plainCounts.head}")
+    assert(subCounts.sum === 20000L, "no rows lost or duplicated")
+    // reads unchanged-exact: view, point read, quantiles, topN
+    assert(served(sub) === served(plain))
+    val pointSub = IncrementalExtrema.viewFor(spark, sub, Seq("giant", "s0"),
+        numBuckets = B, subBuckets = S)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(pointSub === Map("giant" -> served(plain)("giant"),
+      "s0" -> served(plain)("s0")))
+    assert(pointSub("giant") === ((20000L, 0L, 50000L)),
+      "delete-the-max fell back exactly through the sub-bucketed merge")
+    val qSub = IncrementalExtrema.quantiles(spark, sub, Seq((1L, 2L), (9L, 10L)))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val qPlain = IncrementalExtrema.quantiles(spark, plain, Seq((1L, 2L), (9L, 10L)))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(qSub === qPlain)
+    // replay of a stamped batch is still a no-op under the sub layout
+    foldInto(sub, S, b1, 1L)
+    assert(served(sub) === served(plain))
   }
 }

@@ -278,6 +278,48 @@ class IncrementalIntervalJoinAggSpec extends SparkTestBase {
     assert(served(state) === served(twin), "open-window delete diverged")
   }
 
+  test("r13 ops guard: compaction reports the pin set; a declared max span drops provably-expired pins") {
+    val state = tmpDir("ija-pin")
+    // window 2 is open at the horizon and spans 4000 — an always-open
+    // shape; windows 5/6 are modest straddlers
+    fold(state, 0L, intUps = Seq(
+      (2L, 1L, 0L, 4000L, "b"),    // span 4000: pins EVERYTHING it covers
+      (5L, 2L, 250L, 400L, "c"),   // span 150: in-contract straddler
+      (6L, 2L, 260L, 410L, "d")),  // second straddler, same fact
+      facts = Seq(
+        (10L, 10L, 1L, 1L),   // ancient, covered only by window 2
+        (11L, 280L, 2L, 2L),  // recent pre-horizon, covered by 5 AND 6
+        (12L, 500L, 4L, 1L))) // post-horizon
+    // no contract: everything covered stays pinned, and the report says so
+    val r1 = IncrementalIntervalJoinAgg.compactState(spark, state, 300L)
+    assert(r1.pinnedFacts === 2L && r1.oldestPinnedT === Some(10L))
+    assert(r1.oldestPinnedAge(300L) === Some(290L))
+    assert(r1.pinningWindowCount === 3L &&
+      r1.pinningWindowSample === Seq(2L, 5L, 6L))
+    assert(r1.droppedExpiredPins === 0L && r1.outOfContractWindowCount === 0L)
+    // declared contract span 200: fact 10 (t=10 < 300-200) can only be
+    // covered by an out-of-contract window -> its pin drops; fact 11
+    // (t=280) stays; window 2 is named as the violator
+    val state2 = tmpDir("ija-pin2")
+    fold(state2, 0L, intUps = Seq(
+      (2L, 1L, 0L, 4000L, "b"), (5L, 2L, 250L, 400L, "c"),
+      (6L, 2L, 260L, 410L, "d")),
+      facts = Seq((10L, 10L, 1L, 1L), (11L, 280L, 2L, 2L),
+        (12L, 500L, 4L, 1L)))
+    val r2 = IncrementalIntervalJoinAgg.compactState(spark, state2, 300L,
+      maxWindowSpanUs = Some(200L))
+    assert(r2.droppedExpiredPins === 1L, "fact 10's pin is provably expired")
+    assert(r2.pinnedFacts === 1L && r2.oldestPinnedT === Some(280L))
+    assert(r2.outOfContractWindowCount === 1L &&
+      r2.outOfContractWindowSample === Seq(2L))
+    val fRows = MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$state2/intervaljoinagg/f", null)
+    assert(fRows.filter("id = 10").count() === 0L, "expired pin dropped")
+    assert(fRows.filter("id = 11").count() === 1L, "in-contract pin kept")
+    // the view is untouched by the report/contract machinery
+    assert(served(state2) === served(state))
+  }
+
   test("events-as-CDC fold serves the x128 batch twin exactly (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())

@@ -208,4 +208,63 @@ class IncrementalJoinAggStarDistinctSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap === Map("A" -> ((1L, 10L, 10L))))
   }
+
+  test("R173: valueSubBuckets spreads a dominant group's u/ and e/ over S buckets; serves ≡ plain; reshard re-routes") {
+    import org.apache.spark.sql.functions.col
+    val S = 8; val B = 16
+    val specS = specD.copy(trackExtrema = true, valueSubBuckets = S)
+    val specP = specD.copy(trackExtrema = true)
+    val plain = tmpDir("stardist-p"); val sub = tmpDir("stardist-s")
+    // B=16 here (not the suite's 4): the S sub-keys need room in the
+    // physical bucket space to spread — S ≪ B is the layout contract
+    def foldB(spec: StarSpec, state: String, fb: Seq[(Long, Long, Long)],
+        dels: Seq[(Long, Long)], ups: Map[(Int, Int), Seq[Dim]],
+        id: Long): Unit =
+      IncrementalJoinAggStar.processBatch(spec,
+        fb.toDF("k1", "id", "m"), Seq("k1"), "id", "m",
+        dels.toDF("k1", "id"), Seq("k1"), "id",
+        (1 to spec.B).map(b => (1 to spec.branchDepths(b - 1)).map(i =>
+          ups.getOrElse((b, i), Seq.empty[Dim]).toDF("k", "vl", "vs"))),
+        (1 to spec.B).map(b => (1 to spec.branchDepths(b - 1)).map(_ =>
+          ("k", "vl", "vs"))),
+        state, id, numBuckets = B)
+    // 2000 customers in ONE nation: the dominant-group shape — every
+    // (g, customer) multiplicity row lands in nation A's key
+    val facts = (0 until 2000).map(i => (i.toLong, i.toLong, i.toLong % 97))
+    val links = (0 until 2000).map(i => (i.toLong, Some(7L), None): Dim)
+    val ups = Map((1, 1) -> links,
+      (1, 2) -> Seq((7L, None, Some("A")): Dim))
+    foldB(specP, plain, facts, Nil, ups, 0L)
+    foldB(specS, sub, facts, Nil, ups, 0L)
+    def perBucket(state: String, table: String): Seq[Long] = {
+      val base = new java.io.File(s"$state/joinaggstar/$table")
+      base.listFiles().filter(_.getName.matches("bucket=\\d+")).toSeq
+        .map(d => spark.read.parquet(d.toString)
+          .filter(col("g") === "A").count())
+        .filter(_ > 0)
+    }
+    assert(perBucket(plain, "u").size === 1, "plain: one bucket holds all")
+    val subU = perBucket(sub, "u")
+    assert(subU.size >= S / 2 && subU.max <= 2000L / 3,
+      s"u/ per-bucket bound must drop S-fold-ish: $subU")
+    assert(subU.sum === 2000L)
+    assert(perBucket(sub, "e").size >= S / 2, "e/ spreads too")
+    // serves unchanged-exact
+    assert(distinct(sub) === distinct(plain) && distinct(sub) === Map("A" -> 2000L))
+    assert(IncrementalJoinAggStar.extremaView(spark, sub).collect().toSeq ===
+      IncrementalJoinAggStar.extremaView(spark, plain).collect().toSeq)
+    // a delete folds through the sub layout exactly (touches 1 value)
+    foldB(specS, sub, Nil, Seq((1999L, 1999L)), Map.empty, 1L)
+    foldB(specP, plain, Nil, Seq((1999L, 1999L)), Map.empty, 1L)
+    assert(distinct(sub) === distinct(plain) && distinct(sub) === Map("A" -> 1999L))
+    // reshard re-derives the routing coordinate; serves survive
+    val dst = tmpDir("stardist-rs")
+    IncrementalJoinAggStar.reshard(spark, specS, sub, dst, newBuckets = 8)
+    assert(distinct(dst) === distinct(sub))
+    assert(IncrementalJoinAggStar.extremaView(spark, dst).collect().toSeq ===
+      IncrementalJoinAggStar.extremaView(spark, sub).collect().toSeq)
+    val dstU = perBucket(dst, "u")
+    assert(dstU.sum === 1999L && dstU.size > 1,
+      s"resharded u/ keeps the sub-bucket spread: $dstU")
+  }
 }

@@ -237,6 +237,43 @@ class IncrementalMixedStarSpec extends SparkTestBase {
     assert(integral(state) === served(state), "integral != view")
   }
 
+  test("r13 ops guard: compaction reports the pin set; declared max span drops provably-expired pins") {
+    def seed(state: String): Unit = fold(state, 0L,
+      facts = Seq(
+        (10L, 10L, 1L, 1L, 1L),   // ancient, covered only by window 2
+        (11L, 280L, 2L, 1L, 2L),  // recent pre-horizon, in window 5
+        (12L, 500L, 4L, 1L, 1L)), // post-horizon
+      d1Ups = Seq((1L, 0L, "a")),
+      w2Ups = Seq((2L, 1L, 0L, 4000L, "w"),   // span 4000: always-open shape
+        (5L, 2L, 250L, 400L, "x")))           // span 150: in-contract
+    val s1 = tmpDir("mstar-pin1"); val s2 = tmpDir("mstar-pin2")
+    seed(s1); seed(s2)
+    val before = served(s1)
+    // no contract: both pre-horizon covered facts pinned, report says so
+    val r1 = IncrementalTemporalStar.compactState(spark, s1, 300L,
+      numBranches = 2, intervalBranches = Set(2))
+    assert(r1.pinnedFacts === 2L && r1.oldestPinnedT === Some(10L))
+    assert(r1.oldestPinnedAge(300L) === Some(290L))
+    assert(r1.pinningWindowCount === 2L &&
+      r1.pinningWindowSample === Seq(2L, 5L))
+    assert(r1.droppedExpiredPins === 0L && r1.outOfContractWindowCount === 0L)
+    assert(served(s1) === before, "compaction changed the view")
+    // declared span 200: fact 10 (t < 300-200) can only be pinned by an
+    // out-of-contract window -> drops; window 2 named as the violator
+    val r2 = IncrementalTemporalStar.compactState(spark, s2, 300L,
+      numBranches = 2, intervalBranches = Set(2),
+      maxWindowSpanUs = Some(200L))
+    assert(r2.droppedExpiredPins === 1L && r2.pinnedFacts === 1L)
+    assert(r2.oldestPinnedT === Some(280L))
+    assert(r2.outOfContractWindowCount === 1L &&
+      r2.outOfContractWindowSample === Seq(2L))
+    assert(served(s2) === before, "contracted compaction changed the view")
+    // the surviving pin still retracts exactly when its window goes
+    fold(s2, 1L, w2Dels = Seq((5L, 2L)))
+    fold(s1, 1L, w2Dels = Seq((5L, 2L)))
+    assert(served(s2) === served(s1), "post-compaction retraction diverged")
+  }
+
   test("forget keys on either branch shape (GDPR one-CDC-batch device)") {
     val state = tmpDir("mstar-forget")
     fold(state, 0L, facts = Seq((10L, 150L, 1L, 1L, 1L),
@@ -296,11 +333,8 @@ class IncrementalMixedStarSpec extends SparkTestBase {
     assert(got === twin)
   }
 
-  test("trackEnriched is rejected under fan-out; extrema stays exact") {
+  test("extrema under fan-out: the tuple multiset legitimately multiplies") {
     val state = tmpDir("mstar-ex")
-    intercept[IllegalArgumentException] {
-      fold0(state, trackEnriched = true)
-    }
     fold0(state, trackEnriched = false)
     // one fact in two windows: the (g, m) multiset legitimately carries
     // the fact's measure TWICE (one tuple per window)
@@ -310,6 +344,92 @@ class IncrementalMixedStarSpec extends SparkTestBase {
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     assert(ex === Map(
       (Some("a"), "p") -> ((1L, 3L, 3L)), (Some("a"), "q") -> ((1L, 3L, 3L))))
+  }
+
+  /** R175: the SET-VALUED enriched relation under fan-out — one row
+    * per live (fact × covering window), exact through late versions,
+    * window replaces/deletes, and fact deletes, ≡ the batch twin after
+    * every fold. */
+  test("R175 set-valued enriched facts: late version + window delete update the relation exactly") {
+    val state = tmpDir("mstar-enr")
+    def enriched(): Set[(Long, Option[String], String, Long, Long)] =
+      IncrementalTemporalStar.enrichedFanoutView(spark, state,
+          numBranches = 2, intervalBranches = Set(2))
+        .as[(Long, Option[String], String, Long, Long)].collect().toSet
+    def twin(fs: Seq[Fact], v1: Seq[Ver], w2: Seq[Win])
+        : Set[(Long, Option[String], String, Long, Long)] =
+      IncrementalTemporalStar.enrichedFanoutBatch(
+          fs.toDF("id", "t", "m", "k1", "k2"),
+          Seq(v1.toDF("k", "vf", "vs"), w2.toDF("iid", "k", "s", "e", "vs")),
+          intervalBranches = Set(2))
+        .select(col("id"), col("g1"), col("g2"), col("_tag2"), col("m"))
+        .as[(Long, Option[String], String, Long, Long)].collect().toSet
+    def foldE(id: Long, facts: Seq[Fact] = Nil,
+        factDels: Seq[(Long, Long, Long)] = Nil,
+        d1Ups: Seq[Ver] = Nil, w2Ups: Seq[Win] = Nil,
+        w2Dels: Seq[(Long, Long)] = Nil): Unit =
+      IncrementalTemporalStar.processBatch(
+        if (facts.isEmpty) noF else facts.toDF("id", "t", "m", "k1", "k2"),
+        if (factDels.isEmpty) noFD else factDels.toDF("id", "k1", "k2"),
+        Seq(if (d1Ups.isEmpty) noD else d1Ups.toDF("k", "vf", "vs"),
+          if (w2Ups.isEmpty) noW else w2Ups.toDF("iid", "k", "s", "e", "vs")),
+        Seq(noDD, if (w2Dels.isEmpty) noWD else w2Dels.toDF("iid", "k")),
+        state, id, numBuckets = 4, intervalBranches = Set(2),
+        trackEnriched = true)
+
+    // batch 0: fact 10 lands in two concurrent windows -> TWO rows
+    var fs = Seq((10L, 250L, 3L, 1L, 1L), (11L, 500L, 5L, 1L, 2L))
+    var v1 = Seq((1L, 100L, "a"))
+    var w2 = Seq((1L, 1L, 0L, 300L, "p"), (2L, 1L, 200L, 400L, "q"),
+      (3L, 2L, 450L, 600L, "r"))
+    foldE(0L, facts = fs, d1Ups = v1, w2Ups = w2)
+    assert(enriched() === twin(fs, v1, w2))
+    assert(enriched() === Set(
+      (10L, Some("a"), "p", 1L, 3L), (10L, Some("a"), "q", 2L, 3L),
+      (11L, Some("a"), "r", 3L, 5L)))
+
+    // LATE VERSION at vf=200: fact 10 (t=250) retro-reassigns to "b" on
+    // BOTH its window rows; fact 11 (t=500) too
+    v1 = v1 :+ (1L, 200L, "b")
+    foldE(1L, d1Ups = Seq((1L, 200L, "b")))
+    assert(enriched() === twin(fs, v1, w2))
+    assert(enriched().forall(_._2 === Some("b")))
+
+    // WINDOW DELETE: window q goes — exactly fact 10's q-row retracts,
+    // its p-row stays (per-key replacement would have lost it)
+    w2 = w2.filterNot(_._1 == 2L)
+    foldE(2L, w2Dels = Seq((2L, 1L)))
+    assert(enriched() === twin(fs, v1, w2))
+    assert(enriched() === Set(
+      (10L, Some("b"), "p", 1L, 3L), (11L, Some("b"), "r", 3L, 5L)))
+
+    // WINDOW REPLACE (upsert same iid, new attrs): −old +new
+    foldE(3L, w2Ups = Seq((3L, 2L, 450L, 700L, "r2")))
+    w2 = w2.filterNot(_._1 == 3L) :+ (3L, 2L, 450L, 700L, "r2")
+    assert(enriched() === twin(fs, v1, w2))
+
+    // FACT DELETE drops every row of the id
+    foldE(4L, factDels = Seq((10L, 1L, 1L)))
+    fs = fs.filterNot(_._1 == 10L)
+    assert(enriched() === twin(fs, v1, w2))
+    assert(enriched().map(_._1) === Set(11L))
+
+    // replay of a stamped batch: strict no-op
+    foldE(4L, factDels = Seq((10L, 1L, 1L)))
+    assert(enriched() === twin(fs, v1, w2))
+
+    // bootstrap twin: a fresh store bootstrapped from the integrated
+    // inputs serves the identical relation
+    val bs = tmpDir("mstar-enr-bs")
+    IncrementalTemporalStar.bootstrap(
+      fs.toDF("id", "t", "m", "k1", "k2"),
+      Seq(v1.toDF("k", "vf", "vs"), w2.toDF("iid", "k", "s", "e", "vs")),
+      bs, baselineBatch = 0L, numBuckets = 4,
+      trackEnriched = true, intervalBranches = Set(2))
+    assert(IncrementalTemporalStar.enrichedFanoutView(spark, bs,
+        numBranches = 2, intervalBranches = Set(2))
+      .as[(Long, Option[String], String, Long, Long)].collect().toSet ===
+      enriched())
   }
 
   private def fold0(state: String, trackEnriched: Boolean): Unit =

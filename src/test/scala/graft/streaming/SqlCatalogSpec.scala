@@ -1,0 +1,279 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkTestBase
+
+/** R172: every maintained-view family is consumable via `spark.sql`
+  * with the read contract baked in, point reads are SQL table functions
+  * whose literal calls PARTITION-PRUNE to one bucket, ad-hoc joins of
+  * registered views work, and the [[ViewCatalog]] `sql` tier re-binds
+  * the surface after every batch so SQL reads track the folds. */
+class SqlCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The one-bucket pruning proof: the executed plan's FileScan must
+    * carry a PartitionFilters entry pinning `bucket` to the writer's
+    * hash of the probed key. */
+  private def assertPrunedTo(q: org.apache.spark.sql.DataFrame,
+      bucket: Long): Unit = {
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(raw"\(bucket#\d+ = $bucket\)".r.findFirstIn(plan).isDefined,
+      s"expected partition filter (bucket = $bucket) in:\n$plan")
+  }
+
+  private def bucketOf(g: String, b: Int): Long =
+    MvPipeline.bucketIdsOf(Seq(g).toDF("g"), Seq("g"), b).head
+
+  test("joinAgg: SQL ≡ engine read; TVF point read ≡ viewFor and prunes to one bucket") {
+    val state = tmpDir("sqlc-ja")
+    val facts = Seq((10L, 1L, 100L), (20L, 2L, 30L), (10L, 3L, 7L))
+      .toDF("jk", "id", "m")
+    val dims = Seq((10L, "s1"), (20L, "s2")).toDF("jk", "g")
+    IncrementalJoinAgg.processBatch(facts, "jk", "id", "m", dims, "jk", "g",
+      state, 0L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.joinAgg("sqlc_rev", state),
+      SqlCatalog.aggPointRead("sqlc_rev_for", s"$state/joinaggstar/a",
+        numBuckets = 4)))
+    val viaSql = spark.sql("SELECT g, total, pairs FROM sqlc_rev ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    val viaEngine = IncrementalJoinAgg.view(spark, state).orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaSql === viaEngine)
+    assert(viaSql === Seq(("s1", 107L, 2L), ("s2", 30L, 1L)))
+    // the TVF == the Scala bucket-pruned point read, and it PRUNES
+    val q = spark.sql("SELECT g, total, rows FROM sqlc_rev_for('s1')")
+    assert(q.as[(String, Long, Long)].collect().toSeq === Seq(("s1", 107L, 2L)))
+    val scalaPoint = IncrementalJoinAggStar.viewFor(spark, state, Seq("s1"),
+      numBuckets = 4).as[(String, Long, Long)].collect().toSeq
+    assert(scalaPoint === Seq(("s1", 107L, 2L)))
+    assertPrunedTo(q, bucketOf("s1", 4))
+    // absent group: empty, still pruned
+    assert(spark.sql("SELECT * FROM sqlc_rev_for('zz')").isEmpty)
+  }
+
+  test("temporal star: SQL ≡ engine (null-sentinel decode); TVF takes per-branch coordinates incl. NULL") {
+    val state = tmpDir("sqlc-ts")
+    val noFD = Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2")
+    val noDD = Seq.empty[(Long, Long)].toDF("k", "vf")
+    IncrementalTemporalStar.processBatch(
+      Seq.empty[(Long, Long, Long, Long, Long)].toDF("id", "t", "m", "k1", "k2"),
+      noFD,
+      Seq(Seq((1L, 100L, "a")).toDF("k", "vf", "vs"),
+        Seq((1L, 200L, "x")).toDF("k", "vf", "vs")),
+      Seq(noDD, noDD), state, 0L, numBuckets = 4)
+    IncrementalTemporalStar.processBatch(
+      Seq((10L, 50L, 1L, 1L, 1L), (11L, 150L, 2L, 1L, 1L),
+        (12L, 250L, 4L, 1L, 1L), (13L, 250L, 8L, 2L, 1L))
+        .toDF("id", "t", "m", "k1", "k2"),
+      noFD,
+      Seq(Seq.empty[(Long, Long, String)].toDF("k", "vf", "vs"),
+        Seq.empty[(Long, Long, String)].toDF("k", "vf", "vs")),
+      Seq(noDD, noDD), state, 1L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.temporalStar("sqlc_ts", state, numBranches = 2),
+      SqlCatalog.temporalStarPointRead("sqlc_ts_for", state, numBranches = 2,
+        numBuckets = 4)))
+    val viaSql = spark
+      .sql("SELECT g1, g2, total, rows FROM sqlc_ts ORDER BY total")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    val viaEngine = IncrementalTemporalStar.view(spark, state, 2)
+      .orderBy("total")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    assert(viaSql === viaEngine)
+    assert(viaSql === Seq((None, None, 1L, 1L), (Some("a"), None, 2L, 1L),
+      (Some("a"), Some("x"), 4L, 1L), (None, Some("x"), 8L, 1L)))
+    // named tuple
+    assert(spark.sql("SELECT total, rows FROM sqlc_ts_for('a', 'x')")
+      .as[(Long, Long)].collect().toSeq === Seq((4L, 1L)))
+    // NULL coordinate names the pre-first-version group exactly
+    val qNull = spark.sql(
+      "SELECT g1, g2, total, rows FROM sqlc_ts_for(CAST(NULL AS STRING), 'x')")
+    assert(qNull.as[(Option[String], Option[String], Long, Long)]
+      .collect().toSeq === Seq((None, Some("x"), 8L, 1L)))
+    // pruning: the encoded key's bucket (the engine's SEP/NUL encoding)
+    val enc = "\u0000\u0001x"
+    assertPrunedTo(qNull, bucketOf(enc, 4))
+  }
+
+  test("sessions: SQL view unions the frozen floor; TVF point read prunes both tables") {
+    val state = tmpDir("sqlc-se")
+    val noDel = Seq.empty[(Long, Long)].toDF("id", "k")
+    IncrementalSessions.processBatch(
+      Seq((1L, 0L, 7L), (2L, 50L, 7L), (3L, 400L, 7L), (4L, 10L, 9L))
+        .toDF("id", "t", "k"),
+      noDel, gap = 100L, stateDir = state, batchId = 0L, numBuckets = 4)
+    // freeze everything ending before 300: user 7's first session
+    IncrementalSessions.compactState(spark, state, horizon = 300L,
+      gap = 100L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.sessions("sqlc_sess", state),
+      SqlCatalog.sessionsPointRead("sqlc_sess_for", state, numBuckets = 4)))
+    val viaSql = spark.sql(
+      "SELECT k, session_start, session_end, n_events FROM sqlc_sess ORDER BY k, session_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaEngine = IncrementalSessions.view(spark, state)
+      .orderBy("k", "session_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaSql === viaEngine)
+    assert(viaSql === Seq((7L, 0L, 50L, 2L), (7L, 400L, 400L, 1L),
+      (9L, 10L, 10L, 1L)))
+    val q = spark.sql(
+      "SELECT k, session_start, session_end, n_events FROM sqlc_sess_for(7)")
+    assert(q.orderBy("session_start").as[(Long, Long, Long, Long)]
+      .collect().toSeq === Seq((7L, 0L, 50L, 2L), (7L, 400L, 400L, 1L)))
+    val expected = MvPipeline.bucketIdsOf(Seq(7L).toDF("k"), Seq("k"), 4).head
+    assertPrunedTo(q, expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(raw"\(bucket#\d+ = $expected\)".r.findAllIn(plan).size >= 2,
+      s"both the live and frozen scans must prune:\n$plan")
+  }
+
+  test("extrema: view + quantiles ≡ engine; TVF per-group aggregate prunes") {
+    val state = tmpDir("sqlc-ex")
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g1", 9L, 2L), ("g2", 3L, 1L)).toDF("g", "v", "w"),
+      state, 0L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.extrema("sqlc_ex", state),
+      SqlCatalog.extremaQuantiles("sqlc_exq", state, Seq((1L, 2L))),
+      SqlCatalog.extremaPointRead("sqlc_ex_for", s"$state/extrema",
+        numBuckets = 4)))
+    assert(spark.sql("SELECT g, n, min_v, max_v FROM sqlc_ex ORDER BY g")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      IncrementalExtrema.view(spark, state).orderBy("g")
+        .as[(String, Long, Long, Long)].collect().toSeq)
+    assert(spark.sql("SELECT g, q_1_2 FROM sqlc_exq ORDER BY g")
+      .as[(String, Long)].collect().toSeq ===
+      IncrementalExtrema.quantiles(spark, state, Seq((1L, 2L))).orderBy("g")
+        .as[(String, Long)].collect().toSeq)
+    val q = spark.sql("SELECT g, n, min_v, max_v FROM sqlc_ex_for('g1')")
+    assert(q.as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("g1", 3L, 5L, 9L)))
+    assertPrunedTo(q, bucketOf("g1", 4))
+  }
+
+  test("rollup / derived / summary / labels / funnel levels register and read ≡ engine") {
+    // rollup
+    val rl = tmpDir("sqlc-rl")
+    RollupMaintenance.processBatch(
+      Seq(("s1", 5L, 1L), ("s2", 3L, 1L)).toDF("g", "m", "c"),
+      rl, Seq(Seq(0), Seq()), 0L, numBuckets = 4)
+    // derived
+    val dv = tmpDir("sqlc-dv")
+    val dSchema = StructType(Seq(StructField("g", StringType),
+      StructField("n", LongType)))
+    DerivedView.processBatch(spark, Seq("s1").toDF("g"),
+      Seq(("s1", 4L)).toDF("g", "n"), dv, 0L, numBuckets = 4)
+    // summary (the reference's literal keyed tables)
+    val mv = tmpDir("sqlc-mv")
+    MvPipeline.upsert(Seq(("k1", 5L), ("k2", 2L)).toDF("k", "n"),
+      s"$mv/mv_counts", Seq("k"), 0L)
+    // near-dup labels
+    val nd = tmpDir("sqlc-nd")
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    IncrementalNearDup.processBatch(
+      Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+      threshold = 0.6, stateDir = nd, batchId = 0L, numBuckets = 4)
+    // funnel levels
+    val fu = tmpDir("sqlc-fu")
+    IncrementalFunnel.processBatch(
+      Seq((1L, "view", 0L), (1L, "click", 10L), (2L, "view", 5L))
+        .toDF("u", "et", "t"),
+      "u", "t", "et", Seq("view", "click"), windowUs = 100L, fu, 0L,
+      numBuckets = 4)
+
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.rollup("sqlc_rl", rl, Seq(0)),
+      SqlCatalog.derived("sqlc_dv", dv, dSchema),
+      SqlCatalog.summary("sqlc_mv", mv, "mv_counts"),
+      SqlCatalog.nearDupLabels("sqlc_nd", nd),
+      SqlCatalog.funnelLevels("sqlc_fu", fu)))
+
+    assert(spark.sql("SELECT g, total, rows FROM sqlc_rl ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq ===
+      RollupMaintenance.view(spark, rl, Seq(0)).orderBy("g")
+        .as[(String, Long, Long)].collect().toSeq)
+    assert(spark.sql("SELECT g, n FROM sqlc_dv").as[(String, Long)]
+      .collect().toSeq === Seq(("s1", 4L)))
+    assert(spark.sql("SELECT k, n FROM sqlc_mv ORDER BY k")
+      .as[(String, Long)].collect().toSeq === Seq(("k1", 5L), ("k2", 2L)))
+    assert(spark.sql("SELECT doc_id, label FROM sqlc_nd ORDER BY doc_id")
+      .as[(Long, Long)].collect().toSeq ===
+      IncrementalNearDup.labels(spark, nd).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq)
+    assert(spark.sql("SELECT user, level FROM sqlc_fu ORDER BY user")
+      .as[(Long, Int)].collect().toSeq === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("ad-hoc SQL join of two registered views (the reference's consumer-join UX)") {
+    val sA = tmpDir("sqlc-jA"); val sB = tmpDir("sqlc-jB")
+    IncrementalJoinAgg.processBatch(
+      Seq((10L, 1L, 100L), (20L, 2L, 30L)).toDF("jk", "id", "m"),
+      "jk", "id", "m", Seq((10L, "s1"), (20L, "s2")).toDF("jk", "g"),
+      "jk", "g", sA, 0L, numBuckets = 4)
+    IncrementalExtrema.processBatch(
+      Seq(("s1", 11L, 1L), ("s1", 44L, 1L), ("s2", 7L, 1L)).toDF("g", "v", "w"),
+      sB, 0L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.joinAgg("sqlc_j_rev", sA),
+      SqlCatalog.extrema("sqlc_j_ex", sB)))
+    val joined = spark.sql(
+      """SELECT r.g, r.total, e.max_v
+         FROM sqlc_j_rev r JOIN sqlc_j_ex e ON r.g = e.g
+         ORDER BY r.g""").as[(String, Long, Long)].collect().toSeq
+    assert(joined === Seq(("s1", 100L, 44L), ("s2", 30L, 7L)))
+  }
+
+  test("ViewCatalog sql tier: registrations re-bind after every batch (fresh state visible)") {
+    val sA = tmpDir("sqlc-vc"); val cat = tmpDir("sqlc-vc-cat")
+    val catalog = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("rev", Seq(sA))((b, id) =>
+        IncrementalJoinAgg.processBatch(
+          b.filter(col("tbl") === "fact").select("jk", "id", "m"),
+          "jk", "id", "m",
+          b.filter(col("tbl") === "dim").select("jk", "g"),
+          "jk", "g", sA, id, numBuckets = 4))),
+      sql = Seq(SqlCatalog.joinAgg("sqlc_vc_rev", sA)))
+    def cdc(rows: Seq[(String, Long, Long, Long, String)]) =
+      rows.toDF("tbl", "jk", "id", "m", "g")
+    assert(ViewCatalog.runBatch(spark, catalog, cat,
+      cdc(Seq(("fact", 10L, 1L, 100L, ""), ("dim", 10L, 0L, 0L, "s1"))), 0L))
+    assert(spark.sql("SELECT g, total FROM sqlc_vc_rev").as[(String, Long)]
+      .collect().toSeq === Seq(("s1", 100L)))
+    // the next batch's fold is visible through the SAME SQL name — the
+    // re-registration freshness contract
+    assert(ViewCatalog.runBatch(spark, catalog, cat,
+      cdc(Seq(("fact", 10L, 2L, 30L, ""))), 1L))
+    assert(spark.sql("SELECT g, total FROM sqlc_vc_rev").as[(String, Long)]
+      .collect().toSeq === Seq(("s1", 130L)))
+    // a replayed (skipped) batch still re-binds for a fresh session
+    spark.catalog.dropTempView("sqlc_vc_rev")
+    assert(!ViewCatalog.runBatch(spark, catalog, cat,
+      cdc(Seq(("fact", 10L, 2L, 30L, ""))), 1L))
+    assert(spark.sql("SELECT g, total FROM sqlc_vc_rev").as[(String, Long)]
+      .collect().toSeq === Seq(("s1", 130L)))
+  }
+
+  test("registerStateTable refuses swap leftovers (stale partition values must not register)") {
+    val d = tmpDir("sqlc-dirty")
+    Seq(("g1", 1L)).toDF("g", "v").write.parquet(s"$d/t/bucket=0")
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$d/t/bucket=1.tmp"))
+    val e = intercept[IllegalArgumentException] {
+      SqlCatalog.registerStateTable(spark, "sqlc_dirty", s"$d/t",
+        StructType(Seq(StructField("g", StringType),
+          StructField("v", LongType))))
+    }
+    assert(e.getMessage.contains("bucket=1.tmp"))
+    // a never-folded table registers empty instead of erroring
+    SqlCatalog.registerStateTable(spark, "sqlc_absent", s"$d/absent",
+      StructType(Seq(StructField("g", StringType),
+        StructField("v", LongType))))
+    assert(spark.sql("SELECT * FROM sqlc_absent").isEmpty)
+  }
+}

@@ -345,6 +345,83 @@ class ViewCatalogSpec extends SparkTestBase {
       cdc(Seq(("fact", 10L, 9L, 1L, "", 0L))), 0L))
   }
 
+  test("startMulti (R174): two sources at different cadences ≡ the single-stream twin; crash drill across the source boundary") {
+    import java.nio.file.{Files, Paths}
+    val inF = tmpDir("vcm-facts"); val inD = tmpDir("vcm-dims")
+    val cat = tmpDir("vcm-cat"); val ckpt = tmpDir("vcm-ckpt")
+    val sA = tmpDir("vcm-a"); val tA = tmpDir("vcm-ta")
+    val fSchema = StructType(Seq(StructField("jk", LongType),
+      StructField("id", LongType), StructField("m", LongType)))
+    val dSchemaSrc = StructType(Seq(StructField("jk", LongType),
+      StructField("g", StringType)))
+    // ONE star view fed by BOTH sources: the fact slice and the dim
+    // slice of the SAME composite batch (the joined domain)
+    def revenueStage(state: String) =
+      ViewCatalog.Stage("revenue", Seq(state))((b, id) =>
+        IncrementalJoinAgg.processBatch(
+          b.filter(col("_src") === "facts").select("jk", "id", "m"),
+          "jk", "id", "m",
+          b.filter(col("_src") === "dims").select("jk", "g"),
+          "jk", "g", state, id, numBuckets = 4))
+    val catalog = ViewCatalog.Catalog(bases = Seq(revenueStage(sA)))
+    val sources = Seq(
+      ViewCatalog.Source("facts", inF, fSchema),
+      ViewCatalog.Source("dims", inD, dSchemaSrc))
+    def run(c: ViewCatalog.Catalog = catalog): Unit =
+      ViewCatalog.startMulti(spark, sources, c, cat, ckpt).awaitTermination()
+    // the single-stream twin folds the same per-batch slices directly
+    def twin(facts: Seq[(Long, Long, Long)], dims: Seq[(Long, String)],
+        id: Long): Unit =
+      IncrementalJoinAgg.processBatch(facts.toDF("jk", "id", "m"),
+        "jk", "id", "m", dims.toDF("jk", "g"), "jk", "g", tA, id,
+        numBuckets = 4)
+    def assertSame(): Unit =
+      assert(digest(IncrementalJoinAgg.view(spark, sA)) ===
+        digest(IncrementalJoinAgg.view(spark, tA)))
+
+    // batch 0: facts ONLY — the slow dim feed has nothing yet and must
+    // not stall the fact fold (its slice is empty)
+    Files.write(Paths.get(inF, "f0.jsonl"),
+      """{"jk":10,"id":1,"m":100}
+        |{"jk":20,"id":2,"m":30}""".stripMargin.getBytes)
+    run()
+    twin(Seq((10L, 1L, 100L), (20L, 2L, 30L)), Nil, 0L)
+    assertSame()
+    assert(viewA(sA) === Map.empty, "no dims yet: inner join serves nothing")
+    assert(ViewCatalog.completedFloor(spark, cat) === 0L)
+
+    // batch 1: BOTH sources advance — dims d0 joins the retained facts,
+    // facts f1 lands in the same composite batch
+    Files.write(Paths.get(inD, "d0.jsonl"),
+      """{"jk":10,"g":"s1"}
+        |{"jk":20,"g":"s2"}""".stripMargin.getBytes)
+    Files.write(Paths.get(inF, "f1.jsonl"), """{"jk":10,"id":3,"m":7}""".getBytes)
+    run()
+    twin(Seq((10L, 3L, 7L)), Seq((10L, "s1"), (20L, "s2")), 1L)
+    assertSame()
+    assert(viewA(sA) === Map("s1" -> (107L, 2L), "s2" -> (30L, 1L)))
+
+    // batch 2 CRASHES across the source boundary: the composite batch
+    // carries a dim re-key AND a fact; the bomb fires after the fold —
+    // floor unmoved, checkpointed per-source offsets replay the SAME
+    // composite batch, the stamped fold skips and the cascade converges
+    Files.write(Paths.get(inD, "d1.jsonl"), """{"jk":20,"g":"s1"}""".getBytes)
+    Files.write(Paths.get(inF, "f2.jsonl"), """{"jk":20,"id":4,"m":9}""".getBytes)
+    val bomb = catalog.copy(derived = Seq(ViewCatalog.Stage("bomb")((_, _) =>
+      throw new RuntimeException("multi-source crash"))))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ViewCatalog.startMulti(spark, sources, bomb, cat, ckpt)
+        .awaitTermination()
+    }
+    assert(ViewCatalog.completedFloor(spark, cat) === 1L,
+      "crash mid-cascade: floor unmoved")
+    run() // replay through the full catalog
+    twin(Seq((20L, 4L, 9L)), Seq((20L, "s1")), 2L)
+    assertSame()
+    assert(viewA(sA) === Map("s1" -> (146L, 4L)))
+    assert(ViewCatalog.completedFloor(spark, cat) === 2L)
+  }
+
   test("start(): one JSON-lines CDC stream drives the whole catalog across restarts") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.IntegerType
