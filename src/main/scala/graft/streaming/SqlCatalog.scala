@@ -115,6 +115,15 @@ object SqlCatalog {
     ofFrame(name)(s => IncrementalTemporalStar.enrichedView(
       s, stateDir, numBranches, numMeasures, root))
 
+  /** The SET-VALUED enriched relation under interval fan-out (R175):
+    * one row per live (fact × covering window), win<b> columns naming
+    * the matched windows. */
+  def temporalEnrichedFanout(name: String, stateDir: String,
+      numBranches: Int, intervalBranches: Set[Int], numMeasures: Int = 1,
+      root: String = IncrementalTemporalStar.Root): SqlView =
+    ofFrame(name)(s => IncrementalTemporalStar.enrichedFanoutView(
+      s, stateDir, numBranches, intervalBranches, numMeasures, root))
+
   /** Interval (M:N overlap) join-aggregate `(g, total[, ..], rows)`. */
   def interval(name: String, stateDir: String,
       numMeasures: Int = 1): SqlView =

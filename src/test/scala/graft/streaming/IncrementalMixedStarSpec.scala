@@ -430,6 +430,12 @@ class IncrementalMixedStarSpec extends SparkTestBase {
         numBranches = 2, intervalBranches = Set(2))
       .as[(Long, Option[String], String, Long, Long)].collect().toSet ===
       enriched())
+    // and the relation is SQL-consumable through the catalog (R172)
+    SqlCatalog.register(spark, Seq(SqlCatalog.temporalEnrichedFanout(
+      "mstar_enr_sql", state, numBranches = 2, intervalBranches = Set(2))))
+    assert(spark.sql("SELECT id, g1, g2, win2, m FROM mstar_enr_sql")
+      .as[(Long, Option[String], String, Long, Long)].collect().toSet ===
+      enriched())
   }
 
   private def fold0(state: String, trackEnriched: Boolean): Unit =
