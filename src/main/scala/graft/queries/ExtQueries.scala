@@ -1855,6 +1855,71 @@ object ExtQueries {
         s"$state/joinaggstar/a", numBuckets = 2)))
   }
 
+  /** Shared TWO-BATCH maintained state behind the SQL as-of queries
+    * (x134/x135): batch 0 bootstraps the `o_orderkey % 10 = 0` orders,
+    * batch 1 folds the `% 10 = 5` subset through the star's own
+    * processBatch — so the changelog carries two distinct batch
+    * stamps and an as-of read at 0 differs from the live view. Its own
+    * state dir: x131/x132 pin the SINGLE-batch live view. */
+  private val sqlAsOfState = scala.collection.mutable.Map[String, String]()
+  private def sqlAsOfViews(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlAsOfState.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqlasof").toString
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val spec = graft.streaming.IncrementalJoinAggStar.StarSpec(Seq(1),
+        groupAttrs = Seq((1, 1)))
+      def factsOf(rem: Int) = orders.filter(col("o_orderkey") % 10 === rem)
+        .select(col("o_custkey").as("jk"), col("o_orderkey").as("id"),
+          graft.functions.cents(col("o_totalprice")).as("m"))
+      graft.streaming.IncrementalJoinAggStar.bootstrap(spec,
+        factsOf(0), Seq("jk"), "id", "m",
+        Seq(Seq(cust.select(col("c_custkey").as("jk"),
+          col("c_mktsegment").as("g")))),
+        Seq(Seq(("jk", "", "g"))),
+        st, baselineBatch = 0L, numBuckets = 2)
+      graft.streaming.IncrementalJoinAggStar.processBatch(spec,
+        factsOf(5), Seq("jk"), "id", "m",
+        factDels = orders.limit(0)
+          .select(col("o_custkey").as("jk"), col("o_orderkey").as("id")),
+        delKs = Seq("jk"), delId = "id",
+        dims = Seq(Seq(cust.limit(0).select(col("c_custkey").as("jk"),
+          col("c_mktsegment").as("g")))),
+        dimCols = Seq(Seq(("jk", "", "g"))),
+        stateDir = st, batchId = 1L, numBuckets = 2)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.star("x134_rev_live", state),
+      graft.streaming.SqlCatalog.starAsOf("x134_rev_asof0", state, 0L),
+      graft.streaming.SqlCatalog.aggAsOfRead("x134_asof_for",
+        s"$state/joinaggstar/a", numBuckets = 2)))
+  }
+
+  /** SQL TIME-TRAVEL over a maintained view (R172 as-of surface): the registered
+    * as-of frame (changelog integral truncated at batch 0) joined
+    * ad-hoc against the live view — what changed since batch 0, per
+    * segment, asked in plain SQL. Oracle: DuckDB recomputes both
+    * epochs from the base tables (batch 0 = `% 10 = 0` orders; live =
+    * `% 10 IN (0, 5)`). */
+  def x134SqlAsof(s: SparkSession, dir: String): DataFrame = {
+    sqlAsOfViews(s, dir)
+    s.sql("""SELECT a.g AS segment, a.total AS rev_b0, v.total AS rev_live,
+        a.rows AS orders_b0, v.rows AS orders_live
+      FROM x134_rev_asof0 a JOIN x134_rev_live v ON a.g = v.g
+      ORDER BY segment""")
+  }
+
+  /** SQL as-of POINT read (R172 as-of surface): the table-function call
+    * `x134_asof_for('BUILDING', 0)` — routing hash constant-folds to
+    * ONE bucket, `b <= 0` truncates the changelog — the bucket-pruned
+    * time-travel read in one SQL expression. */
+  def x135SqlAsofPoint(s: SparkSession, dir: String): DataFrame = {
+    sqlAsOfViews(s, dir)
+    s.sql("""SELECT g AS segment, total AS revenue_cents, rows AS orders
+      FROM x134_asof_for('BUILDING', 0) ORDER BY segment""")
+  }
+
   /** The SQL-queryable catalog surface (R172): revenue-by-segment and
     * order-value extrema are MAINTAINED views served as registered
     * Spark SQL temp views, and the query is an AD-HOC `spark.sql` JOIN
@@ -4964,6 +5029,32 @@ object ExtQueries {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING' AND o_orderkey % 10 = 0
          |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "x134_sql_asof" ->
+      s"""WITH b0 AS (
+         |  SELECT c_mktsegment AS g,
+         |    CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS total,
+         |    count(*) AS n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderkey % 10 = 0 GROUP BY 1
+         |),
+         |live AS (
+         |  SELECT c_mktsegment AS g,
+         |    CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS total,
+         |    count(*) AS n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderkey % 10 IN (0, 5) GROUP BY 1
+         |)
+         |SELECT b0.g AS segment, b0.total AS rev_b0, live.total AS rev_live,
+         |  b0.n AS orders_b0, live.n AS orders_live
+         |FROM b0 JOIN live ON b0.g = live.g
+         |ORDER BY segment""".stripMargin,
+    "x135_sql_asof_point" ->
+      s"""SELECT c_mktsegment AS segment,
+         |  CAST(sum(${graft.functions.centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderkey % 10 = 0
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
     "x130_mixed_attribution" ->
       s"""WITH d AS (
          |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
@@ -5363,6 +5454,8 @@ object ExtQueries {
     "x131_sql_catalog" -> x131SqlCatalog, // oracle: ad-hoc SQL join of two registered maintained views (R172)
     "x132_sql_pointread" -> x132SqlPointread, // oracle: bucket-pruned SQL TVF point read (R172)
     "x133_mixed_enriched" -> x133MixedEnriched, // oracle: per-(click, window) un-aggregated mixed join (R175)
+    "x134_sql_asof" -> x134SqlAsof, // oracle: SQL time-travel (as-of batch 0 vs live) over a 2-batch maintained view (R172)
+    "x135_sql_asof_point" -> x135SqlAsofPoint, // oracle: bucket-pruned SQL as-of TVF point read (R172)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -101,8 +101,10 @@ object DerivedView {
     * price of a base with NO changelog (the monotone REPLACE views);
     * a base that can name its own touched keys should hand them to
     * [[processBatch]] directly (the R164 changelog trigger) and skip
-    * this device. The derived recompute and writes stay O(changed
-    * keys) either way. */
+    * this device — and the clusterers now CAN: their folds stage a
+    * per-batch [[MovedLog]] artifact (R176, `movedDir`), the O(moved)
+    * trigger that retires this diff for the label family. The derived
+    * recompute and writes stay O(changed keys) either way. */
   def replaceBaseDiff(view: DataFrame, markerDir: String,
       table: String): DataFrame = {
     val spark = view.sparkSession
@@ -145,5 +147,77 @@ object DerivedView {
     if (!fs.exists(snap) && fs.exists(aside))
       require(fs.rename(aside, snap), s"recover snapshot $aside")
     if (fs.exists(snap)) Some(spark.read.parquet(snap.toString)) else None
+  }
+}
+
+/** MOVED-KEYS LOG (R176) — the O(moved) derived-view trigger for the
+  * REPLACE-per-key bases, retiring the [[DerivedView.replaceBaseDiff]]
+  * snapshot diff's O(served base view) per-batch cost (two anti-joins +
+  * a full snapshot rewrite even when nothing moved). A base fold that
+  * KNOWS which keys it moved — the clusterers' label deltas are exactly
+  * that set — stages a durable per-op artifact `(id, old, new)` naming
+  * BOTH coordinates of every moved row ([[MvPipeline.stageArtifact]]
+  * inside the staged fold, so the artifact is written from PRE-batch
+  * state before any bucket applies and a crash-replay finds it
+  * byte-identical). The derived consumer reads ALL pending artifacts,
+  * recomputes its rows for the touched keys, and sweeps the artifacts
+  * only after its own fold committed.
+  *
+  * Consumer contract — AT-LEAST-ONCE, and that is CORRECT here: a
+  * derived row is a deterministic function of the base's POST-state for
+  * its key, so re-consuming an artifact (crash between the derived
+  * commit and the sweep; a base replay re-staging a post-state-computed
+  * artifact, which is empty or a subset) recomputes rows that are
+  * already right — idempotence comes from recompute-from-post-state,
+  * not from exactly-once delivery. One consumer per log dir (the sweep
+  * is destructive); fan-out wants one log dir per consumer
+  * ([[IncrementalNearDup.processBatch]] takes the dir, not a flag).
+  *
+  * Cost: the trigger is O(moved keys) per batch — the artifact IS the
+  * touched set — versus the snapshot diff's O(view). Bases that cannot
+  * name their moved keys keep [[DerivedView.replaceBaseDiff]]. */
+object MovedLog {
+
+  /** Artifact path for a streaming fold (`_moved_b<id>`), a forget op
+    * (`_moved_f<id>`), or ad-hoc (unique name; exactly-once only within
+    * the one call that created it). */
+  def artifactPath(movedDir: String, kind: String, id: Long): String =
+    if (id >= 0) s"$movedDir/_moved_$kind$id"
+    else s"$movedDir/_moved_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Every pending moved row across the un-swept artifacts (empty frame
+    * of `schema` when none). Re-listing per call — the consumer runs
+    * between folds (single-writer discipline). */
+  def pending(spark: SparkSession, movedDir: String,
+      schema: StructType): DataFrame = {
+    val names = pendingArtifacts(spark, movedDir)
+    if (names.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(names: _*)
+  }
+
+  /** The un-swept artifact dirs (sorted for deterministic reads). */
+  def pendingArtifacts(spark: SparkSession, movedDir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(movedDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_moved_"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Sweep CONSUMED artifacts — call only AFTER the consuming fold
+    * committed. `upTo` bounds the sweep to the artifacts the consumer
+    * actually read (an artifact staged by a concurrent later base fold
+    * must survive); pass [[pendingArtifacts]]' result from before the
+    * fold. */
+  def sweep(spark: SparkSession, movedDir: String,
+      consumed: Seq[String]): Unit = {
+    if (consumed.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(movedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    consumed.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 }

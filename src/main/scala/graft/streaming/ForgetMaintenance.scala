@@ -73,7 +73,8 @@ object ForgetMaintenance {
       candidates: DataFrame => DataFrame,
       verify: (DataFrame, DataFrame) => DataFrame,
       opId: Long = -1L, numBuckets: Int = 16,
-      driverThreshold: Long = 1000000L, maxIter: Int = 20): Long = {
+      driverThreshold: Long = 1000000L, maxIter: Int = 20,
+      movedPath: Option[String] = None): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     LabelMirror.backfill(spark, path, lblPath, stateSchema, idCol, numBuckets)
     val stagedName =
@@ -135,6 +136,17 @@ object ForgetMaintenance {
         lDelta.write.parquet(s"$tmp/l")
         mirrorOf(memberRows.join(fIds, Seq(idCol), "left_semi"))
           .write.parquet(s"$tmp/m")
+        // moved-keys log rows (R176), staged ATOMICALLY with x/l/m so
+        // the pre-state old coordinates survive the apply: forgotten
+        // docs drop (new = null), relabeled docs move old -> new
+        if (movedPath.isDefined)
+          hit.select(col(idCol), col("label").as("old_label"),
+              lit(null).cast("long").as("new_label"))
+            .unionByName(lDelta.select(col(idCol), col("label").as("new_label"))
+              .join(lAll.withColumnRenamed("label", "old_label"),
+                Seq(idCol), "left")
+              .select(col(idCol), col("old_label"), col("new_label")))
+            .write.parquet(s"$tmp/mv")
         fs.delete(staged, true)
         require(fs.rename(tmp, staged), s"stage forget delta $staged")
       }
@@ -142,6 +154,16 @@ object ForgetMaintenance {
       val x = spark.read.parquet(s"$staged/x")
       val l = spark.read.parquet(s"$staged/l")
       val m = spark.read.parquet(s"$staged/m")
+      // durable moved artifact BEFORE applying (and before the staged
+      // sweep): a crash-replay with the same opId finds it exists-skip
+      movedPath.foreach { md =>
+        require(fs.exists(new Path(s"$staged/mv")),
+          s"staged forget delta $staged carries no moved log (staged " +
+            "before movedPath was configured?) — re-run with a fresh opId")
+        MvPipeline.stageArtifact(spark,
+          MovedLog.artifactPath(md, "f", opId))(
+          spark.read.parquet(s"$staged/mv"))
+      }
       val forgotten = x.count()
 
       // main table: tombstones + label replacements in one merge, applied

@@ -62,7 +62,7 @@ object IncrementalEmbedNearDup {
       numTables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
       stateDir: String, batchId: Long = -1L,
       driverThreshold: Long = 1000000L, maxIter: Int = 20,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, movedDir: Option[String] = None): Unit = {
     val spark = embeddings.sparkSession
     val path = s"$stateDir/embneardup"
     val bidx = s"$stateDir/embneardup_bidx"
@@ -156,7 +156,14 @@ object IncrementalEmbedNearDup {
           .select("vec_id", "blk", "table_idx", "bucket"),
         (old, inc) => old.unionByName(inc).distinct(),
         probeKeys),
-        LabelMirror.secondary(lbl, "vec_id")))
+        LabelMirror.secondary(lbl, "vec_id")),
+      // moved-keys log (R176): see [[IncrementalNearDup.movedOf]]
+      artifacts = movedDir.toSeq.map { md =>
+        (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) =>
+          IncrementalNearDup.movedOf(spark, d.filter(col("kind") === "l")
+            .select(col("vec_id"), col("label").as("new_label")),
+            lbl, "vec_id", numBuckets))
+      })
     graft.operators.Caching.releaseAll()
   }
 
@@ -322,7 +329,8 @@ object IncrementalEmbedNearDup {
     * while affected components' survivors are live; throws otherwise. */
   def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
       threshold: Double, opId: Long = -1L, numBuckets: Int = 16,
-      driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
+      driverThreshold: Long = 1000000L, maxIter: Int = 20,
+      movedDir: Option[String] = None): Long =
     ForgetMaintenance.forget(spark, ids,
       s"$stateDir/embneardup", s"$stateDir/embneardup_bidx",
       s"$stateDir/embneardup_lbl", "vec_id",
@@ -353,5 +361,6 @@ object IncrementalEmbedNearDup {
           .select(col("id1"), col("id2"))
       },
       opId = opId, numBuckets = numBuckets,
-      driverThreshold = driverThreshold, maxIter = maxIter)
+      driverThreshold = driverThreshold, maxIter = maxIter,
+      movedPath = movedDir)
 }

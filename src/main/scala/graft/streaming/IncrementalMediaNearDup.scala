@@ -47,18 +47,22 @@ object IncrementalMediaNearDup {
   /** Fold one micro-batch of `(doc_id, payload: binary BMP)` images into
     * the `imgneardup` state (batch twin: x46's pair view → clusters). */
   def processBatchImages(media: DataFrame, maxHamming: Int = 3,
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit =
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      movedDir: Option[String] = None): Unit =
     processHashes(media.select(col("doc_id"),
         graft.functions.imageAHash(col("payload")).as("simhash")),
-      "imgneardup", maxHamming, stateDir, batchId, numBuckets)
+      "imgneardup", maxHamming, stateDir, batchId, numBuckets,
+      movedDir = movedDir)
 
   /** Fold one micro-batch of `(doc_id, payload: binary PCM16 WAV)` into
     * the `audneardup` state (batch twin: x49's pair view → clusters). */
   def processBatchAudio(media: DataFrame, maxHamming: Int = 3,
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit =
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      movedDir: Option[String] = None): Unit =
     processHashes(media.select(col("doc_id"),
         graft.functions.audioHash(col("payload")).as("simhash")),
-      "audneardup", maxHamming, stateDir, batchId, numBuckets)
+      "audneardup", maxHamming, stateDir, batchId, numBuckets,
+      movedDir = movedDir)
 
   /** The generic fold: `(doc_id, simhash)` rows (null hashes = malformed
     * payloads, dropped — the batch decoders' barrier) into the named
@@ -66,7 +70,8 @@ object IncrementalMediaNearDup {
     * SimHash) can be maintained the same way. */
   def processHashes(hashes: DataFrame, view: String, maxHamming: Int,
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
-      driverThreshold: Long = 1000000L, maxIter: Int = 20): Unit = {
+      driverThreshold: Long = 1000000L, maxIter: Int = 20,
+      movedDir: Option[String] = None): Unit = {
     val spark = hashes.sparkSession
     val path = s"$stateDir/$view"
     val bidx = s"$stateDir/${view}_bidx"
@@ -141,7 +146,14 @@ object IncrementalMediaNearDup {
           .select("doc_id", "chunk_idx", "chunk"),
         (old, inc) => old.unionByName(inc).distinct(),
         probeKeys),
-        LabelMirror.secondary(lbl, "doc_id")))
+        LabelMirror.secondary(lbl, "doc_id")),
+      // moved-keys log (R176): see [[IncrementalNearDup.movedOf]]
+      artifacts = movedDir.toSeq.map { md =>
+        (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) =>
+          IncrementalNearDup.movedOf(spark, d.filter(col("kind") === "l")
+            .select(col("doc_id"), col("label").as("new_label")),
+            lbl, "doc_id", numBuckets))
+      })
     graft.operators.Caching.releaseAll()
   }
 
@@ -260,7 +272,7 @@ object IncrementalMediaNearDup {
   def forget(spark: SparkSession, stateDir: String, view: String,
       ids: DataFrame, maxHamming: Int = 3, opId: Long = -1L,
       numBuckets: Int = 16, driverThreshold: Long = 1000000L,
-      maxIter: Int = 20): Long =
+      maxIter: Int = 20, movedDir: Option[String] = None): Long =
     ForgetMaintenance.forget(spark, ids,
       s"$stateDir/$view", s"$stateDir/${view}_bidx",
       s"$stateDir/${view}_lbl", "doc_id",
@@ -287,5 +299,6 @@ object IncrementalMediaNearDup {
           .select(col("id1"), col("id2"))
       },
       opId = opId, numBuckets = numBuckets,
-      driverThreshold = driverThreshold, maxIter = maxIter)
+      driverThreshold = driverThreshold, maxIter = maxIter,
+      movedPath = movedDir)
 }

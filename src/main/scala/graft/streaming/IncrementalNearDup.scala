@@ -86,7 +86,8 @@ object IncrementalNearDup {
       shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.8, stateDir: String, batchId: Long = -1L,
       maxIter: Int = 20, numBuckets: Int = 16,
-      driverThreshold: Long = 1000000L): Unit = {
+      driverThreshold: Long = 1000000L,
+      movedDir: Option[String] = None): Unit = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
     val path = s"$stateDir/neardup"
@@ -168,8 +169,35 @@ object IncrementalNearDup {
           .select("doc_id", "band_idx", "band_key"),
         (old, inc) => old.unionByName(inc).distinct(),
         Seq("band_key")),
-        LabelMirror.secondary(lbl, "doc_id")))
+        LabelMirror.secondary(lbl, "doc_id")),
+      // moved-keys log (R176): both coordinates of every label move
+      // this batch, staged from PRE-batch state before any bucket
+      // applies — the O(moved) trigger a derived consumer reads
+      // ([[MovedLog]]; old_label null for first-seen docs). The old
+      // side is a bucket-PRUNED id probe of the slim label mirror,
+      // never a full scan.
+      artifacts = movedDir.toSeq.map { md =>
+        (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) =>
+          movedOf(spark, d.filter(col("kind") === "l")
+            .select(col("doc_id"), col("label").as("new_label")),
+            lbl, "doc_id", numBuckets))
+      })
     graft.operators.Caching.releaseAll()
+  }
+
+  /** `(doc_id, old_label, new_label)` for a frame of fresh label rows:
+    * the pre-state labels probed bucket-pruned from the slim mirror
+    * (shared by the fold's moved-log artifact and the forget's). */
+  private[streaming] def movedOf(spark: SparkSession, newL: DataFrame,
+      lblPath: String, idCol: String, numBuckets: Int): DataFrame = {
+    val ids = newL.select(idCol).transform(graft.operators.Caching.persisted)
+    val old = MvPipeline.readBuckets(spark, lblPath,
+        MvPipeline.bucketIdsOf(ids, Seq(idCol), numBuckets),
+        LabelMirror.schema(idCol))
+      .join(ids, Seq(idCol), "left_semi")
+      .withColumnRenamed("label", "old_label")
+    newL.join(old, Seq(idCol), "left")
+      .select(col(idCol), col("old_label"), col("new_label"))
   }
 
   /** One-time mirror build for a legacy state dir created before the
@@ -334,7 +362,8 @@ object IncrementalNearDup {
     * otherwise. Crash recovery: re-call with the same `opId`. */
   def forget(spark: SparkSession, stateDir: String, ids: DataFrame,
       threshold: Double = 0.8, opId: Long = -1L, numBuckets: Int = 16,
-      driverThreshold: Long = 1000000L, maxIter: Int = 20): Long =
+      driverThreshold: Long = 1000000L, maxIter: Int = 20,
+      movedDir: Option[String] = None): Long =
     ForgetMaintenance.forget(spark, ids,
       s"$stateDir/neardup", s"$stateDir/neardup_bidx",
       s"$stateDir/neardup_lbl", "doc_id",
@@ -355,7 +384,8 @@ object IncrementalNearDup {
       verify = (cand, rows) => Dedup.verifyJaccard(cand,
         rows.filter(col("kind") === "g").select("doc_id", "gh"), threshold),
       opId = opId, numBuckets = numBuckets,
-      driverThreshold = driverThreshold, maxIter = maxIter)
+      driverThreshold = driverThreshold, maxIter = maxIter,
+      movedPath = movedDir)
 
   /** Continuous maintenance over JSON-line files with `schema`. */
   def start(spark: SparkSession, inputDir: String, schema: StructType,

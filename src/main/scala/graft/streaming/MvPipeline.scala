@@ -350,7 +350,8 @@ object MvPipeline {
       computeDelta: => DataFrame,
       mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
       numBuckets: Int = 16, bucketKeys: Seq[String] = Nil,
-      secondaries: Seq[StagedSecondary] = Nil): Unit = {
+      secondaries: Seq[StagedSecondary] = Nil,
+      artifacts: Seq[(String, DataFrame => DataFrame)] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
       if (batchId >= 0) s"_delta_b$batchId"
@@ -363,6 +364,13 @@ object MvPipeline {
       require(fs.rename(tmp, staged), s"stage delta $staged")
     }
     val delta = spark.read.parquet(staged.toString)
+    // durable per-batch ARTIFACTS (e.g. the moved-keys log a derived
+    // consumer reads, R176) stage BEFORE any bucket applies: in the only
+    // window where an artifact is missing but the delta exists, NOTHING
+    // has been applied yet, so an artifact projection may read pre-batch
+    // state. They live OUTSIDE `path`'s `_delta_` sweep and survive the
+    // fold; the consumer owns their lifecycle.
+    artifacts.foreach { case (p, f) => stageArtifact(spark, p)(f(delta)) }
     upsertBucketedMerge(delta, path, mergeFn, batchId, numBuckets, bucketKeys)
     secondaries.foreach { s =>
       upsertBucketedMerge(s.project(delta), s.path, s.mergeFn, batchId,
@@ -487,6 +495,23 @@ object MvPipeline {
           n.stripPrefix(prefix).matches("\\d+") =>
         n.stripPrefix(prefix).toLong }
       .foldLeft(-1L)(math.max)
+  }
+
+  /** Stage a DURABLE per-op artifact atomically (tmp + rename), keyed
+    * by its full path: if the artifact already exists it is kept
+    * byte-identically and `compute` is never evaluated — the replay
+    * discipline of the staged deltas, for artifacts that must OUTLIVE
+    * the fold that produced them (the moved-keys logs a derived
+    * consumer reads, R176). */
+  def stageArtifact(spark: SparkSession, artifactPath: String)
+      (compute: => DataFrame): Unit = {
+    val dst = new Path(artifactPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return
+    val tmp = new Path(artifactPath + ".tmp")
+    compute.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"stage artifact $dst")
   }
 
   /** Build a bucketed table ATOMICALLY: construct under `<dst>.bf`,

@@ -99,6 +99,16 @@ object SqlCatalog {
       numMeasures: Int = 1): SqlView =
     ofFrame(name)(s => IncrementalJoinAggStar.changelog(s, stateDir, numMeasures))
 
+  /** AS-OF (time-travel) read of a star/binary/interval aggregate: the
+    * view as it stood after `batch` committed — the changelog integral
+    * truncated at the batch (exact at and above the changelog-compaction
+    * floor). Registered per pinned batch; ad-hoc batches go through
+    * [[aggAsOfRead]]'s TVF, whose `upto` is a query parameter. */
+  def starAsOf(name: String, stateDir: String, batch: Long,
+      numMeasures: Int = 1): SqlView =
+    ofFrame(name)(s =>
+      IncrementalJoinAggStar.viewAsOf(s, stateDir, batch, numMeasures))
+
   /** Temporal star `(g1..gB, total[, ..], rows)` — null-sentinel group
     * decoding baked in (the stored `g` splits into per-branch nullable
     * columns). */
@@ -195,6 +205,34 @@ object SqlCatalog {
         RETURN SELECT g, m AS total$extras, c AS rows FROM ${fn}_state
         WHERE bucket = pmod(xxhash64(grp), ${numBuckets}L)
           AND kind = 'a' AND c > 0 AND g = grp""")
+    }
+  }
+
+  /** AS-OF point read: `<fn>(grp, upto)` — the group's aggregate as it
+    * stood after batch `upto` committed, from the changelog rows alone
+    * (`kind = 'c', b <= upto` — exact at and above the compaction
+    * floor, whose baseline row is stamped with the floor batch). One
+    * bucket opened when `grp` is a literal (the routing hash constant-
+    * folds); `upto` may be any expression. Groups that net to zero at
+    * `upto` answer no row (the live-group contract). */
+  def aggAsOfRead(fn: String, aPath: String, numBuckets: Int = 16,
+      numMeasures: Int = 1): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", aPath,
+        IncrementalJoinAggStar.aSchemaN(numMeasures))
+      val extras = (2 to numMeasures)
+        .map(i => s", sum(m$i) AS total$i").mkString
+      val extraTypes = (2 to numMeasures)
+        .map(i => s", total$i BIGINT").mkString
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
+          grp STRING, upto BIGINT)
+        RETURNS TABLE (g STRING, total BIGINT$extraTypes, rows BIGINT)
+        RETURN SELECT g, sum(m) AS total$extras, sum(c) AS rows
+        FROM ${fn}_state
+        WHERE bucket = pmod(xxhash64(grp), ${numBuckets}L)
+          AND kind = 'c' AND g = grp AND b <= upto
+        GROUP BY g HAVING sum(c) > 0""")
     }
   }
 

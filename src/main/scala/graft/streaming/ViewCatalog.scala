@@ -58,10 +58,30 @@ object ViewCatalog {
     * current state listing. */
   final case class Catalog(bases: Seq[Stage], derived: Seq[Stage] = Nil,
       commits: Seq[Stage] = Nil, ships: Seq[Stage] = Nil,
-      sql: Seq[SqlCatalog.SqlView] = Nil) {
+      sql: Seq[SqlCatalog.SqlView] = Nil,
+      maintenance: Seq[Maintenance] = Nil) {
     def stages: Seq[Stage] = bases ++ derived ++ commits ++ ships
     require(stages.map(_.name).distinct.size == stages.size,
       "catalog stage names must be unique")
+    require(maintenance.map(_.name).distinct.size == maintenance.size,
+      "maintenance names must be unique")
+  }
+
+  /** SCHEDULED MAINTENANCE (r13) — the catalog runs the families'
+    * compaction/expiry passes on a batch cadence so changelog growth
+    * and retention are operated, not remembered: every `every`-th
+    * committed batch (`batchId % every == 0`), AFTER the completion
+    * floor advanced and the SQL surface re-bound. Maintenance ops must
+    * be the families' ad-hoc idempotent passes (compactChangelog,
+    * compactState, purgeFrozen, MovedLog retention) — correctness-
+    * NEUTRAL by contract: a crash mid-maintenance loses nothing (the
+    * floor already advanced; the replay skips the batch wholesale and
+    * the pass simply runs at its next trigger), and re-running one
+    * converges (their own marker protocols). `run(batchId)` picks its
+    * own floor — typically `batchId - retention`. */
+  final case class Maintenance(name: String, every: Long)(
+      val run: Long => Unit) {
+    require(every >= 1, "maintenance cadence must be >= 1 batch")
   }
 
   /** (Re)bind the catalog's SQL read surface — callable on its own for
@@ -117,6 +137,10 @@ object ViewCatalog {
     // the SQL read surface re-binds LAST: registered frames list the
     // post-batch state dirs
     registerSql(spark, catalog)
+    // scheduled maintenance AFTER the floor: correctness-neutral passes
+    // (a crash here loses only this trigger — the batch stays committed)
+    catalog.maintenance.filter(m => batchId % m.every == 0)
+      .foreach(_.run(batchId))
     true
   }
 

@@ -150,4 +150,74 @@ class DerivedViewSpec extends SparkTestBase {
     roll(4L)
     assert(served() === expected() && served() === Map(31L -> 4L))
   }
+
+  test("moved-log trigger (R176): O(moved) derived view ≡ recompute through merge, crash replay, forget") {
+    // the same cluster-SIZE view as the snapshot-diff test, but the
+    // trigger is the base fold's staged moved-keys artifact — no
+    // snapshot, no O(view) anti-joins; consumption is at-least-once
+    // (re-consuming recomputes post-state rows, a no-op)
+    val nd = tmpDir("ml-nd"); val sD = tmpDir("ml-d"); val md = tmpDir("ml-mv")
+    val sizeSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_members", LongType)))
+    val movedSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("old_label", LongType), StructField("new_label", LongType)))
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    def fold(b: Seq[(Long, String)], id: Long): Unit =
+      IncrementalNearDup.processBatch(b.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.6, stateDir = nd, batchId = id, movedDir = Some(md))
+    def roll(id: Long, sweep: Boolean = true): Unit = {
+      val consumed = MovedLog.pendingArtifacts(spark, md)
+      val moved = MovedLog.pending(spark, md, movedSchema)
+      val touched = moved.select(col("old_label").as("g"))
+        .unionByName(moved.select(col("new_label").as("g")))
+        .filter(col("g").isNotNull).distinct()
+      val rows = IncrementalNearDup.labels(spark, nd)
+        .join(touched.select(col("g").as("label")), Seq("label"), "left_semi")
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("g"), col("n_members"))
+      DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      if (sweep) MovedLog.sweep(spark, md, consumed)
+    }
+    def served(): Map[Long, Long] =
+      DerivedView.view(spark, sD, sizeSchema).as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      IncrementalNearDup.labels(spark, nd)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+
+    fold(Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " extra")), 0L)
+    roll(0L)
+    assert(served() === expected() && served() === Map(30L -> 2L))
+    fold(Seq(40L -> rng(10, 50), 41L -> (rng(10, 50) + " other")), 1L)
+    roll(1L)
+    assert(served() === expected() && served() === Map(30L -> 2L, 40L -> 2L))
+    // the bridge merges B INTO A — the moved log names BOTH coordinates
+    // of every moved doc (40/41: 40 -> 30) and the bridge's first-seen
+    // row (old null)
+    fold(Seq(35L -> rng(5, 45)), 2L)
+    val mv = MovedLog.pending(spark, md, movedSchema)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(mv === Map(35L -> (None, Some(30L)), 40L -> (Some(40L), Some(30L)),
+      41L -> (Some(40L), Some(30L))))
+    // crash window: derived fold commits, sweep does NOT run
+    roll(2L, sweep = false)
+    assert(served() === expected() && served() === Map(30L -> 5L))
+    assert(MovedLog.pendingArtifacts(spark, md).nonEmpty,
+      "un-swept artifacts must survive the fold")
+    // replay: same artifacts re-consumed, stamped buckets skip, THEN sweep
+    roll(2L)
+    assert(served() === Map(30L -> 5L))
+    assert(MovedLog.pendingArtifacts(spark, md).isEmpty)
+    roll(3L) // nothing pending: a strict no-op
+    assert(served() === Map(30L -> 5L))
+    // forget the representative through the SAME log: label 30 drops
+    // via the forgotten doc's old coordinate, survivors re-derive at 31
+    IncrementalNearDup.forget(spark, nd, Seq(30L).toDF("doc_id"),
+      threshold = 0.6, opId = 100L, movedDir = Some(md))
+    roll(4L)
+    assert(served() === expected() && served() === Map(31L -> 4L))
+    assert(MovedLog.pendingArtifacts(spark, md).isEmpty)
+  }
 }

@@ -55,6 +55,40 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM sqlc_rev_for('zz')").isEmpty)
   }
 
+  test("as-of surface: starAsOf frame + aggAsOfRead TVF ≡ viewAsOf across batches, pruned") {
+    val state = tmpDir("sqlc-asof")
+    val dims = Seq((10L, "s1"), (20L, "s2")).toDF("jk", "g")
+    IncrementalJoinAgg.processBatch(
+      Seq((10L, 1L, 100L), (20L, 2L, 30L)).toDF("jk", "id", "m"),
+      "jk", "id", "m", dims, "jk", "g", state, 0L, numBuckets = 4)
+    IncrementalJoinAgg.processBatch(
+      Seq((10L, 3L, 7L)).toDF("jk", "id", "m"),
+      "jk", "id", "m", dims.limit(0), "jk", "g", state, 1L, numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.star("sqlc_asof_live", state),
+      SqlCatalog.starAsOf("sqlc_asof0", state, 0L),
+      SqlCatalog.aggAsOfRead("sqlc_asof_for", s"$state/joinaggstar/a",
+        numBuckets = 4)))
+    // the pinned-batch frame == the Scala as-of read, and differs from live
+    val viaSql = spark.sql(
+        "SELECT g, total, rows FROM sqlc_asof0 ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    val viaEngine = IncrementalJoinAggStar.viewAsOf(spark, state, 0L)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(viaSql === viaEngine)
+    assert(viaSql === Seq(("s1", 100L, 1L), ("s2", 30L, 1L)))
+    assert(spark.sql("SELECT total FROM sqlc_asof_live WHERE g = 's1'")
+      .as[Long].collect().toSeq === Seq(107L))
+    // the TVF truncates at any upto, pruned to the group's one bucket
+    val q0 = spark.sql("SELECT g, total, rows FROM sqlc_asof_for('s1', 0)")
+    assert(q0.as[(String, Long, Long)].collect().toSeq === Seq(("s1", 100L, 1L)))
+    assertPrunedTo(q0, bucketOf("s1", 4))
+    assert(spark.sql("SELECT total FROM sqlc_asof_for('s1', 1)")
+      .as[Long].collect().toSeq === Seq(107L))
+    // a group absent at the asked batch answers no row
+    assert(spark.sql("SELECT * FROM sqlc_asof_for('zz', 1)").isEmpty)
+  }
+
   test("temporal star: SQL ≡ engine (null-sentinel decode); TVF takes per-branch coordinates incl. NULL") {
     val state = tmpDir("sqlc-ts")
     val noFD = Seq.empty[(Long, Long, Long)].toDF("id", "k1", "k2")

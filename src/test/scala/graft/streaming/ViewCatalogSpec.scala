@@ -345,6 +345,82 @@ class ViewCatalogSpec extends SparkTestBase {
       cdc(Seq(("fact", 10L, 9L, 1L, "", 0L))), 0L))
   }
 
+  test("maintenance tier (r13): scheduled changelog compaction rides the cadence; reads unchanged") {
+    val sA = tmpDir("vcm-a"); val tA = tmpDir("vcm-t"); val cd = tmpDir("vcm-c")
+    var ran = Seq.empty[Long]
+    val cat = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("rev", Seq(sA))(foldRevenue(sA))),
+      maintenance = Seq(ViewCatalog.Maintenance("compact", every = 2) { bid =>
+        ran :+= bid
+        if (bid >= 2) IncrementalJoinAgg.compactChangelog(spark, sA, bid - 2)
+      }))
+    (0 to 5).foreach { i =>
+      val b = cdc(Seq(
+        ("fact", 10L + (i % 3), 100L + i, 10L + i, "", 0L),
+        ("dim", 10L + (i % 3), 0L, 0L, s"s${i % 3}", 0L)))
+      ViewCatalog.runBatch(spark, cat, cd, b, i.toLong)
+      foldRevenue(tA)(b, i.toLong)
+    }
+    assert(ran === Seq(0L, 2L, 4L), "cadence: every 2nd committed batch")
+    assert(viewA(sA) === viewA(tA))
+    // history below the last floor (4 - 2 = 2) folded into the baseline
+    val bs = IncrementalJoinAgg.changelog(spark, sA)
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(bs.nonEmpty && bs.min >= 2L, s"uncompacted prefix survived: $bs")
+    // as-of reads at/above the floor stay exact vs the uncompacted twin
+    (2 to 5).foreach { b =>
+      assert(digest(IncrementalJoinAgg.viewAsOf(spark, sA, b.toLong)) ===
+        digest(IncrementalJoinAgg.viewAsOf(spark, tA, b.toLong)),
+        s"as-of $b diverged after compaction")
+    }
+  }
+
+  test("moved-log derived tier (R176): base stages the log, derived consumes, commits sweep — floor-replay safe") {
+    val nd = tmpDir("vcml-nd"); val sD = tmpDir("vcml-d")
+    val md = tmpDir("vcml-mv"); val cd = tmpDir("vcml-c")
+    val sizeSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_members", LongType)))
+    val movedSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("old_label", LongType), StructField("new_label", LongType)))
+    def rng(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val cat = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("nd", Seq(nd, md))((b, id) =>
+        IncrementalNearDup.processBatch(b.select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+          threshold = 0.6, stateDir = nd, batchId = id,
+          movedDir = Some(md)))),
+      derived = Seq(ViewCatalog.Stage("sizes", Seq(sD))((_, id) => {
+        val moved = MovedLog.pending(spark, md, movedSchema)
+        val touched = moved.select(col("old_label").as("g"))
+          .unionByName(moved.select(col("new_label").as("g")))
+          .filter(col("g").isNotNull).distinct()
+        val rows = IncrementalNearDup.labels(spark, nd)
+          .join(touched.select(col("g").as("label")), Seq("label"), "left_semi")
+          .groupBy("label").agg(count(lit(1)).as("n_members"))
+          .select(col("label").as("g"), col("n_members"))
+        DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      })),
+      commits = Seq(ViewCatalog.Stage("sweep")((_, _) =>
+        MovedLog.sweep(spark, md, MovedLog.pendingArtifacts(spark, md)))))
+    def sizes(): Map[Long, Long] =
+      DerivedView.view(spark, sD, sizeSchema).as[(Long, Long)].collect().toMap
+    ViewCatalog.runBatch(spark, cat, cd,
+      Seq(30L -> rng(0, 40), 31L -> (rng(0, 40) + " extra"))
+        .toDF("doc_id", "text"), 0L)
+    assert(sizes() === Map(30L -> 2L))
+    ViewCatalog.runBatch(spark, cat, cd,
+      Seq(40L -> rng(10, 50)).toDF("doc_id", "text"), 1L)
+    assert(sizes() === Map(30L -> 2L, 40L -> 1L))
+    // the bridge merges the clusters; then a wholesale floor-replay of
+    // the same batch must skip (false) and change nothing
+    val bridge = Seq(35L -> rng(5, 45)).toDF("doc_id", "text")
+    assert(ViewCatalog.runBatch(spark, cat, cd, bridge, 2L))
+    assert(sizes() === Map(30L -> 4L))
+    assert(MovedLog.pendingArtifacts(spark, md).isEmpty, "commits swept")
+    assert(!ViewCatalog.runBatch(spark, cat, cd, bridge, 2L))
+    assert(sizes() === Map(30L -> 4L))
+  }
+
   test("startMulti (R174): two sources at different cadences ≡ the single-stream twin; crash drill across the source boundary") {
     import java.nio.file.{Files, Paths}
     val inF = tmpDir("vcm-facts"); val inD = tmpDir("vcm-dims")
