@@ -266,6 +266,43 @@ object SqlCatalog {
     }
   }
 
+  /** Temporal-star AS-OF point read: `<fn>(g1, .., gB, upto)` — the
+    * branch-coordinate group's aggregate as it stood after batch `upto`
+    * committed ([[aggAsOfRead]]'s truncation over the temporal star's
+    * encoded-group `a/` layout; same NULL-sentinel coordinate encoding
+    * as [[temporalStarPointRead]]). One bucket opened on literal
+    * coordinates; exact at and above the compaction floor. */
+  def temporalStarAsOfRead(fn: String, stateDir: String, numBranches: Int,
+      numBuckets: Int = 16, numMeasures: Int = 1,
+      root: String = IncrementalTemporalStar.Root): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", s"$stateDir/$root/a",
+        IncrementalJoinAggStar.aSchemaN(numMeasures))
+      val params = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
+      val outCols = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
+      val enc = (1 to numBranches)
+        .map(b => s"coalesce(g$b, chr(0))").mkString("concat_ws(chr(1), ", ", ", ")")
+      // the SELECT list may not reference the outer parameters when the
+      // body aggregates (correlated refs are WHERE/HAVING-only), so the
+      // output coordinates DECODE the stored grouped key instead —
+      // nullif restores the NULL sentinel
+      val outSel = (1 to numBranches)
+        .map(b => s"nullif(element_at(split(g, chr(1)), $b), chr(0)) AS g$b")
+        .mkString(", ")
+      val extras = (2 to numMeasures).map(i => s", sum(m$i) AS total$i").mkString
+      val extraTypes = (2 to numMeasures).map(i => s", total$i BIGINT").mkString
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
+          $params, upto BIGINT)
+        RETURNS TABLE ($outCols, total BIGINT$extraTypes, rows BIGINT)
+        RETURN SELECT $outSel, sum(m) AS total$extras, sum(c) AS rows
+        FROM ${fn}_state
+        WHERE bucket = pmod(xxhash64($enc), ${numBuckets}L)
+          AND kind = 'c' AND g = $enc AND b <= upto
+        GROUP BY g HAVING sum(c) > 0""")
+    }
+  }
+
   /** Extrema point read: `<fn>('g') -> (g, n, min_v, max_v)` — the
     * per-group aggregate over present values, one bucket opened. */
   def extremaPointRead(fn: String, extremaPath: String,

@@ -173,6 +173,92 @@ object ViewCatalog {
   def completedFloor(spark: SparkSession, catalogDir: String): Long =
     MvPipeline.floorMarker(spark, catalogDir, "_catalog_done_b")
 
+  /** OPS REPORT (r13 second half): one row per bucketed table under the
+    * catalog's DECLARED state dirs ([[Stage.stateDirs]] — the same
+    * declarations the concurrency check consumes), from filesystem
+    * listings alone (no data jobs — safe on a live deployment between
+    * batches). Columns: stage, dir, table (relative; "." = the dir
+    * itself is the table), buckets, bytes, files, max_stamp (highest
+    * per-bucket `_graft_batch` replay stamp, -1 = ad-hoc-only),
+    * staged_pending (`_delta_*` awaiting replay — nonzero outside a
+    * crash window means a wedged fold), moved_pending (`_moved_*`
+    * artifacts awaiting their consumer), resume_floor (the reshard
+    * refusal floor, -1 = none). The catalog's completion floor is
+    * [[completedFloor]]; pair with [[graft.tools.StateAudit]] for the
+    * semantic invariants. */
+  def describe(spark: SparkSession, catalog: Catalog,
+      catalogDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = for {
+      stage <- catalog.stages
+      dir <- stage.stateDirs
+      base = new Path(dir)
+      fs = base.getFileSystem(hconf)
+      if fs.exists(base)
+      tPath <- {
+        // TABLE dirs at any depth: a dir holding bucket=N children, or
+        // holding `_delta_`/`_moved_` artifacts (a bare moved log must
+        // stay visible). Swap leftovers (.tmp/.old) are not descended.
+        def walk(p: Path): Seq[Path] = {
+          val entries = fs.listStatus(p).filter(s => s.isDirectory &&
+            !s.getPath.getName.endsWith(".tmp") &&
+            !s.getPath.getName.endsWith(".old"))
+          val isTable = entries.exists { s =>
+            val n = s.getPath.getName
+            n.matches("bucket=\\d+") || n.startsWith("_delta_") ||
+              n.startsWith("_moved_")
+          }
+          (if (isTable) Seq(p) else Nil) ++
+            entries.map(_.getPath)
+              .filterNot(q => q.getName.matches("bucket=\\d+") ||
+                q.getName.startsWith("_") || q.getName.startsWith("."))
+              .flatMap(walk)
+        }
+        walk(base)
+      }
+    } yield {
+      // listStatus returns QUALIFIED child paths (file:/...); qualify
+      // the declared base the same way before stripping the prefix
+      val qBase = fs.makeQualified(base).toString
+      val rel = fs.makeQualified(tPath).toString.stripPrefix(qBase)
+        .stripPrefix("/") match {
+        case "" => "."
+        case r => r
+      }
+      val entries = fs.listStatus(tPath).toSeq
+      val buckets = entries.filter(s =>
+        s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+      def treeBytesFiles(p: Path): (Long, Long) = {
+        val it = fs.listFiles(p, true)
+        var b = 0L; var n = 0L
+        while (it.hasNext) { val f = it.next(); b += f.getLen; n += 1 }
+        (b, n)
+      }
+      val (bytes, files) =
+        buckets.map(s => treeBytesFiles(s.getPath))
+          .foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) => (b + b2, n + n2) }
+      val maxStamp = buckets.map { s =>
+        val m = new Path(s.getPath, "_graft_batch")
+        if (!fs.exists(m)) -1L
+        else {
+          val in = fs.open(m)
+          val first = try scala.io.Source.fromInputStream(in).getLines()
+            .nextOption().getOrElse("") finally in.close()
+          if (first.trim.matches("-?\\d+")) first.trim.toLong else -1L
+        }
+      }.foldLeft(-1L)(math.max)
+      val staged = entries.count(_.getPath.getName.startsWith("_delta_"))
+      val moved = entries.count(_.getPath.getName.startsWith("_moved_"))
+      (stage.name, dir, rel, buckets.size.toLong, bytes, files,
+        maxStamp, staged.toLong, moved.toLong,
+        MvPipeline.resumeFloor(spark, tPath.toString))
+    }
+    import spark.implicits._
+    rows.toDF("stage", "dir", "table", "buckets", "bytes", "files",
+      "max_stamp", "staged_pending", "moved_pending", "resume_floor")
+  }
+
   /** Continuous operation: one JSON-lines CDC stream driving the whole
     * catalog (the engines' `start()` shape, lifted to N views). */
   def start(spark: SparkSession, inputDir: String,

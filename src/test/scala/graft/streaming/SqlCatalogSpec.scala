@@ -110,6 +110,8 @@ class SqlCatalogSpec extends SparkTestBase {
     SqlCatalog.register(spark, Seq(
       SqlCatalog.temporalStar("sqlc_ts", state, numBranches = 2),
       SqlCatalog.temporalStarPointRead("sqlc_ts_for", state, numBranches = 2,
+        numBuckets = 4),
+      SqlCatalog.temporalStarAsOfRead("sqlc_ts_asof", state, numBranches = 2,
         numBuckets = 4)))
     val viaSql = spark
       .sql("SELECT g1, g2, total, rows FROM sqlc_ts ORDER BY total")
@@ -131,6 +133,12 @@ class SqlCatalogSpec extends SparkTestBase {
     // pruning: the encoded key's bucket (the engine's SEP/NUL encoding)
     val enc = "\u0000\u0001x"
     assertPrunedTo(qNull, bucketOf(enc, 4))
+    // as-of TVF over the same encoded-group layout: before the facts'
+    // batch the group answers no row; at it, the live tuple — pruned
+    assert(spark.sql("SELECT * FROM sqlc_ts_asof('a', 'x', 0)").isEmpty)
+    val qAsof = spark.sql("SELECT total, rows FROM sqlc_ts_asof('a', 'x', 1)")
+    assert(qAsof.as[(Long, Long)].collect().toSeq === Seq((4L, 1L)))
+    assertPrunedTo(qAsof, bucketOf("a\u0001x", 4))
   }
 
   test("sessions: SQL view unions the frozen floor; TVF point read prunes both tables") {

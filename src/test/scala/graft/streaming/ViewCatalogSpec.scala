@@ -421,6 +421,29 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(sizes() === Map(30L -> 4L))
   }
 
+  test("describe (r13): ops report from listings — tables, stamps, pending artifacts") {
+    val sA = tmpDir("vcd-a"); val md = tmpDir("vcd-mv"); val cd = tmpDir("vcd-c")
+    val cat = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("rev", Seq(sA, md))(foldRevenue(sA))))
+    ViewCatalog.runBatch(spark, cat, cd, cdc(Seq(
+      ("fact", 10L, 100L, 5L, "", 0L), ("dim", 10L, 0L, 0L, "s1", 0L))), 0L)
+    MvPipeline.stageArtifact(spark, s"$md/_moved_b0")(
+      Seq((1L, 2L, 3L)).toDF("doc_id", "old_label", "new_label"))
+    val rep = ViewCatalog.describe(spark, cat, cd).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    // the join-agg namespace's aggregate table: live buckets, the
+    // committed batch's replay stamp, no staged leftovers
+    val a = rep((sA, "joinaggstar/a"))
+    assert(a.getLong(3) > 0 && a.getLong(4) > 0, "buckets + bytes")
+    assert(a.getLong(6) === 0L, "max replay stamp = the committed batch")
+    assert(a.getLong(7) === 0L, "no staged leftovers after a clean fold")
+    // the bare moved-log dir stays visible through its pending artifact
+    val mv = rep((md, "."))
+    assert(mv.getLong(8) === 1L, "pending moved artifact visible")
+    assert(mv.getLong(3) === 0L, "a marker dir has no buckets")
+    assert(ViewCatalog.completedFloor(spark, cd) === 0L)
+  }
+
   test("startMulti (R174): two sources at different cadences ≡ the single-stream twin; crash drill across the source boundary") {
     import java.nio.file.{Files, Paths}
     val inF = tmpDir("vcm-facts"); val inD = tmpDir("vcm-dims")
