@@ -38,26 +38,59 @@ class IncrementalMediaNearDupSpec extends SparkTestBase {
     val b2 = Seq(30L -> b, 31L -> b, 40L -> far)  // cluster {30,31} + singleton
     val b3 = Seq(25L -> 0L)                       // the bridge
 
+    val md = tmpDir("media-nd-mv")
+    val movedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_label",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("new_label",
+        org.apache.spark.sql.types.LongType)))
+    def movedNow(): Map[Long, (Option[Long], Option[Long])] =
+      MovedLog.pending(spark, md, movedSchema)
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
     def fold(h: Seq[(Long, Long)], id: Long): Unit =
       IncrementalMediaNearDup.processHashes(h.toDF("doc_id", "simhash"),
-        "fp", maxHamming = 3, stateDir = state, batchId = id)
+        "fp", maxHamming = 3, stateDir = state, batchId = id,
+        movedDir = Some(md))
 
     fold(b1, 0L)
     assert(served(state, "fp") === batchClusters(b1, 3))
+    MovedLog.sweep(spark, md, MovedLog.pendingArtifacts(spark, md))
     fold(b2, 1L)
     assert(served(state, "fp") === batchClusters(b1 ++ b2, 3))
     assert(served(state, "fp") === Map(20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 30L, 40L -> 40L)) // two ESTABLISHED clusters
+    MovedLog.sweep(spark, md, MovedLog.pendingArtifacts(spark, md))
     fold(b3, 2L)
     assert(served(state, "fp") === batchClusters(b1 ++ b2 ++ b3, 3))
     // the bridge merges B INTO A: labels only decrease (30/31: 30 → 20)
     assert(served(state, "fp") === Map(20L -> 20L, 21L -> 20L, 25L -> 20L,
       30L -> 20L, 31L -> 20L, 40L -> 40L))
-    // replaying the last batch id is a no-op (marker idempotence)
+    // the moved log (R176) names both coordinates of the merge: the
+    // bridge first-seen (old null), the losing cluster's members moved
+    assert(movedNow() === Map(25L -> (None, Some(20L)),
+      30L -> (Some(30L), Some(20L)), 31L -> (Some(30L), Some(20L))))
+    // replaying the last batch id is a no-op (marker idempotence) — and
+    // the staged artifact exists-skips, so the pending log is unchanged
     fold(b3, 2L)
     assert(served(state, "fp") === batchClusters(b1 ++ b2 ++ b3, 3))
+    assert(movedNow() === Map(25L -> (None, Some(20L)),
+      30L -> (Some(30L), Some(20L)), 31L -> (Some(30L), Some(20L))))
+    MovedLog.sweep(spark, md, MovedLog.pendingArtifacts(spark, md))
     assert(IncrementalMediaNearDup.representatives(spark, state, "fp")
       .as[Long].collect().toSet === Set(20L, 40L))
+    // forget the representative through the same log: its old
+    // coordinate drops (new null), survivors re-derive under 21
+    IncrementalMediaNearDup.forget(spark, state, "fp",
+      Seq(20L).toDF("doc_id"), maxHamming = 3, opId = 50L,
+      movedDir = Some(md))
+    assert(served(state, "fp") === Map(21L -> 21L, 25L -> 21L,
+      30L -> 21L, 31L -> 21L, 40L -> 40L))
+    assert(movedNow() === Map(20L -> (Some(20L), None),
+      21L -> (Some(20L), Some(21L)), 25L -> (Some(20L), Some(21L)),
+      30L -> (Some(20L), Some(21L)), 31L -> (Some(20L), Some(21L))))
   }
 
   test("image payloads: fold == batch x46-family clusters; malformed dropped") {
