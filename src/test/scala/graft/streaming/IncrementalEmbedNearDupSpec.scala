@@ -45,21 +45,36 @@ class IncrementalEmbedNearDupSpec extends SparkTestBase {
     val clA = Seq((10L, vec(0), 1L), (11L, vec(3, 2f), 1L))
     val clB = Seq((20L, vec(30), 1L), (21L, vec(33, 0.5f), 1L))
     val bridge = Seq((15L, vec(15), 1L))
+    val md = tmpDir("end-mv")
     def fold(b: Seq[(Long, Array[Float], Long)], id: Long): Unit =
       IncrementalEmbedNearDup.processBatch(b.toDF("vec_id", "embedding", "label"),
-        t, dim = dim, stateDir = state, batchId = id)
+        t, dim = dim, stateDir = state, batchId = id, movedDir = Some(md))
 
     fold(clA, 0L)
     assert(served(state) === batchTruth(clA, t))
     fold(clB, 1L)
     assert(served(state) === batchTruth(clA ++ clB, t))
     assert(served(state) === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    MovedLog.sweep(spark, md, MovedLog.pendingArtifacts(spark, md))
     fold(bridge, 2L)
     assert(served(state) === batchTruth(clA ++ clB ++ bridge, t))
     // bridge at 15°: within 0.95 of both 0-3° and 30-33° members → one
     // component, labels decrease 20/21 → 10
     assert(served(state) === Map(10L -> 10L, 11L -> 10L, 15L -> 10L,
       20L -> 10L, 21L -> 10L))
+    // the moved log (R176, vec_id column) carries the merge coordinates
+    val movedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_label",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("new_label",
+        org.apache.spark.sql.types.LongType)))
+    assert(MovedLog.pending(spark, md, movedSchema)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap ===
+      Map(15L -> (None, Some(10L)), 20L -> (Some(20L), Some(10L)),
+        21L -> (Some(20L), Some(10L))))
     val reps = IncrementalEmbedNearDup.representatives(spark, state)
       .as[Long].collect().toSet
     assert(reps === Set(10L))
