@@ -169,9 +169,15 @@ object DerivedView {
   * commit and the sweep; a base replay re-staging a post-state-computed
   * artifact, which is empty or a subset) recomputes rows that are
   * already right — idempotence comes from recompute-from-post-state,
-  * not from exactly-once delivery. One consumer per log dir (the sweep
-  * is destructive); fan-out wants one log dir per consumer
-  * ([[IncrementalNearDup.processBatch]] takes the dir, not a flag).
+  * not from exactly-once delivery. One log dir per (BASE VIEW,
+  * consumer) pair: the sweep is destructive (fan-out wants one dir per
+  * consumer — [[IncrementalNearDup.processBatch]] takes the dir, not a
+  * flag), and [[pending]] unions EVERY artifact in the dir under one
+  * schema, so two base views sharing a dir would collide on batch-id
+  * artifact names (exists-skip silently dropping one view's moves) and
+  * mix id columns. The media engine additionally qualifies its
+  * artifact names by view so its two folds fail safe, but the contract
+  * stands: distinct views, distinct dirs.
   *
   * Cost: the trigger is O(moved keys) per batch — the artifact IS the
   * touched set — versus the snapshot diff's O(view). Bases that cannot
@@ -197,13 +203,18 @@ object MovedLog {
     else spark.read.schema(schema).parquet(names: _*)
   }
 
-  /** The un-swept artifact dirs (sorted for deterministic reads). */
+  /** The un-swept artifact dirs (sorted for deterministic reads).
+    * A `.tmp` staging leftover (crash mid-[[MvPipeline.stageArtifact]],
+    * before the rename) is NOT pending — it is partial bytes the next
+    * staging attempt overwrites; listing it would hand the consumer a
+    * truncated parquet. */
   def pendingArtifacts(spark: SparkSession, movedDir: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(movedDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Nil
     else fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_moved_"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_moved_") &&
+        !s.getPath.getName.endsWith(".tmp"))
       .map(_.getPath.toString).sorted.toSeq
   }
 

@@ -74,7 +74,8 @@ object ForgetMaintenance {
       verify: (DataFrame, DataFrame) => DataFrame,
       opId: Long = -1L, numBuckets: Int = 16,
       driverThreshold: Long = 1000000L, maxIter: Int = 20,
-      movedPath: Option[String] = None): Long = {
+      movedPath: Option[String] = None,
+      movedKind: String = "f"): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     LabelMirror.backfill(spark, path, lblPath, stateSchema, idCol, numBuckets)
     val stagedName =
@@ -161,7 +162,7 @@ object ForgetMaintenance {
           s"staged forget delta $staged carries no moved log (staged " +
             "before movedPath was configured?) — re-run with a fresh opId")
         MvPipeline.stageArtifact(spark,
-          MovedLog.artifactPath(md, "f", opId))(
+          MovedLog.artifactPath(md, movedKind, opId))(
           spark.read.parquet(s"$staged/mv"))
       }
       val forgotten = x.count()

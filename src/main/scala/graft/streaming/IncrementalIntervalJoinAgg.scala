@@ -479,7 +479,11 @@ object IncrementalIntervalJoinAgg {
   }
 
   /** Build a [[PinReport]] from the post-rewrite pinned facts and the
-    * open-window relation (shared with the mixed star's compaction).
+    * open-window relation. (The mixed star assembles the SAME report
+    * shape itself from its per-branch interval tables — a multi-branch
+    * union this single-relation helper cannot express — so changes to
+    * the report's semantics must land in both places:
+    * IncrementalTemporalStar.compactState's ops-guard block.)
     * `openFull` carries (iid, k, s, e, ..); `open` its (oid, ok, os,
     * oe) projection; `pinned` the retained pre-horizon (id, t, k). */
   private[streaming] def pinReport(spark: SparkSession, openFull: DataFrame,

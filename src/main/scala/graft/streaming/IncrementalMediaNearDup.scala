@@ -147,9 +147,14 @@ object IncrementalMediaNearDup {
         (old, inc) => old.unionByName(inc).distinct(),
         probeKeys),
         LabelMirror.secondary(lbl, "doc_id")),
-      // moved-keys log (R176): see [[IncrementalNearDup.movedOf]]
+      // moved-keys log (R176): see [[IncrementalNearDup.movedOf]].
+      // Artifact names are VIEW-qualified — this engine maintains two
+      // views (img/aud) under one stateDir, and un-qualified batch-id
+      // names would exists-skip the second view's moves if a caller
+      // pointed both at one dir (the MovedLog contract still wants
+      // distinct dirs per view; the qualifier makes the mistake safe)
       artifacts = movedDir.toSeq.map { md =>
-        (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) =>
+        (MovedLog.artifactPath(md, s"${view}_b", batchId), (d: DataFrame) =>
           IncrementalNearDup.movedOf(spark, d.filter(col("kind") === "l")
             .select(col("doc_id"), col("label").as("new_label")),
             lbl, "doc_id", numBuckets))
@@ -300,5 +305,5 @@ object IncrementalMediaNearDup {
       },
       opId = opId, numBuckets = numBuckets,
       driverThreshold = driverThreshold, maxIter = maxIter,
-      movedPath = movedDir)
+      movedPath = movedDir, movedKind = s"${view}_f")
 }

@@ -573,19 +573,6 @@ object MvPipeline {
     val base = new Path(rootDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return -1L
-    def stampOf(bucket: Path): Long = {
-      val m = new Path(bucket, "_graft_batch")
-      if (!fs.exists(m)) -1L
-      else {
-        val in = fs.open(m)
-        val first =
-          try {
-            val it = scala.io.Source.fromInputStream(in).getLines()
-            if (it.hasNext) it.next().trim else ""
-          } finally in.close()
-        if (first.matches("-?\\d+")) first.toLong else -1L
-      }
-    }
     fs.listStatus(base)
       .filter(_.isDirectory)
       .flatMap { t =>
@@ -594,8 +581,25 @@ object MvPipeline {
           .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
           .map(_.getPath).toSeq
       }
-      .map(stampOf)
+      .map(b => bucketStamp(fs, b))
       .foldLeft(-1L)(math.max)
+  }
+
+  /** The per-bucket `_graft_batch` replay stamp's batch id (first
+    * line), -1 when absent or ad-hoc — the ONE parse of the stamp
+    * format ([[maxStampUnder]] and the catalog ops report both read
+    * through here; the writer is [[upsertMerge]]). */
+  def bucketStamp(fs: org.apache.hadoop.fs.FileSystem,
+      bucket: Path): Long = {
+    val m = new Path(bucket, "_graft_batch")
+    if (!fs.exists(m)) return -1L
+    val in = fs.open(m)
+    val first =
+      try {
+        val it = scala.io.Source.fromInputStream(in).getLines()
+        if (it.hasNext) it.next().trim else ""
+      } finally in.close()
+    if (first.matches("-?\\d+")) first.toLong else -1L
   }
 
   /** Read bucketed state: union of the live `bucket=<n>` directories

@@ -304,18 +304,29 @@ object SqlCatalog {
   }
 
   /** Extrema point read: `<fn>('g') -> (g, n, min_v, max_v)` — the
-    * per-group aggregate over present values, one bucket opened. */
+    * per-group aggregate over present values. `subBuckets` MUST match
+    * the writer's R173 layout: a sub-bucketed store routes by
+    * `(g, xxhash64(v) % S)`, so the plain one-bucket predicate would
+    * silently aggregate a FRACTION of the group; with S > 1 the body
+    * prunes to the group's ≤S buckets (merge-at-read, the Scala
+    * `viewFor(subBuckets)` contract). */
   def extremaPointRead(fn: String, extremaPath: String,
-      numBuckets: Int = 16): SqlView = {
+      numBuckets: Int = 16, subBuckets: Int = 1): SqlView = {
     requireSqlName(fn)
+    require(subBuckets >= 1, "subBuckets >= 1")
     SqlView(fn) { s =>
       registerStateTable(s, s"${fn}_state", extremaPath,
         IncrementalExtrema.vwSchema)
+      val bucketPred =
+        if (subBuckets == 1) s"bucket = pmod(xxhash64(grp), ${numBuckets}L)"
+        else (0 until subBuckets)
+          .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
+          .mkString("bucket IN (", ", ", ")")
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
         RETURNS TABLE (g STRING, n BIGINT, min_v BIGINT, max_v BIGINT)
         RETURN SELECT g, sum(w) AS n, min(v) AS min_v, max(v) AS max_v
         FROM ${fn}_state
-        WHERE bucket = pmod(xxhash64(grp), ${numBuckets}L)
+        WHERE $bucketPred
           AND g = grp AND w > 0
         GROUP BY g""")
     }

@@ -199,11 +199,15 @@ object ViewCatalog {
       tPath <- {
         // TABLE dirs at any depth: a dir holding bucket=N children, or
         // holding `_delta_`/`_moved_` artifacts (a bare moved log must
-        // stay visible). Swap leftovers (.tmp/.old) are not descended.
+        // stay visible). Crash leftovers are not descended OR counted:
+        // .tmp/.old swap sides AND .bf atomic-backfill partials — a
+        // crashed `buildFresh` leaves `<table>.bf` with bucket children
+        // that are NOT live state (the absent⇒rebuild guard owns them).
+        def leftover(n: String): Boolean =
+          n.endsWith(".tmp") || n.endsWith(".old") || n.endsWith(".bf")
         def walk(p: Path): Seq[Path] = {
           val entries = fs.listStatus(p).filter(s => s.isDirectory &&
-            !s.getPath.getName.endsWith(".tmp") &&
-            !s.getPath.getName.endsWith(".old"))
+            !leftover(s.getPath.getName))
           val isTable = entries.exists { s =>
             val n = s.getPath.getName
             n.matches("bucket=\\d+") || n.startsWith("_delta_") ||
@@ -238,21 +242,23 @@ object ViewCatalog {
       val (bytes, files) =
         buckets.map(s => treeBytesFiles(s.getPath))
           .foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) => (b + b2, n + n2) }
-      val maxStamp = buckets.map { s =>
-        val m = new Path(s.getPath, "_graft_batch")
-        if (!fs.exists(m)) -1L
-        else {
-          val in = fs.open(m)
-          val first = try scala.io.Source.fromInputStream(in).getLines()
-            .nextOption().getOrElse("") finally in.close()
-          if (first.trim.matches("-?\\d+")) first.trim.toLong else -1L
-        }
-      }.foldLeft(-1L)(math.max)
+      val maxStamp = buckets
+        .map(s => MvPipeline.bucketStamp(fs, s.getPath))
+        .foldLeft(-1L)(math.max)
       val staged = entries.count(_.getPath.getName.startsWith("_delta_"))
-      val moved = entries.count(_.getPath.getName.startsWith("_moved_"))
+      val moved = entries.count { s =>
+        val n = s.getPath.getName
+        n.startsWith("_moved_") && !n.endsWith(".tmp")
+      }
+      // the reshard resume floor is stamped at the FAMILY NAMESPACE
+      // root (e.g. <state>/joinaggstar), not at each table dir — look
+      // up every ancestor from the table to the declared dir
+      val floor = Iterator.iterate(fs.makeQualified(tPath))(_.getParent)
+        .takeWhile(p => p != null && p.toString.startsWith(qBase))
+        .map(p => MvPipeline.resumeFloor(spark, p.toString))
+        .foldLeft(-1L)(math.max)
       (stage.name, dir, rel, buckets.size.toLong, bytes, files,
-        maxStamp, staged.toLong, moved.toLong,
-        MvPipeline.resumeFloor(spark, tPath.toString))
+        maxStamp, staged.toLong, moved.toLong, floor)
     }
     import spark.implicits._
     rows.toDF("stage", "dir", "table", "buckets", "bytes", "files",

@@ -219,5 +219,12 @@ class DerivedViewSpec extends SparkTestBase {
     roll(4L)
     assert(served() === expected() && served() === Map(31L -> 4L))
     assert(MovedLog.pendingArtifacts(spark, md).isEmpty)
+    // a crash mid-stageArtifact leaves a '_moved_*.tmp' partial — it is
+    // NOT pending (a consumer reading it would see truncated parquet)
+    val fs = new org.apache.hadoop.fs.Path(md)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$md/_moved_b9.tmp"))
+    assert(MovedLog.pendingArtifacts(spark, md).isEmpty,
+      "a .tmp staging leftover must not be consumable")
   }
 }

@@ -196,6 +196,26 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(q.as[(String, Long, Long, Long)].collect().toSeq ===
       Seq(("g1", 3L, 5L, 9L)))
     assertPrunedTo(q, bucketOf("g1", 4))
+    // R173 sub-bucketed store: the TVF must carry the writer's layout —
+    // the sub-aware registration merges the group's ≤S buckets exactly
+    val st2 = tmpDir("sqlc-ex-sb")
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g1", 9L, 2L), ("g1", 100L, 1L), ("g2", 3L, 1L))
+        .toDF("g", "v", "w"),
+      st2, 0L, numBuckets = 4, subBuckets = 2)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.extremaPointRead("sqlc_ex_sb_for", s"$st2/extrema",
+        numBuckets = 4, subBuckets = 2)))
+    val qSb = spark.sql("SELECT g, n, min_v, max_v FROM sqlc_ex_sb_for('g1')")
+    assert(qSb.as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("g1", 4L, 5L, 100L)))
+    assert(qSb.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "sub-bucketed TVF must still prune")
+    // the Scala twin agrees (merge-at-read over the group's buckets)
+    assert(IncrementalExtrema.viewFor(spark, st2, Seq("g1"),
+      numBuckets = 4, subBuckets = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("g1", 4L, 5L, 100L)))
   }
 
   test("rollup / derived / summary / labels / funnel levels register and read ≡ engine") {

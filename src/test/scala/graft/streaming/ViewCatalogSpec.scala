@@ -442,6 +442,20 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(mv.getLong(8) === 1L, "pending moved artifact visible")
     assert(mv.getLong(3) === 0L, "a marker dir has no buckets")
     assert(ViewCatalog.completedFloor(spark, cd) === 0L)
+    // the reshard resume floor is stamped at the FAMILY NAMESPACE root,
+    // one level above the tables — the report must still surface it
+    MvPipeline.writeResumeFloor(spark, s"$sA/joinaggstar", 7L)
+    // a crashed atomic backfill's '<table>.bf' partial is NOT live state
+    val fs = new org.apache.hadoop.fs.Path(sA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$sA/joinaggstar/lbl.bf/bucket=0"))
+    val rep2 = ViewCatalog.describe(spark, cat, cd).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(rep2((sA, "joinaggstar/a")).getLong(9) === 7L,
+      "namespace-root resume floor surfaced on the table rows")
+    assert(!rep2.contains((sA, "joinaggstar/lbl.bf")),
+      "a .bf backfill partial must not report as a live table")
   }
 
   test("startMulti (R174): two sources at different cadences ≡ the single-stream twin; crash drill across the source boundary") {
