@@ -76,7 +76,8 @@ object IncrementalFunnel {
     * Args as in [[graft.operators.Funnel.windowFunnel]]. */
   def processBatch(df: DataFrame, userCol: String, tsUsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long,
-      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16): Unit = {
+      stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
+      movedDir: Option[String] = None): Unit = {
     require(steps.nonEmpty)
     val spark = df.sparkSession
     val inc = project(df, userCol, tsUsCol, typeCol, steps)
@@ -93,7 +94,35 @@ object IncrementalFunnel {
           MvPipeline.bucketIdsOf(inc, Seq("user"), numBuckets), inc.schema)
         .transform(graft.operators.Caching.persisted)
       deltaFold(st, inc, steps.size, windowUs)
-    }, merge, batchId, numBuckets, Seq("user"))
+    }, merge, batchId, numBuckets, Seq("user"),
+      // moved-keys log (R176, the behavioral family's member): users
+      // whose SERVED level this delta changes, with both coordinates —
+      // the delta's users' pre-state rows are a bucket-pruned read, and
+      // the POST level is the same max-aggregate over (pre-state ∪
+      // delta) rows, both computable BEFORE any bucket applies (the
+      // staged-artifact window). Levels are monotone under folds, so
+      // new_level is never null here (forgetFunnel is not logged —
+      // level-derived views over forget-bearing stores re-derive from
+      // [[levels]]).
+      artifacts = movedDir.toSeq.map { md =>
+        (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) => {
+          val users = d.select("user").distinct()
+            .transform(graft.operators.Caching.persisted)
+          val stRows = MvPipeline.readBuckets(spark, path,
+              MvPipeline.bucketIdsOf(users, Seq("user"), numBuckets),
+              stateSchema)
+            .join(users, Seq("user"), "left_semi")
+            .transform(graft.operators.Caching.persisted)
+          val oldL = levelsOf(stRows)
+            .withColumnRenamed("level", "old_level")
+          val newL = levelsOf(stRows.unionByName(
+              d.join(users, Seq("user"), "left_semi")))
+            .withColumnRenamed("level", "new_level")
+          newL.join(oldL, Seq("user"), "left")
+            .filter(!(col("old_level") <=> col("new_level")))
+            .select(col("user"), col("old_level"), col("new_level"))
+        })
+      })
     graft.operators.Caching.releaseAll()
   }
 
@@ -117,13 +146,32 @@ object IncrementalFunnel {
     ue.unionByName(f).unionByName(c).unionByName(cl)
   }
 
+  /** The funnel state-row schema (`kind, k, user, t1, tk` — the
+    * [[project]] shape every table row carries). */
+  private[streaming] val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("user",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("t1",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tk",
+      org.apache.spark.sql.types.LongType)))
+
   /** The state-served read of `windowFunnel` levels: `(user, level)` for
     * every user ever seen — deepest stage with a live anchor (or a
     * compacted frozen-anchor summary), 0 when the user has events but no
     * step-1. One state scan, one hash-agg. */
   def levels(spark: SparkSession, stateDir: String): DataFrame =
-    MvPipeline.readBucketedState(spark, s"$stateDir/funnel")
-      .select(col("user"),
+    levelsOf(MvPipeline.readBucketedState(spark, s"$stateDir/funnel"))
+
+  /** [[levels]] over an explicit state-row frame (the moved-log
+    * artifact computes pre/post levels from pruned reads through the
+    * same aggregate). */
+  private[streaming] def levelsOf(rows: DataFrame): DataFrame =
+    rows.select(col("user"),
         when(col("kind").isin("f", "c"), col("k")).otherwise(0).as("lvl"))
       .groupBy("user").agg(max("lvl").cast("int").as("level"))
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** View-over-view maintenance (R164): a derived keyed table recomputed
   * each batch for ONLY the keys the base views' changelogs touched
@@ -226,5 +226,55 @@ class DerivedViewSpec extends SparkTestBase {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$md/_moved_b9.tmp"))
     assert(MovedLog.pendingArtifacts(spark, md).isEmpty,
       "a .tmp staging leftover must not be consumable")
+  }
+
+  test("moved-log trigger over FUNNEL levels (R176, the behavioral member): histogram ≡ recompute") {
+    // a per-LEVEL user histogram (the conversion dashboard) maintained
+    // over the funnel's REPLACE-per-user levels — the fold logs each
+    // user's pre/post level, so the derived view touches only moved
+    // levels (old decrements drop emptied rows, new increments land)
+    val fn = tmpDir("ml-fn"); val sD = tmpDir("ml-fn-d"); val md = tmpDir("ml-fn-mv")
+    val histSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_users", LongType)))
+    val movedSchema = StructType(Seq(StructField("user", LongType),
+      StructField("old_level", IntegerType), StructField("new_level", IntegerType)))
+    def fold(rows: Seq[(Long, Long, String)], id: Long): Unit =
+      IncrementalFunnel.processBatch(rows.toDF("user", "t", "typ"),
+        "user", "t", "typ", steps = Seq("a", "b", "c"), windowUs = 100L,
+        stateDir = fn, batchId = id, movedDir = Some(md))
+    def roll(id: Long): Unit = {
+      val consumed = MovedLog.pendingArtifacts(spark, md)
+      val moved = MovedLog.pending(spark, md, movedSchema)
+      val touched = moved.select(col("old_level").cast("long").as("g"))
+        .unionByName(moved.select(col("new_level").cast("long").as("g")))
+        .filter(col("g").isNotNull).distinct()
+      val rows = IncrementalFunnel.levels(spark, fn)
+        .join(touched.select(col("g").cast("int").as("level")),
+          Seq("level"), "left_semi")
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .select(col("level").cast("long").as("g"), col("n_users"))
+      DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      MovedLog.sweep(spark, md, consumed)
+    }
+    def served(): Map[Long, Long] =
+      DerivedView.view(spark, sD, histSchema).as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      IncrementalFunnel.levels(spark, fn)
+        .groupBy("level").agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().map { case (l, n) => l.toLong -> n }.toMap
+
+    // user 1 anchors (level 1); user 2 reaches level 2
+    fold(Seq((1L, 10L, "a"), (2L, 10L, "a"), (2L, 20L, "b")), 0L)
+    roll(0L)
+    assert(served() === expected() && served() === Map(1L -> 1L, 2L -> 1L))
+    // user 1 advances 1 -> 3: level 1 empties (row DROPS via the old
+    // coordinate), level 3 appears
+    fold(Seq((1L, 30L, "b"), (1L, 40L, "c")), 1L)
+    roll(1L)
+    assert(served() === expected() && served() === Map(2L -> 1L, 3L -> 1L))
+    // a no-move batch (duplicate event): empty artifact, derived no-op
+    fold(Seq((2L, 20L, "b")), 2L)
+    roll(2L)
+    assert(served() === expected() && served() === Map(2L -> 1L, 3L -> 1L))
   }
 }
