@@ -332,6 +332,32 @@ object SqlCatalog {
     }
   }
 
+  /** Maintained exact COUNT(DISTINCT) point read over a star's `u/`
+    * table (R158): `<fn>('g') -> (g, n_distinct)` — live values only
+    * (`w > 0`). `subBuckets` must match the writer's R173 layout, as
+    * [[extremaPointRead]]. */
+  def starDistinctPointRead(fn: String, uPath: String,
+      numBuckets: Int = 16, subBuckets: Int = 1): SqlView = {
+    requireSqlName(fn)
+    require(subBuckets >= 1, "subBuckets >= 1")
+    SqlView(fn) { s =>
+      registerStateTable(s, s"${fn}_state", uPath,
+        IncrementalExtrema.vwSchema)
+      val bucketPred =
+        if (subBuckets == 1) s"bucket = pmod(xxhash64(grp), ${numBuckets}L)"
+        else (0 until subBuckets)
+          .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
+          .mkString("bucket IN (", ", ", ")")
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
+        RETURNS TABLE (g STRING, n_distinct BIGINT)
+        RETURN SELECT g, count(1) AS n_distinct
+        FROM ${fn}_state
+        WHERE $bucketPred
+          AND g = grp AND w > 0
+        GROUP BY g""")
+    }
+  }
+
   /** Sessions point read: `<fn>(user) -> (k, session_start,
     * session_end, n_events)` — live ∪ frozen with the compaction
     * crash-rule distinct, both tables pruned to the user's bucket. */

@@ -218,6 +218,34 @@ class SqlCatalogSpec extends SparkTestBase {
       Seq(("g1", 4L, 5L, 100L)))
   }
 
+  test("star distinct point read: TVF ≡ distinctView, pruned, sub-bucket aware") {
+    val state = tmpDir("sqlc-ud")
+    val u = Seq(("g1", 5L, 2L), ("g1", 6L, 1L), ("g2", 5L, 1L))
+      .toDF("g", "v", "w")
+    MvPipeline.upsertBucketedMerge(u, s"$state/joinaggstar/u",
+      IncrementalExtrema.mergeVw, -1L, 4, Seq("g"))
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.starDistinctPointRead("sqlc_ud_for",
+        s"$state/joinaggstar/u", numBuckets = 4)))
+    val q = spark.sql("SELECT g, n_distinct FROM sqlc_ud_for('g1')")
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("g1", 2L)))
+    assertPrunedTo(q, bucketOf("g1", 4))
+    assert(q.as[(String, Long)].collect().toSeq ===
+      IncrementalJoinAggStar.distinctView(spark, state)
+        .filter(col("g") === "g1").as[(String, Long)].collect().toSeq)
+    // the R173 sub-bucketed u/ layout needs the sub-aware registration
+    val st2 = tmpDir("sqlc-ud-sb")
+    MvPipeline.upsertBucketedMerge(
+      u.withColumn("sb", IncrementalExtrema.subBucketOf(col("v"), 2)),
+      s"$st2/joinaggstar/u", IncrementalExtrema.mergeVwSb, -1L, 4,
+      Seq("g", "sb"))
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.starDistinctPointRead("sqlc_ud_sb_for",
+        s"$st2/joinaggstar/u", numBuckets = 4, subBuckets = 2)))
+    assert(spark.sql("SELECT g, n_distinct FROM sqlc_ud_sb_for('g1')")
+      .as[(String, Long)].collect().toSeq === Seq(("g1", 2L)))
+  }
+
   test("rollup / derived / summary / labels / funnel levels register and read ≡ engine") {
     // rollup
     val rl = tmpDir("sqlc-rl")
