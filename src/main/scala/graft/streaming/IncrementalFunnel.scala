@@ -108,17 +108,23 @@ object IncrementalFunnel {
         (MovedLog.artifactPath(md, "b", batchId), (d: DataFrame) => {
           val users = d.select("user").distinct()
             .transform(graft.operators.Caching.persisted)
+          // NULL-SAFE joins throughout: the fold maintains a null user
+          // as a real key (xxhash64(null) routes it consistently), so
+          // its level moves must reach the artifact too. Schema from
+          // the delta itself — user keeps the CALLER's type (the main
+          // fold's inc.schema rule), never a pinned Long.
           val stRows = MvPipeline.readBuckets(spark, path,
               MvPipeline.bucketIdsOf(users, Seq("user"), numBuckets),
-              stateSchema)
-            .join(users, Seq("user"), "left_semi")
+              d.schema)
+            .as("st")
+            .join(users.as("us"), col("st.user") <=> col("us.user"),
+              "left_semi")
             .transform(graft.operators.Caching.persisted)
           val oldL = levelsOf(stRows)
-            .withColumnRenamed("level", "old_level")
-          val newL = levelsOf(stRows.unionByName(
-              d.join(users, Seq("user"), "left_semi")))
+            .select(col("user").as("o_user"), col("level").as("old_level"))
+          val newL = levelsOf(stRows.unionByName(d))
             .withColumnRenamed("level", "new_level")
-          newL.join(oldL, Seq("user"), "left")
+          newL.join(oldL, col("user") <=> col("o_user"), "left")
             .filter(!(col("old_level") <=> col("new_level")))
             .select(col("user"), col("old_level"), col("new_level"))
         })
@@ -145,20 +151,6 @@ object IncrementalFunnel {
     val cl = all.filter(col("kind") === "cl")
     ue.unionByName(f).unionByName(c).unionByName(cl)
   }
-
-  /** The funnel state-row schema (`kind, k, user, t1, tk` — the
-    * [[project]] shape every table row carries). */
-  private[streaming] val stateSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("kind",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("k",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("user",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("t1",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("tk",
-      org.apache.spark.sql.types.LongType)))
 
   /** The state-served read of `windowFunnel` levels: `(user, level)` for
     * every user ever seen — deepest stage with a live anchor (or a

@@ -317,11 +317,7 @@ object SqlCatalog {
     SqlView(fn) { s =>
       registerStateTable(s, s"${fn}_state", extremaPath,
         IncrementalExtrema.vwSchema)
-      val bucketPred =
-        if (subBuckets == 1) s"bucket = pmod(xxhash64(grp), ${numBuckets}L)"
-        else (0 until subBuckets)
-          .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
-          .mkString("bucket IN (", ", ", ")")
+      val bucketPred = valueBucketPred(numBuckets, subBuckets)
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
         RETURNS TABLE (g STRING, n BIGINT, min_v BIGINT, max_v BIGINT)
         RETURN SELECT g, sum(w) AS n, min(v) AS min_v, max(v) AS max_v
@@ -343,11 +339,7 @@ object SqlCatalog {
     SqlView(fn) { s =>
       registerStateTable(s, s"${fn}_state", uPath,
         IncrementalExtrema.vwSchema)
-      val bucketPred =
-        if (subBuckets == 1) s"bucket = pmod(xxhash64(grp), ${numBuckets}L)"
-        else (0 until subBuckets)
-          .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
-          .mkString("bucket IN (", ", ", ")")
+      val bucketPred = valueBucketPred(numBuckets, subBuckets)
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING)
         RETURNS TABLE (g STRING, n_distinct BIGINT)
         RETURN SELECT g, count(1) AS n_distinct
@@ -379,6 +371,19 @@ object SqlCatalog {
         WHERE bucket = pmod(xxhash64(usr), ${numBuckets}L) AND k = usr""")
     }
   }
+
+  /** The R173-aware bucket predicate for the VALUE-MULTIPLICITY tables
+    * (`e/` extrema, `u/` distinct): plain layout routes by `g`, the
+    * sub-bucketed layout by `(g, xxhash64(v) % S)` with sb in 0..S-1 —
+    * a literal `grp` constant-folds either form into partition filters.
+    * The ONE construction site (a mismatched predicate over a
+    * sub-bucketed store would silently aggregate a fraction of the
+    * group — both TVFs must evolve with the writer's layout together). */
+  private def valueBucketPred(numBuckets: Int, subBuckets: Int): String =
+    if (subBuckets == 1) s"bucket = pmod(xxhash64(grp), ${numBuckets}L)"
+    else (0 until subBuckets)
+      .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
+      .mkString("bucket IN (", ", ", ")")
 
   /** Register a raw bucketed state table with `bucket` as a partition
     * column (`basePath` read). REFUSES a dir carrying swap leftovers

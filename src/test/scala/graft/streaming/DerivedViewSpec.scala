@@ -276,5 +276,15 @@ class DerivedViewSpec extends SparkTestBase {
     fold(Seq((2L, 20L, "b")), 2L)
     roll(2L)
     assert(served() === expected() && served() === Map(2L -> 1L, 3L -> 1L))
+    // a NULL user is a real funnel key (the fold routes and serves it)
+    // — its level move must reach the artifact through the null-safe
+    // joins, or the level-1 row would silently never appear
+    IncrementalFunnel.processBatch(
+      Seq((Option.empty[Long], 50L, "a")).toDF("user", "t", "typ"),
+      "user", "t", "typ", steps = Seq("a", "b", "c"), windowUs = 100L,
+      stateDir = fn, batchId = 3L, movedDir = Some(md))
+    roll(3L)
+    assert(served() === expected() &&
+      served() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 }
