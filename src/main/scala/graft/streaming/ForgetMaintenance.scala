@@ -76,6 +76,10 @@ object ForgetMaintenance {
       driverThreshold: Long = 1000000L, maxIter: Int = 20,
       movedPath: Option[String] = None,
       movedKind: String = "f"): Long = {
+    require(movedPath.isEmpty || opId >= 0,
+      "movedPath requires a replay-stamped op id (>= 0): an ad-hoc forget " +
+        "stages a FRESH uniquely-named artifact per re-run (no exists-skip), " +
+        "so duplicate pending artifacts would accumulate (MovedLog.artifactPath)")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     LabelMirror.backfill(spark, path, lblPath, stateSchema, idCol, numBuckets)
     val stagedName =

@@ -63,6 +63,10 @@ object IncrementalEmbedNearDup {
       stateDir: String, batchId: Long = -1L,
       driverThreshold: Long = 1000000L, maxIter: Int = 20,
       numBuckets: Int = 16, movedDir: Option[String] = None): Unit = {
+    require(movedDir.isEmpty || batchId >= 0,
+      "movedDir requires a replay-stamped batch id (>= 0): an ad-hoc fold " +
+        "stages a FRESH uniquely-named artifact per re-run (no exists-skip), " +
+        "so duplicate pending artifacts would accumulate (MovedLog.artifactPath)")
     val spark = embeddings.sparkSession
     val path = s"$stateDir/embneardup"
     val bidx = s"$stateDir/embneardup_bidx"

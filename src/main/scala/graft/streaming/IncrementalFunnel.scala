@@ -79,6 +79,10 @@ object IncrementalFunnel {
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       movedDir: Option[String] = None): Unit = {
     require(steps.nonEmpty)
+    require(movedDir.isEmpty || batchId >= 0,
+      "movedDir requires a replay-stamped batch id (>= 0): an ad-hoc fold " +
+        "stages a FRESH uniquely-named artifact per re-run (no exists-skip), " +
+        "so duplicate pending artifacts would accumulate (MovedLog.artifactPath)")
     val spark = df.sparkSession
     val inc = project(df, userCol, tsUsCol, typeCol, steps)
     val path = s"$stateDir/funnel"

@@ -72,6 +72,10 @@ object IncrementalMediaNearDup {
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       driverThreshold: Long = 1000000L, maxIter: Int = 20,
       movedDir: Option[String] = None): Unit = {
+    require(movedDir.isEmpty || batchId >= 0,
+      "movedDir requires a replay-stamped batch id (>= 0): an ad-hoc fold " +
+        "stages a FRESH uniquely-named artifact per re-run (no exists-skip), " +
+        "so duplicate pending artifacts would accumulate (MovedLog.artifactPath)")
     val spark = hashes.sparkSession
     val path = s"$stateDir/$view"
     val bidx = s"$stateDir/${view}_bidx"

@@ -89,6 +89,10 @@ object IncrementalNearDup {
       driverThreshold: Long = 1000000L,
       movedDir: Option[String] = None): Unit = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
+    require(movedDir.isEmpty || batchId >= 0,
+      "movedDir requires a replay-stamped batch id (>= 0): an ad-hoc fold " +
+        "stages a FRESH uniquely-named artifact per re-run (no exists-skip), " +
+        "so duplicate pending artifacts would accumulate (MovedLog.artifactPath)")
     val spark = docs.sparkSession
     val path = s"$stateDir/neardup"
     val bidx = s"$stateDir/neardup_bidx"

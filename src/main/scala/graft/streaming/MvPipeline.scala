@@ -357,7 +357,8 @@ object MvPipeline {
       if (batchId >= 0) s"_delta_b$batchId"
       else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
     val staged = new Path(s"$path/$stagedName")
-    if (!(batchId >= 0 && fs.exists(staged))) {
+    val preStaged = batchId >= 0 && fs.exists(staged)
+    if (!preStaged) {
       val tmp = new Path(s"$path/$stagedName.tmp")
       computeDelta.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(staged, true)
@@ -370,6 +371,30 @@ object MvPipeline {
     // has been applied yet, so an artifact projection may read pre-batch
     // state. They live OUTSIDE `path`'s `_delta_` sweep and survive the
     // fold; the consumer owns their lifecycle.
+    //
+    // GUARD (ADVICE r13): "nothing applied yet" holds only when the
+    // artifact was configured on the FIRST attempt. A replay that finds
+    // a pre-staged delta but a MISSING artifact (the run that staged the
+    // delta ran without `artifacts`, or a consumer swept it and this is
+    // a replay after the sweep) may be resuming a crash mid-bucket-loop
+    // — an artifact computed NOW would be f(delta) against PARTIALLY-
+    // applied state (e.g. a half-updated label mirror logs old == new
+    // and silently drops the true old coordinate). Refuse exactly that
+    // window: pre-staged delta + missing artifact + any target bucket
+    // already stamped with this batch (the forget path's staged/mv
+    // require, mirrored).
+    if (preStaged && artifacts.exists { case (p, _) => !fs.exists(new Path(p)) }) {
+      val stamped = fs.exists(new Path(path)) && fs.listStatus(new Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .exists(b => bucketStamp(fs, b.getPath) == batchId)
+      require(!stamped,
+        s"refusing to stage artifact for batch $batchId of $path: a staged " +
+          "delta exists, the artifact does not, and target buckets already " +
+          "carry this batch's replay stamp — the artifact would be computed " +
+          "against partially-applied state. Finish the bucket applies " +
+          "WITHOUT the artifact (re-run with artifacts = Nil), then rebuild " +
+          "the consumer from post-state, or restore the swept artifact")
+    }
     artifacts.foreach { case (p, f) => stageArtifact(spark, p)(f(delta)) }
     upsertBucketedMerge(delta, path, mergeFn, batchId, numBuckets, bucketKeys)
     secondaries.foreach { s =>

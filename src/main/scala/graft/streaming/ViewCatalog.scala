@@ -246,9 +246,12 @@ object ViewCatalog {
         .map(s => MvPipeline.bucketStamp(fs, s.getPath))
         .foldLeft(-1L)(math.max)
       val staged = entries.count(_.getPath.getName.startsWith("_delta_"))
+      // s.isDirectory mirrors MovedLog.pendingArtifacts' definition of
+      // "pending" — a stray plain FILE named _moved_* is not consumable
+      // and must not report as pending forever (ADVICE r13)
       val moved = entries.count { s =>
         val n = s.getPath.getName
-        n.startsWith("_moved_") && !n.endsWith(".tmp")
+        s.isDirectory && n.startsWith("_moved_") && !n.endsWith(".tmp")
       }
       // the reshard resume floor is stamped at the FAMILY NAMESPACE
       // root (e.g. <state>/joinaggstar), not at each table dir — look

@@ -287,4 +287,51 @@ class DerivedViewSpec extends SparkTestBase {
     assert(served() === expected() &&
       served() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("movedDir refuses ad-hoc (un-stamped) folds and forgets (ADVICE r13)") {
+    val nd = tmpDir("ml-adhoc"); val md = tmpDir("ml-adhoc-mv")
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IncrementalNearDup.processBatch(docs, "doc_id", "text",
+        threshold = 0.6, stateDir = nd, batchId = -1L, movedDir = Some(md))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalFunnel.processBatch(
+        Seq((1L, 10L, "a")).toDF("user", "t", "typ"),
+        "user", "t", "typ", steps = Seq("a", "b"), windowUs = 100L,
+        stateDir = tmpDir("ml-adhoc-fn"), batchId = -1L, movedDir = Some(md))
+    }
+    // the fold still runs stamped, and forget refuses the ad-hoc op id
+    IncrementalNearDup.processBatch(docs, "doc_id", "text",
+      threshold = 0.6, stateDir = nd, batchId = 0L, movedDir = Some(md))
+    intercept[IllegalArgumentException] {
+      IncrementalNearDup.forget(spark, nd, Seq(1L).toDF("doc_id"),
+        threshold = 0.6, opId = -1L, movedDir = Some(md))
+    }
+  }
+
+  test("artifact staging refuses a partially-applied replay window (ADVICE r13)") {
+    val base = tmpDir("art-guard"); val md = tmpDir("art-guard-mv")
+    val path = s"$base/t"
+    val art = s"$md/_moved_b5"
+    def fold(batchId: Long, artifacts: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)]): Unit =
+      MvPipeline.upsertBucketedStaged(spark, path,
+        computeDelta = Seq((1L, 10L), (2L, 20L)).toDF("g", "m"),
+        mergeFn = (old, inc) => old.unionByName(inc)
+          .groupBy("g").agg(sum("m").as("m")),
+        batchId = batchId, numBuckets = 4, bucketKeys = Seq("g"),
+        artifacts = artifacts)
+    // batch 5 applies fully WITHOUT an artifact (delta swept, buckets
+    // stamped 5); then a hand-restored staged delta + a NEW artifact
+    // config simulates the crash-mid-apply-then-reconfigure window
+    fold(5L, Nil)
+    Seq((1L, 10L), (2L, 20L)).toDF("g", "m").write
+      .parquet(s"$path/_delta_b5")
+    intercept[IllegalArgumentException] { fold(5L, Seq(art -> identity)) }
+    // the artifact was NOT staged by the refused call
+    assert(!new java.io.File(art).exists())
+    // a fresh batch id (no bucket stamped 6) stages its artifact fine
+    fold(6L, Seq(s"$md/_moved_b6" -> identity))
+    assert(new java.io.File(s"$md/_moved_b6").exists())
+  }
 }

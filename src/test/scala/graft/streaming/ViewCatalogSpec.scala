@@ -437,8 +437,15 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(a.getLong(3) > 0 && a.getLong(4) > 0, "buckets + bytes")
     assert(a.getLong(6) === 0L, "max replay stamp = the committed batch")
     assert(a.getLong(7) === 0L, "no staged leftovers after a clean fold")
-    // the bare moved-log dir stays visible through its pending artifact
-    val mv = rep((md, "."))
+    // the bare moved-log dir stays visible through its pending artifact;
+    // a stray plain FILE named _moved_* is NOT pending (it is not
+    // consumable by MovedLog.pendingArtifacts — ADVICE r13)
+    val mdFs = new org.apache.hadoop.fs.Path(md)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mdFs.create(new org.apache.hadoop.fs.Path(s"$md/_moved_stray"), true).close()
+    val rep1b = ViewCatalog.describe(spark, cat, cd).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    val mv = rep1b((md, "."))
     assert(mv.getLong(8) === 1L, "pending moved artifact visible")
     assert(mv.getLong(3) === 0L, "a marker dir has no buckets")
     assert(ViewCatalog.completedFloor(spark, cd) === 0L)
