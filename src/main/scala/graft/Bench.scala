@@ -8,6 +8,40 @@ import org.apache.spark.sql.SparkSession
   * untimed warmup absorbs session/codegen startup so the numbers measure
   * the queries, not JVM initialization. */
 object Bench {
+
+  /** Retime-target selection (VERDICT r13 task 3): the 4 slowest PLUS
+    * every query whose in-sequence reading exceeds 2x its recorded
+    * class envelope (`bench_envelope.json` — per-query seconds from the
+    * last committed full runs, regenerated at round close). The r13
+    * episode: x98 ran 3.4x its class but was not top-4, so the bench
+    * artifact carried no adjudication evidence for it. A 0.3 s absolute
+    * floor keeps sub-second jitter out; the list is capped so a fully
+    * loaded host cannot turn the retime child into a second full sweep.
+    * Pure function (spec-pinned in BenchRetimeSpec). */
+  def retimeTargets(results: Seq[(String, Double)],
+      envelope: Map[String, Double], cap: Int = 12): Seq[String] = {
+    val ok = results.filter(_._2 > 0)
+    val top4 = ok.sortBy(-_._2).take(4).map(_._1)
+    val outliers = ok.collect {
+      case (n, s) if s > 0.3 &&
+        envelope.get(n).exists(e => e > 0 && s > 2 * e) => n
+    }
+    (top4 ++ outliers).distinct.take(cap)
+  }
+
+  /** `bench_envelope.json`'s per-query seconds (empty when absent). */
+  def readEnvelope(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val txt = try src.mkString finally src.close()
+      // one flat "name": seconds map under "envelope" — a 6-line regex
+      // parse keeps the bench dependency-free (no JSON lib on the
+      // unmanaged classpath contract)
+      val body = txt.drop(txt.indexOf("\"envelope\""))
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "envelope"
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +79,18 @@ object Bench {
     // in-sequence class, which read as regressions; ARCHITECTURE §3).
     // Unset in driver runs, so the timed sweep's contract is unchanged.
     val warmTarget = sys.env.contains("SPARK_GRAFT_WARM_TARGET")
+    // UNTIMED state-build phase (VERDICT r13 task 2): the SQL-catalog /
+    // as-of / retrieval-surface queries read MAINTAINED state built once
+    // per (process, sf dir). Paying that build inside the first timed
+    // invocation inflated BENCH_r13 by ~10 s under two query names and
+    // broke round-over-round comparability — so the bench now pre-builds
+    // it here and reports the cost as its own `state_build_s` field.
+    val tBuild0 = System.nanoTime()
+    try graft.queries.ExtQueries.prebuildBenchState(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] state prebuild failed: $e") }
+    val stateBuildS = (System.nanoTime() - tBuild0) / 1e9
+    graft.operators.Caching.releaseAll()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
@@ -104,10 +150,19 @@ object Bench {
     // (SPARK_GRAFT_WARM_TARGET) so its numbers read in the same units as
     // the in-sequence ones instead of carrying full cold-JVM scan/JIT
     // startup (the r12 x116 15.77 s artifact).
+    // class-envelope outlier selection (r14): top-4 PLUS every query
+    // above 2x its recorded envelope — x98's 3.4x reading escaped the
+    // r13 top-4 cutoff and the artifact carried no adjudication for it.
+    // The envelope records sf0.1 classes (the driver's bench SF); at any
+    // other SF the comparison is meaningless, so only the top-4 fire.
+    val envelope =
+      if (sfDir.contains("sf0.1")) readEnvelope(
+        sys.env.getOrElse("SPARK_GRAFT_ENVELOPE", "/root/repo/bench_envelope.json"))
+      else Map.empty[String, Double]
     val retimes: Seq[(String, Double)] =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_RETIME")) Nil
       else {
-        val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(4).map(_._1)
+        val slowest = retimeTargets(results, envelope)
         if (slowest.isEmpty) Nil
         else try {
           spark.stop()
@@ -156,18 +211,23 @@ object Bench {
       else retimes.map { case (n, v) =>
         val seq = results.toMap.getOrElse(n, -1.0)
         // "isolated" is WARM-comparable from r13 on: the child pre-ran
-        // the query untimed at the target SF (see SPARK_GRAFT_WARM_TARGET)
-        f""""$n":{"in_sequence":$seq%.3f,"isolated":$v%.3f}"""
+        // the query untimed at the target SF (see SPARK_GRAFT_WARM_TARGET);
+        // "envelope" is the recorded class (bench_envelope.json) the
+        // outlier trigger compared against, absent for new queries
+        val envPart = envelope.get(n)
+          .map(e => f""","envelope":$e%.3f""").getOrElse("")
+        f""""$n":{"in_sequence":$seq%.3f,"isolated":$v%.3f$envPart}"""
       }.mkString(""","isolated_retimes":{""", ",", "}")
+    val buildJson = f""","state_build_s":$stateBuildS%.3f"""
     // the driver contract is EXACTLY ONE {"metric":...} line — the
     // retimes ride it (computed above, before any print)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errs$retimeJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errs$retimeJson$buildJson}""")
     // compact summary LAST under a NON-metric key (captured output keeps
     // the tail; the big per-query line has historically been truncated
     // from the front — r8/r9 judges re-derived totals from partial
     // tails — and this line is small enough to always survive), without
     // ever making a grep for {"metric" ambiguous
-    println(f"""{"bench_summary":{"total_s":${total}%.3f,"n_queries":${results.size},"n_errors":${failed.size}$errs$retimeJson,"sf":"$sfDir"}}""")
+    println(f"""{"bench_summary":{"total_s":${total}%.3f,"n_queries":${results.size},"n_errors":${failed.size}$errs$retimeJson$buildJson,"sf":"$sfDir"}}""")
     spark.stop()
   }
 }

@@ -1896,6 +1896,49 @@ object ExtQueries {
         s"$state/joinaggstar/a", numBuckets = 2)))
   }
 
+  /** UNTIMED bench state prebuild (VERDICT r13 task 2): force the
+    * once-per-(process, dir) maintained-state builds behind the
+    * SQL-surface queries (x131/x132, x134/x135 — and the retrieval
+    * TVF's index state) so the TIMED readings measure the warm READ,
+    * not a one-time bootstrap. `graft.Bench` calls this before its
+    * timed sweep and reports the cost as `state_build_s`; outside the
+    * bench the builds stay lazy (first query pays, as documented). */
+  def prebuildBenchState(s: SparkSession, dir: String): Unit = {
+    sqlCatalogViews(s, dir)
+    sqlAsOfViews(s, dir)
+    sqlBm25Views(s, dir)
+  }
+
+  /** Shared maintained INDEX state behind the SQL retrieval TVF
+    * (x136): the bucketed postings + doc-length tables folded once per
+    * (process, sf dir) from the documents corpus
+    * ([[graft.streaming.IncrementalIndex.processBatchBucketed]]). */
+  private val sqlBm25State = scala.collection.mutable.Map[String, String]()
+  private def sqlBm25Views(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlBm25State.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqlbm25").toString
+      graft.streaming.IncrementalIndex.processBatchBucketed(
+        Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.bm25Read("x136_bm25", state, numBuckets = 8)))
+  }
+
+  /** Per-QUERY BM25 retrieval through SQL (VERDICT r13 task 4): the
+    * `x136_bm25('spark vector merge', 20)` TABLE FUNCTION call over the
+    * maintained posting state — query-dependent idf computed in the
+    * body, parameters confined to WHERE (the aggregating-TVF rule), the
+    * exact-rational e6 scoring of x45, so the SQL surface answers
+    * exactly what [[graft.streaming.IncrementalIndex.searchBm25Bucketed]]
+    * answers. Oracle: the x45 DuckDB recompute (same terms, same k). */
+  def x136SqlBm25(s: SparkSession, dir: String): DataFrame = {
+    sqlBm25Views(s, dir)
+    s.sql("""SELECT doc_id, matched, score_e6
+      FROM x136_bm25('spark vector merge', 20)
+      ORDER BY score_e6 DESC, doc_id""")
+  }
+
   /** SQL TIME-TRAVEL over a maintained view (R172 as-of surface): the registered
     * as-of frame (changelog integral truncated at batch 0) joined
     * ad-hoc against the live view — what changed since batch 0, per
@@ -4771,6 +4814,9 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "x45_bm25_topk" -> duckBm25,
+    // the SQL TVF surface answers the SAME retrieval (same terms/k), so
+    // the x45 mirror is its oracle verbatim
+    "x136_sql_bm25" -> duckBm25,
     "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
     "x40_mixture_sample" -> duckMixtureSample,
@@ -5456,6 +5502,7 @@ object ExtQueries {
     "x133_mixed_enriched" -> x133MixedEnriched, // oracle: per-(click, window) un-aggregated mixed join (R175)
     "x134_sql_asof" -> x134SqlAsof, // oracle: SQL time-travel (as-of batch 0 vs live) over a 2-batch maintained view (R172)
     "x135_sql_asof_point" -> x135SqlAsofPoint, // oracle: bucket-pruned SQL as-of TVF point read (R172)
+    "x136_sql_bm25" -> x136SqlBm25, // oracle: per-query BM25 top-k as a SQL table function (r14)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

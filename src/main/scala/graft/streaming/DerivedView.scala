@@ -69,6 +69,8 @@ object DerivedView {
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
       schema: StructType, numBuckets: Int = 16): DataFrame = {
     import spark.implicits._
+    MvPipeline.assertReadLayout(spark, s"$stateDir/derived", numBuckets, 1,
+      "derived viewFor")
     val gdf = groups.toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
     MvPipeline.readBuckets(spark, s"$stateDir/derived", ids, schema)

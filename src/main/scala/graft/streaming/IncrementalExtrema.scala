@@ -91,7 +91,7 @@ object IncrementalExtrema {
       MvPipeline.upsertBucketedMerge(
         inc.withColumn("sb", subBucketOf(col("v"), subBuckets)),
         s"$stateDir/extrema", mergeVwSb, batchId, numBuckets,
-        bucketKeys = Seq("g", "sb"))
+        bucketKeys = Seq("g", "sb"), subBuckets = subBuckets)
   }
 
   /** The derived sub-bucket coordinate: `xxhash64(v) % S`. */
@@ -136,6 +136,8 @@ object IncrementalExtrema {
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
       numBuckets: Int = 16, subBuckets: Int = 1): DataFrame = {
     import spark.implicits._
+    MvPipeline.assertReadLayout(spark, s"$stateDir/extrema", numBuckets,
+      subBuckets, "extrema viewFor")
     val ids =
       if (subBuckets == 1)
         MvPipeline.bucketIdsOf(groups.toDF("g"), Seq("g"), numBuckets)

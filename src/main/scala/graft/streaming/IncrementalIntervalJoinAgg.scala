@@ -325,6 +325,8 @@ object IncrementalIntervalJoinAgg {
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
       numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
     import spark.implicits._
+    MvPipeline.assertReadLayout(spark, s"$stateDir/intervaljoinagg/a",
+      numBuckets, 1, "interval viewFor")
     val gdf = groups.toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
     val st = MvPipeline.readBuckets(spark, s"$stateDir/intervaljoinagg/a",

@@ -984,7 +984,7 @@ object IncrementalJoinAggStar {
         rows.withColumn("sb",
           IncrementalExtrema.subBucketOf(col("v"), subBuckets)),
         path, IncrementalExtrema.mergeVwSb, batchId, numBuckets,
-        Seq("g", "sb"))
+        Seq("g", "sb"), subBuckets = subBuckets)
 
   /** `(g, total, rows)` == the batch star join-aggregate.
     * `numMeasures` only shapes the empty-state fallback schema; once
@@ -1012,6 +1012,8 @@ object IncrementalJoinAggStar {
   def viewFor(spark: SparkSession, stateDir: String, groups: Seq[String],
       numBuckets: Int = 16, numMeasures: Int = 1): DataFrame = {
     import spark.implicits._
+    MvPipeline.assertReadLayout(spark, s"$stateDir/joinaggstar/a",
+      numBuckets, 1, "star viewFor")
     val gdf = groups.toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
     val st = MvPipeline.readBuckets(spark, s"$stateDir/joinaggstar/a", ids,
@@ -1177,7 +1179,7 @@ object IncrementalJoinAggStar {
             // drop sb on BOTH sides: the init-merge's empty frame
             // carries the increment's schema (incl. sb)
             (old, inc) => old.drop("sb").unionByName(inc.drop("sb")), -1L,
-            newBuckets, Seq("g", "sb"))
+            newBuckets, Seq("g", "sb"), subBuckets = spec.valueSubBuckets)
       }
     }
     // replay safety: the destination carries no per-bucket stamps, so it

@@ -272,6 +272,10 @@ object IncrementalSessions {
   def viewFor(spark: SparkSession, stateDir: String, users: Seq[Long],
       numBuckets: Int = 16, numMeasures: Int = 0): DataFrame = {
     import spark.implicits._
+    MvPipeline.assertReadLayout(spark, s"$stateDir/sessions/v", numBuckets,
+      1, "sessions viewFor")
+    MvPipeline.assertReadLayout(spark, s"$stateDir/sessions/vf", numBuckets,
+      1, "sessions viewFor")
     val kdf = users.toDF("k")
     def pruned(table: String): DataFrame =
       MvPipeline.readBuckets(spark, s"$stateDir/sessions/$table",
@@ -352,6 +356,98 @@ object IncrementalSessions {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         eSchemaN(numMeasures)),
       dels, gap, stateDir, batchId, numBuckets, numMeasures)
+  }
+
+  /** SINGLE-CALL GDPR (r14, VERDICT r13 task 6): forget `users` across
+    * BOTH horizons — frozen floor rows AND live events — in ONE staged
+    * op, retiring the purgeFrozen-then-forgetUsers two-pass contract
+    * (the last sharp edge in the forget family: callers had to know
+    * which horizon a user's history lived in and sequence two batch
+    * ids). The delta is exact WITHOUT re-sessionization: deleting ALL
+    * of a user's retained events leaves them zero live sessions, so the
+    * live diff is simply −(their current `v/` rows) + −(their `e/`
+    * rows), and frozen rows retract directly (−`vf/`). Every retracted
+    * session row ships a −1 changelog row stamped `batchId`, so
+    * integral == view holds through the forget and external summing
+    * sinks converge. A row duplicated across `v/`∪`vf/` (the compaction
+    * crash window the serving distinct masks) emits one −1 changelog
+    * row (the two sources' c rows are identical and the changelog merge
+    * is distinct) — matching its single historical +1.
+    *
+    * Crash/replay: the standard staged protocol — one `_delta_b<id>`
+    * staged from pre-state, four marker-guarded table applies, sweep
+    * after all commit; a replay with the delta swept recomputes an
+    * EMPTY delta (the users are gone) and no-ops. */
+  def forgetUsersFully(spark: SparkSession, users: Seq[Long],
+      stateDir: String, batchId: Long, numBuckets: Int = 16,
+      numMeasures: Int = 0): Unit = {
+    import spark.implicits._
+    val path = s"$stateDir/sessions"
+    MvPipeline.assertAboveResumeFloor(spark, path, batchId)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedName =
+      if (batchId >= 0) s"_delta_b$batchId"
+      else s"_delta_adhoc_${java.util.UUID.randomUUID.toString.take(8)}"
+    val staged = new Path(s"$path/$stagedName")
+    val mCols = mColsOf(numMeasures)
+    val smCols = smColsOf(numMeasures)
+    if (!(batchId >= 0 && fs.exists(staged))) {
+      val kdf = users.toDF("k")
+      val ids = MvPipeline.bucketIdsOf(kdf, Seq("k"), numBuckets)
+      def hit(table: String, schema: StructType): DataFrame =
+        MvPipeline.readBuckets(spark, s"$path/$table", ids, schema)
+          .join(broadcast(kdf), Seq("k"), "left_semi")
+      val liveE = hit("e", eSchemaN(numMeasures))
+      val liveV = hit("v", vSchemaN(numMeasures))
+      val frozen = hit("vf", vSchemaN(numMeasures))
+      val nil = lit(null).cast("long")
+      val vCols = Seq("k", "st", "en", "n") ++ smCols
+      def rows(src: DataFrame, tbl: String, b: org.apache.spark.sql.Column) =
+        src.select(Seq(lit(tbl).as("tbl"), nil.as("id"), nil.as("t")) ++
+          mCols.map(c => nil.as(c)) ++ vCols.map(col) ++
+          Seq(b.as("b"), lit(-1L).as("w")): _*)
+      val delta =
+        liveE.select(Seq(lit("e").as("tbl"), col("id"), col("t")) ++
+            mCols.map(col) ++
+            Seq(col("k"), nil.as("st"), nil.as("en"), nil.as("n")) ++
+            smCols.map(c => nil.as(c)) ++
+            Seq(nil.as("b"), lit(-1L).as("w")): _*)
+          .unionByName(rows(liveV, "v", nil))
+          .unionByName(rows(liveV, "c", lit(batchId)))
+          .unionByName(rows(frozen, "vf", nil))
+          .unionByName(rows(frozen, "c", lit(batchId)))
+      val tmp = new Path(s"$path/$stagedName.tmp")
+      delta.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(staged, true)
+      require(fs.rename(tmp, staged), s"stage delta $staged")
+    }
+    val delta = spark.read.parquet(staged.toString).persist()
+    try MvPipeline.applyConcurrently(Seq(
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "e")
+          .select(("id" +: "t" +: mCols) ++ Seq("k", "w") map col: _*),
+        s"$path/e", IncrementalJoinAggStar.mergeF, batchId, numBuckets,
+        Seq("k")),
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "v")
+          .select((Seq("k", "st", "en", "n") ++ smCols :+ "w").map(col): _*),
+        s"$path/v", mergeV, batchId, numBuckets, Seq("k")),
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "vf")
+          .select((Seq("k", "st", "en", "n") ++ smCols :+ "w").map(col): _*),
+        s"$path/vf", mergeV, batchId, numBuckets, Seq("k")),
+      () => MvPipeline.upsertBucketedMerge(
+        delta.filter(col("tbl") === "c")
+          .select((Seq("b", "k", "st", "en", "n") ++ smCols :+ "w")
+            .map(col): _*)
+          .distinct(), // the v/vf crash-window duplicate collapses here
+        s"$path/c", (old, inc) => old.unionByName(inc).distinct(),
+        batchId, numBuckets, Seq("k"))))
+    finally delta.unpersist()
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path))
+        .filter(x => x.getPath.getName.startsWith("_delta_"))
+        .foreach(x => fs.delete(x.getPath, true))
   }
 
   /** WATERMARK-EXACT state compaction — the bounded-state member of

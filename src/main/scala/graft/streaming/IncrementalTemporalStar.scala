@@ -662,6 +662,8 @@ object IncrementalTemporalStar {
     import spark.implicits._
     require(groups.forall(_.size == numBranches),
       "each group names every branch coordinate")
+    MvPipeline.assertReadLayout(spark, s"$stateDir/$root/a", numBuckets, 1,
+      "temporal-star viewFor")
     val gdf = groups.map(g => g.map(_.getOrElse(NUL)).mkString(SEP)).toDF("g")
     val ids = MvPipeline.bucketIdsOf(gdf, Seq("g"), numBuckets)
     val st = MvPipeline.readBuckets(spark, s"$stateDir/$root/a", ids,

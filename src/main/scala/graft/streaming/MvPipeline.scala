@@ -251,6 +251,7 @@ object MvPipeline {
       mergeAgg: String => org.apache.spark.sql.Column, batchId: Long = -1L,
       numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
     val bk = if (bucketKeys.nonEmpty) bucketKeys else keys
+    ensureLayout(increment.sparkSession, path, numBuckets, 1, bk)
     val inc = increment
       .withColumn("_gb", pmod(xxhash64(bk.map(col): _*), lit(numBuckets.toLong)))
       .persist()
@@ -276,6 +277,88 @@ object MvPipeline {
     } finally inc.unpersist()
   }
 
+  /** SELF-DESCRIBING BUCKETED-STATE LAYOUT (SURVEY §2.11 R177, r14).
+    * Every bucketed read reconstructs the writer's routing — the bucket
+    * count, the (order-sensitive, xxhash64) bucket-key columns, and the
+    * R173 value sub-bucket fan-out — and a caller repeating the WRONG
+    * constants silently answers EMPTY (wrong bucket) or PARTIAL (a
+    * fraction of a sub-bucketed group); nothing errors. The `_layout`
+    * marker closes that class: the bucket-routing writers write it once
+    * at table-root creation and VERIFY it on every later fold (a fold
+    * with a different B/S/keys is refused before any bucket moves), and
+    * the point-read constructors ([[graft.streaming.SqlCatalog]] TVFs,
+    * the engines' `viewFor`s) check their caller's (B, S) against it
+    * ([[assertReadLayout]]). A legacy dir without a marker passes every
+    * check and ADOPTS the marker on its next fold; reshard writes the
+    * destination's marker fresh at the new bucket count. */
+  final case class Layout(numBuckets: Int, subBuckets: Int,
+      bucketKeys: Seq[String])
+
+  /** The `_layout` marker of a bucketed table root, if present. */
+  def readLayoutMarker(spark: SparkSession, path: String): Option[Layout] = {
+    val p = new Path(s"$path/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val kv = txt.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k.trim -> v.trim }.toMap
+    for {
+      b <- kv.get("B").filter(_.matches("\\d+")).map(_.toInt)
+      s <- kv.get("S").filter(_.matches("\\d+")).map(_.toInt)
+    } yield Layout(b, s,
+      kv.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+  }
+
+  /** Writer-side check-or-adopt: refuse a fold whose routing constants
+    * disagree with the store's marker; write the marker (tmp + rename)
+    * when absent. Called by the bucket-routing writers before any
+    * bucket moves. */
+  private def ensureLayout(spark: SparkSession, path: String,
+      numBuckets: Int, subBuckets: Int, bucketKeys: Seq[String]): Unit = {
+    readLayoutMarker(spark, path) match {
+      case Some(l) =>
+        require(l.numBuckets == numBuckets && l.subBuckets == subBuckets &&
+            (l.bucketKeys.isEmpty || l.bucketKeys == bucketKeys),
+          s"bucketed-state layout mismatch on $path: the store was written " +
+            s"with (numBuckets=${l.numBuckets}, subBuckets=${l.subBuckets}, " +
+            s"keys=${l.bucketKeys.mkString(",")}) but this fold routes with " +
+            s"(numBuckets=$numBuckets, subBuckets=$subBuckets, " +
+            s"keys=${bucketKeys.mkString(",")}) — rows would land in buckets " +
+            "no reader at the recorded layout can find. Reshard to change " +
+            "the layout; the marker is `_layout` at the table root")
+      case None =>
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new Path(path))
+        val tmp = new Path(s"$path/_layout.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(
+          s"B=$numBuckets\nS=$subBuckets\nkeys=${bucketKeys.mkString(",")}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(new Path(s"$path/_layout"), false)
+        require(fs.rename(tmp, new Path(s"$path/_layout")),
+          s"commit layout marker on $path")
+    }
+  }
+
+  /** Reader-side check: refuse a point read whose (B, S) disagree with
+    * the store's marker — a wrong B opens the wrong bucket (silently
+    * empty), a wrong S aggregates a fraction of a sub-bucketed group.
+    * A store without a marker (legacy, or never folded) passes. */
+  def assertReadLayout(spark: SparkSession, path: String,
+      numBuckets: Int, subBuckets: Int = 1, context: String = "read"): Unit =
+    readLayoutMarker(spark, path).foreach { l =>
+      require(l.numBuckets == numBuckets && l.subBuckets == subBuckets,
+        s"bucketed-state layout mismatch on $path ($context): the store's " +
+          s"marker says (numBuckets=${l.numBuckets}, subBuckets=" +
+          s"${l.subBuckets}) but the read was constructed with (numBuckets=" +
+          s"$numBuckets, subBuckets=$subBuckets) — it would answer empty or " +
+          "a fraction of a group, silently. Re-register with the marker's " +
+          "constants")
+    }
+
   /** [[upsertBucketed]] generalized to a whole-frame `mergeFn` per bucket
     * (the [[upsertMerge]] form) — for bucketed state whose merge is not a
     * per-column aggregate (kind-discriminated union tables like the
@@ -285,8 +368,14 @@ object MvPipeline {
     * [[upsertBucketedStaged]]). */
   def upsertBucketedMerge(increment: DataFrame, path: String,
       mergeFn: (DataFrame, DataFrame) => DataFrame, batchId: Long = -1L,
-      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil): Unit = {
+      numBuckets: Int = 16, bucketKeys: Seq[String] = Nil,
+      subBuckets: Int = 1): Unit = {
     require(bucketKeys.nonEmpty, "bucketKeys required for upsertBucketedMerge")
+    // `subBuckets` is purely DESCRIPTIVE here (the routing already rides
+    // in bucketKeys, e.g. the derived `sb` column) — it reaches the
+    // `_layout` marker so sub-bucket-aware readers can verify their S
+    ensureLayout(increment.sparkSession, path, numBuckets, subBuckets,
+      bucketKeys)
     val inc = increment
       .withColumn("_gb", pmod(xxhash64(bucketKeys.map(col): _*), lit(numBuckets.toLong)))
       .persist()

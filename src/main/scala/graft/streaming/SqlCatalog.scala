@@ -40,11 +40,13 @@ import org.apache.spark.sql.types.StructType
   * The point-read TVFs read 1/B of the table by partition pruning, the
   * same economics as the Scala path, but driven from the SQL planner.
   *
-  * Not expressible as SQL views (documented scope): the per-QUERY
-  * top-k retrieval entries (BM25/phrase — query-dependent idf over a
-  * variable term set) keep their Scala entry points
-  * ([[IncrementalIndex.searchBm25Bucketed]]); their posting STATE is
-  * registrable via [[indexState]] for ad-hoc SQL over the postings. */
+  * Per-QUERY retrieval (r14): BM25 top-k IS expressible as a table
+  * function over the registered posting state — [[bm25Read]] computes
+  * the query-dependent idf in the body with the parameters confined to
+  * WHERE (the aggregating-TVF correlated-ref rule). Positional PHRASE
+  * search keeps its Scala entry ([[IncrementalIndex.searchPhrase]] —
+  * the variable-length position-adjacency chain has no fixed-arity SQL
+  * form); posting STATE stays registrable via [[indexState]]. */
 object SqlCatalog {
 
   /** One named registration: `register(spark)` (re)binds the name in
@@ -194,6 +196,7 @@ object SqlCatalog {
       numMeasures: Int = 1): SqlView = {
     requireSqlName(fn)
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, aPath, numBuckets, 1, s"TVF $fn")
       registerStateTable(s, s"${fn}_state", aPath,
         IncrementalJoinAggStar.aSchemaN(numMeasures))
       val extras = (2 to numMeasures)
@@ -219,8 +222,10 @@ object SqlCatalog {
       numMeasures: Int = 1): SqlView = {
     requireSqlName(fn)
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, aPath, numBuckets, 1, s"TVF $fn")
       registerStateTable(s, s"${fn}_state", aPath,
         IncrementalJoinAggStar.aSchemaN(numMeasures))
+      registerAsOfFloor(s, fn)
       val extras = (2 to numMeasures)
         .map(i => s", sum(m$i) AS total$i").mkString
       val extraTypes = (2 to numMeasures)
@@ -246,6 +251,8 @@ object SqlCatalog {
       root: String = IncrementalTemporalStar.Root): SqlView = {
     requireSqlName(fn)
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, s"$stateDir/$root/a", numBuckets, 1,
+        s"TVF $fn")
       registerStateTable(s, s"${fn}_state", s"$stateDir/$root/a",
         IncrementalJoinAggStar.aSchemaN(numMeasures))
       val params = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
@@ -277,8 +284,11 @@ object SqlCatalog {
       root: String = IncrementalTemporalStar.Root): SqlView = {
     requireSqlName(fn)
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, s"$stateDir/$root/a", numBuckets, 1,
+        s"TVF $fn")
       registerStateTable(s, s"${fn}_state", s"$stateDir/$root/a",
         IncrementalJoinAggStar.aSchemaN(numMeasures))
+      registerAsOfFloor(s, fn)
       val params = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
       val outCols = (1 to numBranches).map(b => s"g$b STRING").mkString(", ")
       val enc = (1 to numBranches)
@@ -315,6 +325,8 @@ object SqlCatalog {
     requireSqlName(fn)
     require(subBuckets >= 1, "subBuckets >= 1")
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, extremaPath, numBuckets, subBuckets,
+        s"TVF $fn")
       registerStateTable(s, s"${fn}_state", extremaPath,
         IncrementalExtrema.vwSchema)
       val bucketPred = valueBucketPred(numBuckets, subBuckets)
@@ -337,6 +349,8 @@ object SqlCatalog {
     requireSqlName(fn)
     require(subBuckets >= 1, "subBuckets >= 1")
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, uPath, numBuckets, subBuckets,
+        s"TVF $fn")
       registerStateTable(s, s"${fn}_state", uPath,
         IncrementalExtrema.vwSchema)
       val bucketPred = valueBucketPred(numBuckets, subBuckets)
@@ -359,6 +373,10 @@ object SqlCatalog {
     val vSchema = StructType.fromDDL(
       "k BIGINT, st BIGINT, en BIGINT, n BIGINT")
     SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, s"$stateDir/sessions/v", numBuckets, 1,
+        s"TVF $fn")
+      MvPipeline.assertReadLayout(s, s"$stateDir/sessions/vf", numBuckets, 1,
+        s"TVF $fn")
       registerStateTable(s, s"${fn}_state_v", s"$stateDir/sessions/v", vSchema)
       registerStateTable(s, s"${fn}_state_vf", s"$stateDir/sessions/vf", vSchema)
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(usr BIGINT)
@@ -384,6 +402,79 @@ object SqlCatalog {
     else (0 until subBuckets)
       .map(i => s"pmod(xxhash64(grp, ${i}L), ${numBuckets}L)")
       .mkString("bucket IN (", ", ", ")")
+
+  /** Per-QUERY BM25 top-k as a SQL TABLE FUNCTION (VERDICT r13 task 4)
+    * over the maintained bucketed posting state
+    * ([[IncrementalIndex.processBatchBucketed]]'s `postings/` +
+    * `doc_lens/` tables): `<fn>(query, k)` — the query string is
+    * whitespace-split in the body, scoring is the exact-rational
+    * e6-quantized BM25 (k1 = 6/5, b = 3/4) of
+    * [[graft.operators.InvertedIndex.bm25TopK]], so the call answers
+    * exactly what `searchBm25Bucketed` answers on the same state.
+    *
+    * Why this is expressible where it previously wasn't claimed: the
+    * Spark TVF rule that an AGGREGATING body may reference parameters
+    * only in WHERE/HAVING is satisfied by construction — `query`
+    * appears only in the two postings WHERE filters (term membership),
+    * and `k` only in the outer rank filter ABOVE the aggregation (the
+    * per-doc sum and the row_number ranking are parameter-free). The
+    * per-(doc, term) score is quantized to int64 BEFORE the per-doc
+    * sum, exactly as the Scala plan, so results are bit-identical.
+    *
+    * Scale shape: same economics as the Scala entry — the term filter
+    * reaches the postings scan, df is a tiny agg over matched postings,
+    * totals are a 1-row aggregate, one doc_id shuffle, rank + filter
+    * instead of a global sort. */
+  def bm25Read(fn: String, stateDir: String, numBuckets: Int = 16): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, s"$stateDir/postings", numBuckets, 1,
+        s"TVF $fn")
+      MvPipeline.assertReadLayout(s, s"$stateDir/doc_lens", numBuckets, 1,
+        s"TVF $fn")
+      registerStateTable(s, s"${fn}_postings", s"$stateDir/postings",
+        StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"))
+      registerStateTable(s, s"${fn}_lens", s"$stateDir/doc_lens",
+        StructType.fromDDL("doc_id BIGINT, dl BIGINT"))
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
+          query STRING, k BIGINT)
+        RETURNS TABLE (doc_id BIGINT, matched BIGINT, score_e6 BIGINT)
+        RETURN SELECT doc_id, matched, score_e6 FROM (
+          SELECT doc_id, matched, score_e6,
+            row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk
+          FROM (
+            SELECT m.doc_id, count(1) AS matched,
+              sum(CAST(floor(((22L * m.tf * t.n_docs * t.total_len) /
+                (d.df * (10L * m.tf * t.total_len + 3L * t.total_len
+                  + 9L * l.dl * t.n_docs))) * 1000000.0 + 0.5) AS BIGINT))
+                AS score_e6
+            FROM ${fn}_postings m
+            JOIN (SELECT token, count(1) AS df FROM ${fn}_postings
+                  WHERE array_contains(split(query, ' '), token)
+                  GROUP BY token) d ON m.token = d.token
+            JOIN ${fn}_lens l ON m.doc_id = l.doc_id
+            CROSS JOIN (SELECT count(1) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS total_len
+                        FROM ${fn}_lens) t
+            WHERE array_contains(split(query, ' '), m.token)
+            GROUP BY m.doc_id))
+        WHERE rnk <= k""")
+    }
+  }
+
+  /** `<fn>_floor` beside an as-of TVF (ADVICE r13): a 1-row view of
+    * the changelog-compaction floor — `min(b)` over the `kind = 'c'`
+    * rows (compaction stamps its baseline rows with the floor batch,
+    * so this IS the earliest batch an as-of read answers exactly; -1 =
+    * empty changelog). SQL callers validate their `upto` against it
+    * (`upto >= floor` ⇒ exact; below it the TVF's `b <= upto`
+    * truncation silently excludes the baseline) — the discoverability
+    * the Scala callers get from inspecting the changelog, surfaced on
+    * the SQL side. */
+  private def registerAsOfFloor(s: SparkSession, fn: String): Unit =
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ${fn}_floor AS
+      SELECT coalesce(min(b), -1L) AS floor
+      FROM ${fn}_state WHERE kind = 'c'""")
 
   /** Register a raw bucketed state table with `bucket` as a partition
     * column (`basePath` read). REFUSES a dir carrying swap leftovers

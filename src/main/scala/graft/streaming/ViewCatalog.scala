@@ -183,7 +183,9 @@ object ViewCatalog {
     * staged_pending (`_delta_*` awaiting replay — nonzero outside a
     * crash window means a wedged fold), moved_pending (`_moved_*`
     * artifacts awaiting their consumer), resume_floor (the reshard
-    * refusal floor, -1 = none). The catalog's completion floor is
+    * refusal floor, -1 = none), layout_buckets / layout_sub (the R177
+    * `_layout` marker's (B, S), -1 = marker absent — what every
+    * point-read registration must repeat). The catalog's completion floor is
     * [[completedFloor]]; pair with [[graft.tools.StateAudit]] for the
     * semantic invariants. */
   def describe(spark: SparkSession, catalog: Catalog,
@@ -260,12 +262,20 @@ object ViewCatalog {
         .takeWhile(p => p != null && p.toString.startsWith(qBase))
         .map(p => MvPipeline.resumeFloor(spark, p.toString))
         .foldLeft(-1L)(math.max)
+      // the table's self-described layout (R177 `_layout` marker): the
+      // (B, S) every point-read constructor must repeat — surfaced so
+      // an operator can spot a mis-registered consumer from the report
+      // (-1 = marker absent: legacy dir or never folded)
+      val layout = MvPipeline.readLayoutMarker(spark, tPath.toString)
       (stage.name, dir, rel, buckets.size.toLong, bytes, files,
-        maxStamp, staged.toLong, moved.toLong, floor)
+        maxStamp, staged.toLong, moved.toLong, floor,
+        layout.map(_.numBuckets.toLong).getOrElse(-1L),
+        layout.map(_.subBuckets.toLong).getOrElse(-1L))
     }
     import spark.implicits._
     rows.toDF("stage", "dir", "table", "buckets", "bytes", "files",
-      "max_stamp", "staged_pending", "moved_pending", "resume_floor")
+      "max_stamp", "staged_pending", "moved_pending", "resume_floor",
+      "layout_buckets", "layout_sub")
   }
 
   /** Continuous operation: one JSON-lines CDC stream driving the whole
@@ -285,10 +295,21 @@ object ViewCatalog {
       }
       .start()
 
-  /** One CDC source of a multi-source catalog: its own directory and
-    * schema, tagged into the union under `_src = name`. */
-  final case class Source(name: String, inputDir: String,
-      schema: org.apache.spark.sql.types.StructType)
+  /** One CDC source of a multi-source catalog, as a caller-supplied
+    * STREAMING reader tagged into the union under `_src = name`
+    * (r14, VERDICT r13 task 5: pluggable formats — any `readStream`
+    * shape joins the union: file formats, rate sources, custom
+    * providers like [[TailFileProvider]]; the `_src` tag / unionByName
+    * / shared-checkpoint offset machinery is format-agnostic). `build`
+    * may also PROJECT the raw source into the catalog's column shape —
+    * the union is by name with missing columns null-padded. The
+    * companion apply keeps the JSON-directory shorthand. */
+  final case class Source(name: String)(val build: SparkSession => DataFrame)
+  object Source {
+    def apply(name: String, inputDir: String,
+        schema: org.apache.spark.sql.types.StructType): Source =
+      Source(name)(s => s.readStream.schema(schema).json(inputDir))
+  }
 
   /** MULTI-SOURCE operation (R174): N CDC streams at DIFFERENT
     * cadences — a fast fact feed beside a slow dim feed — coordinated
@@ -313,12 +334,15 @@ object ViewCatalog {
     require(sources.nonEmpty, "at least one source")
     require(sources.map(_.name).distinct.size == sources.size,
       "source names must be unique")
-    require(sources.forall(!_.schema.fieldNames.contains("_src")),
-      "_src is the reserved source tag")
     import org.apache.spark.sql.functions.lit
     val unioned = sources.map { src =>
-        spark.readStream.schema(src.schema).json(src.inputDir)
-          .withColumn("_src", lit(src.name))
+        val df = src.build(spark)
+        require(df.isStreaming,
+          s"source '${src.name}' must build a STREAMING DataFrame " +
+            "(readStream) — a batch frame has no offsets to checkpoint")
+        require(!df.columns.contains("_src"),
+          s"source '${src.name}': _src is the reserved source tag")
+        df.withColumn("_src", lit(src.name))
       }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     unioned.writeStream

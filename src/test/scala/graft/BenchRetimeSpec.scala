@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Class-envelope retime trigger (VERDICT r13 task 3): the bench's
+  * self-adjudication must re-time every query whose in-sequence
+  * reading exceeds 2x its recorded class envelope — not just the 4
+  * slowest (x98 ran 3.4x its class in BENCH_r13 and escaped the top-4
+  * cutoff, leaving the artifact without adjudication evidence). */
+class BenchRetimeSpec extends AnyFunSuite {
+
+  private val env = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.2, "d" -> 0.1,
+    "e" -> 0.1, "slow" -> 1.0)
+
+  test("top-4 slowest are always retimed") {
+    val res = Seq("a" -> 1.0, "b" -> 0.5, "c" -> 0.2, "d" -> 0.11, "e" -> 0.1)
+    assert(Bench.retimeTargets(res, env) === Seq("a", "b", "c", "d"))
+  }
+
+  test("a mid-pack outlier above 2x its envelope is retimed even outside the top-4") {
+    // the r13 x98 shape: 5 slower queries occupy the top-4, the outlier
+    // reads 3.4x its class but would miss the cutoff
+    val res = Seq("q1" -> 9.0, "q2" -> 8.0, "q3" -> 7.0, "q4" -> 6.0,
+      "b" -> 1.7, "c" -> 0.21)
+    val t = Bench.retimeTargets(res, env)
+    assert(t.contains("b"), "3.4x-envelope outlier must be retimed")
+    assert(t.take(4) === Seq("q1", "q2", "q3", "q4"))
+    // c is 1.05x its envelope AND under the 0.3 s floor: not retimed
+    assert(!t.contains("c"))
+  }
+
+  test("sub-floor jitter and queries without an envelope never trigger") {
+    val res = Seq("d" -> 0.25, "unknown" -> 0.29,
+      "q1" -> 9.0, "q2" -> 8.0, "q3" -> 7.0, "q4" -> 6.0)
+    val t = Bench.retimeTargets(res, env)
+    assert(t === Seq("q1", "q2", "q3", "q4"))
+  }
+
+  test("failed queries (negative seconds) are never retimed; the list is capped") {
+    val res = ("bad" -> -1.0) +: (1 to 30).map(i => s"s$i" -> 10.0 * i)
+    val t = Bench.retimeTargets(res,
+      (1 to 30).map(i => s"s$i" -> 0.1).toMap)
+    assert(!t.contains("bad") && t.size === 12)
+  }
+
+  test("envelope file parse: flat name->seconds map, tolerant of absence") {
+    val f = java.io.File.createTempFile("env", ".json")
+    val w = new java.io.PrintWriter(f)
+    w.write("""{"note":"x","envelope":{"q1":1.25,"q2_x":0.5}}""")
+    w.close()
+    assert(Bench.readEnvelope(f.getPath) === Map("q1" -> 1.25, "q2_x" -> 0.5))
+    assert(Bench.readEnvelope("/nonexistent/path.json") === Map.empty)
+    f.delete()
+  }
+}

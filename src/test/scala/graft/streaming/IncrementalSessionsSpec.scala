@@ -214,6 +214,45 @@ class IncrementalSessionsSpec extends SparkTestBase {
       (1L, 0L, 50L, 2L), (1L, 100L, 100L, 1L), (1L, 500L, 550L, 2L)))
   }
 
+  test("forgetUsersFully (r14): a user spanning the frozen floor forgets in ONE call") {
+    val state = tmpDir("ses-ff")
+    fold(state, 0L, events = Seq(
+      (1L, 0L, 1L), (2L, 50L, 1L),   // u1 frozen session [0,50]x2
+      (3L, 500L, 1L),                // u1 live session   [500,500]
+      (4L, 40L, 2L),                 // u2 frozen session [40,40]
+      (5L, 400L, 3L)))               // u3 live session   [400,400]
+    IncrementalSessions.compactState(spark, state, 300L, gap, numBuckets = 4)
+    // u1 holds BOTH frozen floor rows and live rows: the two-pass API
+    // refuses (frozen guard), the single-call forget handles both
+    intercept[IllegalArgumentException] {
+      IncrementalSessions.forgetUsers(spark, Seq(1L), state, 1L, gap,
+        numBuckets = 4)
+    }
+    val asOf0 = IncrementalSessions.viewAsOf(spark, state, 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    IncrementalSessions.forgetUsersFully(spark, Seq(1L), state, 1L,
+      numBuckets = 4)
+    assert(served(state) === Set((2L, 40L, 40L, 1L), (3L, 400L, 400L, 1L)))
+    assert(integral(state) === served(state),
+      "-1 changelog rows must land for BOTH horizons")
+    // maintenance-time as-of still shows the pre-forget rows
+    assert(IncrementalSessions.viewAsOf(spark, state, 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet === asOf0)
+    // replay of the committed op id is a no-op (stamped buckets +
+    // empty recomputed delta)
+    IncrementalSessions.forgetUsersFully(spark, Seq(1L), state, 1L,
+      numBuckets = 4)
+    assert(served(state) === Set((2L, 40L, 40L, 1L), (3L, 400L, 400L, 1L)))
+    // a frozen-only and a live-only user forget through the same call
+    IncrementalSessions.forgetUsersFully(spark, Seq(2L, 3L), state, 2L,
+      numBuckets = 4)
+    assert(served(state) === Set.empty)
+    assert(integral(state) === Set.empty)
+    // retained events of forgotten users are gone (GDPR: no residue)
+    assert(MvPipeline.readBucketedStateOrEmpty(spark,
+      s"$state/sessions/e", null).count() === 0L)
+  }
+
   test("events-as-CDC fold rolls up to the x129 batch twin (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())

@@ -238,7 +238,7 @@ class SqlCatalogSpec extends SparkTestBase {
     MvPipeline.upsertBucketedMerge(
       u.withColumn("sb", IncrementalExtrema.subBucketOf(col("v"), 2)),
       s"$st2/joinaggstar/u", IncrementalExtrema.mergeVwSb, -1L, 4,
-      Seq("g", "sb"))
+      Seq("g", "sb"), subBuckets = 2) // declared: the R177 marker records S
     SqlCatalog.register(spark, Seq(
       SqlCatalog.starDistinctPointRead("sqlc_ud_sb_for",
         s"$st2/joinaggstar/u", numBuckets = 4, subBuckets = 2)))
@@ -347,6 +347,55 @@ class SqlCatalogSpec extends SparkTestBase {
       cdc(Seq(("fact", 10L, 2L, 30L, ""))), 1L))
     assert(spark.sql("SELECT g, total FROM sqlc_vc_rev").as[(String, Long)]
       .collect().toSeq === Seq(("s1", 130L)))
+  }
+
+  test("bm25 TVF (r14): SQL(query, k) ≡ searchBm25Bucketed on the same maintained state") {
+    val st = tmpDir("sqlc-bm25")
+    val docs = Seq(
+      (1L, "spark merge spark vector"),
+      (2L, "vector store and merge policy"),
+      (3L, "wholly unrelated text here"),
+      (4L, "spark spark spark"),
+      (5L, "merge"))
+      .toDF("doc_id", "text")
+    IncrementalIndex.processBatchBucketed(docs, st, batchId = 0L,
+      numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.bm25Read("sqlc_bm25", st, numBuckets = 4)))
+    val terms = Seq("spark", "vector", "merge")
+    val expect = IncrementalIndex.searchBm25Bucketed(spark, st, terms, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = spark.sql(
+      "SELECT * FROM sqlc_bm25('spark vector merge', 3) " +
+        "ORDER BY score_e6 DESC, doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect, "TVF must be bit-identical to the Scala entry")
+    assert(expect.nonEmpty && expect.head._2 === 3L,
+      "doc 1 matches all three terms")
+    // k is a live parameter: a different k through the SAME registration
+    assert(spark.sql("SELECT count(1) FROM sqlc_bm25('spark vector merge', 1)")
+      .as[Long].head() === 1L)
+    // an unseen-terms query answers empty, not an error
+    assert(spark.sql("SELECT * FROM sqlc_bm25('zzz', 5)").isEmpty)
+    // a fold of new docs is visible after re-registration (the re-bind
+    // contract), and the TVF tracks the changed idf/totals. The Scala
+    // entry persists its state reads (Caching contract): release before
+    // re-reading rewritten state, as Bench/Verify do between queries —
+    // without it the cache manager plan-matches the STALE in-memory
+    // relation over the same paths
+    graft.operators.Caching.releaseAll()
+    IncrementalIndex.processBatchBucketed(
+      Seq((6L, "vector vector")).toDF("doc_id", "text"), st, batchId = 1L,
+      numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.bm25Read("sqlc_bm25", st, numBuckets = 4)))
+    val expect2 = IncrementalIndex.searchBm25Bucketed(spark, st, terms, 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    val got2 = spark.sql(
+      "SELECT * FROM sqlc_bm25('spark vector merge', 6) " +
+        "ORDER BY score_e6 DESC, doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2 === expect2)
   }
 
   test("registerStateTable refuses swap leftovers (stale partition values must not register)") {

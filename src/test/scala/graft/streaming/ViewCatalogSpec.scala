@@ -465,6 +465,64 @@ class ViewCatalogSpec extends SparkTestBase {
       "a .bf backfill partial must not report as a live table")
   }
 
+  test("pluggable multi-source readers (r14): a json dir and a TailFileProvider source share one batch-id domain") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val inF = tmpDir("vcp-facts"); val tailF = s"${tmpDir("vcp-tail")}/dims.log"
+    val cat = tmpDir("vcp-cat"); val ckpt = tmpDir("vcp-ckpt")
+    val sA = tmpDir("vcp-a")
+    val fSchema = StructType(Seq(StructField("jk", LongType),
+      StructField("id", LongType), StructField("m", LongType)))
+    // facts keep the JSON-dir shorthand; dims arrive over a CUSTOM
+    // streaming provider (the byte-offset file tailer) whose build
+    // PROJECTS raw "jk,g" lines into the catalog's column shape —
+    // the _src/union/offset machinery must not care about the format
+    val sources = Seq(
+      ViewCatalog.Source("facts", inF, fSchema),
+      ViewCatalog.Source("dims") { s =>
+        s.readStream.format(classOf[TailFileProvider].getName).load(tailF)
+          .select(split(col("value"), ",").getItem(0).cast("long").as("jk"),
+            split(col("value"), ",").getItem(1).as("g"))
+      })
+    val stage = ViewCatalog.Stage("rev", Seq(sA)) { (b, id) =>
+      IncrementalJoinAgg.processBatch(
+        b.filter(col("_src") === "facts").select("jk", "id", "m"),
+        "jk", "id", "m",
+        b.filter(col("_src") === "dims").select("jk", "g"),
+        "jk", "g", sA, id, numBuckets = 4)
+    }
+    val catalog = ViewCatalog.Catalog(bases = Seq(stage))
+    def runOnce(): Unit = {
+      val q = ViewCatalog.startMulti(spark, sources, catalog, cat, ckpt)
+      q.awaitTermination(); ()
+    }
+    Files.write(Paths.get(s"$inF/b0.json"),
+      ("""{"jk":1,"id":10,"m":5}""" + "\n" +
+        """{"jk":2,"id":11,"m":7}""" + "\n").getBytes)
+    Files.write(Paths.get(tailF), "1,s1\n2,s2\n".getBytes)
+    runOnce()
+    def served(): Map[String, Long] =
+      IncrementalJoinAgg.view(spark, sA)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(served() === Map("s1" -> 5L, "s2" -> 7L))
+    val floor0 = ViewCatalog.completedFloor(spark, cat)
+    assert(floor0 >= 0L)
+    // both feeds advance: the tailer resumes MID-FILE from its byte
+    // offset, the json source from its file offset, under ONE checkpoint
+    Files.write(Paths.get(s"$inF/b1.json"),
+      ("""{"jk":1,"id":12,"m":3}""" + "\n").getBytes)
+    Files.write(Paths.get(tailF), "3,s3\n".getBytes,
+      StandardOpenOption.APPEND)
+    runOnce()
+    assert(served() === Map("s1" -> 8L, "s2" -> 7L))
+    assert(ViewCatalog.completedFloor(spark, cat) > floor0)
+    // a batch source is refused at build time
+    intercept[IllegalArgumentException] {
+      ViewCatalog.startMulti(spark,
+        Seq(ViewCatalog.Source("bad")(s => Seq(1L).toDF("jk"))),
+        catalog, cat, tmpDir("vcp-ckpt2"))
+    }
+  }
+
   test("startMulti (R174): two sources at different cadences ≡ the single-stream twin; crash drill across the source boundary") {
     import java.nio.file.{Files, Paths}
     val inF = tmpDir("vcm-facts"); val inD = tmpDir("vcm-dims")
