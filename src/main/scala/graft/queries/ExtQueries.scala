@@ -1907,6 +1907,72 @@ object ExtQueries {
     sqlCatalogViews(s, dir)
     sqlAsOfViews(s, dir)
     sqlBm25Views(s, dir)
+    sqlTopKViews(s, dir)
+    sqlSessionsViews(s, dir)
+  }
+
+  /** Shared maintained SESSIONS state behind the SQL point-read TVF
+    * (x139): one sessionization fold of the events table (the x129
+    * semantics: 30-minute strict gap, epoch-µs), so `sessionsPointRead`
+    * is driver-oracled against the DuckDB per-user recompute. */
+  private val sqlSessionsState = scala.collection.mutable.Map[String, String]()
+  private def sqlSessionsViews(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlSessionsState.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqlsess").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+          col("user_id").as("k"))
+      graft.streaming.IncrementalSessions.processBatch(ev,
+        ev.limit(0).select("id", "k"), gap = 30L * 60L * 1000000L,
+        stateDir = st, batchId = 0L, numBuckets = 4)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.sessionsPointRead("x139_sessions", state,
+        numBuckets = 4)))
+  }
+
+  /** Maintained SESSIONS through SQL (R172's point-read surface,
+    * driver-oracled r14): the `x139_sessions(7)` TABLE FUNCTION call —
+    * user 7's session rows from the maintained live ∪ frozen state,
+    * pruned to the user's bucket. Oracle: the x129 DuckDB
+    * sessionization recompute filtered to the user, un-aggregated. */
+  def x139SqlSessions(s: SparkSession, dir: String): DataFrame = {
+    sqlSessionsViews(s, dir)
+    s.sql("""SELECT k AS user_id, session_start, session_end, n_events
+      FROM x139_sessions(7) ORDER BY session_start""")
+  }
+
+  /** Shared maintained EXTREMA state behind the SQL top-k TVF (x138):
+    * one value-multiset fold over (order priority, exact cents), so the
+    * r14 `extremaTopKRead` point read is driver-oracled against the
+    * DuckDB window recompute. */
+  private val sqlTopKState = scala.collection.mutable.Map[String, String]()
+  private def sqlTopKViews(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlTopKState.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqltopk").toString
+      graft.streaming.IncrementalExtrema.processBatch(
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("g"),
+            graft.functions.cents(col("o_totalprice")).as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("w")),
+        st, batchId = 0L, numBuckets = 4)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.extremaTopKRead("x138_topk",
+        s"$state/extrema", numBuckets = 4)))
+  }
+
+  /** Maintained exact TOP-K through SQL (r14): the
+    * `x138_topk('1-URGENT', 5)` TABLE FUNCTION call — the group's 5
+    * largest live order values from the extrema value-multiset state,
+    * pruned to the group's bucket. Oracle: the DuckDB window recompute
+    * over the same exact-cents relation. */
+  def x138SqlTopK(s: SparkSession, dir: String): DataFrame = {
+    sqlTopKViews(s, dir)
+    s.sql("""SELECT g, v, w, rank
+      FROM x138_topk('1-URGENT', 5) ORDER BY rank""")
   }
 
   /** Shared maintained INDEX state behind the SQL retrieval TVF
@@ -1919,10 +1985,13 @@ object ExtQueries {
       val st = java.nio.file.Files.createTempDirectory("sqlbm25").toString
       graft.streaming.IncrementalIndex.processBatchBucketed(
         Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8)
+      graft.streaming.IncrementalIndex.processBatchPositionalBucketed(
+        Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8)
       st
     })
     graft.streaming.SqlCatalog.register(s, Seq(
-      graft.streaming.SqlCatalog.bm25Read("x136_bm25", state, numBuckets = 8)))
+      graft.streaming.SqlCatalog.bm25Read("x136_bm25", state, numBuckets = 8),
+      graft.streaming.SqlCatalog.phraseRead("x137_phrase", state, numBuckets = 8)))
   }
 
   /** Per-QUERY BM25 retrieval through SQL (VERDICT r13 task 4): the
@@ -1937,6 +2006,19 @@ object ExtQueries {
     s.sql("""SELECT doc_id, matched, score_e6
       FROM x136_bm25('spark vector merge', 20)
       ORDER BY score_e6 DESC, doc_id""")
+  }
+
+  /** Per-QUERY exact PHRASE search through SQL (r14): the
+    * `x137_phrase('table hash')` TABLE FUNCTION call over the maintained
+    * bucketed positional state — the variable-length adjacency chain
+    * folded by higher-order array functions in a non-aggregating outer
+    * select ([[graft.streaming.SqlCatalog.phraseRead]]), answering
+    * exactly what [[graft.streaming.IncrementalIndex.searchPhrase]]
+    * answers. Oracle: the x50 DuckDB recompute (same phrase). */
+  def x137SqlPhrase(s: SparkSession, dir: String): DataFrame = {
+    sqlBm25Views(s, dir)
+    s.sql("""SELECT doc_id, occurrences
+      FROM x137_phrase('table hash') ORDER BY doc_id""")
   }
 
   /** SQL TIME-TRAVEL over a maintained view (R172 as-of surface): the registered
@@ -4817,6 +4899,40 @@ object ExtQueries {
     // the SQL TVF surface answers the SAME retrieval (same terms/k), so
     // the x45 mirror is its oracle verbatim
     "x136_sql_bm25" -> duckBm25,
+    // the phrase TVF answers the SAME search as x50 (same phrase), so
+    // the x50 mirror is its oracle verbatim
+    "x137_sql_phrase" -> duckPhraseSearch,
+    "x139_sql_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id = 7
+        |),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b
+        |)
+        |SELECT user_id, min(us) AS session_start, max(us) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY session_start""".stripMargin,
+    "x138_sql_topk" ->
+      """WITH rel AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT g, v, w, rank FROM (
+        |  SELECT g, v, w,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v DESC) AS INT) AS rank
+        |  FROM rel)
+        |WHERE g = '1-URGENT' AND rank <= 5 ORDER BY rank""".stripMargin,
     "x32_inverted_index" -> duckInvIndex,
     "x31_mixture_weights" -> duckMixture,
     "x40_mixture_sample" -> duckMixtureSample,
@@ -5503,6 +5619,9 @@ object ExtQueries {
     "x134_sql_asof" -> x134SqlAsof, // oracle: SQL time-travel (as-of batch 0 vs live) over a 2-batch maintained view (R172)
     "x135_sql_asof_point" -> x135SqlAsofPoint, // oracle: bucket-pruned SQL as-of TVF point read (R172)
     "x136_sql_bm25" -> x136SqlBm25, // oracle: per-query BM25 top-k as a SQL table function (r14)
+    "x137_sql_phrase" -> x137SqlPhrase, // oracle: per-query phrase search as a SQL table function (r14)
+    "x138_sql_topk" -> x138SqlTopK, // oracle: maintained exact top-k point read as a SQL table function (r14)
+    "x139_sql_sessions" -> x139SqlSessions, // oracle: maintained sessions point read as a SQL table function (r14)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

@@ -186,4 +186,31 @@ object IncrementalExtrema {
       .filter(col("rank") <= k)
       .select("g", "v", "w", "rank")
   }
+
+  /** [[topN]] restricted to `groups` — the bucket-pruned point read
+    * (r14): only the named groups' buckets open (≤ S·|groups|, as
+    * [[viewFor]]); each (g, v) pair lives in exactly ONE bucket under
+    * either layout (v routes the sub-coordinate), so no re-aggregation
+    * is needed before the rank. */
+  def topNFor(spark: SparkSession, stateDir: String, groups: Seq[String],
+      k: Int, numBuckets: Int = 16, subBuckets: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, "k >= 1")
+    MvPipeline.assertReadLayout(spark, s"$stateDir/extrema", numBuckets,
+      subBuckets, "extrema topNFor")
+    val ids =
+      if (subBuckets == 1)
+        MvPipeline.bucketIdsOf(groups.toDF("g"), Seq("g"), numBuckets)
+      else MvPipeline.bucketIdsOf(
+        groups.flatMap(g => (0 until subBuckets).map(sb => (g, sb.toLong)))
+          .toDF("g", "sb"),
+        Seq("g", "sb"), numBuckets)
+    val st = MvPipeline.readBuckets(spark, s"$stateDir/extrema", ids, vwSchema)
+      .join(broadcast(groups.toDF("g")), Seq("g"), "left_semi")
+    present(st)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("g").orderBy(col("v").desc)))
+      .filter(col("rank") <= k)
+      .select("g", "v", "w", "rank")
+  }
 }

@@ -156,6 +156,36 @@ object IncrementalIndex {
     InvertedIndex.phraseSearch(
       MvPipeline.readState(spark, stateDir, "positional"), phrase)
 
+  /** [[processBatchPositional]] in the BUCKETED layout, bucketed by
+    * token like the BM25 postings — a phrase read opens only its
+    * terms' buckets instead of relying on row-group pruning over one
+    * table, and the SQL surface ([[SqlCatalog.phraseRead]]) can bind
+    * it as a partitioned state table. Same disjoint-key union merge. */
+  def processBatchPositionalBucketed(docs: DataFrame, stateDir: String,
+      batchId: Long = -1L, numBuckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    MvPipeline.upsertBucketedMerge(
+      InvertedIndex.positionalPostings(docs, idCol, textCol),
+      s"$stateDir/positional", (old, inc) => old.unionByName(inc),
+      batchId, numBuckets, bucketKeys = Seq("token"))
+
+  /** [[searchPhrase]] over the bucketed layout: read ONLY the buckets
+    * the phrase's terms hash into (≤ terms, never O(index)). */
+  def searchPhraseBucketed(spark: SparkSession, stateDir: String,
+      phrase: Seq[String], numBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val path = s"$stateDir/positional"
+    MvPipeline.assertReadLayout(spark, path, numBuckets, 1,
+      "searchPhraseBucketed")
+    val ids = MvPipeline.bucketIdsOf(phrase.distinct.toDF("token"),
+      Seq("token"), numBuckets)
+    InvertedIndex.phraseSearch(
+      MvPipeline.readBuckets(spark, path, ids,
+        StructType.fromDDL(
+          "token STRING, doc_id BIGINT, positions ARRAY<INT>")),
+      phrase)
+  }
+
   /** Start continuous maintenance over a directory of document files
     * (JSON-lines with `schema`; `Trigger.AvailableNow()` for tests). */
   def start(spark: SparkSession, inputDir: String, schema: StructType,

@@ -85,10 +85,12 @@ object IncrementalIntervalJoinAgg {
   def processBatch(facts: DataFrame, factDels: DataFrame,
       intUps: DataFrame, intDels: DataFrame,
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
-      numMeasures: Int = 1): Unit = {
+      numMeasures: Int = 1, maxWindowSpanUs: Option[Long] = None): Unit = {
     val mCols = mColsOf(numMeasures)
     val spark = facts.sparkSession
     val path = s"$stateDir/intervaljoinagg"
+    maxWindowSpanUs.foreach(span =>
+      enforceSpanContract(intUps, span, s"interval fold of $path"))
     MvPipeline.assertAboveResumeFloor(spark, path, batchId)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedName =
@@ -463,6 +465,32 @@ object IncrementalIntervalJoinAgg {
           .select("id", "t", "k").filter(col("t") < horizon),
         horizon, maxWindowSpanUs, dropped)
     } finally graft.operators.Caching.releaseAll()
+  }
+
+  /** INGEST-side enforcement of the declared window-span contract
+    * (r14): [[compactState]]'s `maxWindowSpanUs` drop is provably safe
+    * only when no in-contract window is wider than the span — which
+    * until now was declared, not enforced (an out-of-contract window's
+    * later retraction diverged exactly like other contract
+    * violations). A fold invoked with the span REFUSES a violating
+    * window upsert before any state moves, so a deployment that
+    * declares the span at every fold can never hold an out-of-contract
+    * window, and the compaction's expired-pin drop is airtight instead
+    * of best-effort. One bounded aggregation over the batch's interval
+    * upserts (dim-side cadence, never the fact stream). */
+  private[streaming] def enforceSpanContract(intUps: DataFrame, span: Long,
+      where: String): Unit = {
+    if (intUps.isEmpty) return
+    val bad = intUps
+      .select(col("iid").cast("long").as("iid"), col("s").cast("long").as("s"),
+        col("e").cast("long").as("e"))
+      .filter(col("e") - col("s") > span)
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"$where: window upsert(s) wider than the declared " +
+        s"maxWindowSpanUs=$span — refused before any state moved: " +
+        bad.map(r => s"iid=${r.getLong(0)} span=${r.getLong(2) - r.getLong(1)}")
+          .mkString(", "))
   }
 
   /** What the always-open-window bound currently costs — returned by

@@ -146,11 +146,15 @@ object IncrementalTemporalStar {
       stateDir: String, batchId: Long = -1L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
       trackEnriched: Boolean = false, root: String = Root,
-      intervalBranches: Set[Int] = Set.empty): Unit = {
+      intervalBranches: Set[Int] = Set.empty,
+      maxWindowSpanUs: Option[Long] = None): Unit = {
     val nB = dimUps.size
     require(nB >= 1 && dimDels.size == nB, "one ups+dels frame per branch")
     require(intervalBranches.forall(b => b >= 1 && b <= nB),
       "interval branch ids must be in 1..B")
+    maxWindowSpanUs.foreach(span => intervalBranches.toSeq.sorted.foreach(b =>
+      IncrementalIntervalJoinAgg.enforceSpanContract(dimUps(b - 1), span,
+        s"mixed-star interval branch $b of $stateDir/$root")))
     // ENRICHED under fan-out (R175): REPLACE-per-id has no meaning when
     // one fact maps to many tuples, so with interval branches the r/
     // table switches to the SET-VALUED layout — one row per live

@@ -44,9 +44,14 @@ import org.apache.spark.sql.types.StructType
   * function over the registered posting state — [[bm25Read]] computes
   * the query-dependent idf in the body with the parameters confined to
   * WHERE (the aggregating-TVF correlated-ref rule). Positional PHRASE
-  * search keeps its Scala entry ([[IncrementalIndex.searchPhrase]] —
-  * the variable-length position-adjacency chain has no fixed-arity SQL
-  * form); posting STATE stays registrable via [[indexState]]. */
+  * search is too ([[phraseRead]]): the variable-length adjacency chain
+  * needs no fixed-arity join — per doc the matched terms' position
+  * lists aggregate to a token→positions MAP (params in WHERE only),
+  * and a NON-aggregating outer select (where parameter references are
+  * unrestricted) folds the chain with higher-order array functions:
+  * occurrences = size(filter(positions(term₁), p → ∀i>1:
+  * p+i−1 ∈ positions(termᵢ))). Posting STATE stays registrable via
+  * [[indexState]]. */
 object SqlCatalog {
 
   /** One named registration: `register(spark)` (re)binds the name in
@@ -340,6 +345,35 @@ object SqlCatalog {
     }
   }
 
+  /** Maintained exact TOP-K point read (r14): `<fn>('g', k) ->
+    * (g, v, w, rank)` — the k largest live values of the named group,
+    * largest first, over the extrema value-multiset state. Each (g, v)
+    * pair lives in exactly ONE bucket under either layout (v routes
+    * the R173 sub-coordinate), so the body needs no re-aggregation:
+    * prune to the group's ≤S buckets, rank, cut at k. The SQL twin of
+    * [[IncrementalExtrema.topNFor]]. */
+  def extremaTopKRead(fn: String, extremaPath: String,
+      numBuckets: Int = 16, subBuckets: Int = 1): SqlView = {
+    requireSqlName(fn)
+    require(subBuckets >= 1, "subBuckets >= 1")
+    SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, extremaPath, numBuckets, subBuckets,
+        s"TVF $fn")
+      registerStateTable(s, s"${fn}_state", extremaPath,
+        IncrementalExtrema.vwSchema)
+      val bucketPred = valueBucketPred(numBuckets, subBuckets)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(grp STRING, k BIGINT)
+        RETURNS TABLE (g STRING, v BIGINT, w BIGINT, rank INT)
+        RETURN SELECT g, v, w, rnk AS rank FROM (
+          SELECT g, v, w,
+            row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rnk
+          FROM ${fn}_state
+          WHERE $bucketPred
+            AND g = grp AND w > 0)
+        WHERE rnk <= k""")
+    }
+  }
+
   /** Maintained exact COUNT(DISTINCT) point read over a star's `u/`
     * table (R158): `<fn>('g') -> (g, n_distinct)` — live values only
     * (`w > 0`). `subBuckets` must match the writer's R173 layout, as
@@ -459,6 +493,48 @@ object SqlCatalog {
             WHERE array_contains(split(query, ' '), m.token)
             GROUP BY m.doc_id))
         WHERE rnk <= k""")
+    }
+  }
+
+  /** Per-QUERY exact PHRASE search as a SQL TABLE FUNCTION (r14) over
+    * the maintained BUCKETED positional postings
+    * ([[IncrementalIndex.processBatchPositionalBucketed]]):
+    * `<fn>('exact phrase here')` answers exactly what
+    * [[IncrementalIndex.searchPhrase]] answers — per-doc occurrence
+    * counts, a doc row iff ≥1 occurrence. The aggregating inner query
+    * collapses the MATCHED terms' rows (parameter confined to its
+    * WHERE) into a per-doc token→positions map; the outer select is
+    * non-aggregating, so it may use the parameter freely to fold the
+    * adjacency chain: a position p of the phrase's FIRST term starts an
+    * occurrence iff every later term i holds p+i−1. Probe cost is
+    * O(matched postings) — the term-membership filter prunes the
+    * posting scan — never O(index). */
+  def phraseRead(fn: String, stateDir: String,
+      numBuckets: Int = 16): SqlView = {
+    requireSqlName(fn)
+    SqlView(fn) { s =>
+      MvPipeline.assertReadLayout(s, s"$stateDir/positional", numBuckets, 1,
+        s"TVF $fn")
+      registerStateTable(s, s"${fn}_positional", s"$stateDir/positional",
+        StructType.fromDDL("token STRING, doc_id BIGINT, positions ARRAY<INT>"))
+      // the occurrence count appears in the SELECT list and the WHERE;
+      // one construction site so the two cannot diverge
+      val occ = """CAST(size(filter(
+          coalesce(element_at(tp, element_at(split(phrase, ' '), 1)), array()),
+          p -> forall(filter(sequence(1, size(split(phrase, ' '))), i -> i > 1),
+            i -> array_contains(
+              coalesce(element_at(tp, element_at(split(phrase, ' '), i)), array()),
+              p + i - 1)))) AS BIGINT)"""
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(phrase STRING)
+        RETURNS TABLE (doc_id BIGINT, occurrences BIGINT)
+        RETURN SELECT doc_id, $occ AS occurrences
+        FROM (
+          SELECT doc_id,
+            map_from_entries(collect_list(struct(token, positions))) AS tp
+          FROM ${fn}_positional
+          WHERE array_contains(split(phrase, ' '), token)
+          GROUP BY doc_id)
+        WHERE $occ > 0""")
     }
   }
 

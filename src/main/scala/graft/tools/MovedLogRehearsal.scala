@@ -147,6 +147,49 @@ object MovedLogRehearsal {
     println(f"[rehearsal] scaled ($bigN%d-key base, 10 moved): diff " +
       f"$tA2%.2f s + snapshot rewrite $tSnap2%.2f s EVERY batch vs " +
       f"moved-log $tB2%.2f s — the O(view) vs O(moved) gap")
+
+    // ---- trigger C (r14, R178): the BUCKET-PRUNED diff for bases that
+    // cannot name their moved keys at all — same 2M-key REPLACE base,
+    // held in the bucketed layout at B=64, 3 keys moved: the diff and
+    // the snapshot rewrite restrict to the moved keys' buckets (≤3/64),
+    // the middle point between O(view) and O(moved)
+    val st3 = java.nio.file.Files.createTempDirectory("mlr-bkt").toString
+    val mk3 = java.nio.file.Files.createTempDirectory("mlr-bkt-mk").toString
+    val bSchema = StructType(Seq(StructField("g", LongType),
+      StructField("v", LongType)))
+    val basePath = s"$st3/derived"
+    DerivedView.processBatch(spark,
+      spark.range(bigN).select(col("id").as("g")),
+      spark.range(bigN).select(col("id").as("g"), col("id").as("v")),
+      st3, 0L, numBuckets = 64)
+    val tC0 = {
+      val t0 = System.nanoTime()
+      DerivedView.commitReplaceBaseBucketed(spark, basePath, mk3, "base")
+      (System.nanoTime() - t0) / 1e9
+    }
+    DerivedView.processBatch(spark,
+      spark.range(1, 4).select(col("id").as("g")),
+      spark.range(1, 4).select(col("id").as("g"), lit(0L).as("v")),
+      st3, 1L, numBuckets = 64)
+    val (tC1, nChanged) = {
+      val t0 = System.nanoTime()
+      val changed = DerivedView.replaceBaseChangedBuckets(spark, basePath,
+        mk3, "base")
+      val d = DerivedView.replaceBaseDiffBucketed(spark, basePath, mk3,
+        "base", bSchema)
+      val k = d.select("g").distinct().count()
+      require(k == 3, s"bucketed diff touched $k keys")
+      ((System.nanoTime() - t0) / 1e9, changed.size)
+    }
+    val tC2 = {
+      val t0 = System.nanoTime()
+      DerivedView.commitReplaceBaseBucketed(spark, basePath, mk3, "base")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[rehearsal] trigger C (R178 bucketed diff, B=64, 3 moved): " +
+      f"$nChanged%d/64 buckets flagged, diff $tC1%.2f s + bucket-subset " +
+      f"snapshot rewrite $tC2%.2f s (one-time full snapshot $tC0%.2f s) — " +
+      f"vs the full diff's $tA2%.2f s + $tSnap2%.2f s every batch")
     spark.stop()
   }
 }

@@ -334,4 +334,107 @@ class DerivedViewSpec extends SparkTestBase {
     fold(6L, Seq(s"$md/_moved_b6" -> identity))
     assert(new java.io.File(s"$md/_moved_b6").exists())
   }
+
+  test("bucket-pruned replace-base diff (R178): ≡ the full diff, unchanged buckets never read, crash drills") {
+    // base = a bucketed REPLACE-per-key table that cannot name its
+    // moved keys (DerivedView's own state is exactly that shape);
+    // consumer = a parity histogram over its values, maintained through
+    // the BUCKETED diff and compared to the full recompute every batch
+    val sB = tmpDir("bd-base"); val mk = tmpDir("bd-mk"); val sD = tmpDir("bd-d")
+    val bSchema = StructType(Seq(StructField("g", StringType),
+      StructField("v", LongType)))
+    val histSchema = StructType(Seq(StructField("g", LongType),
+      StructField("n_keys", LongType)))
+    val basePath = s"$sB/derived"
+    def foldBase(rows: Seq[(String, Long)], id: Long): Unit =
+      DerivedView.processBatch(spark,
+        rows.map(_._1).toDF("g"), rows.toDF("g", "v"), sB, id, numBuckets = 4)
+    def dropKey(g: String, id: Long): Unit =
+      DerivedView.processBatch(spark, Seq(g).toDF("g"),
+        Seq.empty[(String, Long)].toDF("g", "v"), sB, id, numBuckets = 4)
+    def baseView() = DerivedView.view(spark, sB, bSchema)
+    def diffBucketed() = DerivedView.replaceBaseDiffBucketed(
+      spark, basePath, mk, "base", bSchema)
+    def roll(id: Long, commit: Boolean = true): Unit = {
+      val diff = diffBucketed()
+      val touched = diff.select(pmod(col("v"), lit(2L)).as("g"))
+        .filter(col("g").isNotNull).distinct()
+      val rows = baseView()
+        .join(touched.select(col("g").as("p")),
+          pmod(col("v"), lit(2L)) === col("p"), "left_semi")
+        .groupBy(pmod(col("v"), lit(2L)).as("g"))
+        .agg(count(lit(1)).as("n_keys"))
+      DerivedView.processBatch(spark, touched, rows, sD, id, numBuckets = 4)
+      if (commit) DerivedView.commitReplaceBaseBucketed(spark, basePath, mk, "base")
+    }
+    def served(): Map[Long, Long] =
+      DerivedView.view(spark, sD, histSchema).as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      baseView().groupBy(pmod(col("v"), lit(2L)).as("g"))
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+
+    // batch 0: enough keys to touch every bucket; the first diff is
+    // all-new and equals the full-device diff on the same state
+    val k0 = (0 until 12).map(i => s"k$i" -> i.toLong)
+    foldBase(k0, 0L)
+    val full = DerivedView.replaceBaseDiff(baseView(), tmpDir("bd-mk2"), "x")
+      .as[(String, Long, String)].collect().toSet
+    assert(diffBucketed().as[(String, Long, String)].collect().toSet === full)
+    roll(0L)
+    assert(served() === expected())
+    // batch 1: ONE key moves parity — only its bucket's files changed,
+    // so the prune set is a strict subset of the 4 buckets
+    foldBase(Seq("k3" -> 30L), 1L)
+    val changed = DerivedView.replaceBaseChangedBuckets(spark, basePath, mk, "base")
+    assert(changed.nonEmpty && changed.size < 4,
+      s"one-key batch must not flag every bucket: $changed")
+    val d1 = diffBucketed().as[(String, Long, String)].collect().toSet
+    assert(d1 === Set(("k3", 30L, "new"), ("k3", 3L, "old")))
+    roll(1L)
+    assert(served() === expected())
+    // no-change batch: zero changed buckets, empty diff, derived no-op
+    assert(DerivedView.replaceBaseChangedBuckets(spark, basePath, mk, "base").isEmpty)
+    assert(diffBucketed().isEmpty)
+    // crash BEFORE the snapshot commit: the diff recomputes identically
+    foldBase(Seq("k4" -> 41L), 2L)
+    val d2a = diffBucketed().as[(String, Long, String)].collect().toSet
+    roll(2L, commit = false)
+    assert(diffBucketed().as[(String, Long, String)].collect().toSet === d2a,
+      "pre-commit replay must see the identical diff")
+    roll(2L) // replay: stamped derived buckets skip, then commit
+    assert(served() === expected())
+    // crash MID-commit, protocol-faithful: the derived fold for batch 3
+    // COMMITS first (commit runs only after it), then the commit dies
+    // after swapping ONE changed bucket into the snapshot (the
+    // fingerprint file has NOT advanced) — the replay re-diffs the SAME
+    // recorded prune set, the swapped bucket's contribution is now a
+    // harmless empty subset, the stamped derived buckets skip, and the
+    // completed commit converges
+    foldBase(Seq("k5" -> 50L, "k6" -> 61L), 3L)
+    val pend = DerivedView.replaceBaseChangedBuckets(spark, basePath, mk, "base")
+    assert(pend.nonEmpty)
+    roll(3L, commit = false) // the derived fold commits; snapshot untouched
+    assert(served() === expected())
+    val b0 = pend.head
+    spark.read.parquet(s"$basePath/bucket=$b0")
+      .write.mode("overwrite").parquet(s"$mk/_snapbkt_base/bucket=$b0.swp")
+    val fsX = new org.apache.hadoop.fs.Path(mk)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsX.delete(new org.apache.hadoop.fs.Path(s"$mk/_snapbkt_base/bucket=$b0"), true)
+    require(fsX.rename(
+      new org.apache.hadoop.fs.Path(s"$mk/_snapbkt_base/bucket=$b0.swp"),
+      new org.apache.hadoop.fs.Path(s"$mk/_snapbkt_base/bucket=$b0")))
+    assert(DerivedView.replaceBaseChangedBuckets(spark, basePath, mk, "base")
+      === pend, "mid-commit crash must not shrink the recorded prune set")
+    roll(3L) // replay: subset diff, stamped derived buckets skip, commit
+    assert(served() === expected())
+    assert(DerivedView.replaceBaseChangedBuckets(spark, basePath, mk, "base").isEmpty)
+    // a key DROP rewrites its bucket — the old row diffs out and the
+    // emptied parity row drops from the derived view
+    dropKey("k5", 4L)
+    val d4 = diffBucketed().as[(String, Long, String)].collect().toSet
+    assert(d4 === Set(("k5", 50L, "old")))
+    roll(4L)
+    assert(served() === expected())
+  }
 }

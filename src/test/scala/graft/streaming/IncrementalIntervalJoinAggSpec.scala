@@ -320,6 +320,49 @@ class IncrementalIntervalJoinAggSpec extends SparkTestBase {
     assert(served(state2) === served(state))
   }
 
+  test("r14 ingest guard: a fold declaring maxWindowSpanUs refuses a wider window before any state moves") {
+    val state = tmpDir("ija-span")
+    def foldSpan(id: Long, intUps: Seq[Ival], facts: Seq[Fact] = Nil): Unit =
+      IncrementalIntervalJoinAgg.processBatch(
+        if (facts.isEmpty) noF else facts.toDF("id", "t", "m", "k"),
+        noFD,
+        if (intUps.isEmpty) noI else intUps.toDF("iid", "k", "s", "e", "vs"),
+        noID, state, id, numBuckets = 4, maxWindowSpanUs = Some(200L))
+    // in-contract windows fold normally under the declared span
+    foldSpan(0L, Seq((1L, 1L, 0L, 150L, "a"), (2L, 1L, 100L, 300L, "b")),
+      facts = Seq((10L, 120L, 5L, 1L)))
+    val before = served(state)
+    assert(before.nonEmpty)
+    // a violating upsert is refused, names the violator, and leaves
+    // the state byte-identical (nothing staged, nothing applied)
+    val ex = intercept[IllegalArgumentException] {
+      foldSpan(1L, Seq((3L, 1L, 0L, 500L, "c")))
+    }
+    assert(ex.getMessage.contains("iid=3") &&
+      ex.getMessage.contains("maxWindowSpanUs=200"))
+    assert(served(state) === before)
+    assert(!new java.io.File(s"$state/intervaljoinagg/_delta_b1").exists(),
+      "the refused fold must not leave a staged delta")
+    // with every fold declaring the span, the compaction's expired-pin
+    // drop is airtight: no out-of-contract window can exist
+    val r = IncrementalIntervalJoinAgg.compactState(spark, state, 400L,
+      maxWindowSpanUs = Some(200L))
+    assert(r.outOfContractWindowCount === 0L)
+    // the mixed star's interval branches share the guard
+    val st2 = tmpDir("ts-span")
+    val exS = intercept[IllegalArgumentException] {
+      IncrementalTemporalStar.processBatch(
+        Seq((100L, 120L, 1L, 1L)).toDF("id", "t", "m", "k1"),
+        Seq.empty[(Long, Long)].toDF("id", "k1"),
+        dimUps = Seq(Seq((7L, 1L, 0L, 9000L, "w")).toDF("iid", "k", "s", "e", "vs")),
+        dimDels = Seq(Seq.empty[(Long, Long)].toDF("iid", "k")),
+        stateDir = st2, batchId = 0L, numBuckets = 4,
+        intervalBranches = Set(1), maxWindowSpanUs = Some(200L))
+    }
+    assert(exS.getMessage.contains("iid=7") &&
+      exS.getMessage.contains("branch 1"))
+  }
+
   test("events-as-CDC fold serves the x128 batch twin exactly (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())

@@ -216,6 +216,34 @@ class SqlCatalogSpec extends SparkTestBase {
       numBuckets = 4, subBuckets = 2)
       .as[(String, Long, Long, Long)].collect().toSeq ===
       Seq(("g1", 4L, 5L, 100L)))
+    // r14 TOP-K point read: TVF ≡ topNFor ≡ topN-filtered, both
+    // layouts, k live through one registration
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.extremaTopKRead("sqlc_ex_topk", s"$state/extrema",
+        numBuckets = 4),
+      SqlCatalog.extremaTopKRead("sqlc_ex_sb_topk", s"$st2/extrema",
+        numBuckets = 4, subBuckets = 2)))
+    val tk = spark.sql("SELECT * FROM sqlc_ex_topk('g1', 2) ORDER BY rank")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(tk === Seq(("g1", 9L, 2L, 1), ("g1", 5L, 1L, 2)))
+    assert(tk === IncrementalExtrema.topNFor(spark, state, Seq("g1"), 2,
+      numBuckets = 4).orderBy("rank")
+      .as[(String, Long, Long, Int)].collect().toSeq)
+    assert(tk === IncrementalExtrema.topN(spark, state, 2)
+      .filter($"g" === "g1").orderBy("rank")
+      .as[(String, Long, Long, Int)].collect().toSeq)
+    assertPrunedTo(
+      spark.sql("SELECT * FROM sqlc_ex_topk('g1', 2)"), bucketOf("g1", 4))
+    val tkSb = spark.sql("SELECT * FROM sqlc_ex_sb_topk('g1', 3) ORDER BY rank")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(tkSb === Seq(("g1", 100L, 1L, 1), ("g1", 9L, 2L, 2),
+      ("g1", 5L, 1L, 3)))
+    assert(tkSb === IncrementalExtrema.topNFor(spark, st2, Seq("g1"), 3,
+      numBuckets = 4, subBuckets = 2).orderBy("rank")
+      .as[(String, Long, Long, Int)].collect().toSeq)
+    // k is live: a different k through the SAME registration
+    assert(spark.sql("SELECT count(1) FROM sqlc_ex_sb_topk('g1', 1)")
+      .as[Long].head() === 1L)
   }
 
   test("star distinct point read: TVF ≡ distinctView, pruned, sub-bucket aware") {
@@ -396,6 +424,53 @@ class SqlCatalogSpec extends SparkTestBase {
         "ORDER BY score_e6 DESC, doc_id")
       .as[(Long, Long, Long)].collect().toSeq
     assert(got2 === expect2)
+  }
+
+  test("phrase TVF (r14): SQL(phrase) ≡ searchPhrase for 1/2/3-term phrases, pruned bucketed read") {
+    val st = tmpDir("sqlc-phrase")
+    val docs = Seq(
+      (1L, "hash table join hash table probe hash table"),
+      (2L, "table hash"),
+      (3L, "hash join table"),
+      (4L, "table table table"),
+      (5L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    IncrementalIndex.processBatchPositionalBucketed(docs, st, batchId = 0L,
+      numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.phraseRead("sqlc_phrase", st, numBuckets = 4)))
+    def scalaAns(phrase: Seq[String]): Seq[(Long, Long)] =
+      IncrementalIndex.searchPhraseBucketed(spark, st, phrase, numBuckets = 4)
+        .as[(Long, Long)].collect().toSeq.sorted
+    def sqlAns(phrase: String): Seq[(Long, Long)] =
+      spark.sql(s"SELECT * FROM sqlc_phrase('$phrase') ORDER BY doc_id")
+        .as[(Long, Long)].collect().toSeq
+    for (p <- Seq(Seq("hash", "table"), Seq("hash", "table", "join"),
+        Seq("table"), Seq("table", "hash"))) {
+      assert(sqlAns(p.mkString(" ")) === scalaAns(p), s"phrase $p diverged")
+    }
+    assert(sqlAns("hash table") === Seq(1L -> 3L),
+      "doc 1 carries three overlapping-start occurrences")
+    // a repeated-term phrase folds through the same map lookup
+    assert(sqlAns("table table") === scalaAns(Seq("table", "table")))
+    assert(sqlAns("table table") === Seq(4L -> 2L))
+    // unseen terms and the empty phrase answer empty, not an error
+    assert(spark.sql("SELECT * FROM sqlc_phrase('zz yy')").isEmpty)
+    assert(spark.sql("SELECT * FROM sqlc_phrase('')").isEmpty)
+    // new docs visible after a fold + re-bind
+    graft.operators.Caching.releaseAll()
+    IncrementalIndex.processBatchPositionalBucketed(
+      Seq((6L, "hash table again")).toDF("doc_id", "text"), st, batchId = 1L,
+      numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.phraseRead("sqlc_phrase", st, numBuckets = 4)))
+    assert(sqlAns("hash table") === scalaAns(Seq("hash", "table")))
+    assert(sqlAns("hash table").exists(_._1 == 6L))
+    // a wrong bucket count is refused at registration (R177 layout)
+    intercept[IllegalArgumentException] {
+      SqlCatalog.register(spark, Seq(
+        SqlCatalog.phraseRead("sqlc_phrase_bad", st, numBuckets = 8)))
+    }
   }
 
   test("registerStateTable refuses swap leftovers (stale partition values must not register)") {

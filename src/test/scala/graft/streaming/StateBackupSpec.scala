@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Consistent backup/restore (R181): a between-batches copy of the
+  * maintained state must restore to a tree every read and every
+  * RESUMED fold treats as the original — layout markers, replay
+  * stamps, and floors ride along; in-flight protocol artifacts refuse
+  * the backup; a tampered backup refuses the restore. */
+class StateBackupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dSchema = StructType(Seq(StructField("g", StringType),
+    StructField("v", LongType)))
+
+  test("backup -> destroy -> restore: reads identical, folds resume; refusals on dirty/tampered state") {
+    val sE = tmpDir("bk-ex"); val sD = tmpDir("bk-d")
+    val bk = tmpDir("bk-dst")
+
+    // two families' state: an extrema value-multiset + a derived
+    // REPLACE table (bucketed layouts, markers, stamps)
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g1", 9L, 2L), ("g2", 3L, 1L)).toDF("g", "v", "w"),
+      sE, 0L, numBuckets = 4)
+    DerivedView.processBatch(spark,
+      Seq("a", "b").toDF("g"),
+      Seq(("a", 1L), ("b", 2L)).toDF("g", "v"), sD, 0L, numBuckets = 4)
+    def exView() = IncrementalExtrema.view(spark, sE)
+      .as[(String, Long, Long, Long)].collect().toSet
+    def dView() = DerivedView.view(spark, sD, dSchema)
+      .as[(String, Long)].collect().toSet
+    val ex0 = exView(); val d0 = dView()
+    assert(ex0.nonEmpty && d0 === Set(("a", 1L), ("b", 2L)))
+
+    val rep = StateBackup.backup(spark, Seq(sE, sD), bk)
+    assert(rep.dirs === 2 && rep.files > 0 && rep.bytes > 0)
+    assert(StateBackup.verify(spark, bk))
+
+    // destroy the originals entirely, restore, and read again
+    val fs = new org.apache.hadoop.fs.Path(sE)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sE), true)
+    fs.delete(new org.apache.hadoop.fs.Path(sD), true)
+    val rep2 = StateBackup.restore(spark, bk)
+    assert(rep2.files === rep.files && rep2.bytes === rep.bytes)
+    assert(exView() === ex0 && dView() === d0)
+
+    // the restored state FOLDS ON: layout marker + replay stamps are
+    // part of the tree, so batch 1 routes and stamps exactly as if the
+    // backup never happened — and a replay of batch 0 still no-ops
+    IncrementalExtrema.processBatch(
+      Seq(("g2", 7L, 1L)).toDF("g", "v", "w"), sE, 1L, numBuckets = 4)
+    assert(exView() === (ex0 - (("g2", 1L, 3L, 3L)) + (("g2", 2L, 3L, 7L))))
+    // wrong-layout read still refused after restore (the marker rode along)
+    intercept[IllegalArgumentException] {
+      IncrementalExtrema.viewFor(spark, sE, Seq("g1"), numBuckets = 8)
+    }
+
+    // restore over a NON-EMPTY live target refuses without force,
+    // proceeds with it (and re-verifies) when forced
+    intercept[IllegalArgumentException] { StateBackup.restore(spark, bk) }
+    StateBackup.restore(spark, bk, force = true)
+    assert(exView() === ex0, "forced restore rewound to the backup point")
+
+    // positional replacement targets: restore into a staging clone
+    val cE = tmpDir("bk-clone-e"); val cD = tmpDir("bk-clone-d")
+    StateBackup.restore(spark, bk, over = Seq(cE, cD))
+    assert(IncrementalExtrema.view(spark, cE)
+      .as[(String, Long, Long, Long)].collect().toSet === ex0)
+
+    // a dir with an in-flight staged delta refuses the backup (crash
+    // mid-fold is not a clean point-in-time); force copies anyway
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$sE/extrema/_delta_b9"))
+    val ex = intercept[IllegalArgumentException] {
+      StateBackup.backup(spark, Seq(sE), tmpDir("bk-dirty"))
+    }
+    assert(ex.getMessage.contains("_delta_b9"))
+    val bkF = tmpDir("bk-forced")
+    StateBackup.backup(spark, Seq(sE), bkF, force = true)
+    assert(StateBackup.verify(spark, bkF))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sE/extrema/_delta_b9"), true)
+
+    // tamper: delete one backed-up file -> verify false, restore refused
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$bk/0/extrema"))
+      .filter(_.isDirectory).head.getPath
+    val f = fs.listStatus(victim).head.getPath
+    fs.delete(f, false)
+    assert(!StateBackup.verify(spark, bk))
+    intercept[IllegalArgumentException] {
+      StateBackup.restore(spark, bk, force = true)
+    }
+
+    // a backup destination must be empty
+    intercept[IllegalArgumentException] {
+      StateBackup.backup(spark, Seq(sD), bk)
+    }
+  }
+}
