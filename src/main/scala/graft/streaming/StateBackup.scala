@@ -25,6 +25,17 @@ import org.apache.spark.sql.SparkSession
   * re-lists the restored tree against the same manifest. A truncated
   * or partially-deleted backup is refused, never half-restored.
   *
+  * Streaming resume: a deployment restoring state UNDER A LIVE
+  * CHECKPOINT must back up the checkpoint dir (and the catalog dir's
+  * completion floors) in the SAME call as the state dirs — they are
+  * ordinary directories here, just list them. Restoring state alone
+  * rewinds the floors below the checkpoint's next batch id, and the
+  * resumed stream would fold only from that id onward, silently
+  * missing every batch between the backup point and the checkpoint
+  * (the replay protocol protects against re-application, not against
+  * a source that no longer re-offers consumed offsets). One backup =
+  * one consistent (state, floors, offsets) triple.
+  *
   * 100 TB shape: the listing/manifest/refusal protocol is the
   * contract; the byte movement is a DISTRIBUTED copy (one Spark job
   * over the file list — each task streams its files through the
