@@ -480,7 +480,7 @@ object SqlCatalog {
             SELECT m.doc_id, count(1) AS matched,
               sum(CAST(floor(((22L * m.tf * t.n_docs * t.total_len) /
                 (d.df * (10L * m.tf * t.total_len + 3L * t.total_len
-                  + 9L * l.dl * t.n_docs))) * 1000000.0 + 0.5) AS BIGINT))
+                  + 9L * l.dl * t.n_docs))) * 1e6 + 0.5D) AS BIGINT))
                 AS score_e6
             FROM ${fn}_postings m
             JOIN (SELECT token, count(1) AS df FROM ${fn}_postings

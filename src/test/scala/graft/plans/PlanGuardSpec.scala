@@ -34,6 +34,10 @@ class PlanGuardSpec extends SparkTestBase {
     "CollectList", "TopKAggExpr", "FreqAggExpr", "WeightedFreqAggExpr", "MapAggExpr",
     "PivotFirst", // Spark's own pivot lowering — imperative agg, values-bounded buffer
     "ArrayFilter", "ArrayTransform", "ArrayExists", "ArraySort",
+    // ArrayForall + MapFromEntries: the phrase TVF's per-DOC adjacency
+    // fold (SqlCatalog.phraseRead) — one map build + one forall per
+    // MATCHED doc, never per candidate pair
+    "ArrayForAll", "MapFromEntries",
     "LambdaFunction", "NamedLambdaVariable")
 
   /** Non-equi joins whose broadcast side is provably tiny:
@@ -49,6 +53,9 @@ class PlanGuardSpec extends SparkTestBase {
     "x95_trailing_actives" -> 1, // 1-row max-day scalar broadcast (d <= mx cut)
     "x99_rfm_segments" -> 7, // all 1-row scalar crossJoins: max-day + 3 quartile-threshold tables (one per RFM dimension, some doubled by AQE stage reuse)
     "x40_mixture_sample" -> 1, "x45_bm25_topk" -> 1,
+    // the SQL twin of x45: the TVF body's CROSS JOIN of the 1-row
+    // (n_docs, total_len) totals aggregate
+    "x136_sql_bm25" -> 1,
     // the final mae read's 1-row weight-frame broadcast; the per-iteration
     // scalar crossJoins execute eagerly inside fitLinear (localCheckpoint
     // lineage cuts) and never appear in the returned plan
