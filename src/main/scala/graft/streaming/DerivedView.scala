@@ -244,10 +244,13 @@ object DerivedView {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapRoot = s"$markerDir/_snapbkt_$table"
     recoverSnapshotBuckets(spark, snapRoot)
-    changed.foreach { b =>
+    // per-bucket copies are independent (distinct dirs) — run them as
+    // concurrent jobs so the commit's wall is the largest changed
+    // bucket, not the per-bucket job overhead × |changed|
+    MvPipeline.applyConcurrently(changed.map(b => () => {
       val src = new org.apache.hadoop.fs.Path(s"$basePath/bucket=$b")
       val dst = new org.apache.hadoop.fs.Path(s"$snapRoot/bucket=$b")
-      if (!fs.exists(src)) fs.delete(dst, true)
+      if (!fs.exists(src)) { fs.delete(dst, true); () }
       else {
         val tmp = new org.apache.hadoop.fs.Path(dst.toString + ".tmp")
         spark.read.parquet(src.toString)
@@ -257,8 +260,9 @@ object DerivedView {
         if (fs.exists(dst)) require(fs.rename(dst, aside), s"stage out $dst")
         require(fs.rename(tmp, dst), s"commit snapshot bucket $dst")
         fs.delete(aside, true)
+        ()
       }
-    }
+    }))
     writeFingerprints(spark, markerDir, table, cur)
   }
 
