@@ -1909,6 +1909,55 @@ object ExtQueries {
     sqlBm25Views(s, dir)
     sqlTopKViews(s, dir)
     sqlSessionsViews(s, dir)
+    sqlTemporalAsOfViews(s, dir)
+  }
+
+  /** Shared TWO-BATCH maintained TEMPORAL-STAR state behind the
+    * branch-coordinate as-of TVF (x140): batch 0 folds the
+    * `event_id % 10 = 0` purchases plus ALL view-derived SCD versions,
+    * batch 1 folds the `% 10 = 5` purchases — so an as-of read at
+    * batch 0 differs from the live view and the DuckDB oracle can
+    * recompute it as a native ASOF JOIN over the batch-0 fact subset
+    * (the engine's as-of resolution is arrival-order-free, so all
+    * versions landing in batch 0 is the x123 semantics exactly). */
+  private val sqlTemporalState = scala.collection.mutable.Map[String, String]()
+  private def sqlTemporalAsOfViews(s: SparkSession, dir: String): Unit = synchronized {
+    val state = sqlTemporalState.getOrElseUpdate(dir, {
+      val st = java.nio.file.Files.createTempDirectory("sqltemp").toString
+      val ev = Tables.events(s, dir)
+      def factsOf(rem: Int) = ev.filter(col("event_type") === "purchase" &&
+          col("event_id") % 10 === rem)
+        .select(col("event_id").as("id"), expr("ts DIV 1000").as("t"),
+          graft.functions.cents(col("value")).as("m"),
+          col("user_id").as("k1"))
+      val dims = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), expr("ts DIV 1000").as("vf"),
+          concat(lit("s"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .cast("string")).as("vs"))
+      val noFD = factsOf(0).limit(0).select("id", "k1")
+      val noDD = dims.limit(0).select("k", "vf")
+      graft.streaming.IncrementalTemporalStar.processBatch(
+        factsOf(0), noFD, Seq(dims), Seq(noDD),
+        st, batchId = 0L, numBuckets = 2)
+      graft.streaming.IncrementalTemporalStar.processBatch(
+        factsOf(5), noFD, Seq(dims.limit(0)), Seq(noDD),
+        st, batchId = 1L, numBuckets = 2)
+      st
+    })
+    graft.streaming.SqlCatalog.register(s, Seq(
+      graft.streaming.SqlCatalog.temporalStarAsOfRead("x140_asof_for",
+        state, numBranches = 1, numBuckets = 2)))
+  }
+
+  /** SQL as-of POINT read on the TEMPORAL family (R172's last
+    * pass(T)-only TVF, driver-oracled r14): `x140_asof_for('s1', 0)` —
+    * segment s1's revenue as of batch 0, from the maintained temporal
+    * star's changelog, pruned to the encoded group's bucket. Oracle:
+    * DuckDB's native ASOF JOIN over the batch-0 fact subset. */
+  def x140SqlTemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    sqlTemporalAsOfViews(s, dir)
+    s.sql("""SELECT g1 AS seg, total AS revenue_cents, rows AS purchases
+      FROM x140_asof_for('s1', 0) ORDER BY seg""")
   }
 
   /** Shared maintained SESSIONS state behind the SQL point-read TVF
@@ -4902,6 +4951,32 @@ object ExtQueries {
     // the phrase TVF answers the SAME search as x50 (same phrase), so
     // the x50 mirror is its oracle verbatim
     "x137_sql_phrase" -> duckPhraseSearch,
+    // NOTE: the segment must resolve per fact over ALL versions BEFORE
+    // any vs filter — DuckDB pushes a dim-column equality below its
+    // ASOF JOIN (even from an enclosing subquery), which would resolve
+    // facts against only the s1 versions and inflate the totals; the
+    // correlated latest-version form is pushdown-proof
+    "x140_sql_temporal_asof" ->
+      s"""WITH d AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+         |    's' || CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS VARCHAR) AS vs
+         |  FROM events WHERE event_type = 'view'
+         |),
+         |f AS (
+         |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         |    ${graft.functions.centsSql("value")} AS m
+         |  FROM events WHERE event_type = 'purchase' AND (event_id % 10) = 0
+         |),
+         |r AS (
+         |  SELECT f.m,
+         |    (SELECT d.vs FROM d WHERE d.k = f.k AND d.vf <= f.t
+         |     ORDER BY d.vf DESC LIMIT 1) AS seg
+         |  FROM f
+         |)
+         |SELECT seg, CAST(sum(m) AS BIGINT) AS revenue_cents,
+         |  count(*) AS purchases
+         |FROM r WHERE seg = 's1'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x139_sql_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
@@ -5622,6 +5697,7 @@ object ExtQueries {
     "x137_sql_phrase" -> x137SqlPhrase, // oracle: per-query phrase search as a SQL table function (r14)
     "x138_sql_topk" -> x138SqlTopK, // oracle: maintained exact top-k point read as a SQL table function (r14)
     "x139_sql_sessions" -> x139SqlSessions, // oracle: maintained sessions point read as a SQL table function (r14)
+    "x140_sql_temporal_asof" -> x140SqlTemporalAsof, // oracle: temporal-star as-of TVF vs DuckDB native ASOF JOIN (r14)
     "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
     "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
     "ta_lang_stats"    -> taLangStats,

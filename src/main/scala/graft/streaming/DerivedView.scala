@@ -287,8 +287,15 @@ object DerivedView {
       }.toMap
   }
 
-  /** Recover `.old` swap leftovers of the bucketed snapshot (a crash
-    * between the stage-out and the commit rename). */
+  /** Recover swap leftovers of the bucketed snapshot: `.old` (a crash
+    * between the stage-out and the commit rename) renames back or
+    * drops; a stale `.tmp` (a crash mid-copy, before any rename) is a
+    * partial write the next commit would overwrite anyway — deleted
+    * here so it cannot linger forever on a bucket that never changes
+    * again (it would, e.g., permanently trip [[StateBackup]]'s
+    * in-flight-artifact refusal on the marker dir). Runs in the same
+    * single-writer thread as every diff/commit, so no in-flight `.tmp`
+    * can be swept. */
   private def recoverSnapshotBuckets(spark: SparkSession,
       snapRoot: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(snapRoot)
@@ -303,6 +310,9 @@ object DerivedView {
           require(fs.rename(s.getPath, live), s"recover ${s.getPath}")
         else fs.delete(s.getPath, true)
       }
+    fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".tmp"))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   private def fpsPath(markerDir: String, table: String) =

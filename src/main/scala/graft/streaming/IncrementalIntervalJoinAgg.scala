@@ -568,10 +568,15 @@ object IncrementalIntervalJoinAgg {
     * per-batch delta machinery. */
   def bootstrap(facts: DataFrame, intervals: DataFrame, stateDir: String,
       baselineBatch: Long = 0L, numBuckets: Int = 16,
-      numMeasures: Int = 1): Unit = {
+      numMeasures: Int = 1, maxWindowSpanUs: Option[Long] = None): Unit = {
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
     val path = s"$stateDir/intervaljoinagg"
+    // the span contract is only airtight when EVERY ingest path checks
+    // it — a bootstrapped wide window would outlive folds that declare
+    // the span (the guard never re-examines retained state)
+    maxWindowSpanUs.foreach(span =>
+      enforceSpanContract(intervals, span, s"interval bootstrap of $path"))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")

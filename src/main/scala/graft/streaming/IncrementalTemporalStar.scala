@@ -1094,12 +1094,18 @@ object IncrementalTemporalStar {
       baselineBatch: Long = 0L, numBuckets: Int = 16,
       numMeasures: Int = 1, trackExtrema: Boolean = false,
       trackEnriched: Boolean = false, root: String = Root,
-      intervalBranches: Set[Int] = Set.empty): Unit = {
+      intervalBranches: Set[Int] = Set.empty,
+      maxWindowSpanUs: Option[Long] = None): Unit = {
     val nB = dims.size
     val spark = facts.sparkSession
     val mCols = mColsOf(numMeasures)
     val kCols = kColsOf(nB)
     val path = s"$stateDir/$root"
+    // bootstrap is an ingest path too (R180): a bootstrapped
+    // out-of-contract window would outlive every later declared fold
+    maxWindowSpanUs.foreach(span => intervalBranches.toSeq.sorted.foreach(b =>
+      IncrementalIntervalJoinAgg.enforceSpanContract(dims(b - 1), span,
+        s"mixed-star interval branch $b bootstrap of $path")))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(path)),
       s"bootstrap requires a fresh state dir, found $path")

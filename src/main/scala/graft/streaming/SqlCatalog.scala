@@ -459,8 +459,31 @@ object SqlCatalog {
     * reaches the postings scan, df is a tiny agg over matched postings,
     * totals are a 1-row aggregate, one doc_id shuffle, rank + filter
     * instead of a global sort. */
-  def bm25Read(fn: String, stateDir: String, numBuckets: Int = 16): SqlView = {
+  /** Term-membership predicate for the retrieval TVF bodies: a
+    * `maxTerms`-way unrolled `token IN (try_element_at(split(...), i))`
+    * — with a LITERAL call the elements constant-fold and the whole
+    * predicate reaches the parquet scan as `PushedFilters: In(token,
+    * [...])` (row-group dictionary/stats pruning — `array_contains`
+    * over the same foldable array is NOT translatable to a source
+    * filter and read every row group; measured in the r14 review). A
+    * query longer than `maxTerms` degrades CORRECTLY to an unpruned
+    * scan via the size disjunct (constant-folds away on in-range
+    * literal calls). Partition-level pruning is not expressible for a
+    * free parameter (Spark inserts no DPP filter for a
+    * parameter-derived build side — verified); the Scala entries prune
+    * bucket DIRS physically and stay the hot-path choice. */
+  private def termMembership(tokenCol: String, queryParam: String,
+      maxTerms: Int): String = {
+    val terms = (1 to maxTerms)
+      .map(i => s"try_element_at(split($queryParam, ' '), $i)")
+      .mkString(", ")
+    s"(size(split($queryParam, ' ')) > $maxTerms OR $tokenCol IN ($terms))"
+  }
+
+  def bm25Read(fn: String, stateDir: String, numBuckets: Int = 16,
+      maxTerms: Int = 16): SqlView = {
     requireSqlName(fn)
+    require(maxTerms >= 1, "maxTerms >= 1")
     SqlView(fn) { s =>
       MvPipeline.assertReadLayout(s, s"$stateDir/postings", numBuckets, 1,
         s"TVF $fn")
@@ -470,6 +493,8 @@ object SqlCatalog {
         StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"))
       registerStateTable(s, s"${fn}_lens", s"$stateDir/doc_lens",
         StructType.fromDDL("doc_id BIGINT, dl BIGINT"))
+      val memberD = termMembership("token", "query", maxTerms)
+      val memberM = termMembership("m.token", "query", maxTerms)
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
           query STRING, k BIGINT)
         RETURNS TABLE (doc_id BIGINT, matched BIGINT, score_e6 BIGINT)
@@ -484,13 +509,13 @@ object SqlCatalog {
                 AS score_e6
             FROM ${fn}_postings m
             JOIN (SELECT token, count(1) AS df FROM ${fn}_postings
-                  WHERE array_contains(split(query, ' '), token)
+                  WHERE $memberD
                   GROUP BY token) d ON m.token = d.token
             JOIN ${fn}_lens l ON m.doc_id = l.doc_id
             CROSS JOIN (SELECT count(1) AS n_docs,
                           CAST(sum(dl) AS BIGINT) AS total_len
                         FROM ${fn}_lens) t
-            WHERE array_contains(split(query, ' '), m.token)
+            WHERE $memberM
             GROUP BY m.doc_id))
         WHERE rnk <= k""")
     }
@@ -506,12 +531,18 @@ object SqlCatalog {
     * WHERE) into a per-doc token→positions map; the outer select is
     * non-aggregating, so it may use the parameter freely to fold the
     * adjacency chain: a position p of the phrase's FIRST term starts an
-    * occurrence iff every later term i holds p+i−1. Probe cost is
-    * O(matched postings) — the term-membership filter prunes the
-    * posting scan — never O(index). */
+    * occurrence iff every later term i holds p+i−1. Probe cost: the
+    * term-membership predicate reaches the parquet scan as a pushed
+    * `In` filter on literal calls ([[termMembership]] — row-group
+    * dictionary/stats pruning), so bytes read ≈ matched row groups;
+    * bucket DIRS are still all listed (partition pruning needs a
+    * constant-foldable bucket id, which a free parameter cannot give —
+    * the Scala [[IncrementalIndex.searchPhraseBucketed]] prunes dirs
+    * physically and is the hot-path entry). */
   def phraseRead(fn: String, stateDir: String,
-      numBuckets: Int = 16): SqlView = {
+      numBuckets: Int = 16, maxTerms: Int = 16): SqlView = {
     requireSqlName(fn)
+    require(maxTerms >= 1, "maxTerms >= 1")
     SqlView(fn) { s =>
       MvPipeline.assertReadLayout(s, s"$stateDir/positional", numBuckets, 1,
         s"TVF $fn")
@@ -532,7 +563,7 @@ object SqlCatalog {
           SELECT doc_id,
             map_from_entries(collect_list(struct(token, positions))) AS tp
           FROM ${fn}_positional
-          WHERE array_contains(split(phrase, ' '), token)
+          WHERE ${termMembership("token", "phrase", maxTerms)}
           GROUP BY doc_id)
         WHERE $occ > 0""")
     }

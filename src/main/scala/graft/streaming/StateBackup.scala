@@ -161,13 +161,25 @@ object StateBackup {
 
   /** One Spark job over the (src, dst) file list — each task opens its
     * files through the Hadoop FileSystem API and streams bytes, so the
-    * copy is executor-parallel and the driver holds only paths. */
+    * copy is executor-parallel and the driver holds only paths. The
+    * session's Hadoop settings ship to the tasks as plain key/value
+    * pairs (a default `new Configuration()` in the task would drop
+    * every `spark.hadoop.*` override — object-store credentials,
+    * endpoints, HA namenode configs — exactly the deployments this
+    * device targets). */
   private def distributedCopy(spark: SparkSession,
       pairs: Seq[(String, String)]): Unit = {
     if (pairs.isEmpty) return
+    val hadoopProps = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     val n = math.max(1, math.min(pairs.size, 32))
     spark.sparkContext.parallelize(pairs, n).foreachPartition { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
+      hadoopProps.foreach { case (k, v) => conf.set(k, v) }
       it.foreach { case (src, dst) =>
         val sp = new Path(src); val dp = new Path(dst)
         val sfs = sp.getFileSystem(conf); val dfs = dp.getFileSystem(conf)

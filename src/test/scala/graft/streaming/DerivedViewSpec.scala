@@ -436,5 +436,12 @@ class DerivedViewSpec extends SparkTestBase {
     assert(d4 === Set(("k5", 50L, "old")))
     roll(4L)
     assert(served() === expected())
+    // a stale '.tmp' from a crash mid-copy is swept by the next
+    // diff/commit's recovery pass — it must not linger forever (it
+    // would permanently trip StateBackup's in-flight refusal)
+    fsX.mkdirs(new org.apache.hadoop.fs.Path(s"$mk/_snapbkt_base/bucket=0.tmp"))
+    diffBucketed().count()
+    assert(!new java.io.File(s"$mk/_snapbkt_base/bucket=0.tmp").exists(),
+      "stale .tmp must be swept by recovery")
   }
 }

@@ -348,6 +348,17 @@ class IncrementalIntervalJoinAggSpec extends SparkTestBase {
     val r = IncrementalIntervalJoinAgg.compactState(spark, state, 400L,
       maxWindowSpanUs = Some(200L))
     assert(r.outOfContractWindowCount === 0L)
+    // bootstrap is an ingest path too: a bootstrapped wide window
+    // would outlive every later declared fold
+    val exB = intercept[IllegalArgumentException] {
+      IncrementalIntervalJoinAgg.bootstrap(
+        Seq((10L, 120L, 5L, 1L)).toDF("id", "t", "m", "k"),
+        Seq((9L, 1L, 0L, 900L, "w")).toDF("iid", "k", "s", "e", "vs"),
+        tmpDir("ija-span-bs"), numBuckets = 4,
+        maxWindowSpanUs = Some(200L))
+    }
+    assert(exB.getMessage.contains("iid=9") &&
+      exB.getMessage.contains("bootstrap"))
     // the mixed star's interval branches share the guard
     val st2 = tmpDir("ts-span")
     val exS = intercept[IllegalArgumentException] {

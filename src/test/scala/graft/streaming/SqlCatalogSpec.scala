@@ -471,6 +471,22 @@ class SqlCatalogSpec extends SparkTestBase {
       SqlCatalog.register(spark, Seq(
         SqlCatalog.phraseRead("sqlc_phrase_bad", st, numBuckets = 8)))
     }
+    // the term-membership predicate reaches the parquet scan as a
+    // pushed In filter on a literal call (r14: array_contains over the
+    // same foldable array is NOT source-translatable and read every
+    // row group)
+    val plan = spark.sql("SELECT * FROM sqlc_phrase('hash table')")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(token"),
+      s"membership filter must push to the scan:\n$plan")
+    // a phrase longer than the registration's maxTerms degrades to a
+    // correct unpruned scan (the size disjunct), never a wrong answer
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.phraseRead("sqlc_phrase_m2", st, numBuckets = 4,
+        maxTerms = 2)))
+    assert(spark.sql("SELECT * FROM sqlc_phrase_m2('hash table join') ORDER BY doc_id")
+      .as[(Long, Long)].collect().toSeq ===
+      scalaAns(Seq("hash", "table", "join")))
   }
 
   test("registerStateTable refuses swap leftovers (stale partition values must not register)") {
