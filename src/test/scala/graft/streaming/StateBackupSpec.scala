@@ -152,4 +152,44 @@ class StateBackupSpec extends SparkTestBase {
     assert(view() === v1)
     assert(ViewCatalog.completedFloor(spark, cat) === 1L)
   }
+
+  test("scheduled backups as a catalog maintenance op: every Nth committed batch writes a verifiable snapshot") {
+    // the nightly-backup pattern: a Maintenance tier op fires AFTER the
+    // completion floor advanced (post-batch state is quiescent — no
+    // staged deltas to refuse), writing each snapshot to its own
+    // batch-stamped destination; a crash loses only the trigger and a
+    // partial backup is detectable (no manifest ⇒ verify false), never
+    // silently restorable
+    val cat = tmpDir("bkm-cat"); val sA = tmpDir("bkm-state")
+    val bk = tmpDir("bkm-dst")
+    val catalog = ViewCatalog.Catalog(
+      bases = Seq(ViewCatalog.Stage("ex", Seq(sA))((b, id) =>
+        IncrementalExtrema.processBatch(b.select("g", "v", "w"), sA, id,
+          numBuckets = 4))),
+      maintenance = Seq(ViewCatalog.Maintenance("backup", every = 2)(bid =>
+        StateBackup.backup(spark, Seq(sA, cat), s"$bk/b$bid"))))
+    def batch(rows: Seq[(String, Long, Long)]) = rows.toDF("g", "v", "w")
+    def view(dir: String): Set[(String, Long, Long, Long)] =
+      IncrementalExtrema.view(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toSet
+
+    ViewCatalog.runBatch(spark, catalog, cat, batch(Seq(("g1", 5L, 1L))), 0L)
+    assert(StateBackup.verify(spark, s"$bk/b0"), "batch 0 backup written")
+    val v0 = view(sA)
+    ViewCatalog.runBatch(spark, catalog, cat, batch(Seq(("g1", 9L, 2L))), 1L)
+    assert(!new java.io.File(s"$bk/b1").exists, "off-cadence batch: no backup")
+    ViewCatalog.runBatch(spark, catalog, cat, batch(Seq(("g2", 3L, 1L))), 2L)
+    assert(StateBackup.verify(spark, s"$bk/b2"))
+    val v2 = view(sA)
+    // each snapshot restores to ITS batch's state (staging clones)
+    val c0 = tmpDir("bkm-c0"); val c0cat = tmpDir("bkm-c0cat")
+    StateBackup.restore(spark, s"$bk/b0", over = Seq(c0, c0cat))
+    assert(view(c0) === v0 && v0 != v2)
+    assert(ViewCatalog.completedFloor(spark, c0cat) === 0L,
+      "the floor rides with its snapshot")
+    val c2 = tmpDir("bkm-c2"); val c2cat = tmpDir("bkm-c2cat")
+    StateBackup.restore(spark, s"$bk/b2", over = Seq(c2, c2cat))
+    assert(view(c2) === v2)
+    assert(ViewCatalog.completedFloor(spark, c2cat) === 2L)
+  }
 }
