@@ -278,8 +278,12 @@ object DerivedView {
       .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
       .map { b =>
         val id = b.getPath.getName.stripPrefix("bucket=").toLong
+        // NUL separators (spelled as escapes: a literal NUL in the
+        // source renders invisibly and dies in any reformat, silently
+        // changing every fingerprint) cannot appear in file names, so
+        // the listing string is collision-free
         val listing = fs.listStatus(b.getPath).map(f =>
-          s"${f.getPath.getName} ${f.getLen} ${f.getModificationTime}")
+          s"${f.getPath.getName}\u0000${f.getLen}\u0000${f.getModificationTime}")
           .sorted.mkString("\n")
         val md = java.security.MessageDigest.getInstance("MD5")
         id -> md.digest(listing.getBytes("UTF-8"))
@@ -318,10 +322,26 @@ object DerivedView {
   private def fpsPath(markerDir: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$markerDir/_fps_$table")
 
+  /** Read the recorded fingerprints, RECOVERING the aside-rename
+    * protocol's leftovers first (runs in the same single-writer thread
+    * as every diff/commit, so no in-flight `.tmp` can be swept): a
+    * crash between [[writeFingerprints]]' stage-out and commit leaves
+    * `.old` — renamed back so the next diff re-flags the same bucket
+    * set instead of silently degrading to an all-buckets O(state)
+    * pass; a stale `.tmp` (crash mid-write, before any rename) is
+    * partial bytes the next commit overwrites — deleted here so it
+    * cannot linger and trip [[StateBackup]]'s in-flight refusal on a
+    * marker dir that never commits again. */
   private def readFingerprints(spark: SparkSession, markerDir: String,
       table: String): Map[Long, String] = {
     val p = fpsPath(markerDir, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(p.toString + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    if (!fs.exists(p) && fs.exists(aside))
+      require(fs.rename(aside, p), s"recover fingerprints $aside")
+    else if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in).getLines()
@@ -331,17 +351,25 @@ object DerivedView {
     finally in.close()
   }
 
+  /** Atomically record the fingerprints — the snapshot buckets' aside-
+    * rename protocol (write tmp, stage the live file out to `.old`,
+    * rename tmp in, drop `.old`): no crash point loses BOTH copies, so
+    * [[readFingerprints]]' recovery always finds a complete file and
+    * the diff never silently degrades to an all-buckets pass. */
   private def writeFingerprints(spark: SparkSession, markerDir: String,
       table: String, fps: Map[Long, String]): Unit = {
     val p = fpsPath(markerDir, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(p.toString + ".old")
     val out = fs.create(tmp, true)
     try out.write(fps.toSeq.sortBy(_._1)
       .map { case (b, fp) => s"$b\t$fp" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
+    fs.delete(aside, true)
+    if (fs.exists(p)) require(fs.rename(p, aside), s"stage out $p")
     require(fs.rename(tmp, p), s"commit fingerprints $p")
+    fs.delete(aside, true)
   }
 }
 

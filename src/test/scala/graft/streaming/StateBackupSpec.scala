@@ -98,6 +98,132 @@ class StateBackupSpec extends SparkTestBase {
     }
   }
 
+  test("differential backup: only changed buckets copied, restore(base+incr) byte-identical and folds on, same-length corruption refused by checksum") {
+    val sE = tmpDir("inc-ex")
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g2", 3L, 1L), ("g3", 8L, 1L), ("g4", 6L, 1L))
+        .toDF("g", "v", "w"), sE, 0L, numBuckets = 4)
+    def exView() = IncrementalExtrema.view(spark, sE)
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val base = tmpDir("inc-base")
+    val rep0 = StateBackup.backup(spark, Seq(sE), base)
+    assert(rep0.copiedFiles === rep0.files && rep0.copiedBytes === rep0.bytes,
+      "a full backup copies everything it names")
+
+    // two folds touching ONE group — a strict subset of the buckets
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 7L, 1L)).toDF("g", "v", "w"), sE, 1L, numBuckets = 4)
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 2L, 1L)).toDF("g", "v", "w"), sE, 2L, numBuckets = 4)
+    val v2 = exView()
+
+    val incr = tmpDir("inc-delta")
+    val rep1 = StateBackup.backupIncremental(spark, Seq(sE), incr, base)
+    assert(rep1.files > 0 && rep1.copiedFiles > 0, "touched buckets copied")
+    assert(rep1.copiedFiles < rep1.files,
+      s"incremental copied ${rep1.copiedFiles} of ${rep1.files} named files" +
+        " — must be a strict subset when most buckets are untouched")
+    // the incremental dir physically holds exactly the copied subset
+    val fs = new org.apache.hadoop.fs.Path(incr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      if (!fs.exists(p)) return 0L
+      val it = fs.listFiles(p, true); var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    assert(countFiles(new org.apache.hadoop.fs.Path(s"$incr/0")) === rep1.copiedFiles)
+    assert(StateBackup.verify(spark, incr))
+    assert(StateBackup.verify(spark, incr, deep = true),
+      "deep verify re-hashes every byte through the chain")
+
+    // a no-change incremental copies NOTHING (listings only)
+    val incr2 = tmpDir("inc-nochange")
+    val rep2 = StateBackup.backupIncremental(spark, Seq(sE), incr2, incr)
+    assert(rep2.copiedFiles === 0L && rep2.files === rep1.files)
+    assert(StateBackup.verify(spark, incr2, deep = true))
+
+    // disaster: restore from the two-level chain, byte-identical + folds on
+    fs.delete(new org.apache.hadoop.fs.Path(sE), true)
+    val rep3 = StateBackup.restore(spark, incr2)
+    assert(rep3.files === rep1.files)
+    assert(exView() === v2, "restore(base+incr+incr) reproduces the tree")
+    IncrementalExtrema.processBatch(
+      Seq(("g2", 9L, 1L)).toDF("g", "v", "w"), sE, 3L, numBuckets = 4)
+    val v3 = exView()
+    assert(v3 !== v2, "the restored state folds on")
+
+    // tamper: SAME-LENGTH bit corruption in the BASE layer — shallow
+    // verify (listing) stays green, the checksum catches it: deep
+    // verify false, restore refused, live target untouched
+    val victims = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/0"), true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+      while (it.hasNext) { val s = it.next(); if (s.getLen > 0) buf += s.getPath }
+      buf.toSeq
+    }
+    victims.foreach { f =>
+      val len = fs.getFileStatus(f).getLen.toInt
+      val in = fs.open(f)
+      val bytes = try { val b = new Array[Byte](len); in.readFully(b); b }
+        finally in.close()
+      bytes(len / 2) = (bytes(len / 2) ^ 0x5a).toByte
+      val out = fs.create(f, true)
+      try out.write(bytes) finally out.close()
+    }
+    assert(StateBackup.verify(spark, incr2),
+      "same-length corruption is invisible to the listing check")
+    assert(!StateBackup.verify(spark, incr2, deep = true),
+      "deep verify catches same-length corruption")
+    intercept[IllegalArgumentException] {
+      StateBackup.restore(spark, incr2, force = true)
+    }
+    assert(exView() === v3, "refused restore left the live target intact")
+    assert(!new java.io.File(s"$sE.restoring").exists,
+      "refused restore swept its staging dir")
+
+    // chaining to a damaged base is refused outright — corrupt the
+    // LENGTH of a base file so the chain's shallow gate trips
+    val f0 = victims.head
+    val out = fs.create(f0, true)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    assert(!StateBackup.verify(spark, incr2))
+    intercept[IllegalArgumentException] {
+      StateBackup.backupIncremental(spark, Seq(sE), tmpDir("inc-bad2"), incr2)
+    }
+  }
+
+  test("in-flight refusal: checkpoint-manager temp orphans allowlisted, crashed-restore staging refused") {
+    val d = tmpDir("ckpt-allow")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("a", 1L)).toDF("g", "v").write.parquet(s"$d/t")
+    // a crashed streaming checkpoint's rename-based commit leaves
+    // `.<name>.<uuid>.tmp` orphans — an IDLE deployment may carry them
+    // forever, so they must not force-gate its backups
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$d/t/.2.delta.${java.util.UUID.randomUUID()}.tmp")
+    fs.create(orphan, true).close()
+    assert(StateBackup.inFlightArtifacts(spark, d).isEmpty)
+    val bk = tmpDir("ckpt-allow-bk")
+    StateBackup.backup(spark, Seq(d), bk) // no force needed
+    assert(StateBackup.verify(spark, bk, deep = true))
+
+    // a crashed RESTORE's staging dir IS in-flight (half-swapped state)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/t.restoring"))
+    val ex = intercept[IllegalArgumentException] {
+      StateBackup.backup(spark, Seq(d), tmpDir("ckpt-allow-bk2"))
+    }
+    assert(ex.getMessage.contains(".restoring"))
+    // a PLAIN .tmp (engine swap leftover) still refuses
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/t.restoring"), true)
+    fs.create(new org.apache.hadoop.fs.Path(s"$d/t/part.tmp"), true).close()
+    intercept[IllegalArgumentException] {
+      StateBackup.backup(spark, Seq(d), tmpDir("ckpt-allow-bk3"))
+    }
+  }
+
   test("streaming resume after restore: the (state, floors, offsets) triple folds on exactly") {
     // the scaladoc contract made executable: back up state + catalog
     // floors + the streaming CHECKPOINT in one call, lose everything,
