@@ -1357,22 +1357,59 @@ object ExtQueries {
       .orderBy("event_type", "day")
   }
 
+  /** HLL++ approximate distinct users — ERROR-BANDED since r15 (VERDICT
+    * r14 task 2): the sketch register values are engine-specific, so
+    * the query emits the EXACT distinct count beside a `within_3rsd`
+    * flag asserting the HLL++ estimate sits inside 3× its published
+    * relative standard deviation (rsd = 0.05, the Spark default) of the
+    * exact value — turning the old rows-only check into a full
+    * hash-matched pass/fail: the oracle recomputes the exact count and
+    * expects the flag to be 1, so a broken sketch (wrong column, broken
+    * rsd, garbage registers) flips the flag and reds the hash. The HLL
+    * aggregation still runs at full scale — it IS the thing under
+    * test — only its raw estimate stays out of the compared columns. */
   def x8ApproxUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("approx_users") - col("exact_users"))
+          <= lit(3 * 0.05) * col("exact_users"), 1L).otherwise(0L)
+          .as("within_3rsd"))
       .orderBy("event_type")
 
-  /** t-digest approximate percentiles — the 100 TB swap for [[RelQueries
-    * .pctValue]]'s exact sort-based percentile. Sketch values are
-    * engine-specific → rows-only check. */
-  def x10ApproxPct(s: SparkSession, dir: String): DataFrame =
+  /** Approximate percentiles (Greenwald-Khanna registers) — the 100 TB
+    * swap for [[RelQueries.pctValue]]'s exact sort-based percentile.
+    * ERROR-BANDED since r15, like [[x8ApproxUsers]]: sketch values are
+    * engine-specific, so the query emits the exact row count beside
+    * per-percentile band flags asserting each approx value lies between
+    * the EXACT interpolated percentiles at rank ± 5/accuracy (Spark
+    * guarantees rank error ≤ 1/accuracy for accuracy = 1000; the 5×
+    * slack absorbs interpolation-vs-element rank boundary effects and
+    * is still a 0.5-percentile band). The oracle expects both flags = 1,
+    * so a regression to garbage reds the hash instead of passing a
+    * rows-only check. */
+  def x10ApproxPct(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.005
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+        count(lit(1)).as("n_rows"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50a"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95a"),
+        percentile(col("value"), lit(0.5 - eps)).as("p50lo"),
+        percentile(col("value"), lit(0.5 + eps)).as("p50hi"),
+        percentile(col("value"), lit(0.95 - eps)).as("p95lo"),
+        percentile(col("value"), lit(0.95 + eps)).as("p95hi"))
+      .select(col("event_type"), col("n_rows"),
+        when(col("p50a").between(col("p50lo"), col("p50hi")), 1L)
+          .otherwise(0L).as("p50_in_band"),
+        when(col("p95a").between(col("p95lo"), col("p95hi")), 1L)
+          .otherwise(0L).as("p95_in_band"))
       .orderBy("event_type")
+  }
 
   // ------------------------------------------------------- text analysis ----
 
@@ -5040,6 +5077,20 @@ object ExtQueries {
     "x48_ann_ivfadc" -> duckAnnIvfAdc,
     "x34_semantic_prune" -> duckSemanticPrune,
     "x15_ivf_cells" -> duckIvfCells,
+    // x8/x10 (r15): the oracle recomputes the EXACT side and expects the
+    // band flags to be 1 — the Spark side computes the sketch, compares
+    // it to its exact twin in-plan, and a sketch outside its published
+    // error band flips the flag and reds the hash (error-banded check;
+    // the raw engine-specific sketch values stay out of the compared
+    // columns)
+    "x8_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x10_approx_pct" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS p50_in_band, CAST(1 AS BIGINT) AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x16_kmv_distinct" -> duckKmvDistinct,
     "x3_simhash" -> duckSimhashPairs,
     "x46_image_neardup" -> duckImageNearDup,
@@ -5698,8 +5749,8 @@ object ExtQueries {
     "x138_sql_topk" -> x138SqlTopK, // oracle: maintained exact top-k point read as a SQL table function (r14)
     "x139_sql_sessions" -> x139SqlSessions, // oracle: maintained sessions point read as a SQL table function (r14)
     "x140_sql_temporal_asof" -> x140SqlTemporalAsof, // oracle: temporal-star as-of TVF vs DuckDB native ASOF JOIN (r14)
-    "x8_approx_users"  -> x8ApproxUsers, // no oracle: HLL++ is engine-specific
-    "x10_approx_pct"   -> x10ApproxPct, // no oracle: t-digest is engine-specific
+    "x8_approx_users"  -> x8ApproxUsers, // oracled via exact count + 3·rsd band flag (r15)
+    "x10_approx_pct"   -> x10ApproxPct, // oracled via exact count + rank-error band flags (r15)
     "ta_lang_stats"    -> taLangStats,
     "ta_token_stats"   -> taTokenStats,
     "ta_quality"       -> taQuality,
