@@ -4,13 +4,15 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** REAL media codecs in pure JVM bytes — no external libraries: BMP
   * (24-bit uncompressed, BITMAPINFOHEADER) and WAV (PCM16) are plain
-  * header formats, so unlike JPEG/PNG/MP3 (which stay declared stubs in
-  * [[Multimodal]] — this container has no codec libs) they can be
-  * encoded AND decoded here for full pipeline verification: the
-  * mm2 harness query encodes deterministic payloads, decodes them back,
-  * and the DuckDB oracle recomputes the expected features from the
-  * generating formula — a hash match proves the byte layout (row
-  * padding, chunk walking, endianness) round-trips exactly.
+  * header formats, and PNG (8-bit truecolor — see [[PngCodec]], r15)
+  * needs only `java.util.zip`'s DEFLATE + CRC32, so all three can be
+  * encoded AND decoded here for full pipeline verification (JPEG/MP3
+  * stay declared stubs in [[Multimodal]] — entropy coding + DCT/
+  * psychoacoustics have no JDK primitive): the mm2/mm4 harness queries
+  * encode deterministic payloads, decode them back, and the DuckDB
+  * oracle recomputes the expected features from the generating
+  * formula — a hash match proves the byte layout (row padding, chunk
+  * walking, filter reconstruction, endianness) round-trips exactly.
   *
   * Everything is little-endian per both formats' specs; decode returns
   * None for malformed input (the per-row barrier, like the DNS parser).
@@ -85,7 +87,11 @@ object MediaCodecs {
     } catch { case _: Exception => None }
   }
 
-  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP: the image is
+  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP or an
+    * 8-bit truecolor PNG (format-dispatched on the signature bytes —
+    * PNG payloads route to [[PngCodec.aHash64]], same grid/threshold
+    * rule, so both formats join one Hamming-blocked near-dup family
+    * and `imageNearDupPairs` needs no format flag): the image is
     * partitioned into an 8×8 grid of cells (cell (i,j) covers storage
     * rows [i·h/8, (i+1)·h/8) × cols [j·w/8, (j+1)·w/8)); each cell's
     * value is the exact integer SUM of its pixel bytes (all channels —
@@ -100,6 +106,8 @@ object MediaCodecs {
     * ([[Dedup.hammingPairs]]). */
   def aHash64(bytes: Array[Byte]): java.lang.Long = {
     try {
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+        return PngCodec.aHash64(bytes)
       if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return null
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val offset = bb.getInt(10)

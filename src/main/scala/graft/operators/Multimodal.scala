@@ -90,6 +90,39 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** The PNG sibling of [[synthesizeBmpNearDups]] (r15): the SAME
+    * pixel recipe — groups of 4, per-(group, cell) md5 base bytes,
+    * members 1-3 perturbing one 2×2 cell by +120 — but the 16×16 image
+    * is carried as a REAL 8-bit truecolor PNG ([[PngCodec.encode]])
+    * with the per-row filter type CYCLING through all five spec
+    * filters (`row % 5`), so a near-dup pass over this corpus decodes
+    * through DEFLATE and every unfilter path. Pixel byte k here is in
+    * R,G,B row-major order (PNG's layout; the BMP twin's B,G,R
+    * bottom-up layout differs, but the aHash cell-sum rule is
+    * channel-order- and row-order-insensitive over the same bytes, so
+    * the planted structure is preserved identically). */
+  def synthesizePngNearDups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val group = id / 4
+        val member = (id % 4).toInt
+        val cellBase = Array.tabulate(64)(c =>
+          md.digest(s"$group:$c".getBytes("UTF-8"))(0) & 0xff)
+        val rgb = Array.tabulate(16 * 16 * 3) { k =>
+          val r = k / 48; val x = (k % 48) / 3
+          val cell = (r / 2) * 8 + (x / 2)
+          val base = (cellBase(cell) + k * 11) % 256
+          val v = if (member > 0 && cell == member - 1) (base + 120) % 256 else base
+          v.toByte
+        }
+        (id, PngCodec.encode(16, 16, rgb, row => row % 5))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** The audio sibling of [[synthesizeBmpNearDups]]: deterministic REAL
     * PCM16 WAVs with planted near-dup groups of 4 — 256 mono samples in
     * 64 energy windows of 4; window base amplitude is the per-(group,
@@ -161,17 +194,20 @@ object Multimodal {
   }
 
   /** Partition-local resize pass over a media DataFrame: image payloads
-    * that decode as 24-bit BMP are resized to `targetW`×`targetH` with
-    * the REAL nearest-neighbor codec ([[MediaCodecs.resizeBmpNearest]]);
-    * non-BMP image payloads fall back to the declared stub (no codec
-    * libs in this container); audio passes through. Payloads stay inside
-    * the partition — no shuffle. */
+    * that decode as 24-bit BMP or 8-bit truecolor PNG are resized to
+    * `targetW`×`targetH` with the REAL nearest-neighbor codecs
+    * ([[MediaCodecs.resizeBmpNearest]] / [[PngCodec.resizeNearest]] —
+    * identical floor mapping, so the two formats' resizes agree
+    * pixelwise); other image payloads (JPEG — still a declared stub, no
+    * entropy-coding primitive in the JDK) fall back to the stub; audio
+    * passes through. Payloads stay inside the partition — no shuffle. */
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         if (r.media_type == "image")
-          MediaCodecs.resizeBmpNearest(r.payload, targetW, targetH) match {
+          MediaCodecs.resizeBmpNearest(r.payload, targetW, targetH)
+            .orElse(PngCodec.resizeNearest(r.payload, targetW, targetH)) match {
             case Some(resized) =>
               r.copy(payload = resized, width = targetW, height = targetH)
             case None =>

@@ -1,0 +1,278 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** REAL PNG codec in pure JVM bytes (r15, VERDICT r14 task 3) — no
+  * codec libraries: PNG's container is chunk-framed (length, type,
+  * data, CRC32), its pixel stream is zlib DEFLATE over per-row
+  * filtered scanlines, and both DEFLATE and CRC32 live in `java.util
+  * .zip` — so, unlike JPEG/MP3 (which stay declared stubs: entropy
+  * coding + DCT/psychoacoustics have no JDK primitive), 8-bit
+  * truecolor PNG can be encoded AND decoded here exactly.
+  *
+  * Scope: color type 2 (truecolor RGB), bit depth 8, no interlace —
+  * the storage format a training-data image pipeline actually writes.
+  * The DECODER reverses all FIVE per-row filter types of the spec
+  * (None/Sub/Up/Average/Paeth, RFC 2083 §6); the ENCODER can apply any
+  * of them (callers pick per row), so round-trip tests exercise every
+  * unfilter path, not just the trivial one. Ancillary chunks are
+  * skipped by the walk, IDAT may span multiple chunks, and every chunk
+  * CRC is verified — decode returns None on any malformed byte, the
+  * per-row barrier of the DNS parser.
+  *
+  * 100 TB shape: like the BMP/WAV codecs this runs partition-local
+  * inside typed `mapPartitions` passes ([[Multimodal]]) — payload
+  * bytes never enter a shuffle; only small feature rows move. */
+object PngCodec {
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** Decoded image: dimensions + RGB pixel bytes in row-major R,G,B
+    * interleave (exactly `w*h*3` bytes). */
+  final case class PngImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Encode 8-bit truecolor PNG. `rgb` is row-major R,G,B interleaved
+    * (`w*h*3` bytes); `filterFor(row)` picks the per-row filter type
+    * (0..4) — pass a constant 0 for fastest encode, or cycle types to
+    * exercise every decoder path. One IDAT chunk (the zlib stream may
+    * be any size; Spark parquet pages hold binaries far larger). */
+  def encode(w: Int, h: Int, rgb: Array[Byte],
+      filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"rgb must be w*h*3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val stride = w * 3
+    // filtered scanlines: 1 filter byte + stride per row
+    val raw = new Array[Byte]((stride + 1) * h)
+    var row = 0
+    while (row < h) {
+      val ft = filterFor(row)
+      require(ft >= 0 && ft <= 4, s"filter type $ft")
+      raw(row * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = rgb(row * stride + i) & 0xff
+        val left = if (i >= 3) rgb(row * stride + i - 3) & 0xff else 0
+        val up = if (row > 0) rgb((row - 1) * stride + i) & 0xff else 0
+        val ul = if (row > 0 && i >= 3) rgb((row - 1) * stride + i - 3) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(row * (stride + 1) + 1 + i) = (enc & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+    val idat = deflate(raw)
+    val out = new ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor PNG: walks chunks (CRC-verified,
+    * ancillary skipped, multi-IDAT concatenated), inflates, reverses
+    * the per-row filters. None for anything malformed or out of this
+    * codec's scope (other color types / depths / interlace). */
+  def decode(bytes: Array[Byte]): Option[PngImage] = {
+    try {
+      if (bytes.length < 8 + 25 || !bytes.take(8).sameElements(Signature))
+        return None
+      val bb = ByteBuffer.wrap(bytes)
+      var pos = 8
+      var w = -1; var h = -1
+      var sawIhdr = false; var sawEnd = false
+      val idat = new ByteArrayOutputStream()
+      while (!sawEnd) {
+        if (pos + 8 > bytes.length) return None
+        val len = bb.getInt(pos)
+        if (len < 0 || pos + 12L + len > bytes.length) return None
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        val crc = new CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        if (crc.getValue.toInt != bb.getInt(pos + 8 + len)) return None
+        ctype match {
+          case "IHDR" =>
+            if (sawIhdr || len != 13) return None
+            sawIhdr = true
+            w = bb.getInt(pos + 8)
+            h = bb.getInt(pos + 12)
+            val depth = bytes(pos + 16)
+            val color = bytes(pos + 17)
+            val interlace = bytes(pos + 20)
+            if (w <= 0 || h <= 0 || w > Int.MaxValue / 3 - 1 ||
+              depth != 8 || color != 2 || interlace != 0) return None
+          case "IDAT" =>
+            if (!sawIhdr) return None
+            idat.write(bytes, pos + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + len
+      }
+      if (!sawIhdr) return None
+      val stride = w * 3
+      val rawLen = (stride + 1).toLong * h
+      if (rawLen > Int.MaxValue) return None
+      val raw = inflate(idat.toByteArray, rawLen.toInt).getOrElse(return None)
+      val rgb = new Array[Byte](stride * h)
+      var row = 0
+      while (row < h) {
+        val ft = raw(row * (stride + 1)) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < stride) {
+          val enc = raw(row * (stride + 1) + 1 + i) & 0xff
+          val left = if (i >= 3) rgb(row * stride + i - 3) & 0xff else 0
+          val up = if (row > 0) rgb((row - 1) * stride + i) & 0xff else 0
+          val ul = if (row > 0 && i >= 3) rgb((row - 1) * stride + i - 3) & 0xff else 0
+          val cur = ft match {
+            case 0 => enc
+            case 1 => enc + left
+            case 2 => enc + up
+            case 3 => enc + (left + up) / 2
+            case 4 => enc + paeth(left, up, ul)
+          }
+          rgb(row * stride + i) = (cur & 0xff).toByte
+          i += 1
+        }
+        row += 1
+      }
+      Some(PngImage(w, h, rgb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact per-channel e6-scaled means in R,G,B order (`sum·10⁶ DIV
+    * pixels` — integer, oracle-replayable; the PNG sibling of
+    * [[MediaCodecs.decodeBmp]]'s BmpInfo means). */
+  def decodeMeans(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] =
+    decode(bytes).map { img =>
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < img.rgb.length) { sums(i % 3) += img.rgb(i) & 0xff; i += 1 }
+      val px = img.width.toLong * img.height
+      (img.width, img.height, sums.map(_ * 1000000L / px))
+    }
+
+  /** 64-bit average-hash of a PNG — [[MediaCodecs.aHash64]]'s rule
+    * (8×8 cell grid, exact int sums, bit set iff 64·cell > Σcells) over
+    * the decoded RGB plane, so PNG payloads join the Hamming-blocked
+    * image near-dup family unchanged. Null for malformed or < 8×8. */
+  def aHash64(bytes: Array[Byte]): java.lang.Long =
+    decode(bytes) match {
+      case Some(img) if img.width >= 8 && img.height >= 8 =>
+        val cells = new Array[Long](64)
+        val stride = img.width * 3
+        var r = 0
+        while (r < img.height) {
+          val ci = r * 8 / img.height
+          var x = 0
+          while (x < img.width) {
+            val cj = x * 8 / img.width
+            val k = r * stride + x * 3
+            cells(ci * 8 + cj) += (img.rgb(k) & 0xff).toLong +
+              (img.rgb(k + 1) & 0xff) + (img.rgb(k + 2) & 0xff)
+            x += 1
+          }
+          r += 1
+        }
+        var total = 0L; var c = 0
+        while (c < 64) { total += cells(c); c += 1 }
+        var hash = 0L; c = 0
+        while (c < 64) { if (cells(c) * 64 > total) hash |= (1L << c); c += 1 }
+        java.lang.Long.valueOf(hash)
+      case _ => null
+    }
+
+  /** REAL nearest-neighbor resize — decode, floor-map sample, re-encode
+    * (filter 0): target pixel (y, x) reads source (`y·h DIV th`,
+    * `x·w DIV tw`), the same mapping as [[MediaCodecs
+    * .resizeBmpNearest]] so the two formats' resizes agree pixelwise. */
+  def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0) return None
+    decode(bytes).map { img =>
+      val out = new Array[Byte](tw * th * 3)
+      val stride = img.width * 3
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * img.height / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * img.width / tw).toInt
+          var c = 0
+          while (c < 3) {
+            out((y * tw + x) * 3 + c) = img.rgb(sy * stride + sx * 3 + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encode(tw, th, out)
+    }
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, ctype: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    val tb = ctype.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater() // zlib-wrapped, PNG's required stream format
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflate expecting EXACTLY `expected` bytes (a pixel stream of any
+    * other length is malformed). */
+  private def inflate(z: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](expected)
+    var off = 0
+    try {
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      // a stream longer than the scanlines is malformed too
+      val probe = new Array[Byte](1)
+      if (off != expected || (!inf.finished() && inf.inflate(probe) > 0))
+        None
+      else Some(out)
+    } catch { case _: Exception => None }
+    finally inf.end()
+  }
+}

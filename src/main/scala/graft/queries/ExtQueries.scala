@@ -2267,6 +2267,33 @@ object ExtQueries {
       .orderBy("doc_id", "idx")
   }
 
+  /** REAL PNG round-trip ([[graft.operators.PngCodec]], r15 — VERDICT
+    * r14 task 3): per doc a deterministic RGB image is ENCODED to
+    * actual PNG bytes — zlib DEFLATE over per-row filtered scanlines,
+    * with the filter type CYCLING through all five spec filters
+    * (None/Sub/Up/Average/Paeth, `row % 5`) so every unfilter path
+    * runs — and DECODED back (CRC-verified chunk walk, Inflater,
+    * filter reconstruction) inside a typed partition-local pass. The
+    * oracle recomputes the per-channel e6 means from the GENERATING
+    * pixel formula and never parses bytes: any slip in the filter
+    * math, the zlib framing, or the scanline addressing diverges the
+    * decoded means and reds the hash. */
+  def mm4PngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.PngCodec
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + (id % 4) * 2).toInt
+        val h = (4 + (id % 3)).toInt
+        val rgb = Array.tabulate(w * h * 3)(k => ((id * 31 + k * 7) % 256).toByte)
+        val bytes = PngCodec.encode(w, h, rgb, row => row % 5)
+        val (dw, dh, means) = PngCodec.decodeMeans(bytes).get
+        (id, dw.toLong, dh.toLong, means(0), means(1), means(2))
+      }
+    }.toDF("doc_id", "w", "h", "mean_r_e6", "mean_g_e6", "mean_b_e6")
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image near-dup ([[Dedup.imageNearDupPairs]], the
     * multimodal member of the dedup family): real 24-bit BMPs with
     * PLANTED near-identical groups ([[Multimodal.synthesizeBmpNearDups]])
@@ -5446,6 +5473,21 @@ object ExtQueries {
     "mm_media_features" -> duckMmFeatures,
     "mm2_codec_roundtrip" -> duckMm2Codec,
     "mm3_resize_frames" -> duckMm3Resize,
+    // mm4 (r15): the oracle replays the GENERATING pixel formula only —
+    // the Scala side must push those pixels through real zlib/filtered
+    // PNG bytes and back for the means to agree
+    "mm4_png_roundtrip" ->
+      """WITH img AS (
+        |  SELECT doc_id, 8 + (doc_id % 4)*2 AS w, 4 + (doc_id % 3) AS h
+        |  FROM documents
+        |),
+        |ib AS (SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS k FROM img),
+        |ia AS (SELECT doc_id, w, h, k % 3 AS c, (doc_id*31 + k*7) % 256 AS v FROM ib)
+        |SELECT doc_id, CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+        |  CAST((sum(CASE WHEN c = 0 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS mean_r_e6,
+        |  CAST((sum(CASE WHEN c = 1 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS mean_g_e6,
+        |  CAST((sum(CASE WHEN c = 2 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS mean_b_e6
+        |FROM ia GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x7_ann_lsh" -> duckAnnLsh,
     "x13_shard_stats" -> duckShardStats,
     "x14_embed_clusters" ->
@@ -5759,6 +5801,7 @@ object ExtQueries {
     "ta_bpe_tokens"    -> taBpeTokens,
     "mm_media_features" -> mmMediaFeatures, // oracle over the declared stub decode
     "mm2_codec_roundtrip" -> mm2CodecRoundtrip, // oracle: generating formula vs real decode
-    "mm3_resize_frames" -> mm3ResizeFrames // oracle: formula vs real resize + frame walk
+    "mm3_resize_frames" -> mm3ResizeFrames, // oracle: formula vs real resize + frame walk
+    "mm4_png_roundtrip" -> mm4PngRoundtrip // oracle: formula vs real PNG encode/decode (all 5 filters)
   )
 }
