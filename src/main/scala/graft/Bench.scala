@@ -42,6 +42,46 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap - "envelope"
     } catch { case _: Throwable => Map.empty }
 
+  /** The flat name→number map inside ONE named JSON section of a bench
+    * line (`"queries":{...}` / `"loads":{...}`). Scoped to the
+    * section's braces — a whole-line regex would collide across
+    * sections that share the query names (the r15 loads map). Pure
+    * function (spec-pinned). */
+  def sectionMap(json: String, section: String): Map[String, Double] = {
+    val at = json.indexOf("\"" + section + "\":{")
+    if (at < 0) return Map.empty
+    val open = json.indexOf('{', at)
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+      .findAllMatchIn(json.substring(open, close + 1))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Machine adjudication of a retimed outlier (VERDICT r14 task 5 —
+    * three rounds of bench artifacts needed MANUAL load-vs-code calls):
+    *   - "load": the same code ran at ≤ 2× its recorded class envelope
+    *     in the quiet isolated JVM — the in-sequence reading was host
+    *     contention, not a plan regression;
+    *   - "code": it stayed slow in isolation — a real regression,
+    *     investigate the plan;
+    *   - "no_envelope": no recorded class to compare against (a new
+    *     query picked by the top-4 rule); the isolated/in-sequence
+    *     ratio is reported but a class verdict is impossible.
+    * Pure function (spec-pinned in BenchRetimeSpec). */
+  def adjudicateOutlier(inSequence: Double, isolated: Double,
+      envelope: Option[Double]): String = envelope match {
+    case Some(e) if e > 0 => if (isolated <= 2 * e) "load" else "code"
+    case _ => "no_envelope"
+  }
+
+  /** 1-minute load average (`/proc/loadavg`; -1 where unreadable). */
+  def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,6 +131,12 @@ object Bench {
       System.err.println(s"[bench] state prebuild failed: $e") }
     val stateBuildS = (System.nanoTime() - tBuild0) / 1e9
     graft.operators.Caching.releaseAll()
+    // per-query host-load samples (r15): /proc/loadavg read before each
+    // timed run — the contention evidence the outlier adjudication
+    // compares against, recorded in the artifact so a judge never has
+    // to reconstruct host state after the fact
+    val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadStart = load1()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
@@ -103,6 +149,7 @@ object Bench {
         // otherwise steal storage/execution memory from later ones (x4 ran
         // 4x slower at position 36 of the full sweep than in isolation)
         graft.operators.Caching.releaseAll()
+        loadSamples(name) = load1() // sampled at the timed run, post-warm
         val t0 = System.nanoTime()
         // a failure's CAUSE goes to stderr immediately — the r8 ts
         // regression cost a diagnostic cycle because the driver's errors
@@ -159,7 +206,7 @@ object Bench {
       if (sfDir.contains("sf0.1")) readEnvelope(
         sys.env.getOrElse("SPARK_GRAFT_ENVELOPE", "/root/repo/bench_envelope.json"))
       else Map.empty[String, Double]
-    val retimes: Seq[(String, Double)] =
+    val retimes: Seq[(String, (Double, Option[Double]))] =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_RETIME")) Nil
       else {
         val slowest = retimeTargets(results, envelope)
@@ -197,37 +244,54 @@ object Bench {
           }
           val src = scala.io.Source.fromFile(outF)
           val out = try src.mkString finally src.close()
-          // pull per-query seconds out of the child's total line
-          val rx = """"(x?[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
-          val childQ = rx.findAllMatchIn(out)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // pull per-query seconds (and the child's own load samples)
+          // out of the child's total line — SECTION-scoped: the loads
+          // map shares the query names, a whole-line regex would let
+          // whichever section comes later clobber the other
+          val line = out.linesIterator
+            .find(_.contains("\"metric\"")).getOrElse(out)
+          val childQ = sectionMap(line, "queries")
+          val childL = sectionMap(line, "loads")
           outF.delete(); errF.delete()
-          slowest.flatMap(n => childQ.get(n).map(n -> _))
+          slowest.flatMap(n => childQ.get(n).map(v => (n, (v, childL.get(n)))))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] isolated retime failed: $e"); Nil }
       }
     val retimeJson =
       if (retimes.isEmpty) ""
-      else retimes.map { case (n, v) =>
+      else retimes.map { case (n, (v, childLoad)) =>
         val seq = results.toMap.getOrElse(n, -1.0)
         // "isolated" is WARM-comparable from r13 on: the child pre-ran
         // the query untimed at the target SF (see SPARK_GRAFT_WARM_TARGET);
         // "envelope" is the recorded class (bench_envelope.json) the
-        // outlier trigger compared against, absent for new queries
+        // outlier trigger compared against, absent for new queries.
+        // "verdict" (r15) is the machine-made load-vs-code call
+        // (adjudicateOutlier) with the recorded 1-min loads beside it —
+        // the artifact carries its own adjudication evidence.
         val envPart = envelope.get(n)
           .map(e => f""","envelope":$e%.3f""").getOrElse("")
-        f""""$n":{"in_sequence":$seq%.3f,"isolated":$v%.3f$envPart}"""
+        val verdict = adjudicateOutlier(seq, v, envelope.get(n))
+        val loadPart =
+          loadSamples.get(n).map(l => f""","load_in_sequence":$l%.2f""").getOrElse("") +
+          childLoad.map(l => f""","load_isolated":$l%.2f""").getOrElse("")
+        f""""$n":{"in_sequence":$seq%.3f,"isolated":$v%.3f$envPart,"verdict":"$verdict"$loadPart}"""
       }.mkString(""","isolated_retimes":{""", ",", "}")
+    val loadEnd = load1()
+    val loadsJson = {
+      val per = loadSamples
+        .map { case (n, l) => f""""$n":$l%.2f""" }.mkString("{", ",", "}")
+      f""","loads":$per,"load_sweep":{"start":$loadStart%.2f,"end":$loadEnd%.2f}"""
+    }
     val buildJson = f""","state_build_s":$stateBuildS%.3f"""
     // the driver contract is EXACTLY ONE {"metric":...} line — the
     // retimes ride it (computed above, before any print)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errs$retimeJson$buildJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errs$retimeJson$buildJson$loadsJson}""")
     // compact summary LAST under a NON-metric key (captured output keeps
     // the tail; the big per-query line has historically been truncated
     // from the front — r8/r9 judges re-derived totals from partial
     // tails — and this line is small enough to always survive), without
     // ever making a grep for {"metric" ambiguous
-    println(f"""{"bench_summary":{"total_s":${total}%.3f,"n_queries":${results.size},"n_errors":${failed.size}$errs$retimeJson$buildJson,"sf":"$sfDir"}}""")
+    println(f"""{"bench_summary":{"total_s":${total}%.3f,"n_queries":${results.size},"n_errors":${failed.size}$errs$retimeJson$buildJson,"load_sweep":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}}""")
     spark.stop()
   }
 }

@@ -43,6 +43,28 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(!t.contains("bad") && t.size === 12)
   }
 
+  test("outlier adjudication: load vs code is a machine-made call (r15)") {
+    // the same code at class speed in a quiet JVM = host contention
+    assert(Bench.adjudicateOutlier(6.37, 1.10, Some(0.62)) === "load")
+    // at the 2x boundary: still load (the trigger threshold itself)
+    assert(Bench.adjudicateOutlier(3.0, 1.24, Some(0.62)) === "load")
+    // slow in isolation too = a real plan regression
+    assert(Bench.adjudicateOutlier(6.37, 2.0, Some(0.62)) === "code")
+    // no recorded class (new query via top-4): no class verdict possible
+    assert(Bench.adjudicateOutlier(6.37, 1.10, None) === "no_envelope")
+    assert(Bench.adjudicateOutlier(6.37, 1.10, Some(0.0)) === "no_envelope")
+  }
+
+  test("section-scoped bench-line parse: the loads map must not clobber the queries map") {
+    val line = """{"metric":"total","value":3.0,"unit":"sec",""" +
+      """"queries":{"q1":1.5,"q2":-1.0},"sf":"x",""" +
+      """"loads":{"q1":8.25,"q2":9.00},"load_sweep":{"start":1.00,"end":2.00}}"""
+    assert(Bench.sectionMap(line, "queries") === Map("q1" -> 1.5, "q2" -> -1.0))
+    assert(Bench.sectionMap(line, "loads") === Map("q1" -> 8.25, "q2" -> 9.0))
+    assert(Bench.sectionMap(line, "absent") === Map.empty)
+    assert(Bench.sectionMap("""no json here""", "queries") === Map.empty)
+  }
+
   test("envelope file parse: flat name->seconds map, tolerant of absence") {
     val f = java.io.File.createTempFile("env", ".json")
     val w = new java.io.PrintWriter(f)
