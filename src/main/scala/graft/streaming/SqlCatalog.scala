@@ -466,18 +466,62 @@ object SqlCatalog {
     * [...])` (row-group dictionary/stats pruning — `array_contains`
     * over the same foldable array is NOT translatable to a source
     * filter and read every row group; measured in the r14 review). A
-    * query longer than `maxTerms` degrades CORRECTLY to an unpruned
-    * scan via the size disjunct (constant-folds away on in-range
-    * literal calls). Partition-level pruning is not expressible for a
-    * free parameter (Spark inserts no DPP filter for a
-    * parameter-derived build side — verified); the Scala entries prune
-    * bucket DIRS physically and stay the hot-path choice. */
+    * query longer than `maxTerms`: with `overLengthPassThrough` the
+    * membership degrades to a CORRECT unpruned scan via the size
+    * disjunct (phrase — its outer fold re-checks the phrase terms, a
+    * wider map is merely unpruned); without it the call is REFUSED via
+    * a WHERE-confined assert_true (bm25, r15 fix — its aggregating
+    * body sums whatever matched, so pass-through would silently score
+    * every token of every doc).
+    * Partition-DIR pruning: [[termBucketPred]] (r15)
+    * plants the same unrolled terms' routing hashes as a bucket IN
+    * list, so a LITERAL call constant-folds it and opens only the
+    * terms' bucket dirs; for a FREE parameter no dir pruning is
+    * expressible (Spark inserts no DPP filter for a parameter-derived
+    * build side — verified) and the Scala entries, which prune dirs
+    * physically, stay the hot-path choice there. */
   private def termMembership(tokenCol: String, queryParam: String,
-      maxTerms: Int): String = {
+      maxTerms: Int, overLengthPassThrough: Boolean = true): String = {
     val terms = (1 to maxTerms)
       .map(i => s"try_element_at(split($queryParam, ' '), $i)")
       .mkString(", ")
-    s"(size(split($queryParam, ' ')) > $maxTerms OR $tokenCol IN ($terms))"
+    if (overLengthPassThrough)
+      s"(size(split($queryParam, ' ')) > $maxTerms OR $tokenCol IN ($terms))"
+    else
+      // pass-through would be WRONG here (r15 fix): bm25's aggregating
+      // body sums the matched tokens' scores, so letting every token
+      // "match" on an over-length query mis-scores silently (phrase is
+      // immune — its outer fold re-checks the phrase terms, the wider
+      // map is just unpruned). Refuse loudly instead, WHERE-confined to
+      // respect the TVF parameter rule.
+      s"((size(split($queryParam, ' ')) <= $maxTerms OR assert_true(false, " +
+        s"'bm25 TVF supports at most $maxTerms query terms — re-register " +
+        s"with a larger maxTerms or use the Scala entry') IS NULL) " +
+        s"AND $tokenCol IN ($terms))"
+  }
+
+  /** Bucket-DIR pruning twin of [[termMembership]] (r15 — closes known
+    * limit 4, "retrieval TVFs list every bucket dir"): `bucket IN
+    * (pmod(xxhash64(term_i), B) ...)` over the same unrolled terms.
+    * Sound as a conjunct regardless of call shape — a posting row that
+    * matches a term lives in that term's bucket by the writer's routing
+    * hash, so the predicate is true for every needed row. On a LITERAL
+    * call every element constant-folds to a bucket id and Catalyst
+    * PARTITION PRUNING opens only the terms' bucket dirs (the Scala
+    * entries' physical-prune economics, now from the SQL planner); a
+    * free parameter leaves the list unfoldable — no dir pruning, the
+    * row-group `In` filter still applies, exactly the pre-r15 shape.
+    * Over-length queries degrade to unpruned via the same size
+    * disjunct. A query shorter than `maxTerms` contributes
+    * `xxhash64(NULL)` elements — xxhash64 folds null to its seed, one
+    * spurious-but-harmless extra bucket id, never a missed one. */
+  private def termBucketPred(bucketCol: String, queryParam: String,
+      maxTerms: Int, numBuckets: Int): String = {
+    val ids = (1 to maxTerms)
+      .map(i =>
+        s"pmod(xxhash64(try_element_at(split($queryParam, ' '), $i)), ${numBuckets}L)")
+      .mkString(", ")
+    s"(size(split($queryParam, ' ')) > $maxTerms OR $bucketCol IN ($ids))"
   }
 
   def bm25Read(fn: String, stateDir: String, numBuckets: Int = 16,
@@ -493,8 +537,12 @@ object SqlCatalog {
         StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"))
       registerStateTable(s, s"${fn}_lens", s"$stateDir/doc_lens",
         StructType.fromDDL("doc_id BIGINT, dl BIGINT"))
-      val memberD = termMembership("token", "query", maxTerms)
-      val memberM = termMembership("m.token", "query", maxTerms)
+      val memberD =
+        termMembership("token", "query", maxTerms, overLengthPassThrough = false) +
+        " AND " + termBucketPred("bucket", "query", maxTerms, numBuckets)
+      val memberM =
+        termMembership("m.token", "query", maxTerms, overLengthPassThrough = false) +
+        " AND " + termBucketPred("m.bucket", "query", maxTerms, numBuckets)
       s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
           query STRING, k BIGINT)
         RETURNS TABLE (doc_id BIGINT, matched BIGINT, score_e6 BIGINT)
@@ -534,11 +582,12 @@ object SqlCatalog {
     * occurrence iff every later term i holds p+i−1. Probe cost: the
     * term-membership predicate reaches the parquet scan as a pushed
     * `In` filter on literal calls ([[termMembership]] — row-group
-    * dictionary/stats pruning), so bytes read ≈ matched row groups;
-    * bucket DIRS are still all listed (partition pruning needs a
-    * constant-foldable bucket id, which a free parameter cannot give —
-    * the Scala [[IncrementalIndex.searchPhraseBucketed]] prunes dirs
-    * physically and is the hot-path entry). */
+    * dictionary/stats pruning), and since r15 a literal call also
+    * PARTITION-PRUNES to the terms' bucket dirs ([[termBucketPred]]);
+    * only a FREE-parameter call still lists every dir (no DPP for a
+    * parameter-derived bucket id — the Scala
+    * [[IncrementalIndex.searchPhraseBucketed]] prunes dirs physically
+    * and is the hot-path entry there). */
   def phraseRead(fn: String, stateDir: String,
       numBuckets: Int = 16, maxTerms: Int = 16): SqlView = {
     requireSqlName(fn)
@@ -564,6 +613,7 @@ object SqlCatalog {
             map_from_entries(collect_list(struct(token, positions))) AS tp
           FROM ${fn}_positional
           WHERE ${termMembership("token", "phrase", maxTerms)}
+            AND ${termBucketPred("bucket", "phrase", maxTerms, numBuckets)}
           GROUP BY doc_id)
         WHERE $occ > 0""")
     }

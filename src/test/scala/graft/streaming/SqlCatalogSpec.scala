@@ -489,6 +489,84 @@ class SqlCatalogSpec extends SparkTestBase {
       scalaAns(Seq("hash", "table", "join")))
   }
 
+  test("retrieval TVF literal calls partition-prune to the terms' bucket dirs; free/over-length paths stay correct (r15)") {
+    // many distinct tokens spread the postings over all 4 buckets
+    val st = tmpDir("sqlc-prune")
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok$i extra$i spark")).toDF("doc_id", "text")
+    IncrementalIndex.processBatchBucketed(docs, st, batchId = 0L,
+      numBuckets = 4)
+    IncrementalIndex.processBatchPositionalBucketed(docs, st, batchId = 0L,
+      numBuckets = 4)
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.bm25Read("sqlc_pbm", st, numBuckets = 4),
+      SqlCatalog.phraseRead("sqlc_pph", st, numBuckets = 4)))
+
+    def scanParts(df: org.apache.spark.sql.DataFrame,
+        pathPart: String): Seq[Int] = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(pathPart)))
+        .map(_.selectedPartitions.partitionCount)
+    }
+    // all 4 bucket dirs exist (otherwise "fewer than 4" proves nothing)
+    assert(scanParts(spark.sql("SELECT * FROM sqlc_pbm_postings"),
+      "postings") === Seq(4))
+
+    // the terms' buckets + at most the xxhash64(NULL) filler bucket —
+    // never all 4 (the literal-call dir-pruning contract)
+    val termBuckets = MvPipeline.bucketIdsOf(
+      Seq("spark", "tok3").toDF("g"), Seq("g"), 4).toSet
+    val fillerBucket = spark.sql("SELECT pmod(xxhash64(CAST(NULL AS STRING)), 4L)")
+      .head().getLong(0)
+    val allowed = termBuckets + fillerBucket
+    assert(allowed.size < 4, "test corpus must leave at least one unprobed bucket")
+    val bm = spark.sql("SELECT * FROM sqlc_pbm('spark tok3', 3)")
+    scanParts(bm, "postings").foreach { c =>
+      assert(c <= allowed.size && c < 4,
+        s"literal bm25 call opened $c bucket dirs, allowed ${allowed.size}")
+    }
+    val ph = spark.sql("SELECT * FROM sqlc_pph('tok3 extra3')")
+    scanParts(ph, "positional").foreach { c =>
+      assert(c <= allowed.size && c < 4,
+        s"literal phrase call opened $c bucket dirs")
+    }
+    // ...and the pruned plans still answer exactly the Scala entries
+    assert(bm.orderBy(desc("score_e6"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq ===
+      IncrementalIndex.searchBm25Bucketed(spark, st, Seq("spark", "tok3"), 3)
+        .as[(Long, Long, Long)].collect().toSeq)
+    assert(ph.as[(Long, Long)].collect().toSeq === Seq(3L -> 1L))
+
+    // free parameter: no dir pruning is expressible (the IN list cannot
+    // fold), but the call still answers correctly through a lateral join
+    val lateral = spark.sql(
+      "SELECT r.* FROM (SELECT 'tok3 extra3' AS p) t, LATERAL sqlc_pph(t.p) r")
+    assert(lateral.as[(Long, Long)].collect().toSeq === Seq(3L -> 1L))
+
+    // bm25 over maxTerms REFUSES (r15 fix) — pass-through would have
+    // silently scored every token of every doc; phrase stays correct
+    // via its outer re-check, just unpruned
+    SqlCatalog.register(spark, Seq(
+      SqlCatalog.bm25Read("sqlc_pbm2", st, numBuckets = 4, maxTerms = 2),
+      SqlCatalog.phraseRead("sqlc_pph2", st, numBuckets = 4, maxTerms = 2)))
+    val over = intercept[Exception] {
+      spark.sql("SELECT * FROM sqlc_pbm2('spark tok3 tok4', 2)").collect()
+    }
+    assert(over.getMessage.contains("at most 2 query terms") ||
+      Option(over.getCause).exists(_.getMessage.contains("at most 2 query terms")),
+      s"expected the maxTerms refusal, got: ${over.getMessage}")
+    assert(spark.sql("SELECT * FROM sqlc_pph2('tok3 extra3 spark')")
+      .as[(Long, Long)].collect().toSeq === Seq(3L -> 1L))
+  }
+
   test("registerStateTable refuses swap leftovers (stale partition values must not register)") {
     val d = tmpDir("sqlc-dirty")
     Seq(("g1", 1L)).toDF("g", "v").write.parquet(s"$d/t/bucket=0")
