@@ -68,8 +68,12 @@ object Bench {
     *   - "no_envelope": no recorded class to compare against (a new
     *     query picked by the top-4 rule); the isolated/in-sequence
     *     ratio is reported but a class verdict is impossible.
-    * Pure function (spec-pinned in BenchRetimeSpec). */
-  def adjudicateOutlier(inSequence: Double, isolated: Double,
+    * The in-sequence reading is deliberately NOT a parameter: in the
+    * trigger's context it already exceeded 2× the envelope, so
+    * isolated ≤ 2×envelope < inSequence is implied and the verdict
+    * depends only on how the quiet JVM compares to the class. Pure
+    * function (spec-pinned in BenchRetimeSpec). */
+  def adjudicateOutlier(isolated: Double,
       envelope: Option[Double]): String = envelope match {
     case Some(e) if e > 0 => if (isolated <= 2 * e) "load" else "code"
     case _ => "no_envelope"
@@ -270,7 +274,7 @@ object Bench {
         // the artifact carries its own adjudication evidence.
         val envPart = envelope.get(n)
           .map(e => f""","envelope":$e%.3f""").getOrElse("")
-        val verdict = adjudicateOutlier(seq, v, envelope.get(n))
+        val verdict = adjudicateOutlier(v, envelope.get(n))
         val loadPart =
           loadSamples.get(n).map(l => f""","load_in_sequence":$l%.2f""").getOrElse("") +
           childLoad.map(l => f""","load_isolated":$l%.2f""").getOrElse("")

@@ -112,9 +112,15 @@ object PngCodec {
             h = bb.getInt(pos + 12)
             val depth = bytes(pos + 16)
             val color = bytes(pos + 17)
+            val compression = bytes(pos + 18)
+            val filterMethod = bytes(pos + 19)
             val interlace = bytes(pos + 20)
+            // compression/filter METHOD bytes must be 0 too — decoding a
+            // differently-versioned stream as deflate+adaptive would
+            // return garbage pixels instead of None
             if (w <= 0 || h <= 0 || w > Int.MaxValue / 3 - 1 ||
-              depth != 8 || color != 2 || interlace != 0) return None
+              depth != 8 || color != 2 || compression != 0 ||
+              filterMethod != 0 || interlace != 0) return None
           case "IDAT" =>
             if (!sawIhdr) return None
             idat.write(bytes, pos + 8, len)
@@ -264,7 +270,11 @@ object PngCodec {
     try {
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means the stream cannot make progress:
+        // truncated (needsInput) OR preset-dictionary (needsDictionary,
+        // which PNG forbids) — returning on needsInput alone would SPIN
+        // FOREVER on an FDICT stream and hang the executor task
+        if (n == 0) return None
         off += n
       }
       // a stream longer than the scanlines is malformed too

@@ -121,14 +121,8 @@ object ChInsertRender {
     case (n: Long, LongType) => n.toString
     case (n: Float, FloatType) => n.toString
     case (n: Double, DoubleType) => n.toString
-    case (t: java.sql.Timestamp, TimestampType) =>
-      quote(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss")
-        .withZone(java.time.ZoneOffset.UTC).format(t.toInstant))
-    case (t: java.time.Instant, TimestampType) =>
-      quote(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss")
-        .withZone(java.time.ZoneOffset.UTC).format(t))
+    case (t: java.sql.Timestamp, TimestampType) => quote(tsLiteral(t.toInstant))
+    case (t: java.time.Instant, TimestampType) => quote(tsLiteral(t))
     case (d: java.sql.Date, DateType) => quote(d.toString)
     case (d: java.time.LocalDate, DateType) => quote(d.toString)
     case (xs: scala.collection.Seq[_], ArrayType(et, _)) =>
@@ -136,6 +130,19 @@ object ChInsertRender {
     case (other, t) => throw new IllegalArgumentException(
       s"no ClickHouse literal rendering for $t (${other.getClass.getName}) — " +
         "extend ChInsertRender.renderValue before sinking this schema")
+  }
+
+  /** UTC DateTime literal body — seconds-precision when the instant is
+    * whole-second (the reference's DateTime columns), micros appended
+    * when present (DateTime64 parses them; a seconds-only render would
+    * SILENTLY zero sub-second data, unlike every other path here which
+    * fails loudly on lossy mappings). */
+  private[sinks] def tsLiteral(t: java.time.Instant): String = {
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(t)
+    val micros = t.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
   }
 
   /** CH single-quoted string literal: backslash escapes for the quote,

@@ -56,6 +56,14 @@ import org.apache.spark.sql.SparkSession
   * full tree (base + increments) byte-identically; tampering with ANY
   * layer is caught by the same length/checksum checks.
   *
+  * Scheduling + retention ([[backupAuto]]/[[pruneBackups]]): the
+  * nightly loop as one maintenance-tier call — incremental chained to
+  * the newest backup, a fresh FULL whenever the chain would exceed
+  * `maxChain` (restore cost and tamper blast-radius grow with the
+  * chain), and chain-aware pruning that keeps the newest K plus every
+  * base they transitively depend on, so retention can never delete a
+  * base out from under a kept increment.
+  *
   * Streaming resume: a deployment restoring state UNDER A LIVE
   * CHECKPOINT must back up the checkpoint dir (and the catalog dir's
   * completion floors) in the SAME call as the state dirs — they are
@@ -282,6 +290,134 @@ object StateBackup {
       man.entries.size.toLong, man.entries.map(_.len).sum)
   }
 
+  // ------------------------------------------------------------------
+  // Backup SCHEDULING + RETENTION (r15): the nightly-ops loop over the
+  // differential device — "incremental every batch, a fresh full every
+  // maxChain, prune to the newest K restorable points".
+  // ------------------------------------------------------------------
+
+  /** The backups under `rootDir` (subdirs carrying a `_backup_manifest`),
+    * name-sorted — [[backupAuto]]'s chain order, so callers must pass
+    * monotonically-sorting names (zero-padded batch ids; enforced
+    * there). */
+  def listBackups(spark: SparkSession, rootDir: String): Seq[String] = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    // fully-QUALIFIED paths: these strings become chain base pointers in
+    // later incrementals' manifests, and a scheme-less path would
+    // resolve against the DEFAULT filesystem — an s3a:// backup root
+    // would chain (and verify, and prune) against the wrong store
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_backup_manifest")))
+      .map(p => fs.makeQualified(p).toString).sorted.toSeq
+  }
+
+  /** Chain length of a backup: 1 for a full, base's depth + 1 for an
+    * incremental (restore touches this many manifests). */
+  def chainDepth(spark: SparkSession, backupDir: String): Int = {
+    val man = readManifest(spark, backupDir)
+    1 + man.base.map(chainDepth(spark, _)).getOrElse(0)
+  }
+
+  /** One scheduled backup under `rootDir/b<id>` (zero-padded, so the
+    * listing sorts in batch order): INCREMENTAL chained to the newest
+    * existing backup, except a FULL when none exists or the chain would
+    * exceed `maxChain` (restore cost and tamper blast-radius both grow
+    * with the chain, so a periodic full re-anchors it). The name must
+    * sort after every existing backup — a replayed/duplicate id is
+    * refused rather than silently re-chained. Returns the new dir. */
+  def backupAuto(spark: SparkSession, stateDirs: Seq[String],
+      rootDir: String, id: Long, maxChain: Int = 7,
+      force: Boolean = false): (String, BackupReport) = {
+    require(id >= 0 && maxChain >= 1)
+    val name = f"b$id%012d"
+    val dst = { // qualified, like the listing — chains must never mix schemes
+      val p = new Path(s"$rootDir/$name")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    val existing = listBackups(spark, rootDir)
+    require(existing.forall(_.split('/').last < name),
+      s"backup id $id does not sort after ${existing.lastOption.getOrElse("")} " +
+        "— scheduled backups must use monotonically increasing ids")
+    val report = existing.lastOption match {
+      case Some(base) if chainDepth(spark, base) < maxChain =>
+        backupIncremental(spark, stateDirs, dst, base, force)
+      case _ => backup(spark, stateDirs, dst, force)
+    }
+    (dst, report)
+  }
+
+  /** Chain-aware retention: delete backups under `rootDir` beyond the
+    * newest `keep`, EXCEPT any backup a surviving manifest still
+    * depends on (directly or transitively) — a base is never deleted
+    * out from under its increments, so every kept backup stays fully
+    * restorable. Returns the deleted dirs. */
+  def pruneBackups(spark: SparkSession, rootDir: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, "keep >= 1")
+    val all = listBackups(spark, rootDir)
+    if (all.size <= keep) return Nil
+    // qualify before comparing: manifests record the caller's base
+    // strings verbatim (qualified by backupAuto, possibly raw from
+    // hand-built chains) — a raw-vs-qualified string mismatch here
+    // would delete a live base out from under its increments
+    def norm(d: String): String = {
+      val p = new Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    val keepSet = scala.collection.mutable.Set[String]()
+    def addWithBases(dir: String): Unit = if (keepSet.add(norm(dir)))
+      readManifest(spark, dir).base.foreach(addWithBases)
+    all.takeRight(keep).foreach(addWithBases)
+    val doomed = all.filterNot(d => keepSet(norm(d)))
+    val fs = new Path(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(d => fs.delete(new Path(d), true))
+    doomed
+  }
+
+  /** Rebase a backup into a SYNTHETIC FULL at `dstDir` without touching
+    * live state: every file the chain names is resolved to the layer
+    * holding its bytes and copied, and the new manifest (all layer 0,
+    * no base pointer) reuses the recorded source mtimes — so later
+    * incrementals chain onto the consolidated full exactly as they
+    * would have onto the original chain. The copy re-hashes every byte
+    * and REFUSES on any checksum mismatch (consolidation doubles as a
+    * full integrity audit), leaving a partial `dstDir` the caller
+    * deletes — never a manifest, so a crashed consolidation is not a
+    * backup. Use before retiring an old full that only survives as a
+    * base: consolidate the newest chain, then [[pruneBackups]]. */
+  def consolidate(spark: SparkSession, backupDir: String,
+      dstDir: String): BackupReport = {
+    require(verify(spark, backupDir),
+      s"$backupDir fails its manifest check — refusing to consolidate " +
+        "a truncated or tampered chain")
+    val man = readManifest(spark, backupDir)
+    val chain = resolveChain(spark, backupDir, man)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(dstDir)
+    val dfs = dst.getFileSystem(conf)
+    require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,
+      s"consolidation destination $dstDir is not empty")
+    val hashes = distributedCopy(spark, man.entries.map(e =>
+      (s"${chain(e.layer)._1}/${e.key}", s"$dstDir/${e.key}")))
+    man.entries.foreach { e =>
+      require(hashes.get(s"$dstDir/${e.key}").contains(e.md5),
+        s"consolidating ${e.key} hashed ${hashes.getOrElse(s"$dstDir/${e.key}", "?")}, " +
+          s"manifest says ${e.md5} — bit corruption in the chain; no manifest " +
+          "was written, delete the partial destination")
+    }
+    writeManifest(spark, dstDir,
+      Manifest(man.srcDirs, None, man.entries.map(_.copy(layer = 0))))
+    BackupReport(man.srcDirs.size, man.entries.size.toLong,
+      man.entries.map(_.len).sum,
+      man.entries.size.toLong, man.entries.map(_.len).sum)
+  }
+
   /** The in-flight protocol artifacts under a state dir: staged deltas
     * awaiting bucket applies, `.tmp`/`.old` swap leftovers, and
     * `.restoring` staging from a crashed [[restore]]. Spark
@@ -293,13 +429,23 @@ object StateBackup {
   def inFlightArtifacts(spark: SparkSession, dir: String): Seq[String] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return Nil
     val out = scala.collection.mutable.ArrayBuffer[String]()
+    // a crashed restore OF THIS DIR leaves `<dir>.restoring`/`<dir>
+    // .replaced` SIBLINGS — possibly with the dir itself missing (the
+    // window between the aside-rename and the swap). Checking only
+    // inside the tree would let a scheduled backup record the missing
+    // dir as an EMPTY tree and retention later prune the good backups.
+    Seq(".restoring", ".replaced").foreach { sfx =>
+      val sib = new Path(dir + sfx)
+      if (fs.exists(sib)) out += sib.toString
+    }
+    if (!fs.exists(base)) return out.toSeq
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       val n = s.getPath.getName
       val flagged =
         (n.startsWith("_delta_") || n.endsWith(".tmp") ||
-          n.endsWith(".old") || n.endsWith(".restoring")) &&
+          n.endsWith(".old") || n.endsWith(".restoring") ||
+          n.endsWith(".replaced")) &&
           !isCheckpointManagerTemp(n)
       if (flagged) out += s.getPath.toString
       else if (s.isDirectory) walk(s.getPath)

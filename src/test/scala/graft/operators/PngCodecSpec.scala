@@ -105,6 +105,42 @@ class PngCodecSpec extends SparkTestBase {
     // encoder input contract
     intercept[IllegalArgumentException] { PngCodec.encode(2, 2, new Array[Byte](5)) }
     intercept[IllegalArgumentException] { PngCodec.encode(2, 2, new Array[Byte](12), _ => 9) }
+
+    def rechunk(png: Array[Byte], patch: (Array[Byte], Int) => Unit): Array[Byte] = {
+      // patch a byte inside the IHDR data and RE-SIGN its CRC, so the
+      // decoder's semantic checks (not the CRC) are what refuses
+      val out = png.clone()
+      patch(out, 16) // IHDR data starts at 8 (sig) + 4 (len) + 4 (type)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 12, 4 + 13)
+      java.nio.ByteBuffer.wrap(out, 29, 4).putInt(crc.getValue.toInt)
+      out
+    }
+    // nonzero compression METHOD (IHDR data offset 10) and filter
+    // METHOD (offset 11) are out of scope: None, not garbage pixels
+    assert(PngCodec.decode(rechunk(good, (b, d) => b(d + 10) = 7)).isEmpty,
+      "nonzero compression method accepted")
+    assert(PngCodec.decode(rechunk(good, (b, d) => b(d + 11) = 1)).isEmpty,
+      "nonzero filter method accepted")
+
+    // an FDICT zlib stream (preset dictionary — forbidden in PNG) must
+    // refuse, NEVER hang: Inflater reports needsDictionary with 0 bytes
+    // of progress forever
+    val fdict = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, ihdrEnd) // signature + IHDR
+      val z = Array[Byte](0x78, 0xf9.toByte, 1, 2, 3, 4, 5, 6) // FDICT set, header mod-31 valid
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(z.length).array())
+      out.write("IDAT".getBytes("US-ASCII")); out.write(z)
+      val crc2 = new java.util.zip.CRC32()
+      crc2.update("IDAT".getBytes("US-ASCII")); crc2.update(z)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc2.getValue.toInt).array())
+      out.write(good, ihdrEnd + 12 + idatLen, good.length - ihdrEnd - 12 - idatLen)
+      out.toByteArray
+    }
+    val t0 = System.nanoTime()
+    assert(PngCodec.decode(fdict).isEmpty, "FDICT stream accepted")
+    assert((System.nanoTime() - t0) / 1e9 < 5, "FDICT decode must not spin")
   }
 
   test("PNG resize agrees pixelwise with the BMP resize's floor mapping") {

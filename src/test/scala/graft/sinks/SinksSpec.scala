@@ -68,11 +68,15 @@ class SinksSpec extends SparkTestBase {
     // (collector.py:73-75): full column tuple, array columns, and the
     // hostile payloads — quotes, backslashes, newline, NULL array
     // element — every statement below is hand-written CH-valid SQL
+    // UTC-anchored instants (NOT Timestamp.valueOf, which parses in the
+    // JVM default zone and would shift the golden literals on a
+    // non-UTC host — the renderer formats in UTC)
+    def utc(s: String) = Timestamp.from(java.time.Instant.parse(s))
     val rows = Seq(
-      (Timestamp.valueOf("2024-01-01 00:00:00"), "dns.example.com", "A", "IN",
+      (utc("2024-01-01T00:00:00Z"), "dns.example.com", "A", "IN",
         "doh", "8.8.8.8:53", "192.168.1.10", false, 12345L, true, 0,
         Seq("1.2.3.4", "5.6.7.8"), Seq.empty[String], Seq.empty[String]),
-      (Timestamp.valueOf("2024-01-01 00:10:30"), "it's.a\\test.net", "AAAA", "IN",
+      (utc("2024-01-01T00:10:30Z"), "it's.a\\test.net", "AAAA", "IN",
         "", "", "10.0.0.2", true, 999L, false, 3,
         Seq.empty[String], Seq("::1", null), Seq("cn1.example", "line1\nline2"))
     ).toDF("date_time", "QH", "QT", "QC", "CP", "Upstream", "IP",
@@ -105,6 +109,11 @@ class SinksSpec extends SparkTestBase {
     val posted = scala.collection.mutable.ArrayBuffer[String]()
     new ChStatementSink(posted += _).write(rows.coalesce(1), "log2")
     assert(posted.toSeq === Seq(expected))
+
+    // sub-second instants render micros — a seconds-only pattern would
+    // silently zero them (DateTime64 parses this form)
+    assert(ChInsertRender.renderValue(utc("2024-01-01T00:00:00.123Z"),
+      org.apache.spark.sql.types.TimestampType) === "'2024-01-01 00:00:00.123000'")
 
     // null scalars and unsupported types fail loudly, never render wrong
     val withNullScalar = Seq((Some(1L), Option.empty[String]))

@@ -194,6 +194,74 @@ class StateBackupSpec extends SparkTestBase {
     }
   }
 
+  test("scheduled backups with retention: auto full/incremental cadence, chain cap, chain-aware pruning") {
+    val sA = tmpDir("auto-state"); val root = tmpDir("auto-root")
+    def fold(id: Long, g: String, v: Long): Unit =
+      IncrementalExtrema.processBatch(Seq((g, v, 1L)).toDF("g", "v", "w"),
+        sA, id, numBuckets = 4)
+    def view(dir: String): Set[(String, Long, Long, Long)] =
+      IncrementalExtrema.view(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toSet
+
+    fold(0L, "g1", 5L)
+    val (d0, r0) = StateBackup.backupAuto(spark, Seq(sA), root, 0L, maxChain = 2)
+    assert(r0.copiedFiles === r0.files, "first backup is a full")
+    assert(StateBackup.chainDepth(spark, d0) === 1)
+    fold(1L, "g1", 7L)
+    val (d1, r1) = StateBackup.backupAuto(spark, Seq(sA), root, 1L, maxChain = 2)
+    assert(r1.copiedFiles < r1.files, "second chains incrementally to the full")
+    assert(StateBackup.chainDepth(spark, d1) === 2)
+    fold(2L, "g2", 3L)
+    val (d2, r2) = StateBackup.backupAuto(spark, Seq(sA), root, 2L, maxChain = 2)
+    assert(r2.copiedFiles === r2.files, "chain at maxChain re-anchors with a FULL")
+    assert(StateBackup.chainDepth(spark, d2) === 1)
+    val v2 = view(sA)
+    fold(3L, "g2", 9L)
+    val (d3, r3) = StateBackup.backupAuto(spark, Seq(sA), root, 3L, maxChain = 2)
+    assert(r3.copiedFiles < r3.files)
+    val v3 = view(sA)
+
+    // a rewound/duplicate id must refuse, not silently re-chain
+    intercept[IllegalArgumentException] {
+      StateBackup.backupAuto(spark, Seq(sA), root, 3L)
+    }
+
+    // retention keep=2: b3 (kept) chains to b2 (kept anyway); b0/b1 go
+    val deleted = StateBackup.pruneBackups(spark, root, keep = 2)
+    assert(deleted === Seq(d0, d1))
+    assert(StateBackup.listBackups(spark, root) === Seq(d2, d3))
+    // every kept point still restores exactly
+    val c2 = tmpDir("auto-c2"); val c3 = tmpDir("auto-c3")
+    StateBackup.restore(spark, d2, over = Seq(c2))
+    StateBackup.restore(spark, d3, over = Seq(c3))
+    assert(view(c2) === v2)
+    assert(view(c3) === v3)
+    assert(v2 != v3)
+
+    // keep=1 with an incremental newest: its base SURVIVES (chain-aware)
+    assert(StateBackup.pruneBackups(spark, root, keep = 1) === Nil,
+      "b2 is b3's base — retention must not delete it")
+    assert(StateBackup.verify(spark, d3, deep = true))
+
+    // consolidate the newest chain into a SYNTHETIC FULL inside the
+    // root: later incrementals chain onto it (recorded source mtimes
+    // carried over), and the old chain becomes prunable
+    val d4 = s"$root/b000000000004"
+    val rc = StateBackup.consolidate(spark, d3, d4)
+    assert(rc.files === r3.files && StateBackup.chainDepth(spark, d4) === 1)
+    assert(StateBackup.verify(spark, d4, deep = true))
+    fold(5L, "g1", 11L)
+    val v5 = view(sA)
+    val (d5, r5) = StateBackup.backupAuto(spark, Seq(sA), root, 5L, maxChain = 2)
+    assert(r5.copiedFiles < r5.files,
+      "the next incremental chains onto the consolidated full")
+    assert(StateBackup.pruneBackups(spark, root, keep = 1) === Seq(d2, d3),
+      "consolidation freed the old chain for retention")
+    val c5 = tmpDir("auto-c5")
+    StateBackup.restore(spark, d5, over = Seq(c5))
+    assert(view(c5) === v5)
+  }
+
   test("in-flight refusal: checkpoint-manager temp orphans allowlisted, crashed-restore staging refused") {
     val d = tmpDir("ckpt-allow")
     val fs = new org.apache.hadoop.fs.Path(d)
@@ -222,6 +290,22 @@ class StateBackupSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       StateBackup.backup(spark, Seq(d), tmpDir("ckpt-allow-bk3"))
     }
+
+    // a restore-to-original crashed in the aside-swap window leaves the
+    // STATE DIR MISSING with .restoring/.replaced SIBLINGS — that must
+    // still gate the next backup (recording the missing dir as an empty
+    // tree would let retention later prune the good backups)
+    val gone = tmpDir("ckpt-gone-state")
+    fs.delete(new org.apache.hadoop.fs.Path(gone), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gone.restoring"))
+    assert(StateBackup.inFlightArtifacts(spark, gone).nonEmpty)
+    intercept[IllegalArgumentException] {
+      StateBackup.backup(spark, Seq(gone), tmpDir("ckpt-gone-bk"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gone.restoring"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gone.replaced"))
+    assert(StateBackup.inFlightArtifacts(spark, gone).nonEmpty)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gone.replaced"), true)
   }
 
   test("streaming resume after restore: the (state, floors, offsets) triple folds on exactly") {
