@@ -330,16 +330,21 @@ object Dedup {
     * `maxTokens` distinct tokens. */
   def simhashes(docs: DataFrame, maxTokens: Int = 255): DataFrame = {
     require(maxTokens <= 255, "packed counters are 8-bit")
-    // packed word w accumulates counts for bits 8w..8w+7
-    val packedSums = (0 until 8).map { w =>
-      val addend = (0 until 8).map { i =>
-        val b = w * 8 + i
+    // packed word w accumulates 8-bit counts for bits 4w..4w+3 — FOUR
+    // counters per long, not eight: with eight, a doc whose top byte's
+    // bit was set by ≥128 tokens pushed the signed sum past 2^63 and
+    // ANSI mode threw mid-query (found by the r15 sf10 decade
+    // rehearsal at 500k docs — a probabilistic per-doc event, invisible
+    // at 50k). Four counters bound the sum at 255·0x01010101 ≈ 4.3e9.
+    val packedSums = (0 until 16).map { w =>
+      val addend = (0 until 4).map { i =>
+        val b = w * 4 + i
         shiftright(col("h"), b).bitwiseAND(1) * lit(1L << (i * 8))
       }.reduce(_ + _)
       sum(addend).as(s"w$w")
     }
     val sim = (0 until 64).map { b =>
-      val w = b / 8; val i = b % 8
+      val w = b / 4; val i = b % 4
       // set-count of bit b; bit set iff count*2 > n (strict majority)
       val cnt = shiftright(col(s"w$w"), i * 8).bitwiseAND(0xffL)
       when(cnt * 2 > col("n"), lit(1L << b)).otherwise(0L)
