@@ -493,8 +493,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(lit(1L), (length(col("text")) - (k - 1)).cast("long"))).as("pos"),
         col("text"))
+      // 16-byte BINARY digest, not the 32-char hex string: the hash is
+      // only a grouping key here (the oracle replays the formula, never
+      // reads h), and the byHash sort below shuffles every window of
+      // every char — at the r15 sf10 rehearsal the hex form crossed the
+      // sort's in-memory threshold a decade earlier than the binary one
       .select(col("doc_id"), col("pos"),
-        md5(col("text").substr(col("pos"), lit(k))).as("h"))
+        unhex(md5(col("text").substr(col("pos"), lit(k)))).as("h"))
     // measured at sf0.1: this one-shuffle window form runs 2.9-3.4 s vs
     // 4.8 s for persist + groupBy + AQE-broadcast semi-join (the persist
     // materialization of the exploded windows costs more than it saves)
