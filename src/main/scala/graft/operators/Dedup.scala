@@ -489,22 +489,27 @@ object Dedup {
       k: Int = 40): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
     val d = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // 16-byte BINARY digest, not the 32-char hex string: the hash is
+    // only a grouping key (the oracle replays the formula, never reads
+    // h), and every window of every char rides the byHash sort on it —
+    // at the r15 sf10 rehearsal the hex form crossed the sort's
+    // in-memory threshold a decade earlier than the binary one
+    // (131 → 103 s at 350M windows)
     val wins = d.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1L), (length(col("text")) - (k - 1)).cast("long"))).as("pos"),
         col("text"))
-      // 16-byte BINARY digest, not the 32-char hex string: the hash is
-      // only a grouping key here (the oracle replays the formula, never
-      // reads h), and the byHash sort below shuffles every window of
-      // every char — at the r15 sf10 rehearsal the hex form crossed the
-      // sort's in-memory threshold a decade earlier than the binary one
       .select(col("doc_id"), col("pos"),
         unhex(md5(col("text").substr(col("pos"), lit(k)))).as("h"))
-    // measured at sf0.1: this one-shuffle window form runs 2.9-3.4 s vs
-    // 4.8 s for persist + groupBy + AQE-broadcast semi-join (the persist
-    // materialization of the exploded windows costs more than it saves)
-    // and 10.5 s for the naive groupBy + self-join (explode+md5 re-run
-    // on both branches)
+    // one-shuffle window form — measured best at EVERY scale probed:
+    // sf0.1 2.9-3.4 s (vs 4.8 s persist + broadcast semi-join, 10.5 s
+    // naive groupBy + self-join) and sf10/350M windows 89 s — where the
+    // r15 follow-up experiment's "memory-bounded" groupBy +
+    // SHUFFLE_HASH-semi-join form, which avoids the sort by re-deriving
+    // the window stream, measured 272 s: re-running 350M md5s costs 3×
+    // what the sort's disk spill does. Past the fixed-box spill point
+    // the cluster knob is shuffle.partitions ∝ input (holds per-task
+    // sort bytes constant), not a different plan.
     val byHash = Window.partitionBy("h")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = wins
