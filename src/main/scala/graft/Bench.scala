@@ -51,7 +51,19 @@ object Bench {
     val at = json.indexOf("\"" + section + "\":{")
     if (at < 0) return Map.empty
     val open = json.indexOf('{', at)
-    val close = json.indexOf('}', open)
+    // brace-depth scan to the MATCHING close (ADVICE r15: first-'}'
+    // silently truncated a section the day it gained a nested object)
+    var close = -1
+    var depth = 0
+    var i = open
+    while (close < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
     if (close < 0) return Map.empty
     """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
       .findAllMatchIn(json.substring(open, close + 1))

@@ -119,8 +119,8 @@ object ChInsertRender {
     case (n: Short, ShortType) => n.toString
     case (n: Int, IntegerType) => n.toString
     case (n: Long, LongType) => n.toString
-    case (n: Float, FloatType) => n.toString
-    case (n: Double, DoubleType) => n.toString
+    case (n: Float, FloatType) => fpLiteral(n.toDouble, n.toString)
+    case (n: Double, DoubleType) => fpLiteral(n, n.toString)
     case (t: java.sql.Timestamp, TimestampType) => quote(tsLiteral(t.toInstant))
     case (t: java.time.Instant, TimestampType) => quote(tsLiteral(t))
     case (d: java.sql.Date, DateType) => quote(d.toString)
@@ -131,6 +131,16 @@ object ChInsertRender {
       s"no ClickHouse literal rendering for $t (${other.getClass.getName}) — " +
         "extend ChInsertRender.renderValue before sinking this schema")
   }
+
+  /** Float/Double literal. JVM toString spells non-finite values
+    * 'NaN'/'Infinity', which ClickHouse's parser does NOT accept — its
+    * literals are nan / inf / -inf — so those three are mapped
+    * explicitly rather than rendered unparseable (ADVICE r15). */
+  private[sinks] def fpLiteral(d: Double, finite: String): String =
+    if (java.lang.Double.isNaN(d)) "nan"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else finite
 
   /** UTC DateTime literal body — seconds-precision when the instant is
     * whole-second (the reference's DateTime columns), micros appended

@@ -123,6 +123,10 @@ object StateBackup {
       s"base backup $baseDir fails its manifest check — refusing to chain " +
         "an incremental to a truncated or tampered base")
     val baseMan = readManifest(spark, baseDir)
+    require(baseMan.entries.forall(_.md5.nonEmpty),
+      s"base backup $baseDir is a v1 (pre-r15) backup — v1 recorded no " +
+        "mtimes or hashes, so the incremental change fingerprint cannot " +
+        "chain to it; take a fresh full backup to re-anchor")
     require(baseMan.srcDirs == stateDirs,
       s"base backup covers ${baseMan.srcDirs}, incremental asked for " +
         s"$stateDirs — a chain must describe one source-dir tuple")
@@ -155,9 +159,18 @@ object StateBackup {
       base.map(_._2.entries.map(e => e.key -> e).toMap).getOrElse(Map.empty)
     // (len, mtime)-equal ⇒ byte-equal: every engine write path replaces
     // files (fresh part UUIDs / rename commits), never edits in place —
-    // the R178 fingerprint argument, file-grained
+    // the R178 fingerprint argument, file-grained. Exception (ADVICE
+    // r15): small `_`-named marker/floor files (`_fps_*`, resume
+    // floors, _SUCCESS) are rewritten IN PLACE at constant length, so
+    // on a coarse-mtime store a rewrite within one granularity tick
+    // would ride as a stale pointer — they always copy (bytes are
+    // negligible; the fingerprint shortcut only pays on parquet parts,
+    // whose fresh-UUID names never collide).
+    def alwaysCopy(key: String, len: Long): Boolean =
+      key.substring(key.lastIndexOf('/') + 1).startsWith("_") && len <= 65536
     val (unchanged, changed) = current.partition { case (key, _, len, mtime) =>
-      baseByKey.get(key).exists(e => e.len == len && e.mtime == mtime)
+      !alwaysCopy(key, len) &&
+        baseByKey.get(key).exists(e => e.len == len && e.mtime == mtime)
     }
     val copied = distributedCopy(spark,
       changed.map { case (key, src, _, _) => (src, s"$dstDir/$key") })
@@ -206,7 +219,9 @@ object StateBackup {
       if (named0 != actual0 || !chainOk) false
       else if (!deep) true
       else {
-        val checks = man.entries
+        // v1 entries carry no recorded md5 ("") — nothing to deep-check
+        // beyond the shallow listing above
+        val checks = man.entries.filter(_.md5.nonEmpty)
           .map(e => (s"${chain(e.layer)._1}/${e.key}", e.md5)).toMap
         val got = distributedHash(spark, checks.keys.toSeq)
         checks.forall { case (p, md5) => got.get(p).contains(md5) }
@@ -251,7 +266,7 @@ object StateBackup {
     val hashes = distributedCopy(spark,
       plan.map { case (src, dst, _) => (src, dst) })
     try {
-      plan.foreach { case (_, dst, e) =>
+      plan.filter(_._3.md5.nonEmpty).foreach { case (_, dst, e) =>
         val got = hashes.getOrElse(dst, "")
         require(got == e.md5,
           s"restore of ${e.key} hashed $got, manifest says ${e.md5} — " +
@@ -596,8 +611,23 @@ object StateBackup {
     val lines =
       try scala.io.Source.fromInputStream(in).getLines().toVector
       finally in.close()
+    // v1 manifests (pre-r15: no header line, entries are `<key>\t<len>`
+    // only — no base/md5/mtime/layer) parse READ-ONLY (ADVICE r15: a
+    // DR tool must not refuse yesterday's backups after an upgrade):
+    // restore/verify work shallow (md5 = "" ⇒ byte-hash checks skip),
+    // but chaining an incremental to a v1 base is refused — v1 recorded
+    // no mtimes, so the change fingerprint cannot discriminate.
+    if (lines.headOption.exists(_.startsWith("dirs="))) {
+      val nDirs = lines(0).stripPrefix("dirs=").toInt
+      val srcDirs = lines.slice(1, 1 + nDirs).map(_.split("\t", 2)(1))
+      val entries = lines.drop(2 + nDirs).filter(_.nonEmpty).map { l =>
+        val Array(k, len) = l.split("\t", 2)
+        Entry(k, len.toLong, md5 = "", mtime = 0L, layer = 0)
+      }
+      return Manifest(srcDirs, base = None, entries)
+    }
     require(lines.headOption.contains("graft-backup v2"),
-      s"$backupDir manifest is not a graft-backup v2 manifest")
+      s"$backupDir manifest is not a graft-backup manifest (v1 or v2)")
     val nDirs = lines(1).stripPrefix("dirs=").toInt
     val base = Some(lines(2).stripPrefix("base=")).filter(_ != "-")
     val srcDirs = lines.slice(3, 3 + nDirs).map(_.split("\t", 2)(1))

@@ -63,6 +63,14 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.sectionMap(line, "loads") === Map("q1" -> 8.25, "q2" -> 9.0))
     assert(Bench.sectionMap(line, "absent") === Map.empty)
     assert(Bench.sectionMap("""no json here""", "queries") === Map.empty)
+    // a section that gains a NESTED object must still parse to its full
+    // extent (ADVICE r15: first-'}' scanning truncated silently) — and
+    // an unclosed section parses to empty, not partially
+    val nested = """{"queries":{"q1":1.5,"sub":{"x":9.0},"q2":2.5},""" +
+      """"loads":{"q1":3.0}}"""
+    assert(Bench.sectionMap(nested, "queries") ===
+      Map("q1" -> 1.5, "x" -> 9.0, "q2" -> 2.5))
+    assert(Bench.sectionMap("""{"queries":{"q1":1.5""", "queries") === Map.empty)
   }
 
   test("envelope file parse: flat name->seconds map, tolerant of absence") {

@@ -123,6 +123,19 @@ class SinksSpec extends SparkTestBase {
     val unsupported = Seq((1L, BigDecimal(1.5))).toDF("a", "b")
     assertThrows[Exception](
       ChInsertRender.statements(unsupported, "t").collect())
+
+    // non-finite floats: JVM toString spells NaN/Infinity, which CH's
+    // parser rejects — the renderer maps them to CH's nan/inf/-inf
+    // literals instead of emitting an unparseable INSERT (ADVICE r15)
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    assert(ChInsertRender.renderValue(Double.NaN, DoubleType) === "nan")
+    assert(ChInsertRender.renderValue(Double.PositiveInfinity, DoubleType) === "inf")
+    assert(ChInsertRender.renderValue(Double.NegativeInfinity, DoubleType) === "-inf")
+    assert(ChInsertRender.renderValue(Float.NaN, FloatType) === "nan")
+    assert(ChInsertRender.renderValue(Float.PositiveInfinity, FloatType) === "inf")
+    assert(ChInsertRender.renderValue(Float.NegativeInfinity, FloatType) === "-inf")
+    assert(ChInsertRender.renderValue(1.5, DoubleType) === "1.5")
+    assert(ChInsertRender.renderValue(-0.25f, FloatType) === "-0.25")
   }
 
   test("ParquetSink appends per write") {

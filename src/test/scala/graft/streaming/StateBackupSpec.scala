@@ -138,10 +138,21 @@ class StateBackupSpec extends SparkTestBase {
     assert(StateBackup.verify(spark, incr, deep = true),
       "deep verify re-hashes every byte through the chain")
 
-    // a no-change incremental copies NOTHING (listings only)
+    // a no-change incremental re-copies ONLY the small _-named marker
+    // files (the coarse-mtime always-copy rule, ADVICE r15); every
+    // parquet part rides as a chain pointer
     val incr2 = tmpDir("inc-nochange")
     val rep2 = StateBackup.backupIncremental(spark, Seq(sE), incr2, incr)
-    assert(rep2.copiedFiles === 0L && rep2.files === rep1.files)
+    assert(rep2.files === rep1.files)
+    assert(rep2.copiedFiles < rep2.files)
+    val copied2 = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$incr2/0"), true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) buf += it.next().getPath.getName
+      buf.toSeq
+    }
+    assert(copied2.nonEmpty && copied2.forall(_.startsWith("_")),
+      s"only markers copy on a no-change incremental, got $copied2")
     assert(StateBackup.verify(spark, incr2, deep = true))
 
     // disaster: restore from the two-level chain, byte-identical + folds on
@@ -185,13 +196,113 @@ class StateBackupSpec extends SparkTestBase {
 
     // chaining to a damaged base is refused outright — corrupt the
     // LENGTH of a base file so the chain's shallow gate trips
-    val f0 = victims.head
+    // a DATA file: markers always re-copy per layer, so only parquet
+    // parts still chain-point into the base where the corruption sits
+    val f0 = victims.find(!_.getName.startsWith("_")).get
     val out = fs.create(f0, true)
     try out.write(Array[Byte](1, 2, 3)) finally out.close()
     assert(!StateBackup.verify(spark, incr2))
     intercept[IllegalArgumentException] {
       StateBackup.backupIncremental(spark, Seq(sE), tmpDir("inc-bad2"), incr2)
     }
+  }
+
+  test("v1 (pre-r15) manifests verify and restore read-only; incremental chaining to a v1 base is refused") {
+    val sE = tmpDir("v1-src")
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g2", 3L, 1L)).toDF("g", "v", "w"),
+      sE, 0L, numBuckets = 4)
+    def exView() = IncrementalExtrema.view(spark, sE)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val v0 = exView()
+
+    // take a v2 backup, then rewrite its manifest in the v1 format
+    // (header-less: `dirs=<n>`, dir rows, blank, `<key>\t<len>`) —
+    // exactly what an r14-written backup dir holds on disk
+    val bk = tmpDir("v1-bk")
+    StateBackup.backup(spark, Seq(sE), bk)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manP = new org.apache.hadoop.fs.Path(s"$bk/_backup_manifest")
+    val fs = manP.getFileSystem(conf)
+    val v2Lines = {
+      val in = fs.open(manP)
+      try scala.io.Source.fromInputStream(in).getLines().toVector
+      finally in.close()
+    }
+    assert(v2Lines.head === "graft-backup v2")
+    val blank = v2Lines.indexOf("")
+    val v1Lines = v2Lines.slice(1, 2) ++ v2Lines.slice(3, blank + 1) ++
+      v2Lines.drop(blank + 1).map { l =>
+        val parts = l.split("\t"); s"${parts(0)}\t${parts(1)}"
+      }
+    val out = fs.create(manP, true)
+    try out.write(v1Lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+
+    // read-only surface works: verify (shallow AND deep — no hashes
+    // recorded, so deep degrades to the listing check) and restore
+    assert(StateBackup.verify(spark, bk),
+      "a v1 backup must still verify after the v2 upgrade")
+    assert(StateBackup.verify(spark, bk, deep = true),
+      "deep verify on v1 skips the absent hashes instead of failing")
+    fs.delete(new org.apache.hadoop.fs.Path(sE), true)
+    StateBackup.restore(spark, bk)
+    assert(exView() === v0, "restore from a v1 backup reproduces the tree")
+
+    // ...but the restored state is live again: folds continue
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 9L, 1L)).toDF("g", "v", "w"), sE, 1L, numBuckets = 4)
+    assert(exView() !== v0)
+
+    // chaining is refused with a clear message — v1 recorded no mtimes,
+    // so the (len, mtime) change fingerprint cannot discriminate
+    val ex = intercept[IllegalArgumentException] {
+      StateBackup.backupIncremental(spark, Seq(sE), tmpDir("v1-inc"), bk)
+    }
+    assert(ex.getMessage.contains("v1"))
+  }
+
+  test("incremental fingerprint: small _-named marker files always copy (coarse-mtime rewrite safety)") {
+    // a state dir shaped like the engine's: one fresh-UUID data file
+    // (fingerprint shortcut applies) + one constant-length in-place
+    // marker (`_fps_*` / floor analogue)
+    val src = tmpDir("mk-src")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(conf)
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$src/$name"), true)
+      try out.write(bytes) finally out.close()
+    }
+    put("part-uuid1.parquet", Array.fill[Byte](256)(7))
+    put("_resume_floor_b", "41".getBytes("UTF-8"))
+
+    val base = tmpDir("mk-base")
+    StateBackup.backup(spark, Seq(src), base)
+
+    // rewrite the marker IN PLACE: same length, different bytes, and the
+    // SAME mtime (fs.setTimes pins it — the coarse-granularity store's
+    // worst case, where (len, mtime) cannot see the change)
+    val markerP = new org.apache.hadoop.fs.Path(s"$src/_resume_floor_b")
+    val mtime0 = fs.getFileStatus(markerP).getModificationTime
+    put("_resume_floor_b", "52".getBytes("UTF-8"))
+    fs.setTimes(markerP, mtime0, -1)
+
+    val incr = tmpDir("mk-incr")
+    val rep = StateBackup.backupIncremental(spark, Seq(src), incr, base)
+    assert(rep.copiedFiles === 1L,
+      "the marker copies despite its unchanged (len, mtime); the data " +
+        "file rides as a chain pointer")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$incr/0/_resume_floor_b")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$incr/0/part-uuid1.parquet")))
+
+    // restore from the incremental carries the NEW marker bytes — the
+    // stale-pointer bake-in the always-copy rule prevents
+    fs.delete(srcP, true)
+    StateBackup.restore(spark, incr)
+    val in = fs.open(markerP)
+    val got = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(got === "52")
   }
 
   test("scheduled backups with retention: auto full/incremental cadence, chain cap, chain-aware pruning") {
@@ -203,7 +314,12 @@ class StateBackupSpec extends SparkTestBase {
       IncrementalExtrema.view(spark, dir)
         .as[(String, Long, Long, Long)].collect().toSet
 
-    fold(0L, "g1", 5L)
+    // seed several groups so later single-group folds leave untouched
+    // parquet buckets for the incremental to point at (markers always
+    // copy, so an incremental's saving shows only on data files)
+    IncrementalExtrema.processBatch(
+      Seq(("g1", 5L, 1L), ("g3", 2L, 1L), ("g4", 4L, 1L), ("g5", 6L, 1L))
+        .toDF("g", "v", "w"), sA, 0L, numBuckets = 4)
     val (d0, r0) = StateBackup.backupAuto(spark, Seq(sA), root, 0L, maxChain = 2)
     assert(r0.copiedFiles === r0.files, "first backup is a full")
     assert(StateBackup.chainDepth(spark, d0) === 1)
