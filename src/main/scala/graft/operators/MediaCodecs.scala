@@ -4,15 +4,17 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** REAL media codecs in pure JVM bytes — no external libraries: BMP
   * (24-bit uncompressed, BITMAPINFOHEADER) and WAV (PCM16) are plain
-  * header formats, and PNG (8-bit truecolor — see [[PngCodec]], r15)
-  * needs only `java.util.zip`'s DEFLATE + CRC32, so all three can be
-  * encoded AND decoded here for full pipeline verification (JPEG/MP3
-  * stay declared stubs in [[Multimodal]] — entropy coding + DCT/
-  * psychoacoustics have no JDK primitive): the mm2/mm4 harness queries
-  * encode deterministic payloads, decode them back, and the DuckDB
-  * oracle recomputes the expected features from the generating
+  * header formats, PNG (8-bit truecolor — see [[PngCodec]], r15)
+  * needs only `java.util.zip`'s DEFLATE + CRC32, and baseline JPEG
+  * (see [[JpegCodec]], r16) is Huffman + DCT arithmetic written out
+  * longhand — so all four can be encoded AND decoded here for full
+  * pipeline verification (MP3 stays a declared stub in [[Multimodal]]
+  * — see ARCHITECTURE's recorded decision): the mm2/mm4/mm5 harness
+  * queries encode deterministic payloads, decode them back, and the
+  * DuckDB oracle recomputes the expected features from the generating
   * formula — a hash match proves the byte layout (row padding, chunk
-  * walking, filter reconstruction, endianness) round-trips exactly.
+  * walking, filter reconstruction, endianness) round-trips exactly
+  * (banded for JPEG, whose round-trip is lossy by design).
   *
   * Everything is little-endian per both formats' specs; decode returns
   * None for malformed input (the per-row barrier, like the DNS parser).
@@ -87,11 +89,12 @@ object MediaCodecs {
     } catch { case _: Exception => None }
   }
 
-  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP or an
-    * 8-bit truecolor PNG (format-dispatched on the signature bytes —
-    * PNG payloads route to [[PngCodec.aHash64]], same grid/threshold
-    * rule, so both formats join one Hamming-blocked near-dup family
-    * and `imageNearDupPairs` needs no format flag): the image is
+  /** 64-bit perceptual average-hash (aHash) of a 24-bit BMP, an
+    * 8-bit truecolor PNG, or a baseline JPEG (format-dispatched on the
+    * signature bytes — PNG payloads route to [[PngCodec.aHash64]],
+    * JPEG (FFD8) to [[JpegCodec.aHash64]], same grid/threshold
+    * rule, so all three formats join one Hamming-blocked near-dup
+    * family and `imageNearDupPairs` needs no format flag): the image is
     * partitioned into an 8×8 grid of cells (cell (i,j) covers storage
     * rows [i·h/8, (i+1)·h/8) × cols [j·w/8, (j+1)·w/8)); each cell's
     * value is the exact integer SUM of its pixel bytes (all channels —
@@ -108,6 +111,8 @@ object MediaCodecs {
     try {
       if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
         return PngCodec.aHash64(bytes)
+      if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        return JpegCodec.aHash64(bytes)
       if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return null
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val offset = bb.getInt(10)

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * run decode / feature-extraction as a partition-batched pipeline.
   *
   * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration via `mapPartitions` over a typed Dataset — while the actual
-  * codec is STUBBED (this container has no image/audio libraries): see
-  * [[decodeStub]], which derives a deterministic fake feature vector from
-  * the payload bytes. Swapping in a real decoder changes only that function.
+  * iteration via `mapPartitions` over a typed Dataset — and so are the
+  * codecs for BMP/WAV ([[MediaCodecs]]), PNG ([[PngCodec]]) and baseline
+  * JPEG ([[JpegCodec]]), all pure-JVM byte implementations. Only formats
+  * with a recorded out-of-scope decision (MP3 — see ARCHITECTURE) fall
+  * back to [[decodeStub]], which derives a deterministic fake feature
+  * vector from the payload bytes; swapping in a real decoder changes only
+  * that function.
   *
   * 100 TB notes: payloads never enter a shuffle — `mapPartitions` keeps
   * decode local to the scan; only the (doc_id, small feature vector) output
@@ -123,6 +126,38 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** The JPEG sibling of [[synthesizeBmpNearDups]] (r16): the SAME
+    * pixel recipe — groups of 4, per-(group, cell) md5 base bytes,
+    * members 1-3 perturbing one 2×2 cell by +120 — carried as a REAL
+    * baseline JPEG ([[JpegCodec.encode]], quality 90, 4:4:4). JPEG is
+    * LOSSY, so unlike the BMP/PNG twins the decoded pixels differ from
+    * the formula by quantization error — but the aHash cell-sum rule
+    * thresholds against the image average, which quantization barely
+    * moves, so the planted near-dup structure survives the round-trip
+    * (spec-verified: the same groups pair under the same Hamming
+    * radius as the lossless twins). */
+  def synthesizeJpegNearDups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val group = id / 4
+        val member = (id % 4).toInt
+        val cellBase = Array.tabulate(64)(c =>
+          md.digest(s"$group:$c".getBytes("UTF-8"))(0) & 0xff)
+        val rgb = Array.tabulate(16 * 16 * 3) { k =>
+          val r = k / 48; val x = (k % 48) / 3
+          val cell = (r / 2) * 8 + (x / 2)
+          val base = (cellBase(cell) + k * 11) % 256
+          val v = if (member > 0 && cell == member - 1) (base + 120) % 256 else base
+          v.toByte
+        }
+        (id, JpegCodec.encode(16, 16, rgb, quality = 90))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** The audio sibling of [[synthesizeBmpNearDups]]: deterministic REAL
     * PCM16 WAVs with planted near-dup groups of 4 — 256 mono samples in
     * 64 energy windows of 4; window base amplitude is the per-(group,
@@ -194,20 +229,21 @@ object Multimodal {
   }
 
   /** Partition-local resize pass over a media DataFrame: image payloads
-    * that decode as 24-bit BMP or 8-bit truecolor PNG are resized to
-    * `targetW`×`targetH` with the REAL nearest-neighbor codecs
-    * ([[MediaCodecs.resizeBmpNearest]] / [[PngCodec.resizeNearest]] —
-    * identical floor mapping, so the two formats' resizes agree
-    * pixelwise); other image payloads (JPEG — still a declared stub, no
-    * entropy-coding primitive in the JDK) fall back to the stub; audio
-    * passes through. Payloads stay inside the partition — no shuffle. */
+    * that decode as 24-bit BMP, 8-bit truecolor PNG, or baseline JPEG
+    * are resized to `targetW`×`targetH` with the REAL nearest-neighbor
+    * codecs ([[MediaCodecs.resizeBmpNearest]] / [[PngCodec
+    * .resizeNearest]] / [[JpegCodec.resizeNearest]] — identical floor
+    * mapping, so the formats' resizes agree on pixel addressing);
+    * undecodable image payloads fall back to the stub; audio passes
+    * through. Payloads stay inside the partition — no shuffle. */
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         if (r.media_type == "image")
           MediaCodecs.resizeBmpNearest(r.payload, targetW, targetH)
-            .orElse(PngCodec.resizeNearest(r.payload, targetW, targetH)) match {
+            .orElse(PngCodec.resizeNearest(r.payload, targetW, targetH))
+            .orElse(JpegCodec.resizeNearest(r.payload, targetW, targetH)) match {
             case Some(resized) =>
               r.copy(payload = resized, width = targetW, height = targetH)
             case None =>

@@ -2294,6 +2294,60 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL baseline-JPEG round-trip ([[graft.operators.JpegCodec]], r16
+    * — VERDICT r15 task 1): per doc a deterministic smooth-gradient RGB
+    * image (three per-channel linear ramps, no value wraps) is ENCODED
+    * to actual baseline JPEG bytes — quality-90 Annex-K quantization,
+    * standard Huffman tables, 4:4:4 on even ids and 4:2:0 (2×2-mean
+    * chroma downsample) on odd, DRI/RSTn segmentation every 5th doc —
+    * and DECODED back (marker walk, Huffman, dequant, IDCT, upsample,
+    * YCbCr→RGB) inside a typed partition-local pass. JPEG is LOSSY, so
+    * the hashed columns are the FORMULA means (closed-form int64,
+    * oracle-replayable) plus in-plan error-band flags asserting the
+    * DECODED means land within 3 gray levels (e6-scaled) of the
+    * formula — the x8/x10 device: the oracle expects every flag = 1,
+    * so a decoder that drifts (wrong dequant, broken upsample, IDCT
+    * bug) reds the hash even though the oracle cannot replay lossy
+    * bytes. */
+  def mm5JpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.JpegCodec
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + (id % 3) * 8).toInt // 16 / 24 / 32
+        val h = (16 + (id % 2) * 8).toInt // 16 / 24
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            rgb(o) = (16 + id % 16 + x * 4 + y * 2).toByte
+            rgb(o + 1) = (32 + id % 8 + x * 2 + y * 4).toByte
+            rgb(o + 2) = (64 + id % 32 + x + y * 3).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = JpegCodec.encode(w, h, rgb, quality = 90,
+          subsample420 = id % 2 == 1,
+          restartInterval = if (id % 5 == 0) 2 else 0)
+        val (dw, dh, decoded) = JpegCodec.decodeMeans(bytes).get
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+        val formula = sums.map(_ * 1000000L / (w * h))
+        def band(c: Int): Long =
+          if (dw == w && dh == h &&
+            math.abs(decoded(c) - formula(c)) <= 3000000L) 1L else 0L
+        (id, w.toLong, h.toLong, formula(0), formula(1), formula(2),
+          band(0), band(1), band(2))
+      }
+    }.toDF("doc_id", "w", "h", "mean_r_e6", "mean_g_e6", "mean_b_e6",
+      "band_r", "band_g", "band_b")
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image near-dup ([[Dedup.imageNearDupPairs]], the
     * multimodal member of the dedup family): real 24-bit BMPs with
     * PLANTED near-identical groups ([[Multimodal.synthesizeBmpNearDups]])
@@ -5488,6 +5542,22 @@ object ExtQueries {
         |  CAST((sum(CASE WHEN c = 1 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS mean_g_e6,
         |  CAST((sum(CASE WHEN c = 2 THEN v ELSE 0 END) * 1000000) // (max(w)*max(h)) AS BIGINT) AS mean_b_e6
         |FROM ia GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mm5 (r16): JPEG is lossy, so the oracle replays the CLOSED-FORM
+    // formula means (Σ over a linear ramp) and expects the in-plan
+    // error-band flags — which compare the real decode against the same
+    // formula on the Spark side — to all be 1 (the x8/x10 device)
+    "mm5_jpeg_roundtrip" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + (doc_id % 3)*8 AS w, 16 + (doc_id % 2)*8 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST((w*h*(16 + doc_id % 16) + 4*h*(w*(w-1)//2) + 2*w*(h*(h-1)//2)) * 1000000 // (w*h) AS BIGINT) AS mean_r_e6,
+        |  CAST((w*h*(32 + doc_id % 8) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) * 1000000 // (w*h) AS BIGINT) AS mean_g_e6,
+        |  CAST((w*h*(64 + doc_id % 32) + 1*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2)) * 1000000 // (w*h) AS BIGINT) AS mean_b_e6,
+        |  CAST(1 AS BIGINT) AS band_r, CAST(1 AS BIGINT) AS band_g,
+        |  CAST(1 AS BIGINT) AS band_b
+        |FROM img ORDER BY doc_id""".stripMargin,
     "x7_ann_lsh" -> duckAnnLsh,
     "x13_shard_stats" -> duckShardStats,
     "x14_embed_clusters" ->
@@ -5802,6 +5872,7 @@ object ExtQueries {
     "mm_media_features" -> mmMediaFeatures, // oracle over the declared stub decode
     "mm2_codec_roundtrip" -> mm2CodecRoundtrip, // oracle: generating formula vs real decode
     "mm3_resize_frames" -> mm3ResizeFrames, // oracle: formula vs real resize + frame walk
-    "mm4_png_roundtrip" -> mm4PngRoundtrip // oracle: formula vs real PNG encode/decode (all 5 filters)
+    "mm4_png_roundtrip" -> mm4PngRoundtrip, // oracle: formula vs real PNG encode/decode (all 5 filters)
+    "mm5_jpeg_roundtrip" -> mm5JpegRoundtrip // oracle: formula means + error-band flags vs real lossy JPEG
   )
 }

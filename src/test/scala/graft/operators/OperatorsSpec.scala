@@ -733,6 +733,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("MP3 is formally out of scope: every audio entry point refuses MP3-framed payloads (ARCHITECTURE §5.6)") {
+    // the descope contract (r16 decision): WAV/PCM16 is the supported
+    // audio storage format; MP3 payloads return None/null — never
+    // garbage — from every decode surface. Two shapes: a bare MPEG-1
+    // Layer III frame header (FFFB sync) and an ID3v2-tagged file.
+    val bareFrame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.tabulate[Byte](413)(i => (i * 7).toByte) // plausible 128kbps frame body
+    val id3Tagged = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, 10) ++ Array.fill[Byte](10)(0) ++ bareFrame
+    for ((p, name) <- Seq((bareFrame, "bare frame"), (id3Tagged, "ID3-tagged"))) {
+      assert(MediaCodecs.decodeWav(p).isEmpty, s"decodeWav accepted $name")
+      assert(MediaCodecs.audioHash64(p) == null, s"audioHash64 hashed $name")
+      assert(MediaCodecs.wavFrameEnergies(p, 8, 2).isEmpty,
+        s"wavFrameEnergies walked $name")
+      // not an image either: the format dispatch must not misroute the
+      // FFD8-adjacent FFFB sync to the JPEG decoder's garbage path
+      assert(MediaCodecs.aHash64(p) == null, s"aHash64 hashed $name")
+    }
+    // the generic stub still yields deterministic features (the pipeline
+    // degrades to byte-histogram features, it does not crash)
+    val f1 = Multimodal.decodeStub(bareFrame)
+    assert(f1.toSeq == Multimodal.decodeStub(bareFrame).toSeq)
+    assert(f1.sum > 0.0)
+  }
+
   test("media synthesis + stubbed decode: schema, determinism, feature range") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
     val media = Multimodal.synthesize(docs)
