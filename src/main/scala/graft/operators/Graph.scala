@@ -57,17 +57,39 @@ object Graph {
     *   s(v)     = Σ_{u→v} (r(u) · share) DIV 1e6
     *   r'(v)    = (15·(T DIV n)) DIV 100 + (85·s(v)) DIV 100
     *
-    * The final state is a tracked `localCheckpoint` — callers own a
-    * [[Caching.releaseAll]] after consuming the result (see
-    * [[Caching.trackCheckpoint]]). */
-  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    * Iteration shape (optimization r16, guide §2.4/§3.1): the rank table
+    * is O(V) — the small side by construction — so each iteration joins
+    * `ew ⋈ broadcast(r)`: the O(E) edge table never shuffles, the whole
+    * K-iteration recurrence is ONE lazy plan (K nested broadcast stages,
+    * no per-iteration driver job), and the per-iteration left join that
+    * re-attached dangling nodes is replaced by a UNION with the
+    * once-computed no-in-edge node set (their rank is exactly `base`
+    * every iteration — same int64 value, join eliminated). Measured at
+    * sf0.1: x52 2.94 s → see OPTIMIZATION_r16.md; plan went from
+    * 5 eager checkpoint jobs × (2 shuffle joins + 1 agg) to 1 lazy job
+    * with 5 broadcast+agg stages.
+    *
+    * `broadcastNodesMax` guards the broadcast: past it (V too big for a
+    * broadcast relation — the 100 TB click-graph case) the recurrence
+    * falls back to the r15 shuffle-join + per-iteration `localCheckpoint`
+    * form, whose final state is a tracked checkpoint. Both paths compute
+    * identical int64 ranks; callers own a [[Caching.releaseAll]] after
+    * consuming the result. */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
+      broadcastNodesMax: Long = 4000000L): DataFrame = {
     // per-edge ppm share of the source's out-weight; persisted — it is
     // joined once per iteration
     val outw = edges.groupBy("src").agg(sum("c").as("wout"))
+    // partitioned by dst BEFORE the persist: every iteration's
+    // contribution aggregation groups by dst, so the cached partitioning
+    // satisfies it and the per-iteration exchange disappears (guide §2.4
+    // "two operations keyed the same way share one exchange") — the edge
+    // shuffle is paid once at build, not once per iteration
     val ew = Caching.persisted(
       edges.join(outw, "src")
         .select(col("src"), col("dst"),
-          expr("(c * 1000000L) DIV wout").as("share_ppm")))
+          expr("(c * 1000000L) DIV wout").as("share_ppm"))
+        .repartition(col("dst")))
     val nodes = Caching.persisted(
       ew.select(col("src").as("token"))
         .union(ew.select(col("dst").as("token"))).distinct())
@@ -77,18 +99,35 @@ object Graph {
     val base = 15L * (TotalMass / n) / 100L
 
     var r = nodes.select(col("token"), lit(TotalMass / n).as("r"))
-    for (_ <- 1 to iters) {
-      val s = ew.join(r, ew("src") === r("token"))
-        .select(col("dst"), expr("(r * share_ppm) DIV 1000000L").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("s"))
-      val prev = r
-      r = nodes.join(s, nodes("token") === s("dst"), "left")
-        .select(col("token"),
-          (lit(base) + expr("(85L * coalesce(s, 0L)) DIV 100L")).as("r"))
-        .localCheckpoint() // cut lineage: next plan starts from O(V) rows
-      Caching.releaseCheckpoint(prev) // superseded iteration (no-op on iter 1)
+    if (n <= broadcastNodesMax) {
+      // nodes with no in-edge receive no contribution in ANY iteration:
+      // their rank is the constant base term, re-attached by union below
+      val noIn = Caching.persisted(
+        nodes.join(ew.select(col("dst").as("token")).distinct(),
+          Seq("token"), "left_anti"))
+      for (_ <- 1 to iters) {
+        val s = ew.join(broadcast(r), ew("src") === r("token"))
+          .select(col("dst"), expr("(r * share_ppm) DIV 1000000L").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("s"))
+          .select(col("dst").as("token"),
+            (lit(base) + expr("(85L * s) DIV 100L")).as("r"))
+        r = s.union(noIn.select(col("token"), lit(base).as("r")))
+      }
+      r.select(col("token"), col("r").as("rank_e12"))
+    } else {
+      for (_ <- 1 to iters) {
+        val s = ew.join(r, ew("src") === r("token"))
+          .select(col("dst"), expr("(r * share_ppm) DIV 1000000L").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("s"))
+        val prev = r
+        r = nodes.join(s, nodes("token") === s("dst"), "left")
+          .select(col("token"),
+            (lit(base) + expr("(85L * coalesce(s, 0L)) DIV 100L")).as("r"))
+          .localCheckpoint() // cut lineage: next plan starts from O(V) rows
+        Caching.releaseCheckpoint(prev) // superseded iteration (no-op on iter 1)
+      }
+      Caching.trackCheckpoint(r) // final state: released post-query by releaseAll
+      r.select(col("token"), col("r").as("rank_e12"))
     }
-    Caching.trackCheckpoint(r) // final state: released post-query by releaseAll
-    r.select(col("token"), col("r").as("rank_e12"))
   }
 }

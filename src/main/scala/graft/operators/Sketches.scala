@@ -197,16 +197,22 @@ object Sketches {
   def histogramQuantiles(hist: DataFrame, groupCols: Seq[String],
       qs: Seq[(String, Int, Int)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cum = hist.withColumn("cum",
-      sum("cnt").over(Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")))
-    val targets = hist.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
-      .select(groupCols.map(col) :+ col("n") :+ explode(array(qs.map { case (l, nu, de) =>
-        struct(lit(l).as("q"), lit(nu.toLong).as("nu"), lit(de.toLong).as("de"))
-      }: _*)).as("qq"): _*)
-      .select(groupCols.map(col) :+ col("n") :+ col("qq.q").as("q") :+
-        expr("(qq.nu * n + qq.de - 1) DIV qq.de").as("target"): _*)
-    cum.join(targets, groupCols)
-      .filter(col("cum") >= col("target"))
+    // ONE window pass (optimization r16, guide §2.4): the cumulative count
+    // and the group total ride the same partitionBy exchange (the
+    // unordered total needs no extra sort), replacing the r15
+    // groupBy-total + join-back — which cost two more exchanges AND
+    // re-derived the whole hist subtree into both branches. The rank
+    // arithmetic and the min-bucket selection are unchanged int64.
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    hist
+      .withColumn("cum", sum("cnt").over(w.orderBy("bucket")))
+      .withColumn("n", sum("cnt").over(w))
+      .select(groupCols.map(col) :+ col("n") :+ col("cum") :+ col("bucket") :+
+        explode(array(qs.map { case (l, nu, de) =>
+          struct(lit(l).as("q"), lit(nu.toLong).as("nu"), lit(de.toLong).as("de"))
+        }: _*)).as("qq"): _*)
+      .filter(col("cum") >= expr("(qq.nu * n + qq.de - 1) DIV qq.de"))
+      .withColumn("q", col("qq.q"))
       .groupBy((groupCols :+ "q").map(col): _*)
       .agg(min("n").as("n"), min("bucket").as("est_cents"))
   }
@@ -242,16 +248,16 @@ object Sketches {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).as("v"))
     val h = base.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-    val cum = h.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("g").orderBy("v")))
-    val t = h.groupBy("g").agg(sum("cnt").as("n"))
-      .withColumn("t1", expr("(n + 3) DIV 4"))       // ceil(n/4)
-      .withColumn("t3", expr("(3 * n + 3) DIV 4"))   // ceil(3n/4)
-    val q = cum.join(broadcast(t), "g")
+    // group total via a second window aggregate on the cum exchange
+    // (optimization r16, the histogramQuantiles recipe) — drops the r15
+    // groupBy-total + broadcast-join pair; identical ceil-rank fences
+    val w = Window.partitionBy("g")
+    val q = h.withColumn("cum", sum("cnt").over(w.orderBy("v")))
+      .withColumn("n", sum("cnt").over(w))
       .groupBy("g")
       .agg(min("n").as("n"),
-        min(when(col("cum") >= col("t1"), col("v"))).as("q1"),
-        min(when(col("cum") >= col("t3"), col("v"))).as("q3"))
+        min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v"))).as("q1"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v"))).as("q3"))
       .withColumn("low2", lit(5L) * col("q1") - lit(3L) * col("q3"))
       .withColumn("high2", lit(5L) * col("q3") - lit(3L) * col("q1"))
     base.join(broadcast(q), "g")
@@ -272,11 +278,14 @@ object Sketches {
     val h = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = h.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("g").orderBy("v")))
-    val t = h.groupBy("g").agg(sum("cnt").as("n"))
-      .withColumn("target", expr("(n + 1) DIV 2"))
-    cum.join(t, "g").filter(col("cum") >= col("target"))
+    // group total as a second window aggregate on the same exchange
+    // (optimization r16, the histogramQuantiles recipe): the r15
+    // groupBy-total + join-back pair of exchanges is gone; identical
+    // ceil-rank selection
+    val w = Window.partitionBy("g")
+    h.withColumn("cum", sum("cnt").over(w.orderBy("v")))
+      .withColumn("n", sum("cnt").over(w))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
       .groupBy("g").agg(min("n").as("n"), min("v").as("med"))
   }
 

@@ -255,26 +255,34 @@ object TextAnalysis {
     * per doc: bigram count, total bits, and milli-bits/bigram
     * (`total·1000 DIV n` — integer, no IEEE division).
     *
-    * Shape: one pos-window pass to form bigrams (shuffle by doc), two
-    * count aggregations (the "model" — plain DataFrames, never a driver
-    * artifact), then count joins keyed by bigram — all hash joins with
-    * map-side-combined counts; at 100 TB the model tables are
-    * vocab-sized, the per-doc pass is corpus-sized, nothing is
-    * quadratic. */
+    * Shape (optimization r16): bigrams form INSIDE the scan projection —
+    * the adjacent-token zip of [[Graph.tokenEdges]] (two array slices +
+    * arrays_zip + one explode), which replaces the r15 pos-window pass
+    * and its shuffle-by-doc + per-doc sort outright; the stream is then
+    * persisted HASH-PARTITIONED on (w1, w2), so the c12 count, and the
+    * model join back onto the stream, reuse that one exchange (guide
+    * §2.4). c1 aggregates from the vocab-sized c12 (Σ_w2 c12 = c1 —
+    * counted tuples, never the stream again). Remaining corpus-sized
+    * exchanges: the (w1, w2) partition and the final per-doc
+    * aggregation — down from four (window, two join shuffles, agg) in
+    * the r15 form. At 100 TB the model tables are vocab-sized, the
+    * per-doc pass is corpus-sized, nothing is quadratic. */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
     val bigrams = Caching.persisted(
-      docs.select(col(idCol).as("doc_id"),
-          posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w1")))
-        .withColumn("w2", lead(col("w1"), 1).over(w))
-        .filter(col("w2").isNotNull)
-        .select("doc_id", "w1", "w2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("w"))
+        .select(col("doc_id"),
+          slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+          expr("slice(w, 2, size(w) - 1)").as("b"))
+        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+        .repartition(col("w1"), col("w2")))
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"),
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val model = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
         (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
+    bigrams.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
       .withColumn("bits_e3", expr("total_bits * 1000 DIV n_bigrams"))
@@ -287,13 +295,18 @@ object TextAnalysis {
     * high-novelty docs first, which is the principled order for dedup
     * retention and curriculum passes. Exact integer ppm.
     *
-    * Shape: one shingle explode (the near-dup family's gram pass), one
-    * per-gram min aggregation (the "first seen" table — vocab-sized,
-    * map-side combined), one join back. Nothing pairwise: novelty is
-    * corpus-relative without comparing documents to each other. */
+    * Shape: one shingle explode (the near-dup family's gram pass)
+    * persisted HASH-PARTITIONED on gram (optimization r16, guide §2.4 —
+    * the first-seen aggregation and the join back both key on gram, so
+    * they reuse that one exchange instead of each re-shuffling the
+    * stream), one per-gram min aggregation (the "first seen" table —
+    * vocab-sized, map-side combined), one join back. Nothing pairwise:
+    * novelty is corpus-relative without comparing documents to each
+    * other. */
   def novelty(docs: DataFrame, shingleN: Int = 3): DataFrame = {
     val g = Caching.persisted(docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gram")))
+      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gram"))
+      .repartition(col("gram")))
     val fo = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
     g.join(fo, "gram")
       .groupBy("doc_id")

@@ -43,4 +43,23 @@ class GraphSpec extends SparkTestBase {
     assert(r === rk)
     assert(r("c") > r("a") && r("a") > r("b"))
   }
+
+  test("pageRank: broadcast path == shuffle-fallback path, rank for rank") {
+    // r16 optimization: the small-V recurrence runs as nested broadcast
+    // joins + a no-in-edge union; past broadcastNodesMax it falls back to
+    // the r15 shuffle-join + checkpoint form. Same int64 ranks, proven
+    // here on a graph with dangling nodes, sinks, and weighted edges.
+    val edges = Seq(
+      ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("d", "a", 1L), ("d", "c", 1L) // d dangles (no in-edges)
+    ).toDF("src", "dst", "c")
+    val broadcastPath = Graph.pageRank(spark, edges, iters = 4)
+      .as[(String, Long)].collect().toMap
+    Caching.releaseAll()
+    val shufflePath = Graph.pageRank(spark, edges, iters = 4,
+        broadcastNodesMax = 0L)
+      .as[(String, Long)].collect().toMap
+    Caching.releaseAll()
+    assert(broadcastPath === shufflePath)
+  }
 }
