@@ -485,6 +485,26 @@ object Dedup {
     * plus an O(doc) sorted walk, and the final length join is
     * doc_id-keyed against a two-column pruned scan. Nothing is
     * all-pairs; nothing collects to the driver. */
+  /** Shuffle-partition count for the x116 window-hash sort, derived from
+    * the SOURCE size estimate so per-task sort bytes stay roughly
+    * constant as the corpus grows (optimization r16 — the knob
+    * ARCHITECTURE §3 documented after the sf10 fixed-box spill, now
+    * code): every source byte becomes ≈200 bytes of shuffled window row
+    * (one ~40 B (doc_id, pos, 16-B digest) row per character × ~5×
+    * parquet text compression), and each sort task targets
+    * `perTaskBytes` (default 256 MB — inside a default executor's
+    * per-task execution memory, so the sort stays in-memory where the
+    * r15 16-partition run spilled ~1.3 GB per task at sf10). Never goes
+    * BELOW the session default, so small inputs keep the session's
+    * parallelism and the local bench is unchanged at sf0.1. Pure
+    * function (spec-pinned in DedupSpec). */
+  def spanSortPartitions(srcBytes: BigInt, sessionDefault: Int,
+      perTaskBytes: Long = 256L << 20): Int = {
+    val est = srcBytes * 200
+    val byBytes = (est / perTaskBytes).min(BigInt(200000)).toInt
+    math.max(sessionDefault, byBytes)
+  }
+
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 40): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
@@ -495,12 +515,25 @@ object Dedup {
     // at the r15 sf10 rehearsal the hex form crossed the sort's
     // in-memory threshold a decade earlier than the binary one
     // (131 → 103 s at 350M windows)
-    val wins = d.filter(length(col("text")) >= k)
+    val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sortParts = spanSortPartitions(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes, sessionParts)
+    val winsRaw = d.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1L), (length(col("text")) - (k - 1)).cast("long"))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
         unhex(md5(col("text").substr(col("pos"), lit(k)))).as("h"))
+    // input-proportional sort partitions (see [[spanSortPartitions]]),
+    // applied ONLY when the estimate exceeds the session default: the
+    // explicit hash repartition then REPLACES the byHash window's
+    // exchange (same key) with constant per-task sort bytes. Below the
+    // threshold the window keeps its own exchange so AQE stays free to
+    // coalesce it — an unconditional repartition pinned 32 partitions at
+    // sf0.1 and measured +0.3 s against the r15 plan.
+    val wins =
+      if (sortParts > sessionParts) winsRaw.repartition(sortParts, col("h"))
+      else winsRaw
     // one-shuffle window form — measured best at EVERY scale probed:
     // sf0.1 2.9-3.4 s (vs 4.8 s persist + broadcast semi-join, 10.5 s
     // naive groupBy + self-join) and sf10/350M windows 89 s — where the

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * Shape per iteration: ONE broadcast of the 1-row weight frame into a
   * full-pass aggregation (the scalar-crossJoin pattern, allowlisted
   * BNLJ) — O(rows) with map-side partial aggregation, no per-row state.
-  * The projected (x, y) frame is persisted via [[Caching]]; each 1-row
-  * weight frame is `localCheckpoint`ed (the KMeansInt lineage-cut
-  * recipe, superseded checkpoints released eagerly) — a mere persist
-  * leaves iteration k's LOGICAL plan embedding the whole history, and
-  * analysis cost alone goes quadratic in the iteration count.
+  * The projected (x, y) frame is persisted via [[Caching]]; the weight
+  * recurrence itself is LAZY (optimization r16): each 1-row frame feeds
+  * exactly one consumer (the next iteration's broadcast), so the K-pass
+  * chain is one linear plan the consuming action executes — no
+  * per-iteration driver jobs (the r15 form `localCheckpoint`ed every
+  * iteration).
   *
   * Overflow bounds (caller grids x, y): needs `max|w1·x| < 2⁶³` and
   * `n·max|resid·x| < 2⁶³` — at y in cents (≤10⁷), x ≤ 10², n ≤ 10⁹ all
@@ -34,8 +35,8 @@ object GdTrainer {
 
   /** Returns one row: `n, w0_e6, w1_e6, mae_cents` (final weights and
     * the mean absolute residual, `Σ|resid| DIV n`). `etaDen` must
-    * divide 10⁶. The final weights frame is a tracked `localCheckpoint`
-    * — callers own a [[Caching.releaseAll]] after consuming the result. */
+    * divide 10⁶. Callers own a [[Caching.releaseAll]] after consuming
+    * the result (the projected (x, y) frame is a tracked persist). */
   def fitLinear(df: DataFrame, x: Column, y: Column, iters: Int,
       etaDen: Long = 1000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -51,21 +52,25 @@ object GdTrainer {
     val resid = expr("(w1*x + w0) DIV 1000000") - col("y")
 
     var w: DataFrame = Seq((0L, 0L)).toDF("w1", "w0")
-    for (it <- 1 to iters) {
+    for (_ <- 1 to iters) {
       // carry w1/w0 through the agg (constants under the 1-row broadcast)
-      // so each iteration is exactly one crossJoin + one aggregation
+      // so each iteration is exactly one crossJoin + one aggregation.
+      // The recurrence stays LAZY (optimization r16): each weight frame
+      // is 1 row referenced exactly once by the next iteration, so the
+      // whole K-pass chain is one plan executed by the consuming action —
+      // the r15 form localCheckpoint'ed every iteration, paying K eager
+      // driver jobs for lineage no deeper than K nested broadcasts.
+      // (The scaladoc's quadratic-analysis concern applied to re-planning
+      // the full history per iteration from scratch; the chain here is
+      // built once and analyzed once.)
       val g = d.crossJoin(broadcast(w)).agg(
         count(lit(1)).as("n"),
         max(col("w1")).as("w1"), max(col("w0")).as("w0"),
         sum(resid * col("x")).as("g1"), sum(resid).as("g0"))
-      val prev = w
       w = g.select(
         (col("w1") - expr(s"(g1*$etaNum) DIV n")).as("w1"),
         (col("w0") - expr(s"(g0*$etaNum) DIV n")).as("w0"))
-        .localCheckpoint()
-      if (it > 1) Caching.releaseCheckpoint(prev)
     }
-    Caching.trackCheckpoint(w)
     d.crossJoin(broadcast(w))
       .agg(count(lit(1)).as("n"),
         max(col("w0")).as("w0_e6"), max(col("w1")).as("w1_e6"),

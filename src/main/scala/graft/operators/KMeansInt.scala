@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   * window, so no per-vector sort — and (3) a per-(cid, dim) sum for the
   * new means. Nothing is ever collected to the driver; centroids stay a
   * DataFrame end-to-end, and rank lineage is cut per iteration with
-  * `localCheckpoint` (O(k·dim) rows). The quantized corpus is persisted
-  * HASH-PARTITIONED on vec_id (optimization r16): the assignment
-  * aggregations and the update join are all keyed on vec_id(+sub), so the
-  * cached partitioning satisfies them and the only per-iteration shuffle
-  * left is the map-side-combined O(k·dim × partitions) mean update — the
-  * r15 form re-shuffled O(N·k) distance rows + O(N·dim) update rows every
-  * iteration.
+  * `localCheckpoint` (O(k·dim) rows). Per-iteration shuffle volume is
+  * O(N·k) distance rows + O(N·dim) update rows — the textbook k-means
+  * cost, independent of iteration count. (Optimization r16 note: a
+  * vec_id co-partition of the cached corpus — which would let the
+  * assignment aggregations and the update join skip their exchanges —
+  * was measured at sf0.1 and REGRESSED min-of-2 sweeps by ~+0.6 s per
+  * trainer: pinning the cached partitioning forces sort-merge machinery
+  * where the planner otherwise broadcasts the O(N)-row assignment side
+  * and lets AQE size the aggregation exchanges; reverted, decision
+  * recorded here.)
   *
   * Overflow bounds (int64): |v| ≤ 1e6 ⇒ per-dim squared diff ≤ 4e12,
   * per-pair dist ≤ dim·4e12 ≈ 3e15 at dim 768; per-(cid,dim) sums are
@@ -92,14 +95,8 @@ object KMeansInt {
     * inertia_e6)`, ordered. */
   def fitPq(spark: SparkSession, embs: DataFrame, vecCol: String,
       subDim: Int, k: Int, iters: Int): DataFrame = {
-    // partitioned by vec_id BEFORE the persist (optimization r16, guide
-    // §2.4): every iteration's assignment aggregations group by (vec_id,
-    // sub[, cid]) and the update join keys on (vec_id, sub) — the cached
-    // partitioning satisfies all of them, so the per-iteration exchanges
-    // of the O(N·dim) corpus collapse into this one build-time shuffle
     val qv = Caching.persisted(quantized(embs, vecCol)
-      .withColumn("sub", expr(s"i DIV $subDim"))
-      .repartition(col("vec_id")))
+      .withColumn("sub", expr(s"i DIV $subDim")))
     val init = embs.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cid"))
@@ -137,9 +134,7 @@ object KMeansInt {
     * inertia. One row per non-empty final cluster, ordered by cid. */
   def fit(spark: SparkSession, embs: DataFrame, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    // vec_id partitioning before the persist — see [[fitPq]]'s note
-    val qv = Caching.persisted(quantized(embs, vecCol)
-      .repartition(col("vec_id")))
+    val qv = Caching.persisted(quantized(embs, vecCol))
     val init = embs.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cid"))

@@ -116,6 +116,12 @@ object Sketches {
     val b = pairs.join(sk.withColumnRenamed("g", "g2"), Seq("g2"))
       .select(col("g1"), col("g2"), col("h"), col("u"), lit("b").as("side"))
     a.unionByName(b)
+      // one exchange for the whole pair stage (optimization r16, guide
+      // §2.4): (g1, g2) partitioning satisfies the sides aggregation
+      // (subset of its grouping keys), the rank window, AND the final
+      // per-pair aggregation — the r15 plan re-shuffled between the
+      // aggregation and the window
+      .repartition(col("g1"), col("g2"))
       .groupBy("g1", "g2", "h", "u")
       .agg(countDistinct("side").as("sides"))
       .withColumn("rk",

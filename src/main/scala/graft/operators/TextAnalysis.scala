@@ -295,18 +295,19 @@ object TextAnalysis {
     * high-novelty docs first, which is the principled order for dedup
     * retention and curriculum passes. Exact integer ppm.
     *
-    * Shape: one shingle explode (the near-dup family's gram pass)
-    * persisted HASH-PARTITIONED on gram (optimization r16, guide §2.4 —
-    * the first-seen aggregation and the join back both key on gram, so
-    * they reuse that one exchange instead of each re-shuffling the
-    * stream), one per-gram min aggregation (the "first seen" table —
-    * vocab-sized, map-side combined), one join back. Nothing pairwise:
-    * novelty is corpus-relative without comparing documents to each
-    * other. */
+    * Shape: one shingle explode (the near-dup family's gram pass), one
+    * per-gram min aggregation (the "first seen" table — vocab-sized,
+    * map-side combined), one join back. Nothing pairwise: novelty is
+    * corpus-relative without comparing documents to each other.
+    * (Optimization r16 note: pre-partitioning the gram stream on gram —
+    * to share the exchange between the aggregation and the join —
+    * REGRESSED min-of-2 sweeps by +0.26 s: the first-seen table is
+    * broadcast-joined back, so the r15 plan never re-shuffled the
+    * stream and the added repartition was a pure extra exchange;
+    * reverted, decision recorded here.) */
   def novelty(docs: DataFrame, shingleN: Int = 3): DataFrame = {
     val g = Caching.persisted(docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gram"))
-      .repartition(col("gram")))
+      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("gram")))
     val fo = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
     g.join(fo, "gram")
       .groupBy("doc_id")

@@ -462,8 +462,12 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     val postings = graft.operators.Caching.persisted(
       graft.operators.InvertedIndex.postingsDetail(docs, "doc_id", "text"))
-    val lens = graft.operators.Caching.persisted(
-      graft.operators.InvertedIndex.docLengths(docs, "doc_id", "text"))
+    // dl = Σ_token tf — identical to docLengths' full second
+    // tokenize+explode of the corpus, read instead from the postings
+    // already built one line up (optimization r16, guide §1.2 "don't
+    // compute things twice"); the maintained-state read path
+    // (IncrementalIndex.searchBm25) keeps its own dl state
+    val lens = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     graft.operators.InvertedIndex.bm25TopK(postings, lens,
       Seq("spark", "vector", "merge"), k = 20)
   }

@@ -166,6 +166,22 @@ class DedupSpec extends SparkTestBase {
     assert(byDoc(3L)._4 == 1L, "doc3's adjacent repeats merge into one span")
   }
 
+  test("spanSortPartitions: input-proportional, floored at the session default, capped") {
+    // r16: the x116 sort-partitions knob as code — per-task sort bytes
+    // held constant by scaling partitions with the source size estimate
+    val mb = 1L << 20
+    // tiny input (sf0.1 class): stays at the session default → the local
+    // bench plan is unchanged
+    assert(Dedup.spanSortPartitions(BigInt(600 * 1024), 32) == 32)
+    // sf10 class (~59 MB source → ~11.5 GB of window rows at x200): 46
+    // tasks of ≤256 MB instead of the r15 16 x ~1.3 GB spilling sort
+    assert(Dedup.spanSortPartitions(BigInt(59 * mb), 16) == 46)
+    // per-task override scales inversely
+    assert(Dedup.spanSortPartitions(BigInt(59 * mb), 16, 128L << 20) == 92)
+    // absurd inputs cap at 200k tasks rather than overflowing the scheduler
+    assert(Dedup.spanSortPartitions(BigInt(1L << 50), 32) == 200000)
+  }
+
   test("representatives: best score wins, ties to lowest id, null score loses") {
     import spark.implicits._
     val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
