@@ -56,10 +56,10 @@ class PlanGuardSpec extends SparkTestBase {
     // the SQL twin of x45: the TVF body's CROSS JOIN of the 1-row
     // (n_docs, total_len) totals aggregate
     "x136_sql_bm25" -> 1,
-    // the final mae read's 1-row weight-frame broadcast; the per-iteration
-    // scalar crossJoins execute eagerly inside fitLinear (localCheckpoint
-    // lineage cuts) and never appear in the returned plan
-    "x105_sgd_linreg" -> 1,
+    // all 1-row weight-frame scalar broadcasts: since the r16 lazy
+    // recurrence the 4 per-iteration crossJoins live in the SAME plan as
+    // the final mae read (one BNLJ per GD pass, each over a 1-row frame)
+    "x105_sgd_linreg" -> 5,
     "x106_theils_u" -> 1, // 1-row hx × 1-row hxy combine (Profiling.theilsU)
     "x107_decayed_avg" -> 1, // 1-row max-day scalar broadcast (as x64)
     "x115_gap_fill" -> 1) // 1-row grid-range scalar broadcast (TimeSeries.gapFill)
