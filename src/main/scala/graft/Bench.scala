@@ -72,22 +72,28 @@ object Bench {
 
   /** Machine adjudication of a retimed outlier (VERDICT r14 task 5 —
     * three rounds of bench artifacts needed MANUAL load-vs-code calls):
-    *   - "load": the same code ran at ≤ 2× its recorded class envelope
-    *     in the quiet isolated JVM — the in-sequence reading was host
-    *     contention, not a plan regression;
-    *   - "code": it stayed slow in isolation — a real regression,
-    *     investigate the plan;
+    *   - "load": AT LEAST ONE of the two readings (in-sequence sweep,
+    *     isolated child JVM) ran at ≤ 2× its recorded class envelope —
+    *     the same code demonstrably still performs in class, so the slow
+    *     reading was host contention, not a plan regression;
+    *   - "code": slow in BOTH readings — a real regression, investigate
+    *     the plan;
     *   - "no_envelope": no recorded class to compare against (a new
     *     query picked by the top-4 rule); the isolated/in-sequence
     *     ratio is reported but a class verdict is impossible.
-    * The in-sequence reading is deliberately NOT a parameter: in the
-    * trigger's context it already exceeded 2× the envelope, so
-    * isolated ≤ 2×envelope < inSequence is implied and the verdict
-    * depends only on how the quiet JVM compares to the class. Pure
-    * function (spec-pinned in BenchRetimeSpec). */
-  def adjudicateOutlier(isolated: Double,
+    * The r15 form ignored the in-sequence reading (sound for 2×-envelope
+    * TRIGGERED outliers, where in-sequence > 2×envelope is implied) —
+    * but TOP-4 picks are retimed without exceeding their class, and an
+    * r16 driver-mode rehearsal produced a FALSE "code" verdict on such a
+    * pick: in-sequence 1.1× its class, isolated child 4.4× under a
+    * recorded 1-min load of 9. A code regression shows in both readings;
+    * requiring both closes that hole (fix declared in
+    * OPTIMIZATION_r16.md; pure function, spec-pinned in
+    * BenchRetimeSpec). */
+  def adjudicateOutlier(isolated: Double, inSequence: Double,
       envelope: Option[Double]): String = envelope match {
-    case Some(e) if e > 0 => if (isolated <= 2 * e) "load" else "code"
+    case Some(e) if e > 0 =>
+      if (isolated <= 2 * e || inSequence <= 2 * e) "load" else "code"
     case _ => "no_envelope"
   }
 
@@ -286,7 +292,7 @@ object Bench {
         // the artifact carries its own adjudication evidence.
         val envPart = envelope.get(n)
           .map(e => f""","envelope":$e%.3f""").getOrElse("")
-        val verdict = adjudicateOutlier(v, envelope.get(n))
+        val verdict = adjudicateOutlier(v, seq, envelope.get(n))
         val loadPart =
           loadSamples.get(n).map(l => f""","load_in_sequence":$l%.2f""").getOrElse("") +
           childLoad.map(l => f""","load_isolated":$l%.2f""").getOrElse("")

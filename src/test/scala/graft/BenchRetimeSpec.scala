@@ -45,14 +45,18 @@ class BenchRetimeSpec extends AnyFunSuite {
 
   test("outlier adjudication: load vs code is a machine-made call (r15)") {
     // the same code at class speed in a quiet JVM = host contention
-    assert(Bench.adjudicateOutlier(1.10, Some(0.62)) === "load")
+    assert(Bench.adjudicateOutlier(1.10, 3.0, Some(0.62)) === "load")
     // at the 2x boundary: still load (the trigger threshold itself)
-    assert(Bench.adjudicateOutlier(1.24, Some(0.62)) === "load")
-    // slow in isolation too = a real plan regression
-    assert(Bench.adjudicateOutlier(2.0, Some(0.62)) === "code")
+    assert(Bench.adjudicateOutlier(1.24, 3.0, Some(0.62)) === "load")
+    // slow in BOTH readings = a real plan regression
+    assert(Bench.adjudicateOutlier(2.0, 3.0, Some(0.62)) === "code")
+    // r16: a top-4 pick whose in-sequence reading is IN class must never
+    // draw "code" from a contended isolated child alone (the x87 false
+    // positive: in-sequence 1.1x class, child 4.4x at 1-min load 9)
+    assert(Bench.adjudicateOutlier(8.9, 2.2, Some(2.01)) === "load")
     // no recorded class (new query via top-4): no class verdict possible
-    assert(Bench.adjudicateOutlier(1.10, None) === "no_envelope")
-    assert(Bench.adjudicateOutlier(1.10, Some(0.0)) === "no_envelope")
+    assert(Bench.adjudicateOutlier(1.10, 3.0, None) === "no_envelope")
+    assert(Bench.adjudicateOutlier(1.10, 3.0, Some(0.0)) === "no_envelope")
   }
 
   test("section-scoped bench-line parse: the loads map must not clobber the queries map") {
