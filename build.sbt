@@ -28,3 +28,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Split the test board into PARALLEL forked JVMs (optimization r17 /
+// VERDICT r16 task 2): the whole 89-suite board previously ran
+// sequentially in ONE forked JVM whose shared SparkTestBase session is
+// local[2] — >60 min wall on an idle 32-core box, long enough for a
+// busy driver host to kill the gate mid-suite (the r16 spawn-helper
+// SIGTERM shape), and 55k+ tasks through one JVM. Suites group
+// deterministically by name hash; each group forks its own JVM (own
+// SparkSession, own temp dirs), so suite isolation only gets STRONGER —
+// the wall divides by the group count and no JVM accumulates the whole
+// board's task/heap history. SPARK_GRAFT_TEST_JVMS tunes it (1 restores
+// the old single-JVM run).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "8").toInt
+  tests.groupBy(t => java.lang.Math.floorMod(t.name.hashCode, groups)).toSeq
+    .sortBy(_._1).map { case (i, ts) =>
+      Tests.Group(s"g$i", ts,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "8").toInt))

@@ -76,8 +76,17 @@ object Bench {
     *     isolated child JVM) ran at ≤ 2× its recorded class envelope —
     *     the same code demonstrably still performs in class, so the slow
     *     reading was host contention, not a plan regression;
-    *   - "code": slow in BOTH readings — a real regression, investigate
-    *     the plan;
+    *   - "contended": slow in both readings, but BOTH were taken at a
+    *     recorded 1-min load above `cpus/4` — on a box that busy neither
+    *     reading can prove a plan regression (VERDICT r16 task 2: all
+    *     three r16 "code" verdicts were on UNTOUCHED code with child
+    *     loads 12-15 on 32 cores, and all three read in class on a
+    *     quiet host). The threshold sits above the sweep's own
+    *     self-load (measured ≤ 8.1 at 32 cpus on an idle box, so a
+    *     quiet-host bench can still reach "code"); a missing load
+    *     sample (-1) never proves contention;
+    *   - "code": slow in BOTH readings with at least one taken on a
+    *     quiet-enough host — a real regression, investigate the plan;
     *   - "no_envelope": no recorded class to compare against (a new
     *     query picked by the top-4 rule); the isolated/in-sequence
     *     ratio is reported but a class verdict is impossible.
@@ -87,13 +96,21 @@ object Bench {
     * r16 driver-mode rehearsal produced a FALSE "code" verdict on such a
     * pick: in-sequence 1.1× its class, isolated child 4.4× under a
     * recorded 1-min load of 9. A code regression shows in both readings;
-    * requiring both closes that hole (fix declared in
-    * OPTIMIZATION_r16.md; pure function, spec-pinned in
-    * BenchRetimeSpec). */
-  def adjudicateOutlier(isolated: Double, inSequence: Double,
-      envelope: Option[Double]): String = envelope match {
+    * requiring both closes that hole. `inSequence` is an Option (ADVICE
+    * r16: the old -1.0 missing-sentinel compared ≤ 2e and could never
+    * brand "code"); absent falls back to the isolated-only rule. Pure
+    * function, spec-pinned in BenchRetimeSpec. */
+  def adjudicateOutlier(isolated: Double, inSequence: Option[Double],
+      envelope: Option[Double], loadIsolated: Double = -1.0,
+      loadInSequence: Double = -1.0, cpus: Int = 32): String = envelope match {
     case Some(e) if e > 0 =>
-      if (isolated <= 2 * e || inSequence <= 2 * e) "load" else "code"
+      if (isolated <= 2 * e || inSequence.exists(_ <= 2 * e)) "load"
+      else {
+        val t = cpus / 4.0
+        val bothHot = loadIsolated > t &&
+          (inSequence.isEmpty || loadInSequence > t)
+        if (bothHot) "contended" else "code"
+      }
     case _ => "no_envelope"
   }
 
@@ -235,6 +252,17 @@ object Bench {
         if (slowest.isEmpty) Nil
         else try {
           spark.stop()
+          // bounded quiet-wait (VERDICT r16 task 2): a child retime taken
+          // at high host load is evidence of nothing — all three r16
+          // "code" verdicts came from children run at 1-min loads 12-15.
+          // Wait (≤ 2 min, polled every 5 s) for the load to fall below
+          // cpus/4 before launching; on a perpetually-busy box the wait
+          // expires and the adjudication's "contended" verdict covers it.
+          val quietBelow = cpus.toDouble / 4.0
+          var waited = 0
+          while (load1() > quietBelow && waited < 120000) {
+            Thread.sleep(5000); waited += 5000
+          }
           val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
             .getInputArguments.toArray.map(_.toString)
             .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
@@ -282,7 +310,10 @@ object Bench {
     val retimeJson =
       if (retimes.isEmpty) ""
       else retimes.map { case (n, (v, childLoad)) =>
-        val seq = results.toMap.getOrElse(n, -1.0)
+        // in-sequence reading as Option (ADVICE r16): a failed (-1) or
+        // missing entry must not read as "≤ 2× envelope"
+        val seqOpt = results.toMap.get(n).filter(_ >= 0)
+        val seq = seqOpt.getOrElse(-1.0)
         // "isolated" is WARM-comparable from r13 on: the child pre-ran
         // the query untimed at the target SF (see SPARK_GRAFT_WARM_TARGET);
         // "envelope" is the recorded class (bench_envelope.json) the
@@ -292,7 +323,9 @@ object Bench {
         // the artifact carries its own adjudication evidence.
         val envPart = envelope.get(n)
           .map(e => f""","envelope":$e%.3f""").getOrElse("")
-        val verdict = adjudicateOutlier(v, seq, envelope.get(n))
+        val verdict = adjudicateOutlier(v, seqOpt, envelope.get(n),
+          childLoad.getOrElse(-1.0),
+          loadSamples.getOrElse(n, -1.0), cpus.toInt)
         val loadPart =
           loadSamples.get(n).map(l => f""","load_in_sequence":$l%.2f""").getOrElse("") +
           childLoad.map(l => f""","load_isolated":$l%.2f""").getOrElse("")

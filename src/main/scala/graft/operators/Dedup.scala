@@ -516,8 +516,22 @@ object Dedup {
     // in-memory threshold a decade earlier than the binary one
     // (131 → 103 s at 350M windows)
     val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sortParts = spanSortPartitions(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes, sessionParts)
+    // ADVICE r16: sources without size statistics (LogicalRDD /
+    // createDataFrame inputs) estimate sizeInBytes as
+    // spark.sql.defaultSizeInBytes (Long.MaxValue-ish) — feeding that to
+    // the knob would silently pin the 200k-partition cap on a tiny
+    // input. Treat the unestimable sentinel as "unknown": keep the
+    // session default (the pre-knob behavior) and say so once on stderr.
+    val srcBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unestimable = srcBytes >= BigInt(
+      docs.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unestimable)
+      System.err.println("[dedup] duplicateSpanStats: source size " +
+        "unestimable (defaultSizeInBytes sentinel) — keeping the session " +
+        s"shuffle-partition count $sessionParts for the window-hash sort")
+    val sortParts =
+      if (unestimable) sessionParts
+      else spanSortPartitions(srcBytes, sessionParts)
     val winsRaw = d.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1L), (length(col("text")) - (k - 1)).cast("long"))).as("pos"),

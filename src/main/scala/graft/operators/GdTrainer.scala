@@ -60,9 +60,12 @@ object GdTrainer {
       // whole K-pass chain is one plan executed by the consuming action —
       // the r15 form localCheckpoint'ed every iteration, paying K eager
       // driver jobs for lineage no deeper than K nested broadcasts.
-      // (The scaladoc's quadratic-analysis concern applied to re-planning
-      // the full history per iteration from scratch; the chain here is
-      // built once and analyzed once.)
+      // (ADVICE r16, stated precisely: each loop pass still analyzes its
+      // own O(k)-node prefix eagerly, so total ANALYSIS work is O(K²) —
+      // cheap at this trainer's single-digit K, and what the change
+      // removes is the K eager localCheckpoint driver JOBS, not the
+      // analyzer passes. A caller wanting K in the hundreds should
+      // reintroduce a periodic lineage cut.)
       val g = d.crossJoin(broadcast(w)).agg(
         count(lit(1)).as("n"),
         max(col("w1")).as("w1"), max(col("w0")).as("w0"),

@@ -74,29 +74,45 @@ object Graph {
     * falls back to the r15 shuffle-join + per-iteration `localCheckpoint`
     * form, whose final state is a tracked checkpoint. Both paths compute
     * identical int64 ranks; callers own a [[Caching.releaseAll]] after
-    * consuming the result. */
+    * consuming the result.
+    *
+    * Broadcast-path memory (ADVICE r16): the lazy plan holds one
+    * broadcast relation of ≤ `broadcastNodesMax` rank rows ALIVE PER
+    * ITERATION (no lineage cut), so peak driver+executor footprint
+    * scales as `iters × O(V ≤ max)` — at the 4M default and ~32 B/row
+    * that is ~130 MB × iters. Size `broadcastNodesMax` down when raising
+    * `iters` well past the engine's single-digit defaults, or the
+    * fallback path (O(V) checkpoint per iteration, lineage cut) is the
+    * right shape. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
       broadcastNodesMax: Long = 4000000L): DataFrame = {
     // per-edge ppm share of the source's out-weight; persisted — it is
     // joined once per iteration
     val outw = edges.groupBy("src").agg(sum("c").as("wout"))
-    // partitioned by dst BEFORE the persist: every iteration's
-    // contribution aggregation groups by dst, so the cached partitioning
-    // satisfies it and the per-iteration exchange disappears (guide §2.4
-    // "two operations keyed the same way share one exchange") — the edge
-    // shuffle is paid once at build, not once per iteration
-    val ew = Caching.persisted(
-      edges.join(outw, "src")
-        .select(col("src"), col("dst"),
-          expr("(c * 1000000L) DIV wout").as("share_ppm"))
-        .repartition(col("dst")))
+    val ewBase = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr("(c * 1000000L) DIV wout").as("share_ppm"))
+    // node set straight from the raw edges (outw keeps every src, so the
+    // join drops no endpoint — same set, one join fewer to compute)
     val nodes = Caching.persisted(
-      ew.select(col("src").as("token"))
-        .union(ew.select(col("dst").as("token"))).distinct())
+      edges.select(col("src").as("token"))
+        .union(edges.select(col("dst").as("token"))).distinct())
     // one O(V) scalar job at build time (the BPE trained-artifact pattern):
-    // n parameterizes every iteration's base term as a literal
+    // n parameterizes every iteration's base term as a literal — and
+    // decides the path BEFORE the edge cache is laid down, so the dst
+    // pre-partition below is paid only where it helps
     val n = nodes.count()
     val base = 15L * (TotalMass / n) / 100L
+    // BROADCAST PATH ONLY: partitioned by dst BEFORE the persist — every
+    // iteration's contribution aggregation groups by dst, so the cached
+    // partitioning satisfies it and the per-iteration exchange disappears
+    // (guide §2.4 "two operations keyed the same way share one
+    // exchange"); the edge shuffle is paid once at build, not once per
+    // iteration. The FALLBACK path joins ew by src each iteration (the
+    // join re-shuffles regardless), so a dst build exchange would be pure
+    // cost there (ADVICE r16) — it caches ewBase as produced.
+    val ew = Caching.persisted(
+      if (n <= broadcastNodesMax) ewBase.repartition(col("dst")) else ewBase)
 
     var r = nodes.select(col("token"), lit(TotalMass / n).as("r"))
     if (n <= broadcastNodesMax) {

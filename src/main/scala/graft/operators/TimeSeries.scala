@@ -459,8 +459,14 @@ object TimeSeries {
     val big = pos.filter(col("n") > nBuckets)
     val mid = big.filter(col("rn") > 1 && col("rn") < col("n"))
       .withColumn("bk", expr(s"(rn - 2) * ${nBuckets - 2} DIV (n - 2)"))
-    val midAgg = mid.groupBy("g", "bk")
-      .agg(count(lit(1)).as("c"), sum("t").as("sx"), sum("v").as("sy"))
+    // persisted (optimization r17): every stage's next-bucket average is
+    // a filter of THIS aggregation, but the per-stage `bk = k+1` filter
+    // pushes below the groupBy, so the stages' subtrees differ and
+    // ReuseExchange cannot share them — unpersisted, each of the B−3
+    // stages re-ran the full scan + shuffle of the bucket aggregation.
+    // One O(keys × buckets) cached table serves all stages.
+    val midAgg = Caching.persisted(mid.groupBy("g", "bk")
+      .agg(count(lit(1)).as("c"), sum("t").as("sx"), sum("v").as("sy")))
     val first = big.filter(col("rn") === 1).select(col("g"), col("t"), col("v"))
     val last = big.filter(col("rn") === col("n")).select(col("g"), col("t"), col("v"))
 

@@ -1111,26 +1111,40 @@ object ExtQueries {
         count(lit(1)).as("f"), sum(col("c")).as("m"))
     // quartile thresholds per dimension: the value at ceil-rank n/4, n/2,
     // 3n/4 over THAT dimension's distribution; score = 1 + #thresholds
-    // strictly below the value (ties share a score — deterministic)
-    def thresholds(d: String) = {
-      val w = Window.orderBy(col(d))
-      rfm.select(col(d))
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over())
-        .filter(col("rk") === expr("(n + 3) DIV 4") ||
-          col("rk") === expr("(n + 1) DIV 2") || col("rk") === expr("(3 * n + 3) DIV 4"))
+    // strictly below the value (ties share a score — deterministic).
+    // Optimization r17 (guide §2.4, the r16 exact-rank recipe): the value
+    // at ceil-rank k of a sorted multiset is the smallest v whose
+    // cumulative count reaches k, so the three per-dimension
+    // row_number-over-everything windows (each an unbounded
+    // single-partition sort of O(users) rows — the scale-killer) are
+    // replaced by ONE melted value histogram (dim, v, cnt): cum-sum and
+    // total ride one partitionBy(dim) window exchange over O(distinct
+    // values) rows, and the ceil-rank selection is the same int64
+    // arithmetic. Identical thresholds, one pass instead of three.
+    val dims = Seq("r", "f", "m")
+    val w = Window.partitionBy("dim")
+    val pivots = dims.flatMap(d => Seq(
+      min(when(col("dim") === d, col("q1"))).as(s"${d}_q1"),
+      min(when(col("dim") === d, col("q2"))).as(s"${d}_q2"),
+      min(when(col("dim") === d, col("q3"))).as(s"${d}_q3")))
+    val th = rfm
+      .select(explode(array(dims.map(d =>
+        struct(lit(d).as("dim"), col(d).as("v"))): _*)).as("dv"))
+      .groupBy(col("dv.dim").as("dim"), col("dv.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w.orderBy("v")))
+      .withColumn("n", sum("cnt").over(w))
+      .groupBy("dim")
+      .agg(min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v"))).as("q1"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("q2"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v"))).as("q3"))
       .groupBy()
-      .agg(min(when(col("rk") === expr("(n + 3) DIV 4"), col(d))).as(s"${d}_q1"),
-        min(when(col("rk") === expr("(n + 1) DIV 2"), col(d))).as(s"${d}_q2"),
-        min(when(col("rk") === expr("(3 * n + 3) DIV 4"), col(d))).as(s"${d}_q3"))
-    }
+      .agg(pivots.head, pivots.tail: _*)
     def score(d: String) =
       (lit(1) + when(col(d) > col(s"${d}_q1"), 1).otherwise(0) +
         when(col(d) > col(s"${d}_q2"), 1).otherwise(0) +
         when(col(d) > col(s"${d}_q3"), 1).otherwise(0)).as(s"${d}_score")
-    rfm.crossJoin(broadcast(thresholds("r")))
-      .crossJoin(broadcast(thresholds("f")))
-      .crossJoin(broadcast(thresholds("m")))
+    rfm.crossJoin(broadcast(th))
       .select(col("user_id"), score("r"), score("f"), score("m"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"))
@@ -1857,7 +1871,7 @@ object ExtQueries {
     * call (plan construction only) so the names always point at THIS
     * dir's state — the driver and bench interleave sf dirs. */
   private val sqlCatalogState = scala.collection.mutable.Map[String, String]()
-  private def sqlCatalogViews(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlCatalogViews(s: SparkSession, dir: String): Unit = sqlCatalogState.synchronized {
     val state = sqlCatalogState.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqlcat").toString
       val orders = Tables.orders(s, dir)
@@ -1903,7 +1917,7 @@ object ExtQueries {
     * stamps and an as-of read at 0 differs from the live view. Its own
     * state dir: x131/x132 pin the SINGLE-batch live view. */
   private val sqlAsOfState = scala.collection.mutable.Map[String, String]()
-  private def sqlAsOfViews(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlAsOfViews(s: SparkSession, dir: String): Unit = sqlAsOfState.synchronized {
     val state = sqlAsOfState.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqlasof").toString
       val orders = Tables.orders(s, dir)
@@ -1945,12 +1959,31 @@ object ExtQueries {
     * timed sweep and reports the cost as `state_build_s`; outside the
     * bench the builds stay lazy (first query pays, as documented). */
   def prebuildBenchState(s: SparkSession, dir: String): Unit = {
-    sqlCatalogViews(s, dir)
-    sqlAsOfViews(s, dir)
-    sqlBm25Views(s, dir)
-    sqlTopKViews(s, dir)
-    sqlSessionsViews(s, dir)
-    sqlTemporalAsOfViews(s, dir)
+    // The 6 view families are INDEPENDENT (disjoint temp state dirs,
+    // disjoint registered names), so their one-time folds overlap from a
+    // thread pool (optimization r17, guide §2.6: concurrent jobs
+    // back-fill executors idled by each fold's staged single-job tail) —
+    // previously they folded sequentially under ONE object-level lock
+    // (now per-family locks, see each builder). Caching.isolated gives
+    // each build its own persist registry so a fold's releaseAll cannot
+    // drop a sibling's mid-flight frames (the ViewCatalog
+    // concurrentTiers rule). Failures propagate after all complete.
+    val builds: Seq[() => Unit] = Seq(
+      () => sqlBm25Views(s, dir), // largest fold first (pool head start)
+      () => sqlCatalogViews(s, dir),
+      () => sqlAsOfViews(s, dir),
+      () => sqlTopKViews(s, dir),
+      () => sqlSessionsViews(s, dir),
+      () => sqlTemporalAsOfViews(s, dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(builds.map(b =>
+          scala.concurrent.Future(graft.operators.Caching.isolated(b())))),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Shared TWO-BATCH maintained TEMPORAL-STAR state behind the
@@ -1962,7 +1995,7 @@ object ExtQueries {
     * (the engine's as-of resolution is arrival-order-free, so all
     * versions landing in batch 0 is the x123 semantics exactly). */
   private val sqlTemporalState = scala.collection.mutable.Map[String, String]()
-  private def sqlTemporalAsOfViews(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlTemporalAsOfViews(s: SparkSession, dir: String): Unit = sqlTemporalState.synchronized {
     val state = sqlTemporalState.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqltemp").toString
       val ev = Tables.events(s, dir)
@@ -2006,7 +2039,7 @@ object ExtQueries {
     * semantics: 30-minute strict gap, epoch-µs), so `sessionsPointRead`
     * is driver-oracled against the DuckDB per-user recompute. */
   private val sqlSessionsState = scala.collection.mutable.Map[String, String]()
-  private def sqlSessionsViews(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlSessionsViews(s: SparkSession, dir: String): Unit = sqlSessionsState.synchronized {
     val state = sqlSessionsState.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqlsess").toString
       val ev = Tables.events(s, dir)
@@ -2038,7 +2071,7 @@ object ExtQueries {
     * r14 `extremaTopKRead` point read is driver-oracled against the
     * DuckDB window recompute. */
   private val sqlTopKState = scala.collection.mutable.Map[String, String]()
-  private def sqlTopKViews(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlTopKViews(s: SparkSession, dir: String): Unit = sqlTopKState.synchronized {
     val state = sqlTopKState.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqltopk").toString
       graft.streaming.IncrementalExtrema.processBatch(
@@ -2070,13 +2103,26 @@ object ExtQueries {
     * (process, sf dir) from the documents corpus
     * ([[graft.streaming.IncrementalIndex.processBatchBucketed]]). */
   private val sqlBm25State = scala.collection.mutable.Map[String, String]()
-  private def sqlBm25Views(s: SparkSession, dir: String): Unit = synchronized {
+  private def sqlBm25Views(s: SparkSession, dir: String): Unit = sqlBm25State.synchronized {
     val state = sqlBm25State.getOrElseUpdate(dir, {
       val st = java.nio.file.Files.createTempDirectory("sqlbm25").toString
-      graft.streaming.IncrementalIndex.processBatchBucketed(
-        Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8)
-      graft.streaming.IncrementalIndex.processBatchPositionalBucketed(
-        Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8)
+      // the two index folds write DISJOINT tables (postings/doc_lens vs
+      // positional) from the same corpus — overlap them (guide §2.6);
+      // each keeps its own persist registry (optimization r17)
+      val folds: Seq[() => Unit] = Seq(
+        () => graft.streaming.IncrementalIndex.processBatchBucketed(
+          Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8),
+        () => graft.streaming.IncrementalIndex.processBatchPositionalBucketed(
+          Tables.documents(s, dir), st, batchId = 0L, numBuckets = 8))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(folds.map(f =>
+            scala.concurrent.Future(graft.operators.Caching.isolated(f())))),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
       st
     })
     graft.streaming.SqlCatalog.register(s, Seq(

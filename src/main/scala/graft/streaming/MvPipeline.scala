@@ -718,20 +718,23 @@ object MvPipeline {
 
   /** Read bucketed state: union of the live `bucket=<n>` directories
     * (exact-name match — `.tmp`/`.old` swap leftovers are never read). */
-  def readBucketedState(spark: SparkSession, path: String): DataFrame = {
-    val base = new Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
-      .map(_.getPath.toString)
-    require(parts.nonEmpty, s"no bucket state under $path")
-    // ONE multi-path scan, not a union of per-bucket reads: a union
-    // carries one relation PER BUCKET into every consumer plan, so at
-    // high bucket counts (the 100 TB knob) Catalyst analysis time grows
-    // with B in every fold that reads state — measured 4-5x wall on the
-    // star fold at B=64 vs B=16 before this collapse
-    spark.read.parquet(parts.toIndexedSeq: _*)
-  }
+  def readBucketedState(spark: SparkSession, path: String): DataFrame =
+    // memoized per (session, dir, listing signature) — the serving reads
+    // re-list every bucket dir otherwise (optimization r17, StateRead doc)
+    StateRead.memo(spark, s"bucketed:$path", path) {
+      val base = new Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket=\\d+"))
+        .map(_.getPath.toString)
+      require(parts.nonEmpty, s"no bucket state under $path")
+      // ONE multi-path scan, not a union of per-bucket reads: a union
+      // carries one relation PER BUCKET into every consumer plan, so at
+      // high bucket counts (the 100 TB knob) Catalyst analysis time grows
+      // with B in every fold that reads state — measured 4-5x wall on the
+      // star fold at B=64 vs B=16 before this collapse
+      spark.read.parquet(parts.toIndexedSeq: _*)
+    }
 
   /** BUCKET-PRUNED state read — the read-side O(Δ) counterpart of
     * [[upsertBucketed]]: read ONLY the listed `bucket=<id>` directories
@@ -786,9 +789,12 @@ object MvPipeline {
   def appendIncrements(increment: DataFrame, path: String): Unit =
     increment.write.mode("append").parquet(path)
 
-  /** Read a summary state table. */
+  /** Read a summary state table (memoized per listing signature —
+    * StateRead doc). */
   def readState(spark: SparkSession, stateDir: String, view: String): DataFrame =
-    spark.read.parquet(s"$stateDir/$view")
+    StateRead.memo(spark, s"state:$stateDir/$view", s"$stateDir/$view") {
+      spark.read.parquet(s"$stateDir/$view")
+    }
 
   /** [[readState]] that tolerates a not-yet-created table (the first
     * micro-batch of a view that also READS its own prior state): an
@@ -797,7 +803,7 @@ object MvPipeline {
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new Path(s"$stateDir/$view")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(p.toString)
+    if (fs.exists(p)) readState(spark, stateDir, view)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 

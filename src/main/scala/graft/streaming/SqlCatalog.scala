@@ -642,23 +642,29 @@ object SqlCatalog {
     * reads on a not-yet-folded view answer empty, not error. */
   private[streaming] def registerStateTable(spark: SparkSession,
       viewName: String, path: String, schema: StructType): Unit = {
-    val base = new Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = fs.exists(base) && {
-      val entries = fs.listStatus(base).map(_.getPath.getName)
-      val foreign = entries.filterNot(n =>
-        n.matches("bucket=\\d+") || n.startsWith("_") || n.startsWith("."))
-      require(foreign.isEmpty,
-        s"cannot register $path as a SQL state table: non-bucket " +
-          s"entries ${foreign.mkString(", ")} (crash leftovers? run a " +
-          "merge on the owning view to recover, then re-register)")
-      entries.exists(_.matches("bucket=\\d+"))
-    }
-    val df =
+    // frame memoized per (session, dir, listing signature): the TVF
+    // registrations re-bind per query call, and the partition-discovery
+    // listing dominated the SQL-surface queries (optimization r17 —
+    // StateRead doc); the swap-leftover refusal re-runs on every
+    // signature change, which is exactly when leftovers can appear
+    val df = StateRead.memo(spark, s"sqlstate:$path", path) {
+      val base = new Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = fs.exists(base) && {
+        val entries = fs.listStatus(base).map(_.getPath.getName)
+        val foreign = entries.filterNot(n =>
+          n.matches("bucket=\\d+") || n.startsWith("_") || n.startsWith("."))
+        require(foreign.isEmpty,
+          s"cannot register $path as a SQL state table: non-bucket " +
+            s"entries ${foreign.mkString(", ")} (crash leftovers? run a " +
+            "merge on the owning view to recover, then re-register)")
+        entries.exists(_.matches("bucket=\\d+"))
+      }
       if (live) spark.read.option("basePath", path).parquet(path)
       else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .withColumn("bucket", org.apache.spark.sql.functions.lit(0))
+    }
     df.createOrReplaceTempView(viewName)
   }
 }

@@ -43,7 +43,7 @@ object PlanDump {
         val a = PlanSweep.audit(df.queryExecution.executedPlan, explain)
         Files.write(Paths.get(outDir, s"${name}_$tag.txt"),
           explain.getBytes(StandardCharsets.UTF_8))
-        println(s"PLandump $name exchanges=${a.exchanges} cartesian=${a.cartesians} " +
+        println(s"plandump $name exchanges=${a.exchanges} cartesian=${a.cartesians} " +
           s"bnlj=${a.bnlj} wscg=${a.wscg} fallbacks=${a.fallbacks.mkString("/")}")
         graft.operators.Caching.releaseAll()
       }

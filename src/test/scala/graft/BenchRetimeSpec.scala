@@ -45,18 +45,47 @@ class BenchRetimeSpec extends AnyFunSuite {
 
   test("outlier adjudication: load vs code is a machine-made call (r15)") {
     // the same code at class speed in a quiet JVM = host contention
-    assert(Bench.adjudicateOutlier(1.10, 3.0, Some(0.62)) === "load")
+    assert(Bench.adjudicateOutlier(1.10, Some(3.0), Some(0.62)) === "load")
     // at the 2x boundary: still load (the trigger threshold itself)
-    assert(Bench.adjudicateOutlier(1.24, 3.0, Some(0.62)) === "load")
+    assert(Bench.adjudicateOutlier(1.24, Some(3.0), Some(0.62)) === "load")
     // slow in BOTH readings = a real plan regression
-    assert(Bench.adjudicateOutlier(2.0, 3.0, Some(0.62)) === "code")
+    assert(Bench.adjudicateOutlier(2.0, Some(3.0), Some(0.62)) === "code")
     // r16: a top-4 pick whose in-sequence reading is IN class must never
     // draw "code" from a contended isolated child alone (the x87 false
     // positive: in-sequence 1.1x class, child 4.4x at 1-min load 9)
-    assert(Bench.adjudicateOutlier(8.9, 2.2, Some(2.01)) === "load")
+    assert(Bench.adjudicateOutlier(8.9, Some(2.2), Some(2.01)) === "load")
     // no recorded class (new query via top-4): no class verdict possible
-    assert(Bench.adjudicateOutlier(1.10, 3.0, None) === "no_envelope")
-    assert(Bench.adjudicateOutlier(1.10, 3.0, Some(0.0)) === "no_envelope")
+    assert(Bench.adjudicateOutlier(1.10, Some(3.0), None) === "no_envelope")
+    assert(Bench.adjudicateOutlier(1.10, Some(3.0), Some(0.0)) === "no_envelope")
+  }
+
+  test("outlier adjudication is load-aware (r17): hot-host readings prove contention, not code") {
+    // the r16 ingest_rdatas shape: both readings above 2x class, both
+    // taken at 1-min loads 8.3/14.8 on 32 cpus (> cpus/4 = 8) — neither
+    // reading can prove a regression
+    assert(Bench.adjudicateOutlier(1.90, Some(3.80), Some(0.34),
+      loadIsolated = 14.8, loadInSequence = 8.3, cpus = 32) === "contended")
+    // same readings on a quiet host: a real regression
+    assert(Bench.adjudicateOutlier(1.90, Some(3.80), Some(0.34),
+      loadIsolated = 2.1, loadInSequence = 3.0, cpus = 32) === "code")
+    // one quiet reading is enough to brand code (the in-sequence one)
+    assert(Bench.adjudicateOutlier(1.90, Some(3.80), Some(0.34),
+      loadIsolated = 14.8, loadInSequence = 4.0, cpus = 32) === "code")
+    // a missing load sample (-1) never proves contention
+    assert(Bench.adjudicateOutlier(1.90, Some(3.80), Some(0.34),
+      loadIsolated = -1.0, loadInSequence = -1.0, cpus = 32) === "code")
+    // in-class readings stay "load" regardless of recorded loads
+    assert(Bench.adjudicateOutlier(0.50, Some(3.80), Some(0.34),
+      loadIsolated = 14.8, loadInSequence = 14.8, cpus = 32) === "load")
+    // ADVICE r16: a MISSING in-sequence reading must not read as
+    // "≤ 2x envelope" — isolated-only rule applies
+    assert(Bench.adjudicateOutlier(1.90, None, Some(0.34),
+      loadIsolated = 2.0, loadInSequence = -1.0, cpus = 32) === "code")
+    assert(Bench.adjudicateOutlier(0.50, None, Some(0.34)) === "load")
+    // absent in-sequence + hot child: contended (the child alone cannot
+    // prove code from a busy box)
+    assert(Bench.adjudicateOutlier(1.90, None, Some(0.34),
+      loadIsolated = 14.8, cpus = 32) === "contended")
   }
 
   test("section-scoped bench-line parse: the loads map must not clobber the queries map") {
